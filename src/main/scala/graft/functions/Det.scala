@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers for oracle-comparable results.
+  *
+  * Two cross-engine hazards are neutralized here:
+  *
+  *  1. Float summation order: Spark's partial/final aggregation sums doubles
+  *     in partition order, the oracle sums in scan order. [[dsum]] accumulates
+  *     in exact DECIMAL(30,8) (order-independent integer arithmetic) and only
+  *     converts to double at the end — bit-identical across engines.
+  *
+  *  2. `round()` tie semantics: Spark rounds the shortest decimal repr
+  *     (BigDecimal.valueOf) while other engines round the binary value —
+  *     results can differ at exact ties. [[rdet]] uses floor(x*10^k + 0.5) /
+  *     10^k, which is pure IEEE arithmetic and therefore reproduces exactly
+  *     in any engine.
+  */
+object Det {
+
+  /** Deterministic half-up rounding to k decimals: floor(x*10^k + 0.5)/10^k. */
+  def rdet(c: Column, k: Int): Column = {
+    val p = math.pow(10, k)
+    floor(c * p + 0.5) / p
+  }
+
+  /** Order-independent sum of a double column via exact decimal accumulation;
+    * result cast back to double. Oracle form:
+    * `CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast("double")
+
+  /** SQL fragment mirroring [[dsum]] for oracle text. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS DOUBLE)"
+
+  /** SQL fragment mirroring [[rdet]] for oracle text. */
+  def rdetSql(expr: String, k: Int): String =
+    s"floor(($expr) * 1e$k + 0.5) / 1e$k"
+}

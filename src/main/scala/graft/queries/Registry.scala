@@ -1,0 +1,12 @@
+package graft.queries
+
+/** Central query registry — SparkEntry derives the driver-facing maps from
+  * here. Add each new operator's QueryDef to its module's `all` and list the
+  * module here.
+  */
+object Registry {
+  val all: Seq[QueryDef] =
+    RelationalQueries.all ++ NoiseQueries.all
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names")
+}

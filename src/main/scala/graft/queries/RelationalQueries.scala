@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Det.{dsum, dsumSql}
+
+/** Relational query surface over the TPC-H-ish tables (TESTDATA.md).
+  *
+  * The reference contains exactly one join (a cross/theta-range join,
+  * reference functions.py:255-258) and one grouped aggregation
+  * (functions.py:268-269); this module provides the full standard operator
+  * coverage SURVEY.md §2.2 scopes for the rebuild: scans, projection/filter,
+  * equi/semi/anti/broadcast joins, hash aggregation, distinct, rollup,
+  * windows, sorts/limits/top-k, set ops, scalar string/date/json functions.
+  *
+  * Scale notes (100 TB posture): every query is declarative DataFrame API —
+  * filters and projections push into the parquet scan; small dimension sides
+  * are explicitly `broadcast(...)`; aggregations get map-side partial
+  * aggregation from Catalyst; no collect(), no UDFs, no driver loops.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg (map-side
+    * partial) → sort. The canonical wide aggregation.
+    */
+  val q01PricingSummary: QueryDef = QueryDef(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-01").cast("date"))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * (lit(1.0d) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_base_price,
+             ${dsumSql("l_extendedprice * (1.0e0 - l_discount)")} AS sum_disc_price,
+             ${dsumSql("l_extendedprice * (1.0e0 - l_discount) * (1.0e0 + l_tax)")} AS sum_charge,
+             ${dsumSql("l_quantity")} / count(*) AS avg_qty,
+             ${dsumSql("l_extendedprice")} / count(*) AS avg_price,
+             ${dsumSql("l_discount")} / count(*) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= DATE '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q6-style selective filter + global agg: predicate pushdown to the
+    * parquet scan, single-row result.
+    */
+  val q02RevenueFilter: QueryDef = QueryDef(
+    "q02_revenue_filter",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date") &&
+          col("l_discount").between(0.04d, 0.06d) && col("l_quantity") < 24.0d)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue")),
+    Some(s"""
+      SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.04e0 AND 0.06e0 AND l_quantity < 24.0e0"""))
+
+  /** Broadcast hash join: orders (fact) joined to customer with an explicit
+    * broadcast hint — at 100 TB the dimension stays broadcastable while the
+    * fact side never shuffles for the join.
+    */
+  val q03SegmentRevenue: QueryDef = QueryDef(
+    "q03_segment_revenue",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"),
+    Some(s"""
+      SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** TPC-H Q5-style 5-way join through the dimension chain
+    * region→nation→customer→orders→lineitem. Dimensions broadcast; the only
+    * shuffle is orders⋈lineitem on the orderkey plus the final agg.
+    */
+  val q04NationRevenue: QueryDef = QueryDef(
+    "q04_nation_revenue",
+    (s, dir) => {
+      val dims = broadcast(
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("n_name")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1998-01-01").cast("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some(s"""
+      SELECT n_name,
+             ${dsumSql("l_extendedprice * (1.0e0 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+       AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Left-semi join: customers having at least one finished order. */
+  val q05SemiJoin: QueryDef = QueryDef(
+    "q05_semi_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
+  /** Left-anti join: customers with no orders at all. */
+  val q06AntiJoin: QueryDef = QueryDef(
+    "q06_anti_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Ranking window: top-3 orders per market segment (row_number with a
+    * deterministic orderkey tiebreak).
+    */
+  val q07TopOrdersPerSegment: QueryDef = QueryDef(
+    "q07_top_orders_per_segment",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("c_mktsegment", "rk")
+    },
+    Some("""
+      SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rk <= 3 ORDER BY c_mktsegment, rk"""))
+
+  /** Analytic windows over the events stream table: lag delta + running sum
+    * per user (exact decimal accumulation inside the frame).
+    */
+  val q08UserEventDelta: QueryDef = QueryDef(
+    "q08_user_event_delta",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("delta", col("value") - coalesce(lag("value", 1).over(w), lit(0.0d)))
+        .withColumn("running",
+          sum(col("value").cast(DecimalType(30, 8))).over(w).cast("double"))
+        .select("user_id", "event_id", "delta", "running")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             value - coalesce(lag(value, 1) OVER w, 0.0e0) AS delta,
+             CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) AS running
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  /** Global top-k: TakeOrderedAndProject — no full sort of the fact table. */
+  val q09TopOrders: QueryDef = QueryDef(
+    "q09_top_orders",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** Set operations: (open ∩ finished) \ pending customer keys. */
+  val q10IntersectExcept: QueryDef = QueryDef(
+    "q10_intersect_except",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def keys(status: String) =
+        o.filter(col("o_orderstatus") === status).select(col("o_custkey").as("custkey"))
+      keys("O").intersect(keys("F")).except(keys("P")).orderBy("custkey")
+    },
+    Some("""
+      SELECT custkey FROM (
+        SELECT custkey FROM (
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+      ORDER BY custkey"""))
+
+  /** UNION (distinct) across two different tables' key sets. */
+  val q11Union: QueryDef = QueryDef(
+    "q11_union",
+    (s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, dir, "customer").filter(col("c_acctbal") < 1000.0d)
+        .select(col("c_custkey").as("custkey"))
+      a.union(b).distinct().orderBy("custkey")
+    },
+    Some("""
+      SELECT custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        UNION
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 1000.0e0)
+      ORDER BY custkey"""))
+
+  /** Multi-column distinct aggregation (expand + two-phase agg in Spark). */
+  val q12DistinctCounts: QueryDef = QueryDef(
+    "q12_distinct_counts",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("sup_cnt"),
+          countDistinct(col("l_partkey")).as("part_cnt"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS sup_cnt,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS part_cnt,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** ROLLUP with grouping() sentinel replacement (keeps NULL out of the
+    * compare keys — NULL sort order differs across engines).
+    */
+  val q13Rollup: QueryDef = QueryDef(
+    "q13_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g1"), grouping(col("l_linestatus")).as("g2"))
+        .select(
+          when(col("g1") === 1, "ALL").otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("g2") === 1, "ALL").otherwise(col("l_linestatus")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus"),
+    Some(s"""
+      SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+             CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+             ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  /** The reference's flight-phase classification shape (functions.py:217-226)
+    * as a pure CASE WHEN bucketing over events.
+    */
+  val q14CaseWhenBuckets: QueryDef = QueryDef(
+    "q14_case_when_buckets",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("bucket",
+          when(col("value") < 50.0d, "low")
+            .when(col("value") < 200.0d, "mid")
+            .otherwise("high"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket", "event_type"),
+    Some(s"""
+      SELECT CASE WHEN value < 50.0e0 THEN 'low'
+                  WHEN value < 200.0e0 THEN 'mid' ELSE 'high' END AS bucket,
+             event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** String functions over documents (regexp_replace / split / substring —
+    * reference O8/O9, functions.py:103-106).
+    */
+  val q15StringFuncs: QueryDef = QueryDef(
+    "q15_string_funcs",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("len_chars"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          upper(substring(col("text"), 1, 12)).as("head_upper"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS len_chars,
+             CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS len_novowels,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             upper(substr(text, 1, 12)) AS head_upper
+      FROM documents ORDER BY doc_id"""))
+
+  /** Date/time extraction + aggregation over orders. */
+  val q16Datetime: QueryDef = QueryDef(
+    "q16_datetime",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy("yr", "mo"),
+    Some(s"""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             count(*) AS n, ${dsumSql("o_totalprice")} AS rev
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** JSON extraction from the events.props payload column. */
+  val q17JsonExtract: QueryDef = QueryDef(
+    "q17_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q01PricingSummary, q02RevenueFilter, q03SegmentRevenue, q04NationRevenue,
+    q05SemiJoin, q06AntiJoin, q07TopOrdersPerSegment, q08UserEventDelta,
+    q09TopOrders, q10IntersectExcept, q11Union, q12DistinctCounts,
+    q13Rollup, q14CaseWhenBuckets, q15StringFuncs, q16Datetime, q17JsonExtract)
+}
