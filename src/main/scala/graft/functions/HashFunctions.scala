@@ -41,19 +41,25 @@ object HashFunctions {
   def minhash(tokens: Column, a: Long, b: Long): Column =
     array_min(transform(tokens, t => pmod(lit(a) * hash32(t) + lit(b), lit(Prime))))
 
-  /** 32-bit simhash over an array<string> column: bit b of the result is set
-    * iff sum over tokens of (+1 if bit b of hash32(token) else -1) > 0.
+  /** 32-bit simhash from pre-hashed tokens (array<long> of hash32 values):
+    * bit b of the result is set iff sum over tokens of (+1 if bit b of the
+    * hash else -1) > 0. Taking hashes (not strings) keeps each token hashed
+    * once instead of once per bit.
     */
-  def simhash32(tokens: Column): Column =
+  def simhashFromHashes(hashes: Column): Column =
     aggregate(
       sequence(lit(0), lit(31)),
       lit(0L),
       (acc, b) =>
         acc + when(
-          aggregate(tokens, lit(0L),
-            (s, t) => s + when((call_function("shiftright", hash32(t), b) % 2) === 1, 1L).otherwise(-1L)
+          aggregate(hashes, lit(0L),
+            (s, h) => s + when((call_function("shiftright", h, b) % 2) === 1, 1L).otherwise(-1L)
           ) > 0,
           call_function("shiftleft", lit(1L), b)).otherwise(0L))
+
+  /** 32-bit simhash over an array<string> column. */
+  def simhash32(tokens: Column): Column =
+    simhashFromHashes(transform(tokens, hash32 _))
 
   /** Rolling polynomial fingerprint over the characters of a string:
     * fold(chars, 0, (acc, ch) -> (acc*31 + ascii(ch)) mod Prime).

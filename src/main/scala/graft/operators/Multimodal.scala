@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with a typed metadata struct; decode / feature-extract
+  * run per-partition in batches.
+  *
+  * The actual media decode is STUBBED — no image/audio codecs exist in this
+  * environment — with a deterministic fake ([[fakeDecode]]) so the
+  * Spark-side contract (schema, batch shape, partition-level execution,
+  * feature vector layout) is real and tested. Swapping in a real codec means
+  * replacing one pure function; the plan shape does not change.
+  *
+  * Scale: decode is embarrassingly parallel (mapPartitions, no shuffle);
+  * batching happens naturally per partition iterator. Size
+  * spark.sql.files.maxPartitionBytes so one partition's payloads fit
+  * executor memory.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every binary payload column. */
+  final case class MediaMeta(formatGuess: String, nBytes: Int, checksum: Long)
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                                 channels: Int, features: Array[Float])
+
+  /** Wrap a text corpus as binary payloads + metadata — the ingest shape a
+    * real media table would have (payload column stays opaque bytes).
+    */
+  def attachPayload(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          when(substring(col("text"), 1, 1).rlike("[a-m]"), "png")
+            .otherwise("jpeg").as("formatGuess"),
+          octet_length(col("text")).as("nBytes"),
+          graft.functions.HashFunctions.hash32(col("text")).as("checksum")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: deterministic fake dimensions/features from the payload
+    * bytes. A real implementation would decode the image and pool pixels;
+    * everything around this function (signature, batching, schema) is the
+    * production shape.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val n = payload.length
+    val width = 16 + (n % 64)
+    val height = 16 + ((n / 64) % 64)
+    val channels = 3
+    // 8-bin "intensity histogram" over the raw bytes, L1-normalized
+    val hist = new Array[Float](8)
+    payload.foreach(b => hist((b & 0xff) / 32) += 1f)
+    if (n > 0) (0 until 8).foreach(i => hist(i) /= n.toFloat)
+    (width, height, channels, hist)
+  }
+
+  /** Per-partition batched decode → typed feature rows. mapPartitions (not
+    * per-row UDF) so a real codec could amortize setup per batch.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, c, f) = fakeDecode(r.payload)
+        MediaFeatures(r.doc_id, w, h, c, f)
+      }
+    }
+  }
+
+  /** Frame-sample operator shape: keep every `stride`-th byte as a "frame"
+    * digest — stands in for video frame sampling over a binary column.
+    */
+  def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val sampled = r.payload.indices.collect { case i if i % stride == 0 => r.payload(i) }
+      (r.doc_id, sampled.length, sampled.take(8).map(_.toInt).sum)
+    }.toDF("doc_id", "n_frames", "head_digest")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * [[topKBrute]] is the exact baseline: broadcast the (small) query set,
+  * score every corpus vector map-side, rank per query. One shuffle (the
+  * window per q_id) — at 100 TB the corpus side streams through executors
+  * once; only q×k survivors shuffle.
+  *
+  * [[topKByLabel]] is the IVF-style scale path: an inverted-file pass that
+  * probes only the query's coarse partition (here the `label` column stands
+  * in for a centroid assignment, which a k-means fit would produce). The
+  * candidate set — and the shuffle — shrinks by the number of partitions.
+  *
+  * Norms are precomputed per vector (and cached on the pair-heavy paths):
+  * cosine per pair then costs one dot-product fold instead of three. The
+  * arithmetic stays dot/(norm_a*norm_b) — identical to the oracle's
+  * dot/(sqrt(ssq_a)*sqrt(ssq_b)).
+  */
+object Similarity {
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", norm2(col("embedding")))
+
+  /** Exact top-k by cosine for each query vector (query set = vec_id <
+    * nQueries). Cosine is rounded (Det.rdet 6) before ranking so rank order
+    * is reproducible; ties break by vec_id.
+    */
+  def topKBrute(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val c = withNorm(emb)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Det.rdet(dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "cos")
+  }
+
+  /** IVF-style top-k: probe only vectors sharing the query's label
+    * (coarse-quantizer cell). Same output shape as [[topKBrute]].
+    */
+  def topKByLabel(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val c = withNorm(emb)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val scored = c.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Det.rdet(dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "cos")
+  }
+
+  /** Embedding near-duplicate pairs within a coarse partition: label-blocked
+    * pairwise cosine above `threshold`. doc pairs ordered (a < b). The
+    * normed table is cached so per-vector work runs once, not per pair.
+    */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val c = withNorm(emb.select(col("vec_id"), col("label"), col("embedding"))).cache()
+    c.as("a").join(c.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Det.rdet(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

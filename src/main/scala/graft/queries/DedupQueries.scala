@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashFunctions.MinhashParams
+import graft.operators.Dedup
+
+/** Oracle-checked dedup surface over the `documents` table: exact,
+  * MinHash-LSH, SimHash, and n-gram Jaccard (operators in
+  * graft.operators.Dedup). The oracle SQL mirrors every hash arithmetic step
+  * via md5 (see graft.functions.HashFunctions).
+  */
+object DedupQueries {
+
+  /** DuckDB fragment: hash32 of a string expression. */
+  private def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+
+  /** DuckDB CTEs: w = tokens (+n_chars), s = distinct 3-gram shingles. */
+  private val shingleCtes = """
+    w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, n_chars,
+            list_distinct(list_transform(generate_series(1, len(w)-2),
+              i -> array_to_string(list_slice(w, i, i+2), ' '))) AS sh
+          FROM w WHERE len(w) >= 3)"""
+
+  private def sigExpr(i: Int): String = {
+    val (a, b) = MinhashParams(i)
+    s"list_min(list_transform(sh, t -> ($a * ${h32("t")} + $b) % 2147483647))"
+  }
+
+  val q24DedupExact: QueryDef = QueryDef(
+    "q24_dedup_exact",
+    (s, dir) => Dedup.exactDedup(Tables.load(s, dir, "documents")).orderBy("keep_doc_id"),
+    Some("""
+      SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_doc_id"""))
+
+  val q25MinhashSignatures: QueryDef = QueryDef(
+    "q25_minhash_signatures",
+    (s, dir) => Dedup.minhashSignatures(Tables.load(s, dir, "documents"), 3).orderBy("doc_id"),
+    Some(s"""
+      WITH $shingleCtes
+      SELECT doc_id,
+             ${(0 until 8).map(i => s"${sigExpr(i)} AS sig_$i").mkString(",\n             ")}
+      FROM s ORDER BY doc_id"""))
+
+  val q26MinhashLsh: QueryDef = QueryDef(
+    "q26_dedup_minhash_lsh",
+    (s, dir) => Dedup.minhashLsh(Tables.load(s, dir, "documents"),
+      shingleK = 3, rowsPerBand = 2, threshold = 0.5).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $shingleCtes,
+      sig AS (SELECT doc_id, sh, [${(0 until 8).map(sigExpr).mkString(", ")}] AS sg FROM s),
+      bands AS (SELECT doc_id, b,
+                  sg[2*b+1]::VARCHAR || '_' || sg[2*b+2]::VARCHAR AS key
+                FROM sig, generate_series(0, 3) g(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+        FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                  JOIN sig sb ON sb.doc_id = doc_b)
+      WHERE jaccard >= 0.5e0 ORDER BY doc_a, doc_b"""))
+
+  val q27Simhash: QueryDef = QueryDef(
+    "q27_dedup_simhash",
+    (s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+      shingleK = 3, maxHamming = 6).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $shingleCtes,
+      hs AS (SELECT doc_id, n_chars, list_transform(sh, t -> ${h32("t")}) AS hs FROM s),
+      sim AS (SELECT doc_id, n_chars,
+                CAST(list_aggregate(list_transform(range(0, 32), b ->
+                  CASE WHEN list_aggregate(list_transform(hs, h ->
+                         CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+                       THEN (1::BIGINT << b) ELSE 0::BIGINT END), 'sum') AS BIGINT) AS sim
+              FROM hs)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      FROM sim a JOIN sim b
+        ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
+      WHERE bit_count(xor(a.sim, b.sim)) <= 6
+      ORDER BY doc_a, doc_b"""))
+
+  val q28NgramJaccard: QueryDef = QueryDef(
+    "q28_dedup_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+      shingleK = 3, threshold = 0.5).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $shingleCtes
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) AS jaccard
+        FROM s a JOIN s b
+          ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
+      WHERE jaccard >= 0.5e0 ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q24DedupExact, q25MinhashSignatures, q26MinhashLsh, q27Simhash, q28NgramJaccard)
+}

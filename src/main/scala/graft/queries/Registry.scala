@@ -6,7 +6,8 @@ package graft.queries
   */
 object Registry {
   val all: Seq[QueryDef] =
-    RelationalQueries.all ++ NoiseQueries.all
+    RelationalQueries.all ++ NoiseQueries.all ++ DedupQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Oracle-checked similarity-search surface over `embeddings`
+  * (array<float>, dim 64): brute-force cosine top-k, IVF-style label-probed
+  * top-k, embedding near-dup pairs, and a binary/multimodal metadata
+  * projection. Operators in graft.operators.Similarity.
+  */
+object SimilarityQueries {
+
+  /** DuckDB fragment: sequential-fold dot product of two FLOAT[] columns in
+    * double precision — matches VectorFunctions' left fold bit-for-bit.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+       |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private def rdet6(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+
+  val q33KnnBrute: QueryDef = QueryDef(
+    "q33_knn_brute",
+    (s, dir) => Similarity.topKBrute(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5)
+      .orderBy("q_id", "rk"),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q_id, vec_id, ${rdet6(cosSql("embedding", "q_emb"))} AS cos
+             FROM embeddings, q WHERE vec_id <> q_id)
+      SELECT q_id, rk, vec_id, cos FROM (
+        SELECT q_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        FROM sc)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
+
+  val q34KnnIvfLabel: QueryDef = QueryDef(
+    "q34_knn_ivf_label",
+    (s, dir) => Similarity.topKByLabel(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5)
+      .orderBy("q_id", "rk"),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+                 FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q_id, vec_id, ${rdet6(cosSql("embedding", "q_emb"))} AS cos
+             FROM embeddings, q WHERE label = q_label AND vec_id <> q_id)
+      SELECT q_id, rk, vec_id, cos FROM (
+        SELECT q_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        FROM sc)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
+
+  val q35EmbeddingDup: QueryDef = QueryDef(
+    "q35_dedup_embedding",
+    (s, dir) => Similarity.embeddingDupPairs(Tables.load(s, dir, "embeddings"), threshold = 0.35)
+      .orderBy("vec_a", "vec_b"),
+    Some(s"""
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${rdet6(cosSql("a.embedding", "b.embedding"))} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.35e0 ORDER BY vec_a, vec_b"""))
+
+  /** Multimodal column plumbing: byte length, portable checksum, and a
+    * first-byte "format sniff" over the text treated as an opaque payload
+    * (the real binary decode path lives in graft.operators.Multimodal).
+    */
+  val q36MultimodalMeta: QueryDef = QueryDef(
+    "q36_multimodal_meta",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        graft.functions.HashFunctions.hash32(col("text")).as("checksum"),
+        when(substring(col("text"), 1, 1).isin("a", "e", "i", "o", "u"), "vowel")
+          .otherwise("other").as("kind"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             (('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum,
+             CASE WHEN substr(text, 1, 1) IN ('a', 'e', 'i', 'o', 'u')
+                  THEN 'vowel' ELSE 'other' END AS kind
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q33KnnBrute, q34KnnIvfLabel, q35EmbeddingDup, q36MultimodalMeta)
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Oracle-checked text-analysis surface over `documents`: language ID,
+  * quality scoring, token counting, fingerprinting (operators in
+  * graft.operators.TextAnalysis).
+  */
+object TextQueries {
+
+  private def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+
+  private val markersSql: Map[String, String] =
+    TextAnalysis.LangMarkers.toMap.map { case (l, ms) =>
+      l -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
+    }
+
+  val q29LangId: QueryDef = QueryDef(
+    "q29_lang_id",
+    (s, dir) => TextAnalysis.langId(Tables.load(s, dir, "documents")).orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, s_en, s_fr, s_de, s_es,
+             CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                  WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                  WHEN s_de >= s_es THEN 'de'
+                  ELSE 'es' END AS pred_lang
+      FROM (
+        SELECT doc_id,
+          ${TextAnalysis.LangMarkers.map { case (l, _) =>
+            s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${markersSql(l)})) AS BIGINT) AS s_$l"
+          }.mkString(",\n          ")}
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  val q30QualityScore: QueryDef = QueryDef(
+    "q30_quality_score",
+    (s, dir) => TextAnalysis.qualityScore(Tables.load(s, dir, "documents")).orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+             0.5e0 * stopword_ratio
+               + 0.3e0 * least(avg_token_len / 10.0e0, 1.0e0)
+               + 0.2e0 * least(CAST(n_tokens AS DOUBLE) / 100.0e0, 1.0e0) AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               (CAST(length(text) AS DOUBLE) - CAST(len(w) AS BIGINT) + 1.0e0)
+                 / CAST(len(w) AS BIGINT) AS avg_token_len,
+               CAST(CAST(len(list_filter(w, t -> t IN ${markersSql("en")})) AS BIGINT) AS DOUBLE)
+                 / CAST(len(w) AS BIGINT) AS stopword_ratio
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+      ORDER BY doc_id"""))
+
+  val q31TokenCount: QueryDef = QueryDef(
+    "q31_token_count",
+    (s, dir) => TextAnalysis.tokenCounts(Tables.load(s, dir, "documents")).orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  val q32Fingerprint: QueryDef = QueryDef(
+    "q32_fingerprint",
+    (s, dir) => TextAnalysis.fingerprints(Tables.load(s, dir, "documents")).orderBy("doc_id"),
+    Some(s"""
+      WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+                 FROM documents)
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(norm, ''), c -> ascii(c)::BIGINT)),
+               (a, c) -> (a * 31 + c) % 2147483647) AS fp_full,
+             list_min(list_transform(generate_series(1, length(norm) - 4),
+               i -> ${h32("substr(norm, i, 5)")})) AS fp_min5
+      FROM n WHERE length(norm) >= 5 ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q29LangId, q30QualityScore, q31TokenCount, q32Fingerprint)
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §7.6 — the reference is a
+  * single-snapshot batch job, functions.py:279-330; streaming is the scoped
+  * extension over the `events`-shaped feed).
+  *
+  * The transformations are plain DataFrame functions usable on either a
+  * batch frame or a `readStream` frame; EventQueries.q37 is the oracle-
+  * checked batch equivalent of [[tumblingCounts]]. A live OpenSky poller
+  * would be a rate-limited foreachBatch / custom MicroBatchStream around the
+  * same transforms — deliberately not built here so nothing touches the
+  * network (SURVEY.md §7.6).
+  */
+object EventsStreaming {
+
+  /** Tumbling 5-minute window aggregation with a 10-minute watermark:
+    * count + sum(value) per (window, event_type). Late rows beyond the
+    * watermark are dropped in streaming mode; on a batch frame the watermark
+    * is a no-op and results equal EventQueries.q37's buckets.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user running noise/value state via mapGroupsWithState: emits
+    * (user_id, n_events, total_value) updated per micro-batch. The
+    * KeyValueGroupedDataset custom-state path for semantics window functions
+    * can't express incrementally.
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          (user, n, v)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Streaming writer for [[tumblingCounts]] in update mode (memory/console/
+    * parquet per `format`); caller awaits the returned query.
+    */
+  def startTumbling(events: DataFrame, format: String, queryName: String) =
+    tumblingCounts(events).writeStream
+      .format(format)
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+}
