@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Tests for the dedup operators on small inline corpora with known
+  * duplicate structure.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base + " dup"
+  private val other = "completely different words about spark query engines and big data systems here"
+
+  test("exact dedup keeps the lowest doc_id per identical text") {
+    val d = docs(1L -> base, 2L -> base, 3L -> other)
+    val out = Dedup.exactDedup(d).orderBy("keep_doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("word shingles are distinct k-grams") {
+    val d = docs(1L -> "a b a b a")
+    val sh = d.select(Dedup.wordShingles($"text", 3)).head().getSeq[String](0)
+    assert(sh.toSet == Set("a b a", "b a b"))
+  }
+
+  test("minhash signatures are equal for identical shingle sets") {
+    val d = docs(1L -> base, 2L -> base, 3L -> other)
+    val sig = Dedup.minhashSignatures(d, 3).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate and skips unrelated docs") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other,
+      4L -> "yet another unrelated sentence with its own distinct vocabulary set entirely")
+    val pairs = Dedup.minhashLsh(d, 3, 2, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash of a near-duplicate is close; unrelated text is far") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val sims = Dedup.simhashTable(d, 3).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) <= 6)
+    assert(ham(sims(1L), sims(3L)) > 6)
+  }
+
+  test("ngram jaccard pairs respect the threshold") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val out = Dedup.ngramJaccardPairs(d, 3, 0.5).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (1L, 2L))
+    assert(out(0).getDouble(2) > 0.5 && out(0).getDouble(2) < 1.0)
+  }
+}

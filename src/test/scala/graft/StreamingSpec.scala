@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStreaming
+
+/** Structured Streaming tests: the tumbling-window aggregation over a
+  * MemoryStream must agree with its batch-form run on the same rows, and the
+  * mapGroupsWithState running totals must accumulate across micro-batches.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private val rows = Seq(
+    (1L, ts(0), 10L, "click", 1.0, "{}"),
+    (2L, ts(1), 10L, "click", 2.0, "{}"),
+    (3L, ts(6), 11L, "view", 4.0, "{}"),
+    (4L, ts(7), 10L, "click", 8.0, "{}"))
+
+  private def toDF(rs: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+    rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("streaming tumbling counts equal the batch run of the same transform") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.startTumbling(
+      mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "memory", "tumbling_test")
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventsStreaming.tumblingCounts(toDF(rows))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // base epoch isn't 5-min aligned: minutes 0,1 share a window; 6 and 7
+      // land in two different windows
+      assert(batch.length == 3)
+      val w0 = batch(0)
+      assert(w0.getAs[Long]("n") == 2 && w0.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.runningUserTotals(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("totals_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val last = spark.table("totals_test")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .orderBy("user_id").collect()
+      assert(last.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((10L, 3L, 11.0), (11L, 1L, 4.0)))
+    } finally q.stop()
+  }
+}

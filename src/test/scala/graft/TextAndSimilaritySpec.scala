@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
+
+class TextAndSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+
+  test("langId picks the language with the most marker hits") {
+    val d = docs(
+      1L -> "the cat is one of the pets and it is small",
+      2L -> "le chat et la souris de la maison un jour",
+      3L -> "der hund und die katze das haus ein tag")
+    val out = TextAnalysis.langId(d).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("pred_lang")).toSeq == Seq("en", "fr", "de"))
+  }
+
+  test("quality score is bounded and favors stopword-rich text") {
+    val d = docs(1L -> "the a of and is the a of and is", 2L -> "zz qq xx ww yy")
+    val out = TextAnalysis.qualityScore(d).orderBy("doc_id").collect()
+    val q = out.map(_.getAs[Double]("quality"))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  test("token counts: whitespace and BPE-ish bound") {
+    val d = docs(1L -> "short and muchlongerword here")
+    val r = TextAnalysis.tokenCounts(d).head()
+    assert(r.getLong(1) == 4) // ws tokens
+    // bpe-ish: shor|t, and, much|long|erwo|rd, here = 8 pieces
+    assert(r.getLong(2) == 8)
+  }
+
+  test("fingerprints are equal iff normalized text is equal") {
+    val d = docs(1L -> "Hello  World", 2L -> "  hello world ", 3L -> "hello there")
+    val fp = TextAnalysis.fingerprints(d).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  private def embs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("knn brute force: identical vector ranks first with cosine 1") {
+    val v = Seq(1f, 0f, 0f, 0f)
+    val e = embs((0L, v, 0), (20L, v, 0), (21L, Seq(0f, 1f, 0f, 0f), 0),
+      (22L, Seq(0.9f, 0.1f, 0f, 0f), 0))
+    val out = Similarity.topKBrute(e, nQueries = 1, k = 3).orderBy("rk").collect()
+    assert(out(0).getLong(2) == 20L && out(0).getDouble(3) == 1.0)
+    assert(out(1).getLong(2) == 22L) // near-parallel second
+    assert(out(2).getLong(2) == 21L) // orthogonal last, cosine 0
+    assert(out(2).getDouble(3) == 0.0)
+  }
+
+  test("label-probed knn only searches the query's label") {
+    val v = Seq(1f, 0f)
+    val e = embs((0L, v, 0), (20L, v, 1), (21L, Seq(0.8f, 0.2f), 0))
+    val out = Similarity.topKByLabel(e, nQueries = 1, k = 5).collect()
+    assert(out.map(_.getLong(2)).toSet == Set(21L)) // 20L is in another cell
+  }
+
+  test("embedding dup pairs finds planted duplicates within a label") {
+    val v = Seq(0.5f, 0.5f, 0.1f)
+    val e = embs((1L, v, 0), (2L, v, 0), (3L, Seq(-0.5f, 0.4f, 0.0f), 0),
+      (4L, v, 1)) // same vector, different label: blocked
+    val out = Similarity.embeddingDupPairs(e, 0.99).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("multimodal plumbing: payload survives, stub decode is deterministic") {
+    val d = docs(7L -> "some payload text")
+    val media = Multimodal.attachPayload(d)
+    val row = media.collect().head
+    assert(row.doc_id == 7L)
+    assert(new String(row.payload, "UTF-8") == "some payload text")
+    assert(row.meta.nBytes == 17)
+    val f = Multimodal.decodeFeatures(media).collect().head
+    assert(f.features.length == 8)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-5)
+    val again = Multimodal.decodeFeatures(media).collect().head
+    assert(f.width == again.width && f.features.toSeq == again.features.toSeq)
+  }
+}
