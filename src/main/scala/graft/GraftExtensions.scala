@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.plans.SortedLongArrayIntersectCount
+
+/** SparkSessionExtensions hook registering graft's native expressions for
+  * SQL callers. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * (The Column API in graft.plans works without registration.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongArrayIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongArrayIntersectCount(children(0), children(1))))
+  }
+}

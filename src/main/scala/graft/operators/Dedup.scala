@@ -33,6 +33,14 @@ object Dedup {
         i => concat_ws(" ", slice(ts, i, lit(k)))))
   }
 
+  /** Shingle set as sorted distinct hash32 values — the representation the
+    * pairwise verification paths compare. Sorted so the native merge
+    * expression (graft.plans.SortedLongArrayIntersectCount) can count
+    * intersections allocation-free.
+    */
+  def hashedShingles(text: Column, k: Int): Column =
+    sort_array(array_distinct(transform(wordShingles(text, k), hash32 _)))
+
   /** Exact dedup: group identical texts, keep the lowest doc_id.
     * At scale this is a single hash-shuffle on the text (or on a digest of
     * it — group on md5 to keep shuffle keys small for long documents).
@@ -81,9 +89,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sh = docs.filter(size(split(col("text"), " ")) >= shingleK)
-      .select(col("doc_id"), wordShingles(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))
       .cache()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.plans.SortedLongArrayIntersectCount(col("sh_a"), col("sh_b"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -165,9 +173,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
     val sh = docs.filter(size(split(col("text"), " ")) >= shingleK)
-      .select(col("doc_id"), col("n_chars"), wordShingles(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"), col("n_chars"), hashedShingles(col("text"), shingleK).as("sh"))
       .cache()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.plans.SortedLongArrayIntersectCount(col("sh_a"), col("sh_b"))
     lengthBlockedPairs(sh, Seq("sh"))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))

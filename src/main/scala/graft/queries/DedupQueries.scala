@@ -51,7 +51,9 @@ object DedupQueries {
       shingleK = 3, rowsPerBand = 2, threshold = 0.5).orderBy("doc_a", "doc_b"),
     Some(s"""
       WITH $shingleCtes,
-      sig AS (SELECT doc_id, sh, [${(0 until 8).map(sigExpr).mkString(", ")}] AS sg FROM s),
+      sig AS (SELECT doc_id,
+                list_distinct(list_transform(sh, t -> ${h32("t")})) AS hs,
+                [${(0 until 8).map(sigExpr).mkString(", ")}] AS sg FROM s),
       bands AS (SELECT doc_id, b,
                   sg[2*b+1]::VARCHAR || '_' || sg[2*b+2]::VARCHAR AS key
                 FROM sig, generate_series(0, 3) g(b)),
@@ -60,8 +62,8 @@ object DedupQueries {
                  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT doc_a, doc_b,
-               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+               CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
         FROM cand JOIN sig sa ON sa.doc_id = doc_a
                   JOIN sig sb ON sb.doc_id = doc_b)
       WHERE jaccard >= 0.5e0 ORDER BY doc_a, doc_b"""))
@@ -91,12 +93,14 @@ object DedupQueries {
     (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
       shingleK = 3, threshold = 0.5).orderBy("doc_a", "doc_b"),
     Some(s"""
-      WITH $shingleCtes
+      WITH $shingleCtes,
+      hsx AS (SELECT doc_id, n_chars,
+                list_distinct(list_transform(sh, t -> ${h32("t")})) AS hs FROM s)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(a.sh || b.sh)) AS jaccard
-        FROM s a JOIN s b
+               CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+        FROM hsx a JOIN hsx b
           ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
       WHERE jaccard >= 0.5e0 ORDER BY doc_a, doc_b"""))
 

@@ -72,7 +72,11 @@ object TextQueries {
                  list_transform(string_split(norm, ''), c -> ascii(c)::BIGINT)),
                (a, c) -> (a * 31 + c) % 2147483647) AS fp_full,
              list_min(list_transform(generate_series(1, length(norm) - 4),
-               i -> ${h32("substr(norm, i, 5)")})) AS fp_min5
+               i -> ascii(substr(norm, i, 1))::BIGINT * 923521
+                  + ascii(substr(norm, i+1, 1))::BIGINT * 29791
+                  + ascii(substr(norm, i+2, 1))::BIGINT * 961
+                  + ascii(substr(norm, i+3, 1))::BIGINT * 31
+                  + ascii(substr(norm, i+4, 1))::BIGINT)) AS fp_min5
       FROM n WHERE length(norm) >= 5 ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(q29LangId, q30QualityScore, q31TokenCount, q32Fingerprint)
