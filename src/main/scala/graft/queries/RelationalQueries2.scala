@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det
+import graft.functions.Det.{dsum, dsumSql}
+
+/** Second coverage batch: cube / grouping sets, exact percentiles, moment
+  * statistics from exact sums, ordered collect aggregations, full-outer and
+  * range joins, HLL approximate distinct, manual pivot, date arithmetic.
+  */
+object RelationalQueries2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** CUBE over (returnflag, linestatus) with grouping() sentinels. */
+  val q39Cube: QueryDef = QueryDef(
+    "q39_cube",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"),
+          grouping(col("l_returnflag")).as("g1"), grouping(col("l_linestatus")).as("g2"))
+        .select(
+          when(col("g1") === 1, "ALL").otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("g2") === 1, "ALL").otherwise(col("l_linestatus")).as("linestatus"),
+          col("n"), col("rev"))
+        .orderBy("returnflag", "linestatus"),
+    Some(s"""
+      SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+             CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+             count(*) AS n, ${dsumSql("l_extendedprice")} AS rev
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  /** Explicit GROUPING SETS (SQL surface — registered view + spark.sql). */
+  val q40GroupingSets: QueryDef = QueryDef(
+    "q40_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(s"""
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        ORDER BY status, priority""")
+    },
+    Some(s"""
+      SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+             CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+             count(*) AS n, ${dsumSql("o_totalprice")} AS rev
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY status, priority"""))
+
+  /** Exact interpolated percentiles (median, p90) per group. */
+  val q41Percentile: QueryDef = QueryDef(
+    "q41_percentile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Det.rdet(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          Det.rdet(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag"),
+    Some(s"""
+      SELECT l_returnflag,
+             ${Det.rdetSql("quantile_cont(l_extendedprice, 0.5e0)", 4)} AS p50,
+             ${Det.rdetSql("quantile_cont(l_extendedprice, 0.9e0)", 4)} AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Sample stddev and correlation computed from exact decimal moment sums —
+    * order-independent where the built-in streaming moments are not.
+    */
+  val q42Stats: QueryDef = QueryDef(
+    "q42_stats",
+    (s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(x).as("sx"), dsum(x * x).as("sxx"),
+          dsum(y).as("sy"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+        .select(
+          col("l_returnflag"),
+          Det.rdet(sqrt((col("n") * col("syy") - col("sy") * col("sy")) /
+            (col("n") * (col("n") - 1))), 4).as("std_price"),
+          Det.rdet((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+             ${Det.rdetSql("sqrt((n * syy - sy * sy) / (n * (n - 1)))", 4)} AS std_price,
+             ${Det.rdetSql(
+               "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 6)}
+               AS corr_qty_price
+      FROM (
+        SELECT l_returnflag, count(*) AS n,
+               ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_quantity * l_quantity")} AS sxx,
+               ${dsumSql("l_extendedprice")} AS sy,
+               ${dsumSql("l_extendedprice * l_extendedprice")} AS syy,
+               ${dsumSql("l_quantity * l_extendedprice")} AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag"""))
+
+  /** Ordered collect aggregations: sorted distinct array + string_agg. */
+  val q43CollectSorted: QueryDef = QueryDef(
+    "q43_collect_sorted",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("prio_csv"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus,
+             list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+             array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prio_csv,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Full outer join of two yearly aggregates with deliberately asymmetric
+    * ranges (nulls on both sides; the join key is coalesced so ordering
+    * stays engine-independent).
+    */
+  val q44FullOuter: QueryDef = QueryDef(
+    "q44_full_outer",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) < 1999)
+        .groupBy(year(col("o_orderdate")).as("o_yr")).agg(count(lit(1)).as("n_orders"))
+      val l = t(s, dir, "lineitem").filter(year(col("l_shipdate")) > 1997)
+        .groupBy(year(col("l_shipdate")).as("l_yr")).agg(count(lit(1)).as("n_items"))
+      o.join(l, col("o_yr") === col("l_yr"), "full_outer")
+        .select(coalesce(col("o_yr"), col("l_yr")).as("yr"),
+          col("n_orders"), col("n_items"))
+        .orderBy("yr")
+    },
+    Some("""
+      SELECT coalesce(o_yr, l_yr) AS yr, n_orders, n_items FROM
+        (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_yr, count(*) AS n_orders
+         FROM orders WHERE year(o_orderdate) < 1999 GROUP BY 1) o
+      FULL OUTER JOIN
+        (SELECT CAST(year(l_shipdate) AS INTEGER) AS l_yr, count(*) AS n_items
+         FROM lineitem WHERE year(l_shipdate) > 1997 GROUP BY 1) l
+      ON o_yr = l_yr
+      ORDER BY yr"""))
+
+  /** Time-range self-join: per user, event pairs within 60 seconds — an
+    * equi-join on user_id with the range predicate as a post-filter (per-user
+    * groups are small; at scale, bucket time like the geo/length blocks).
+    */
+  val q45RangeJoin: QueryDef = QueryDef(
+    "q45_range_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_id") < col("b.event_id") &&
+            abs(col("a.us") - col("b.us")) <= 60000000L)
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+      SELECT a.user_id AS user_id, count(*) AS n_pairs
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(a.us - b.us) <= 60000000
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** HLL approximate distinct — implementation-specific sketch, so no SQL
+    * oracle (driver records the weaker rows-only check). Paired with the
+    * exact count for scale-sanity reading.
+    */
+  val q46ApproxDistinct: QueryDef = QueryDef(
+    "q46_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+    None)
+
+  /** Manual pivot: one column per order status via conditional aggregation
+    * (deterministic column set, unlike engine-native PIVOT).
+    */
+  val q47Pivot: QueryDef = QueryDef(
+    "q47_pivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0d)).as("rev_f"),
+          dsum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0d)).as("rev_o"),
+          dsum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0d)).as("rev_p"))
+        .orderBy("yr"),
+    Some(s"""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0e0 END")} AS rev_f,
+             ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0e0 END")} AS rev_o,
+             ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0e0 END")} AS rev_p
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Date arithmetic: datediff to a fixed horizon, +30 days, month end. */
+  val q48DateArith: QueryDef = QueryDef(
+    "q48_date_arith",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_horizon"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER) AS days_to_horizon,
+             CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end
+      FROM orders ORDER BY o_orderkey"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q39Cube, q40GroupingSets, q41Percentile, q42Stats, q43CollectSorted,
+    q44FullOuter, q45RangeJoin, q46ApproxDistinct, q47Pivot, q48DateArith)
+}
