@@ -54,11 +54,14 @@ object Dedup {
     * shingle set. Output: doc_id, sig_0..sig_{n-1}.
     */
   def minhashSignatures(docs: DataFrame, shingleK: Int): DataFrame = {
+    // Hash each shingle once (md5 is the expensive step), then apply the
+    // cheap affine family members over the long array — not minhash() over
+    // strings, which would recompute the md5 per family member.
     val base = docs
       .filter(size(split(col("text"), " ")) >= shingleK)
-      .select(col("doc_id"), wordShingles(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("hs"))
     val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      minhash(col("sh"), a, b).as(s"sig_$i")
+      array_min(transform(col("hs"), h => pmod(lit(a) * h + lit(b), lit(Prime)))).as(s"sig_$i")
     }
     base.select(col("doc_id") +: sigCols: _*)
   }

@@ -52,6 +52,16 @@ object EventsStreaming {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming exact dedup on event_id within the watermark window — the
+    * streaming counterpart of Dedup.exactDedup for at-least-once feeds
+    * (duplicate deliveries inside the lateness horizon are dropped with
+    * bounded state).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming writer for [[tumblingCounts]] in update mode (memory/console/
     * parquet per `format`); caller awaits the returned query.
     */

@@ -47,6 +47,23 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark removes redelivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.dedupedEvents(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      mem.addData(rows.take(2): _*) // redelivery of events 1 and 2
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
