@@ -15,7 +15,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The testdata parquet files are written as a single row group, so the
+    * scan cannot split — every downstream per-row operator would run on one
+    * task no matter how many cores the session has. When the scan's
+    * parallelism is far below the session's, redistribute once up front.
+    * (On a real lake with many splits this no-ops; disable with
+    * spark.graft.repartitionSmallScans=false.)
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    val enabled = spark.conf.getOption("spark.graft.repartitionSmallScans")
+      .forall(_.toBoolean)
+    if (enabled && df.rdd.getNumPartitions * 4 <= want) df.repartition(want) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(spark, loadRaw(spark, dir, name))
+
+  private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
       // rejects. Read it as a nanos long and truncate to microseconds — the

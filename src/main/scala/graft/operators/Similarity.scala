@@ -65,6 +65,41 @@ object Similarity {
       .select("q_id", "rk", "vec_id", "cos")
   }
 
+  /** Fixed ±1 random-hyperplane matrix for sign-LSH bucketing (seed-fixed so
+    * the oracle SQL embeds the identical literals). 8 planes → 256 buckets.
+    */
+  val Hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    Array.fill(8, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign-LSH bucket id of an embedding column: bit j = sign of the
+    * projection onto hyperplane j.
+    */
+  def lshBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Hyperplanes.zipWithIndex.map { case (h, j) =>
+      when(graft.plans.VectorDotProduct(emb, typedLit(h.toSeq)) > 0.0d, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed top-k — the second scale path beside [[topKByLabel]]:
+    * candidates come only from the query's sign-LSH bucket, so the probe is
+    * an equi-join on the bucket id (≈ corpus/256 of the work per query).
+    */
+  def topKLshBucket(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val c = withNorm(emb).withColumn("bucket", lshBucket(col("embedding"))).cache()
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Det.rdet(dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "cos")
+  }
+
   /** Embedding near-duplicate pairs within a coarse partition: label-blocked
     * pairwise cosine above `threshold`. doc pairs ordered (a < b). The
     * normed table is cached so per-vector work runs once, not per pair.

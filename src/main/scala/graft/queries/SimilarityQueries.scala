@@ -65,6 +65,48 @@ object SimilarityQueries {
           ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos >= 0.35e0 ORDER BY vec_a, vec_b"""))
 
+  /** Sign-LSH bucketed ANN: candidates share the query's 8-plane bucket.
+    * The hyperplane literals are generated from the same seed-fixed matrix
+    * the Spark side uses, so bucket ids agree bit-for-bit.
+    */
+  val q37KnnLshBucket: QueryDef = QueryDef(
+    "q49_knn_lsh_bucket",
+    (s, dir) => Similarity.topKLshBucket(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 3)
+      .orderBy("q_id", "rk"),
+    Some {
+      def planeLit(h: Array[Double]): String =
+        h.map(v => if (v > 0) "1.0e0" else "-1.0e0").mkString("[", ", ", "]")
+      val bucket = Similarity.Hyperplanes.zipWithIndex.map { case (h, j) =>
+        s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+           |  i -> embedding[i]::DOUBLE * (${planeLit(h)})[i]), (x, y) -> x + y) > 0.0e0
+           |  THEN ${1 << j} ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      s"""
+      WITH c AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM c WHERE vec_id < 10),
+      sc AS (SELECT q_id, vec_id, ${rdet6(cosSql("c.embedding", "q_emb"))} AS cos
+             FROM c JOIN q USING (bucket) WHERE vec_id <> q_id)
+      SELECT q_id, rk, vec_id, cos FROM (
+        SELECT q_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        FROM sc)
+      WHERE rk <= 3 ORDER BY q_id, rk"""
+    })
+
+  /** Multimodal batched decode over binary payloads (STUB decode — see
+    * operators.Multimodal; deterministic but not SQL-expressible, so
+    * rows-only check).
+    */
+  val q38MultimodalDecode: QueryDef = QueryDef(
+    "q50_multimodal_decode",
+    (s, dir) => {
+      val media = graft.operators.Multimodal.attachPayload(Tables.load(s, dir, "documents"))
+      graft.operators.Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"), col("features"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** Multimodal column plumbing: byte length, portable checksum, and a
     * first-byte "format sniff" over the text treated as an opaque payload
     * (the real binary decode path lives in graft.operators.Multimodal).
@@ -86,5 +128,5 @@ object SimilarityQueries {
                   THEN 'vowel' ELSE 'other' END AS kind
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q33KnnBrute, q34KnnIvfLabel, q35EmbeddingDup, q36MultimodalMeta)
+  val all: Seq[QueryDef] = Seq(q33KnnBrute, q34KnnIvfLabel, q35EmbeddingDup, q36MultimodalMeta, q37KnnLshBucket, q38MultimodalDecode)
 }
