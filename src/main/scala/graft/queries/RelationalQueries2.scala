@@ -229,7 +229,31 @@ object RelationalQueries2 {
              last_day(CAST(o_orderdate AS DATE)) AS month_end
       FROM orders ORDER BY o_orderkey"""))
 
+  /** Correlated scalar subquery (decorrelated by Catalyst into an aggregate
+    * + join): customers above their own nation's average balance. The
+    * average is an exact decimal sum / count so the comparison threshold is
+    * bit-identical across engines.
+    */
+  val q51CorrelatedSubquery: QueryDef = QueryDef(
+    "q51_correlated_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q39Cube, q40GroupingSets, q41Percentile, q42Stats, q43CollectSorted,
-    q44FullOuter, q45RangeJoin, q46ApproxDistinct, q47Pivot, q48DateArith)
+    q44FullOuter, q45RangeJoin, q46ApproxDistinct, q47Pivot, q48DateArith,
+    q51CorrelatedSubquery)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Plan-shape regression guards: the physical plans the scale posture
+  * depends on — pushdown reaching the scan, broadcasts where intended, no
+  * cartesian products in the blocked pairwise operators, whole-stage codegen
+  * covering the custom expressions.
+  */
+class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    queries.Registry.all.find(_.name == name).get.run(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02 filter pushdown reaches the parquet scan") {
+    val p = planOf("q02_revenue_filter")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+  }
+
+  test("q03 joins orders to customer via broadcast, not shuffle") {
+    val p = planOf("q03_segment_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q19 flagship: broadcast join + two-phase hash aggregation") {
+    val p = planOf("q19_noise_flagship")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q20 bucketed noise joins sources on the geo-cell key, not a cross join") {
+    val p = planOf("q20_noise_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only cross join is the grid's own range x range generation; the
+    // grid-sources pairing must be a hash equi-join on the cell key
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
+  test("q28 blocked ngram-jaccard avoids nested-loop joins entirely") {
+    val p = planOf("q28_dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("sorted_intersect_count"), p) // native expression in plan
+  }
+
+  test("q33 knn scores inside whole-stage codegen with the native dot product") {
+    val df = queries.Registry.all.find(_.name == "q33_knn_brute").get.run(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen markers materialize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("vector_dot"), p)
+    assert(p.contains("*("), p) // whole-stage-codegen'd stages present
+  }
+}

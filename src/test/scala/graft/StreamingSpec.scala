@@ -47,6 +47,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming noise pipeline: stream-static join matches the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val grid = noise.Noise.grid(spark, noise.Noise.NantesLat, noise.Noise.NantesLon, 2000.0, 5)
+    // event_ids divisible by 97 become sources (97, 194 here)
+    val noisy = Seq(
+      (97L, ts(0), 1L, "error", 1.0, "{}"),
+      (194L, ts(2), 2L, "purchase", 1.0, "{}"),
+      (5L, ts(3), 3L, "click", 1.0, "{}")) // not a source
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.streamingNoise(grid,
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("noise_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(noisy: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("noise_stream")
+        .orderBy("window_start", "g_lat", "g_lon").collect()
+      val batch = EventsStreaming.streamingNoise(grid, toDF(noisy))
+        .orderBy("window_start", "g_lat", "g_lon").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.nonEmpty)
+      assert(streamed.forall(_.getDouble(3) > 0.0))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes redelivered events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
