@@ -252,8 +252,55 @@ object RelationalQueries2 {
         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       ORDER BY c_custkey"""))
 
+  /** Generator (UDTF-class) surface: explode tokens, aggregate frequencies,
+    * deterministic top-20.
+    */
+  val q52TokenExplode: QueryDef = QueryDef(
+    "q52_token_explode",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
+
+  /** Window frames: first/last/nth value over an explicit ROWS frame plus
+    * ntile bucketing, per user in event-time order.
+    */
+  val q53WindowFrames: QueryDef = QueryDef(
+    "q53_window_frames",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("first_v", first("value").over(frame))
+        .withColumn("last_v", last("value").over(frame))
+        .withColumn("third_v", nth_value(col("value"), 3).over(frame))
+        .withColumn("quartile", ntile(4).over(w))
+        .select("user_id", "event_id", "first_v", "last_v", "third_v", "quartile")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             first_value(value) OVER wf AS first_v,
+             last_value(value) OVER wf AS last_v,
+             nth_value(value, 3) OVER wf AS third_v,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q39Cube, q40GroupingSets, q41Percentile, q42Stats, q43CollectSorted,
     q44FullOuter, q45RangeJoin, q46ApproxDistinct, q47Pivot, q48DateArith,
-    q51CorrelatedSubquery)
+    q51CorrelatedSubquery, q52TokenExplode, q53WindowFrames)
 }
