@@ -27,15 +27,23 @@ object Det {
     floor(c * p + 0.5) / p
   }
 
-  /** Order-independent sum of a double column via exact decimal accumulation;
-    * result cast back to double. Oracle form:
-    * `CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)`.
+  /** Order-independent sum of a double column via exact decimal accumulation,
+    * returned as a double with cents (2-decimal) resolution.
+    *
+    * The conversion deliberately routes through `floor(sum*100)` cast to
+    * BIGINT and divided by 100.0: a direct DECIMAL→DOUBLE cast is NOT
+    * engine-portable once the scaled integer exceeds 2^53 (observed at
+    * sf0.1: DuckDB's int128→double→/10^scale path lands 1 ulp away from
+    * Spark's correctly-rounded BigDecimal conversion). Both engines produce
+    * the identical BIGINT, int64→double is correctly rounded everywhere,
+    * and the final division is a shared IEEE operation.
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast("double")
+  def dsum(c: Column): Column =
+    floor(sum(c.cast(DecimalType(30, 8))) * 100).cast("long") / 100.0d
 
   /** SQL fragment mirroring [[dsum]] for oracle text. */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS DOUBLE)"
+    s"CAST(floor(SUM(CAST(($expr) AS DECIMAL(30,8))) * 100) AS BIGINT) / 100.0e0"
 
   /** SQL fragment mirroring [[rdet]] for oracle text. */
   def rdetSql(expr: String, k: Int): String =

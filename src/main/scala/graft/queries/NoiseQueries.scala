@@ -63,7 +63,7 @@ object NoiseQueries {
     val dist = haversineSql("g_lat", "g_lon", "s_lat", "s_lon")
     val contrib = "s_db - 20.0e0*log10(greatest(dist_m, 1.0e0))"
     val dbExpr = Det.rdetSql(
-      s"10.0e0*log10(CAST(SUM(CAST(pow(10.0e0, ($contrib)/10.0e0) AS DECIMAL(30,8))) AS DOUBLE))", 2)
+      s"10.0e0*log10(${Det.dsumSql(s"pow(10.0e0, ($contrib)/10.0e0)")})", 2)
     s"""
       WITH grid AS ($gridSql),
            src AS ($sourcesSql),
@@ -126,7 +126,7 @@ object NoiseQueries {
       val dist3 = s"sqrt(pow($ground, 2) + pow(s_alt - 27.0e0, 2))"
       val contrib = "s_db - 20.0e0*log10(greatest(dist_m, 1.0e0))"
       val dbExpr = Det.rdetSql(
-        s"10.0e0*log10(CAST(SUM(CAST(pow(10.0e0, ($contrib)/10.0e0) AS DECIMAL(30,8))) AS DOUBLE))", 2)
+        s"10.0e0*log10(${Det.dsumSql(s"pow(10.0e0, ($contrib)/10.0e0)")})", 2)
       s"""
       WITH grid AS ($gridSql),
            src AS ($sourcesSql),

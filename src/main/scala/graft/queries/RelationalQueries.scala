@@ -191,14 +191,14 @@ object RelationalQueries {
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .withColumn("delta", col("value") - coalesce(lag("value", 1).over(w), lit(0.0d)))
         .withColumn("running",
-          sum(col("value").cast(DecimalType(30, 8))).over(w).cast("double"))
+          floor(sum(col("value").cast(DecimalType(30, 8))).over(w) * 100).cast("long") / 100.0d)
         .select("user_id", "event_id", "delta", "running")
         .orderBy("user_id", "event_id")
     },
     Some("""
       SELECT user_id, event_id,
              value - coalesce(lag(value, 1) OVER w, 0.0e0) AS delta,
-             CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) AS running
+             CAST(floor(SUM(CAST(value AS DECIMAL(30,8))) OVER w * 100) AS BIGINT) / 100.0e0 AS running
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

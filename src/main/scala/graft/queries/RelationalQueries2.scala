@@ -44,7 +44,7 @@ object RelationalQueries2 {
         SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
                CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
                count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+               ${dsumSql("o_totalprice")} AS rev
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
         ORDER BY status, priority""")
@@ -238,17 +238,17 @@ object RelationalQueries2 {
     "q51_correlated_subquery",
     (s, dir) => {
       Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
-      s.sql("""
+      s.sql(s"""
         SELECT c_custkey, c_name FROM customer c
         WHERE c_acctbal > (
-          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+          SELECT ${dsumSql("c2.c_acctbal")} / COUNT(*)
           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey""")
     },
-    Some("""
+    Some(s"""
       SELECT c_custkey, c_name FROM customer c
       WHERE c_acctbal > (
-        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        SELECT ${dsumSql("c2.c_acctbal")} / COUNT(*)
         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       ORDER BY c_custkey"""))
 
