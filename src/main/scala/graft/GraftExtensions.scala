@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.SortedLongArrayIntersectCount
+import graft.plans.{BucketedRangeJoinRule, SortedLongArrayIntersectCount}
 
-/** SparkSessionExtensions hook registering graft's native expressions for
-  * SQL callers. Activate with
+/** SparkSessionExtensions hook registering graft's native expressions and
+  * optimizer rules. Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
-  * (The Column API in graft.plans works without registration.)
+  * (The Column API in graft.plans works without registration; the range-join
+  * rewrite can also be installed per-session via
+  * `spark.experimental.extraOptimizations`.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongArrayIntersectCount(children(0), children(1))))
+    ext.injectOptimizerRule(_ => BucketedRangeJoinRule)
   }
 }

@@ -39,7 +39,11 @@ object RefScaleBench {
 
     val broadcastRun = time("broadcast")(noise.Noise.groundNoise(grid, sources))
     val bucketedRun = time("bucketed")(noise.Noise.groundNoiseBucketed(grid, sources))
-    val results = Seq(broadcastRun, bucketedRun)
+    // same naive query, bucketed automatically by the optimizer rule
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ plans.BucketedRangeJoinRule
+    val ruleRun = time("rule_rewritten")(noise.Noise.groundNoise(grid, sources))
+    val results = Seq(broadcastRun, bucketedRun, ruleRun)
     val qs = results.map { case (k, v, n) => s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"refscale_noise","grid_cells":1002001,"sources":$nSources,"variants":$qs,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()

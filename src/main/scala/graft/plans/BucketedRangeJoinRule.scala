@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.GeoFunctions
+
+/** Optimizer rule: rewrite a haversine range predicate over a cross join
+  * into a geo-cell-bucketed equi-join.
+  *
+  *   Filter(haversine(latA, lonA, latB, lonB) <= r)
+  *     Join(Cross)                                    // |L| x |R| pairs
+  * becomes
+  *   Filter(same predicate)
+  *     Join(Inner, cell_i = cell_i && cell_j = cell_j)
+  *       Project(L, cell_i = floor(latA/c), cell_j = floor(lonA/c))
+  *       Generate(explode 3x3 neighbor cells of R)
+  *
+  * with cell size c >= the radius in degrees (doubled for longitude
+  * shrink — valid to |lat| <= 60°, the guard below). Semantics are
+  * identical: any pair within r metres shares or neighbors a cell in both
+  * axes, and the exact predicate still filters inside buckets; pairs meet in
+  * exactly one (cell_i, cell_j) so no duplicates arise. What changes is the
+  * physical shape: a hash/sort-merge equi-join shuffled on the cell key
+  * instead of an O(|L| x |R|) nested-loop cross join — the difference
+  * between feasible and not at 100 TB.
+  *
+  * This is the rewrite `Noise.groundNoiseBucketed` performs by hand
+  * (SURVEY.md §7.5), packaged as a `Rule[LogicalPlan]` so ANY naive
+  * cross-join + haversine-cutoff query picks it up. Install via
+  * `spark.experimental.extraOptimizations` or the `graft.GraftExtensions`
+  * session extension.
+  */
+object BucketedRangeJoinRule extends Rule[LogicalPlan] {
+
+  /** Max radius (m) the rewrite accepts — beyond this the doubled-cell
+    * longitude guard would need latitude information we don't have
+    * statically.
+    */
+  private val MaxRadiusM = 500000.0
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // shape 1: Filter above a condition-less cross join
+    case f @ Filter(cond @ LessThanOrEqual(HaversinePattern(latA, lonA, latB, lonB), Literal(r: Double, DoubleType)),
+        join @ Join(left, right, Cross | Inner, None, _))
+        if r > 0 && r <= MaxRadiusM && sidesMatch(left, right, latA, lonA, latB, lonB) =>
+      rewrite(cond, join, latA, lonA, latB, lonB, r)
+    // shape 2: the optimizer already pushed the predicate into the join
+    case join @ Join(left, right, Cross | Inner,
+        Some(cond @ LessThanOrEqual(HaversinePattern(latA, lonA, latB, lonB), Literal(r: Double, DoubleType))), _)
+        if r > 0 && r <= MaxRadiusM && sidesMatch(left, right, latA, lonA, latB, lonB) =>
+      rewrite(cond, join.copy(condition = None), latA, lonA, latB, lonB, r)
+  }
+
+  private def sidesMatch(left: LogicalPlan, right: LogicalPlan,
+                         latA: Attribute, lonA: Attribute,
+                         latB: Attribute, lonB: Attribute): Boolean =
+    (left.outputSet.contains(latA) && left.outputSet.contains(lonA) &&
+      right.outputSet.contains(latB) && right.outputSet.contains(lonB)) ||
+      (left.outputSet.contains(latB) && left.outputSet.contains(lonB) &&
+        right.outputSet.contains(latA) && right.outputSet.contains(lonA))
+
+  private def rewrite(rangeCond: Expression, join: Join, latA: Attribute, lonA: Attribute,
+                      latB: Attribute, lonB: Attribute, r: Double): LogicalPlan = {
+    val (left, right) = (join.left, join.right)
+    // orient the pairs to their sides
+    val (latL, lonL, latR, lonR) =
+      if (left.outputSet.contains(latA)) (latA, lonA, latB, lonB)
+      else (latB, lonB, latA, lonA)
+
+    val cellDeg = r / GeoFunctions.EarthRadiusM * (180.0 / math.Pi) * 2.0
+    def cellOf(a: Attribute): Expression = Floor(Divide(a, Literal(cellDeg)))
+
+    val lCellI = Alias(cellOf(latL), "__cell_i")()
+    val lCellJ = Alias(cellOf(lonL), "__cell_j")()
+    val newLeft = Project(left.output :+ lCellI :+ lCellJ, left)
+
+    // right side: explode each row into its 3x3 neighbor cells
+    val rCellIAttr = AttributeReference("__rcell_i", LongType)()
+    val rCellJAttr = AttributeReference("__rcell_j", LongType)()
+    def neighbors(base: Expression): Expression =
+      CreateArray(Seq(-1L, 0L, 1L).map(d => Add(base, Literal(d))))
+    val genI = Generate(Explode(neighbors(cellOf(latR))), Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(rCellIAttr), child = right)
+    val genJ = Generate(Explode(neighbors(cellOf(lonR))), Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(rCellJAttr), child = genI)
+
+    val joinCond = And(
+      EqualTo(lCellI.toAttribute, rCellIAttr),
+      EqualTo(lCellJ.toAttribute, rCellJAttr))
+    val bucketed = Join(newLeft, genJ, Inner, Some(joinCond), JoinHint.NONE)
+    // original predicate still applies inside buckets; drop the helper cols
+    Project(join.output, Filter(rangeCond, bucketed))
+  }
+}
+
+/** Structural matcher for the haversine great-circle expression
+  * `lit(2R) * asin(sqrt(sin²(Δlat/2) + cos(lat1)cos(lat2)sin²(Δlon/2)))`
+  * over four attribute references. Extracts (latA, lonA, latB, lonB): the
+  * two attributes appearing inside `cos(radians(x))` are the latitudes; the
+  * subtraction not made of latitudes yields the longitudes.
+  */
+object HaversinePattern {
+  def unapply(e: Expression): Option[(Attribute, Attribute, Attribute, Attribute)] = e match {
+    case Multiply(Literal(scale: Double, DoubleType), asin: Asin, _)
+        if scale > 2 * 6.0e6 && scale < 2 * 6.8e6 =>
+      val lats: Seq[Attribute] = asin.collect {
+        case Cos(ToRadians(a: Attribute)) => a
+      }.distinct
+      val subs: Seq[(Attribute, Attribute)] = asin.collect {
+        case Subtract(b: Attribute, a: Attribute, _) => (a, b)
+      }.distinct
+      (lats, subs) match {
+        case (Seq(lat1, lat2), ss) if ss.size == 2 =>
+          ss.find { case (a, b) =>
+            !Set(lat1.exprId, lat2.exprId).contains(a.exprId) &&
+              !Set(lat1.exprId, lat2.exprId).contains(b.exprId)
+          }.map { case (lonA, lonB) =>
+            // orient longitudes to their latitudes: radians(latB - latA) and
+            // radians(lonB - lonA) subtract in the same order
+            val latOrder = ss.find { case (a, _) =>
+              Set(lat1.exprId, lat2.exprId).contains(a.exprId)
+            }
+            latOrder match {
+              case Some((latA: Attribute, _)) if latA.exprId == lat1.exprId =>
+                (lat1, lonA, lat2, lonB)
+              case Some((latA: Attribute, _)) if latA.exprId == lat2.exprId =>
+                (lat2, lonA, lat1, lonB)
+              case _ => (lat1, lonA, lat2, lonB)
+            }
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+}

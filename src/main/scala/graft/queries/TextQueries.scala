@@ -79,5 +79,44 @@ object TextQueries {
                   + ascii(substr(norm, i+4, 1))::BIGINT)) AS fp_min5
       FROM n WHERE length(norm) >= 5 ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q29LangId, q30QualityScore, q31TokenCount, q32Fingerprint)
+  /** TF-IDF top term per document: explode → tf and df aggregations →
+    * corpus-count broadcast → deterministic argmax by rounded score.
+    */
+  val q54Tfidf: QueryDef = QueryDef(
+    "q54_tfidf_top_term",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .withColumn("score",
+          graft.functions.Det.rdet(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "token", "tf", "df", "score")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT token, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (SELECT doc_id, token, tf, df,
+                   floor((tf * ln(CAST(n AS DOUBLE) / df)) * 1e6 + 0.5) / 1e6 AS score
+                 FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+      SELECT doc_id, token, tf, df, score FROM (
+        SELECT doc_id, token, tf, df, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, token) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk = 1 ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q29LangId, q30QualityScore, q31TokenCount, q32Fingerprint, q54Tfidf)
 }
