@@ -117,6 +117,26 @@ object TextQueries {
         FROM scored)
       WHERE rk = 1 ORDER BY doc_id"""))
 
+  /** Edit-distance string similarity plus string-shaping functions. */
+  val q55StringSimilarity: QueryDef = QueryDef(
+    "q55_string_similarity",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 12), lit("the fast key")).as("lev"),
+          reverse(substring(col("text"), 1, 8)).as("rev8"),
+          lpad(col("lang"), 4, "_").as("lang_pad"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(levenshtein(substr(text, 1, 12), 'the fast key') AS INTEGER) AS lev,
+             reverse(substr(text, 1, 8)) AS rev8,
+             lpad(lang, 4, '_') AS lang_pad
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    q29LangId, q30QualityScore, q31TokenCount, q32Fingerprint, q54Tfidf)
+    q29LangId, q30QualityScore, q31TokenCount, q32Fingerprint, q54Tfidf,
+    q55StringSimilarity)
 }
