@@ -104,6 +104,33 @@ object DedupQueries {
           ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
       WHERE jaccard >= 0.5e0 ORDER BY doc_a, doc_b"""))
 
+  /** Near-exact dedup by normalized-text fingerprint: collapses documents
+    * whose canonical forms hash identically — one narrow hash-shuffle, no
+    * pairwise work (the cheapest dedup tier between exact and MinHash).
+    */
+  val q56DedupFingerprint: QueryDef = QueryDef(
+    "q56_dedup_fingerprint",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.TextAnalysis.fingerprints(Tables.load(s, dir, "documents"))
+        .groupBy("fp_full")
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .select("keep_doc_id", "n_copies", "fp_full")
+        .orderBy("keep_doc_id")
+    },
+    Some("""
+      WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                 FROM documents),
+      fp AS (SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split(norm, ''), c -> ascii(c)::BIGINT)),
+                 (a, c) -> (a * 31 + c) % 2147483647) AS fp_full
+             FROM n WHERE length(norm) >= 5)
+      SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, fp_full
+      FROM fp GROUP BY fp_full ORDER BY keep_doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    q24DedupExact, q25MinhashSignatures, q26MinhashLsh, q27Simhash, q28NgramJaccard)
+    q24DedupExact, q25MinhashSignatures, q26MinhashLsh, q27Simhash, q28NgramJaccard,
+    q56DedupFingerprint)
 }
