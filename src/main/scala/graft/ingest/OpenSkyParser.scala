@@ -30,16 +30,20 @@ object OpenSkyParser {
     val exploded = parsed
       .filter(col("states").isNotNull)
       .select(col("time"), explode(col("states")).as("state"))
+    // try_cast throughout: Spark 4 runs ANSI mode by default, where a plain
+    // cast on a malformed slot would fail the whole job; the reference's
+    // semantics (and any sane ingest of third-party data) is cast-to-null.
     val cols = StateVector.slots.zipWithIndex.map { case ((name, dt), idx) =>
       val c = col("state").getItem(idx)
       name match {
         // "[1,2,3]"-style string → array<int> (reference functions.py:98-107)
         case "sensors" =>
           when(c.isNull, lit(null).cast(ArrayType(IntegerType)))
-            .otherwise(split(regexp_replace(c, "[\\[\\]\\s]", ""), ",").cast(ArrayType(IntegerType)))
+            .otherwise(split(regexp_replace(c, "[\\[\\]\\s]", ""), ",")
+              .try_cast(ArrayType(IntegerType)))
             .as(name)
-        case "callsign" => trim(c).cast(dt).as(name)
-        case _ => c.cast(dt).as(name)
+        case "callsign" => trim(c).try_cast(dt).as(name)
+        case _ => c.try_cast(dt).as(name)
       }
     }
     exploded.select(cols: _*)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -85,6 +85,48 @@ object EventsStreaming {
       .groupBy(window(col("ts"), windowLen).as("w"), col("g_lat"), col("g_lon"))
       .agg(dbPowerSum(col("contrib")).as("db"))
       .select(col("w.start").as("window_start"), col("g_lat"), col("g_lon"), col("db"))
+  }
+
+  /** A gap-closed user session: emitted once the event-time watermark passes
+    * last activity + gap.
+    */
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState with an event-time
+    * timeout: events extend the user's open session; when the watermark
+    * passes (last event + gap) the state times out and the closed session is
+    * emitted exactly once (Append mode). The streaming-state counterpart of
+    * the batch q38 gap sessionization.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start_us, s.last_us, s.n))
+          } else {
+            val us = rows.map(_._2.getTime * 1000L).toSeq
+            val prev = state.getOption
+            val next = SessionState(
+              math.min(prev.map(_.start_us).getOrElse(Long.MaxValue), us.min),
+              math.max(prev.map(_.last_us).getOrElse(Long.MinValue), us.max),
+              prev.map(_.n).getOrElse(0L) + us.size)
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_us / 1000L + gapMs)
+            Iterator.empty
+          }
+      }
   }
 
   /** Streaming exact dedup on event_id within the watermark window — the

@@ -41,6 +41,21 @@ class OpenSkyParserSpec extends SparkTestBase {
     assert(c.getAs[Int]("position_source") == 1)
   }
 
+  test("malformed slot values become null instead of failing under ANSI mode") {
+    val bad =
+      """{ "time": 1, "states": [
+        | ["zz0001", "X", "Y", "not-a-long", 5, "oops", 47.0, null, false,
+        |  null, null, null, "[1,junk]", null, "0", false, "nope"] ] }"""
+        .stripMargin.replace("\n", " ")
+    val r = OpenSkyParser.parse(Seq(bad).toDS()).collect().head
+    assert(r.getAs[Any]("time_position") == null) // "not-a-long"
+    assert(r.getAs[Any]("longitude") == null)     // "oops"
+    assert(r.getAs[Double]("latitude") == 47.0)   // valid slot still parses
+    assert(r.getAs[Any]("position_source") == null)
+    val sensors = r.getAs[scala.collection.Seq[Any]]("sensors")
+    assert(sensors != null && sensors(0) == 1 && sensors(1) == null)
+  }
+
   test("states:null and states:[] produce empty output, not a crash") {
     val empties = Seq("""{"time": 1, "states": null}""", """{"time": 1, "states": []}""")
     assert(OpenSkyParser.parse(empties.toDS()).count() == 0)

@@ -90,6 +90,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits a session once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.sessionizeStream(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 10L, "click", 1.0, "{}"), (2L, ts(1), 10L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("session_test").isEmpty) // session still open
+      // a much later event advances the watermark far past user 10's gap
+      mem.addData((3L, ts(200), 99L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val closed = spark.table("session_test")
+        .orderBy("user_id").collect()
+      assert(closed.length == 1)
+      val r = closed.head
+      assert(r.getLong(0) == 10L)
+      assert(r.getLong(1) == ts(0).getTime * 1000L) // start
+      assert(r.getLong(2) == ts(1).getTime * 1000L) // end
+      assert(r.getLong(3) == 2L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
