@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 MicroBatchStream source must replay snapshot files one per
+  * trigger and feed a streaming aggregation with the typed schema.
+  */
+class OpenSkyStreamSourceSpec extends SparkTestBase {
+
+  private def snapshot(country: String, n: Int): String = {
+    val states = (0 until n).map { i =>
+      s"""["ab${i}c$i", "CS$i  ", "$country", 1757059190, 1757059195,
+         | -1.61, 47.16, 300.0, false, 80.0, 180.0, 0.0, null,
+         | 300.0, "1000", false, 0]""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    s"""{ "time": 1757059200, "states": [ $states ] }"""
+  }
+
+  test("replays snapshots as micro-batches into a streaming aggregation") {
+    val dir = Files.createTempDirectory("snaps")
+    Files.writeString(Paths.get(dir.toString, "s0.json"), snapshot("France", 2))
+    Files.writeString(Paths.get(dir.toString, "s1.json"), snapshot("Ireland", 3))
+    val stream = spark.readStream
+      .format("graft.sources.OpenSkyStreamProvider")
+      .option("paths", s"$dir/s0.json,$dir/s1.json")
+      .load()
+    assert(stream.schema == sources.OpenSkySnapshot.schema)
+    val q = stream.groupBy("origin_country").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("opensky_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("opensky_stream_test")
+        .orderBy("origin_country").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("France", 2L), ("Ireland", 3L)))
+      // one snapshot per trigger: at least two batches ran
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2, q.recentProgress.toSeq.map(_.numInputRows))
+    } finally q.stop()
+  }
+}
