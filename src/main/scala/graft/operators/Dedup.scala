@@ -158,6 +158,36 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"), sim.as("sim"))
   }
 
+  /** MOSS-style winnowing fingerprint sets: the distinct minima of every
+    * `window`-wide run of 5-char-gram hashes over the normalized text — the
+    * guarantee is that any shared substring of length >= 4 + window produces
+    * at least one shared fingerprint, at ~1/window the storage of the full
+    * gram set. Output: (doc_id, n_fps, fps sorted array<long>).
+    *
+    * The gram-hash array is cached before windowing: the window minima
+    * reference it size(gh)-ish times, and projection collapse would
+    * otherwise inline (and re-evaluate) the whole gram computation per
+    * window.
+    */
+  def winnowFingerprints(docs: DataFrame, window: Int): DataFrame = {
+    val normed = docs
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 5 + window - 1)
+    def ch(i: Column, off: Int): Column =
+      ascii(col("norm").substr(if (off == 0) i else i + off, lit(1))).cast("long")
+    val gram = (i: Column) =>
+      ch(i, 0) * 923521L + ch(i, 1) * 29791L + ch(i, 2) * 961L + ch(i, 3) * 31L + ch(i, 4)
+    val withGh = normed
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("norm")) - 4), gram).as("gh"))
+      .cache()
+    withGh.select(col("doc_id"),
+      sort_array(array_distinct(
+        transform(sequence(lit(1), size(col("gh")) - (window - 1)),
+          i => array_min(slice(col("gh"), i, lit(window)))))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"), col("fps"))
+  }
+
   /** SimHash near-dup pairs: pairs with Hamming distance <= maxHamming,
     * length-bucket blocked (near-dups have near-equal length; random pairs
     * never meet in a bucket).

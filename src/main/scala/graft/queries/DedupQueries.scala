@@ -130,7 +130,31 @@ object DedupQueries {
       SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, fp_full
       FROM fp GROUP BY fp_full ORDER BY keep_doc_id"""))
 
+  /** MOSS-style winnowing fingerprint sets (window 8 over 5-char grams). */
+  val q57Winnowing: QueryDef = QueryDef(
+    "q57_winnowing",
+    (s, dir) => graft.operators.Dedup.winnowFingerprints(
+      Tables.load(s, dir, "documents"), window = 8).orderBy("doc_id"),
+    Some("""
+      WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                 FROM documents),
+      g AS (SELECT doc_id,
+              list_transform(generate_series(1, length(norm) - 4),
+                i -> ascii(substr(norm, i, 1))::BIGINT * 923521
+                   + ascii(substr(norm, i+1, 1))::BIGINT * 29791
+                   + ascii(substr(norm, i+2, 1))::BIGINT * 961
+                   + ascii(substr(norm, i+3, 1))::BIGINT * 31
+                   + ascii(substr(norm, i+4, 1))::BIGINT) AS gh
+            FROM n WHERE length(norm) >= 12),
+      f AS (SELECT doc_id,
+              list_sort(list_distinct(
+                list_transform(generate_series(1, len(gh) - 7),
+                  i -> list_min(list_slice(gh, i, i+7))))) AS fps
+            FROM g)
+      SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, fps
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q24DedupExact, q25MinhashSignatures, q26MinhashLsh, q27Simhash, q28NgramJaccard,
-    q56DedupFingerprint)
+    q56DedupFingerprint, q57Winnowing)
 }
