@@ -200,6 +200,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate clusters: connected components over the MinHash-LSH pair
+    * graph, labeled by the minimum doc_id in each component. Iterative
+    * min-label propagation — the standard Spark fixpoint idiom (each
+    * iteration is a distributed join+agg; the driver only checks
+    * convergence counts, never row data). Documents with no near-dup edge
+    * form singleton clusters.
+    *
+    * Output: (doc_id, cluster_id) for every document.
+    */
+  def dedupClusters(docs: DataFrame, shingleK: Int, rowsPerBand: Int,
+                    threshold: Double, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLsh(docs, shingleK, rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaEdges = labels.join(edges, labels("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id").union(viaEdges)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select("doc_id", "cluster_id")
+  }
+
   /** Exact n-gram Jaccard pairs over shingle sets, length-bucket blocked.
     * threshold on |∩|/|∪|; |∪| derived as |a|+|b|-|∩| to touch each array
     * pair once.

@@ -154,7 +154,42 @@ object DedupQueries {
       SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, fps
       FROM f ORDER BY doc_id"""))
 
+  /** Connected-component dedup clusters over the LSH pair graph (Spark:
+    * iterative min-label propagation; oracle: recursive CTE over the same
+    * pairs). The q26 LSH CTEs are reused verbatim for the edge set.
+    */
+  val q58DedupClusters: QueryDef = QueryDef(
+    "q58_dedup_clusters",
+    (s, dir) => graft.operators.Dedup.dedupClusters(
+      Tables.load(s, dir, "documents"), shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH RECURSIVE $shingleCtes,
+      sig AS (SELECT doc_id, sh, [${(0 until 8).map(sigExpr).mkString(", ")}] AS sg FROM s),
+      bands AS (SELECT doc_id, b,
+                  sg[2*b+1]::VARCHAR || '_' || sg[2*b+2]::VARCHAR AS key
+                FROM sig, generate_series(0, 3) g(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      hsx AS (SELECT doc_id, list_distinct(list_transform(sh, t -> ${h32("t")})) AS hs FROM s),
+      pairs AS (SELECT doc_a, doc_b FROM (
+                  SELECT doc_a, doc_b,
+                         CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                           / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+                  FROM cand JOIN hsx sa ON sa.doc_id = doc_a
+                            JOIN hsx sb ON sb.doc_id = doc_b)
+                WHERE jaccard >= 0.5e0),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (SELECT doc_id, doc_id AS root FROM documents
+                UNION
+                SELECT e.dst AS doc_id, r.root
+                FROM reach r JOIN edges e ON e.src = r.doc_id)
+      SELECT doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q24DedupExact, q25MinhashSignatures, q26MinhashLsh, q27Simhash, q28NgramJaccard,
-    q56DedupFingerprint, q57Winnowing)
+    q56DedupFingerprint, q57Winnowing, q58DedupClusters)
 }

@@ -51,6 +51,17 @@ class DedupSpec extends SparkTestBase {
     assert(ham(sims(1L), sims(3L)) > 6)
   }
 
+  test("dedup clusters: transitive near-dups share a component, others are singletons") {
+    // 1-2 and 2-5 are near-dups (1-5 only transitively); 3, 4 unrelated
+    val d = docs(1L -> base, 2L -> nearDup, 5L -> (base + " dup extra"),
+      3L -> other,
+      4L -> "yet another unrelated sentence with its own distinct vocabulary set entirely")
+    val clusters = Dedup.dedupClusters(d, 3, 2, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(5L) == 1L)
+    assert(clusters(3L) == 3L && clusters(4L) == 4L)
+  }
+
   test("ngram jaccard pairs respect the threshold") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val out = Dedup.ngramJaccardPairs(d, 3, 0.5).collect()
