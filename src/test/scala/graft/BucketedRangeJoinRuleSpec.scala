@@ -32,6 +32,27 @@ class BucketedRangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("rewrites with the sides swapped (sources cross grid)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions._
+    val grid = Noise.grid(spark, Noise.NantesLat, Noise.NantesLon, 1000.0, 10)
+    val src = queries.NoiseQueries.sources(spark, "/root/testdata/sf0.001")
+    def swapped() = src.crossJoin(grid)
+      .filter(haversineMeters(col("g_lat"), col("g_lon"), col("s_lat"), col("s_lon")) <= RMaxM)
+      .groupBy("g_lat", "g_lon").agg(count(lit(1)).as("n"))
+    val before = swapped().orderBy("g_lat", "g_lon").collect()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BucketedRangeJoinRule
+    try {
+      val df = swapped()
+      assert(df.queryExecution.optimizedPlan.toString.contains("__cell_i"))
+      assert(df.orderBy("g_lat", "g_lon").collect().sameElements(before))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BucketedRangeJoinRule)
+    }
+  }
+
   test("does not fire on joins without a haversine range predicate") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BucketedRangeJoinRule
