@@ -299,8 +299,63 @@ object RelationalQueries2 {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY user_id, event_id"""))
 
+  /** GROUP BY + HAVING over the aggregate. */
+  val q59GroupHaving: QueryDef = QueryDef(
+    "q59_group_having",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+        .filter(col("n") > 20)
+        .orderBy("o_custkey"),
+    Some(s"""
+      SELECT o_custkey, count(*) AS n, ${dsumSql("o_totalprice")} AS rev
+      FROM orders GROUP BY o_custkey HAVING count(*) > 20
+      ORDER BY o_custkey"""))
+
+  /** IN-subquery (plans as a left-semi join). */
+  val q60InSubquery: QueryDef = QueryDef(
+    "q60_in_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      Tables.load(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(s"""
+        SELECT l_returnflag, count(*) AS n,
+               ${dsumSql("l_extendedprice")} AS rev
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n, ${dsumSql("l_extendedprice")} AS rev
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** TPC-H Q17-style correlated aggregate: small-quantity lineitems relative
+    * to their part's average (threshold from exact decimal sums).
+    */
+  val q61SmallQuantity: QueryDef = QueryDef(
+    "q61_small_quantity",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(s"""
+        SELECT count(*) AS n, ${dsumSql("l_extendedprice")} AS rev
+        FROM lineitem l1
+        WHERE l_quantity < 0.5e0 * (
+          SELECT ${dsumSql("l2.l_quantity")} / COUNT(*)
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""")
+    },
+    Some(s"""
+      SELECT count(*) AS n, ${dsumSql("l_extendedprice")} AS rev
+      FROM lineitem l1
+      WHERE l_quantity < 0.5e0 * (
+        SELECT ${dsumSql("l2.l_quantity")} / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""))
+
   val all: Seq[QueryDef] = Seq(
     q39Cube, q40GroupingSets, q41Percentile, q42Stats, q43CollectSorted,
     q44FullOuter, q45RangeJoin, q46ApproxDistinct, q47Pivot, q48DateArith,
-    q51CorrelatedSubquery, q52TokenExplode, q53WindowFrames)
+    q51CorrelatedSubquery, q52TokenExplode, q53WindowFrames,
+    q59GroupHaving, q60InSubquery, q61SmallQuantity)
 }

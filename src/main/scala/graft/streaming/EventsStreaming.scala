@@ -148,4 +148,18 @@ object EventsStreaming {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .start()
+
+  /** foreachBatch sink: per micro-batch, overwrite the batch's parquet
+    * partition under `outDir/batch_id=N` — the idempotent-upsert pattern for
+    * sinks without native streaming support (each batch id lands exactly
+    * once even across retries, because the write is a deterministic
+    * overwrite of its own directory).
+    */
+  def startTumblingForeachBatch(events: DataFrame, outDir: String) =
+    tumblingCounts(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
 }

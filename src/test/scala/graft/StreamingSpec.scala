@@ -90,6 +90,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch writes each micro-batch to its own parquet partition") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("febatch").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.startTumblingForeachBatch(
+      mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"), out)
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val written = spark.read.parquet(out)
+      assert(written.select("batch_id").distinct().count() >= 2)
+      // update-mode: the max count per window/type across batches equals the
+      // single batch run over all rows
+      val have = written.groupBy("window_start", "event_type")
+        .agg(max("n").as("n"))
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+      val want = EventsStreaming.tumblingCounts(toDF(rows))
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+      assert(have == want)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits a session once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
