@@ -100,6 +100,34 @@ object Similarity {
       .select("q_id", "rk", "vec_id", "cos")
   }
 
+  /** Product-quantization-style codes: the 64-dim embedding splits into 8
+    * subvectors of 8 dims; each subvector gets a 2-bit sign-LSH code (two
+    * seed-fixed hyperplanes), packed into a 16-bit code. A deterministic
+    * stand-in for trained PQ codebooks — the plan shape (slice → project →
+    * pack) is identical, and at 100 TB the 2-byte code column replaces the
+    * 256-byte vector for coarse candidate generation.
+    */
+  val PqPlanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(99)
+    Array.fill(8, 2, 8)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  def pqCode(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (for {
+      s <- 0 until 8
+      b <- 0 until 2
+    } yield when(
+      graft.plans.VectorDotProduct(
+        slice(emb, s * 8 + 1, 8), typedLit(PqPlanes(s)(b).toSeq)) > 0.0d,
+      1 << (2 * s + b)).otherwise(0)).reduce(_ + _)
+
+  /** Quantize a corpus: (vec_id, label, pq_code, n_same_code). */
+  def pqQuantize(emb: DataFrame): DataFrame = {
+    val coded = emb.select(col("vec_id"), col("label"), pqCode(col("embedding")).as("pq_code"))
+    val w = Window.partitionBy("pq_code")
+    coded.withColumn("n_same_code", count(lit(1)).over(w))
+  }
+
   /** Embedding near-duplicate pairs within a coarse partition: label-blocked
     * pairwise cosine above `threshold`. doc pairs ordered (a < b). The
     * normed table is cached so per-vector work runs once, not per pair.

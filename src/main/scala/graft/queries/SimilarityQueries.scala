@@ -128,5 +128,34 @@ object SimilarityQueries {
                   THEN 'vowel' ELSE 'other' END AS kind
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q33KnnBrute, q34KnnIvfLabel, q35EmbeddingDup, q36MultimodalMeta, q37KnnLshBucket, q38MultimodalDecode)
+  /** PQ-style quantization codes (8 subvectors x 2-bit sign codes), with the
+    * per-code population as a window count. The hyperplane literals come
+    * from the same seed-fixed matrix as the Spark side.
+    */
+  val q62PqCodes: QueryDef = QueryDef(
+    "q62_pq_codes",
+    (s, dir) => Similarity.pqQuantize(Tables.load(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some {
+      def planeLit(h: Array[Double]): String =
+        h.map(v => if (v > 0) "1.0e0" else "-1.0e0").mkString("[", ", ", "]")
+      val code = (for {
+        sub <- 0 until 8
+        b <- 0 until 2
+      } yield {
+        val dot = s"""list_reduce(list_transform(generate_series(1, 8),
+          | i -> (list_slice(embedding, ${sub * 8 + 1}, ${sub * 8 + 8}))[i]::DOUBLE
+          |      * (${planeLit(Similarity.PqPlanes(sub)(b))})[i]), (x, y) -> x + y)"""
+          .stripMargin.replace("\n", " ")
+        s"CASE WHEN $dot > 0.0e0 THEN ${1 << (2 * sub + b)} ELSE 0 END"
+      }).mkString(" + ")
+      s"""
+      SELECT vec_id, label, pq_code,
+             count(*) OVER (PARTITION BY pq_code) AS n_same_code
+      FROM (SELECT vec_id, label, ($code) AS pq_code FROM embeddings)
+      ORDER BY vec_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q33KnnBrute, q34KnnIvfLabel, q35EmbeddingDup,
+    q36MultimodalMeta, q37KnnLshBucket, q38MultimodalDecode, q62PqCodes)
 }
