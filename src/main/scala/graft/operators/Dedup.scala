@@ -235,6 +235,54 @@ object Dedup {
     labels.select("doc_id", "cluster_id")
   }
 
+  /** 63-bit shingle simhash from two independent 32-bit hashes (hash32 of
+    * the shingle and of shingle+"#"): bits 0-31 from the first, bits 32-62
+    * from the second (bit 63 unused so the value stays non-negative — engine
+    * shift/overflow semantics on the sign bit differ). Same explode +
+    * codegen'd bit-count aggregation as [[simhashTable]].
+    */
+  def simhash64Table(docs: DataFrame, shingleK: Int): DataFrame = {
+    val exploded = docs.filter(size(split(col("text"), " ")) >= shingleK)
+      .select(col("doc_id"), explode(wordShingles(col("text"), shingleK)).as("sh"))
+      .select(col("doc_id"),
+        hash32(col("sh")).as("h_lo"), hash32(concat(col("sh"), lit("#"))).as("h_hi"))
+    def bitCounts(h: String, prefix: String, n: Int) = (0 until n).map { b =>
+      sum(when((shiftright(col(h), b) % 2) === 1, 1).otherwise(-1)).as(s"$prefix$b")
+    }
+    def packed(prefix: String, shiftBase: Int, n: Int) = (0 until n).map { b =>
+      when(col(s"$prefix$b") > 0, lit(1L << (b + shiftBase))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val aggs = bitCounts("h_lo", "lo", 32) ++ bitCounts("h_hi", "hi", 31)
+    exploded.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), (packed("lo", 0, 32) + packed("hi", 32, 31)).as("sim64"))
+  }
+
+  /** Banded simhash near-dup pairs with GUARANTEED recall at Hamming radius
+    * <= 3: the 64-bit simhash splits into four 16-bit bands; by pigeonhole,
+    * any pair within distance 3 matches exactly in at least one band, so
+    * candidate generation is a pure equi-join on (band, key) — no length
+    * heuristics, no quadratic stage — and the exact Hamming filter runs on
+    * candidates only. The corpus-square never materializes at any scale.
+    */
+  def simhash64BandedPairs(docs: DataFrame, shingleK: Int, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to radius 3")
+    val sims = simhash64Table(docs, shingleK).cache()
+    val banded = sims.select(col("doc_id"), col("sim64"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sim64"), 16 * b).bitwiseAND(lit(65535L)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim64"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sim64").bitwiseXOR(col("b.sim64"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard pairs over shingle sets, length-bucket blocked.
     * threshold on |∩|/|∪|; |∪| derived as |a|+|b|-|∩| to touch each array
     * pair once.

@@ -189,7 +189,42 @@ object DedupQueries {
       SELECT doc_id, CAST(min(root) AS BIGINT) AS cluster_id
       FROM reach GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Banded 63-bit simhash pairs: pure equi-join candidate generation with
+    * guaranteed recall at Hamming radius <= 3 (pigeonhole over four 16-bit
+    * bands) — the simhash scale path, no length heuristics.
+    */
+  val q63SimhashBanded: QueryDef = QueryDef(
+    "q63_dedup_simhash_banded",
+    (s, dir) => graft.operators.Dedup.simhash64BandedPairs(
+      Tables.load(s, dir, "documents"), shingleK = 3).orderBy("doc_a", "doc_b"),
+    Some {
+      def simExpr(h: String, base: Int, n: Int): String =
+        s"""CAST(list_aggregate(list_transform(range(0, $n), b ->
+           |  CASE WHEN list_aggregate(list_transform($h, x ->
+           |         CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+           |       THEN (1::BIGINT << (b + $base)) ELSE 0::BIGINT END), 'sum') AS BIGINT)"""
+          .stripMargin.replace("\n", " ")
+      s"""
+      WITH $shingleCtes,
+      hs AS (SELECT doc_id,
+               list_transform(sh, t -> ${h32("t")}) AS lo,
+               list_transform(sh, t -> ${h32("t || '#'")}) AS hi
+             FROM s),
+      sim AS (SELECT doc_id,
+                ${simExpr("lo", 0, 32)} + ${simExpr("hi", 32, 31)} AS sim64
+              FROM hs),
+      bands AS (SELECT doc_id, sim64, b, (sim64 >> (16 * b)) & 65535 AS key
+                FROM sim, generate_series(0, 3) g(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sim64 AS sa, b.sim64 AS sb
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      ORDER BY doc_a, doc_b"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     q24DedupExact, q25MinhashSignatures, q26MinhashLsh, q27Simhash, q28NgramJaccard,
-    q56DedupFingerprint, q57Winnowing, q58DedupClusters)
+    q56DedupFingerprint, q57Winnowing, q58DedupClusters, q63SimhashBanded)
 }

@@ -62,6 +62,19 @@ class DedupSpec extends SparkTestBase {
     assert(clusters(3L) == 3L && clusters(4L) == 4L)
   }
 
+  test("banded simhash64: equi-join candidates catch radius-0 dups, skip far docs") {
+    // radius <= 3 is a tight guarantee: an appended suffix flips ~5-6 of 63
+    // bits even on long docs, so the deterministic fixture uses an exact
+    // duplicate (radius 0) plus unrelated text; the sf-level oracle checks
+    // real near-dup behavior.
+    val long1 = (1 to 80).map(i => s"word$i").mkString(" ")
+    val unrelated = (1 to 80).map(i => s"other$i term$i").mkString(" ")
+    val d = docs(1L -> long1, 2L -> long1, 3L -> unrelated)
+    val out = Dedup.simhash64BandedPairs(d, 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getInt(2) == 0) // identical texts, hamming zero
+  }
+
   test("ngram jaccard pairs respect the threshold") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val out = Dedup.ngramJaccardPairs(d, 3, 0.5).collect()
