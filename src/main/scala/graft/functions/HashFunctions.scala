@@ -24,6 +24,13 @@ object HashFunctions {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Independent 32-bit hash from a different 8-hex-char window of the SAME
+    * md5 digest (pos is 1-based into the 32-char hex string) — a second hash
+    * without a second digest computation.
+    */
+  def hash32At(c: Column, pos: Int): Column =
+    conv(substring(md5(c), pos, 8), 16, 10).cast("long")
+
   /** Universal hash family member: h_i(x) = (a*hash32(x) + b) mod Prime. */
   def universalHash(c: Column, a: Long, b: Long): Column =
     pmod(lit(a) * hash32(c) + lit(b), lit(Prime))

@@ -235,17 +235,18 @@ object Dedup {
     labels.select("doc_id", "cluster_id")
   }
 
-  /** 63-bit shingle simhash from two independent 32-bit hashes (hash32 of
-    * the shingle and of shingle+"#"): bits 0-31 from the first, bits 32-62
-    * from the second (bit 63 unused so the value stays non-negative — engine
-    * shift/overflow semantics on the sign bit differ). Same explode +
-    * codegen'd bit-count aggregation as [[simhashTable]].
+  /** 63-bit shingle simhash from two independent 32-bit windows of the same
+    * md5 digest (hex chars 1-8 and 9-16 — one digest, two hashes): bits 0-31
+    * from the first, bits 32-62 from the second (bit 63 unused so the value
+    * stays non-negative — engine shift/overflow semantics on the sign bit
+    * differ). Same explode + codegen'd bit-count aggregation as
+    * [[simhashTable]].
     */
   def simhash64Table(docs: DataFrame, shingleK: Int): DataFrame = {
     val exploded = docs.filter(size(split(col("text"), " ")) >= shingleK)
       .select(col("doc_id"), explode(wordShingles(col("text"), shingleK)).as("sh"))
       .select(col("doc_id"),
-        hash32(col("sh")).as("h_lo"), hash32(concat(col("sh"), lit("#"))).as("h_hi"))
+        hash32At(col("sh"), 1).as("h_lo"), hash32At(col("sh"), 9).as("h_hi"))
     def bitCounts(h: String, prefix: String, n: Int) = (0 until n).map { b =>
       sum(when((shiftright(col(h), b) % 2) === 1, 1).otherwise(-1)).as(s"$prefix$b")
     }

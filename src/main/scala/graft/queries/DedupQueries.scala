@@ -207,8 +207,8 @@ object DedupQueries {
       s"""
       WITH $shingleCtes,
       hs AS (SELECT doc_id,
-               list_transform(sh, t -> ${h32("t")}) AS lo,
-               list_transform(sh, t -> ${h32("t || '#'")}) AS hi
+               list_transform(sh, t -> (('0x' || substr(md5(t), 1, 8))::BIGINT)) AS lo,
+               list_transform(sh, t -> (('0x' || substr(md5(t), 9, 8))::BIGINT)) AS hi
              FROM s),
       sim AS (SELECT doc_id,
                 ${simExpr("lo", 0, 32)} + ${simExpr("hi", 32, 31)} AS sim64

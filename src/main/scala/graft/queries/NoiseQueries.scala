@@ -165,7 +165,55 @@ object NoiseQueries {
              s_db, s_alt
       FROM ($sourcesSql) ORDER BY s_lat, s_lon, s_db"""))
 
+  /** Noise as a time series — the dimension the reference ignores despite
+    * carrying epoch columns (SURVEY.md §1.1): daily noise level at the
+    * airport receptor point from that day's sources within the 20 km
+    * cutoff. Day buckets are exact integer epoch arithmetic.
+    */
+  val q64NoiseTimeseries: QueryDef = QueryDef(
+    "q64_noise_timeseries",
+    (s, dir) => {
+      import graft.functions.GeoFunctions._
+      Tables.load(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(97L)) === 0)
+        .select(expr("(unix_micros(ts) DIV 86400000000) * 86400000000").as("day_us"),
+          (lit(Lat0) + (pmod(col("event_id") * 7919L + 13L, lit(4001L)) - 2000L) * 0.00005d).as("s_lat"),
+          (lit(Lon0) + (pmod(col("event_id") * 104729L + 7L, lit(4001L)) - 2000L) * 0.00005d).as("s_lon"),
+          when(col("event_type") === "error", 110.0d)
+            .when(col("event_type") === "signup", 80.0d)
+            .when(col("event_type") === "purchase", 130.0d)
+            .otherwise(90.0d).as("s_db"))
+        .withColumn("dist_m",
+          haversineMeters(lit(Lat0), lit(Lon0), col("s_lat"), col("s_lon")))
+        .filter(col("dist_m") <= RMaxM)
+        .withColumn("contrib", attenuatedDb(col("s_db"), col("dist_m")))
+        .groupBy("day_us")
+        .agg(dbPowerSum(col("contrib")).as("db"), count(lit(1)).as("n_sources"))
+        .orderBy("day_us")
+    },
+    Some {
+      // parenthesized: "s_lon - -1.6044" would otherwise emit "--", a SQL comment
+      val dist = haversineSql("47.1542e0", "(-1.6044e0)", "s_lat", "s_lon")
+      val contrib = "s_db - 20.0e0*log10(greatest(dist_m, 1.0e0))"
+      val dbExpr = Det.rdetSql(
+        s"10.0e0*log10(${Det.dsumSql(s"pow(10.0e0, ($contrib)/10.0e0)")})", 2)
+      s"""
+      WITH src AS (
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+               47.1542e0 + (((event_id*7919+13) % 4001) - 2000) * 0.00005e0 AS s_lat,
+               -1.6044e0 + (((event_id*104729+7) % 4001) - 2000) * 0.00005e0 AS s_lon,
+               CASE WHEN event_type = 'error' THEN 110.0e0
+                    WHEN event_type = 'signup' THEN 80.0e0
+                    WHEN event_type = 'purchase' THEN 130.0e0
+                    ELSE 90.0e0 END AS s_db
+        FROM events WHERE event_id % 97 = 0),
+      d AS (SELECT day_us, s_db, ($dist) AS dist_m FROM src)
+      SELECT day_us, $dbExpr AS db, count(*) AS n_sources
+      FROM d WHERE dist_m <= 20000.0e0
+      GROUP BY day_us ORDER BY day_us"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     q18GridGen, q19NoiseFlagship, q20NoiseBucketed, q21NoiseSlant3d,
-    q22Heatmap, q23ClassifySources)
+    q22Heatmap, q23ClassifySources, q64NoiseTimeseries)
 }
