@@ -353,9 +353,55 @@ object RelationalQueries2 {
         SELECT ${dsumSql("l2.l_quantity")} / COUNT(*)
         FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""))
 
+  /** Array/collection functions over the token array: element access,
+    * membership, position, flatten/slice shapes — scalar outputs so both
+    * engines compare exactly.
+    */
+  val q65ArrayFuncs: QueryDef = QueryDef(
+    "q65_array_funcs",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(
+          col("doc_id"),
+          element_at(col("ts"), 1).as("first_tok"),
+          element_at(col("ts"), -1).as("last_tok"),
+          array_contains(col("ts"), "spark").as("has_spark"),
+          array_position(col("ts"), "the").as("pos_the"),
+          size(array_distinct(col("ts"))).as("n_distinct"),
+          concat_ws("-", slice(col("ts"), 1, 3)).as("head3"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             ts[1] AS first_tok,
+             ts[-1] AS last_tok,
+             list_contains(ts, 'spark') AS has_spark,
+             CAST(coalesce(list_position(ts, 'the'), 0) AS BIGINT) AS pos_the,
+             CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct,
+             array_to_string(list_slice(ts, 1, 3), '-') AS head3
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      ORDER BY doc_id"""))
+
+  /** from_json into a typed struct + field access (vs q17's string-path
+    * extraction) — the schema-declared JSON route.
+    */
+  val q66FromJson: QueryDef = QueryDef(
+    "q66_from_json",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .filter(col("k") > 90)
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+      ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q39Cube, q40GroupingSets, q41Percentile, q42Stats, q43CollectSorted,
     q44FullOuter, q45RangeJoin, q46ApproxDistinct, q47Pivot, q48DateArith,
     q51CorrelatedSubquery, q52TokenExplode, q53WindowFrames,
-    q59GroupHaving, q60InSubquery, q61SmallQuantity)
+    q59GroupHaving, q60InSubquery, q61SmallQuantity, q65ArrayFuncs, q66FromJson)
 }
