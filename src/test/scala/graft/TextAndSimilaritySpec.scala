@@ -70,6 +70,25 @@ class TextAndSimilaritySpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("frame sampling keeps every stride-th byte") {
+    val d = docs(1L -> "abcdefghij") // 10 bytes
+    val media = Multimodal.attachPayload(d)
+    val r = Multimodal.frameSample(media, stride = 3).head()
+    assert(r.getLong(0) == 1L)
+    assert(r.getInt(1) == 4) // positions 0,3,6,9
+    assert(r.getInt(2) == 'a'.toInt + 'd'.toInt + 'g'.toInt + 'j'.toInt)
+  }
+
+  test("pq codes are stable and bucket identical vectors together") {
+    val v = Seq.fill(64)(0.25f)
+    val e = Seq((1L, v, 0), (2L, v, 1), (3L, v.map(-_), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqQuantize(e).orderBy("vec_id").collect()
+    assert(out(0).getInt(2) == out(1).getInt(2)) // identical vectors, same code
+    assert(out(0).getInt(2) != out(2).getInt(2)) // negated vector differs
+    assert(out(0).getLong(3) == 2L) // two vectors share the code
+  }
+
   test("multimodal plumbing: payload survives, stub decode is deterministic") {
     val d = docs(7L -> "some payload text")
     val media = Multimodal.attachPayload(d)
