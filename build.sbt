@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through RAW: the default LoggedOutput prefixes
+// every line with "[info] ", which corrupts the one-line JSON contract of
+// graft.Bench (the driver must be able to json-parse the line as printed).
+outputStrategy := Some(StdoutOutput)
+// ... and keep sbt's own "[success] ..." epilogue off stdout so the bench
+// JSON stays the last line the driver sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,6 +37,13 @@ def main():
             got_types = [str(t) for t in got.types]
             got_rows = got.fetchall()
             errs = []
+            # The driver's comparator sorts rows with pandas, which cannot
+            # hash list/struct cells — any nested output type fails the gate
+            # even for rows-only queries. Keep every output column atomic.
+            nested = [f"{c}:{t}" for c, t in zip(got_cols, got_types)
+                      if "[" in t or "STRUCT" in t or "MAP" in t]
+            if nested:
+                errs.append(f"nested output columns (driver-unsortable): {nested}")
             if sorted(want_cols) != sorted(got_cols):
                 errs.append(f"cols want={want_cols} got={got_cols}")
             else:

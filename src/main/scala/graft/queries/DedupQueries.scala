@@ -130,11 +130,20 @@ object DedupQueries {
       SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies, fp_full
       FROM fp GROUP BY fp_full ORDER BY keep_doc_id"""))
 
-  /** MOSS-style winnowing fingerprint sets (window 8 over 5-char grams). */
+  /** MOSS-style winnowing fingerprint sets (window 8 over 5-char grams). The
+    * sorted fingerprint set is reduced to scalars (count, min, max, modular
+    * checksum) — an array column would break the driver's comparator, and
+    * the checksum pins every element anyway.
+    */
   val q57Winnowing: QueryDef = QueryDef(
     "q57_winnowing",
     (s, dir) => graft.operators.Dedup.winnowFingerprints(
-      Tables.load(s, dir, "documents"), window = 8).orderBy("doc_id"),
+        Tables.load(s, dir, "documents"), window = 8)
+      .select(col("doc_id"), col("n_fps"),
+        element_at(col("fps"), 1).as("min_fp"),
+        element_at(col("fps"), -1).as("max_fp"),
+        pmod(aggregate(col("fps"), lit(0L), _ + _), lit(2147483647L)).as("fp_checksum"))
+      .orderBy("doc_id"),
     Some("""
       WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
                  FROM documents),
@@ -151,7 +160,9 @@ object DedupQueries {
                 list_transform(generate_series(1, len(gh) - 7),
                   i -> list_min(list_slice(gh, i, i+7))))) AS fps
             FROM g)
-      SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, fps
+      SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+             fps[1] AS min_fp, fps[len(fps)] AS max_fp,
+             CAST(list_aggregate(fps, 'sum') % 2147483647 AS BIGINT) AS fp_checksum
       FROM f ORDER BY doc_id"""))
 
   /** Connected-component dedup clusters over the LSH pair graph (Spark:

@@ -109,21 +109,24 @@ object RelationalQueries2 {
         FROM lineitem GROUP BY l_returnflag)
       ORDER BY l_returnflag"""))
 
-  /** Ordered collect aggregations: sorted distinct array + string_agg. */
+  /** Ordered collect aggregations: sorted distinct collect_set rendered as a
+    * joined string (scalar output — the driver's comparator cannot sort
+    * list-typed columns, so the array itself never leaves the query).
+    */
   val q43CollectSorted: QueryDef = QueryDef(
     "q43_collect_sorted",
     (s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-          sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
           array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("prio_csv"),
+          size(collect_set(col("o_orderpriority"))).as("n_distinct"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus"),
     Some("""
       SELECT o_orderstatus,
-             list_sort(list(DISTINCT o_orderpriority)) AS priorities,
              array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prio_csv,
+             CAST(count(DISTINCT o_orderpriority) AS INTEGER) AS n_distinct,
              count(*) AS n
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
@@ -178,9 +181,11 @@ object RelationalQueries2 {
        AND abs(a.us - b.us) <= 60000000
       GROUP BY 1 ORDER BY 1"""))
 
-  /** HLL approximate distinct — implementation-specific sketch, so no SQL
-    * oracle (driver records the weaker rows-only check). Paired with the
-    * exact count for scale-sanity reading.
+  /** HLL approximate distinct. The sketch estimate is engine-specific, so the
+    * hashed output carries the exact count plus a boolean asserting the HLL
+    * estimate landed within its error bound (default rsd 0.05; 15% = 3
+    * sigma) — the oracle asserts the same bound trivially holds, which turns
+    * "the sketch ran and was sane" into a hash-checkable fact.
     */
   val q46ApproxDistinct: QueryDef = QueryDef(
     "q46_approx_distinct",
@@ -189,8 +194,13 @@ object RelationalQueries2 {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("approx_ok"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Manual pivot: one column per order status via conditional aggregation
     * (deterministic column set, unlike engine-native PIVOT).

@@ -94,18 +94,43 @@ object SimilarityQueries {
     })
 
   /** Multimodal batched decode over binary payloads (STUB decode — see
-    * operators.Multimodal; deterministic but not SQL-expressible, so
-    * rows-only check).
+    * operators.Multimodal). The stub is deterministic from the payload
+    * bytes, so the whole mapPartitions decode path IS oracle-checkable: the
+    * L1-normalized float histogram is de-normalized back to integer byte
+    * counts (exact for n <= 2^20 at float precision), and DuckDB recomputes
+    * the same counts character-wise (the corpus is pure ASCII, so chars ==
+    * bytes). n_bytes is reconstructed from the stub's width/height encoding.
     */
   val q38MultimodalDecode: QueryDef = QueryDef(
     "q50_multimodal_decode",
     (s, dir) => {
       val media = graft.operators.Multimodal.attachPayload(Tables.load(s, dir, "documents"))
+      val nb = (col("height") - 16) * 64 + (col("width") - 16)
+      val bins = (0 until 8).map { i =>
+        floor(element_at(col("features"), i + 1).cast("double") * nb + 0.5)
+          .cast("long").as(s"bin$i")
+      }
       graft.operators.Multimodal.decodeFeatures(media).toDF()
-        .select(col("doc_id"), col("width"), col("height"), col("channels"), col("features"))
+        .select(Seq(col("doc_id"), col("width"), col("height"), col("channels"),
+          nb.as("n_bytes")) ++ bins: _*)
         .orderBy("doc_id")
     },
-    None)
+    Some {
+      val bins = (0 until 8).map(i =>
+        s"len(list_filter(string_split(text, ''), c -> ascii(c) // 32 = $i)) AS bin$i")
+        .mkString(",\n             ")
+      s"""
+      WITH n AS (SELECT doc_id, text,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS nb
+                 FROM documents)
+      SELECT doc_id,
+             16 + nb % 64 AS width,
+             16 + (nb // 64) % 64 AS height,
+             3 AS channels,
+             nb AS n_bytes,
+             $bins
+      FROM n ORDER BY doc_id"""
+    })
 
   /** Multimodal column plumbing: byte length, portable checksum, and a
     * first-byte "format sniff" over the text treated as an opaque payload
