@@ -18,6 +18,7 @@ outputStrategy := Some(StdoutOutput)
 // ... and keep sbt's own "[success] ..." epilogue off stdout so the bench
 // JSON stays the last line the driver sees.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,16 +26,25 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).limit(1).count() catch { case _: Throwable => () }
     }
+    // A failing query must be VISIBLE in the output, not a near-zero "fast
+    // pass": failures are reported in an errors list and excluded from the
+    // per-query map and the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Some(e.getClass.getSimpleName)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.collect { case (k, v, None) => k -> v }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

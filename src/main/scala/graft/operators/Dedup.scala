@@ -232,6 +232,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // A component with graph diameter > maxIters would otherwise be split
+    // across labels SILENTLY — refuse instead. Near-dup clusters are
+    // star/clique shaped in practice (diameter ~2), so hitting this means
+    // either pathological chaining or a threshold set far too low.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters iterations — " +
+        "component diameter exceeds maxIters; raise maxIters or tighten threshold")
     labels.select("doc_id", "cluster_id")
   }
 

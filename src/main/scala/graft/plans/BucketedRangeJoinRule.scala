@@ -19,14 +19,32 @@ import graft.functions.GeoFunctions
   *       Project(L, cell_i = floor(latA/c), cell_j = floor(lonA/c))
   *       Generate(explode 3x3 neighbor cells of R)
   *
-  * with cell size c >= the radius in degrees (doubled for longitude
-  * shrink — valid to |lat| <= 60°, the guard below). Semantics are
-  * identical: any pair within r metres shares or neighbors a cell in both
-  * axes, and the exact predicate still filters inside buckets; pairs meet in
-  * exactly one (cell_i, cell_j) so no duplicates arise. What changes is the
-  * physical shape: a hash/sort-merge equi-join shuffled on the cell key
-  * instead of an O(|L| x |R|) nested-loop cross join — the difference
-  * between feasible and not at 100 TB.
+  * with cell size c >= the radius in degrees, doubled for longitude shrink.
+  * The doubled cell only guarantees longitude recall while cos(lat) >= 1/2,
+  * i.e. |lat| <= 60°, and plain floor(lon/c) cells cannot pair across the
+  * antimeridian (the haversine itself wraps via sin²(Δlon/2)). So the
+  * rewrite splits rows by a runtime guard instead of assuming a domain:
+  *
+  *   bucketed(goodL ⋈ goodR)  ∪  exact(badL × all R)  ∪  exact(goodL × badR)
+  *
+  * where good = |lat| <= 60 AND |lon| <= 180 − c. The three branches are
+  * disjoint and cover every pair, the exact haversine predicate applies in
+  * all of them, and rows with null coordinates drop in every branch exactly
+  * as they do in the original filter — semantics are identical at ANY
+  * latitude/longitude. Realistic datasets put almost all rows in the
+  * bucketed branch; the exact branches stay tiny (and degenerate to the
+  * original cross join only if the whole dataset is polar/seam data).
+  * What changes is the physical shape: a hash/sort-merge equi-join shuffled
+  * on the cell key instead of an O(|L| x |R|) nested-loop cross join — the
+  * difference between feasible and not at 100 TB.
+  *
+  * Recall proof for the bucketed branch: |Δlat| <= rDeg <= c/2 always, and
+  * for both |lat| <= 60, |Δlon| <= rDeg/cos(60°) = 2·rDeg = c, so the pair
+  * lands in the same or a neighboring cell on each axis. No wrapped pair
+  * survives the good-filter: both |lon| <= 180 − c means the wrapped gap
+  * 360 − |Δlon| >= 2c > c, beyond any within-radius pair's reach. The exact
+  * branches avoid re-matching this rule by phrasing the predicate as
+  * `r >= haversine(...)` (semantically identical, structurally distinct).
   *
   * This is the rewrite `Noise.groundNoiseBucketed` performs by hand
   * (SURVEY.md §7.5), packaged as a `Rule[LogicalPlan]` so ANY naive
@@ -36,11 +54,15 @@ import graft.functions.GeoFunctions
   */
 object BucketedRangeJoinRule extends Rule[LogicalPlan] {
 
-  /** Max radius (m) the rewrite accepts — beyond this the doubled-cell
-    * longitude guard would need latitude information we don't have
-    * statically.
+  /** Max radius (m) the rewrite accepts — beyond this the cells grow so
+    * coarse that bucketing stops pruning and the cross join is no worse.
     */
   private val MaxRadiusM = 500000.0
+
+  /** Latitude bound (deg) inside which the doubled cell covers longitude
+    * shrink: cos(60°) = 1/2 exactly matches the 2x factor in cellDeg.
+    */
+  private val SafeLatDeg = 60.0
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // shape 1: Filter above a condition-less cross join
@@ -74,17 +96,26 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
     val cellDeg = r / GeoFunctions.EarthRadiusM * (180.0 / math.Pi) * 2.0
     def cellOf(a: Attribute): Expression = Floor(Divide(a, Literal(cellDeg)))
 
+    // runtime guard: rows the doubled cell provably covers
+    def isGood(lat: Attribute, lon: Attribute): Expression = And(
+      LessThanOrEqual(Abs(lat), Literal(SafeLatDeg)),
+      LessThanOrEqual(Abs(lon), Literal(180.0 - cellDeg)))
+    def isBad(lat: Attribute, lon: Attribute): Expression = Not(isGood(lat, lon))
+
+    // --- branch 1: bucketed equi-join over the guarded rows ---
     val lCellI = Alias(cellOf(latL), "__cell_i")()
     val lCellJ = Alias(cellOf(lonL), "__cell_j")()
-    val newLeft = Project(left.output :+ lCellI :+ lCellJ, left)
+    val goodLeft = Filter(isGood(latL, lonL), left)
+    val newLeft = Project(left.output :+ lCellI :+ lCellJ, goodLeft)
 
-    // right side: explode each row into its 3x3 neighbor cells
+    // right side: explode each guarded row into its 3x3 neighbor cells
     val rCellIAttr = AttributeReference("__rcell_i", LongType)()
     val rCellJAttr = AttributeReference("__rcell_j", LongType)()
     def neighbors(base: Expression): Expression =
       CreateArray(Seq(-1L, 0L, 1L).map(d => Add(base, Literal(d))))
+    val goodRight = Filter(isGood(latR, lonR), right)
     val genI = Generate(Explode(neighbors(cellOf(latR))), Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(rCellIAttr), child = right)
+      qualifier = None, generatorOutput = Seq(rCellIAttr), child = goodRight)
     val genJ = Generate(Explode(neighbors(cellOf(lonR))), Nil, outer = false,
       qualifier = None, generatorOutput = Seq(rCellJAttr), child = genI)
 
@@ -93,7 +124,27 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
       EqualTo(lCellJ.toAttribute, rCellJAttr))
     val bucketed = Join(newLeft, genJ, Inner, Some(joinCond), JoinHint.NONE)
     // original predicate still applies inside buckets; drop the helper cols
-    Project(join.output, Filter(rangeCond, bucketed))
+    val branchBucketed = Project(join.output, Filter(rangeCond, bucketed))
+
+    // --- branches 2+3: exact path for unguarded (polar / seam) rows ---
+    // The predicate is flipped to `r >= haversine` so this rule's own
+    // output can never re-match shape 1/2 on a later fixpoint pass.
+    val exactCond = rangeCond match {
+      case LessThanOrEqual(h, lit) => GreaterThanOrEqual(lit, h)
+      case other => other
+    }
+    def exactBranch(l: LogicalPlan, rgt: LogicalPlan): LogicalPlan = {
+      val joined = Join(l, rgt, Inner, None, JoinHint.NONE)
+      // fresh output aliases: Union children must not share attribute ids
+      // with the first branch
+      Project(join.output.map(a => Alias(a, a.name)()),
+        Filter(exactCond, joined))
+    }
+    val branchBadLeft = exactBranch(Filter(isBad(latL, lonL), left), right)
+    val branchBadRight = exactBranch(Filter(isGood(latL, lonL), left),
+      Filter(isBad(latR, lonR), right))
+
+    Union(Seq(branchBucketed, branchBadLeft, branchBadRight))
   }
 }
 

@@ -14,12 +14,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * element order, each float widened to double before multiplying) but
   * without the per-row array allocations and interpreted lambda dispatch of
   * higher-order functions — the hot loop of cosine scoring over embeddings.
-  * Length mismatches evaluate over the common prefix; nulls propagate.
+  * Length-mismatched inputs yield NULL (a truncated/corrupt embedding must
+  * not masquerade as a plausible score); nulls propagate.
   */
 case class VectorDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null also on length mismatch, regardless of child nullability
+  override def nullable: Boolean = true
 
   override def prettyName: String = "vector_dot"
 
@@ -31,7 +35,8 @@ case class VectorDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
     var s = 0.0
@@ -53,12 +58,16 @@ case class VectorDotProduct(left: Expression, right: Expression)
       val getL = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ($getL) * ($getR);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ($getL) * ($getR);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -85,7 +85,17 @@ class OpenSkyMicroBatchStream(log: OpenSkySnapshotLog) extends MicroBatchStream 
     SnapshotOffset(served)
   }
 
-  override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
+  /** Also recovery point: on restart the engine replays the checkpointed
+    * offsets through here before asking for latestOffset, so the in-memory
+    * cursor must catch up to the committed position — otherwise
+    * latestOffset would regress below the offset log and re-deliver
+    * already-committed snapshots.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    served = math.max(served, n)
+    SnapshotOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapshotOffset].n.toInt

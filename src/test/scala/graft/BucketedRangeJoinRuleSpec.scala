@@ -53,6 +53,40 @@ class BucketedRangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("keeps full recall at high latitudes and across the antimeridian") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions._
+    import spark.implicits._
+    // at lat 78°, 20 km of longitude spans ~0.86° — more than the doubled
+    // 0.36° cell, so the pre-fix 3x3 neighborhood lost these pairs; the
+    // seam pair wraps at ±180 where plain lon cells can never match
+    val ptsA = Seq(
+      (1L, 78.0, 16.00), (2L, 78.0, 100.0),       // polar probe
+      (3L, 0.0, 179.95), (4L, 50.0, 10.0))        // seam probe + control
+      .toDF("id_a", "g_lat", "g_lon")
+    val ptsB = Seq(
+      (11L, 78.01, 16.80),                        // 17 km from (1): |Δlon| = 0.8°
+      (13L, 0.0, -179.95),                        // 11 km from (3), wrapped
+      (14L, 50.001, 10.001))                      // 0.1 km from (4)
+      .toDF("id_b", "s_lat", "s_lon")
+    def pairs() = ptsA.crossJoin(ptsB)
+      .filter(haversineMeters(col("g_lat"), col("g_lon"), col("s_lat"), col("s_lon")) <= RMaxM)
+      .select("id_a", "id_b")
+    val before = pairs().orderBy("id_a", "id_b").collect().toSeq
+    assert(before.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 11L), (3L, 13L), (4L, 14L)), before)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BucketedRangeJoinRule
+    try {
+      val df = pairs()
+      assert(df.queryExecution.optimizedPlan.toString.contains("__cell_i"))
+      assert(df.orderBy("id_a", "id_b").collect().toSeq == before)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BucketedRangeJoinRule)
+    }
+  }
+
   test("does not fire on joins without a haversine range predicate") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BucketedRangeJoinRule

@@ -52,6 +52,25 @@ class ExpressionSpec extends SparkTestBase {
     assert(df.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("vector_dot: length mismatch yields null under codegen and interpreted eval") {
+    // a truncated embedding must never score as a plausible cosine
+    val rows = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f)),      // mismatched
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))            // matched
+    val codegen = rows.toDF("a", "b")
+      .select(VectorDotProduct(col("a"), col("b")).as("d")).collect()
+    assert(codegen(0).isNullAt(0))
+    assert(codegen(1).getDouble(0) == 11.0)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    import s2.implicits._
+    val interp = rows.toDF("a", "b")
+      .select(VectorDotProduct(col("a"), col("b")).as("d")).collect()
+    assert(interp(0).isNullAt(0))
+    assert(interp(1).getDouble(0) == 11.0)
+  }
+
   test("native expressions agree with codegen disabled (interpreted eval path)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -40,4 +40,25 @@ class OpenSkyStreamSourceSpec extends SparkTestBase {
       assert(q.recentProgress.count(_.numInputRows > 0) >= 2, q.recentProgress.toSeq.map(_.numInputRows))
     } finally q.stop()
   }
+
+  test("checkpoint recovery: offsets never regress below a replayed committed offset") {
+    val dir = Files.createTempDirectory("snaps_recover")
+    (0 until 3).foreach { i =>
+      Files.writeString(Paths.get(dir.toString, s"s$i.json"), snapshot(s"C$i", 1))
+    }
+    val paths = (0 until 3).map(i => s"$dir/s$i.json").mkString(",")
+    // fresh instance, as after a restart: the engine replays the
+    // checkpointed offset through deserializeOffset before planning
+    val stream = new sources.OpenSkyMicroBatchStream(
+      sources.OpenSkySnapshotLog.fromOptions(Map("paths" -> paths)))
+    val recovered = stream.deserializeOffset("2").asInstanceOf[sources.SnapshotOffset]
+    assert(recovered.n == 2L)
+    // next poll must continue PAST the committed position — a regressed
+    // offset (the pre-fix behavior returned 1) would re-deliver batches
+    // (1,2] that the sink already committed
+    val next = stream.latestOffset().asInstanceOf[sources.SnapshotOffset]
+    assert(next.n == 3L, s"latestOffset regressed to ${next.n} after recovery at 2")
+    val parts = stream.planInputPartitions(recovered, next)
+    assert(parts.length == 1)
+  }
 }
