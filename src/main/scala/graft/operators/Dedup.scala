@@ -218,6 +218,13 @@ object Dedup {
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
       .cache()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    // Min-label propagation is monotone (labels only ever decrease), so the
+    // label sum is a non-increasing convergence witness: equal sums between
+    // iterations <=> no label changed. One cheap aggregation per iteration
+    // instead of a self-join + count.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -226,10 +233,10 @@ object Dedup {
       val next = labels.select("doc_id", "cluster_id").union(viaEdges)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .cache()
-      val changed = next.as("n").join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     // A component with graph diameter > maxIters would otherwise be split

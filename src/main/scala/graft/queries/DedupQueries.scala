@@ -139,10 +139,13 @@ object DedupQueries {
     "q57_winnowing",
     (s, dir) => graft.operators.Dedup.winnowFingerprints(
         Tables.load(s, dir, "documents"), window = 8)
-      .select(col("doc_id"), col("n_fps"),
-        element_at(col("fps"), 1).as("min_fp"),
-        element_at(col("fps"), -1).as("max_fp"),
-        pmod(aggregate(col("fps"), lit(0L), _ + _), lit(2147483647L)).as("fp_checksum"))
+      // explode + hash-agg, not aggregate(): higher-order-function lambdas
+      // run interpreted per element (NOTES.md learning #7)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_fps"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"),
+        pmod(sum(col("fp")), lit(2147483647L)).as("fp_checksum"))
       .orderBy("doc_id"),
     Some("""
       WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
