@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorDotProduct
+
+/** Deterministic Lloyd's k-means over an embedding column — the trained
+  * coarse quantizer of an IVF index (the label-probed IVF query q34 assumes
+  * pre-existing partitions; this learns them from the data).
+  *
+  * Engine-portable determinism, so the whole fit is oracle-checkable:
+  *   - init: centroids = the embeddings of the k smallest vec_ids;
+  *   - assignment: squared-L2 argmin via |e-c|² = e·e − 2·e·c + c·c with
+  *     every dot product a sequential double fold (VectorDotProduct ==
+  *     the oracle's list_reduce, bit-for-bit), ties broken by cluster id;
+  *   - update: per-dimension mean over integer-quantized components
+  *     (floor(v·1e6 + 0.5) as BIGINT — pure IEEE, then an exact long sum,
+  *     order-independent), divided back in double. Centroids lose ~1e-6
+  *     of precision per fit, identically in every engine.
+  *
+  * Distributed shape: centroids are k·dim values — broadcast into the
+  * assignment; the update is one hash aggregation over posexplode(embedding)
+  * keyed (cluster, dim). Both stages are shuffle-light and skew-free at any
+  * corpus size; iterations add jobs, not plan depth (each round materializes
+  * only the k·dim centroid frame).
+  */
+object KMeans {
+
+  /** Final assignments after `iters` Lloyd iterations with `k` centroids:
+    * (vec_id, cluster, d2) with d2 the squared distance rounded to 1e-6.
+    */
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding")).cache()
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+
+    def assign(cs: DataFrame): DataFrame = {
+      val d2 = VectorDotProduct(col("embedding"), col("embedding")) -
+        lit(2.0d) * VectorDotProduct(col("embedding"), col("centroid")) +
+        VectorDotProduct(col("centroid"), col("centroid"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+      e.crossJoin(broadcast(cs))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cluster"), col("d2"), col("embedding"))
+    }
+
+    var iter = 0
+    while (iter < iters) {
+      val byDim = assign(centroids)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+          .cast("double") / 1e6 / count(lit(1))).as("mean"))
+      centroids = byDim.groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          x => x.getField("mean")).as("centroid"))
+      iter += 1
+    }
+    assign(centroids).select(col("vec_id"), col("cluster"),
+      graft.functions.Det.rdet(col("d2"), 6).as("d2"))
+  }
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Det
+import graft.functions.Det.{dsum, dsumSql}
+import graft.functions.HashFunctions
+import graft.operators.{AsofJoin, KMeans}
+
+/** Round-2 surface batch: as-of join, unpivot/melt, deterministic hash
+  * sampling (whole-table and stratified), rolling event-time range frames,
+  * a trained k-means coarse quantizer, and MapType plumbing.
+  */
+object ExtQueries {
+
+  /** DuckDB fragment: portable hash32 (first 8 md5 hex chars as bigint). */
+  private def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+
+  /** As-of (point-in-time) join: each click is annotated with the user's
+    * latest purchase at or before the click. Spark side is the union+window
+    * formulation (graft.operators.AsofJoin — no join node, one shuffle);
+    * the oracle is DuckDB's native ASOF LEFT JOIN, an independent algorithm
+    * that must agree row-for-row.
+    */
+  val q67AsofJoin: QueryDef = QueryDef(
+    "q67_asof_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      // unique (user_id, ts) build rows: max event_id wins a tied timestamp
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event"))
+        .withColumn("p_ts_us", expr("unix_micros(ts)"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofJoin.backward(clicks, purchases, "user_id", "ts", Seq("p_event", "p_ts_us"))
+        .select(col("event_id"), col("p_event"), col("p_ts_us"),
+          (expr("unix_micros(ts)") - col("p_ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (SELECT user_id, ts, max(event_id) AS p_event
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      SELECT c.event_id AS event_id, p.p_event AS p_event,
+             epoch_us(p.ts) AS p_ts_us,
+             epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY event_id"""))
+
+  /** Unpivot/melt: the q47-style manual pivot folded back into rows with
+    * Spark's native unpivot against DuckDB's UNPIVOT.
+    */
+  val q68Unpivot: QueryDef = QueryDef(
+    "q68_unpivot",
+    (s, dir) => {
+      val pv = Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0d)).as("rev_f"),
+          dsum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0d)).as("rev_o"),
+          dsum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0d)).as("rev_p"))
+      pv.unpivot(Array(col("yr")), Array(col("rev_f"), col("rev_o"), col("rev_p")),
+          "status", "rev")
+        .orderBy("yr", "status")
+    },
+    Some(s"""
+      SELECT yr, status, rev FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0e0 END")} AS rev_f,
+               ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0e0 END")} AS rev_o,
+               ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0e0 END")} AS rev_p
+        FROM orders GROUP BY 1
+      ) UNPIVOT (rev FOR status IN (rev_f, rev_o, rev_p))
+      ORDER BY yr, status"""))
+
+  /** Deterministic 5% hash sample: md5-derived hash32 mod 20 — portable
+    * across engines AND across cluster sizes/partitionings, unlike
+    * TABLESAMPLE or rand(seed). The shape every 100 TB pipeline uses to
+    * carve reproducible dev subsets.
+    */
+  val q69HashSample: QueryDef = QueryDef(
+    "q69_hash_sample",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(pmod(HashFunctions.hash32(col("o_orderkey").cast("string")), lit(20L)) === 0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderstatus"),
+    Some(s"""
+      SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS rev
+      FROM orders
+      WHERE ${h32("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Trained coarse quantizer: deterministic Lloyd's k-means (k=4, 2
+    * iterations) over the 64-dim embeddings, oracle-checked end to end —
+    * init, both assignment rounds, both centroid updates, and the final
+    * assignment all reproduce bit-for-bit in DuckDB (see
+    * graft.operators.KMeans for the determinism contract).
+    */
+  val q70KmeansIvf: QueryDef = QueryDef(
+    "q70_kmeans_ivf",
+    (s, dir) => KMeans.fit(Tables.load(s, dir, "embeddings"), k = 4, iters = 2)
+      .orderBy("vec_id"),
+    Some(kmeansOracle(k = 4, iters = 2, dim = 64)))
+
+  /** Rolling 1-hour event-time window per user: RANGE frame over epoch
+    * micros, count plus an exact-decimal rolling sum.
+    */
+  val q71RollingWindow: QueryDef = QueryDef(
+    "q71_rolling_window",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("value"))
+        .withColumn("n_1h",
+          count(lit(1)).over(Window.partitionBy("user_id").orderBy(col("us"))
+            .rangeBetween(-3600000000L, 0)))
+        .withColumn("rev_1h",
+          floor(sum(col("value").cast(DecimalType(30, 8)))
+            .over(Window.partitionBy("user_id").orderBy(col("us"))
+              .rangeBetween(-3600000000L, 0)) * 100).cast("long") / 100.0d)
+        .select("event_id", "n_1h", "rev_1h")
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             count(*) OVER w AS n_1h,
+             CAST(floor(SUM(CAST(value AS DECIMAL(30,8))) OVER w * 100) AS BIGINT) / 100.0e0 AS rev_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** Stratified deterministic sample: lowest-hash 20% of customers within
+    * each market segment (hash-ranked, not rand()) — proportional per
+    * stratum and reproducible anywhere.
+    */
+  val q72StratifiedSample: QueryDef = QueryDef(
+    "q72_stratified_sample",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+      Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("h", HashFunctions.hash32(col("c_custkey").cast("string")))
+        .withColumn("rn", row_number().over(w.orderBy(col("h"), col("c_custkey"))))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("rn") <= (col("cnt") / 5).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_sampled"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""
+      WITH h AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+                        ${h32("CAST(c_custkey AS VARCHAR)")} AS h FROM customer),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY c_mktsegment ORDER BY h, c_custkey) AS rn,
+              count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+            FROM h)
+      SELECT c_mktsegment, count(*) AS n_sampled, ${dsumSql("c_acctbal")} AS bal
+      FROM r WHERE rn <= cnt // 5
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** MapType end to end: props parsed as map<string,int>, extended with a
+    * derived entry via map_concat, then read back out as scalars.
+    */
+  val q73MapFuncs: QueryDef = QueryDef(
+    "q73_map_funcs",
+    (s, dir) => {
+      val m = from_json(col("props"), lit("map<string,int>"))
+      Tables.load(s, dir, "events")
+        .withColumn("m",
+          map_concat(m, map(lit("kk"), element_at(m, "k") * 2)))
+        .select(col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          element_at(col("m"), "kk").as("kk_val"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS kk_val,
+             CAST(len(json_keys(props)) + 1 AS INTEGER) AS n_keys,
+             'k,kk' AS keys_csv
+      FROM events ORDER BY event_id"""))
+
+  /** Generates the unrolled Lloyd-iteration oracle for [[KMeans.fit]]:
+    * c0 (init) -> a1 -> c1 -> a2 -> c2 -> final assignment. Every fold is
+    * the same sequential double list_reduce the Spark expressions use.
+    */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_transform(generate_series(1, $dim),
+         |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+    // centroid lists are already DOUBLE; ::DOUBLE on them is a no-op cast
+    def d2(e: String, c: String): String =
+      s"(${dot(e, e)} - 2.0e0 * ${dot(e, c)} + ${dot(c, c)})"
+    def assignCte(from: String, cents: String, out: String): String =
+      s"""$out AS (SELECT vec_id, cluster, embedding FROM (
+         |  SELECT e.vec_id, $cents.cluster, e.embedding,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${d2("e.embedding", s"$cents.centroid")}, $cents.cluster) AS rk
+         |  FROM e, $cents) WHERE rk = 1)""".stripMargin.replace("\n", " ")
+    def updateCtes(assigned: String, mOut: String, cOut: String): String =
+      s"""$mOut AS (SELECT cluster, i,
+         |    CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000000.0e0 + 0.5e0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0e0 / count(*) AS mean
+         |  FROM $assigned, generate_series(1, $dim) g(i) GROUP BY cluster, i),
+         |$cOut AS (SELECT cluster, list(mean ORDER BY i) AS centroid FROM $mOut GROUP BY cluster)"""
+        .stripMargin.replace("\n", " ")
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      s"${assignCte("e", prev, s"a$r")}, ${updateCtes(s"a$r", s"m$r", s"c$r")}"
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      c0 AS (SELECT vec_id AS cluster,
+                    list_transform(embedding, x -> x::DOUBLE) AS centroid
+             FROM embeddings WHERE vec_id < $k),
+      $rounds
+      SELECT e2.vec_id AS vec_id, e2.cluster AS cluster,
+             ${Det.rdetSql(d2("e2.embedding", s"c$iters.centroid"), 6)} AS d2
+      FROM (SELECT e.vec_id, c$iters.cluster, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${d2("e.embedding", s"c$iters.centroid")}, c$iters.cluster) AS rk
+            FROM e, c$iters) e2, c$iters
+      WHERE e2.rk = 1 AND e2.cluster = c$iters.cluster
+      ORDER BY vec_id"""
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
+    q72StratifiedSample, q73MapFuncs)
+}

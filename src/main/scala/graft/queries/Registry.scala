@@ -7,7 +7,8 @@ package graft.queries
 object Registry {
   val all: Seq[QueryDef] =
     RelationalQueries.all ++ NoiseQueries.all ++ DedupQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++ RelationalQueries2.all
+      TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++
+      RelationalQueries2.all ++ ExtQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }
