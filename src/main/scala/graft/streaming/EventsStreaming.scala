@@ -129,6 +129,31 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream interval join: clicks matched to the SAME user's
+    * purchases within the preceding hour — a true two-stream stateful join
+    * (not stream-static). Both sides carry watermarks and the join condition
+    * bounds p_ts to [c_ts − 1h, c_ts], so the state store can evict either
+    * side once the other's watermark passes the interval — bounded state at
+    * any throughput, the shape stream-stream joins must have at 100 TB/day.
+    * Streaming counterpart of the batch range/as-of joins (q45/q67).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"))
+      .select(col("c_event"), col("p_event"), col("c_user").as("user_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark window — the
     * streaming counterpart of Dedup.exactDedup for at-least-once feeds
     * (duplicate deliveries inside the lateness horizon are dropped with

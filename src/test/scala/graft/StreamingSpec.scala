@@ -142,6 +142,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, String, Double, String)]) =
+      m.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.clickPurchaseJoin(df(clicks), df(purchases))
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        (100L, ts(0), 10L, "purchase", 1.0, "{}"),    // 30 min before click: in window
+        (101L, ts(-70), 10L, "purchase", 1.0, "{}"),  // 100 min before: outside 1h
+        (102L, ts(40), 10L, "purchase", 1.0, "{}"),   // after the click: excluded
+        (103L, ts(0), 99L, "purchase", 1.0, "{}"))    // other user
+      clicks.addData((1L, ts(30), 10L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_test")
+        .select("c_event", "p_event").orderBy("p_event").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 100L)), got)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
