@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.Det
 import graft.functions.Det.{dsum, dsumSql}
-import graft.functions.HashFunctions
+import graft.functions.{HashFunctions, Layout}
 import graft.operators.{AsofJoin, KMeans}
 
 /** Round-2 surface batch: as-of join, unpivot/melt, deterministic hash
@@ -189,22 +189,28 @@ object ExtQueries {
              'k,kk' AS keys_csv
       FROM events ORDER BY event_id"""))
 
-  /** Generates the unrolled Lloyd-iteration oracle for [[KMeans.fit]]:
-    * c0 (init) -> a1 -> c1 -> a2 -> c2 -> final assignment. Every fold is
-    * the same sequential double list_reduce the Spark expressions use.
+  /** DuckDB squared-L2 via the dot-product identity — same sequential
+    * double folds as the Spark-side VectorDotProduct expressions.
     */
-  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+  private def d2Sql(e: String, c: String, dim: Int): String = {
     def dot(a: String, b: String): String =
       s"""list_reduce(list_transform(generate_series(1, $dim),
          |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
-    // centroid lists are already DOUBLE; ::DOUBLE on them is a no-op cast
-    def d2(e: String, c: String): String =
-      s"(${dot(e, e)} - 2.0e0 * ${dot(e, c)} + ${dot(c, c)})"
-    def assignCte(from: String, cents: String, out: String): String =
-      s"""$out AS (SELECT vec_id, cluster, embedding FROM (
+    s"(${dot(e, e)} - 2.0e0 * ${dot(e, c)} + ${dot(c, c)})"
+  }
+
+  /** The unrolled Lloyd-iteration CTE chain mirroring [[KMeans.fit]]:
+    * e, c0 (init), a1, c1, ..., a$iters, c$iters, and `af` = the final
+    * assignment (vec_id, cluster, embedding, d2). Every fold is the same
+    * sequential double list_reduce the Spark expressions use.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    def assignCte(cents: String, out: String): String =
+      s"""$out AS (SELECT vec_id, cluster, embedding, d2 FROM (
          |  SELECT e.vec_id, $cents.cluster, e.embedding,
+         |         ${d2Sql("e.embedding", s"$cents.centroid", dim)} AS d2,
          |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${d2("e.embedding", s"$cents.centroid")}, $cents.cluster) AS rk
+         |           ORDER BY ${d2Sql("e.embedding", s"$cents.centroid", dim)}, $cents.cluster) AS rk
          |  FROM e, $cents) WHERE rk = 1)""".stripMargin.replace("\n", " ")
     def updateCtes(assigned: String, mOut: String, cOut: String): String =
       s"""$mOut AS (SELECT cluster, i,
@@ -214,26 +220,115 @@ object ExtQueries {
          |$cOut AS (SELECT cluster, list(mean ORDER BY i) AS centroid FROM $mOut GROUP BY cluster)"""
         .stripMargin.replace("\n", " ")
     val rounds = (1 to iters).map { r =>
-      val prev = s"c${r - 1}"
-      s"${assignCte("e", prev, s"a$r")}, ${updateCtes(s"a$r", s"m$r", s"c$r")}"
+      s"${assignCte(s"c${r - 1}", s"a$r")}, ${updateCtes(s"a$r", s"m$r", s"c$r")}"
     }.mkString(",\n      ")
-    s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
       c0 AS (SELECT vec_id AS cluster,
                     list_transform(embedding, x -> x::DOUBLE) AS centroid
              FROM embeddings WHERE vec_id < $k),
-      $rounds
-      SELECT e2.vec_id AS vec_id, e2.cluster AS cluster,
-             ${Det.rdetSql(d2("e2.embedding", s"c$iters.centroid"), 6)} AS d2
-      FROM (SELECT e.vec_id, c$iters.cluster, e.embedding,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${d2("e.embedding", s"c$iters.centroid")}, c$iters.cluster) AS rk
-            FROM e, c$iters) e2, c$iters
-      WHERE e2.rk = 1 AND e2.cluster = c$iters.cluster
-      ORDER BY vec_id"""
+      $rounds,
+      ${assignCte(s"c$iters", "af")}"""
   }
+
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
+    s"""
+      WITH ${kmeansCtes(k, iters, dim)}
+      SELECT vec_id, cluster, ${Det.rdetSql("d2", 6)} AS d2
+      FROM af ORDER BY vec_id"""
+
+  /** IVF search end to end: the q70-trained centroids index the corpus, and
+    * each query probes only its own cluster's members for the top-5 nearest
+    * by squared L2 — train, index, and search all oracle-checked as one
+    * query. The probe touches |corpus|/k candidates instead of the corpus
+    * (single-probe IVF; multi-probe = relax the cluster equality to the
+    * best p clusters).
+    */
+  val q74IvfSearch: QueryDef = QueryDef(
+    "q74_ivf_search",
+    (s, dir) => {
+      import graft.plans.VectorDotProduct
+      val emb = Tables.load(s, dir, "embeddings")
+      val assigned = KMeans.fit(emb, k = 4, iters = 2)
+        .select("vec_id", "cluster")
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .cache()
+      val queries = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("cluster"), col("embedding").as("q_emb"))
+      val d2 = VectorDotProduct(col("embedding"), col("embedding")) -
+        lit(2.0d) * VectorDotProduct(col("embedding"), col("q_emb")) +
+        VectorDotProduct(col("q_emb"), col("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      assigned.join(broadcast(queries), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("d2", Det.rdet(d2, 6))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "vec_id", "d2")
+        .orderBy("q_id", "rk")
+    },
+    Some(s"""
+      WITH ${kmeansCtes(4, 2, 64)},
+      q AS (SELECT vec_id AS q_id, cluster, embedding AS q_emb FROM af WHERE vec_id < 10),
+      sc AS (SELECT q_id, a.vec_id AS vec_id,
+                    ${Det.rdetSql(d2Sql("a.embedding", "q_emb", 64), 6)} AS d2
+             FROM af a JOIN q USING (cluster) WHERE a.vec_id <> q_id)
+      SELECT q_id, rk, vec_id, d2 FROM (
+        SELECT q_id, vec_id, d2,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS INTEGER) AS rk
+        FROM sc)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
+
+  /** Video-style frame sampling over the opaque binary payload: every
+    * 16th byte is a "frame"; the count and the head digest are pure
+    * integer facts both engines can derive (the corpus is ASCII, so DuckDB
+    * can address bytes as characters).
+    */
+  val q75FrameSample: QueryDef = QueryDef(
+    "q75_frame_sample",
+    (s, dir) => {
+      val media = graft.operators.Multimodal.attachPayload(Tables.load(s, dir, "documents"))
+      graft.operators.Multimodal.frameSample(media, stride = 16)
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST((octet_length(encode(text)) + 15) // 16 AS INTEGER) AS n_frames,
+             CAST(list_aggregate(list_transform(
+               generate_series(1, least(8, (octet_length(encode(text)) + 15) // 16)),
+               f -> ascii(substr(text, (f - 1) * 16 + 1, 1))), 'sum') AS INTEGER) AS head_digest
+      FROM documents ORDER BY doc_id"""))
+
+  /** Z-order layout key over (partkey, suppkey) low bytes, aggregated per
+    * curve segment: each 1024-key segment's min/max span in BOTH dimensions
+    * stays bounded — the property that makes a zkey-sorted parquet write
+    * prunable on either column. (StorageLayoutSpec verifies the pruning
+    * itself; this query pins the key arithmetic cross-engine.)
+    */
+  val q76ZorderKey: QueryDef = QueryDef(
+    "q76_zorder_key",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(256L)).cast("int").as("x"),
+          pmod(col("l_suppkey"), lit(256L)).cast("int").as("y"))
+        .withColumn("seg", (Layout.zorder16(col("x"), col("y")) / 1024L).cast("long"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy("seg")
+    },
+    Some(s"""
+      WITH xy AS (SELECT CAST(l_partkey % 256 AS INTEGER) AS x,
+                         CAST(l_suppkey % 256 AS INTEGER) AS y
+                  FROM lineitem),
+      z AS (SELECT x, y, ${Layout.zorder16Sql("x", "y")} // 1024 AS seg FROM xy)
+      SELECT seg, count(*) AS n,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM z GROUP BY seg ORDER BY seg"""))
 
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
-    q72StratifiedSample, q73MapFuncs)
+    q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
+    q76ZorderKey)
 }

@@ -24,6 +24,28 @@ class StorageLayoutSpec extends SparkTestBase {
     assert(pruned.count() == expect && expect > 0)
   }
 
+  test("zorder16 matches the reference interleave and clusters both dimensions") {
+    import graft.functions.Layout
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(500)((rnd.nextInt(1 << 16), rnd.nextInt(1 << 16)))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zorder16(col("x"), col("y")).as("z")).collect().map(_.getLong(0))
+    val want = pts.map { case (x, y) => Layout.zorder16Ref(x, y) }
+    assert(got.toSeq == want)
+    // layout property: sort 0..255 x 0..255 grid by zkey, cut into files of
+    // 4096 rows -> every file's x AND y span stay bounded (<= 64 for a
+    // perfectly aligned curve), which is what lets parquet min/max prune 2-D
+    // range predicates; a rowmajor sort gives y-span 255 in every file
+    val grid = for { x <- 0 until 256; y <- 0 until 256 } yield (x, y)
+    val byZ = grid.sortBy { case (x, y) => Layout.zorder16Ref(x, y) }
+    byZ.grouped(4096).foreach { file =>
+      val xs = file.map(_._1)
+      val ys = file.map(_._2)
+      assert(xs.max - xs.min <= 64 && ys.max - ys.min <= 64)
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     val s2 = spark.newSession() // isolated conf; shares the temp warehouse
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
