@@ -117,6 +117,67 @@ object TextQueries {
         FROM scored)
       WHERE rk = 1 ORDER BY doc_id"""))
 
+  /** End-to-end training-data curation — the composite pipeline the
+    * extension surface exists for: exact-fingerprint dedup winners →
+    * quality-score filter → per-embedding-label diversity cap (top-3 by
+    * quality). Each stage is the scale-true primitive: a narrow
+    * hash-shuffle dedup, scalar scoring in the scan, a key join onto
+    * vector metadata, and a windowed per-group cap.
+    */
+  val q77Curation: QueryDef = QueryDef(
+    "q77_curation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(s, dir, "documents")
+      val keep = TextAnalysis.fingerprints(docs)
+        .groupBy("fp_full").agg(min("doc_id").as("doc_id"))
+      val quality = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label"))
+      val w = Window.partitionBy("label").orderBy(col("quality").desc, col("doc_id"))
+      keep.join(quality, "doc_id")
+        .filter(col("quality") >= 0.25d)
+        .join(emb, "doc_id")
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("rk"), col("doc_id"),
+          graft.functions.Det.rdet(col("quality"), 6).as("quality"))
+        .orderBy("label", "rk")
+    },
+    Some(s"""
+      WITH nrm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+                   FROM documents),
+      fp AS (SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split(norm, ''), c -> ascii(c)::BIGINT)),
+                 (a, c) -> (a * 31 + c) % 2147483647) AS fp_full
+             FROM nrm WHERE length(norm) >= 5),
+      keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp_full),
+      q AS (SELECT doc_id,
+              0.5e0 * stopword_ratio
+                + 0.3e0 * least(avg_token_len / 10.0e0, 1.0e0)
+                + 0.2e0 * least(CAST(n_tokens AS DOUBLE) / 100.0e0, 1.0e0) AS quality
+            FROM (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_tokens,
+                     (CAST(length(text) AS DOUBLE) - CAST(len(w) AS BIGINT) + 1.0e0)
+                       / CAST(len(w) AS BIGINT) AS avg_token_len,
+                     CAST(CAST(len(list_filter(w, t -> t IN ${markersSql("en")})) AS BIGINT) AS DOUBLE)
+                       / CAST(len(w) AS BIGINT) AS stopword_ratio
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))),
+      j AS (SELECT e.label, k.doc_id, q.quality
+            FROM keep k JOIN q ON q.doc_id = k.doc_id
+                 JOIN embeddings e ON e.vec_id = k.doc_id
+            WHERE q.quality >= 0.25e0)
+      SELECT label, rk, doc_id, floor(quality * 1e6 + 0.5) / 1e6 AS quality FROM (
+        SELECT label, doc_id, quality,
+               CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY quality DESC, doc_id) AS INTEGER) AS rk
+        FROM j)
+      WHERE rk <= 3 ORDER BY label, rk"""))
+
   /** Edit-distance string similarity plus string-shaping functions. */
   val q55StringSimilarity: QueryDef = QueryDef(
     "q55_string_similarity",
@@ -138,5 +199,5 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     q29LangId, q30QualityScore, q31TokenCount, q32Fingerprint, q54Tfidf,
-    q55StringSimilarity)
+    q55StringSimilarity, q77Curation)
 }

@@ -50,6 +50,31 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("sorted_intersect_count"), p) // native expression in plan
   }
 
+  test("q67 as-of join runs as one window pass — no join node at all") {
+    val p = planOf("q67_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly two hash shuffles: the build side's (user_id, ts) dedup
+    // aggregation and the key partition feeding the window — the as-of
+    // carry itself adds only the latter (the round-robins are Tables.load's
+    // small-scan rebalance; the range exchange is the output sort)
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q74 ivf search broadcasts queries and centroids — corpus never shuffles for the probe") {
+    val p = planOf("q74_ivf_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q76 zorder key is a pure projection over the scan (no shuffle before the aggregate)") {
+    val p = planOf("q76_zorder_key")
+    // bit arithmetic stays in the scan's project; the only exchanges are the
+    // aggregation's partial->final and the output sort
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q33 knn scores inside whole-stage codegen with the native dot product") {
     val df = queries.Registry.all.find(_.name == "q33_knn_brute").get.run(spark, dir)
     df.collect() // finalize the adaptive plan so codegen markers materialize
