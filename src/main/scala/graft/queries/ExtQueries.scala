@@ -327,8 +327,30 @@ object ExtQueries {
              min(y) AS y_min, max(y) AS y_max
       FROM z GROUP BY seg ORDER BY seg"""))
 
+  /** Approximate percentile sketch (the q46 pattern applied to quantiles):
+    * the sketch value is engine-specific, so the hashed output carries the
+    * exact percentile plus a boolean pinning the approximation inside a 2%
+    * relative band — "the sketch ran and was sane" as a hash-checkable fact.
+    */
+  val q78ApproxPercentile: QueryDef = QueryDef(
+    "q78_approx_percentile",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"))
+        .select(col("l_returnflag"), Det.rdet(col("p50"), 4).as("p50"),
+          (abs(col("ap50") - col("p50")) <= col("p50") * 0.02d).as("approx_ok"))
+        .orderBy("l_returnflag"),
+    Some(s"""
+      SELECT l_returnflag,
+             ${Det.rdetSql("quantile_cont(l_extendedprice, 0.5e0)", 4)} AS p50,
+             true AS approx_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
-    q76ZorderKey)
+    q76ZorderKey, q78ApproxPercentile)
 }
