@@ -33,6 +33,28 @@ class AsofKmeansSpec extends SparkTestBase {
       (103L, Some(12L)), (104L, None)))
   }
 
+  test("asof backward equals the quadratic reference on random data") {
+    val rnd = new scala.util.Random(42)
+    val probe = Seq.tabulate(300)(i => (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+    // unique (key, time) build rows, as the operator contract requires
+    val build = rnd.shuffle(
+      (for { k <- 0L until 8L; t <- 0L until 50L } yield (k, t)).toSeq)
+      .take(120).zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+    val want = probe.map { case (k, t, id) =>
+      val eligible = build.filter(b => b._1 == k && b._2 <= t)
+      id -> (if (eligible.isEmpty) None
+             else Some(eligible.maxBy(_._2)._3))
+    }.toMap
+    val got = AsofJoin.backward(
+        probe.toDF("k", "t", "probe_id"), build.toDF("k", "t", "payload"),
+        "k", "t", Seq("payload"))
+      .collect()
+      .map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got == want)
+  }
+
   test("kmeans separates two blobs and assigns every vector deterministically") {
     // vec_id 0 and 1 seed the two blobs (init = k lowest vec_ids)
     val rows = (0 until 20).map { i =>
