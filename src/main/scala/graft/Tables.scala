@@ -29,8 +29,18 @@ object Tables {
     if (enabled && df.rdd.getNumPartitions * 4 <= want) df.repartition(want) else df
   }
 
+  /** Loaded frames are memoized per (session, dir, table): building one
+    * costs a fresh file listing, footer read, and — for the `spread`
+    * decision — a logical→physical conversion (`.rdd`), a few hundred ms
+    * that every query would otherwise re-pay per referenced table. The
+    * cached value is just an immutable plan; no data is pinned.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(spark, loadRaw(spark, dir, name))
+    cache.computeIfAbsent((System.identityHashCode(spark), dir, name),
+      _ => spread(spark, loadRaw(spark, dir, name)))
 
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
