@@ -62,6 +62,16 @@ class DedupSpec extends SparkTestBase {
     assert(clusters(3L) == 3L && clusters(4L) == 4L)
   }
 
+  test("dedup clusters refuse to return silently-truncated components") {
+    // the 1-2-5 chain needs >= 2 propagation rounds; maxIters = 1 must
+    // throw, not return a split component
+    val d = docs(1L -> base, 2L -> nearDup, 5L -> (base + " dup extra"))
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(d, 3, 2, 0.5, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("banded simhash64: equi-join candidates catch radius-0 dups, skip far docs") {
     // radius <= 3 is a tight guarantee: an appended suffix flips ~5-6 of 63
     // bits even on long docs, so the deterministic fixture uses an exact
