@@ -28,30 +28,36 @@ import graft.plans.VectorDotProduct
   */
 object KMeans {
 
-  /** Final assignments after `iters` Lloyd iterations with `k` centroids:
-    * (vec_id, cluster, d2) with d2 the squared distance rounded to 1e-6.
+  /** Squared L2 between an `embedding` and a `centroid` column via the
+    * dot-product identity, every fold a sequential double reduce.
     */
-  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def d2Col: org.apache.spark.sql.Column =
+    VectorDotProduct(col("embedding"), col("embedding")) -
+      lit(2.0d) * VectorDotProduct(col("embedding"), col("centroid")) +
+      VectorDotProduct(col("centroid"), col("centroid"))
+
+  /** Nearest-centroid assignment: (vec_id, cluster, d2 raw, embedding). */
+  def assignments(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", d2Col)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"), col("d2"), col("embedding"))
+  }
+
+  /** The trained centroid frame (cluster, centroid: array<double>) after
+    * `iters` Lloyd iterations.
+    */
+  def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding")).cache()
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"),
         transform(col("embedding"), _.cast("double")).as("centroid"))
-
-    def assign(cs: DataFrame): DataFrame = {
-      val d2 = VectorDotProduct(col("embedding"), col("embedding")) -
-        lit(2.0d) * VectorDotProduct(col("embedding"), col("centroid")) +
-        VectorDotProduct(col("centroid"), col("centroid"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
-      e.crossJoin(broadcast(cs))
-        .withColumn("d2", d2)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cluster"), col("d2"), col("embedding"))
-    }
-
     var iter = 0
     while (iter < iters) {
-      val byDim = assign(centroids)
+      val byDim = assignments(e, centroids)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
         .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
@@ -61,7 +67,14 @@ object KMeans {
           x => x.getField("mean")).as("centroid"))
       iter += 1
     }
-    assign(centroids).select(col("vec_id"), col("cluster"),
-      graft.functions.Det.rdet(col("d2"), 6).as("d2"))
+    centroids
   }
+
+  /** Final assignments after `iters` Lloyd iterations with `k` centroids:
+    * (vec_id, cluster, d2) with d2 the squared distance rounded to 1e-6.
+    */
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    assignments(embeddings, fitCentroids(embeddings, k, iters))
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.Det.rdet(col("d2"), 6).as("d2"))
 }

@@ -327,6 +327,57 @@ object ExtQueries {
              min(y) AS y_min, max(y) AS y_max
       FROM z GROUP BY seg ORDER BY seg"""))
 
+  /** Multi-probe IVF: each query probes its TWO nearest trained centroids
+    * and takes top-5 across both cells — the recall/cost knob of real IVF
+    * (single-probe q74 misses neighbors that fall just over a cell
+    * boundary; probing p cells costs p/k of the corpus and recovers them).
+    */
+  val q79IvfMultiprobe: QueryDef = QueryDef(
+    "q79_ivf_multiprobe",
+    (s, dir) => {
+      import graft.plans.VectorDotProduct
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = KMeans.fitCentroids(emb, k = 4, iters = 2)
+      val index = KMeans.assignments(emb, centroids)
+        .select(col("vec_id"), col("cluster"), col("embedding")).cache()
+      // two nearest centroids per query vector
+      val wq = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("d2", KMeans.d2Col)
+        .withColumn("rkc", row_number().over(wq))
+        .filter(col("rkc") <= 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cluster"))
+      val pairD2 = VectorDotProduct(col("embedding"), col("embedding")) -
+        lit(2.0d) * VectorDotProduct(col("embedding"), col("q_emb")) +
+        VectorDotProduct(col("q_emb"), col("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      index.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("d2", Det.rdet(pairD2, 6))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "vec_id", "d2")
+        .orderBy("q_id", "rk")
+    },
+    Some(s"""
+      WITH ${kmeansCtes(4, 2, 64)},
+      qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+      qp AS (SELECT q_id, q_emb, cluster FROM (
+              SELECT q.q_id, q.q_emb, c2.cluster,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ${d2Sql("q.q_emb", "c2.centroid", 64)}, c2.cluster) AS rkc
+              FROM qv q, c2) WHERE rkc <= 2),
+      sc AS (SELECT q_id, a.vec_id AS vec_id,
+                    ${Det.rdetSql(d2Sql("a.embedding", "q_emb", 64), 6)} AS d2
+             FROM af a JOIN qp USING (cluster) WHERE a.vec_id <> q_id)
+      SELECT q_id, rk, vec_id, d2 FROM (
+        SELECT q_id, vec_id, d2,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS INTEGER) AS rk
+        FROM sc)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
+
   /** Approximate percentile sketch (the q46 pattern applied to quantiles):
     * the sketch value is engine-specific, so the hashed output carries the
     * exact percentile plus a boolean pinning the approximation inside a 2%
@@ -352,5 +403,5 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
-    q76ZorderKey, q78ApproxPercentile)
+    q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe)
 }
