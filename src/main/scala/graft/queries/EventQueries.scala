@@ -52,5 +52,40 @@ object EventQueries {
       SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
       FROM m GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[QueryDef] = Seq(q37TumblingWindow, q38Sessionize)
+  /** Ordered conversion funnel view → click → purchase: each user's first
+    * view, first click at-or-after it, first purchase at-or-after that —
+    * three stages of conditional mins, each depending on the previous
+    * stage's timestamp. Per-user work is two broadcast-joined conditional
+    * aggregations (no window over the full stream), then one global rollup.
+    */
+  val q80Funnel: QueryDef = QueryDef(
+    "q80_funnel",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = e.join(broadcast(v), "user_id")
+        .filter(col("event_type") === "click" && col("us") >= col("v_us"))
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val p = e.join(broadcast(c), "user_id")
+        .filter(col("event_type") === "purchase" && col("us") >= col("c_us"))
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("c_us")).as("n_view_click"),
+          count(col("p_us")).as("n_full_funnel"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us >= v_us GROUP BY 1),
+      p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us >= c_us GROUP BY 1)
+      SELECT count(*) AS n_view, count(c_us) AS n_view_click,
+             count(p_us) AS n_full_funnel
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
+
+  val all: Seq[QueryDef] = Seq(q37TumblingWindow, q38Sessionize, q80Funnel)
 }

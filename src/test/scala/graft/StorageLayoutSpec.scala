@@ -24,6 +24,33 @@ class StorageLayoutSpec extends SparkTestBase {
     assert(pruned.count() == expect && expect > 0)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // engine-native bloom-join: InjectRuntimeFilter builds a bloom filter
+    // from the selective (filtered) side and applies it map-side on the
+    // probe side before the shuffle — at 100 TB this is the difference
+    // between shuffling the fact table and shuffling the survivors. The
+    // size thresholds exist for real lakes; lowered here so the pattern
+    // fires on test data.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "1000")
+    // InjectRuntimeFilter pattern-matches scans under the join; the
+    // small-scan rebalance Repartition would hide them
+    s2.conf.set("spark.graft.repartitionSmallScans", "false")
+    val l = Tables.load(s2, "/root/testdata/sf0.001", "lineitem")
+    val p = Tables.load(s2, "/root/testdata/sf0.001", "part")
+      .filter(col("p_type") === "PROMO")
+    val j = l.join(p, col("l_partkey") === col("p_partkey"))
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"), plan)
+    val expect = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .join(Tables.load(spark, "/root/testdata/sf0.001", "part")
+        .filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(j.count() == expect && expect > 0)
+  }
+
   test("zorder16 matches the reference interleave and clusters both dimensions") {
     import graft.functions.Layout
     import spark.implicits._
