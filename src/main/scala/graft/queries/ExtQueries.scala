@@ -400,8 +400,80 @@ object ExtQueries {
              true AS approx_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    * multiplicity-preserving duals of q10's distinct variants.
+    */
+  val q81SetOpsAll: QueryDef = QueryDef(
+    "q81_setops_all",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val hi = l.filter(col("l_quantity") >= 25.0d).select("l_partkey")
+      val ret = l.filter(col("l_returnflag") === "R").select("l_partkey")
+      val both = hi.intersectAll(ret).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_both"))
+      val only = hi.exceptAll(ret).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_only"))
+      both.join(only, Seq("l_partkey"), "full_outer")
+        .orderBy("l_partkey")
+    },
+    Some("""
+      WITH hi AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25.0e0),
+      ret AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      b2 AS (SELECT l_partkey, count(*) AS n_both
+             FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM ret) GROUP BY 1),
+      o2 AS (SELECT l_partkey, count(*) AS n_only
+             FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM ret) GROUP BY 1)
+      SELECT coalesce(b2.l_partkey, o2.l_partkey) AS l_partkey, n_both, n_only
+      FROM b2 FULL OUTER JOIN o2 USING (l_partkey)
+      ORDER BY l_partkey"""))
+
+  /** Scalar subquery in the SELECT clause (decorrelated by Catalyst into a
+    * left outer aggregate join) — the projection-side dual of q51's WHERE
+    * correlation.
+    */
+  val q82ScalarSubquery: QueryDef = QueryDef(
+    "q82_scalar_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders82")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem82")
+      s.sql("""
+        SELECT o_orderkey,
+               (SELECT count(*) FROM lineitem82 l WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+               (SELECT max(l_quantity) FROM lineitem82 l WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+        FROM orders82 o
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      SELECT o_orderkey,
+             (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+             (SELECT max(l_quantity) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+      FROM orders o
+      WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey"""))
+
+  /** Regex extraction suite: single-group extract, extract-all re-joined,
+    * and a match count, over the document text.
+    */
+  val q83RegexSuite: QueryDef = QueryDef(
+    "q83_regex_suite",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)ing\\b", 1).as("first_ing_stem"),
+          concat_ws(",", expr("regexp_extract_all(text, '\\\\b[a-z]{10,}\\\\b', 0)")).as("long_words"),
+          regexp_count(col("text"), lit("the")).as("n_the"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             coalesce(regexp_extract(text, '([a-z]+)ing\\b', 1), '') AS first_ing_stem,
+             coalesce(array_to_string(regexp_extract_all(text, '\\b[a-z]{10,}\\b', 0), ','), '') AS long_words,
+             CAST(len(regexp_extract_all(text, 'the', 0)) AS INTEGER) AS n_the
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
-    q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe)
+    q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
+    q82ScalarSubquery, q83RegexSuite)
 }
