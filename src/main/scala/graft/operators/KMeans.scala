@@ -47,28 +47,40 @@ object KMeans {
       .select(col("vec_id"), col("cluster"), col("d2"), col("embedding"))
   }
 
+  /** Fits are memoized per (embeddings frame, k, iters): Tables.load hands
+    * every caller the same frame instance, so q70/q74/q79 share one trained
+    * quantizer instead of re-running Lloyd per query. Each round's centroid
+    * frame (k·dim values) is cached — without it round N's plan would
+    * re-derive every earlier round on each action.
+    */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), DataFrame]()
+
   /** The trained centroid frame (cluster, centroid: array<double>) after
     * `iters` Lloyd iterations.
     */
-  def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding")).cache()
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cluster"),
-        transform(col("embedding"), _.cast("double")).as("centroid"))
-    var iter = 0
-    while (iter < iters) {
-      val byDim = assignments(e, centroids)
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
-        .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
-          .cast("double") / 1e6 / count(lit(1))).as("mean"))
-      centroids = byDim.groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
-          x => x.getField("mean")).as("centroid"))
-      iter += 1
-    }
-    centroids
-  }
+  def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    fitCache.computeIfAbsent(
+      (System.identityHashCode(embeddings), embeddings.semanticHash(), k, iters), _ => {
+        val e = embeddings.select(col("vec_id"), col("embedding")).cache()
+        var centroids = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        var iter = 0
+        while (iter < iters) {
+          val byDim = assignments(e, centroids)
+            .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+            .groupBy("cluster", "dim")
+            .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+              .cast("double") / 1e6 / count(lit(1))).as("mean"))
+          centroids = byDim.groupBy("cluster")
+            .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+              x => x.getField("mean")).as("centroid"))
+            .cache()
+          iter += 1
+        }
+        centroids
+      })
 
   /** Final assignments after `iters` Lloyd iterations with `k` centroids:
     * (vec_id, cluster, d2) with d2 the squared distance rounded to 1e-6.
