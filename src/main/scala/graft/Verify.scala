@@ -7,12 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTENSIONS=1 runs the whole gate with GraftExtensions
+    // installed (native function registration + the range-join rewrite
+    // rule) — the end-to-end proof that the rule never perturbs results.
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))
+      builder.withExtensions(new GraftExtensions) else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
