@@ -38,9 +38,13 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // coarse bound: long-lived JVMs cycling many sessions must not pin
+    // every session's plans (plans hold session references)
+    if (cache.size > 256) cache.clear()
     cache.computeIfAbsent((System.identityHashCode(spark), dir, name),
       _ => spread(spark, loadRaw(spark, dir, name)))
+  }
 
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

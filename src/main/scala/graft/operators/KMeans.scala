@@ -59,7 +59,9 @@ object KMeans {
   /** The trained centroid frame (cluster, centroid: array<double>) after
     * `iters` Lloyd iterations.
     */
-  def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+  def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    // coarse bound, as in Tables.cache: don't pin plans forever
+    if (fitCache.size > 64) fitCache.clear()
     fitCache.computeIfAbsent(
       (System.identityHashCode(embeddings), embeddings.semanticHash(), k, iters), _ => {
         val e = embeddings.select(col("vec_id"), col("embedding")).cache()
@@ -81,6 +83,7 @@ object KMeans {
         }
         centroids
       })
+  }
 
   /** Final assignments after `iters` Lloyd iterations with `k` centroids:
     * (vec_id, cluster, d2) with d2 the squared distance rounded to 1e-6.
