@@ -62,6 +62,22 @@ class DedupSpec extends SparkTestBase {
     assert(clusters(3L) == 3L && clusters(4L) == 4L)
   }
 
+  test("winnowing guarantee: a shared substring of length >= gram+window-1 shares a fingerprint") {
+    import org.apache.spark.sql.functions._
+    // 5-char grams, window 8: any shared run of >= 12 chars must produce at
+    // least one common window-minimum (the MOSS guarantee)
+    val shared = "zqxjkvwpyfgmbdh utnrceloaiszzqx"   // 31 chars, plenty
+    val d = docs(
+      1L -> s"first document prefix $shared and its own ending words",
+      2L -> s"completely other opening $shared trailing different tail",
+      3L -> "no overlap here at all just plain unrelated filler text content")
+    val fps = Dedup.winnowFingerprints(d, window = 8)
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide here")
+  }
+
   test("dedup clusters refuse to return silently-truncated components") {
     // the 1-2-5 chain needs >= 2 propagation rounds; maxIters = 1 must
     // throw, not return a split component
