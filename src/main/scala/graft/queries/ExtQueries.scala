@@ -471,9 +471,88 @@ object ExtQueries {
              CAST(len(regexp_extract_all(text, 'the', 0)) AS INTEGER) AS n_the
       FROM documents ORDER BY doc_id"""))
 
+  /** Fuzzy (edit-distance) join — the data-cleaning shape: corrupted probe
+    * strings matched back to the part catalog with levenshtein <= 2. Probes
+    * derive deterministically from every 50th part (3rd char dropped), and
+    * candidates are BLOCKED on (first char, length band ±1) before any
+    * distance is computed — an equi-join shuffle, not a quadratic string
+    * comparison; the length band is sound because one dropped char shifts
+    * length by exactly 1.
+    */
+  val q84FuzzyJoin: QueryDef = QueryDef(
+    "q84_fuzzy_join",
+    (s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+      val probes = parts.filter(pmod(col("p_partkey"), lit(50L)) === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)")).as("probe"))
+      val cand = parts.select(col("p_partkey"), col("p_name"))
+        .withColumn("blk_c", substring(col("p_name"), 1, 1))
+        .withColumn("blk_l", explode(array((length(col("p_name")) / 4).cast("long") - 1,
+          (length(col("p_name")) / 4).cast("long"),
+          (length(col("p_name")) / 4).cast("long") + 1)))
+      val pb = probes
+        .withColumn("blk_c", substring(col("probe"), 1, 1))
+        .withColumn("blk_l", (length(col("probe")) / 4).cast("long"))
+      val w = Window.partitionBy("probe_key").orderBy(col("dist"), col("p_partkey"))
+      pb.join(cand, Seq("blk_c", "blk_l"))
+        .withColumn("dist", levenshtein(col("probe"), col("p_name")))
+        .filter(col("dist") <= 2)
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") === 1)
+        .select(col("probe_key"), col("p_partkey").as("matched_key"), col("dist"))
+        .orderBy("probe_key")
+    },
+    Some("""
+      WITH probes AS (SELECT p_partkey AS probe_key,
+                             substr(p_name, 1, 2) || substr(p_name, 4) AS probe
+                      FROM part WHERE p_partkey % 50 = 0),
+      cand AS (SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk_c,
+                      unnest([length(p_name) // 4 - 1, length(p_name) // 4,
+                              length(p_name) // 4 + 1]) AS blk_l
+               FROM part),
+      pb AS (SELECT probe_key, probe, substr(probe, 1, 1) AS blk_c,
+                    length(probe) // 4 AS blk_l
+             FROM probes),
+      sc AS (SELECT probe_key, p_partkey,
+                    CAST(levenshtein(probe, p_name) AS INTEGER) AS dist
+             FROM pb JOIN cand USING (blk_c, blk_l)
+             WHERE levenshtein(probe, p_name) <= 2)
+      SELECT probe_key, matched_key, dist FROM (
+        SELECT probe_key, p_partkey AS matched_key, dist,
+               CAST(row_number() OVER (PARTITION BY probe_key
+                    ORDER BY dist, p_partkey) AS INTEGER) AS rk
+        FROM sc)
+      WHERE rk = 1 ORDER BY probe_key"""))
+
+  /** Data-quality rule audit (Deequ-style, minimal): each rule is one
+    * conditional count over a single scan — the hygiene pass every
+    * training-data pipeline runs before anything else.
+    */
+  val q85DataQuality: QueryDef = QueryDef(
+    "q85_data_quality",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"))
+      val audited = l.join(o, l("l_orderkey") === o("o_orderkey"), "left")
+      audited.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("bad_discount"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orphan_lineitems"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_lineitems
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
     q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
-    q82ScalarSubquery, q83RegexSuite)
+    q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality)
 }
