@@ -33,6 +33,10 @@ object AsofJoin {
   def backward(probe: DataFrame, build: DataFrame, key: String, time: String,
                payload: Seq[String]): DataFrame = {
     val probeCols = probe.columns.filterNot(c => c == key || c == time).toSeq
+    require(probeCols.intersect(payload).isEmpty,
+      s"probe and payload column names must be disjoint: ${probeCols.intersect(payload)}")
+    require(payload.forall(build.columns.contains),
+      s"payload columns missing from build side: ${payload.filterNot(build.columns.contains)}")
     val buildSide = build.select(
       Seq(col(key), col(time), lit(0).as("__side")) ++
         payload.map(col) ++ probeCols.map(c => lit(null).as(c)): _*)
