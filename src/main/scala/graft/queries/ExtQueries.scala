@@ -550,9 +550,124 @@ object ExtQueries {
              CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_lineitems
       FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey"""))
 
+  /** Chi-square contingency statistic over (returnflag × linestatus):
+    * expected counts from the marginals, per-cell terms rounded to 1e-6 and
+    * summed as exact scaled longs — the cross-engine-deterministic way to
+    * fold float terms (plain double summation is cell-order-dependent).
+    */
+  val q86ChiSquare: QueryDef = QueryDef(
+    "q86_chi_square",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("l_returnflag").agg(sum("o").as("row_n"))
+      val cols = cells.groupBy("l_linestatus").agg(sum("o").as("col_n"))
+      val n = cells.agg(sum("o").as("n"))
+      val term = pow(col("o") - col("e"), 2) / col("e")
+      cells.join(broadcast(rows), "l_returnflag")
+        .join(broadcast(cols), "l_linestatus")
+        .crossJoin(broadcast(n))
+        .withColumn("e", col("row_n") * col("col_n") / col("n").cast("double"))
+        .agg((sum(floor(term * 1e6 + 0.5).cast("long")) / lit(1e6)).as("chi2"),
+          count(lit(1)).cast("int").as("n_cells"))
+    },
+    Some("""
+      WITH cells AS (SELECT l_returnflag, l_linestatus, count(*) AS o
+                     FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT l_returnflag, sum(o) AS row_n FROM cells GROUP BY 1),
+      c AS (SELECT l_linestatus, sum(o) AS col_n FROM cells GROUP BY 1),
+      n AS (SELECT sum(o) AS n FROM cells),
+      t AS (SELECT o, row_n * col_n / CAST(n AS DOUBLE) AS e
+            FROM cells JOIN r USING (l_returnflag)
+                 JOIN c USING (l_linestatus) CROSS JOIN n)
+      SELECT CAST(sum(CAST(floor(pow(o - e, 2) / e * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS chi2,
+             CAST(count(*) AS INTEGER) AS n_cells
+      FROM t"""))
+
+  /** Point-in-interval join with time bucketing: gap sessions of the probe
+    * users joined to OTHER users' events falling inside the session — the
+    * 1-D twin of the geo-cell bucketing: sessions explode into the hour
+    * buckets they span, events carry their own hour, the join is an
+    * equi-join on the bucket, and the exact containment predicate filters
+    * inside buckets. No interval nested-loop at any scale.
+    */
+  val q87IntervalJoin: QueryDef = QueryDef(
+    "q87_interval_join",
+    (s, dir) => {
+      val hourUs = 3600000000L
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sessions = e
+        .withColumn("brk",
+          when(col("us") - lag("us", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("sess", sum("brk").over(w))
+        .groupBy(col("user_id").as("s_user"), col("sess"))
+        .agg(min("us").as("s_start"), max("us").as("s_end"))
+        .filter(col("s_user") < 10)
+      val sb = sessions.withColumn("bkt",
+        explode(sequence(expr(s"s_start DIV $hourUs"), expr(s"s_end DIV $hourUs"))))
+      val eb = e.withColumn("bkt", expr(s"us DIV $hourUs"))
+      sb.join(eb, Seq("bkt"))
+        .filter(col("user_id") =!= col("s_user") &&
+          col("us") >= col("s_start") && col("us") <= col("s_end"))
+        .select("s_user", "sess", "event_id").distinct()
+        .groupBy("s_user", "sess")
+        .agg(count(lit(1)).as("n_other_events"))
+        .orderBy("s_user", "sess")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      m AS (SELECT user_id, event_id, us,
+              CASE WHEN us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                        > 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM e),
+      s AS (SELECT user_id, event_id, us,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+            FROM m),
+      sessions AS (SELECT user_id AS s_user, sess,
+                          min(us) AS s_start, max(us) AS s_end
+                   FROM s GROUP BY 1, 2 HAVING user_id < 10)
+      SELECT s_user, sess, count(DISTINCT event_id) AS n_other_events
+      FROM sessions JOIN e
+        ON e.us >= s_start AND e.us <= s_end AND e.user_id <> s_user
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** max_by / min_by (argmax) with an explicit struct tiebreak — ties on the
+    * value are broken by event_id so the winner is engine-independent; the
+    * oracle states the same semantics as window row_numbers.
+    */
+  val q88ArgMax: QueryDef = QueryDef(
+    "q88_argmax",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_id"), struct(col("value"), col("event_id"))).as("ev_of_max"),
+          min_by(col("event_id"), struct(col("value"), col("event_id"))).as("ev_of_min"),
+          Det.rdet(max(col("value")), 6).as("v_max"),
+          Det.rdet(min(col("value")), 6).as("v_min"))
+        .orderBy("user_id"),
+    Some("""
+      WITH r AS (SELECT user_id, event_id, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY value DESC, event_id DESC) AS rmax,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY value ASC, event_id ASC) AS rmin
+            FROM events)
+      SELECT user_id,
+             max(CASE WHEN rmax = 1 THEN event_id END) AS ev_of_max,
+             max(CASE WHEN rmin = 1 THEN event_id END) AS ev_of_min,
+             floor(max(value) * 1e6 + 0.5) / 1e6 AS v_max,
+             floor(min(value) * 1e6 + 0.5) / 1e6 AS v_min
+      FROM r GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
     q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
-    q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality)
+    q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality,
+    q86ChiSquare, q87IntervalJoin, q88ArgMax)
 }
