@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Det
 import graft.functions.Det.{dsum, dsumSql}
 
 /** Event-stream analytics in batch form: tumbling-window aggregation (the
@@ -87,5 +88,64 @@ object EventQueries {
              count(p_us) AS n_full_funnel
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
 
-  val all: Seq[QueryDef] = Seq(q37TumblingWindow, q38Sessionize, q80Funnel)
+  /** Weekly cohort retention: users belong to their first-seen week; each
+    * (cohort, week offset) cell counts the cohort members active that week.
+    * Two aggregations and one broadcast join — the standard retention
+    * triangle at any event volume.
+    */
+  val q89CohortRetention: QueryDef = QueryDef(
+    "q89_cohort_retention",
+    (s, dir) => {
+      val weekUs = 604800000000L
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) DIV $weekUs").as("wk"))
+      val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      e.distinct()
+        .join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_wk", "wk_offset")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+      SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+             count(DISTINCT user_id) AS n_active
+      FROM e JOIN cohort USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Gini concentration of per-user spend, computed exactly: rank the
+    * per-user totals (decimal-exact), then
+    * G = (2·Σ i·x_i)/(n·Σ x_i) − (n+1)/n over the sorted series. Every sum
+    * is an exact scaled long, so the coefficient is bit-identical across
+    * engines and partitionings.
+    */
+  val q90Gini: QueryDef = QueryDef(
+    "q90_gini",
+    (s, dir) => {
+      val spend = Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(dsum(col("value")).as("x"))
+      val w = Window.orderBy(col("x"), col("user_id"))
+      val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cx", floor(col("x") * 100 + 0.5).cast("long"))
+      ranked.agg(count(lit(1)).as("n"), sum(col("cx")).as("sx"),
+          sum(col("i") * col("cx")).as("six"))
+        .select(Det.rdet(
+          lit(2.0d) * col("six") / (col("n") * col("sx").cast("double")) -
+            (col("n") + 1L).cast("double") / col("n"), 6).as("gini"),
+          col("n"))
+    },
+    Some(s"""
+      WITH spend AS (SELECT user_id, ${dsumSql("value")} AS x FROM events GROUP BY 1),
+      ranked AS (SELECT x, CAST(floor(x * 100 + 0.5e0) AS BIGINT) AS cx,
+                        CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+                 FROM spend)
+      SELECT ${Det.rdetSql(
+        "2.0e0 * sum(i * cx) / (count(*) * CAST(sum(cx) AS DOUBLE)) - (count(*) + 1) / CAST(count(*) AS DOUBLE)", 6)}
+               AS gini,
+             count(*) AS n
+      FROM ranked"""))
+
+  val all: Seq[QueryDef] = Seq(q37TumblingWindow, q38Sessionize, q80Funnel,
+    q89CohortRetention, q90Gini)
 }
