@@ -44,7 +44,11 @@ object Bench {
     val errs = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // n_queries + mean keep the headline comparable across rounds as the
+    // query surface grows (66 -> 90+ queries): the TOTAL is expected to rise
+    // with coverage; the mean is the stable per-query cost signal.
+    val mean = if (ok.nonEmpty) total / ok.size else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"mean_per_query":$mean,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -146,6 +146,45 @@ object EventQueries {
              count(*) AS n
       FROM ranked"""))
 
+  /** Gap-filled daily resample with forward fill: each user's sparse daily
+    * totals are densified onto the full day grid between their first and
+    * last activity, missing days carry the last observed value forward
+    * (last(_, ignoreNulls) over the interleaved grid — the same carry the
+    * as-of join uses), and n_days pins the grid length. Time-series
+    * resampling as pure windows — no driver loop, one shuffle per user key.
+    */
+  val q91GapFill: QueryDef = QueryDef(
+    "q91_gap_fill",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      val daily = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .groupBy(col("user_id"), expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+        .agg(dsum(col("value")).as("v"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("was_gap", col("v").isNull)
+        .select("user_id", "day", "filled", "was_gap")
+        .orderBy("user_id", "day")
+    },
+    Some(s"""
+      WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                            ${dsumSql("value")} AS v
+                     FROM events WHERE user_id < 10 GROUP BY 1, 2),
+      grid AS (SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+               FROM daily GROUP BY user_id)
+      SELECT user_id, day,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+             v IS NULL AS was_gap
+      FROM grid LEFT JOIN daily USING (user_id, day)
+      ORDER BY user_id, day"""))
+
   val all: Seq[QueryDef] = Seq(q37TumblingWindow, q38Sessionize, q80Funnel,
-    q89CohortRetention, q90Gini)
+    q89CohortRetention, q90Gini, q91GapFill)
 }
