@@ -664,10 +664,49 @@ object ExtQueries {
              floor(min(value) * 1e6 + 0.5) / 1e6 AS v_min
       FROM r GROUP BY user_id ORDER BY user_id"""))
 
+  /** Null-semantics surface: try_cast under ANSI mode (errors become
+    * nulls), nullif / coalesce chains, and null-aware equality (<=>).
+    */
+  val q92NullHandling: QueryDef = QueryDef(
+    "q92_null_handling",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("try_cast(substring(text, 1, 2) AS INT)").as("head_int"),
+          nullif(col("lang"), lit("en")).as("lang_non_en"),
+          coalesce(nullif(col("source"), lit("web")), lit("fallback")).as("src_or_fallback"),
+          (col("lang") <=> lit(null)).as("lang_is_null"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             TRY_CAST(substr(text, 1, 2) AS INTEGER) AS head_int,
+             nullif(lang, 'en') AS lang_non_en,
+             coalesce(nullif(source, 'web'), 'fallback') AS src_or_fallback,
+             (lang IS NOT DISTINCT FROM NULL) AS lang_is_null
+      FROM documents ORDER BY doc_id"""))
+
+  /** Calendar arithmetic beyond q16/q48: week truncation and day-of-week,
+    * with the engines' different dow conventions mapped explicitly (Spark
+    * dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday).
+    */
+  val q93WeekTrunc: QueryDef = QueryDef(
+    "q93_week_trunc",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("week_start", "dow"),
+    Some("""
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+             CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
     q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
     q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality,
-    q86ChiSquare, q87IntervalJoin, q88ArgMax)
+    q86ChiSquare, q87IntervalJoin, q88ArgMax, q92NullHandling, q93WeekTrunc)
 }
