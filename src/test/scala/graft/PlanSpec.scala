@@ -75,6 +75,15 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("per-group top-k compiles to WindowGroupLimit, not a full sort+filter") {
+    // rank-filter queries (q07/q33/q54/q74...) rely on Spark's built-in
+    // WindowGroupLimit pushdown (3.5+): partial per-partition top-k before
+    // the shuffle, so per-group limits never sort whole groups. This is the
+    // documented reason no custom top-k physical operator exists here.
+    val p = planOf("q07_top_orders_per_segment")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q33 knn scores inside whole-stage codegen with the native dot product") {
     val df = queries.Registry.all.find(_.name == "q33_knn_brute").get.run(spark, dir)
     df.collect() // finalize the adaptive plan so codegen markers materialize
