@@ -703,10 +703,64 @@ object ExtQueries {
              count(*) AS n
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** The full ranking family over true peer groups (ordering by nationkey
+    * inside each segment leaves ties, so rank/dense_rank diverge from
+    * row_number and percent_rank/cume_dist expose peer semantics — all
+    * still deterministic because peers share their outputs).
+    */
+  val q94RankFamily: QueryDef = QueryDef(
+    "q94_rank_family",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", Det.rdet(percent_rank().over(w), 6))
+        .withColumn("cdist", Det.rdet(cume_dist().over(w), 6))
+        .orderBy("c_custkey")
+    },
+    Some(s"""
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             CAST(rank() OVER w AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+             ${Det.rdetSql("percent_rank() OVER w", 6)} AS prnk,
+             ${Det.rdetSql("cume_dist() OVER w", 6)} AS cdist
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_nationkey)
+      ORDER BY c_custkey"""))
+
+  /** Correlated EXISTS / NOT EXISTS in SQL form (plans as semi/anti joins —
+    * q05/q06 are the DataFrame duals).
+    */
+  val q95Exists: QueryDef = QueryDef(
+    "q95_exists",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer95")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders95")
+      s.sql("""
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM orders95 o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0) AS has_big,
+               NOT EXISTS (SELECT 1 FROM orders95 o
+                           WHERE o.o_custkey = c.c_custkey) AS no_orders
+        FROM customer95 c
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey,
+             EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0e0) AS has_big,
+             NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey) AS no_orders
+      FROM customer c
+      ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
     q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
     q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality,
-    q86ChiSquare, q87IntervalJoin, q88ArgMax, q92NullHandling, q93WeekTrunc)
+    q86ChiSquare, q87IntervalJoin, q88ArgMax, q92NullHandling, q93WeekTrunc,
+    q94RankFamily, q95Exists)
 }
