@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF="k=v;k=v" overlays arbitrary session confs — used to
+    // prove the gate holds under config variations (AQE off, different
+    // shuffle partitioning, codegen off, ...).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
     // SPARK_GRAFT_EXTENSIONS=1 runs the whole gate with GraftExtensions
     // installed (native function registration + the range-join rewrite
     // rule) — the end-to-end proof that the rule never perturbs results.
