@@ -756,11 +756,50 @@ object ExtQueries {
       FROM customer c
       ORDER BY c_custkey"""))
 
+  /** SCD2 merge — the lakehouse dimension-maintenance shape (Delta-style
+    * MERGE without a table format): an update batch (customers whose 1998+
+    * order activity upgrades their segment, effective at their latest order
+    * date) closes the current dimension row and opens a new one with
+    * validity intervals. Pure join + union — one shuffle on the key; the
+    * unchanged majority passes through untouched.
+    */
+  val q96Scd2Merge: QueryDef = QueryDef(
+    "q96_scd2_merge",
+    (s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val upd = Tables.load(s, dir, "orders")
+        .filter(year(col("o_orderdate")) >= 1998)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("eff"))
+      val joined = dim.join(upd, Seq("c_custkey"), "left")
+      val closedOld = joined.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        lit("1990-01-01").cast("date").as("valid_from"),
+        col("eff").as("valid_to"))
+      val openedNew = joined.filter(col("eff").isNotNull)
+        .select(col("c_custkey"), lit("UPGRADED").as("segment"),
+          col("eff").as("valid_from"), lit(null).cast("date").as("valid_to"))
+      closedOld.unionByName(openedNew)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""
+      WITH upd AS (SELECT o_custkey AS c_custkey, CAST(max(o_orderdate) AS DATE) AS eff
+                   FROM orders WHERE year(o_orderdate) >= 1998 GROUP BY 1),
+      j AS (SELECT c.c_custkey, c.c_mktsegment, upd.eff
+            FROM customer c LEFT JOIN upd USING (c_custkey))
+      SELECT c_custkey, segment, valid_from, valid_to FROM (
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '1990-01-01' AS valid_from, eff AS valid_to FROM j
+        UNION ALL
+        SELECT c_custkey, 'UPGRADED', eff, NULL FROM j WHERE eff IS NOT NULL)
+      ORDER BY c_custkey, valid_from"""))
+
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
     q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
     q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality,
     q86ChiSquare, q87IntervalJoin, q88ArgMax, q92NullHandling, q93WeekTrunc,
-    q94RankFamily, q95Exists)
+    q94RankFamily, q95Exists, q96Scd2Merge)
 }
