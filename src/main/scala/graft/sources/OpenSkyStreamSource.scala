@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -70,32 +70,35 @@ final case class SnapshotOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-/** One snapshot per trigger: latestOffset advances a single step each call,
-  * mimicking a poll cadence; each batch reads the snapshots in
-  * (start, end] as one partition per snapshot.
+/** One snapshot per trigger via the admission-control API: the next offset
+  * derives from the engine-supplied `start` (the last committed/planned
+  * end), so restarts are correct BY CONSTRUCTION — there is no in-memory
+  * cursor to regress. Each batch reads the snapshots in (start, end] as one
+  * partition per snapshot. Under Trigger.AvailableNow the engine announces
+  * the drain intent first and latestOffset jumps to the end of the log, so
+  * the run processes everything and stops (the one-step poll cadence would
+  * otherwise drain exactly one snapshot).
   */
-class OpenSkyMicroBatchStream(log: OpenSkySnapshotLog) extends MicroBatchStream {
+class OpenSkyMicroBatchStream(log: OpenSkySnapshotLog) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
-  private var served = 0L
+  private var drainAll = false
 
   override def initialOffset(): Offset = SnapshotOffset(0L)
 
-  override def latestOffset(): Offset = {
-    served = math.min(served + 1, log.size.toLong)
-    SnapshotOffset(served)
+  override def prepareForTriggerAvailableNow(): Unit = drainAll = true
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SnapshotOffset].n
+    SnapshotOffset(if (drainAll) log.size.toLong
+                   else math.min(s + 1, log.size.toLong))
   }
 
-  /** Also recovery point: on restart the engine replays the checkpointed
-    * offsets through here before asking for latestOffset, so the in-memory
-    * cursor must catch up to the committed position — otherwise
-    * latestOffset would regress below the offset log and re-deliver
-    * already-committed snapshots.
-    */
-  override def deserializeOffset(json: String): Offset = {
-    val n = json.toLong
-    served = math.max(served, n)
-    SnapshotOffset(n)
-  }
+  override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapshotOffset].n.toInt

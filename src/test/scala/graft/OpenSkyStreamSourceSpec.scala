@@ -41,6 +41,28 @@ class OpenSkyStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains every snapshot in one run, then stops") {
+    val dir = Files.createTempDirectory("snaps_avnow")
+    Files.writeString(Paths.get(dir.toString, "s0.json"), snapshot("France", 2))
+    Files.writeString(Paths.get(dir.toString, "s1.json"), snapshot("Ireland", 3))
+    Files.writeString(Paths.get(dir.toString, "s2.json"), snapshot("Spain", 1))
+    val q = spark.readStream
+      .format("graft.sources.OpenSkyStreamProvider")
+      .option("paths", s"$dir/s0.json,$dir/s1.json,$dir/s2.json")
+      .load()
+      .groupBy("origin_country").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("opensky_avnow")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates on its own once the drain target is reached
+    assert(q.awaitTermination(60000), "AvailableNow run did not terminate")
+    val rows = spark.table("opensky_avnow")
+      .orderBy("origin_country").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("France", 2L), ("Ireland", 3L), ("Spain", 1L)), rows)
+  }
+
   test("checkpoint recovery: offsets never regress below a replayed committed offset") {
     val dir = Files.createTempDirectory("snaps_recover")
     (0 until 3).foreach { i =>
@@ -48,15 +70,17 @@ class OpenSkyStreamSourceSpec extends SparkTestBase {
     }
     val paths = (0 until 3).map(i => s"$dir/s$i.json").mkString(",")
     // fresh instance, as after a restart: the engine replays the
-    // checkpointed offset through deserializeOffset before planning
+    // checkpointed offset through deserializeOffset, then passes it as the
+    // `start` of the admission-control latestOffset — the next offset
+    // derives from the committed position, so it can never regress
+    // (the pre-fix cursor design restarted polling from zero)
     val stream = new sources.OpenSkyMicroBatchStream(
       sources.OpenSkySnapshotLog.fromOptions(Map("paths" -> paths)))
     val recovered = stream.deserializeOffset("2").asInstanceOf[sources.SnapshotOffset]
     assert(recovered.n == 2L)
-    // next poll must continue PAST the committed position — a regressed
-    // offset (the pre-fix behavior returned 1) would re-deliver batches
-    // (1,2] that the sink already committed
-    val next = stream.latestOffset().asInstanceOf[sources.SnapshotOffset]
+    val next = stream.latestOffset(recovered,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[sources.SnapshotOffset]
     assert(next.n == 3L, s"latestOffset regressed to ${next.n} after recovery at 2")
     val parts = stream.planInputPartitions(recovered, next)
     assert(parts.length == 1)
