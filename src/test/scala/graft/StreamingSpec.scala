@@ -142,6 +142,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("append mode emits a window only after the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.tumblingCounts(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("append_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 10L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // watermark (max event time - 10 min) has not passed the first
+      // window's end yet -> nothing emitted
+      assert(spark.table("append_test").count() == 0)
+      // an event 30 minutes later pushes the watermark past the first
+      // window; the closed window flushes, the open one stays back
+      mem.addData((2L, ts(30), 10L, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((3L, ts(60), 10L, "click", 4.0, "{}"))
+      q.processAllAvailable()
+      val emitted = spark.table("append_test")
+        .select("window_start").collect().map(_.getTimestamp(0)).toSeq
+      assert(emitted.nonEmpty && emitted.forall(_.getTime <= ts(30).getTime),
+        s"open windows must not be emitted in append mode: $emitted")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
