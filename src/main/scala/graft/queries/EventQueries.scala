@@ -185,6 +185,39 @@ object EventQueries {
       FROM grid LEFT JOIN daily USING (user_id, day)
       ORDER BY user_id, day"""))
 
+  /** Sequence-pattern detection (CEP-lite, the MATCH_RECOGNIZE shape that
+    * fits windows): an 'error' followed by a 'purchase' within the user's
+    * next 3 events. Pattern tests are lead() comparisons inside one window
+    * pass — no self-join, no state machine, total event order per user.
+    */
+  val q97SequencePattern: QueryDef = QueryDef(
+    "q97_sequence_pattern",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val hit = (1 to 3).map(i => lead(col("event_type"), i).over(w) === "purchase")
+        .reduce(_ || _)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("is_hit", col("event_type") === "error" && coalesce(hit, lit(false)))
+        .groupBy("user_id")
+        .agg(sum(when(col("is_hit"), 1L).otherwise(0L)).as("n_patterns"),
+          min(when(col("is_hit"), col("event_id"))).as("first_hit_event"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      m AS (SELECT user_id, event_id,
+              (event_type = 'error' AND coalesce(
+                 lead(event_type, 1) OVER w = 'purchase'
+                 OR lead(event_type, 2) OVER w = 'purchase'
+                 OR lead(event_type, 3) OVER w = 'purchase', false)) AS is_hit
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id,
+             CAST(sum(CASE WHEN is_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns,
+             min(CASE WHEN is_hit THEN event_id END) AS first_hit_event
+      FROM m GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(q37TumblingWindow, q38Sessionize, q80Funnel,
-    q89CohortRetention, q90Gini, q91GapFill)
+    q89CohortRetention, q90Gini, q91GapFill, q97SequencePattern)
 }
