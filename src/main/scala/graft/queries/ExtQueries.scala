@@ -795,11 +795,44 @@ object ExtQueries {
         SELECT c_custkey, 'UPGRADED', eff, NULL FROM j WHERE eff IS NOT NULL)
       ORDER BY c_custkey, valid_from"""))
 
+  /** Hilbert-curve layout key over the q76 domain: per-segment coordinate
+    * spans, like the Morton variant but with strictly better locality
+    * (consecutive Hilbert keys are always adjacent cells). The rotation
+    * state makes the key a per-level fold — chained projections on the
+    * Spark side, a CTE chain in the oracle.
+    */
+  val q98HilbertKey: QueryDef = QueryDef(
+    "q98_hilbert_key",
+    (s, dir) => {
+      val xy = Tables.load(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(256L)).cast("int").as("x"),
+          pmod(col("l_suppkey"), lit(256L)).cast("int").as("y"))
+      Layout.withHilbert(xy, order = 8, "x", "y", "hd")
+        .withColumn("seg", expr("hd DIV 1024"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy("seg")
+    },
+    Some {
+      val (ctes, last) = Layout.hilbertCtesSql(8, "xy")
+      s"""
+      WITH xy AS (SELECT CAST(l_partkey % 256 AS INTEGER) AS x,
+                         CAST(l_suppkey % 256 AS INTEGER) AS y
+                  FROM lineitem),
+      $ctes
+      SELECT hd // 1024 AS seg, count(*) AS n,
+             min(x0) AS x_min, max(x0) AS x_max,
+             min(y0) AS y_min, max(y0) AS y_max
+      FROM $last GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     q67AsofJoin, q68Unpivot, q69HashSample, q70KmeansIvf, q71RollingWindow,
     q72StratifiedSample, q73MapFuncs, q74IvfSearch, q75FrameSample,
     q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
     q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality,
     q86ChiSquare, q87IntervalJoin, q88ArgMax, q92NullHandling, q93WeekTrunc,
-    q94RankFamily, q95Exists, q96Scd2Merge)
+    q94RankFamily, q95Exists, q96Scd2Merge, q98HilbertKey)
 }

@@ -73,6 +73,25 @@ class StorageLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("hilbert key matches the reference walk and every unit step is adjacent") {
+    import graft.functions.Layout
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.fill(300)((rnd.nextInt(256), rnd.nextInt(256)))
+    val got = Layout.withHilbert(pts.toDF("x", "y"), 8, "x", "y", "hd")
+      .select("x", "y", "hd").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    pts.foreach { p => assert(got(p) == Layout.hilbertRef(8, p._1, p._2), p) }
+    // the defining Hilbert property (which Morton lacks): consecutive curve
+    // positions are always 4-neighbor adjacent cells
+    val byD = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (Layout.hilbertRef(6, x, y), (x, y))).sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 4096L))
+    byD.map(_._2).sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"($x1,$y1)->($x2,$y2)")
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     val s2 = spark.newSession() // isolated conf; shares the temp warehouse
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
