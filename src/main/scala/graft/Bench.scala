@@ -39,8 +39,6 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val ok = results.collect { case (k, v, None) => k -> v }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
@@ -48,7 +46,29 @@ object Bench {
     // query surface grows (66 -> 90+ queries): the TOTAL is expected to rise
     // with coverage; the mean is the stable per-query cost signal.
     val mean = if (ok.nonEmpty) total / ok.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"mean_per_query":$mean,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The harness that consumes this line keeps only the last ~2000 chars of
+    // output: a JSON line longer than that is truncated mid-line and lost.
+    // Keep it compact (qNN keys, 2-decimal seconds) and enforce a hard
+    // budget — if the surface ever outgrows it, drop the FASTEST per-query
+    // entries first and say how many were omitted.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
+      s""""errors":$errs,"sf":"$sfDir","queries":{"""
+    val budget = 1800 - head.length - 40 // room for closing + omitted count
+    val bySlow = ok.sortBy(-_._2).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    bySlow.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val omitted = ok.size - kept.size
+    val tailJson =
+      if (omitted == 0) "}}" else s"""},"queries_omitted":$omitted}"""
+    println(head + kept.sorted.mkString(",") + tailJson)
     spark.stop()
   }
 }

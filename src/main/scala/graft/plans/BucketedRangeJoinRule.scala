@@ -19,9 +19,9 @@ import graft.functions.GeoFunctions
   *       Project(L, cell_i = floor(latA/c), cell_j = floor(lonA/c))
   *       Generate(explode 3x3 neighbor cells of R)
   *
-  * with cell size c >= the radius in degrees, doubled for longitude shrink.
-  * The doubled cell only guarantees longitude recall while cos(lat) >= 1/2,
-  * i.e. |lat| <= 60°, and plain floor(lon/c) cells cannot pair across the
+  * with cell size c = the spherical longitude reach at the latitude guard
+  * (see cellDeg below). The cell only guarantees longitude recall while
+  * cos(lat) >= 1/2, i.e. |lat| <= 60°, and plain floor(lon/c) cells cannot pair across the
   * antimeridian (the haversine itself wraps via sin²(Δlon/2)). So the
   * rewrite splits rows by a runtime guard instead of assuming a domain:
   *
@@ -38,11 +38,15 @@ import graft.functions.GeoFunctions
   * on the cell key instead of an O(|L| x |R|) nested-loop cross join — the
   * difference between feasible and not at 100 TB.
   *
-  * Recall proof for the bucketed branch: |Δlat| <= rDeg <= c/2 always, and
-  * for both |lat| <= 60, |Δlon| <= rDeg/cos(60°) = 2·rDeg = c, so the pair
-  * lands in the same or a neighboring cell on each axis. No wrapped pair
-  * survives the good-filter: both |lon| <= 180 − c means the wrapped gap
-  * 360 − |Δlon| >= 2c > c, beyond any within-radius pair's reach. The exact
+  * Recall proof for the bucketed branch (c = cellDeg below, the SPHERICAL
+  * bound 2·asin(min(1, 2·sin(r/2R)))): haversine gives
+  * sin²(Δlat/2) <= sin²(r/2R), so |Δlat| <= 2·(r/2R) <= c (asin(x) >= x);
+  * and for both |lat| <= 60, sin(Δlon/2)·cos(60°) <= sin(r/2R), so
+  * |Δlon| <= 2·asin(2·sin(r/2R)) = c exactly. Hence the pair lands in the
+  * same or a neighboring cell on each axis — the planar 2·rDeg is NOT
+  * sufficient here (9.0001° > 8.9932° at r = 500 km, lat 60). No wrapped
+  * pair survives the good-filter: both |lon| <= 180 − c means the wrapped
+  * gap 360 − |Δlon| >= 2c > c, beyond any within-radius pair's reach. The exact
   * branches avoid re-matching this rule by phrasing the predicate as
   * `r >= haversine(...)` (semantically identical, structurally distinct).
   *
@@ -59,8 +63,8 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
     */
   private val MaxRadiusM = 500000.0
 
-  /** Latitude bound (deg) inside which the doubled cell covers longitude
-    * shrink: cos(60°) = 1/2 exactly matches the 2x factor in cellDeg.
+  /** Latitude bound (deg) inside which the spherical cell covers longitude
+    * shrink: cos(60°) = 1/2 matches the 2·sin(r/2R) factor in cellDeg.
     */
   private val SafeLatDeg = 60.0
 
@@ -93,10 +97,22 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
       if (left.outputSet.contains(latA)) (latA, lonA, latB, lonB)
       else (latB, lonB, latA, lonA)
 
-    val cellDeg = r / GeoFunctions.EarthRadiusM * (180.0 / math.Pi) * 2.0
+    // Spherical longitude reach, NOT the planar 2*rDeg: by the haversine,
+    // a within-radius pair at equal latitude phi has
+    //   sin(dLon/2) * cos(phi) <= sin(r/2R),
+    // so at the |phi| <= 60 guard (cos = 1/2) the true bound is
+    //   dLonMax = 2*asin(min(1, 2*sin(r/2R)))
+    // which exceeds 2*rDeg (9.005 deg vs 8.993 deg at r = 500 km). A planar
+    // cell would let a max-radius pair hugging the 60-degree guard straddle
+    // two cell boundaries and silently drop. The spherical bound also covers
+    // latitude (dLatMax = rDeg*2... <= cellDeg since asin(x) >= x) and keeps
+    // the seam argument intact (wrapped gap >= 2*cellDeg when both
+    // |lon| <= 180 - cellDeg).
+    val cellDeg = math.toDegrees(2.0 * math.asin(
+      math.min(1.0, 2.0 * math.sin(r / (2.0 * GeoFunctions.EarthRadiusM)))))
     def cellOf(a: Attribute): Expression = Floor(Divide(a, Literal(cellDeg)))
 
-    // runtime guard: rows the doubled cell provably covers
+    // runtime guard: rows the spherical cell provably covers
     def isGood(lat: Attribute, lon: Attribute): Expression = And(
       LessThanOrEqual(Abs(lat), Literal(SafeLatDeg)),
       LessThanOrEqual(Abs(lon), Literal(180.0 - cellDeg)))

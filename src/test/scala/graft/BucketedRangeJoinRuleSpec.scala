@@ -87,6 +87,35 @@ class BucketedRangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("keeps max-radius pairs hugging the lat-60 guard (spherical cell bound)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions._
+    import spark.implicits._
+    // Both points sit AT the |lat| <= 60 guard, 499.77 km apart — inside the
+    // 500 km MaxRadiusM. Their Δlon = 8.996° exceeds the planar cell
+    // 2·rDeg = 8.9932° but not the spherical bound 9.0002°, and lonA is
+    // planted 0.001° below a planar cell boundary so the pair lands TWO
+    // planar cells apart (floor(8.9922/8.9932)=0, floor(17.9882/8.9932)=2):
+    // the pre-fix 3x3 neighborhood silently dropped it. The spherical cell
+    // keeps them adjacent (cells 0 and 1).
+    val ptsA = Seq((1L, 60.0, 8.9922)).toDF("id_a", "g_lat", "g_lon")
+    val ptsB = Seq((11L, 60.0, 17.9882)).toDF("id_b", "s_lat", "s_lon")
+    def pairs() = ptsA.crossJoin(ptsB)
+      .filter(haversineMeters(col("g_lat"), col("g_lon"), col("s_lat"), col("s_lon")) <= 500000.0)
+      .select("id_a", "id_b")
+    assert(pairs().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BucketedRangeJoinRule
+    try {
+      val df = pairs()
+      assert(df.queryExecution.optimizedPlan.toString.contains("__cell_i"))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BucketedRangeJoinRule)
+    }
+  }
+
   test("does not fire on joins without a haversine range predicate") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BucketedRangeJoinRule
