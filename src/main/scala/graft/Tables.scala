@@ -22,10 +22,8 @@ object Tables {
     * (On a real lake with many splits this no-ops; disable with
     * spark.graft.repartitionSmallScans=false.)
     */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def spread(spark: SparkSession, enabled: Boolean, df: DataFrame): DataFrame = {
     val want = spark.sparkContext.defaultParallelism
-    val enabled = spark.conf.getOption("spark.graft.repartitionSmallScans")
-      .forall(_.toBoolean)
     if (enabled && df.rdd.getNumPartitions * 4 <= want) df.repartition(want) else df
   }
 
@@ -34,16 +32,36 @@ object Tables {
     * decision — a logical→physical conversion (`.rdd`), a few hundred ms
     * that every query would otherwise re-pay per referenced table. The
     * cached value is just an immutable plan; no data is pinned.
+    *
+    * Sessions are identified by a token minted from a WeakHashMap keyed on
+    * the session OBJECT (SparkSession does not override equals, so matching
+    * is identity). Tokens never repeat, so — unlike identityHashCode, which
+    * a fresh session can share with a GC'd one — a new session can never
+    * receive a dead session's plan. The token map's values are plain Longs
+    * with no back-reference to the session, so its entries genuinely die
+    * with the session. (Caching the DataFrame against the session in the
+    * WeakHashMap directly would NOT collect: a plan strongly references its
+    * session, pinning the weak key through the value.) The plan cache is
+    * bounded by the coarse clear below; a concurrent load racing that clear
+    * at worst rebuilds one plan — it can never cross sessions.
+    *
+    * The spread conf is part of the key, so flipping
+    * spark.graft.repartitionSmallScans mid-session takes effect on the next
+    * load instead of being frozen at first use.
     */
+  private val sessionTokens = new IdentityTokens[SparkSession]
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, String, String, Boolean), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // coarse bound: long-lived JVMs cycling many sessions must not pin
-    // every session's plans (plans hold session references)
+    // every dead session's plans until process exit
     if (cache.size > 256) cache.clear()
-    cache.computeIfAbsent((System.identityHashCode(spark), dir, name),
-      _ => spread(spark, loadRaw(spark, dir, name)))
+    val enabled = spark.conf.getOption("spark.graft.repartitionSmallScans")
+      .forall(_.toBoolean)
+    cache.computeIfAbsent((sessionTokens.of(spark), dir, name, enabled),
+      _ => spread(spark, enabled, loadRaw(spark, dir, name)))
   }
 
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -57,4 +75,20 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Mints a process-unique Long per object identity. Backed by a WeakHashMap
+  * whose values are plain Longs (no back-reference to the key), so entries
+  * die when the object is collected — and because tokens never repeat, a
+  * token-keyed cache can never hand a new object a dead object's entry,
+  * which an identityHashCode key could (hash codes recur after GC).
+  */
+private[graft] final class IdentityTokens[K <: AnyRef] {
+  private val tokens = new java.util.WeakHashMap[K, java.lang.Long]()
+  private val next = new java.util.concurrent.atomic.AtomicLong()
+  def of(k: K): Long = tokens.synchronized {
+    var t = tokens.get(k)
+    if (t == null) { t = next.incrementAndGet(); tokens.put(k, t) }
+    t
+  }
 }

@@ -49,25 +49,44 @@ object KMeans {
 
   /** Fits are memoized per (embeddings frame, k, iters): Tables.load hands
     * every caller the same frame instance, so q70/q74/q79 share one trained
-    * quantizer instead of re-running Lloyd per query. Each round's centroid
-    * frame (k·dim values) is cached — without it round N's plan would
-    * re-derive every earlier round on each action.
+    * quantizer instead of re-running Lloyd per query. The frame is
+    * identified by a minted identity token (graft.IdentityTokens), never by
+    * identityHashCode — hash codes recur after GC, a token cannot, so a new
+    * frame can never inherit a dead frame's fit.
+    *
+    * Storage discipline: each cache entry pins exactly ONE persisted frame —
+    * the final k·dim centroid table, materialized eagerly. Intermediate
+    * rounds and the embeddings projection are unpersisted inside the fit
+    * (each round is counted before the previous is dropped, so no round's
+    * plan ever re-derives earlier rounds). Evicted entries are unpersisted
+    * as they are removed; a racing reader of an evicted frame merely
+    * recomputes it from the (tiny) logical plan on its next action.
     */
   private val fitCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), DataFrame]()
+  private val frameTokens = new graft.IdentityTokens[DataFrame]
 
   /** The trained centroid frame (cluster, centroid: array<double>) after
     * `iters` Lloyd iterations.
     */
   def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    // coarse bound, as in Tables.cache: don't pin plans forever
-    if (fitCache.size > 64) fitCache.clear()
-    fitCache.computeIfAbsent(
-      (System.identityHashCode(embeddings), embeddings.semanticHash(), k, iters), _ => {
-        val e = embeddings.select(col("vec_id"), col("embedding")).cache()
+    // coarse bound, as in Tables.cache: don't pin plans (or their persisted
+    // centroid blocks) forever in a long-lived JVM cycling many fits
+    if (fitCache.size > 64) {
+      val it = fitCache.entrySet().iterator()
+      while (it.hasNext) {
+        val evicted = it.next().getValue
+        it.remove()
+        evicted.unpersist()
+      }
+    }
+    fitCache.computeIfAbsent((frameTokens.of(embeddings), k, iters), _ => {
+      val e = embeddings.select(col("vec_id"), col("embedding")).cache()
+      try {
         var centroids = e.filter(col("vec_id") < k)
           .select(col("vec_id").as("cluster"),
             transform(col("embedding"), _.cast("double")).as("centroid"))
+        var prev: DataFrame = null
         var iter = 0
         while (iter < iters) {
           val byDim = assignments(e, centroids)
@@ -79,10 +98,17 @@ object KMeans {
             .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
               x => x.getField("mean")).as("centroid"))
             .cache()
+          // materialize THIS round before releasing the previous one, so
+          // unpersisting never forces a later action to re-derive the chain
+          centroids.count()
+          if (prev != null) prev.unpersist()
+          prev = centroids
           iter += 1
         }
+        if (iters == 0) { centroids = centroids.cache(); centroids.count() }
         centroids
-      })
+      } finally e.unpersist()
+    })
   }
 
   /** Final assignments after `iters` Lloyd iterations with `k` centroids:

@@ -166,14 +166,27 @@ object ExtQueries {
 
   /** MapType end to end: props parsed as map<string,int>, extended with a
     * derived entry via map_concat, then read back out as scalars.
+    *
+    * Contract (guarded, not assumed): rows participate only when the parsed
+    * map exists, has key 'k', and does NOT already have key 'kk' — so
+    * map_concat can never hit a duplicate key under the default
+    * spark.sql.mapKeyDedupPolicy=EXCEPTION, whatever the data holds. n_keys
+    * and keys_csv are computed from the actual key set on both sides, not
+    * hardcoded to the fixture's {"k": int} shape. (Residual contract: map
+    * VALUES must be int-coercible — from_json nulls the whole map otherwise,
+    * which the guard then drops on the Spark side only.)
     */
   val q73MapFuncs: QueryDef = QueryDef(
     "q73_map_funcs",
     (s, dir) => {
-      val m = from_json(col("props"), lit("map<string,int>"))
+      val m0 = from_json(col("props"), lit("map<string,int>"))
       Tables.load(s, dir, "events")
+        .withColumn("m0", m0)
+        .filter(col("m0").isNotNull &&
+          map_contains_key(col("m0"), lit("k")) &&
+          !map_contains_key(col("m0"), lit("kk")))
         .withColumn("m",
-          map_concat(m, map(lit("kk"), element_at(m, "k") * 2)))
+          map_concat(col("m0"), map(lit("kk"), element_at(col("m0"), "k") * 2)))
         .select(col("event_id"),
           element_at(col("m"), "k").as("k_val"),
           element_at(col("m"), "kk").as("kk_val"),
@@ -186,8 +199,12 @@ object ExtQueries {
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
              CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS kk_val,
              CAST(len(json_keys(props)) + 1 AS INTEGER) AS n_keys,
-             'k,kk' AS keys_csv
-      FROM events ORDER BY event_id"""))
+             array_to_string(list_sort(list_append(json_keys(props), 'kk')), ',') AS keys_csv
+      FROM events
+      WHERE props IS NOT NULL
+        AND list_contains(json_keys(props), 'k')
+        AND NOT list_contains(json_keys(props), 'kk')
+      ORDER BY event_id"""))
 
   /** DuckDB squared-L2 via the dot-product identity — same sequential
     * double folds as the Spark-side VectorDotProduct expressions.
