@@ -8,7 +8,7 @@ object Registry {
   val all: Seq[QueryDef] =
     RelationalQueries.all ++ NoiseQueries.all ++ DedupQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++
-      RelationalQueries2.all ++ ExtQueries.all
+      RelationalQueries2.all ++ ExtQueries.all ++ PipelineQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }
