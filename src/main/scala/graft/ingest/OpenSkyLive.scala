@@ -1,0 +1,100 @@
+package graft.ingest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+
+/** Live HTTP mode for the OpenSky source — the reference's network ingest
+  * (scripts/functions.py:23-50) re-expressed for the DSv2 connector:
+  * an OAuth2 client-credentials POST for a bearer token (functions.py:23-38),
+  * then `GET <url>?lamin&lomin&lamax&lomax` with the bbox as query params
+  * (functions.py:42-50).
+  *
+  * The bbox is NOT an option: it is derived from the Spark filters the scan
+  * pushed down ([[bboxParams]]), so `.filter($"latitude" >= x)` on the
+  * DataFrame becomes `lamin=x` on the wire — source-level predicate pushdown
+  * all the way to the server, exactly the reference's manual trick made
+  * automatic.
+  *
+  * Everything runs on the driver at planning time (one snapshot per query
+  * execution — the API returns one global state vector set, there is nothing
+  * to parallelize about the fetch; parallelism starts at the partitioned
+  * parse downstream). Kept behind `mode=live` so the default source stays
+  * hermetic (CI reads `payload`/`path` fixtures; tests exercise this class
+  * against a localhost stub, never the real network).
+  *
+  * Options: `url` (states endpoint), `tokenUrl`, `clientId`+`clientSecret`
+  * or `credFile` (JSON file with clientId/clientSecret — the reference's
+  * credentials.json shape, functions.py:14-21), `timeoutMs` (default 10000).
+  */
+object OpenSkyLive {
+
+  /** lamin/lomax-style query params from pushed lat/lon range filters.
+    * Multiple bounds on one side keep the tightest (max of lower bounds,
+    * min of upper) — the server filter must be a superset of the Spark
+    * filter, which the reader re-applies exactly anyway.
+    */
+  def bboxParams(filters: Array[Filter]): Seq[(String, String)] = {
+    def side(attr: String, lower: Boolean): Option[Double] = {
+      val bs = filters.toSeq.collect {
+        case GreaterThan(a, v: java.lang.Double) if a == attr && lower => v.doubleValue
+        case GreaterThanOrEqual(a, v: java.lang.Double) if a == attr && lower => v.doubleValue
+        case LessThan(a, v: java.lang.Double) if a == attr && !lower => v.doubleValue
+        case LessThanOrEqual(a, v: java.lang.Double) if a == attr && !lower => v.doubleValue
+      }
+      if (bs.isEmpty) None else Some(if (lower) bs.max else bs.min)
+    }
+    Seq("lamin" -> side("latitude", lower = true),
+      "lamax" -> side("latitude", lower = false),
+      "lomin" -> side("longitude", lower = true),
+      "lomax" -> side("longitude", lower = false))
+      .collect { case (k, Some(v)) => k -> v.toString }
+  }
+
+  private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  private def credentials(options: Map[String, String]): (String, String) =
+    (options.get("clientId"), options.get("clientSecret")) match {
+      case (Some(id), Some(secret)) => (id, secret)
+      case _ =>
+        val path = options.getOrElse("credFile", throw new IllegalArgumentException(
+          "live mode requires clientId+clientSecret or credFile"))
+        val node = new ObjectMapper().readTree(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+        (node.get("clientId").asText(), node.get("clientSecret").asText())
+    }
+
+  /** One authenticated snapshot fetch; returns the raw response body. */
+  def fetch(options: Map[String, String], filters: Array[Filter]): String = {
+    val timeout = Duration.ofMillis(options.getOrElse("timeoutMs", "10000").toLong)
+    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+
+    val (id, secret) = credentials(options)
+    val tokenUrl = options.getOrElse("tokenUrl", throw new IllegalArgumentException(
+      "live mode requires option 'tokenUrl'"))
+    val form = s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}"
+    val tokenReq = HttpRequest.newBuilder(URI.create(tokenUrl)).timeout(timeout)
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build()
+    val tokenResp = client.send(tokenReq, HttpResponse.BodyHandlers.ofString())
+    require(tokenResp.statusCode() / 100 == 2,
+      s"token endpoint returned ${tokenResp.statusCode()}")
+    val token = new ObjectMapper().readTree(tokenResp.body()).get("access_token").asText()
+
+    val base = options.getOrElse("url", throw new IllegalArgumentException(
+      "live mode requires option 'url'"))
+    val qs = bboxParams(filters).map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+    val full = if (qs.isEmpty) base else s"$base${if (base.contains("?")) "&" else "?"}$qs"
+    val statesReq = HttpRequest.newBuilder(URI.create(full)).timeout(timeout)
+      .header("Authorization", s"Bearer $token").GET().build()
+    val resp = client.send(statesReq, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"states endpoint returned ${resp.statusCode()}")
+    resp.body()
+  }
+}

@@ -97,7 +97,7 @@ class OpenSkyScan(options: Map[String, String], required: StructType,
       s"ReadSchema: ${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val states = OpenSkySnapshot.load(options)
+    val states = OpenSkySnapshot.load(options, filters)
     val n = math.max(options.getOrElse("numPartitions", "1").toInt, 1)
     states.grouped(math.max(1, (states.size + n - 1) / n))
       .map(g => OpenSkyPartition(g.toArray): InputPartition).toArray match {
@@ -197,10 +197,20 @@ object OpenSkySnapshot {
     }.toSeq
   }
 
-  def load(options: Map[String, String]): Seq[Array[String]] =
-    options.get("payload").map(parse).orElse(
+  /** Fixture modes read `payload` (inline JSON) or `path` (a file); live
+    * mode (`mode=live`) performs the reference's OAuth2 + bbox GET via
+    * [[graft.ingest.OpenSkyLive]], with the pushed lat/lon filters traveling
+    * as lamin/lomin/lamax/lomax query params. The reader still re-applies
+    * the exact predicates, so a server that ignores the bbox only costs
+    * bytes, never correctness.
+    */
+  def load(options: Map[String, String],
+           filters: Array[Filter] = Array.empty): Seq[Array[String]] =
+    if (options.get("mode").contains("live"))
+      parse(graft.ingest.OpenSkyLive.fetch(options, filters))
+    else options.get("payload").map(parse).orElse(
       options.get("path").map(p =>
         parse(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))))
       .getOrElse(throw new IllegalArgumentException(
-        "opensky source requires option 'payload' (raw JSON) or 'path'"))
+        "opensky source requires option 'payload' (raw JSON), 'path', or mode=live"))
 }
