@@ -84,6 +84,25 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q99 weighted sampling is distributed top-k, not a global sort") {
+    val p = planOf("q99_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q101 decontamination joins shingle hashes — never doc x doc") {
+    val p = planOf("q101_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q100 sequence packing windows per shard, then partially aggregates") {
+    val p = planOf("q100_sequence_pack")
+    assert(p.contains("Window"), p)
+    // the window is keyed on source — never an empty partitionBy
+    assert(!p.contains("WindowExec: No Partition Defined"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q33 knn scores inside whole-stage codegen with the native dot product") {
     val df = queries.Registry.all.find(_.name == "q33_knn_brute").get.run(spark, dir)
     df.collect() // finalize the adaptive plan so codegen markers materialize
