@@ -17,16 +17,18 @@ class SinksAndSkewSpec extends SparkTestBase {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  test("parquet, csv, and json sinks round-trip the same frame") {
+  test("parquet, csv, json, and orc sinks round-trip the same frame") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, "c,quoted", 0.0))
       .toDF("id", "s", "v")
     val dir = tmp("sinks")
     df.write.mode("overwrite").parquet(s"$dir/p")
     df.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
     df.write.mode("overwrite").json(s"$dir/j")
+    df.write.mode("overwrite").orc(s"$dir/o")
     val p = spark.read.parquet(s"$dir/p")
     val c = spark.read.option("header", "true").option("inferSchema", "true").csv(s"$dir/c")
     val j = spark.read.json(s"$dir/j")
+    val o = spark.read.orc(s"$dir/o")
     val want = df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     def got(x: org.apache.spark.sql.DataFrame) =
       x.select(col("id").cast("long"), col("s"), col("v").cast("double"))
@@ -34,6 +36,7 @@ class SinksAndSkewSpec extends SparkTestBase {
     assert(got(p) == want)
     assert(got(c) == want)
     assert(got(j) == want)
+    assert(got(o) == want)
   }
 
   test("HTML heatmap sink renders cells and legend") {
