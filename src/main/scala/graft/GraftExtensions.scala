@@ -1,27 +1,53 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BucketedRangeJoinRule, SortedLongArrayIntersectCount}
+import graft.plans.{BucketedRangeJoinRule, SortedLongArrayIntersectCount, VectorDotProduct}
 
 /** SparkSessionExtensions hook registering graft's native expressions and
   * optimizer rules. Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`; for a
+  * session that already exists (extensions only apply at session build),
+  * use [[GraftExtensions.installInto]].
   * (The Column API in graft.plans works without registration; the range-join
   * rewrite can also be installed per-session via
   * `spark.experimental.extraOptimizations`.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("sorted_intersect_count"),
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
+    ext.injectOptimizerRule(_ => BucketedRangeJoinRule)
+  }
+}
+
+object GraftExtensions {
+
+  /** The SQL-callable native functions: name, info, builder. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("sorted_intersect_count",
       new ExpressionInfo(classOf[SortedLongArrayIntersectCount].getName,
         "sorted_intersect_count"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedLongArrayIntersectCount(children(0), children(1))))
-    ext.injectOptimizerRule(_ => BucketedRangeJoinRule)
+      (children: Seq[Expression]) =>
+        SortedLongArrayIntersectCount(children(0), children(1))),
+    ("vector_dot",
+      new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),
+      (children: Seq[Expression]) => VectorDotProduct(children(0), children(1))))
+
+  /** Register the functions and the range-join rule on an ALREADY-BUILT
+    * session (extensions declared at build time don't help a session someone
+    * else constructed — e.g. a shared notebook session or a test fixture).
+    */
+  def installInto(spark: SparkSession): Unit = {
+    functions.foreach { case (name, info, builder) =>
+      GraftBridge.registerFunction(spark, name, info, builder)
+    }
+    if (!spark.experimental.extraOptimizations.contains(BucketedRangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BucketedRangeJoinRule
   }
 }

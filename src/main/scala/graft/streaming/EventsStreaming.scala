@@ -164,6 +164,37 @@ object EventsStreaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming eval-set decontamination: an ingest stream of documents is
+    * shingle-exploded ([[graft.operators.CorpusOps.shingleHashes]] — pure
+    * stateless generators, streaming-safe) and inner-joined against the
+    * STATIC eval-set shingle table, so contaminated documents are flagged as
+    * they arrive instead of in a nightly batch sweep. The stream-static
+    * inner join is stateless (the static side broadcasts); the only state is
+    * the per-doc dedup, bounded by `arrival_ts` watermark — at 100 TB/day
+    * the state store holds one key per contaminated doc per lateness
+    * horizon, not per shingle.
+    *
+    * `docs` needs (doc_id, text, arrival_ts); output is the distinct stream
+    * of contaminated (doc_id, arrival_ts).
+    */
+  def contaminatedDocs(docs: DataFrame, evalSet: DataFrame, n: Int): DataFrame = {
+    val evalShingles = graft.operators.CorpusOps.shingleHashes(evalSet, n)
+      .select(col("gh")).distinct()
+    val streamShingles = docs
+      .withWatermark("arrival_ts", "10 minutes")
+      .select(col("doc_id"), col("arrival_ts"), col("text"))
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("arrival_ts"),
+        explode(transform(sequence(lit(0), size(col("w")) - n),
+          i => graft.functions.HashFunctions.hash32(
+            concat_ws(" ", slice(col("w"), i + lit(1), lit(n)))))).as("gh"))
+    streamShingles
+      .join(broadcast(evalShingles), "gh")
+      .select(col("doc_id"), col("arrival_ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** Streaming writer for [[tumblingCounts]] in update mode (memory/console/
     * parquet per `format`); caller awaits the returned query.
     */

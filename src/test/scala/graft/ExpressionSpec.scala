@@ -85,4 +85,22 @@ class ExpressionSpec extends SparkTestBase {
     assert(df.getInt(0) == 2)
     assert(df.getDouble(1) == 1.0)
   }
+
+  test("installInto registers the native functions for SQL on an existing session") {
+    GraftExtensions.installInto(spark)
+    try {
+      val r = spark.sql(
+        """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS c
+          |""".stripMargin).head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getInt(1) == 2)
+    } finally {
+      // the session is shared across suites: leave no optimizer rule behind
+      // (sibling specs assert rewrite-free plan shapes)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.BucketedRangeJoinRule)
+    }
+  }
 }

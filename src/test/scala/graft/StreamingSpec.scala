@@ -211,4 +211,27 @@ class StreamingSpec extends SparkTestBase {
         Seq((10L, 3L, 11.0), (11L, 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming decontamination flags arriving docs against the static eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    // static eval set: one doc whose 4-grams are known
+    val evalSet = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDS().toDF("doc_id", "arrival_ts", "text")
+    val q = EventsStreaming.contaminatedDocs(stream, evalSet, 4)
+      .writeStream.format("memory").queryName("contam_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(0), "contains the quick brown fox here"), // shares a 4-gram
+        (2L, ts(1), "totally unrelated words only here"),
+        (1L, ts(2), "contains the quick brown fox here"), // redelivery
+        (3L, ts(3), "quick brown fox jumps high"))        // shares a 4-gram
+      q.processAllAvailable()
+      val got = spark.table("contam_test").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 3L), s"got $got")
+    } finally q.stop()
+  }
 }
