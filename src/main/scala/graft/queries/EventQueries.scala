@@ -218,6 +218,82 @@ object EventQueries {
              min(CASE WHEN is_hit THEN event_id END) AS first_hit_event
       FROM m GROUP BY user_id ORDER BY user_id"""))
 
+  /** Per-user time-weighted average of `value` under step interpolation:
+    * each event's value holds until the user's next event; the last event
+    * carries no weight. Second-resolution integer arithmetic end to end —
+    * v4 = value·1e4 as long, dt in whole seconds — so the weighted sum is
+    * exact (≤ 2^53) and order-independent; only the final division touches
+    * floating point, then rounds deterministically.
+    */
+  val q106TimeWeightedAvg: QueryDef = QueryDef(
+    "q106_time_weighted_avg",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("unix_micros(ts) div 1000000").as("sec"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+        .withColumn("next_sec", lead("sec", 1).over(w))
+        .filter(col("next_sec").isNotNull)
+        .withColumn("dt", col("next_sec") - col("sec"))
+        .groupBy("user_id")
+        .agg(sum(col("v4") * col("dt")).as("psum"), sum("dt").as("dtsum"),
+          count(lit(1)).as("n_holds"))
+        .filter(col("dtsum") > 0)
+        .select(col("user_id"), col("n_holds"),
+          Det.rdet(col("psum").cast("double") / col("dtsum") / 1e4, 6).as("twa"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, ts,
+                   epoch_us(ts) // 1000000 AS sec,
+                   CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v4
+                 FROM events),
+      h AS (SELECT user_id, v4, sec,
+              lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS next_sec
+            FROM e),
+      d AS (SELECT user_id, v4, next_sec - sec AS dt
+            FROM h WHERE next_sec IS NOT NULL)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+             floor((CAST(SUM(v4 * dt) AS DOUBLE) / SUM(dt) / 1e4) * 1e6 + 0.5)
+               / 1e6 AS twa
+      FROM d GROUP BY user_id HAVING SUM(dt) > 0 ORDER BY user_id"""))
+
+  /** First-order behavior model: the event-type transition matrix over each
+    * user's time-ordered stream — one window pass for the successor, one
+    * hash aggregation for the counts, total broadcast back for shares.
+    */
+  val q107EventTransitions: QueryDef = QueryDef(
+    "q107_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.agg(sum("n").as("total"))
+      tr.crossJoin(broadcast(tot))
+        .select(col("from_type"), col("to_type"), col("n"),
+          Det.rdet(col("n").cast("double") / col("total"), 6).as("share"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH t AS (SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_type
+                 FROM events),
+      tr AS (SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+             FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tr)
+      SELECT from_type, to_type, n,
+             floor((CAST(n AS DOUBLE) / total) * 1e6 + 0.5) / 1e6 AS share
+      FROM tr CROSS JOIN tot ORDER BY from_type, to_type"""))
+
   val all: Seq[QueryDef] = Seq(q37TumblingWindow, q38Sessionize, q80Funnel,
-    q89CohortRetention, q90Gini, q91GapFill, q97SequencePattern)
+    q89CohortRetention, q90Gini, q91GapFill, q97SequencePattern,
+    q106TimeWeightedAvg, q107EventTransitions)
 }
