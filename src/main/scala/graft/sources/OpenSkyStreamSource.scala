@@ -48,22 +48,50 @@ class OpenSkyStreamScan(options: Map[String, String]) extends Scan {
   override def readSchema(): StructType = OpenSkySnapshot.schema
   override def description(): String = "opensky_stream"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new OpenSkyMicroBatchStream(OpenSkySnapshotLog.fromOptions(options))
+    new OpenSkyMicroBatchStream(SnapshotFeed.fromOptions(options))
 }
 
-/** The snapshot log a live poller would append to; here a fixed file list. */
-final case class OpenSkySnapshotLog(paths: Seq[String]) {
-  def size: Int = paths.size
-  def parse(i: Int): Array[Array[String]] =
+/** Where micro-batches come from: a fixed replay log (`paths`) or the live
+  * endpoint (`mode=live`, one authenticated poll per offset step).
+  */
+sealed trait SnapshotFeed {
+  /** The offset the stream may advance to from `start` on this trigger. */
+  def nextOffset(start: Long, drainAll: Boolean): Long
+  def parse(i: Int): Array[Array[String]]
+}
+
+object SnapshotFeed {
+  def fromOptions(options: Map[String, String]): SnapshotFeed =
+    if (options.get("mode").contains("live")) OpenSkyLiveFeed(options)
+    else OpenSkySnapshotLog(options.getOrElse("paths",
+        throw new IllegalArgumentException(
+          "opensky stream requires option 'paths' or mode=live"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+}
+
+/** The snapshot log a replay run drains; each path is one micro-batch. */
+final case class OpenSkySnapshotLog(paths: Seq[String]) extends SnapshotFeed {
+  override def nextOffset(start: Long, drainAll: Boolean): Long =
+    if (drainAll) paths.size.toLong else math.min(start + 1, paths.size.toLong)
+  override def parse(i: Int): Array[Array[String]] =
     OpenSkySnapshot.parse(
       java.nio.file.Files.readString(java.nio.file.Paths.get(paths(i)))).toArray
 }
 
-object OpenSkySnapshotLog {
-  def fromOptions(options: Map[String, String]): OpenSkySnapshotLog =
-    OpenSkySnapshotLog(options.getOrElse("paths",
-        throw new IllegalArgumentException("opensky stream requires option 'paths'"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+/** Live poller: offset n = the n-th authenticated snapshot fetch
+  * (graft.ingest.OpenSkyLive — the reference's OAuth2 + GET pair). The feed
+  * is unbounded; under Trigger.AvailableNow it serves exactly one poll and
+  * stops. A restart re-polls rather than replaying history — the API serves
+  * only the current state vector set, so offsets mark poll COUNTS, not
+  * reproducible data (exactly the reference's snapshot semantics; a replayed
+  * pipeline should persist raw payloads via foreachBatch and re-run from the
+  * `paths` log instead).
+  */
+final case class OpenSkyLiveFeed(options: Map[String, String]) extends SnapshotFeed {
+  override def nextOffset(start: Long, drainAll: Boolean): Long = start + 1
+  override def parse(i: Int): Array[Array[String]] =
+    OpenSkySnapshot.parse(
+      graft.ingest.OpenSkyLive.fetch(options, Array.empty)).toArray
 }
 
 final case class SnapshotOffset(n: Long) extends Offset {
@@ -79,10 +107,14 @@ final case class SnapshotOffset(n: Long) extends Offset {
   * the run processes everything and stops (the one-step poll cadence would
   * otherwise drain exactly one snapshot).
   */
-class OpenSkyMicroBatchStream(log: OpenSkySnapshotLog) extends MicroBatchStream
+class OpenSkyMicroBatchStream(log: SnapshotFeed) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
   private var drainAll = false
+  // AvailableNow must CONVERGE: the drain target is captured on the first
+  // latestOffset call and pinned — an unbounded live feed would otherwise
+  // keep advancing (start+1 forever) and the drain would never terminate.
+  private var drainTarget: Option[Long] = None
 
   override def initialOffset(): Offset = SnapshotOffset(0L)
 
@@ -94,8 +126,12 @@ class OpenSkyMicroBatchStream(log: OpenSkySnapshotLog) extends MicroBatchStream
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SnapshotOffset].n
-    SnapshotOffset(if (drainAll) log.size.toLong
-                   else math.min(s + 1, log.size.toLong))
+    val next =
+      if (drainAll) {
+        if (drainTarget.isEmpty) drainTarget = Some(log.nextOffset(s, drainAll = true))
+        drainTarget.get
+      } else log.nextOffset(s, drainAll = false)
+    SnapshotOffset(next)
   }
 
   override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)

@@ -75,7 +75,7 @@ class OpenSkyStreamSourceSpec extends SparkTestBase {
     // derives from the committed position, so it can never regress
     // (the pre-fix cursor design restarted polling from zero)
     val stream = new sources.OpenSkyMicroBatchStream(
-      sources.OpenSkySnapshotLog.fromOptions(Map("paths" -> paths)))
+      sources.SnapshotFeed.fromOptions(Map("paths" -> paths)))
     val recovered = stream.deserializeOffset("2").asInstanceOf[sources.SnapshotOffset]
     assert(recovered.n == 2L)
     val next = stream.latestOffset(recovered,
@@ -84,5 +84,49 @@ class OpenSkyStreamSourceSpec extends SparkTestBase {
     assert(next.n == 3L, s"latestOffset regressed to ${next.n} after recovery at 2")
     val parts = stream.planInputPartitions(recovered, next)
     assert(parts.length == 1)
+  }
+
+  test("mode=live polls the endpoint per batch and AvailableNow stops after one poll") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import java.util.concurrent.atomic.AtomicInteger
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val polls = new AtomicInteger(0)
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      respond(ex, """{"access_token": "t"}""")
+    })
+    server.createContext("/states", (ex: HttpExchange) => {
+      polls.incrementAndGet()
+      respond(ex, snapshot("France", 2))
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val q = spark.readStream
+        .format("graft.sources.OpenSkyStreamProvider")
+        .option("mode", "live")
+        .option("url", s"http://127.0.0.1:$port/states")
+        .option("tokenUrl", s"http://127.0.0.1:$port/token")
+        .option("clientId", "cid").option("clientSecret", "s")
+        .load()
+        .groupBy("origin_country").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("opensky_live_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "live AvailableNow run did not terminate")
+      val rows = spark.table("opensky_live_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("France", 2L)))
+      assert(polls.get >= 1)
+    } finally server.stop(0)
   }
 }
