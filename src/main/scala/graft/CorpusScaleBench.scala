@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup / decontamination family: blow the `documents`
+  * fixture up `replicas`× with deterministic word-level perturbations (every
+  * replica is a NEAR-duplicate of its original — worst case for LSH: every
+  * band bucket is a dense near-dup cluster, candidate volume ~ replicas² per
+  * original), then time the operators end-to-end. Verifies the "no corpus
+  * square" claims in SCALE.md hold when the candidate structure is hostile,
+  * not just at fixture size.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   SPARK_GRAFT_REPLICAS=20 sbt "runMain graft.CorpusScaleBench"
+  */
+object CorpusScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "20").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors() - 2).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.load(spark, sfDir, "documents")
+    val nBase = base.count()
+    // replica r of a doc: every (5 + r % 7)-th word gets a replica-specific
+    // suffix — shingle overlap with the original stays high (near-dup) but
+    // no two replicas are byte-identical
+    val corpus = base.crossJoin(spark.range(replicas).toDF("r"))
+      .select(
+        (col("doc_id") * replicas + col("r")).as("doc_id"),
+        concat_ws(" ", zip_with(
+          split(col("text"), " "),
+          sequence(lit(0), size(split(col("text"), " ")) - 1),
+          (w, i) => when(pmod(i, lit(5) + pmod(col("r"), lit(7))) === 0 && col("r") =!= 0,
+            concat(w, lit("x"), col("r"))).otherwise(w))).as("text"),
+        col("lang"), col("source"),
+        col("n_chars").as("n_chars_orig"))
+      .withColumn("n_chars", length(col("text")))
+      .drop("n_chars_orig")
+      .repartition(cpus.toInt * 2)
+      .cache()
+    val nCorpus = corpus.count()
+
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      (label, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val results = Seq(
+      time("exact_dedup")(operators.Dedup.exactDedup(corpus)),
+      time("minhash_signatures")(operators.Dedup.minhashSignatures(corpus, shingleK = 3)),
+      time("minhash_lsh_pairs")(
+        operators.Dedup.minhashLsh(corpus, shingleK = 3, rowsPerBand = 2, threshold = 0.5)),
+      time("simhash_banded_pairs")(
+        operators.Dedup.simhash64BandedPairs(corpus, shingleK = 3, maxHamming = 3)),
+      time("decontaminate")(
+        operators.CorpusOps.decontaminate(
+          corpus.filter(col("doc_id") % replicas =!= 0),
+          base.filter(col("doc_id") % 20 === 0), 4)),
+      time("winnowing")(operators.Dedup.winnowFingerprints(corpus, window = 8)))
+    val qs = results.map { case (k, v, n) =>
+      f""""$k":{"sec":$v%.2f,"rows":$n}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"sf":"$sfDir","cpus":$cpus}""")
+    spark.stop()
+  }
+}
