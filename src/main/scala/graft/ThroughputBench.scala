@@ -1,0 +1,67 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+
+/** Concurrent-stream throughput: the full query surface drained by K worker
+  * threads sharing one SparkSession (the multi-tenant shape — Spark's
+  * scheduler interleaves jobs from concurrent sessions/threads; FAIR pools
+  * would bound per-stream latency, not needed for throughput here). Prints
+  * wall seconds, aggregate query-seconds, and the effective concurrency
+  * (aggregate/wall) — sequential Bench measures latency, this measures how
+  * much of it is scheduler-serializable overhead.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_STREAMS=8 sbt "runMain graft.ThroughputBench"
+  */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors() - 2).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // warm the table plans once so per-stream cost is query work, not listing
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).limit(1).count() catch { case _: Throwable => () }
+    }
+
+    val work = new ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach(q => work.add(q))
+    val nQueries = work.size
+    val aggregateNanos = new AtomicLong(0L)
+    val failures = new ConcurrentLinkedQueue[String]()
+
+    val t0 = System.nanoTime()
+    val threads = (1 to streams).map { _ =>
+      new Thread(() => {
+        var next = work.poll()
+        while (next != null) {
+          val (name, fn) = next
+          val s0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => failures.add(name) }
+          aggregateNanos.addAndGet(System.nanoTime() - s0)
+          next = work.poll()
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val agg = aggregateNanos.get() / 1e9
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    println(s"""{"metric":"throughput","wall_sec":${f(wall)},"aggregate_query_sec":${f(agg)},""" +
+      s""""effective_concurrency":${f(agg / wall)},"streams":$streams,""" +
+      s""""n_queries":$nQueries,"failures":${failures.size},"sf":"$sfDir","cpus":$cpus}""")
+    spark.stop()
+  }
+}
