@@ -74,6 +74,27 @@ object Multimodal {
     }
   }
 
+  /** Resize operator shape: binary in → smaller binary out, metadata
+    * updated in place. The STUB "resampling" keeps every stride-th byte
+    * (stride = n / targetBytes) — a real implementation would decode,
+    * interpolate pixels, and re-encode, with the identical signature and
+    * plan shape (a per-partition map, no shuffle, payload column stays
+    * opaque). The new checksum is an engine-portable byte-sum mod
+    * HashFunctions.Prime so the contract is oracle-checkable.
+    */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val n = r.payload.length
+      val stride = math.max(1, n / targetBytes)
+      val out = r.payload.indices.collect {
+        case i if i % stride == 0 => r.payload(i)
+      }.toArray
+      val checksum = out.foldLeft(0L)((a, b) => (a + (b & 0xff)) % graft.functions.HashFunctions.Prime)
+      MediaRow(r.doc_id, out, MediaMeta(r.meta.formatGuess, out.length, checksum))
+    }
+  }
+
   /** Frame-sample operator shape: keep every `stride`-th byte as a "frame"
     * digest — stands in for video frame sampling over a binary column.
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Multimodal, Similarity}
 
 /** Oracle-checked similarity-search surface over `embeddings`
   * (array<float>, dim 64): brute-force cosine top-k, IVF-style label-probed
@@ -181,6 +181,30 @@ object SimilarityQueries {
       ORDER BY vec_id"""
     })
 
+  /** Multimodal resize plumbing (operators.Multimodal.resize): binary in →
+    * stride-resampled binary out, metadata recomputed. The oracle checks the
+    * public contract — resampled length and the portable byte-sum checksum.
+    */
+  val q108MultimodalResize: QueryDef = QueryDef(
+    "q108_multimodal_resize",
+    (s, dir) => {
+      val media = Multimodal.attachPayload(Tables.load(s, dir, "documents"))
+      Multimodal.resize(media, 256).toDF()
+        .select(col("doc_id"), col("meta.nBytes").as("n_resized"),
+          col("meta.checksum").as("resized_checksum"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      s AS (SELECT doc_id, text, n, greatest(1, n // 256) AS stride FROM t)
+      SELECT doc_id,
+             CAST(((n - 1) // stride) + 1 AS INTEGER) AS n_resized,
+             CAST(list_sum(list_transform(generate_series(1, n, stride),
+               p -> ascii(substr(text, p, 1)))) % 2147483647 AS BIGINT)
+               AS resized_checksum
+      FROM s ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q33KnnBrute, q34KnnIvfLabel, q35EmbeddingDup,
-    q36MultimodalMeta, q37KnnLshBucket, q38MultimodalDecode, q62PqCodes)
+    q36MultimodalMeta, q37KnnLshBucket, q38MultimodalDecode, q62PqCodes,
+    q108MultimodalResize)
 }
