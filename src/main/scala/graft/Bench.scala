@@ -39,7 +39,14 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val ok = results.collect { case (k, v, None) => k -> v }
-    val errs = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+    // qNN-compressed error names, capped: a mass failure (bad sfDir -> all
+    // ~100 queries error) must still fit the output budget below, or the
+    // very line meant to surface the failure would be the thing truncated.
+    val errNames = results.collect { case (k, _, Some(_)) => k.takeWhile(_ != '_') }
+    val errShown = errNames.take(20)
+    val errs = (errShown.map("\"" + _ + "\"") ++
+      (if (errNames.size > errShown.size)
+        Seq("\"+" + (errNames.size - errShown.size) + " more\"") else Nil))
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     // n_queries + mean keep the headline comparable across rounds as the
@@ -50,7 +57,8 @@ object Bench {
     // output: a JSON line longer than that is truncated mid-line and lost.
     // Keep it compact (qNN keys, 2-decimal seconds) and enforce a hard
     // budget — if the surface ever outgrows it, drop the FASTEST per-query
-    // entries first and say how many were omitted.
+    // entries first and say how many were omitted. The errors list is part
+    // of `head`, so its (capped) length is inside the budget too.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +

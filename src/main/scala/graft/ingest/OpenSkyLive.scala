@@ -69,14 +69,27 @@ object OpenSkyLive {
         (node.get("clientId").asText(), node.get("clientSecret").asText())
     }
 
-  /** One authenticated snapshot fetch; returns the raw response body. */
-  def fetch(options: Map[String, String], filters: Array[Filter]): String = {
-    val timeout = Duration.ofMillis(options.getOrElse("timeoutMs", "10000").toLong)
-    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+  /** One shared client per JVM (connection pooling); per-request timeouts
+    * still come from the options.
+    */
+  private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
 
-    val (id, secret) = credentials(options)
-    val tokenUrl = options.getOrElse("tokenUrl", throw new IllegalArgumentException(
-      "live mode requires option 'tokenUrl'"))
+  /** Bearer tokens cached per (tokenUrl, clientId) until shortly before
+    * their `expires_in` — a poll-per-trigger stream must not re-run the
+    * OAuth2 handshake on every micro-batch (the auth endpoint is the
+    * rate-limited one; the reference fetches one token per RUN,
+    * functions.py:23-38, and so do we per expiry window).
+    */
+  private val tokenCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Long)]()
+
+  private def bearerToken(tokenUrl: String, id: String, secret: String,
+                          timeout: Duration): String = {
+    val key = (tokenUrl, id)
+    val now = System.nanoTime()
+    val cached = tokenCache.get(key)
+    if (cached != null && cached._2 > now) return cached._1
     val form = s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}"
     val tokenReq = HttpRequest.newBuilder(URI.create(tokenUrl)).timeout(timeout)
       .header("Content-Type", "application/x-www-form-urlencoded")
@@ -84,7 +97,21 @@ object OpenSkyLive {
     val tokenResp = client.send(tokenReq, HttpResponse.BodyHandlers.ofString())
     require(tokenResp.statusCode() / 100 == 2,
       s"token endpoint returned ${tokenResp.statusCode()}")
-    val token = new ObjectMapper().readTree(tokenResp.body()).get("access_token").asText()
+    val node = new ObjectMapper().readTree(tokenResp.body())
+    val token = node.get("access_token").asText()
+    // refresh 30s before expiry; default 5 min when the server omits it
+    val expiresSec = Option(node.get("expires_in")).map(_.asLong).getOrElse(300L)
+    tokenCache.put(key, (token, now + math.max(1L, expiresSec - 30L) * 1000000000L))
+    token
+  }
+
+  /** One authenticated snapshot fetch; returns the raw response body. */
+  def fetch(options: Map[String, String], filters: Array[Filter]): String = {
+    val timeout = Duration.ofMillis(options.getOrElse("timeoutMs", "10000").toLong)
+    val (id, secret) = credentials(options)
+    val tokenUrl = options.getOrElse("tokenUrl", throw new IllegalArgumentException(
+      "live mode requires option 'tokenUrl'"))
+    val token = bearerToken(tokenUrl, id, secret, timeout)
 
     val base = options.getOrElse("url", throw new IllegalArgumentException(
       "live mode requires option 'url'"))

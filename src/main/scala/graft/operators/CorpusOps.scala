@@ -70,17 +70,20 @@ object CorpusOps {
       .orderBy("source", "pack_id")
   }
 
-  /** All word n-gram shingle hashes of each document: (doc_id, gh) with gh
-    * the 32-bit hash of the space-joined n-gram. Documents shorter than n
-    * tokens contribute nothing.
+  /** All word n-gram shingle hashes of each document: (doc_id, carry...,
+    * gh) with gh the 32-bit hash of the space-joined n-gram. Documents
+    * shorter than n tokens contribute nothing. `carry` columns ride along
+    * unchanged (e.g. an event-time column for the streaming caller) — ONE
+    * definition of shingling, so batch and streaming decontamination can
+    * never drift apart.
     */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+  def shingleHashes(docs: DataFrame, n: Int, carry: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: carry.map(col) :+ split(col("text"), " ").as("w"): _*)
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id") +: carry.map(col) :+ explode(transform(
         sequence(lit(0), size(col("w")) - n),
         i => HashFunctions.hash32(concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))
-      )).as("gh"))
+      )).as("gh"): _*)
 
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with an eval-set document (the published n-gram-overlap scrub).

@@ -77,7 +77,10 @@ object KMeans {
       while (it.hasNext) {
         val evicted = it.next().getValue
         it.remove()
-        evicted.unpersist()
+        // an entry whose session has been stopped throws from unpersist
+        // (no block manager to talk to) — its blocks died with the session,
+        // so a failed release must not abort the sweep or the caller's fit
+        try evicted.unpersist() catch { case _: Throwable => () }
       }
     }
     fitCache.computeIfAbsent((frameTokens.of(embeddings), k, iters), _ => {

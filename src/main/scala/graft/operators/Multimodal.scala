@@ -86,7 +86,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.map { r =>
       val n = r.payload.length
-      val stride = math.max(1, n / targetBytes)
+      // ceil division: floor would keep stride 1 for any payload up to
+      // 2*targetBytes-1 bytes and return it whole, violating the contract
+      // that the output never exceeds targetBytes (inputs already at or
+      // under the target pass through)
+      val stride = math.max(1, (n + targetBytes - 1) / targetBytes)
       val out = r.payload.indices.collect {
         case i if i % stride == 0 => r.payload(i)
       }.toArray

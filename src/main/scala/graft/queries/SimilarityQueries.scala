@@ -196,11 +196,13 @@ object SimilarityQueries {
     },
     Some("""
       WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-      s AS (SELECT doc_id, text, n, greatest(1, n // 256) AS stride FROM t)
+      s AS (SELECT doc_id, text, n,
+              greatest(1, (n + 255) // 256) AS stride FROM t)
       SELECT doc_id,
-             CAST(((n - 1) // stride) + 1 AS INTEGER) AS n_resized,
-             CAST(list_sum(list_transform(generate_series(1, n, stride),
-               p -> ascii(substr(text, p, 1)))) % 2147483647 AS BIGINT)
+             CAST(CASE WHEN n = 0 THEN 0 ELSE ((n - 1) // stride) + 1 END
+               AS INTEGER) AS n_resized,
+             CAST(COALESCE(list_sum(list_transform(generate_series(1, n, stride),
+               p -> ascii(substr(text, p, 1)))), 0) % 2147483647 AS BIGINT)
                AS resized_checksum
       FROM s ORDER BY doc_id"""))
 

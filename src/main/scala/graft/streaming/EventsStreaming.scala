@@ -180,15 +180,8 @@ object EventsStreaming {
   def contaminatedDocs(docs: DataFrame, evalSet: DataFrame, n: Int): DataFrame = {
     val evalShingles = graft.operators.CorpusOps.shingleHashes(evalSet, n)
       .select(col("gh")).distinct()
-    val streamShingles = docs
-      .withWatermark("arrival_ts", "10 minutes")
-      .select(col("doc_id"), col("arrival_ts"), col("text"))
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), col("arrival_ts"),
-        explode(transform(sequence(lit(0), size(col("w")) - n),
-          i => graft.functions.HashFunctions.hash32(
-            concat_ws(" ", slice(col("w"), i + lit(1), lit(n)))))).as("gh"))
+    val streamShingles = graft.operators.CorpusOps.shingleHashes(
+      docs.withWatermark("arrival_ts", "10 minutes"), n, carry = Seq("arrival_ts"))
     streamShingles
       .join(broadcast(evalShingles), "gh")
       .select(col("doc_id"), col("arrival_ts"))
