@@ -103,6 +103,19 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("NO query in the entire surface plans a CartesianProduct") {
+    // the engine-wide invariant behind SCALE.md: every pairwise operator
+    // blocks/buckets/broadcasts — an unpartitioned cartesian product means
+    // a blocking predicate was lost. (BroadcastNestedLoopJoin with a tiny
+    // build side is fine and intentional for grid gen / noise.)
+    val offenders = queries.Registry.all.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("q33 knn scores inside whole-stage codegen with the native dot product") {
     val df = queries.Registry.all.find(_.name == "q33_knn_brute").get.run(spark, dir)
     df.collect() // finalize the adaptive plan so codegen markers materialize
