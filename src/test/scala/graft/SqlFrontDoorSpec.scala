@@ -1,10 +1,10 @@
 package graft
 
-/** The SQL front door: for queries whose oracle text is plain ANSI SQL, the
-  * SAME string the DuckDB gate runs must also run through `spark.sql` over
-  * temp views and produce exactly the DataFrame implementation's rows — a
-  * user of this library can query it in SQL, and the two surfaces cannot
-  * drift apart.
+/** The SQL front door: oracle texts are written in ANSI-leaning DuckDB SQL,
+  * and a large subset is plain enough to run UNCHANGED through `spark.sql`
+  * over temp views. Every such query must produce exactly the DataFrame
+  * implementation's rows — a user of this library can query it in SQL, and
+  * the two surfaces cannot drift apart.
   */
 class SqlFrontDoorSpec extends SparkTestBase {
 
@@ -13,19 +13,35 @@ class SqlFrontDoorSpec extends SparkTestBase {
   private lazy val viewsReady: Unit =
     Tables.names.foreach(n => Tables.load(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Oracle SQL that is valid in both DuckDB and Spark SQL. */
-  private val ansiQueries = Seq(
-    "q01_pricing_summary", "q04_nation_revenue", "q44_full_outer",
-    "q59_group_having", "q60_in_subquery", "q95_exists")
+  /** Oracles that PARSE in Spark but intentionally mean something else
+    * there: q93 uses DuckDB's dayofweek convention (0=Sunday) in the SQL,
+    * which the Spark implementation maps explicitly (dayofweek(x)-1, since
+    * Spark's is 1=Sunday) — running the DuckDB text in Spark is off by one
+    * BY DESIGN (the dialect mapping is the query's point).
+    */
+  private val dialectExceptions = Set("q93_week_trunc")
 
-  ansiQueries.foreach { name =>
-    test(s"$name: spark.sql(oracle text) == DataFrame implementation") {
-      viewsReady
-      val q = queries.Registry.all.find(_.name == name).get
-      val fromApi = q.run(spark, dir).collect().map(_.toSeq).toSeq
-      val fromSql = spark.sql(q.oracle.get).collect().map(_.toSeq).toSeq
-      assert(fromApi == fromSql,
-        s"DataFrame and spark.sql results diverge for $name")
+  test("every Spark-parseable oracle returns exactly the DataFrame implementation's rows") {
+    viewsReady
+    var parsed = 0
+    val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
+    queries.Registry.all.foreach { q =>
+      q.oracle.filter(_ => !dialectExceptions(q.name)).foreach { sql =>
+        // DuckDB-only constructs (list_*, //, epoch_us, ::casts) fail to
+        // parse in Spark and are skipped; everything that parses must match
+        val df = try Some(spark.sql(sql)) catch { case _: Throwable => None }
+        df.foreach { d =>
+          parsed += 1
+          val ok = try {
+            d.collect().map(_.toSeq).toSeq ==
+              q.run(spark, dir).collect().map(_.toSeq).toSeq
+          } catch { case _: Throwable => false }
+          if (!ok) mismatches += q.name
+        }
+      }
     }
+    assert(mismatches.isEmpty, s"SQL front door diverges for: $mismatches")
+    // regression guard: the shared ANSI subset must not silently shrink
+    assert(parsed >= 40, s"only $parsed oracles parsed in Spark (expected >= 40)")
   }
 }
