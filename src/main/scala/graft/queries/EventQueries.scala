@@ -293,7 +293,38 @@ object EventQueries {
              floor((CAST(n AS DOUBLE) / total) * 1e6 + 0.5) / 1e6 AS share
       FROM tr CROSS JOIN tot ORDER BY from_type, to_type"""))
 
+  /** 10-minute windows sliding every 5 minutes: each event lands in exactly
+    * two windows (window start = the two 5-min slots at or before ts).
+    * Batch twin of Structured Streaming's window(ts, "10 min", "5 min") as
+    * pure integer bucket arithmetic — the slide explodes each event into
+    * its window starts, then one hash aggregation; both engines agree
+    * exactly.
+    */
+  val q109SlidingWindow: QueryDef = QueryDef(
+    "q109_sliding_window",
+    (s, dir) => {
+      val slideUs = 300000000L // 5 min
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          expr(s"(unix_micros(ts) div $slideUs) * $slideUs").as("slot_us"))
+        .select(col("event_type"), col("value"),
+          explode(array(col("slot_us") - slideUs, col("slot_us"))).as("win_start_us"))
+        .groupBy("win_start_us", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("win_start_us", "event_type")
+    },
+    Some(s"""
+      WITH slotted AS (SELECT event_type, value,
+                         (epoch_us(ts) // 300000000) * 300000000 AS slot_us
+                       FROM events),
+      exploded AS (SELECT event_type, value,
+                     unnest([slot_us - 300000000, slot_us]) AS win_start_us
+                   FROM slotted)
+      SELECT win_start_us, event_type, count(*) AS n,
+             ${dsumSql("value")} AS sum_value
+      FROM exploded GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(q37TumblingWindow, q38Sessionize, q80Funnel,
     q89CohortRetention, q90Gini, q91GapFill, q97SequencePattern,
-    q106TimeWeightedAvg, q107EventTransitions)
+    q106TimeWeightedAvg, q107EventTransitions, q109SlidingWindow)
 }

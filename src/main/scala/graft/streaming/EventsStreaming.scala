@@ -29,6 +29,18 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding windows (10 minutes every 5): each event contributes to two
+    * overlapping windows; state is bounded by the watermark exactly as for
+    * tumbling. Batch twin: EventQueries.q109 (integer slot arithmetic, same
+    * buckets).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Per-user running noise/value state via mapGroupsWithState: emits
     * (user_id, n_events, total_value) updated per micro-batch. The
     * KeyValueGroupedDataset custom-state path for semantics window functions

@@ -212,6 +212,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sliding windows equal the batch run; events land in two windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.slidingCounts(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventsStreaming.slidingCounts(toDF(rows))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // every event is counted exactly twice across overlapping windows
+      assert(batch.map(_.getAs[Long]("n")).sum == 2L * rows.size)
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags arriving docs against the static eval set") {
     implicit val sqlCtx = spark.sqlContext
     // static eval set: one doc whose 4-grams are known
