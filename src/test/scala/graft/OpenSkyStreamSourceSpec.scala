@@ -86,6 +86,35 @@ class OpenSkyStreamSourceSpec extends SparkTestBase {
     assert(parts.length == 1)
   }
 
+  test("restart from a real checkpoint resumes mid-log without re-delivering") {
+    val dir = Files.createTempDirectory("snaps_restart")
+    (0 until 4).foreach { i =>
+      Files.writeString(Paths.get(dir.toString, s"s$i.json"), snapshot(s"C$i", i + 1))
+    }
+    val paths = (0 until 4).map(i => s"$dir/s$i.json").mkString(",")
+    val checkpoint = Files.createTempDirectory("snaps_ckpt").toString
+    val out = Files.createTempDirectory("snaps_out").toString
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.OpenSkyStreamProvider")
+        .option("paths", paths)
+        .load()
+        .select("icao24", "origin_country")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "drain did not terminate")
+    }
+    run() // first run drains all four snapshots
+    run() // second run from the same checkpoint: nothing new, nothing twice
+    val rows = spark.read.parquet(out).groupBy("origin_country")
+      .agg(count(lit(1)).as("n")).orderBy("origin_country").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("C0", 1L), ("C1", 2L), ("C2", 3L), ("C3", 4L)),
+      s"restart re-delivered or dropped rows: $rows")
+  }
+
   test("mode=live polls the endpoint per batch and AvailableNow stops after one poll") {
     import java.net.InetSocketAddress
     import java.nio.charset.StandardCharsets
