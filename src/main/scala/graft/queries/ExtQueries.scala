@@ -747,6 +747,34 @@ object ExtQueries {
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_nationkey)
       ORDER BY c_custkey"""))
 
+  /** NTILE decile assignment (the one ranking function q94 doesn't cover)
+    * with per-decile occupancy and balance stats. The order key carries a
+    * unique tiebreak (c_custkey) so bucket boundaries are deterministic;
+    * both engines give the first (n mod 10) buckets the extra row.
+    */
+  val q110DecileStats: QueryDef = QueryDef(
+    "q110_decile_stats",
+    (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min("c_acctbal").as("bal_lo"), max("c_acctbal").as("bal_hi"),
+          dsum(col("c_acctbal")).as("bal_sum"))
+        .orderBy("decile")
+    },
+    Some(s"""
+      SELECT decile, count(*) AS n,
+             min(c_acctbal) AS bal_lo, max(c_acctbal) AS bal_hi,
+             ${dsumSql("c_acctbal")} AS bal_sum
+      FROM (SELECT c_custkey, c_acctbal,
+              CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER)
+                AS decile
+            FROM customer)
+      GROUP BY decile ORDER BY decile"""))
+
   /** Correlated EXISTS / NOT EXISTS in SQL form (plans as semi/anti joins —
     * q05/q06 are the DataFrame duals).
     */
@@ -851,5 +879,5 @@ object ExtQueries {
     q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
     q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality,
     q86ChiSquare, q87IntervalJoin, q88ArgMax, q92NullHandling, q93WeekTrunc,
-    q94RankFamily, q95Exists, q96Scd2Merge, q98HilbertKey)
+    q94RankFamily, q95Exists, q96Scd2Merge, q98HilbertKey, q110DecileStats)
 }
