@@ -232,6 +232,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("lake ingest: file stream over events parquet, one file per trigger") {
+    // the standard lake pattern: a directory of parquet files consumed as a
+    // stream (maxFilesPerTrigger = admission control), aggregated with the
+    // SAME transform as batch. The lake files are written through
+    // Tables.load, which already normalizes the fixture's TIMESTAMP(NANOS)
+    // to micros — so the stream reads plain timestamps.
+    val dir = java.nio.file.Files.createTempDirectory("events_lake").toString
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // two files -> two micro-batches
+    batch.repartition(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsStreaming.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("lake_ingest_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("lake_ingest_test")
+        .orderBy("window_start", "event_type").collect()
+      val expected = EventsStreaming.tumblingCounts(batch)
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.toSeq == expected.toSeq)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        q.recentProgress.toSeq.map(_.numInputRows))
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags arriving docs against the static eval set") {
     implicit val sqlCtx = spark.sqlContext
     // static eval set: one doc whose 4-grams are known
