@@ -75,21 +75,30 @@ object OpenSkyLive {
   private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
 
-  /** Bearer tokens cached per (tokenUrl, clientId) until shortly before
-    * their `expires_in` — a poll-per-trigger stream must not re-run the
-    * OAuth2 handshake on every micro-batch (the auth endpoint is the
-    * rate-limited one; the reference fetches one token per RUN,
-    * functions.py:23-38, and so do we per expiry window).
+  /** Bearer tokens cached per (tokenUrl, clientId, secret-digest) until
+    * shortly before their `expires_in` — a poll-per-trigger stream must not
+    * re-run the OAuth2 handshake on every micro-batch (the auth endpoint is
+    * the rate-limited one; the reference fetches one token per RUN,
+    * functions.py:23-38, and so do we per expiry window). The secret is part
+    * of the key (as a digest, never stored raw) so a rotated credential
+    * mints a fresh token instead of silently riding the old one.
     */
   private val tokenCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), (String, Long)]()
+
+  private def secretDigest(secret: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(secret.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  }
 
   private def bearerToken(tokenUrl: String, id: String, secret: String,
-                          timeout: Duration): String = {
-    val key = (tokenUrl, id)
+                          timeout: Duration, forceRefresh: Boolean): String = {
+    val key = (tokenUrl, id, secretDigest(secret))
     val now = System.nanoTime()
-    val cached = tokenCache.get(key)
-    if (cached != null && cached._2 > now) return cached._1
+    if (!forceRefresh) {
+      val cached = tokenCache.get(key)
+      if (cached != null && cached._2 > now) return cached._1
+    }
     val form = s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}"
     val tokenReq = HttpRequest.newBuilder(URI.create(tokenUrl)).timeout(timeout)
       .header("Content-Type", "application/x-www-form-urlencoded")
@@ -105,21 +114,32 @@ object OpenSkyLive {
     token
   }
 
-  /** One authenticated snapshot fetch; returns the raw response body. */
+  /** One authenticated snapshot fetch; returns the raw response body. A 401/
+    * 403 on the states endpoint invalidates the cached token and retries
+    * once with a fresh handshake — server-side revocation or early expiry
+    * must self-heal within one poll, as the handshake-per-call design did.
+    */
   def fetch(options: Map[String, String], filters: Array[Filter]): String = {
     val timeout = Duration.ofMillis(options.getOrElse("timeoutMs", "10000").toLong)
     val (id, secret) = credentials(options)
     val tokenUrl = options.getOrElse("tokenUrl", throw new IllegalArgumentException(
       "live mode requires option 'tokenUrl'"))
-    val token = bearerToken(tokenUrl, id, secret, timeout)
-
     val base = options.getOrElse("url", throw new IllegalArgumentException(
       "live mode requires option 'url'"))
     val qs = bboxParams(filters).map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
     val full = if (qs.isEmpty) base else s"$base${if (base.contains("?")) "&" else "?"}$qs"
-    val statesReq = HttpRequest.newBuilder(URI.create(full)).timeout(timeout)
-      .header("Authorization", s"Bearer $token").GET().build()
-    val resp = client.send(statesReq, HttpResponse.BodyHandlers.ofString())
+
+    def get(forceRefresh: Boolean): HttpResponse[String] = {
+      val token = bearerToken(tokenUrl, id, secret, timeout, forceRefresh)
+      val statesReq = HttpRequest.newBuilder(URI.create(full)).timeout(timeout)
+        .header("Authorization", s"Bearer $token").GET().build()
+      client.send(statesReq, HttpResponse.BodyHandlers.ofString())
+    }
+    val first = get(forceRefresh = false)
+    val resp =
+      if (first.statusCode() == 401 || first.statusCode() == 403)
+        get(forceRefresh = true)
+      else first
     require(resp.statusCode() / 100 == 2,
       s"states endpoint returned ${resp.statusCode()}")
     resp.body()

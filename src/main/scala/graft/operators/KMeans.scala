@@ -80,7 +80,9 @@ object KMeans {
         // an entry whose session has been stopped throws from unpersist
         // (no block manager to talk to) — its blocks died with the session,
         // so a failed release must not abort the sweep or the caller's fit
-        try evicted.unpersist() catch { case _: Throwable => () }
+        // (NonFatal only: interrupts and OOMs must still propagate)
+        try evicted.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     fitCache.computeIfAbsent((frameTokens.of(embeddings), k, iters), _ => {

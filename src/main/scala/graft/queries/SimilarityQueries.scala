@@ -184,18 +184,24 @@ object SimilarityQueries {
   /** Multimodal resize plumbing (operators.Multimodal.resize): binary in →
     * stride-resampled binary out, metadata recomputed. The oracle checks the
     * public contract — resampled length and the portable byte-sum checksum.
+    * The Spark side resamples UTF-8 BYTES while SQL-side per-byte access is
+    * only practical over characters, so both sides filter to pure-ASCII
+    * rows (octet_length == char length ⇒ byte i == codepoint i) — the query
+    * is data-independent rather than fixture-trusting.
     */
   val q108MultimodalResize: QueryDef = QueryDef(
     "q108_multimodal_resize",
     (s, dir) => {
-      val media = Multimodal.attachPayload(Tables.load(s, dir, "documents"))
-      Multimodal.resize(media, 256).toDF()
+      val ascii7 = Tables.load(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")))
+      Multimodal.resize(Multimodal.attachPayload(ascii7), 256).toDF()
         .select(col("doc_id"), col("meta.nBytes").as("n_resized"),
           col("meta.checksum").as("resized_checksum"))
         .orderBy("doc_id")
     },
     Some("""
-      WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents
+                 WHERE octet_length(encode(text)) = length(text)),
       s AS (SELECT doc_id, text, n,
               greatest(1, (n + 255) // 256) AS stride FROM t)
       SELECT doc_id,

@@ -17,17 +17,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStreaming {
 
+  /** One definition of the windowed count/sum aggregation — tumbling and
+    * sliding differ ONLY in the window spec, so the watermark horizon, agg
+    * columns, and output names cannot drift between the two oracle-checked
+    * twins (q37 / q109).
+    */
+  private def windowedCounts(events: DataFrame, length: String, slide: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), length, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Tumbling 5-minute window aggregation with a 10-minute watermark:
     * count + sum(value) per (window, event_type). Late rows beyond the
     * watermark are dropped in streaming mode; on a batch frame the watermark
     * is a no-op and results equal EventQueries.q37's buckets.
     */
   def tumblingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    windowedCounts(events, "5 minutes", "5 minutes")
 
   /** Sliding windows (10 minutes every 5): each event contributes to two
     * overlapping windows; state is bounded by the watermark exactly as for
@@ -35,11 +43,7 @@ object EventsStreaming {
     * buckets).
     */
   def slidingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    windowedCounts(events, "10 minutes", "5 minutes")
 
   /** Per-user running noise/value state via mapGroupsWithState: emits
     * (user_id, n_events, total_value) updated per micro-batch. The

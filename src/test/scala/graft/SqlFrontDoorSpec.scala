@@ -21,9 +21,18 @@ class SqlFrontDoorSpec extends SparkTestBase {
     */
   private val dialectExceptions = Set("q93_week_trunc")
 
+  /** Core relational queries whose oracles MUST stay in the shared ANSI
+    * subset — these may never silently drop out of the sweep (an edit that
+    * makes one unparseable in Spark fails here BY NAME, not as a -1 in the
+    * parsed count).
+    */
+  private val mustParse = Set(
+    "q01_pricing_summary", "q04_nation_revenue", "q44_full_outer",
+    "q59_group_having", "q60_in_subquery", "q95_exists")
+
   test("every Spark-parseable oracle returns exactly the DataFrame implementation's rows") {
     viewsReady
-    var parsed = 0
+    val parsedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
     queries.Registry.all.foreach { q =>
       q.oracle.filter(_ => !dialectExceptions(q.name)).foreach { sql =>
@@ -31,7 +40,7 @@ class SqlFrontDoorSpec extends SparkTestBase {
         // parse in Spark and are skipped; everything that parses must match
         val df = try Some(spark.sql(sql)) catch { case _: Throwable => None }
         df.foreach { d =>
-          parsed += 1
+          parsedNames += q.name
           val ok = try {
             d.collect().map(_.toSeq).toSeq ==
               q.run(spark, dir).collect().map(_.toSeq).toSeq
@@ -41,7 +50,11 @@ class SqlFrontDoorSpec extends SparkTestBase {
       }
     }
     assert(mismatches.isEmpty, s"SQL front door diverges for: $mismatches")
-    // regression guard: the shared ANSI subset must not silently shrink
-    assert(parsed >= 40, s"only $parsed oracles parsed in Spark (expected >= 40)")
+    val missing = mustParse -- parsedNames.toSet
+    assert(missing.isEmpty, s"core ANSI oracles no longer run in Spark: $missing")
+    // regression guard at the CURRENT subset size: growing is fine, any
+    // shrink is a deliberate dialect decision that must update this number
+    assert(parsedNames.size >= 42,
+      s"only ${parsedNames.size} oracles parsed in Spark (expected >= 42)")
   }
 }
