@@ -2,7 +2,7 @@ package graft
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.atomic.AtomicReference
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.functions._
@@ -69,6 +69,39 @@ class OpenSkyLiveSpec extends SparkTestBase {
       val params = statesQuery.get.split("&").toSet
       assert(params == Set("lamin=47.0", "lamax=48.0", "lomin=-2.0", "lomax=-1.0"),
         statesQuery.get)
+    } finally server.stop(0)
+  }
+
+  test("a 401 from the states endpoint triggers one re-auth and self-heals") {
+    val tokenCalls = new AtomicInteger(0)
+    val statesCalls = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      val n = tokenCalls.incrementAndGet()
+      respond(ex, 200, s"""{"access_token": "tok-$n", "expires_in": 3600}""")
+    })
+    server.createContext("/states", (ex: HttpExchange) => {
+      // the first token is treated as revoked server-side
+      if (ex.getRequestHeaders.getFirst("Authorization") == "Bearer tok-1") {
+        statesCalls.incrementAndGet()
+        respond(ex, 401, "revoked")
+      } else {
+        statesCalls.incrementAndGet()
+        respond(ex, 200, payload)
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val body = graft.ingest.OpenSkyLive.fetch(Map(
+        "url" -> s"http://127.0.0.1:$port/states",
+        "tokenUrl" -> s"http://127.0.0.1:$port/token",
+        // unique creds so this test never reuses another test's cached token
+        "clientId" -> "cid-retry", "clientSecret" -> "s-retry"), Array.empty)
+      assert(body.contains("39c4a1"))
+      assert(tokenCalls.get == 2, s"expected re-auth, got ${tokenCalls.get} token calls")
+      assert(statesCalls.get == 2, s"expected one retry, got ${statesCalls.get} states calls")
     } finally server.stop(0)
   }
 
