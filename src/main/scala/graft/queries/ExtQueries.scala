@@ -775,6 +775,41 @@ object ExtQueries {
             FROM customer)
       GROUP BY decile ORDER BY decile"""))
 
+  /** Recursive CTE (Spark 4.x WITH RECURSIVE): walk the implicit binary
+    * tree parent(c) = c div 2 over customer keys from the root, computing
+    * each customer's depth — a genuine fixpoint recursion (each level is a
+    * frontier join), aggregated to per-depth occupancy. Integer-only, so
+    * both engines agree exactly; recursion depth is log2(|customer|),
+    * far under Spark's recursion level limit. The DataFrame dual of this
+    * machinery is Dedup.dedupClusters' iterative min-label propagation
+    * (q58), which hash-matches a recursive-CTE oracle the same way.
+    */
+  val q111RecursiveDepth: QueryDef = QueryDef(
+    "q111_recursive_depth",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer111")
+      s.sql("""
+        WITH RECURSIVE d(c_custkey, depth) AS (
+          SELECT c_custkey, 0 FROM customer111 WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, d.depth + 1
+          FROM customer111 c JOIN d ON (c.c_custkey div 2) = d.c_custkey
+          WHERE c.c_custkey > 1)
+        SELECT depth, count(*) AS n,
+               min(c_custkey) AS key_lo, max(c_custkey) AS key_hi
+        FROM d GROUP BY depth ORDER BY depth""")
+    },
+    Some("""
+      WITH RECURSIVE d(c_custkey, depth) AS (
+        SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1
+        UNION ALL
+        SELECT c.c_custkey, d.depth + 1
+        FROM customer c JOIN d ON (c.c_custkey // 2) = d.c_custkey
+        WHERE c.c_custkey > 1)
+      SELECT depth, count(*) AS n,
+             min(c_custkey) AS key_lo, max(c_custkey) AS key_hi
+      FROM d GROUP BY depth ORDER BY depth"""))
+
   /** Correlated EXISTS / NOT EXISTS in SQL form (plans as semi/anti joins —
     * q05/q06 are the DataFrame duals).
     */
@@ -879,5 +914,6 @@ object ExtQueries {
     q76ZorderKey, q78ApproxPercentile, q79IvfMultiprobe, q81SetOpsAll,
     q82ScalarSubquery, q83RegexSuite, q84FuzzyJoin, q85DataQuality,
     q86ChiSquare, q87IntervalJoin, q88ArgMax, q92NullHandling, q93WeekTrunc,
-    q94RankFamily, q95Exists, q96Scd2Merge, q98HilbertKey, q110DecileStats)
+    q94RankFamily, q95Exists, q96Scd2Merge, q98HilbertKey, q110DecileStats,
+    q111RecursiveDepth)
 }
