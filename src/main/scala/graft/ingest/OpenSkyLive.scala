@@ -91,14 +91,19 @@ object OpenSkyLive {
     md.digest(secret.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
   }
 
+  /** Returns (token, fromCache). Expired entries are swept on every miss,
+    * so rotated credentials cannot accumulate dead entries for the JVM
+    * lifetime (the expiry check alone only gates reads, never evicts).
+    */
   private def bearerToken(tokenUrl: String, id: String, secret: String,
-                          timeout: Duration, forceRefresh: Boolean): String = {
+                          timeout: Duration, forceRefresh: Boolean): (String, Boolean) = {
     val key = (tokenUrl, id, secretDigest(secret))
     val now = System.nanoTime()
     if (!forceRefresh) {
       val cached = tokenCache.get(key)
-      if (cached != null && cached._2 > now) return cached._1
+      if (cached != null && cached._2 > now) return (cached._1, true)
     }
+    tokenCache.entrySet().removeIf(e => e.getValue._2 <= now)
     val form = s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}"
     val tokenReq = HttpRequest.newBuilder(URI.create(tokenUrl)).timeout(timeout)
       .header("Content-Type", "application/x-www-form-urlencoded")
@@ -111,7 +116,7 @@ object OpenSkyLive {
     // refresh 30s before expiry; default 5 min when the server omits it
     val expiresSec = Option(node.get("expires_in")).map(_.asLong).getOrElse(300L)
     tokenCache.put(key, (token, now + math.max(1L, expiresSec - 30L) * 1000000000L))
-    token
+    (token, false)
   }
 
   /** One authenticated snapshot fetch; returns the raw response body. A 401/
@@ -129,16 +134,20 @@ object OpenSkyLive {
     val qs = bboxParams(filters).map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
     val full = if (qs.isEmpty) base else s"$base${if (base.contains("?")) "&" else "?"}$qs"
 
-    def get(forceRefresh: Boolean): HttpResponse[String] = {
-      val token = bearerToken(tokenUrl, id, secret, timeout, forceRefresh)
+    def get(forceRefresh: Boolean): (HttpResponse[String], Boolean) = {
+      val (token, fromCache) = bearerToken(tokenUrl, id, secret, timeout, forceRefresh)
       val statesReq = HttpRequest.newBuilder(URI.create(full)).timeout(timeout)
         .header("Authorization", s"Bearer $token").GET().build()
-      client.send(statesReq, HttpResponse.BodyHandlers.ofString())
+      (client.send(statesReq, HttpResponse.BodyHandlers.ofString()), fromCache)
     }
-    val first = get(forceRefresh = false)
+    val (first, usedCachedToken) = get(forceRefresh = false)
+    // retry ONLY when the rejected token was a cache hit (server-side
+    // revocation): a fresh token that is rejected would be rejected again,
+    // and the blind retry would double load on the rate-limited auth
+    // endpoint for every hard failure
     val resp =
-      if (first.statusCode() == 401 || first.statusCode() == 403)
-        get(forceRefresh = true)
+      if ((first.statusCode() == 401 || first.statusCode() == 403) && usedCachedToken)
+        get(forceRefresh = true)._1
       else first
     require(resp.statusCode() / 100 == 2,
       s"states endpoint returned ${resp.statusCode()}")

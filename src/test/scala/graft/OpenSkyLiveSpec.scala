@@ -72,9 +72,10 @@ class OpenSkyLiveSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
-  test("a 401 from the states endpoint triggers one re-auth and self-heals") {
+  test("a revoked CACHED token triggers one re-auth and self-heals; fresh rejections don't loop") {
     val tokenCalls = new AtomicInteger(0)
     val statesCalls = new AtomicInteger(0)
+    val revoked = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/token", (ex: HttpExchange) => {
       ex.getRequestBody.readAllBytes()
@@ -82,26 +83,28 @@ class OpenSkyLiveSpec extends SparkTestBase {
       respond(ex, 200, s"""{"access_token": "tok-$n", "expires_in": 3600}""")
     })
     server.createContext("/states", (ex: HttpExchange) => {
-      // the first token is treated as revoked server-side
-      if (ex.getRequestHeaders.getFirst("Authorization") == "Bearer tok-1") {
-        statesCalls.incrementAndGet()
-        respond(ex, 401, "revoked")
-      } else {
-        statesCalls.incrementAndGet()
-        respond(ex, 200, payload)
-      }
+      statesCalls.incrementAndGet()
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      if (revoked.containsKey(auth)) respond(ex, 401, "revoked")
+      else respond(ex, 200, payload)
     })
     server.start()
     try {
       val port = server.getAddress.getPort
-      val body = graft.ingest.OpenSkyLive.fetch(Map(
+      val opts = Map(
         "url" -> s"http://127.0.0.1:$port/states",
         "tokenUrl" -> s"http://127.0.0.1:$port/token",
         // unique creds so this test never reuses another test's cached token
-        "clientId" -> "cid-retry", "clientSecret" -> "s-retry"), Array.empty)
-      assert(body.contains("39c4a1"))
-      assert(tokenCalls.get == 2, s"expected re-auth, got ${tokenCalls.get} token calls")
-      assert(statesCalls.get == 2, s"expected one retry, got ${statesCalls.get} states calls")
+        "clientId" -> "cid-retry", "clientSecret" -> "s-retry")
+      // fetch 1: fresh handshake (tok-1), accepted — primes the cache
+      assert(graft.ingest.OpenSkyLive.fetch(opts, Array.empty).contains("39c4a1"))
+      assert(tokenCalls.get == 1 && statesCalls.get == 1)
+      // the server now revokes tok-1; the next fetch hits 401 on the CACHED
+      // token, re-authenticates once (tok-2), and succeeds
+      revoked.put("Bearer tok-1", true)
+      assert(graft.ingest.OpenSkyLive.fetch(opts, Array.empty).contains("39c4a1"))
+      assert(tokenCalls.get == 2, s"expected one re-auth, got ${tokenCalls.get}")
+      assert(statesCalls.get == 3, s"expected 401 + retry, got ${statesCalls.get}")
     } finally server.stop(0)
   }
 
