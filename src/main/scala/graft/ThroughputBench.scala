@@ -47,8 +47,13 @@ object ThroughputBench {
         while (next != null) {
           val (name, fn) = next
           val s0 = System.nanoTime()
+          // NonFatal only: an OOM or JVM error must abort the bench, not
+          // degrade into a low failure count under a misleading headline
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => failures.add(name) }
+          catch {
+            case scala.util.control.NonFatal(t) =>
+              failures.add(s"$name:${t.getClass.getSimpleName}")
+          }
           aggregateNanos.addAndGet(System.nanoTime() - s0)
           next = work.poll()
         }

@@ -66,7 +66,13 @@ object OpenSkyLive {
           "live mode requires clientId+clientSecret or credFile"))
         val node = new ObjectMapper().readTree(
           java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-        (node.get("clientId").asText(), node.get("clientSecret").asText())
+        def key(k: String): String = {
+          val v = node.get(k)
+          if (v == null || v.isNull) throw new IllegalArgumentException(
+            s"credFile missing '$k': $path")
+          v.asText()
+        }
+        (key("clientId"), key("clientSecret"))
     }
 
   /** One shared client per JVM (connection pooling); per-request timeouts
@@ -131,7 +137,18 @@ object OpenSkyLive {
       "live mode requires option 'tokenUrl'"))
     val base = options.getOrElse("url", throw new IllegalArgumentException(
       "live mode requires option 'url'"))
-    val qs = bboxParams(filters).map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+    // bbox precedence: filters the scan pushed down win; explicit
+    // lamin/lamax/lomin/lomax OPTIONS fill the gaps. Streaming live mode has
+    // no filter-pushdown channel (micro-batch planning sees no predicates),
+    // so options are its only way to keep every poll from downloading the
+    // full global state vector set.
+    val pushed = bboxParams(filters).toMap
+    val optioned = Seq("lamin", "lamax", "lomin", "lomax").flatMap { k =>
+      // toDouble round-trip: fail fast on non-numeric, normalize the wire form
+      options.get(k).map(v => k -> v.toDouble.toString)
+    }.toMap
+    val qs = (optioned ++ pushed).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
     val full = if (qs.isEmpty) base else s"$base${if (base.contains("?")) "&" else "?"}$qs"
 
     def get(forceRefresh: Boolean): (HttpResponse[String], Boolean) = {

@@ -87,11 +87,14 @@ object KMeans {
     }
     fitCache.computeIfAbsent((frameTokens.of(embeddings), k, iters), _ => {
       val e = embeddings.select(col("vec_id"), col("embedding")).cache()
+      // the round frame currently persisted but not yet owned by a cache
+      // entry — unpersisted if the fit throws before the entry is installed,
+      // so failing fits cannot accumulate orphaned storage blocks
+      var live: DataFrame = null
       try {
         var centroids = e.filter(col("vec_id") < k)
           .select(col("vec_id").as("cluster"),
             transform(col("embedding"), _.cast("double")).as("centroid"))
-        var prev: DataFrame = null
         var iter = 0
         while (iter < iters) {
           val byDim = assignments(e, centroids)
@@ -106,12 +109,22 @@ object KMeans {
           // materialize THIS round before releasing the previous one, so
           // unpersisting never forces a later action to re-derive the chain
           centroids.count()
-          if (prev != null) prev.unpersist()
-          prev = centroids
+          if (live != null) live.unpersist()
+          live = centroids
           iter += 1
         }
-        if (iters == 0) { centroids = centroids.cache(); centroids.count() }
+        if (iters == 0) {
+          centroids = centroids.cache(); live = centroids; centroids.count()
+        }
+        live = null // ownership transfers to the installed cache entry
         centroids
+      } catch {
+        case t: Throwable =>
+          if (live != null) {
+            try live.unpersist()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          throw t
       } finally e.unpersist()
     })
   }

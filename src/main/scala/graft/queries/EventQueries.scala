@@ -118,15 +118,17 @@ object EventQueries {
     * per-user totals (decimal-exact), then
     * G = (2·Σ i·x_i)/(n·Σ x_i) − (n+1)/n over the sorted series. Every sum
     * is an exact scaled long, so the coefficient is bit-identical across
-    * engines and partitionings.
+    * engines and partitionings. The global rank is the distributed two-phase
+    * form (graft.operators.Ranks) — no single-partition window anywhere in
+    * the plan, so the ranking scales with the user count.
     */
   val q90Gini: QueryDef = QueryDef(
     "q90_gini",
     (s, dir) => {
       val spend = Tables.load(s, dir, "events")
         .groupBy("user_id").agg(dsum(col("value")).as("x"))
-      val w = Window.orderBy(col("x"), col("user_id"))
-      val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+      val ranked = graft.operators.Ranks
+        .globalRowNumber(spend, Seq(col("x"), col("user_id")), "i")
         .withColumn("cx", floor(col("x") * 100 + 0.5).cast("long"))
       ranked.agg(count(lit(1)).as("n"), sum(col("cx")).as("sx"),
           sum(col("i") * col("cx")).as("six"))

@@ -172,9 +172,11 @@ object ExtQueries {
     * map_concat can never hit a duplicate key under the default
     * spark.sql.mapKeyDedupPolicy=EXCEPTION, whatever the data holds. n_keys
     * and keys_csv are computed from the actual key set on both sides, not
-    * hardcoded to the fixture's {"k": int} shape. (Residual contract: map
-    * VALUES must be int-coercible — from_json nulls the whole map otherwise,
-    * which the guard then drops on the Spark side only.)
+    * hardcoded to the fixture's {"k": int} shape. Map VALUES must be
+    * int-coercible or from_json nulls the whole map — the oracle applies the
+    * same value-shape guard (every key's json_type integer-typed and in int32
+    * range), so both sides drop such rows on arbitrary data, not just on the
+    * fixture. (Residual: oracle path building assumes keys without '.'.)
     */
   val q73MapFuncs: QueryDef = QueryDef(
     "q73_map_funcs",
@@ -204,6 +206,10 @@ object ExtQueries {
       WHERE props IS NOT NULL
         AND list_contains(json_keys(props), 'k')
         AND NOT list_contains(json_keys(props), 'kk')
+        AND len(list_filter(json_keys(props), key ->
+              json_type(props, '$.' || key) NOT IN ('BIGINT', 'UBIGINT')
+              OR CAST(json_extract_string(props, '$.' || key) AS BIGINT)
+                   NOT BETWEEN -2147483648 AND 2147483647)) = 0
       ORDER BY event_id"""))
 
   /** DuckDB squared-L2 via the dot-product identity — same sequential
@@ -750,15 +756,17 @@ object ExtQueries {
   /** NTILE decile assignment (the one ranking function q94 doesn't cover)
     * with per-decile occupancy and balance stats. The order key carries a
     * unique tiebreak (c_custkey) so bucket boundaries are deterministic;
-    * both engines give the first (n mod 10) buckets the extra row.
+    * both engines give the first (n mod 10) buckets the extra row. Computed
+    * from the distributed global row number (graft.operators.Ranks), not a
+    * single-partition ntile window — same SQL semantics, scalable plan.
     */
   val q110DecileStats: QueryDef = QueryDef(
     "q110_decile_stats",
     (s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.load(s, dir, "customer")
+      val c = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
-        .withColumn("decile", ntile(10).over(w))
+      graft.operators.Ranks
+        .globalNtile(c, Seq(col("c_acctbal"), col("c_custkey")), 10, "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           min("c_acctbal").as("bal_lo"), max("c_acctbal").as("bal_hi"),

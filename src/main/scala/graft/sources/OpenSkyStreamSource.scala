@@ -86,6 +86,11 @@ final case class OpenSkySnapshotLog(paths: Seq[String]) extends SnapshotFeed {
   * reproducible data (exactly the reference's snapshot semantics; a replayed
   * pipeline should persist raw payloads via foreachBatch and re-run from the
   * `paths` log instead).
+  *
+  * Streaming planning has no filter-pushdown channel, so the bbox rides in as
+  * OPTIONS (`lamin`/`lamax`/`lomin`/`lomax` — OpenSkyLive.fetch merges them
+  * into the query string); without them every poll downloads the full global
+  * state vector set and Spark filters downstream.
   */
 final case class OpenSkyLiveFeed(options: Map[String, String]) extends SnapshotFeed {
   override def nextOffset(start: Long, drainAll: Boolean): Long = start + 1

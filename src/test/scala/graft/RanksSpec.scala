@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranks
+
+/** The distributed global-rank operator: exact row numbers and ntile
+  * assignments against single-partition window references, invariance under
+  * partition count, and the no-single-partition-window plan property.
+  */
+class RanksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomDf(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    // duplicate-heavy value column; id is the unique tiebreaker
+    Seq.tabulate(n)(i => (rnd.nextInt(20).toLong, i.toLong))
+      .toDF("v", "id")
+      .repartition(7) // uneven, deliberately unrelated to the sort
+  }
+
+  test("globalRowNumber matches the single-partition window reference") {
+    val df = randomDf(500, 1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+    val want = df.withColumn("i", row_number().over(w).cast("long"))
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    val got = Ranks.globalRowNumber(df, Seq(col("v"), col("id")), "i")
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("globalRowNumber is invariant under shuffle partition count") {
+    def run(parts: String): Map[Long, Long] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Ranks.globalRowNumber(randomDf(500, 2), Seq(col("v"), col("id")), "i")
+        .select("id", "i").as[(Long, Long)].collect().toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(run("3") == run("16"))
+  }
+
+  test("globalNtile matches ntile() for sizes straddling the tile count") {
+    for (n <- Seq(7, 10, 503); k <- Seq(4, 10)) {
+      val df = randomDf(n, n * 31 + k)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+      val want = df.withColumn("t", ntile(k).over(w))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val got = Ranks.globalNtile(df, Seq(col("v"), col("id")), k, "t")
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
+  test("plan contains no empty-partition-spec window") {
+    val plan = Ranks.globalRowNumber(randomDf(50, 3), Seq(col("v"), col("id")), "i")
+      .queryExecution.executedPlan
+    val bad = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"single-partition windows in plan: $bad")
+  }
+}
