@@ -8,7 +8,8 @@ object Registry {
   val all: Seq[QueryDef] =
     RelationalQueries.all ++ NoiseQueries.all ++ DedupQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++
-      RelationalQueries2.all ++ ExtQueries.all ++ PipelineQueries.all
+      RelationalQueries2.all ++ ExtQueries.all ++ PipelineQueries.all ++
+      Round4Queries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det
+import graft.operators.BloomPrune
+
+/** Round-4 surface: bloom-accelerated semi-join pruning, PII redaction, and
+  * character-entropy quality scoring. Determinism per [[graft.functions.Det]].
+  */
+object Round4Queries {
+
+  /** Bloom-filter semi-join pruning ([[graft.operators.BloomPrune]]): high-
+    * value orders' keys collapse to a compact bloom that prunes lineitem
+    * map-side BEFORE the shuffle; the exact semi join then removes false
+    * positives, so the result is plain `l_orderkey IN (...)` semantics. At
+    * 100 TB this is the difference between shuffling every probe row and
+    * shuffling only candidates.
+    */
+  val q112BloomPrune: QueryDef = QueryDef(
+    "q112_bloom_prune",
+    (s, dir) => {
+      val hot = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000.0).select(col("o_orderkey"))
+      BloomPrune.semiJoin(Tables.load(s, dir, "lineitem"), col("l_orderkey"),
+          hot, col("o_orderkey"), expectedItems = 1000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("qty_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             ${Det.dsumSql("l_quantity")} AS qty_sum
+      FROM lineitem
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0e0)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** PII redaction — the scrubbing pass every training corpus needs before
+    * the tokenizer sees it. Deterministic synthetic PII (an email and a
+    * phone derived from doc_id) is appended to each document, then masked
+    * with single-pass regexp_replace; emitted are the match counts and the
+    * redacted tail proving the masks landed. Pure codegen'd string
+    * expressions — embarrassingly parallel, no shuffle until the final sort.
+    * (Patterns stay in the Java-regex ∩ RE2 common dialect so both engines
+    * match identical spans.)
+    */
+  val q113PiiRedact: QueryDef = QueryDef(
+    "q113_pii_redact",
+    (s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9][0-9-]{6,}[0-9]"
+      Tables.load(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .withColumn("n_emails", regexp_count(col("txt"), lit(email)).cast("int"))
+        .withColumn("n_phones", regexp_count(col("txt"), lit(phone)).cast("int"))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("txt"), email, "<EMAIL>"),
+            phone, "<PHONE>"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).cast("long").as("red_len"),
+          expr("right(redacted, 40)").as("red_tail"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com tel +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+                 FROM documents),
+      r AS (SELECT doc_id, txt,
+              regexp_replace(
+                regexp_replace(txt,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+            FROM t)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails,
+             CAST(len(regexp_extract_all(txt,
+               '\+[0-9][0-9-]{6,}[0-9]')) AS INTEGER) AS n_phones,
+             CAST(len(redacted) AS BIGINT) AS red_len,
+             right(redacted, 40) AS red_tail
+      FROM r ORDER BY doc_id"""))
+
+  /** Character-entropy quality scoring: H = log2(L) − (Σ c·log2 c)/L over
+    * per-document character counts — the cheap gibberish/boilerplate
+    * detector (near-zero entropy = repeated filler, max entropy = random
+    * bytes). The inner sum is a sequential fold over counts sorted by
+    * character, so both engines add identical terms in identical order; one
+    * hash aggregation per stage, no windows.
+    */
+  val q114CharEntropy: QueryDef = QueryDef(
+    "q114_char_entropy",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum("c").as("len"), count(lit(1)).as("n_distinct"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("ch"), col("c")))),
+              x => x.getField("c").cast("double")),
+            lit(0.0d), (acc, n) => acc + n * log2(n)).as("s"))
+        .select(col("doc_id"), col("len"), col("n_distinct").cast("long").as("n_distinct"),
+          Det.rdet(log2(col("len")) - col("s") / col("len"), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        WHERE ch != '' GROUP BY doc_id, ch),
+      agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               list_reduce(
+                 list_prepend(0.0e0,
+                   list_transform(list(CAST(c AS DOUBLE) ORDER BY ch),
+                     n -> n * log2(n))),
+                 (acc, x) -> acc + x) AS s
+        FROM counts GROUP BY doc_id)
+      SELECT doc_id, len, n_distinct,
+             floor((log2(len) - s / len) * 1e6 + 0.5) / 1e6 AS entropy
+      FROM agg ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q112BloomPrune, q113PiiRedact, q114CharEntropy)
+}
