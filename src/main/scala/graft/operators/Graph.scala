@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames. Complements
+  * [[Dedup.dedupClusters]] (connected components via min-label propagation)
+  * with the other canonical fixpoint: PageRank.
+  *
+  * Engine-portable determinism, same protocol as [[KMeans]]: rank mass is an
+  * integer in units of 1/SCALE, every per-iteration operation is integer
+  * arithmetic (long sums are order-independent; `div` truncation is
+  * deterministic), so the fixpoint is bit-identical in any engine and under
+  * any partitioning — an unrolled SQL CTE chain reproduces it exactly.
+  *
+  *   p_0(v)     = SCALE div N
+  *   p_{t+1}(v) = (15·SCALE div 100) div N  +  (85 · Σ_{u→v} p_t(u) div deg(u)) div 100
+  *
+  * (d = 0.85 damping as the 85/100 rational; dangling-node mass decays —
+  * documented standard simplification.)
+  *
+  * Distributed shape per iteration: one equi-join edges⋈ranks on src (both
+  * sides pre-partitioned on the join key after iteration 1 — AQE reuses the
+  * layout), one hash aggregation on dst, one left join back to the node set.
+  * Rounds materialize via cache-and-count exactly like KMeans so plan depth
+  * stays O(1) per iteration, not O(iters) at the end.
+  */
+object Graph {
+
+  val Scale = 1000000000L
+
+  /** Memoized per (edges frame identity, iters), KMeans-style: each entry
+    * pins exactly one persisted frame (the final round); evicted entries are
+    * unpersisted, and a fit that throws mid-iteration releases its own
+    * intermediate round before propagating.
+    */
+  private val prCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), DataFrame]()
+  private val frameTokens = new graft.IdentityTokens[DataFrame]
+
+  /** (v, p) after `iters` PageRank iterations; p in units of 1/SCALE. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    if (prCache.size > 64) {
+      val it = prCache.entrySet().iterator()
+      while (it.hasNext) {
+        val evicted = it.next().getValue
+        it.remove()
+        try evicted.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    prCache.computeIfAbsent((frameTokens.of(edges), iters), _ => {
+      val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct().cache()
+      var live: DataFrame = null
+      try {
+        val nodes = e.select(col("src").as("v"))
+          .union(e.select(col("dst").as("v"))).distinct()
+        val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+        val n = nodes.count()
+        val base = (Scale * 15L / 100L) / n // the oracle div's truncation
+        var pr = nodes.withColumn("p", lit(Scale / n))
+        if (iters == 0) { pr = pr.cache(); live = pr; pr.count() }
+        var iter = 0
+        while (iter < iters) {
+          val contrib = e.join(pr, e("src") === pr("v"))
+            .join(deg, "src")
+            .select(col("dst").as("v"), expr("p div d").as("c"))
+            .groupBy("v").agg(sum(col("c")).as("s"))
+          pr = nodes.join(contrib, Seq("v"), "left")
+            .select(col("v"),
+              (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("p"))
+            .cache()
+          pr.count() // materialize before dropping the previous round
+          if (live != null) live.unpersist()
+          live = pr
+          iter += 1
+        }
+        live = null // ownership transfers to the installed cache entry
+        pr
+      } catch {
+        case t: Throwable =>
+          if (live != null) {
+            try live.unpersist()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          throw t
+      } finally e.unpersist()
+    })
+  }
+}

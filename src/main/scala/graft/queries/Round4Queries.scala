@@ -128,5 +128,48 @@ object Round4Queries {
              floor((log2(len) - s / len) * 1e6 + 0.5) / 1e6 AS entropy
       FROM agg ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q112BloomPrune, q113PiiRedact, q114CharEntropy)
+  /** One PageRank iteration as oracle CTEs: c$k = per-node contribution sum
+    * over in-edges, p$k = damped update. Mirrors [[graft.operators.Graph]]'s
+    * integer recurrence term for term.
+    */
+  private def prIterCtes(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""c$k AS (SELECT e.dst AS v, CAST(SUM(p // d) AS BIGINT) AS s
+       |  FROM e JOIN $prev ON e.src = $prev.v JOIN deg ON e.src = deg.src
+       |  GROUP BY e.dst),
+       |p$k AS (SELECT nodes.v,
+       |    CAST(150000000 // n + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS p
+       |  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.v = c$k.v)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** PageRank over the supplier→part-bucket co-occurrence graph
+    * ([[graft.operators.Graph.pageRank]], 3 iterations). Rank mass is
+    * integer-quantized (units of 1e-9), so the distributed fixpoint is
+    * bit-identical to the oracle's unrolled CTE chain — iterative graph
+    * analytics under the same determinism protocol as the k-means fit.
+    */
+  val q115PageRank: QueryDef = QueryDef(
+    "q115_pagerank",
+    (s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"))
+      graft.operators.Graph.pageRank(edges, 3).orderBy("v")
+    },
+    Some(s"""
+      WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                   CAST(l_partkey % 100 AS BIGINT) AS dst FROM lineitem),
+      nodes AS (SELECT DISTINCT v FROM
+                  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      p0 AS (SELECT v, CAST(1000000000 // n AS BIGINT) AS p
+             FROM nodes CROSS JOIN nn),
+      ${prIterCtes(1)},
+      ${prIterCtes(2)},
+      ${prIterCtes(3)}
+      SELECT v, p FROM p3 ORDER BY v"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q112BloomPrune, q113PiiRedact, q114CharEntropy, q115PageRank)
 }
