@@ -7,13 +7,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Concurrent-stream throughput: the full query surface drained by K worker
   * threads sharing one SparkSession (the multi-tenant shape — Spark's
-  * scheduler interleaves jobs from concurrent sessions/threads; FAIR pools
-  * would bound per-stream latency, not needed for throughput here). Prints
-  * wall seconds, aggregate query-seconds, and the effective concurrency
-  * (aggregate/wall) — sequential Bench measures latency, this measures how
-  * much of it is scheduler-serializable overhead.
+  * scheduler interleaves jobs from concurrent sessions/threads). Prints
+  * wall seconds, aggregate query-seconds, the effective concurrency
+  * (aggregate/wall), and per-query latency percentiles — sequential Bench
+  * measures latency, this measures how much of it is scheduler-serializable
+  * overhead.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_STREAMS=8 sbt "runMain graft.ThroughputBench"
+  * SPARK_GRAFT_SCHEDULER=FAIR switches from the default FIFO job scheduler
+  * to FAIR with one pool per stream (each undeclared pool gets equal weight,
+  * so K concurrent streams share the cluster evenly instead of queueing
+  * behind whichever stream submitted first). FIFO maximizes throughput on a
+  * drain-the-backlog shape; FAIR bounds per-stream tail latency in the
+  * serve-many-tenants shape — the p95/max fields make the trade measurable.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_STREAMS=8 \
+  *   [SPARK_GRAFT_SCHEDULER=FAIR] sbt "runMain graft.ThroughputBench"
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
@@ -21,10 +29,12 @@ object ThroughputBench {
     val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors() - 2).toString)
+    val scheduler = sys.env.getOrElse("SPARK_GRAFT_SCHEDULER", "FIFO").toUpperCase
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", scheduler)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,11 +48,16 @@ object ThroughputBench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach(q => work.add(q))
     val nQueries = work.size
     val aggregateNanos = new AtomicLong(0L)
+    val latenciesNanos = new ConcurrentLinkedQueue[java.lang.Long]()
     val failures = new ConcurrentLinkedQueue[String]()
 
     val t0 = System.nanoTime()
-    val threads = (1 to streams).map { _ =>
+    val threads = (1 to streams).map { id =>
       new Thread(() => {
+        // one pool per stream: under FAIR mode, pools (not jobs) share the
+        // cluster equally, so no stream starves behind another's backlog.
+        // Local properties are inherited per thread; harmless under FIFO.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream-$id")
         var next = work.poll()
         while (next != null) {
           val (name, fn) = next
@@ -54,7 +69,9 @@ object ThroughputBench {
             case scala.util.control.NonFatal(t) =>
               failures.add(s"$name:${t.getClass.getSimpleName}")
           }
-          aggregateNanos.addAndGet(System.nanoTime() - s0)
+          val took = System.nanoTime() - s0
+          aggregateNanos.addAndGet(took)
+          latenciesNanos.add(took)
           next = work.poll()
         }
       })
@@ -64,8 +81,14 @@ object ThroughputBench {
     val wall = (System.nanoTime() - t0) / 1e9
     val agg = aggregateNanos.get() / 1e9
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val lat = latenciesNanos.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue / 1e9).sorted
+    def pct(p: Double) =
+      if (lat.isEmpty) 0.0 else lat(math.min(lat.length - 1, (p * lat.length).toInt))
     println(s"""{"metric":"throughput","wall_sec":${f(wall)},"aggregate_query_sec":${f(agg)},""" +
       s""""effective_concurrency":${f(agg / wall)},"streams":$streams,""" +
+      s""""scheduler":"$scheduler","p50_sec":${f(pct(0.50))},"p95_sec":${f(pct(0.95))},""" +
+      s""""max_sec":${f(if (lat.isEmpty) 0.0 else lat.last)},""" +
       s""""n_queries":$nQueries,"failures":${failures.size},"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
