@@ -170,6 +170,95 @@ object Round4Queries {
       ${prIterCtes(3)}
       SELECT v, p FROM p3 ORDER BY v"""))
 
+  /** 3×3 determinant — one textual form instantiated for every Cramer
+    * column swap, so both engines build the identical IEEE expression tree.
+    */
+  private def det3Sql(a: String, b: String, c: String, d: String, e: String,
+                      f: String, g: String, h: String, i: String): String =
+    s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+
+  /** The Cramer solve over a 1-row moments relation `m` with columns
+    * n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy. Shared verbatim between
+    * the Spark side (spark.sql over a temp view) and the DuckDB oracle, so
+    * the scalar double arithmetic is the same expression text in both.
+    */
+  private def olsSolveSql(m: String): String = {
+    val d = det3Sql("nD", "s1D", "s2D", "s1D", "s11D", "s12D", "s2D", "s12D", "s22D")
+    val d0 = det3Sql("syD", "s1D", "s2D", "s1yD", "s11D", "s12D", "s2yD", "s12D", "s22D")
+    val d1 = det3Sql("nD", "syD", "s2D", "s1D", "s1yD", "s12D", "s2D", "s2yD", "s22D")
+    val d2 = det3Sql("nD", "s1D", "syD", "s1D", "s11D", "s1yD", "s2D", "s12D", "s2yD")
+    s"""
+      SELECT n,
+             floor(w0 * 1e6 + 0.5e0) / 1e6 AS w0,
+             floor(w1 * 1e6 + 0.5e0) / 1e6 AS w1,
+             floor(w2 * 1e6 + 0.5e0) / 1e6 AS w2,
+             floor((1.0e0 - (syyD - (w0*syD + w1*s1yD + w2*s2yD))
+                          / (syyD - syD*syD/nD)) * 1e6 + 0.5e0) / 1e6 AS r2
+      FROM (
+        SELECT n, syD, s1yD, s2yD, syyD, nD,
+               $d0 / $d AS w0, $d1 / $d AS w1, $d2 / $d AS w2
+        FROM (
+          SELECT n,
+                 CAST(n AS DOUBLE) AS nD, CAST(s1 AS DOUBLE) AS s1D,
+                 CAST(s2 AS DOUBLE) AS s2D, CAST(s11 AS DOUBLE) AS s11D,
+                 CAST(s12 AS DOUBLE) AS s12D, CAST(s22 AS DOUBLE) AS s22D,
+                 CAST(sy AS DOUBLE) AS syD, CAST(s1y AS DOUBLE) AS s1yD,
+                 CAST(s2y AS DOUBLE) AS s2yD, CAST(syy AS DOUBLE) AS syyD
+          FROM $m) casts) solved"""
+  }
+
+  /** Distributed ordinary least squares, closed form: ONE aggregation pass
+    * collapses lineitem to exact integer moments (n, Σx, Σxx, Σxy — int64
+    * sums are order-independent, so the moments are partition-invariant),
+    * then the 3×3 normal equations solve by Cramer's rule as scalar IEEE
+    * arithmetic both engines evaluate from identical expression text
+    * ([[olsSolveSql]]). Model: price ≈ w0 + w1·quantity + w2·(100·discount),
+    * with R² from the same moments (SSE = Σyy − wᵀXᵀb). This is how
+    * regression actually runs at 100 TB — a map-side-combined aggregate and
+    * a constant-size solve, not an iterative row-level pass.
+    *
+    * y is quantized to whole dollars so Σy² stays below 2^53: int64→double
+    * is then correctly rounded in every engine (DECIMAL→double is not —
+    * see Det.dsum). The fixture's columns are mutually independent by
+    * construction, so R² ≈ 0 — the exhibit is the exact distributed solve,
+    * not the fit quality.
+    */
+  val q116OlsRegression: QueryDef = QueryDef(
+    "q116_ols_regression",
+    (s, dir) => {
+      val t = Tables.load(s, dir, "lineitem").select(
+        floor(col("l_quantity") + 0.5).cast("long").as("x1"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("y"))
+      t.agg(
+        count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"), sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+        .createOrReplaceTempView("ols_m116")
+      s.sql(olsSolveSql("ols_m116"))
+    },
+    Some(s"""
+      WITH t AS (SELECT CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS x1,
+                        CAST(floor(l_discount * 100 + 0.5e0) AS BIGINT) AS x2,
+                        CAST(floor(l_extendedprice + 0.5e0) AS BIGINT) AS y
+                 FROM lineitem),
+      ols_m116 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(x1*x1) AS BIGINT) AS s11,
+                   CAST(SUM(x1*x2) AS BIGINT) AS s12,
+                   CAST(SUM(x2*x2) AS BIGINT) AS s22,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x1*y) AS BIGINT) AS s1y,
+                   CAST(SUM(x2*y) AS BIGINT) AS s2y,
+                   CAST(SUM(y*y) AS BIGINT) AS syy
+            FROM t)
+      ${olsSolveSql("ols_m116")}"""))
+
   val all: Seq[QueryDef] =
-    Seq(q112BloomPrune, q113PiiRedact, q114CharEntropy, q115PageRank)
+    Seq(q112BloomPrune, q113PiiRedact, q114CharEntropy, q115PageRank,
+      q116OlsRegression)
 }
