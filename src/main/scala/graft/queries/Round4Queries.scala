@@ -4,12 +4,15 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Det
+import graft.functions.HashFunctions
 import graft.operators.BloomPrune
 
 /** Round-4 surface: bloom-accelerated semi-join pruning, PII redaction, and
   * character-entropy quality scoring. Determinism per [[graft.functions.Det]].
   */
 object Round4Queries {
+
+  private def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
 
   /** Bloom-filter semi-join pruning ([[graft.operators.BloomPrune]]): high-
     * value orders' keys collapse to a compact bloom that prunes lineitem
@@ -258,7 +261,88 @@ object Round4Queries {
             FROM t)
       ${olsSolveSql("ols_m116")}"""))
 
+  /** One BPE vocabulary-induction step: corpus-weighted adjacent character
+    * pair counts (the argmax pair is what a byte-pair-encoding trainer would
+    * merge next). Word frequencies aggregate FIRST, so pair extraction runs
+    * once per distinct word, not once per occurrence — the same distinct-
+    * before-expensive ordering the dedup family uses. Top-20 by (count desc,
+    * pair asc) compiles to TakeOrderedAndProject, no global sort.
+    */
+  val q117BpePairs: QueryDef = QueryDef(
+    "q117_bpe_pairs",
+    (s, dir) => {
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1)," +
+            " i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))")).as("pair"))
+        .groupBy("pair").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""
+      WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+                     FROM (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents)
+                     WHERE len(w) >= 2 GROUP BY w),
+      pairs AS (SELECT wc, unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> substr(w, i, 1) || substr(w, i + 1, 1))) AS pair
+                FROM words)
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM pairs GROUP BY pair
+      ORDER BY cnt DESC, pair LIMIT 20"""))
+
+  /** Cross-document segment-level dedup — the RefinedWeb/C4-style exact
+    * substring remover at segment granularity (recurring runs of text across
+    * documents are boilerplate: navigation chrome, license headers,
+    * templates). Documents split into disjoint 5-word segments; a segment
+    * is "shared" when ≥2 distinct documents contain it. Segments shuffle as
+    * 32-bit hashes, never as text; emits per-document counts and the shared
+    * fraction a boilerplate filter would act on.
+    */
+  val q118SegmentDedup: QueryDef = QueryDef(
+    "q118_segment_dedup",
+    (s, dir) => {
+      val seg = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(CAST(0 AS BIGINT), CAST(floor((size(ws) - 1) / 5) AS BIGINT))," +
+            " k -> array_join(slice(ws, CAST(5 * k + 1 AS INT), 5), ' '))")).as("seg"))
+        .filter(length(col("seg")) > 0)
+        .select(col("doc_id"), HashFunctions.hash32(col("seg")).as("sh"))
+      val shared = seg.groupBy("sh")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("sh"), lit(1).as("is_shared"))
+      seg.join(shared, Seq("sh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_seg"), count(col("is_shared")).as("n_shared"))
+        .select(col("doc_id"), col("n_seg"), col("n_shared"),
+          Det.rdet(col("n_shared").cast("double") / col("n_seg"), 6)
+            .as("shared_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH seg0 AS (SELECT doc_id,
+                      unnest(list_transform(
+                        generate_series(0, CAST(floor((len(ws) - 1) / 5) AS BIGINT)),
+                        k -> array_to_string(ws[5*k+1:5*k+5], ' '))) AS seg
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents)),
+      seg AS (SELECT doc_id, ${h32("seg")} AS sh FROM seg0 WHERE len(seg) > 0),
+      shared AS (SELECT sh, 1 AS is_shared FROM seg GROUP BY sh
+                 HAVING count(DISTINCT doc_id) >= 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+             CAST(count(shared.is_shared) AS BIGINT) AS n_shared,
+             floor((CAST(count(shared.is_shared) AS DOUBLE) / count(*)) * 1e6
+               + 0.5) / 1e6 AS shared_frac
+      FROM seg LEFT JOIN shared ON seg.sh = shared.sh
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q112BloomPrune, q113PiiRedact, q114CharEntropy, q115PageRank,
-      q116OlsRegression)
+      q116OlsRegression, q117BpePairs, q118SegmentDedup)
 }
