@@ -24,6 +24,25 @@ object TextAnalysis {
 
   private def tokens(text: Column): Column = split(text, " ")
 
+  /** PII patterns in the Java-regex ∩ RE2 common dialect, so a DuckDB
+    * oracle matches the identical spans.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** Appends `n_emails`, `n_phones`, `redacted` for the text in `textCol`:
+    * the corpus scrubbing pass. Stateless codegen'd string expressions, so
+    * the same transform runs unchanged on a batch frame or a readStream
+    * frame (StreamingSpec proves the twin).
+    */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("int"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("int"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
   /** Count of tokens belonging to a marker set. */
   def markerScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers: _*))).cast("long")

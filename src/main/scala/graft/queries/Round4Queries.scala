@@ -52,17 +52,11 @@ object Round4Queries {
   val q113PiiRedact: QueryDef = QueryDef(
     "q113_pii_redact",
     (s, dir) => {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\+[0-9][0-9-]{6,}[0-9]"
-      Tables.load(s, dir, "documents")
+      val withPii = Tables.load(s, dir, "documents")
         .withColumn("txt", concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com tel +1-555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-        .withColumn("n_emails", regexp_count(col("txt"), lit(email)).cast("int"))
-        .withColumn("n_phones", regexp_count(col("txt"), lit(phone)).cast("int"))
-        .withColumn("redacted",
-          regexp_replace(regexp_replace(col("txt"), email, "<EMAIL>"),
-            phone, "<PHONE>"))
+      graft.operators.TextAnalysis.redactPii(withPii, "txt")
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           length(col("redacted")).cast("long").as("red_len"),
           expr("right(redacted, 40)").as("red_tail"))

@@ -261,6 +261,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PII redaction: file stream over documents equals the batch transform") {
+    // stateless transforms run unchanged on a stream — the same redactPii
+    // the batch query surface uses (q113), fed by the lake file pattern
+    val dir = java.nio.file.Files.createTempDirectory("docs_lake").toString
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    batch.repartition(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    def out(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.redactPii(df, "text")
+        .select($"doc_id", $"n_emails", $"n_phones", $"redacted")
+    val q = out(stream)
+      .writeStream.format("memory").queryName("pii_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pii_stream_test").orderBy("doc_id").collect()
+      val expected = out(batch).orderBy("doc_id").collect()
+      assert(streamed.toSeq == expected.toSeq)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        q.recentProgress.toSeq.map(_.numInputRows))
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags arriving docs against the static eval set") {
     implicit val sqlCtx = spark.sqlContext
     // static eval set: one doc whose 4-grams are known
