@@ -336,7 +336,33 @@ object Round4Queries {
       FROM seg LEFT JOIN shared ON seg.sh = shared.sh
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Salted skew join ([[graft.operators.SkewJoin]]), oracle-checked: the
+    * fact side splits each join key into 8 deterministic sub-keys and the
+    * dimension replicates into every bucket, so a hot key spreads across 8
+    * reducers instead of one — and the result is EXACTLY the plain join
+    * (the oracle is the unsalted SQL). The manual fallback for skew AQE
+    * can't see (post-transform skew, aggregate-free hash joins).
+    */
+  val q119SaltedJoin: QueryDef = QueryDef(
+    "q119_salted_join",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      graft.operators.SkewJoin.saltedJoin(
+          orders, customer, col("o_custkey"), col("c_custkey"),
+          col("o_orderkey"), saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             ${Det.dsumSql("o_totalprice")} AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[QueryDef] =
     Seq(q112BloomPrune, q113PiiRedact, q114CharEntropy, q115PageRank,
-      q116OlsRegression, q117BpePairs, q118SegmentDedup)
+      q116OlsRegression, q117BpePairs, q118SegmentDedup, q119SaltedJoin)
 }
