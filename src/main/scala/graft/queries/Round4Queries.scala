@@ -362,7 +362,50 @@ object Round4Queries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Exact percentiles at scale via the distributed global rank: the
+    * element with rank ceil(p·n) under a total order, selected by
+    * [[graft.operators.Ranks]] instead of a single-node sort-based
+    * percentile aggregate (q41's shape — correct, but its ObjectHashAggregate
+    * funnels the whole column through one final reducer; this form's only
+    * data-sized operation is one range exchange). Rank cutoffs use integer
+    * ceil arithmetic ((n·k + 99) div 100) so both engines pick identical
+    * elements.
+    */
+  val q120PercentileRank: QueryDef = QueryDef(
+    "q120_percentile_rank",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.operators.Ranks.globalRowNumber(
+        li, Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "i")
+      val total = li.groupBy().agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("pct", when(col("i") === expr("(n * 25 + 99) div 100"), 25)
+          .when(col("i") === expr("(n * 50 + 99) div 100"), 50)
+          .when(col("i") === expr("(n * 75 + 99) div 100"), 75)
+          .when(col("i") === expr("(n * 90 + 99) div 100"), 90))
+        .filter(col("pct").isNotNull)
+        .select(col("pct").cast("int").as("pct"), col("i").as("rank"), col("v"))
+        .orderBy("pct")
+    },
+    Some("""
+      WITH ranked AS (SELECT l_extendedprice AS v,
+               CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                 l_linenumber) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n
+             FROM lineitem)
+      SELECT pct, i AS rank, v FROM (
+        SELECT v, i,
+               CASE WHEN i = (n * 25 + 99) // 100 THEN 25
+                    WHEN i = (n * 50 + 99) // 100 THEN 50
+                    WHEN i = (n * 75 + 99) // 100 THEN 75
+                    WHEN i = (n * 90 + 99) // 100 THEN 90 END AS pct
+        FROM ranked)
+      WHERE pct IS NOT NULL ORDER BY pct"""))
+
   val all: Seq[QueryDef] =
     Seq(q112BloomPrune, q113PiiRedact, q114CharEntropy, q115PageRank,
-      q116OlsRegression, q117BpePairs, q118SegmentDedup, q119SaltedJoin)
+      q116OlsRegression, q117BpePairs, q118SegmentDedup, q119SaltedJoin,
+      q120PercentileRank)
 }
