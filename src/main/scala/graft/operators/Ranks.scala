@@ -4,68 +4,126 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed global ranking — total-order row numbers without ever moving
-  * the data to a single partition.
+/** Distributed ranking — total-order row numbers without ever moving the
+  * data to a single partition, and without depending on runtime partition
+  * placement.
   *
   * `Window.orderBy(...)` with no partition spec is the textbook scale
   * defect: Spark warns ("No Partition Defined for Window operation") and
   * funnels every row through ONE task — fine at 10k rows, fatal at 100 TB.
-  * The scalable shape is the classic two-phase rank:
   *
-  *   1. range-repartition on the sort key (a distributed sort's exchange:
-  *      partition i holds keys strictly below partition i+1's);
-  *   2. per-partition `row_number` (WindowExec with a partition spec —
-  *      parallel, no global funnel);
-  *   3. add each partition's cumulative row-count offset, computed from a
-  *      per-partition count aggregate that is O(numPartitions) rows.
+  * The first-cut scalable shape (rounds 3–4.0) was the classic two-phase
+  * rank: range-repartition, per-partition `row_number`, plus broadcast
+  * per-partition count offsets keyed by `spark_partition_id()`. That shape
+  * carries a LATENT NONDETERMINISM: the offsets aggregate and the window
+  * are two consumers of the range exchange, and `RangePartitioner` samples
+  * its boundaries with an RDD-id-seeded generator. When Catalyst/AQE reuses
+  * the exchange the two consumers agree; when reuse does NOT kick in (first
+  * observed on a rank-over-a-join input: the broadcast-side subtree
+  * materialized its own copy of the exchange), each copy draws different
+  * boundaries, partition ids no longer line up with the counted offsets,
+  * and the ranks come out silently wrong — and differently from run to run.
   *
-  * Step 3's tiny cumulative sum runs as a window over `spark_partition_id`
-  * partitioned by a constant — one task over ~numShufflePartitions rows,
-  * independent of data size. Catalyst's ReuseExchange collapses the two
-  * consumers of the range exchange into one physical shuffle, so the input
-  * is shuffled once and scanned twice from shuffle files.
+  * The fix is to key the two phases on a value that is a PURE FUNCTION OF
+  * THE DATA rather than of runtime partitioning:
   *
-  * The sort key MUST be a total order (include a unique tiebreaker):
-  * range-partition boundaries may split ties across partitions, and with
-  * duplicate keys the per-partition numbering would depend on boundary
-  * placement. With a total order the result is exact and identical under
-  * any partition count — the invariance gate (4 vs 32 shuffle partitions)
-  * holds by construction.
+  *   1. one exact min/max aggregate over the leading sort column (min/max
+  *      are order- and partition-independent);
+  *   2. bucket every row into B = shufflePartitions × 32 equi-width buckets
+  *      of that column — `floor((c1−lo)·B/(hi−lo))` is monotone, so bucket
+  *      order refines the total order and rows tie-broken by later sort
+  *      columns stay inside one bucket;
+  *   3. per-(bucket, group) `row_number` — a partitioned window, parallel;
+  *   4. add per-bucket offsets from a per-(bucket, group) count aggregate
+  *      (O(B × groups) rows, broadcast).
+  *
+  * Every step is reproducible from the data alone, so even when a plan
+  * re-executes a subtree instead of reusing an exchange, both copies
+  * compute identical buckets, counts, and ranks — the result is exact and
+  * identical under ANY partition count or plan shape, by construction.
+  *
+  * Constraints: the LEADING sort column must be numeric (orderable after
+  * `cast("double")`, no NaN) — every later sort column is unrestricted; the
+  * sort must be a total order (include a unique tiebreaker). Equi-width
+  * buckets assume the leading column is not pathologically concentrated:
+  * heavy ties collapse into one bucket (one window task), which degrades
+  * performance, never correctness; the 32× fanout over the partition count
+  * absorbs moderate skew.
   */
 object Ranks {
 
-  /** Appends `out` = the 1-based global row number of each row under the
-    * total order `sort` (which must include a unique tiebreaker).
+  /** Buckets per shuffle partition — finer granularity spreads moderate
+    * leading-column skew across tasks.
     */
-  def globalRowNumber(df: DataFrame, sort: Seq[Column], out: String): DataFrame = {
+  private val BucketFanout = 32
+
+  /** Appends `out` = the 1-based global row number of each row under the
+    * total order `sort` (which must include a unique tiebreaker; leading
+    * column numeric).
+    */
+  def globalRowNumber(df: DataFrame, sort: Seq[Column], out: String): DataFrame =
+    rankCore(df, Seq.empty, sort, out)
+
+  /** Per-group 1-based row numbers under the total order `sort` WITHIN each
+    * group — same bucket construction, windows and offsets keyed by
+    * (bucket, group). Use when group cardinality is LOW (a handful of giant
+    * groups — exactly where `Window.partitionBy(groups)` degenerates to one
+    * task per giant group); with many small groups a plain partitioned
+    * window is already parallel and preferable. Group keys must be non-null
+    * (the offsets join uses plain equality).
+    */
+  def groupedRowNumber(df: DataFrame, groups: Seq[Column], sort: Seq[Column],
+      out: String): DataFrame =
+    rankCore(df, groups, sort, out)
+
+  private def rankCore(df: DataFrame, groups: Seq[Column], sort: Seq[Column],
+      out: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, sort: _*)
-      .withColumn("__pid", spark_partition_id())
-    // O(numPartitions) rows: the constant partition key keeps WindowExec off
-    // the no-partition path without changing the (single, tiny) task shape
-    val offW = Window.partitionBy(lit(0)).orderBy(col("__pid"))
-    val offsets = ranged.groupBy(col("__pid"))
+    val b = parts * BucketFanout
+    val c1 = sort.head.cast("double")
+    // exact extremes of the leading sort column: order-independent, hence
+    // identical in every (re-)computation of this subtree
+    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
+    val bucket =
+      when(c1.isNull, lit(-1L)) // ASC NULLS FIRST: nulls rank lowest
+        .when(col("__hi") <= col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
+          lit((b - 1).toDouble)).cast("long"))
+    val groupNames = groups.indices.map(i => s"__g$i")
+    val base = df.crossJoin(broadcast(ext))
+      .withColumn("__bkt", bucket)
+      .drop("__lo", "__hi")
+    val keyed = base.select(
+      (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
+    val gcols = groupNames.map(col)
+    // per-(bucket, group) cumulative offsets — a data-pure count aggregate of
+    // O(B × groups) rows; the constant partition key keeps WindowExec off the
+    // no-partition path when there are no groups
+    val offParts = if (gcols.isEmpty) Seq(lit(0)) else gcols
+    val offW = Window.partitionBy(offParts: _*).orderBy(col("__bkt"))
+    val offsets = keyed.groupBy((col("__bkt") +: gcols): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", sum(col("__cnt")).over(offW) - col("__cnt"))
-      .select(col("__pid"), col("__off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
-    ranged
+      .select((col("__bkt") +: gcols :+ col("__off")): _*)
+    val w = Window.partitionBy((col("__bkt") +: gcols): _*).orderBy(sort: _*)
+    keyed
       .withColumn("__rn", row_number().over(w).cast("long"))
-      .join(broadcast(offsets), "__pid")
+      .join(broadcast(offsets), "__bkt" +: groupNames.toSeq)
       .withColumn(out, col("__off") + col("__rn"))
-      .drop("__pid", "__off", "__rn")
+      .drop("__bkt" +: "__off" +: "__rn" +: groupNames: _*)
   }
+
+  /** Exact long integer division for non-negative operands: the numerator is
+    * made divisible first, so the double-typed `/` is exact below 2^53.
+    */
+  private def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
 
   /** NTILE over the global order, computed from the distributed row number
     * instead of a single-partition window: with n rows and k tiles, the
     * first n mod k tiles take ceil(n/k) rows (SQL ntile semantics).
     * `totalCount` joins in as a broadcast scalar.
     */
-  /** Exact long integer division for non-negative operands: the numerator is
-    * made divisible first, so the double-typed `/` is exact below 2^53.
-    */
-  private def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
-
   def globalNtile(df: DataFrame, sort: Seq[Column], k: Int, out: String): DataFrame = {
     val ranked = globalRowNumber(df, sort, "__i")
     val total = df.groupBy().agg(count(lit(1)).as("__n"))

@@ -39,7 +39,7 @@ object NoiseQueries {
           .otherwise(90.0d).as("s_db"),
         (lit(100.0d) + pmod(col("event_id"), lit(900L)).cast("double")).as("s_alt"))
 
-  private val sourcesSql: String = """
+  private[queries] val sourcesSql: String = """
     SELECT 47.1542e0 + (((event_id*7919+13) % 4001) - 2000) * 0.00005e0 AS s_lat,
            -1.6044e0 + (((event_id*104729+7) % 4001) - 2000) * 0.00005e0 AS s_lon,
            CASE WHEN event_type = 'error' THEN 110.0e0
@@ -49,12 +49,12 @@ object NoiseQueries {
            100.0e0 + CAST(event_id % 900 AS DOUBLE) AS s_alt
     FROM events WHERE event_id % 97 = 0"""
 
-  private val gridSql: String = s"""
+  private[queries] val gridSql: String = s"""
     SELECT floor((47.1542e0 + i * ((500.0e0/6371000.0e0)*(180.0e0/pi()))) * 1e6 + 0.5)/1e6 AS g_lat,
            floor((-1.6044e0 + j * ((500.0e0/(6371000.0e0*cos(47.1542e0*pi()/180.0e0)))*(180.0e0/pi()))) * 1e6 + 0.5)/1e6 AS g_lon
     FROM generate_series(-$N, $N) gi(i), generate_series(-$N, $N) gj(j)"""
 
-  private def haversineSql(gLat: String, gLon: String, sLat: String, sLon: String): String =
+  private[queries] def haversineSql(gLat: String, gLon: String, sLat: String, sLon: String): String =
     s"""2.0e0*6371000.0e0*asin(sqrt(pow(sin(($sLat-$gLat)*pi()/360.0e0),2)
        | + cos($gLat*pi()/180.0e0)*cos($sLat*pi()/180.0e0)*pow(sin(($sLon-$gLon)*pi()/360.0e0),2)))"""
       .stripMargin.replace("\n", " ")

@@ -204,6 +204,20 @@ object EventsStreaming {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Stream-static bloom semi-join pruning: keep only events whose user is
+    * in the static `hotUsers` set, with [[graft.operators.BloomPrune]]'s
+    * build-once bloom applied map-side BEFORE the stream-static semi join.
+    * The bloom collapses the static side at PLAN time into a foldable
+    * literal predicate — completely stateless in the stream (every
+    * micro-batch filters through the same bits), so the expensive per-row
+    * work of the semi join only sees candidate rows. Same exactness contract
+    * as the batch operator: the semi join removes bloom false positives.
+    */
+  def bloomPrunedEvents(events: DataFrame, hotUsers: DataFrame,
+      expectedItems: Long = 1000000L): DataFrame =
+    graft.operators.BloomPrune.semiJoin(
+      events, col("user_id"), hotUsers, col("hot_id"), expectedItems)
+
   /** Streaming writer for [[tumblingCounts]] in update mode (memory/console/
     * parquet per `format`); caller awaits the returned query.
     */

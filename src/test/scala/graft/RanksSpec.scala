@@ -60,4 +60,37 @@ class RanksSpec extends SparkTestBase {
     }
     assert(bad.isEmpty, s"single-partition windows in plan: $bad")
   }
+
+  test("groupedRowNumber matches per-group window reference") {
+    val df = randomDf(600, 5).withColumn("g", (col("id") % 3).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v"), col("id"))
+    val want = df.withColumn("i", row_number().over(w).cast("long"))
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    val got = Ranks.groupedRowNumber(df, Seq(col("g")), Seq(col("v"), col("id")), "i")
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  // Regression: the pid-offset formulation (rounds 3–4.0) produced silently
+  // wrong, run-to-run-varying ranks when the input was itself a broadcast
+  // join (the offsets subtree materialized its own copy of the range
+  // exchange with differently-sampled boundaries). The bucket formulation
+  // must be exact over join-produced inputs, on EVERY evaluation.
+  test("ranks over a join-produced input are exact across repeated evaluations") {
+    val df = randomDf(500, 7).withColumn("g", (col("id") % 2).cast("string"))
+    val dim = df.groupBy("g").agg(avg(col("v")).as("m"))
+    val joined = df.join(broadcast(dim), "g")
+      .withColumn("d", abs(col("v") - col("m")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("d"), col("id"))
+    val want = joined.withColumn("i", row_number().over(w).cast("long"))
+      .select("id", "i").as[(Long, Long)].collect().toMap
+    val ranked = Ranks.groupedRowNumber(joined, Seq(col("g")),
+      Seq(col("d"), col("id")), "i")
+    for (_ <- 1 to 3) {
+      val got = ranked.select("id", "i").as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+  }
 }

@@ -309,4 +309,29 @@ class StreamingSpec extends SparkTestBase {
       assert(got == Seq(1L, 3L), s"got $got")
     } finally q.stop()
   }
+
+  test("stream-static bloom prune keeps exactly the hot-user events") {
+    implicit val sqlCtx = spark.sqlContext
+    val hot = Seq(10L, 12L).toDF("hot_id")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.bloomPrunedEvents(stream, hot, expectedItems = 100L)
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName("bloom_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(0), 10L, "click", 1.0, "{}"),
+        (2L, ts(1), 11L, "click", 2.0, "{}"), // cold user: pruned
+        (3L, ts(2), 12L, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(
+        (4L, ts(3), 13L, "view", 4.0, "{}"), // cold user: pruned
+        (5L, ts(4), 10L, "purchase", 5.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("bloom_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 3L, 5L), s"got $got")
+    } finally q.stop()
+  }
 }
