@@ -49,6 +49,10 @@ import org.apache.spark.sql.functions._
   * heavy ties collapse into one bucket (one window task), which degrades
   * performance, never correctness; the 32× fanout over the partition count
   * absorbs moderate skew.
+  *
+  * Each rank evaluates its input three times (extremes, bucket counts, the
+  * window itself) — callers ranking an expensive subtree (joins, exploded
+  * text) should `cache()` it first; a pruned column scan needs nothing.
   */
 object Ranks {
 

@@ -31,12 +31,15 @@ object Round4Queries2 {
     "q121_substring_dedup",
     (s, dir) => {
       val L = 20
+      // cache: the gram table feeds both the shared-detector aggregate and
+      // the per-doc join (protocol #6 — never re-derive per-row md5 chains)
       val grams = Tables.load(s, dir, "documents")
         .filter(length(col("text")) >= L)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, length(text) - ${L - 1})," +
             s" i -> substring(text, i, $L))")).as("gram"))
         .select(col("doc_id"), HashFunctions.hash32(col("gram")).as("gh"))
+        .cache()
       val shared = grams.groupBy("gh")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)
@@ -180,9 +183,12 @@ object Round4Queries2 {
   val q125MadRobust: QueryDef = QueryDef(
     "q125_mad_robust",
     (s, dir) => {
+      // cache: each rank pass scans its input three times (extremes, bucket
+      // counts, window), and the deviation input embeds the whole first pass
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
           col("l_orderkey"), col("l_linenumber"))
+        .cache()
       val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
       val medRank = expr("(n + 1) div 2")
       val ranked = Ranks.groupedRowNumber(li, Seq(col("flag")),
@@ -193,6 +199,7 @@ object Round4Queries2 {
       val dev = li.join(broadcast(med), "flag")
         .select(col("flag"), abs(col("v") - col("med")).as("d"),
           col("l_orderkey"), col("l_linenumber"), col("med"))
+        .cache()
       val devRanked = Ranks.groupedRowNumber(dev, Seq(col("flag")),
         Seq(col("d"), col("l_orderkey"), col("l_linenumber")), "r")
       devRanked.join(broadcast(counts), "flag")

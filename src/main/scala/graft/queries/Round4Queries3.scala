@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashFunctions
+
+/** Round-4 surface, third tranche: triangle counting and an exactly-
+  * reproducible count-min sketch. Determinism per [[graft.functions.Det]].
+  */
+object Round4Queries3 {
+
+  private def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+  private def h32at(x: String, pos: Int): String =
+    s"(('0x' || substr(md5($x), $pos, 8))::BIGINT)"
+
+  /** Triangle counting — the standard distributed formulation: orient every
+    * undirected edge from its smaller to its larger endpoint (kills
+    * duplicate and reversed listings AND makes each triangle countable
+    * exactly once as a<b<c), then two hash-partitioned equi-joins: wedges
+    * a→b→c closed by the a→c edge. Join traffic is Σ deg²(v) wedges — the
+    * orientation bounds it by the H-index of the degree sequence, which is
+    * why the ordered form (not the naive 6-fold symmetric join) is the one
+    * that survives skewed degree distributions at scale. The graph is the
+    * supplier×part-bucket quotient co-occurrence graph (same family as
+    * q115's PageRank input), so edge cardinality is domain-bounded and the
+    * exhibit is the plan shape, not a data-volume stunt. Emits the global
+    * triangle count plus the wedge count (the clustering-coefficient
+    * denominator).
+    */
+  val q128Triangles: QueryDef = QueryDef(
+    "q128_triangles",
+    (s, dir) => {
+      val e0 = Tables.load(s, dir, "lineitem")
+        .select((col("l_suppkey") % 100).as("u"), (col("l_partkey") % 100).as("v"))
+        .filter(col("u") =!= col("v"))
+      // canonical orientation low→high, deduplicated
+      val edges = e0.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b")).distinct().cache()
+      val wedges = edges.as("e1")
+        .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      val triangles = wedges.as("w")
+        .join(edges.as("e3"), col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      triangles.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+        .select(col("n_triangles"), col("n_wedges"))
+    },
+    Some("""
+      WITH e0 AS (SELECT CAST(l_suppkey % 100 AS BIGINT) AS u,
+                         CAST(l_partkey % 100 AS BIGINT) AS v
+                  FROM lineitem WHERE l_suppkey % 100 != l_partkey % 100),
+      edges AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+      wedges AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                 FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+      tri AS (SELECT count(*) AS n_triangles
+              FROM wedges w JOIN edges e3 ON w.a = e3.a AND w.c = e3.b),
+      wc AS (SELECT count(*) AS n_wedges FROM wedges)
+      SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+             CAST(n_wedges AS BIGINT) AS n_wedges
+      FROM tri CROSS JOIN wc"""))
+
+  /** Count-min sketch, exactly reproducible: d=4 hash rows (independent
+    * 8-hex windows of one md5 digest, [[HashFunctions.hash32At]]) × w=512
+    * buckets. The sketch is ONE hash aggregate over (row, bucket) — 2048
+    * mergeable counters regardless of stream size, the map-side-combinable
+    * shape a 100 TB frequency service maintains. Point queries then read
+    * est = min over rows of the probed bucket via a broadcast join of the
+    * 2048-counter sketch. Every hash derives from md5, so the DuckDB oracle
+    * rebuilds the IDENTICAL sketch and the estimates match bit-for-bit —
+    * alongside the exact counts, exposing the (always ≥ 0) overestimation
+    * error the epsilon-delta bound promises.
+    */
+  val q129CountMin: QueryDef = QueryDef(
+    "q129_count_min",
+    (s, dir) => {
+      val W = 512
+      val positions = Seq(1, 9, 17, 25)
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      // the sketch: one counts pass over d×w cells
+      val cells = words.select(positions.zipWithIndex.map { case (p, i) =>
+          (HashFunctions.hash32At(col("word"), p) % W).as(s"b$i")
+        }: _*)
+        .select(explode(array(positions.indices.map(i =>
+          struct(lit(i).as("row"), col(s"b$i").as("bucket"))): _*)).as("cell"))
+        .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+        .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+      // point queries: every distinct word probes its d cells
+      val probes = words.groupBy("word").agg(count(lit(1)).as("exact_c"))
+        .select((col("word") +: col("exact_c") +: positions.zipWithIndex.map {
+          case (p, i) => (HashFunctions.hash32At(col("word"), p) % W).as(s"b$i")
+        }): _*)
+      val est = positions.indices.foldLeft(probes) { (df, i) =>
+        df.join(broadcast(cells.filter(col("row") === i)
+            .select(col("bucket").as(s"b$i"), col("c").as(s"c$i"))), s"b$i")
+      }
+      est.select(col("word"), col("exact_c"),
+          least(col("c0"), col("c1"), col("c2"), col("c3")).as("est_c"))
+        .orderBy("word")
+    },
+    Some(s"""
+      WITH w AS (SELECT word FROM
+                   (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                 WHERE word != ''),
+      cells AS (
+        SELECT row, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest([0, 1, 2, 3]) AS row,
+                 unnest([${h32at("word", 1)} % 512, ${h32at("word", 9)} % 512,
+                         ${h32at("word", 17)} % 512, ${h32at("word", 25)} % 512])
+                   AS bucket
+          FROM w)
+        GROUP BY row, bucket),
+      probes AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_c,
+                        ${h32at("word", 1)} % 512 AS b0,
+                        ${h32at("word", 9)} % 512 AS b1,
+                        ${h32at("word", 17)} % 512 AS b2,
+                        ${h32at("word", 25)} % 512 AS b3
+                 FROM w GROUP BY word)
+      SELECT word, exact_c, least(c0.c, c1.c, c2.c, c3.c) AS est_c
+      FROM probes
+      JOIN cells c0 ON c0.row = 0 AND c0.bucket = b0
+      JOIN cells c1 ON c1.row = 1 AND c1.bucket = b1
+      JOIN cells c2 ON c2.row = 2 AND c2.bucket = b2
+      JOIN cells c3 ON c3.row = 3 AND c3.bucket = b3
+      ORDER BY word"""))
+
+  val all: Seq[QueryDef] = Seq(q128Triangles, q129CountMin)
+}
