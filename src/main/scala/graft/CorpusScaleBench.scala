@@ -66,7 +66,35 @@ object CorpusScaleBench {
         operators.CorpusOps.decontaminate(
           corpus.filter(col("doc_id") % replicas =!= 0),
           base.filter(col("doc_id") % 20 === 0), 4)),
-      time("winnowing")(operators.Dedup.winnowFingerprints(corpus, window = 8)))
+      time("winnowing")(operators.Dedup.winnowFingerprints(corpus, window = 8)),
+      // char-level stride-1 exact-substring detector (q121's core): the
+      // replicated corpus makes nearly every 20-char window shared, the
+      // worst case for the shared-gram aggregate
+      time("substring_dedup") {
+        val grams = corpus
+          .filter(length(col("text")) >= 20)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text) - 19)," +
+              " i -> substring(text, i, 20))")).as("gram"))
+          .select(col("doc_id"), functions.HashFunctions.hash32(col("gram")).as("gh"))
+          .cache()
+        val shared = grams.groupBy("gh")
+          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+          .select(col("gh"), lit(1).as("is_shared"))
+        grams.join(shared, Seq("gh"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_win"), count(col("is_shared")).as("n_dup"))
+      },
+      // Misra-Gries heavy hitters over every token of the blown-up corpus:
+      // sketch memory stays O(k) per partition regardless of corpus size.
+      // k=40 (2.5% threshold): the replica perturbation suffixes ~15% of
+      // occurrences into a long tail, so base words sit near 3% of mass
+      time("heavy_hitters") {
+        operators.Sketches.heavyHitters(
+          corpus.select(explode(split(col("text"), " ")).as("word"))
+            .filter(col("word") =!= ""),
+          col("word"), 40)
+      })
     val qs = results.map { case (k, v, n) =>
       f""""$k":{"sec":$v%.2f,"rows":$n}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"sf":"$sfDir","cpus":$cpus}""")
