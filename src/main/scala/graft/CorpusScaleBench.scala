@@ -85,6 +85,21 @@ object CorpusScaleBench {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_win"), count(col("is_shared")).as("n_dup"))
       },
+      // same semantics through the native Rabin-Karp expression: one O(n)
+      // codegen'd pass per doc instead of O(n*L) substring+md5 work
+      time("substring_dedup_rolling") {
+        val grams = corpus
+          .filter(length(col("text")) >= 20)
+          .select(col("doc_id"),
+            explode(plans.RollingWindowHashes(col("text"), 20)).as("gh"))
+          .cache()
+        val shared = grams.groupBy("gh")
+          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+          .select(col("gh"), lit(1).as("is_shared"))
+        grams.join(shared, Seq("gh"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_win"), count(col("is_shared")).as("n_dup"))
+      },
       // Misra-Gries heavy hitters over every token of the blown-up corpus:
       // sketch memory stays O(k) per partition regardless of corpus size.
       // k=40 (2.5% threshold): the replica perturbation suffixes ~15% of

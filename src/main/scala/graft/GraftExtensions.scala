@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BucketedRangeJoinRule, SortedLongArrayIntersectCount, VectorDotProduct}
+import graft.plans.{BucketedRangeJoinRule, RollingWindowHashes, SortedLongArrayIntersectCount, VectorDotProduct}
 
 /** SparkSessionExtensions hook registering graft's native expressions and
   * optimizer rules. Activate with
@@ -36,7 +36,18 @@ object GraftExtensions {
         SortedLongArrayIntersectCount(children(0), children(1))),
     ("vector_dot",
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),
-      (children: Seq[Expression]) => VectorDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => VectorDotProduct(children(0), children(1))),
+    ("rolling_window_hashes",
+      new ExpressionInfo(classOf[RollingWindowHashes].getName, "rolling_window_hashes"),
+      (children: Seq[Expression]) => {
+        // the window is a literal in SQL: rolling_window_hashes(text, 20)
+        val w = children(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"rolling_window_hashes window must be an integer literal, got $other")
+        }
+        RollingWindowHashes(children(0), w)
+      }))
 
   /** Register the functions and the range-join rule on an ALREADY-BUILT
     * session (extensions declared at build time don't help a session someone

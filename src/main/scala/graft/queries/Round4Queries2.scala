@@ -26,6 +26,13 @@ object Round4Queries2 {
     * scrubber thresholds on. Windows shuffle as hashes only; the text itself
     * never leaves the scan. (q118 is the disjoint word-segment variant; this
     * is the stride-1 char form that catches duplicated runs at ANY offset.)
+    *
+    * The 32-bit hash trades ~n²/2³³ birthday-collision false "shared"
+    * windows for halved shuffle width (2 observed at 150k windows) — both
+    * engines share the identical truncation, so the oracle matches exactly.
+    * For collision-free marking at scale, widen the key or exact-verify the
+    * marked spans; [[graft.plans.RollingWindowHashes]] is the codegen'd
+    * 64-bit O(n) route (bench variant in CorpusScaleBench).
     */
   val q121SubstringDedup: QueryDef = QueryDef(
     "q121_substring_dedup",

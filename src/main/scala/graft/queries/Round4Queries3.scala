@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.HashFunctions
+import graft.functions.{Det, HashFunctions}
 
 /** Round-4 surface, third tranche: triangle counting and an exactly-
   * reproducible count-min sketch. Determinism per [[graft.functions.Det]].
@@ -126,5 +126,61 @@ object Round4Queries3 {
       JOIN cells c3 ON c3.row = 3 AND c3.bucket = b3
       ORDER BY word"""))
 
-  val all: Seq[QueryDef] = Seq(q128Triangles, q129CountMin)
+  /** Bitmap-index cohort intersection — the OLAP bitmap acceleration
+    * pattern: per (day, event_type) the active-user SET packs into 63-bit
+    * longs (bucket = user div 63, bit = user mod 63; the sign bit stays
+    * clear so both engines shift identically), built with one `bit_or`
+    * hash aggregate. Cohort overlap then reads `bit_count(a AND b)` over
+    * the tiny bitmap relation — distinct-user intersections across periods
+    * WITHOUT re-shuffling user ids per comparison. At 100 TB this is the
+    * compressed-bitmap (roaring-style) segment index: membership set ops
+    * become bitwise ops over kilobytes. Emits per-day purchase/error cohort
+    * sizes, their intersection, and Jaccard.
+    */
+  val q130BitmapCohorts: QueryDef = QueryDef(
+    "q130_bitmap_cohorts",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      def cohort(t: String, out: String) =
+        Tables.load(s, dir, "events")
+          .filter(col("event_type") === t)
+          .select(expr(s"unix_micros(ts) DIV $dayUs").as("day"),
+            expr("user_id DIV 63").as("bkt"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("m"))
+          .groupBy("day", "bkt")
+          .agg(bit_or(col("m")).as(out))
+      val joined = cohort("purchase", "pb").join(cohort("error", "eb"),
+        Seq("day", "bkt"), "full_outer")
+        .select(col("day"),
+          coalesce(col("pb"), lit(0L)).as("pb"),
+          coalesce(col("eb"), lit(0L)).as("eb"))
+      joined.groupBy("day")
+        .agg(sum(bit_count(col("pb"))).as("n_purchase"),
+          sum(bit_count(col("eb"))).as("n_error"),
+          sum(bit_count(col("pb").bitwiseAND(col("eb")))).as("n_both"))
+        .select(col("day"), col("n_purchase"), col("n_error"), col("n_both"),
+          Det.rdet(col("n_both").cast("double") /
+            (col("n_purchase") + col("n_error") - col("n_both")), 6).as("jaccard"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id // 63 AS bkt,
+                        bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS pb
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id // 63 AS bkt,
+                   bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS eb
+            FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      j AS (SELECT COALESCE(p.day, e.day) AS day,
+                   COALESCE(pb, 0) AS pb, COALESCE(eb, 0) AS eb
+            FROM p FULL OUTER JOIN e ON p.day = e.day AND p.bkt = e.bkt),
+      agg AS (SELECT day, CAST(SUM(bit_count(pb)) AS BIGINT) AS n_purchase,
+                     CAST(SUM(bit_count(eb)) AS BIGINT) AS n_error,
+                     CAST(SUM(bit_count(pb & eb)) AS BIGINT) AS n_both
+              FROM j GROUP BY day)
+      SELECT day, n_purchase, n_error, n_both,
+             floor((CAST(n_both AS DOUBLE) / (n_purchase + n_error - n_both))
+               * 1e6 + 0.5) / 1e6 AS jaccard
+      FROM agg ORDER BY day"""))
+
+  val all: Seq[QueryDef] = Seq(q128Triangles, q129CountMin, q130BitmapCohorts)
 }

@@ -86,15 +86,88 @@ class ExpressionSpec extends SparkTestBase {
     assert(df.getDouble(1) == 1.0)
   }
 
+  /** Reference implementation: hash every window independently with the
+    * same polynomial — no rolling reuse, so a recurrence bug cannot hide.
+    */
+  private def bruteHashes(s: String, w: Int): Seq[Long] = {
+    val bytes = s.getBytes("UTF-8")
+    (0 to bytes.length - w).map { i =>
+      var h = 0L
+      for (j <- i until i + w) h = h * graft.plans.RollingWindowHashes.Base + (bytes(j) & 0xffL)
+      h
+    }
+  }
+
+  test("rolling_window_hashes equals independent per-window hashing") {
+    val strs = Seq.fill(100)(
+      Seq.fill(rnd.nextInt(60))(('a' + rnd.nextInt(26)).toChar).mkString) ++
+      Seq("", "éàü-multibyte çhärs €", "exact") // byte-window semantics incl. UTF-8
+    for (w <- Seq(1, 5, 20)) {
+      val got = strs.toDF("s")
+        .select(graft.plans.RollingWindowHashes(col("s"), w).as("h"))
+        .as[Seq[Long]].collect()
+      val want = strs.map(bruteHashes(_, w))
+      assert(got.toSeq == want, s"w=$w")
+    }
+  }
+
+  test("rolling_window_hashes: null propagates; short input yields empty; interpreted path agrees") {
+    val rows = Seq(Some("abcdef"), Some("ab"), None)
+    def run(session: org.apache.spark.sql.SparkSession) = {
+      import session.implicits._
+      rows.toDF("s")
+        .select(graft.plans.RollingWindowHashes(col("s"), 3).as("h")).collect()
+    }
+    for (r <- Seq(run(spark), {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.codegen.wholeStage", "false")
+      s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      run(s2)
+    })) {
+      assert(r(0).getSeq[Long](0) == bruteHashes("abcdef", 3))
+      assert(r(1).getSeq[Long](0).isEmpty)
+      assert(r(2).isNullAt(0))
+    }
+  }
+
+  test("rolling-hash substring dedup finds the collision-free route's shared windows") {
+    // the scale path (q121's bench variant) must mark the same per-doc
+    // duplicated-window counts as a collision-free reference keyed by the
+    // FULL md5 digest. (q121's oracle form truncates md5 to 32 bits — at
+    // 150k windows that produced 2 observed birthday-collision false
+    // "shared" windows, identical in both engines so the oracle still
+    // matches; the 64-bit rolling hash has ~none, so the reference here
+    // must not truncate.)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def dupCounts(grams: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] = {
+      val shared = grams.groupBy("gh")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+        .select(col("gh"), lit(1).as("is_shared"))
+      grams.join(shared, Seq("gh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"), count(col("is_shared")).as("n_dup"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val base = docs.filter(length(col("text")) >= 20)
+    val viaMd5 = dupCounts(base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 19), i -> substring(text, i, 20))")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh")))
+    val viaRolling = dupCounts(base.select(col("doc_id"),
+      explode(graft.plans.RollingWindowHashes(col("text"), 20)).as("gh")))
+    assert(viaRolling == viaMd5)
+  }
+
   test("installInto registers the native functions for SQL on an existing session") {
     GraftExtensions.installInto(spark)
     try {
       val r = spark.sql(
         """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
-          |       sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS c
+          |       sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS c,
+          |       rolling_window_hashes('abcdef', 3) AS h
           |""".stripMargin).head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getInt(1) == 2)
+      assert(r.getSeq[Long](2).size == 4)
     } finally {
       // the session is shared across suites: leave no optimizer rule behind
       // (sibling specs assert rewrite-free plan shapes)
