@@ -42,8 +42,9 @@ import org.apache.spark.sql.functions._
   * compute identical buckets, counts, and ranks — the result is exact and
   * identical under ANY partition count or plan shape, by construction.
   *
-  * Constraints: the LEADING sort column must be numeric (orderable after
-  * `cast("double")`, no NaN) — every later sort column is unrestricted; the
+  * Constraints: the LEADING sort column must be numeric and finite
+  * (orderable after `cast("double")`; NaN/±Inf poison the bucket
+  * arithmetic) — every later sort column is unrestricted; the
   * sort must be a total order (include a unique tiebreaker). Equi-width
   * buckets assume the leading column is not pathologically concentrated:
   * heavy ties collapse into one bucket (one window task), which degrades
@@ -116,6 +117,58 @@ object Ranks {
       .join(broadcast(offsets), "__bkt" +: groupNames.toSeq)
       .withColumn(out, col("__off") + col("__rn"))
       .drop("__bkt" +: "__off" +: "__rn" +: groupNames: _*)
+  }
+
+  /** Distributed SELECTION: the one row per group sitting at in-group rank
+    * `rankOfN(n)` under the total order `sort` (n = the group's row count),
+    * without ranking the whole input. The bucket count relation alone
+    * locates the bucket containing the target rank; only THAT bucket's rows
+    * (≈ n/B of the group) flow into a window. Appends `out` = the selected
+    * in-group rank. This is the median/quantile-selection shape: two
+    * column-pruned aggregate passes plus a window over a vanishing
+    * fraction — versus [[groupedRowNumber]]'s full-data sort-and-number.
+    * Same data-pure bucket construction, so the result is exact under any
+    * partition count or plan recomputation. `rankOfN` must yield a value in
+    * [1, n] (rows outside produce an empty group).
+    */
+  def selectByRank(df: DataFrame, groups: Seq[Column], sort: Seq[Column],
+      rankOfN: Column => Column, out: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val b = parts * BucketFanout
+    val c1 = sort.head.cast("double")
+    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
+    val bucket =
+      when(c1.isNull, lit(-1L))
+        .when(col("__hi") <= col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
+          lit((b - 1).toDouble)).cast("long"))
+    val groupNames = groups.indices.map(i => s"__g$i")
+    val base = df.crossJoin(broadcast(ext))
+      .withColumn("__bkt", bucket)
+      .drop("__lo", "__hi")
+    val keyed = base.select(
+      (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
+    val gcols = groupNames.map(col)
+    val offParts = if (gcols.isEmpty) Seq(lit(0)) else gcols
+    val offW = Window.partitionBy(offParts: _*).orderBy(col("__bkt"))
+    // tiny: per-(bucket, group) counts with cumulative offsets and group totals
+    val cnts = keyed.groupBy((col("__bkt") +: gcols): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", sum(col("__cnt")).over(offW) - col("__cnt"))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(offParts: _*)))
+    // the single bucket per group whose offset range covers the target rank
+    val targetBuckets = cnts
+      .withColumn("__t", rankOfN(col("__n")))
+      .filter(col("__off") < col("__t") && col("__t") <= col("__off") + col("__cnt"))
+      .select((col("__bkt") +: gcols :+ col("__off") :+ col("__t")): _*)
+    val w = Window.partitionBy((col("__bkt") +: gcols): _*).orderBy(sort: _*)
+    keyed
+      .join(broadcast(targetBuckets), "__bkt" +: groupNames) // prune to ~n/B rows
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .filter(col("__off") + col("__rn") === col("__t"))
+      .withColumn(out, col("__t"))
+      .drop("__bkt" +: "__off" +: "__rn" +: "__t" +: groupNames: _*)
   }
 
   /** Exact long integer division for non-negative operands: the numerator is

@@ -181,36 +181,36 @@ object Round4Queries2 {
     * RANK semantics (the element at in-group rank ceil(n/2) — integer rank
     * selection, so both engines pick the identical element; no
     * interpolation, no float percentile). Both passes run on
-    * [[graft.operators.Ranks.groupedRowNumber]]: range exchange + per-
-    * partition windows + per-group broadcast offsets — built for exactly
-    * this shape (3 giant groups would degenerate a partitioned window to 3
-    * tasks). MAD is THE outlier-resistant spread measure a data-quality
-    * pipeline wants when means are skew-poisoned.
+    * [[graft.operators.Ranks.selectByRank]] — distributed SELECTION: bucket
+    * counts locate the median's bucket, and only that bucket's rows (~n/B)
+    * ever see a window, versus ranking the entire group (3 giant groups
+    * would degenerate a partitioned window to 3 tasks, and even the
+    * distributed full rank sorts everything). MAD is THE outlier-resistant
+    * spread measure a data-quality pipeline wants when means are
+    * skew-poisoned.
     */
   val q125MadRobust: QueryDef = QueryDef(
     "q125_mad_robust",
     (s, dir) => {
-      // cache: each rank pass scans its input three times (extremes, bucket
-      // counts, window), and the deviation input embeds the whole first pass
+      // cache: each selection pass scans its input twice (extremes + bucket
+      // counts) plus the pruned window; the deviation input embeds the whole
+      // first pass
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
           col("l_orderkey"), col("l_linenumber"))
         .cache()
-      val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
-      val medRank = expr("(n + 1) div 2")
-      val ranked = Ranks.groupedRowNumber(li, Seq(col("flag")),
-        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "r")
-      val med = ranked.join(broadcast(counts), "flag")
-        .filter(col("r") === medRank)
+      // ceil(n/2) = (n+1) div 2; the double-typed '/' is exact below 2^53
+      val med = Ranks.selectByRank(li, Seq(col("flag")),
+          Seq(col("v"), col("l_orderkey"), col("l_linenumber")),
+          n => floor((n + 1L) / 2L).cast("long"), "r")
         .select(col("flag"), col("v").as("med"))
       val dev = li.join(broadcast(med), "flag")
         .select(col("flag"), abs(col("v") - col("med")).as("d"),
           col("l_orderkey"), col("l_linenumber"), col("med"))
         .cache()
-      val devRanked = Ranks.groupedRowNumber(dev, Seq(col("flag")),
-        Seq(col("d"), col("l_orderkey"), col("l_linenumber")), "r")
-      devRanked.join(broadcast(counts), "flag")
-        .filter(col("r") === medRank)
+      Ranks.selectByRank(dev, Seq(col("flag")),
+          Seq(col("d"), col("l_orderkey"), col("l_linenumber")),
+          n => floor((n + 1L) / 2L).cast("long"), "r")
         .select(col("flag"), col("med"), col("d").as("mad"))
         .orderBy("flag")
     },

@@ -87,6 +87,7 @@ object Round4Queries3 {
           struct(lit(i).as("row"), col(s"b$i").as("bucket"))): _*)).as("cell"))
         .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
         .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+        .cache() // 2048 rows, probed by 4 joins — never recount the corpus
       // point queries: every distinct word probes its d cells
       val probes = words.groupBy("word").agg(count(lit(1)).as("exact_c"))
         .select((col("word") +: col("exact_c") +: positions.zipWithIndex.map {

@@ -72,6 +72,22 @@ class RanksSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("selectByRank picks exactly the window-reference element at ceil(n/2)") {
+    val df = randomDf(601, 9).withColumn("g", (col("id") % 3).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v"), col("id"))
+    val want = df.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("i") === floor((col("n") + 1L) / 2L).cast("long"))
+      .select("g", "id", "i").as[(String, Long, Long)].collect().toSet
+    val got = graft.operators.Ranks.selectByRank(df, Seq(col("g")),
+        Seq(col("v"), col("id")), n => floor((n + 1L) / 2L).cast("long"), "i")
+      .select("g", "id", "i").as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.size == 3) // one selected row per group
+  }
+
   // Regression: the pid-offset formulation (rounds 3–4.0) produced silently
   // wrong, run-to-run-varying ranks when the input was itself a broadcast
   // join (the offsets subtree materialized its own copy of the range
