@@ -171,6 +171,58 @@ object Ranks {
       .drop("__bkt" +: "__off" +: "__rn" +: "__t" +: groupNames: _*)
   }
 
+  /** WEIGHTED selection: the one row per group where the running weight
+    * (accumulated in `sort` order) first reaches `targetOfW(W)`, W = the
+    * group's total weight — e.g. the weighted median at target ceil(W/2).
+    * Same two-phase shape as [[selectByRank]] with weight sums in place of
+    * row counts: the per-(bucket, group) weight relation locates the target
+    * bucket, and only its rows see a window (a running weight sum). Weights
+    * must be POSITIVE integers (exact int64 arithmetic keeps both the
+    * bucket relation and the in-bucket cumsum partition-invariant; zero
+    * weights would make "first row reaching T" order-ambiguous across
+    * zero-weight ties). Appends `out` = the selected row's cumulative
+    * weight.
+    */
+  def selectByWeightedRank(df: DataFrame, groups: Seq[Column], sort: Seq[Column],
+      weight: Column, targetOfW: Column => Column, out: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val b = parts * BucketFanout
+    val c1 = sort.head.cast("double")
+    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
+    val bucket =
+      when(c1.isNull, lit(-1L))
+        .when(col("__hi") <= col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
+          lit((b - 1).toDouble)).cast("long"))
+    val groupNames = groups.indices.map(i => s"__g$i")
+    val base = df.crossJoin(broadcast(ext))
+      .withColumn("__bkt", bucket)
+      .withColumn("__w", weight.cast("long"))
+      .drop("__lo", "__hi")
+    val keyed = base.select(
+      (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
+    val gcols = groupNames.map(col)
+    val offParts = if (gcols.isEmpty) Seq(lit(0)) else gcols
+    val offW = Window.partitionBy(offParts: _*).orderBy(col("__bkt"))
+    val wsums = keyed.groupBy((col("__bkt") +: gcols): _*)
+      .agg(sum(col("__w")).as("__wcnt"))
+      .withColumn("__woff", sum(col("__wcnt")).over(offW) - col("__wcnt"))
+      .withColumn("__wtot", sum(col("__wcnt")).over(Window.partitionBy(offParts: _*)))
+    val targetBuckets = wsums
+      .withColumn("__t", targetOfW(col("__wtot")))
+      .filter(col("__woff") < col("__t") && col("__t") <= col("__woff") + col("__wcnt"))
+      .select((col("__bkt") +: gcols :+ col("__woff") :+ col("__t")): _*)
+    val w = Window.partitionBy((col("__bkt") +: gcols): _*).orderBy(sort: _*)
+    keyed
+      .join(broadcast(targetBuckets), "__bkt" +: groupNames)
+      .withColumn("__cw", col("__woff") + sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cw") - col("__w") < col("__t") && col("__t") <= col("__cw"))
+      .withColumn(out, col("__cw"))
+      .drop("__bkt" +: "__woff" +: "__cw" +: "__t" +: "__w" +: groupNames: _*)
+  }
+
   /** Exact long integer division for non-negative operands: the numerator is
     * made divisible first, so the double-typed `/` is exact below 2^53.
     */

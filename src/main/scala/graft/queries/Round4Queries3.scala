@@ -183,5 +183,43 @@ object Round4Queries3 {
                * 1e6 + 0.5) / 1e6 AS jaccard
       FROM agg ORDER BY day"""))
 
-  val all: Seq[QueryDef] = Seq(q128Triangles, q129CountMin, q130BitmapCohorts)
+  /** Weighted median — quantity-weighted price midpoint per return flag:
+    * the row where the running weight (in price order) first reaches
+    * ceil(W/2). Runs on [[graft.operators.Ranks.selectByWeightedRank]]:
+    * bucket weight-sums locate the target bucket, only its rows see the
+    * running-sum window. Integer weights keep every cumulative sum exact,
+    * so both engines select the identical row. The robust "typical price
+    * paid per unit" — a volume-weighted percentile, computed by counting,
+    * not sorting.
+    */
+  val q131WeightedMedian: QueryDef = QueryDef(
+    "q131_weighted_median",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
+        floor(col("l_quantity") + 0.5).cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      graft.operators.Ranks.selectByWeightedRank(li, Seq(col("flag")),
+          Seq(col("v"), col("l_orderkey"), col("l_linenumber")),
+          col("w"), wTot => floor((wTot + 1L) / 2L).cast("long"), "cw")
+        .select(col("flag"), col("v").as("wmedian"), col("cw"))
+        .orderBy("flag")
+    },
+    Some("""
+      WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+                         CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS w,
+                         l_orderkey, l_linenumber
+                  FROM lineitem),
+      t AS (SELECT flag, (SUM(w) + 1) // 2 AS tgt FROM li GROUP BY flag),
+      c AS (SELECT flag, v, w,
+              SUM(w) OVER (PARTITION BY flag
+                ORDER BY v, l_orderkey, l_linenumber
+                ROWS UNBOUNDED PRECEDING) AS cw
+            FROM li)
+      SELECT c.flag AS flag, v AS wmedian, CAST(cw AS BIGINT) AS cw
+      FROM c JOIN t ON c.flag = t.flag
+      WHERE cw - w < tgt AND tgt <= cw ORDER BY 1"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q128Triangles, q129CountMin, q130BitmapCohorts, q131WeightedMedian)
 }

@@ -88,6 +88,33 @@ class RanksSpec extends SparkTestBase {
     assert(got.size == 3) // one selected row per group
   }
 
+  test("selectByWeightedRank picks the window-reference weighted median") {
+    val rnd2 = new scala.util.Random(17)
+    val df = Seq.tabulate(700)(i =>
+        (rnd2.nextInt(30).toLong, i.toLong, 1L + rnd2.nextInt(9)))
+      .toDF("v", "id", "w").repartition(5)
+      .withColumn("g", (col("id") % 3).cast("string"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // NB: the total-weight column must NOT be named "W" — withColumn
+    // resolves case-insensitively and would silently REPLACE "w"
+    val want = df
+      .withColumn("cw", sum(col("w")).over(ws))
+      .withColumn("wtot", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .withColumn("t", floor((col("wtot") + 1L) / 2L).cast("long"))
+      .filter(col("cw") - col("w") < col("t") && col("t") <= col("cw"))
+      .select("g", "id", "cw").as[(String, Long, Long)].collect().toSet
+    val got = graft.operators.Ranks.selectByWeightedRank(df, Seq(col("g")),
+        Seq(col("v"), col("id")), col("w"),
+        wTot => floor((wTot + 1L) / 2L).cast("long"), "cw")
+      .select("g", "id", "cw").as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.size == 3)
+  }
+
   // Regression: the pid-offset formulation (rounds 3–4.0) produced silently
   // wrong, run-to-run-varying ranks when the input was itself a broadcast
   // join (the offsets subtree materialized its own copy of the range
