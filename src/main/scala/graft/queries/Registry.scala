@@ -9,7 +9,8 @@ object Registry {
     RelationalQueries.all ++ NoiseQueries.all ++ DedupQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++
       RelationalQueries2.all ++ ExtQueries.all ++ PipelineQueries.all ++
-      Round4Queries.all ++ Round4Queries2.all ++ Round4Queries3.all
+      Round4Queries.all ++ Round4Queries2.all ++ Round4Queries3.all ++
+      Round5Queries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Det, HashFunctions}
+import graft.plans.RollingWindowHashes
+
+/** Round-5 surface: reproducible HyperLogLog, mergeable aggregate state,
+  * prefix-filtered exact set-similarity join, and the native rolling-hash
+  * expression promoted to an oracle-checked query. Determinism per
+  * [[graft.functions.Det]] and the NOTES.md protocol.
+  */
+object Round5Queries {
+
+  private def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+
+  /** Exactly-reproducible HyperLogLog (q129's count-min protocol applied to
+    * cardinality): m=256 registers over a 32-bit md5-derived hash — register
+    * index = low 8 bits, rho = leading-zero rank of the remaining 24 bits
+    * (computed portably as 25 − length(bin(w)), no log2 floating point).
+    * The register table is ONE mergeable `max` aggregate — the 256-counter
+    * state a 100 TB distinct-count service maintains per group and merges
+    * across partitions/days for free (max is idempotent + commutative).
+    * The estimate is the raw HLL harmonic mean alpha·m²/Σ2^−M_j: every
+    * 2^−M_j term is a binary fraction with lsb ≥ 2^−25 and the total is
+    * < 256, so every partial sum is exactly representable — the double
+    * summation is order-independent and both engines produce the identical
+    * bits (the ln-based small-range correction is deliberately omitted: ln
+    * is the one non-portable operation, and the raw estimator is the
+    * exhibit). Emitted next to the exact distinct count, exposing the
+    * ±1.04/√m relative error the sketch promises.
+    */
+  val q132HllSketch: QueryDef = QueryDef(
+    "q132_hll_sketch",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+      val h = li.select(col("flag"), col("pk"),
+        HashFunctions.hash32(concat(lit("pk"), col("pk").cast("string"))).as("hv"))
+      val reg = h
+        .select(col("flag"), pmod(col("hv"), lit(256L)).as("idx"),
+          shiftright(col("hv"), 8).as("w"))
+        .select(col("flag"), col("idx"),
+          when(col("w") === 0, lit(25))
+            .otherwise(lit(25) - length(bin(col("w")))).as("rho"))
+        .groupBy("flag", "idx").agg(max(col("rho")).as("m"))
+      val agg = reg.groupBy("flag").agg(
+        count(lit(1)).as("nreg"),
+        sum(lit(1.0) /
+          call_function("shiftleft", lit(1L), col("m").cast("int")).cast("double")).as("s"))
+      val exact = li.groupBy("flag").agg(countDistinct(col("pk")).as("n_exact"))
+      exact.join(agg, Seq("flag"))
+        .select(col("flag"), col("n_exact"),
+          (lit(256L) - col("nreg")).as("v_zero"),
+          Det.rdet(
+            (lit(0.7213e0) / (lit(1e0) + lit(1.079e0) / lit(256e0))) * lit(65536e0) /
+              (col("s") + (lit(256L) - col("nreg")).cast("double")), 2).as("est_hll"))
+        .orderBy("flag")
+    },
+    Some(s"""
+      WITH li AS (SELECT l_returnflag AS flag, l_partkey AS pk FROM lineitem),
+      h AS (SELECT flag, pk, ${h32("('pk' || CAST(pk AS VARCHAR))")} AS hv FROM li),
+      reg AS (SELECT flag, hv % 256 AS idx,
+                     max(CASE WHEN hv // 256 = 0 THEN 25
+                              ELSE 25 - length(bin(hv // 256)) END) AS m
+              FROM h GROUP BY 1, 2),
+      agg AS (SELECT flag, count(*) AS nreg,
+                     SUM(1e0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS s
+              FROM reg GROUP BY 1),
+      ex AS (SELECT flag, CAST(count(DISTINCT pk) AS BIGINT) AS n_exact
+             FROM li GROUP BY 1)
+      SELECT ex.flag AS flag, n_exact, CAST(256 - nreg AS BIGINT) AS v_zero,
+             floor(((0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0 /
+               (s + CAST(256 - nreg AS DOUBLE))) * 1e2 + 0.5) / 1e2 AS est_hll
+      FROM ex JOIN agg ON ex.flag = agg.flag
+      ORDER BY flag"""))
+
+  /** Mergeable aggregate state — incremental materialized-view maintenance:
+    * per-segment order statistics are kept as the exact-moment state
+    * (n, Σv, Σv²) with v = cents-scaled o_totalprice; the "base" partition
+    * (orders before 1997) and the "delta" (1997+) each aggregate their OWN
+    * state, and the refresh is a re-aggregation of the two state tables —
+    * never a rescan of base. That merge-by-sum is exactly how a 100 TB
+    * nightly cube absorbs a daily increment. Because the moments are exact
+    * integers (long / DECIMAL(38,0)), merged state == full-recompute state
+    * bit-for-bit — which is what the oracle (a direct one-pass aggregate)
+    * checks. Derived mean/stddev follow the q105/q116 protocol: stddev's
+    * n·Σv²−(Σv)² is computed in decimal, floor-divided EXACTLY via
+    * (D − D mod n²)/n² (both engines agree on positive mod), and only the
+    * ≤2^53 variance lands in double where sqrt is correctly rounded IEEE.
+    */
+  val q133StateMerge: QueryDef = QueryDef(
+    "q133_state_merge",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("segment").agg(
+          count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum((col("v") * col("v")).cast("decimal(38,0)")).as("s2"))
+      val base = state(o.filter(col("o_orderdate") < "1997-01-01"))
+      val delta = state(o.filter(col("o_orderdate") >= "1997-01-01"))
+      val merged = base.union(delta).groupBy("segment").agg(
+        sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).cast("decimal(38,0)").as("s2"))
+      val d = (col("n").cast("decimal(38,0)") * col("s2") -
+        col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
+      val nn = (col("n") * col("n")).cast("decimal(38,0)")
+      merged.select(col("segment"), col("n").as("n_orders"), col("s1"), col("s2"),
+          Det.rdet(col("s1").cast("double") / (col("n") * 100).cast("double"), 4)
+            .as("mean_price"),
+          Det.rdet(sqrt(((d - pmod(d, nn)) / nn).cast("long").cast("double")) / 100.0, 4)
+            .as("std_price"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH v AS (SELECT c_mktsegment AS segment,
+                        CAST(floor(o_totalprice * 100 + 0.5e0) AS BIGINT) AS v
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      st AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(v) AS BIGINT) AS s1,
+                    CAST(SUM(CAST(v AS HUGEINT) * v) AS DECIMAL(38,0)) AS s2
+             FROM v GROUP BY 1),
+      dd AS (SELECT *,
+                    CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+                      - CAST(s1 AS HUGEINT) * s1 AS d,
+                    CAST(n AS HUGEINT) * n AS nn
+             FROM st)
+      SELECT segment, n AS n_orders, s1, s2,
+             floor((CAST(s1 AS DOUBLE) / CAST(n * 100 AS DOUBLE)) * 1e4 + 0.5) / 1e4
+               AS mean_price,
+             floor((sqrt(CAST(CAST((d - d % nn) / nn AS BIGINT) AS DOUBLE)) / 100.0e0)
+               * 1e4 + 0.5) / 1e4 AS std_price
+      FROM dd ORDER BY segment"""))
+
+  /** Exact set-similarity join via PREFIX FILTERING (PPJoin family) — the
+    * deterministic alternative to MinHash-LSH for near-dup detection: no
+    * probabilistic recall, no banding. Token sets are distinct word
+    * TRIGRAMS (the corpus vocabulary is ~31 words, so unigrams/bigrams are
+    * too dense to discriminate — measured: bigram prefixes yield 12M+
+    * candidates at sf0.1, trigram prefixes 0.3M); tokens sort globally by
+    * (document frequency, token) so each doc's rarest tokens come first; a
+    * pair with Jaccard ≥ τ MUST share a token within each side's first
+    * |d| − ceil(τ·|d|) + 1 tokens (the prefix-filter theorem), so candidate
+    * generation is an equi-join on prefix tokens only — driven by RARE
+    * tokens, which is what keeps the candidate count near-linear at 100 TB
+    * where the all-pairs token join (the oracle's brute force, quadratic in
+    * df per token) melts down. The PPJoin length filter (τ·|a| ≤ |b| ≤
+    * |a|/τ — a Jaccard-feasibility bound) prunes at candidate-generation
+    * time, before the distinct. Candidates then get one bounded
+    * exact-verify count. Same 25 planted near-dup pairs as q26/q28, found
+    * by a third — exact — route.
+    */
+  val q134SetsimPrefix: QueryDef = QueryDef(
+    "q134_setsim_prefix",
+    (s, dir) => {
+      val tau = 0.6e0
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3) // sequence() would descend below 3
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 3)," +
+            " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
+          .as("tk"))
+        .distinct()
+        .cache() // feeds df, prefix, and both verify sides
+      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val df = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+      val ordered = tok.join(df, "tk")
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("df"), col("tk"))))
+      val prefix = ordered.join(sz, "doc_id")
+        .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+        .select(col("doc_id"), col("tk"), col("n"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") >= ceil(lit(tau) * col("a.n")) &&
+            col("b.n") <= floor(col("a.n") / lit(tau)))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val inter = cand
+        .join(tok.as("ta"), col("i") === col("ta.doc_id"))
+        .join(tok.as("tb"),
+          col("j") === col("tb.doc_id") && col("ta.tk") === col("tb.tk"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("i"), col("n").as("la")), "i")
+        .join(sz.select(col("doc_id").as("j"), col("n").as("lb")), "j")
+        .withColumn("jaccard", Det.rdet(
+          col("inter").cast("double") / (col("la") + col("lb") - col("inter")), 6))
+        .filter(col("jaccard") >= tau)
+        .select(col("i"), col("j"), col("la"), col("lb"), col("inter"), col("jaccard"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      tok AS (SELECT DISTINCT doc_id,
+                     ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS tk
+              FROM w, unnest(range(1, len(ws) - 1)) AS u(i)),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      inter AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS c
+                FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT i, j, sa.n AS la, sb.n AS lb, c AS inter,
+             floor((CAST(c AS DOUBLE) / (sa.n + sb.n - c)) * 1e6 + 0.5) / 1e6
+               AS jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+      WHERE floor((CAST(c AS DOUBLE) / (sa.n + sb.n - c)) * 1e6 + 0.5) / 1e6 >= 0.6e0
+      ORDER BY i, j"""))
+
+  /** q121's exact-substring dedup on the NATIVE rolling hash
+    * ([[graft.plans.RollingWindowHashes]]) — the codegen'd Rabin–Karp
+    * recurrence that touches each byte twice instead of md5-digesting every
+    * window (3.8× at 29M windows, see ExpressionSpec) — now ORACLE-CHECKED:
+    * the wrapping-64-bit polynomial h = Σ byte·B^(L−1−i) mod 2^64 is
+    * reproduced in DuckDB with HUGEINT mod-2^64 arithmetic over each
+    * window's characters (list_reduce seeds with the first element, which
+    * coincides with the 0-seeded fold; docs are pure ASCII so byte and
+    * char windows coincide), reinterpreted two's-complement to match the
+    * signed long. Closes the NOTES round-4 item "if a 64-bit cross-engine
+    * hash becomes expressible" — it is.
+    */
+  val q135RollingHash64: QueryDef = QueryDef(
+    "q135_rolling_hash64",
+    (s, dir) => {
+      val L = 20
+      val grams = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) >= L)
+        .select(col("doc_id"),
+          explode(RollingWindowHashes(col("text"), L)).as("gh"))
+        .cache()
+      val shared = grams.groupBy("gh")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gh"), lit(1).as("is_shared"))
+      grams.join(shared, Seq("gh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"), count(col("is_shared")).as("n_dup"))
+        .select(col("doc_id"), col("n_win"), col("n_dup"),
+          Det.rdet(col("n_dup").cast("double") / col("n_win"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH pos AS (
+        SELECT doc_id, text, unnest(generate_series(1, len(text) - 19)) AS i
+        FROM documents WHERE len(text) >= 20),
+      raw AS (
+        SELECT doc_id, list_reduce(
+                 list_transform(string_split(substr(text, i, 20), ''),
+                                c -> CAST(ascii(c) AS HUGEINT)),
+                 (acc, c) -> (acc * 1000003 + c)
+                   % CAST(18446744073709551616 AS HUGEINT)) AS h
+        FROM pos),
+      grams AS (
+        SELECT doc_id,
+               CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN h - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE h END AS BIGINT) AS gh
+        FROM raw),
+      shared AS (SELECT gh, 1 AS is_shared FROM grams GROUP BY gh
+                 HAVING count(DISTINCT doc_id) >= 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win,
+             CAST(count(shared.is_shared) AS BIGINT) AS n_dup,
+             floor((CAST(count(shared.is_shared) AS DOUBLE) / count(*)) * 1e6
+               + 0.5) / 1e6 AS dup_frac
+      FROM grams LEFT JOIN shared ON grams.gh = shared.gh
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q132HllSketch, q133StateMerge, q134SetsimPrefix, q135RollingHash64)
+}
