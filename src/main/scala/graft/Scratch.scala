@@ -7,12 +7,33 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Same conf-overlay knob as Verify, for profiling experiments.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
+    // SPARK_GRAFT_STAGES=1 prints per-stage wall/cpu time as stages finish.
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val wall = (for {
+              a <- i.completionTime; b <- i.submissionTime
+            } yield a - b).getOrElse(-1L)
+            System.err.println(
+              f"[stage ${i.stageId}%4d] wall ${wall / 1e3}%6.2f s run ${i.taskMetrics.executorRunTime / 1e3}%6.2f s tasks ${i.numTasks}%3d  ${i.name.takeWhile(_ != '\n').take(80)}")
+          }
+        })
+    }
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).limit(1).count() catch { case _: Throwable => () }

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * (d = 0.85 damping as the 85/100 rational; dangling-node mass decays —
   * documented standard simplification.)
   *
-  * Distributed shape per iteration: one equi-join edges⋈ranks on src (both
-  * sides pre-partitioned on the join key after iteration 1 — AQE reuses the
-  * layout), one hash aggregation on dst, one left join back to the node set.
-  * Rounds materialize via cache-and-count exactly like KMeans so plan depth
-  * stays O(1) per iteration, not O(iters) at the end.
+  * Distributed shape per iteration: one equi-join (degree-annotated
+  * edges)⋈ranks on src, one hash aggregation on dst, one left join back to
+  * the node set. Rounds materialize via cache-and-count (KMeans-style) every
+  * FOURTH iteration rather than every iteration: each materialization is a
+  * synchronous job, and at 3–4 rounds those jobs dominate a small-graph
+  * fit's wall clock, while four unmaterialized rounds keep plan depth
+  * bounded for long runs. Materialization points cannot change the result —
+  * every round is integer arithmetic over the same plan.
   */
 object Graph {
 
@@ -53,28 +56,46 @@ object Graph {
       val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct().cache()
       var live: DataFrame = null
+      var ed: DataFrame = null
       try {
-        val nodes = e.select(col("src").as("v"))
-          .union(e.select(col("dst").as("v"))).distinct()
+        // Materialize the deduped edge table BEFORE anything fans out over
+        // it: the first action otherwise runs every consumer subtree against
+        // the UNPOPULATED cache, so each one re-pays the full base scan +
+        // distinct (and they contend writing the same cache blocks).
+        e.count()
+        // One explode pass over the cached edges, not a two-sided union —
+        // half the scans, one exchange.
+        val nodes = e.select(explode(array(col("src"), col("dst"))).as("v")).distinct()
         val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+        // Pre-attach out-degree to the edge table ONCE: each iteration then
+        // joins a single cached relation instead of (edges ⋈ deg) per round
+        // — one exchange and one codegen stage fewer per iteration.
+        ed = e.join(deg, "src").cache()
         val n = nodes.count()
         val base = (Scale * 15L / 100L) / n // the oracle div's truncation
         var pr = nodes.withColumn("p", lit(Scale / n))
         if (iters == 0) { pr = pr.cache(); live = pr; pr.count() }
         var iter = 0
         while (iter < iters) {
-          val contrib = e.join(pr, e("src") === pr("v"))
-            .join(deg, "src")
+          val contrib = ed.join(pr, ed("src") === pr("v"))
             .select(col("dst").as("v"), expr("p div d").as("c"))
             .groupBy("v").agg(sum(col("c")).as("s"))
           pr = nodes.join(contrib, Seq("v"), "left")
             .select(col("v"),
               (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("p"))
-            .cache()
-          pr.count() // materialize before dropping the previous round
-          if (live != null) live.unpersist()
-          live = pr
           iter += 1
+          // Materialize every 4th round (and the last) — each cache+count
+          // is a synchronous job, and at 3–4 rounds those jobs dominate the
+          // wall clock of a small-graph fit. Four unmaterialized rounds keep
+          // plan depth O(1) in spirit (bounded) while letting short runs
+          // execute as ONE job; results are integer arithmetic over the
+          // same plan, so materialization points cannot change them.
+          if (iter % 4 == 0 || iter == iters) {
+            pr = pr.cache()
+            pr.count() // materialize before dropping the previous round
+            if (live != null) live.unpersist()
+            live = pr
+          }
         }
         live = null // ownership transfers to the installed cache entry
         pr
@@ -85,7 +106,13 @@ object Graph {
             catch { case scala.util.control.NonFatal(_) => () }
           }
           throw t
-      } finally e.unpersist()
+      } finally {
+        if (ed != null) {
+          try ed.unpersist()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        e.unpersist()
+      }
     })
   }
 }

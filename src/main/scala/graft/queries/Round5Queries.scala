@@ -151,9 +151,15 @@ object Round5Queries {
     * where the all-pairs token join (the oracle's brute force, quadratic in
     * df per token) melts down. The PPJoin length filter (τ·|a| ≤ |b| ≤
     * |a|/τ — a Jaccard-feasibility bound) prunes at candidate-generation
-    * time, before the distinct. Candidates then get one bounded
-    * exact-verify count. Same 25 planted near-dup pairs as q26/q28, found
-    * by a third — exact — route.
+    * time, before the distinct. Tokens are 32-bit md5 hashes from the
+    * start (both engines hash identically, so the set algebra agrees), and
+    * the verify step never re-shuffles token-level rows: each candidate
+    * pair joins the two docs' SORTED hash arrays and counts the
+    * intersection with the native merge expression
+    * ([[graft.plans.SortedLongArrayIntersectCount]]) — verify traffic is
+    * one row per candidate, not one per (candidate × token) (measured: the
+    * exploded verify was a 10M-row shuffle at sf0.1). Same 25 planted
+    * near-dup pairs as q26/q28, found by a third — exact — route.
     */
   val q134SetsimPrefix: QueryDef = QueryDef(
     "q134_setsim_prefix",
@@ -166,46 +172,49 @@ object Round5Queries {
           "transform(sequence(0, size(ws) - 3)," +
             " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
           .as("tk"))
+        .select(col("doc_id"), HashFunctions.hash32(col("tk")).as("h"))
         .distinct()
-        .cache() // feeds df, prefix, and both verify sides
-      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val df = tok.groupBy("tk").agg(count(lit(1)).as("df"))
-      val ordered = tok.join(df, "tk")
+        .cache() // feeds df, the prefix ordering, and the per-doc arrays
+      val arr = tok.groupBy("doc_id").agg(
+        sort_array(collect_list(col("h"))).as("hs"), // distinct input -> sorted distinct
+        count(lit(1)).as("n"))
+      val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      val ordered = tok.join(df, "h")
         .withColumn("pos", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-            .orderBy(col("df"), col("tk"))))
-      val prefix = ordered.join(sz, "doc_id")
+            .orderBy(col("df"), col("h"))))
+      val prefix = ordered.join(arr.select(col("doc_id"), col("n")), "doc_id")
         .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-        .select(col("doc_id"), col("tk"), col("n"))
+        .select(col("doc_id"), col("h"), col("n"))
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
             col("b.n") >= ceil(lit(tau) * col("a.n")) &&
             col("b.n") <= floor(col("a.n") / lit(tau)))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
-      val inter = cand
-        .join(tok.as("ta"), col("i") === col("ta.doc_id"))
-        .join(tok.as("tb"),
-          col("j") === col("tb.doc_id") && col("ta.tk") === col("tb.tk"))
-        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("i"), col("n").as("la")), "i")
-        .join(sz.select(col("doc_id").as("j"), col("n").as("lb")), "j")
+      val verified = cand
+        .join(arr.select(col("doc_id").as("i"), col("hs").as("ha"),
+          col("n").as("la")), "i")
+        .join(arr.select(col("doc_id").as("j"), col("hs").as("hb"),
+          col("n").as("lb")), "j")
+        .withColumn("inter", graft.plans.SortedLongArrayIntersectCount(
+          col("ha"), col("hb")).cast("long"))
+      verified
         .withColumn("jaccard", Det.rdet(
           col("inter").cast("double") / (col("la") + col("lb") - col("inter")), 6))
         .filter(col("jaccard") >= tau)
         .select(col("i"), col("j"), col("la"), col("lb"), col("inter"), col("jaccard"))
         .orderBy("i", "j")
     },
-    Some("""
+    Some(s"""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
       tok AS (SELECT DISTINCT doc_id,
-                     ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS tk
+                     ${h32("(ws[i] || '_' || ws[i+1] || '_' || ws[i+2])")} AS h
               FROM w, unnest(range(1, len(ws) - 1)) AS u(i)),
       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
       inter AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS c
-                FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+                FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
       SELECT i, j, sa.n AS la, sb.n AS lb, c AS inter,
              floor((CAST(c AS DOUBLE) / (sa.n + sb.n - c)) * 1e6 + 0.5) / 1e6
