@@ -68,6 +68,37 @@ object EventsStreaming {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming EWMA per user — the incremental form of q140's batch twin
+    * q137: state carries (n, ewma); each micro-batch folds its rows in
+    * (ts, event_id) order with e ← α·x + (1−α)·e, seeding from the first
+    * value. Within-batch order is pinned by an explicit sort of the group's
+    * rows; ACROSS batches the fold applies in arrival order (an
+    * out-of-order feed would need a watermark-bounded reorder buffer —
+    * documented contract, same as runningUserTotals). α = 0.25 is dyadic,
+    * so the streamed fold over an in-order feed reproduces the batch
+    * q137 result bit-for-bit.
+    */
+  def ewmaPerUser(events: DataFrame, alpha: Double = 0.25): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts").cast("long").as("tsl"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          var (n, e) = state.getOption.getOrElse((0L, 0.0))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            e = if (n == 0L) r._4 else alpha * r._4 + (1.0 - alpha) * e
+            n += 1
+          }
+          state.update((n, e))
+          (user, n, e)
+      }
+      .toDF("user_id", "n_events", "ewma")
+  }
+
   /** Streaming ground-noise estimation: the flagship pipeline over a live
     * feed. Events classify into noise sources (same derivation as
     * NoiseQueries.sources), stream-static join against the precomputed

@@ -212,6 +212,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming EWMA over an in-order feed equals the sequential fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.ewmaPerUser(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("ewma_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(2): _*) // user 10: 1.0 then 2.0 in one batch
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*) // user 11: 4.0; user 10: 8.0
+      q.processAllAvailable()
+      // latest state per user = the row with the highest n_events
+      val last = spark.table("ewma_test")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("ewma"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.ewma"))
+        .orderBy("user_id").collect()
+      // user 10: seed 1.0 -> 0.25*2 + 0.75*1 = 1.25 -> 0.25*8 + 0.75*1.25
+      val e10 = 0.25 * 8.0 + 0.75 * (0.25 * 2.0 + 0.75 * 1.0)
+      assert(last.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((10L, 3L, e10), (11L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming sliding windows equal the batch run; events land in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
