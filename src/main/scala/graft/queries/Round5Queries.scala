@@ -13,7 +13,9 @@ import graft.plans.RollingWindowHashes
   */
 object Round5Queries {
 
-  private def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+  private[queries] def h32Sql(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+  private def h32(x: String): String = h32Sql(x)
 
   /** Exactly-reproducible HyperLogLog (q129's count-min protocol applied to
     * cardinality): m=256 registers over a 32-bit md5-derived hash — register

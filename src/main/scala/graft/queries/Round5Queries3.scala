@@ -144,5 +144,96 @@ object Round5Queries3 {
                AS avg_logprob
       FROM terms ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q139BpeMerge, q140UnigramLogprob)
+  /** Sketch ALGEBRA — the reason mergeable state matters: HLL registers
+    * (q132's protocol) are computed ONCE at the finest grain
+    * (returnflag × linestatus) and every coarser distinct-count estimate —
+    * per flag, and global — derives from that 6×256-row STATE table by
+    * max-merge, never rescanning the fact table. That is the 100 TB
+    * datacube pattern: sketch per partition/day at ingest, answer any
+    * rollup from kilobytes of state. Exact distinct counts ride one
+    * `rollup` pass for the error exhibit; estimates are the q132 raw
+    * harmonic mean (bit-identical cross-engine). Rolled-up keys display
+    * as '*'.
+    */
+  val q141HllRollup: QueryDef = QueryDef(
+    "q141_hll_rollup",
+    (s, dir) => {
+      import graft.functions.HashFunctions
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+        col("l_partkey").as("pk"))
+      val h = li.select(col("flag"), col("status"),
+        HashFunctions.hash32(concat(lit("pk"), col("pk").cast("string"))).as("hv"))
+      val leaf = h
+        .select(col("flag"), col("status"), pmod(col("hv"), lit(256L)).as("idx"),
+          shiftright(col("hv"), 8).as("w"))
+        .select(col("flag"), col("status"), col("idx"),
+          when(col("w") === 0, lit(25))
+            .otherwise(lit(25) - length(bin(col("w")))).as("rho"))
+        .groupBy("flag", "status", "idx").agg(max(col("rho")).as("m"))
+        .cache() // the state table every coarser level derives from
+      def estimate(reg: DataFrame, keys: Seq[String]): DataFrame = {
+        val g = if (keys.isEmpty) reg.groupBy() else reg.groupBy(keys.map(col): _*)
+        g.agg(count(lit(1)).as("nreg"),
+            sum(lit(1.0) /
+              call_function("shiftleft", lit(1L), col("m").cast("int"))
+                .cast("double")).as("sreg"))
+          .withColumn("est_hll", Det.rdet(
+            (lit(0.7213e0) / (lit(1e0) + lit(1.079e0) / lit(256e0))) * lit(65536e0) /
+              (col("sreg") + (lit(256L) - col("nreg")).cast("double")), 2))
+      }
+      val estLeaf = estimate(leaf, Seq("flag", "status"))
+        .select(col("flag"), col("status"), col("est_hll"))
+      val estFlag = estimate(
+          leaf.groupBy("flag", "idx").agg(max(col("m")).as("m")), Seq("flag"))
+        .select(col("flag"), lit("*").as("status"), col("est_hll"))
+      val estAll = estimate(
+          leaf.groupBy("idx").agg(max(col("m")).as("m")), Nil)
+        .select(lit("*").as("flag"), lit("*").as("status"), col("est_hll"))
+      val exact = li.rollup(col("flag"), col("status"))
+        .agg(countDistinct(col("pk")).as("n_exact"))
+        .select(coalesce(col("flag"), lit("*")).as("flag"),
+          coalesce(col("status"), lit("*")).as("status"), col("n_exact"))
+      exact.join(estLeaf.unionAll(estFlag).unionAll(estAll),
+          Seq("flag", "status"))
+        .select(col("flag"), col("status"), col("n_exact"), col("est_hll"))
+        .orderBy("flag", "status")
+    },
+    Some(s"""
+      WITH li AS (SELECT l_returnflag AS flag, l_linestatus AS status,
+                         l_partkey AS pk FROM lineitem),
+      h AS (SELECT flag, status,
+                   ${Round5Queries.h32Sql("('pk' || CAST(pk AS VARCHAR))")} AS hv
+            FROM li),
+      leaf AS (SELECT flag, status, hv % 256 AS idx,
+                      max(CASE WHEN hv // 256 = 0 THEN 25
+                               ELSE 25 - length(bin(hv // 256)) END) AS m
+               FROM h GROUP BY 1, 2, 3),
+      e_leaf AS (SELECT flag, status, count(*) AS nreg,
+                        SUM(1e0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS s
+                 FROM leaf GROUP BY 1, 2),
+      r_flag AS (SELECT flag, idx, max(m) AS m FROM leaf GROUP BY 1, 2),
+      e_flag AS (SELECT flag, '*' AS status, count(*) AS nreg,
+                        SUM(1e0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS s
+                 FROM r_flag GROUP BY 1),
+      r_all AS (SELECT idx, max(m) AS m FROM leaf GROUP BY 1),
+      e_all AS (SELECT '*' AS flag, '*' AS status, count(*) AS nreg,
+                       SUM(1e0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS s
+                FROM r_all),
+      est AS (SELECT flag, status,
+                     floor(((0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0 /
+                       (s + CAST(256 - nreg AS DOUBLE))) * 1e2 + 0.5) / 1e2
+                       AS est_hll
+              FROM (SELECT * FROM e_leaf UNION ALL
+                    SELECT * FROM e_flag UNION ALL
+                    SELECT * FROM e_all)),
+      exact AS (SELECT COALESCE(flag, '*') AS flag,
+                       COALESCE(status, '*') AS status,
+                       CAST(count(DISTINCT pk) AS BIGINT) AS n_exact
+                FROM li GROUP BY ROLLUP (flag, status))
+      SELECT exact.flag AS flag, exact.status AS status, n_exact, est_hll
+      FROM exact JOIN est ON exact.flag = est.flag AND exact.status = est.status
+      ORDER BY flag, status"""))
+
+  val all: Seq[QueryDef] = Seq(q139BpeMerge, q140UnigramLogprob, q141HllRollup)
 }

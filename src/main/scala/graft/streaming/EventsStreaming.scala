@@ -99,6 +99,54 @@ object EventsStreaming {
       .toDF("user_id", "n_events", "ewma")
   }
 
+  /** Running EWMA plus the not-yet-safe tail of events, buffered until the
+    * watermark passes them.
+    */
+  final case class EwmaState(n: Long, e: Double, buf: List[(Long, Long, Double)])
+
+  /** Watermark-ordered streaming EWMA — closes [[ewmaPerUser]]'s documented
+    * out-of-order gap: arriving events first land in a per-user BUFFER;
+    * only events whose event time the watermark has passed are drained —
+    * in (ts, event_id) order — into the running fold, so reorderings
+    * bounded by the watermark delay cannot change the result. The buffer
+    * holds at most (watermark horizon × user rate) rows — bounded state,
+    * evicted by time, the standard reorder-buffer contract. An event-time
+    * timeout fires the drain even when the user receives no further
+    * events. Emits (user, n_folded, ewma) whenever the fold advances
+    * (Append mode with one row per drain).
+    */
+  def ewmaPerUserOrdered(events: DataFrame, alpha: Double = 0.25,
+      delay: String = "10 minutes"): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[EwmaState]) =>
+          val st0 = state.getOption.getOrElse(EwmaState(0L, 0.0, Nil))
+          val incoming = rows.map(r => (r._2.getTime * 1000L, r._3, r._4)).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (safe, tail) = (st0.buf ++ incoming).sortBy(x => (x._1, x._2))
+            .partition(_._1 < wmUs)
+          var n = st0.n
+          var e = st0.e
+          safe.foreach { x =>
+            e = if (n == 0L) x._3 else alpha * x._3 + (1.0 - alpha) * e
+            n += 1
+          }
+          state.update(EwmaState(n, e, tail))
+          tail.headOption.foreach { h =>
+            // wake up when the watermark passes the oldest buffered event
+            state.setTimeoutTimestamp(h._1 / 1000L + 1L)
+          }
+          if (safe.nonEmpty) Iterator((user, n, e)) else Iterator.empty
+      }
+  }
+
   /** Streaming ground-noise estimation: the flagship pipeline over a live
     * feed. Events classify into noise sources (same derivation as
     * NoiseQueries.sources), stream-static join against the precomputed

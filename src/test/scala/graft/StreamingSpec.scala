@@ -237,6 +237,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark-ordered EWMA folds out-of-order arrivals in event-time order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.ewmaPerUserOrdered(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .toDF("user_id", "n_events", "ewma")
+      .writeStream.format("memory").queryName("ewma_ord_test")
+      .outputMode("append").start()
+    try {
+      // user 10's events arrive OUT of event-time order, across batches:
+      // ts 7min (v=8) and ts 0min (v=1) first, ts 1min (v=2) later.
+      mem.addData((4L, ts(7), 10L, "click", 8.0, "{}"),
+        (1L, ts(0), 10L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((2L, ts(1), 10L, "click", 2.0, "{}"),
+        (90L, ts(40), 99L, "view", 5.0, "{}")) // advances the watermark
+      q.processAllAvailable()
+      mem.addData((91L, ts(41), 99L, "view", 6.0, "{}")) // watermark now 30min
+      q.processAllAvailable()
+      val last = spark.table("ewma_ord_test")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("ewma"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.ewma"))
+        .orderBy("user_id").collect()
+      // the fold must apply 1.0, 2.0, 8.0 in EVENT-TIME order despite arrival
+      val e10 = 0.25 * 8.0 + 0.75 * (0.25 * 2.0 + 0.75 * 1.0)
+      val u10 = last.find(_.getLong(0) == 10L).get
+      assert((u10.getLong(1), u10.getDouble(2)) == ((3L, e10)))
+    } finally q.stop()
+  }
+
   test("streaming sliding windows equal the batch run; events land in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
