@@ -109,6 +109,14 @@ object CorpusScaleBench {
           corpus.select(explode(split(col("text"), " ")).as("word"))
             .filter(col("word") =!= ""),
           col("word"), 40)
+      },
+      // prefix-filtered EXACT Jaccard join: the replicated corpus is its
+      // hostile case — every replica cluster is a dense near-dup group, so
+      // the TRUE result is ~base_docs x C(replicas, 2) pairs; the measure
+      // of interest is that candidate volume tracks the (large) true-pair
+      // volume rather than the corpus square
+      time("setsim_prefix") {
+        operators.Dedup.prefixJaccardPairs(corpus, 0.6)
       })
     val qs = results.map { case (k, v, n) =>
       f""""$k":{"sec":$v%.2f,"rows":$n}""" }.mkString("{", ",", "}")

@@ -312,4 +312,62 @@ object Dedup {
         (inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT Jaccard similarity join via PREFIX FILTERING (PPJoin family) —
+    * the deterministic alternative to [[minhashLsh]]: no probabilistic
+    * recall. Token sets are hashed word trigrams; tokens order globally by
+    * (document frequency, hash) so each doc's rarest tokens come first; a
+    * pair with Jaccard ≥ τ must share a token within each side's first
+    * |d| − ceil(τ·|d|) + 1 tokens (the prefix-filter theorem), so candidate
+    * generation is an equi-join on prefix tokens only, pruned further by
+    * the PPJoin length filter (τ·|a| ≤ |b| ≤ |a|/τ). Verification joins
+    * the two docs' SORTED hash arrays and counts the intersection with the
+    * native merge expression — one row per candidate, never one per
+    * (candidate × token).
+    *
+    * Returns (i, j, la, lb, inter, jaccard) with the RAW double jaccard,
+    * filtered to ≥ tau; callers needing oracle-deterministic display apply
+    * their own rounding. Requires ≥ 3 words per doc (shorter docs are
+    * dropped, mirroring the oracle contract).
+    */
+  def prefixJaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3) // sequence() would descend below 3
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3)," +
+          " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
+        .as("tk"))
+      .select(col("doc_id"), hash32(col("tk")).as("h"))
+      .distinct()
+      .cache() // feeds df, the prefix ordering, and the per-doc arrays
+    val arr = tok.groupBy("doc_id").agg(
+      sort_array(collect_list(col("h"))).as("hs"), // distinct input -> sorted distinct
+      count(lit(1)).as("n"))
+    val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = tok.join(df, "h")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("h"))))
+    val prefix = ordered.join(arr.select(col("doc_id"), col("n")), "doc_id")
+      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(lit(tau) * col("a.n")) &&
+          col("b.n") <= floor(col("a.n") / lit(tau)))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(arr.select(col("doc_id").as("i"), col("hs").as("ha"),
+        col("n").as("la")), "i")
+      .join(arr.select(col("doc_id").as("j"), col("hs").as("hb"),
+        col("n").as("lb")), "j")
+      .withColumn("inter", graft.plans.SortedLongArrayIntersectCount(
+        col("ha"), col("hb")).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("la") + col("lb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("i"), col("j"), col("la"), col("lb"), col("inter"), col("jaccard"))
+  }
 }

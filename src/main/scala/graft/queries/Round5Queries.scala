@@ -165,49 +165,11 @@ object Round5Queries {
     */
   val q134SetsimPrefix: QueryDef = QueryDef(
     "q134_setsim_prefix",
-    (s, dir) => {
-      val tau = 0.6e0
-      val tok = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3) // sequence() would descend below 3
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 3)," +
-            " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
-          .as("tk"))
-        .select(col("doc_id"), HashFunctions.hash32(col("tk")).as("h"))
-        .distinct()
-        .cache() // feeds df, the prefix ordering, and the per-doc arrays
-      val arr = tok.groupBy("doc_id").agg(
-        sort_array(collect_list(col("h"))).as("hs"), // distinct input -> sorted distinct
-        count(lit(1)).as("n"))
-      val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
-      val ordered = tok.join(df, "h")
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-            .orderBy(col("df"), col("h"))))
-      val prefix = ordered.join(arr.select(col("doc_id"), col("n")), "doc_id")
-        .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-        .select(col("doc_id"), col("h"), col("n"))
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") >= ceil(lit(tau) * col("a.n")) &&
-            col("b.n") <= floor(col("a.n") / lit(tau)))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
-      val verified = cand
-        .join(arr.select(col("doc_id").as("i"), col("hs").as("ha"),
-          col("n").as("la")), "i")
-        .join(arr.select(col("doc_id").as("j"), col("hs").as("hb"),
-          col("n").as("lb")), "j")
-        .withColumn("inter", graft.plans.SortedLongArrayIntersectCount(
-          col("ha"), col("hb")).cast("long"))
-      verified
-        .withColumn("jaccard", Det.rdet(
-          col("inter").cast("double") / (col("la") + col("lb") - col("inter")), 6))
-        .filter(col("jaccard") >= tau)
-        .select(col("i"), col("j"), col("la"), col("lb"), col("inter"), col("jaccard"))
-        .orderBy("i", "j")
-    },
+    (s, dir) =>
+      graft.operators.Dedup
+        .prefixJaccardPairs(Tables.load(s, dir, "documents"), 0.6e0)
+        .withColumn("jaccard", Det.rdet(col("jaccard"), 6))
+        .orderBy("i", "j"),
     Some(s"""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
@@ -222,7 +184,7 @@ object Round5Queries {
              floor((CAST(c AS DOUBLE) / (sa.n + sb.n - c)) * 1e6 + 0.5) / 1e6
                AS jaccard
       FROM inter JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
-      WHERE floor((CAST(c AS DOUBLE) / (sa.n + sb.n - c)) * 1e6 + 0.5) / 1e6 >= 0.6e0
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6e0
       ORDER BY i, j"""))
 
   /** q121's exact-substring dedup on the NATIVE rolling hash
