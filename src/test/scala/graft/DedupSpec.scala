@@ -108,4 +108,43 @@ class DedupSpec extends SparkTestBase {
     assert((out(0).getLong(0), out(0).getLong(1)) == (1L, 2L))
     assert(out(0).getDouble(2) > 0.5 && out(0).getDouble(2) < 1.0)
   }
+
+  test("prefix jaccard join is EXACT: equals the brute-force all-pairs result") {
+    import org.apache.spark.sql.functions._
+    // 30 docs: 10 base sentences x 3 variants (identical / one word changed /
+    // shuffled tail) + planted unrelated docs — enough pair structure that a
+    // recall bug in the prefix or length filter would drop a pair.
+    val rows = (0 until 10).flatMap { i =>
+      val words = (0 until 12).map(w => s"w${(i * 7 + w * 3) % 17}")
+      val v0 = words.mkString(" ")
+      val v1 = (words.dropRight(1) :+ s"zz$i").mkString(" ")
+      val v2 = (words.take(6) ++ words.drop(6).reverse).mkString(" ")
+      Seq((i * 3 + 0L) -> v0, (i * 3 + 1L) -> v1, (i * 3 + 2L) -> v2)
+    }
+    val d = docs(rows: _*)
+    val got = Dedup.prefixJaccardPairs(d, 0.5)
+      .select("i", "j", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same hashed-trigram token sets
+    val tok = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3)," +
+          " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))")).as("tk"))
+      .select(col("doc_id"), graft.functions.HashFunctions.hash32(col("tk")).as("h"))
+      .distinct()
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val want = tok.as("a").join(tok.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("i"), col("n").as("la")), "i")
+      .join(sz.select(col("doc_id").as("j"), col("n").as("lb")), "j")
+      .filter(col("inter").cast("double") /
+        (col("la") + col("lb") - col("inter")) >= 0.5)
+      .select("i", "j", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "test corpus produced no qualifying pairs")
+    assert(got == want)
+  }
 }
