@@ -147,6 +147,68 @@ object EventsStreaming {
       }
   }
 
+  /** (event_type, register index, rank) rows for the q132 HyperLogLog
+    * protocol — the shared derivation for the batch comparator and the
+    * streaming state update: 32-bit md5-derived hash, index = low 8 bits,
+    * rho = 25 − MSB position of the remaining 24 bits (via `bin`, no
+    * floating log2).
+    */
+  def hllRegisterRows(events: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions
+    val w = shiftright(col("hv"), 8)
+    events
+      .select(col("event_type"),
+        HashFunctions.hash32(concat(lit("u"), col("user_id").cast("string"))).as("hv"))
+      .select(col("event_type"), pmod(col("hv"), lit(256L)).cast("int").as("idx"),
+        when(w === 0, lit(25)).otherwise(lit(25) - length(bin(w))).cast("int").as("rho"))
+  }
+
+  /** Full HLL estimate from a 256-register array: q132's harmonic mean
+    * PLUS the standard small-range linear-counting correction (E ≤ 2.5m
+    * with empty registers → m·ln(m/V)), which the oracle-checked q132
+    * deliberately omits because ln is not bit-portable across engines —
+    * a constraint this Scala-side estimator doesn't have (the streaming
+    * spec compares it against ITSELF run over the batch registers).
+    * Without the correction the raw estimator overestimates ~2× below
+    * n ≈ 2.5m. Exposed for the batch-equivalence spec.
+    */
+  def hllEstimate(regs: Array[Int]): Double = {
+    var s = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < regs.length) {
+      if (regs(i) == 0) { zeros += 1; s += 1.0 }
+      else s += 1.0 / (1L << regs(i))
+      i += 1
+    }
+    val m = regs.length.toDouble
+    val raw = (0.7213e0 / (1e0 + 1.079e0 / m)) * m * m / s
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
+  /** Streaming distinct-user estimation per event type — q132's
+    * HyperLogLog as INCREMENTAL state: each key's state is its 256-register
+    * array (1 KB, bounded forever), each micro-batch folds its rows in by
+    * register max — the same merge that q141 exploits for rollups, running
+    * continuously. Emits the refreshed estimate per key per batch. This is
+    * the streaming cardinality service shape: state size independent of
+    * stream length, registers mergeable across restarts and across keys.
+    */
+  def hllDistinctUsers(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = hllRegisterRows(events).as[(String, Int, Int)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Int], (String, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (t, rows, state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(new Array[Int](256))
+          rows.foreach { r => if (r._3 > regs(r._2)) regs(r._2) = r._3 }
+          state.update(regs)
+          (t, hllEstimate(regs))
+      }
+      .toDF("event_type", "est_distinct")
+  }
+
   /** Streaming ground-noise estimation: the flagship pipeline over a live
     * feed. Events classify into noise sources (same derivation as
     * NoiseQueries.sources), stream-static join against the precomputed

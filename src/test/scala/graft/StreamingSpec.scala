@@ -268,6 +268,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming HLL registers converge to the batch registers' estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.hllDistinctUsers(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode("update").start()
+    try {
+      // 400 events over 180 distinct users across 2 types, split in 2 batches
+      val evs = (0 until 400).map { i =>
+        (i.toLong, ts(i % 30), (i * 7919L) % 180,
+          if (i % 3 == 0) "click" else "view", 1.0, "{}")
+      }
+      mem.addData(evs.take(200): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(200): _*)
+      q.processAllAvailable()
+      // latest streamed estimate per type (update mode appends per batch)
+      val streamed = spark.table("hll_test")
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.collect_list("est_distinct").as("es"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1).last).toMap
+      // batch comparator: same register derivation over ALL the rows at once
+      val batchDf = evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val regRows = EventsStreaming.hllRegisterRows(batchDf)
+        .groupBy("event_type", "idx")
+        .agg(max("rho").as("m")).collect()
+      val want = regRows.groupBy(_.getString(0)).map { case (t, rows) =>
+        val regs = new Array[Int](256)
+        rows.foreach(r => regs(r.getInt(1)) = r.getInt(2))
+        t -> EventsStreaming.hllEstimate(regs)
+      }
+      assert(streamed == want, s"streamed=$streamed want=$want")
+      // sanity: within HLL's expected error of the true cardinalities
+      val exact = batchDf.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (t, n) =>
+        assert(math.abs(streamed(t) - n) / n < 0.2, s"$t: est=${streamed(t)} exact=$n")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sliding windows equal the batch run; events land in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
