@@ -134,6 +134,67 @@ object Round5Queries5 {
              ), 1, 8))::BIGINT) AS BIGINT) AS checksum
       FROM customer GROUP BY 1 ORDER BY nation"""))
 
+  /** SCD2 point-in-time lookup — the query side of q96's dimension
+    * maintenance (the "time travel" join a warehouse runs constantly):
+    * every order joins the customer-segment VERSION valid at its order
+    * date, via an equi-join on the business key plus a per-row validity
+    * predicate over half-open [valid_from, valid_to) intervals. At scale
+    * this is an equi-join whose per-key fan-in is the (small, bounded)
+    * version count — never an interval cross product. Revenue then
+    * aggregates by the period-correct segment: 1998 orders of upgraded
+    * customers land in 'UPGRADED', their older orders stay in the
+    * historical segment — the figure an as-of-naive join (current segment
+    * for all history) silently gets wrong.
+    */
+  val q147Scd2Lookup: QueryDef = QueryDef(
+    "q147_scd2_lookup",
+    (s, dir) => {
+      // the q96 SCD2 derivation (kept textually tiny; see q96 for the
+      // maintenance semantics)
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val upd = Tables.load(s, dir, "orders")
+        .filter(year(col("o_orderdate")) >= 1998)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("eff"))
+      val joined = dim.join(upd, Seq("c_custkey"), "left")
+      val scd = joined.select(col("c_custkey"),
+          col("c_mktsegment").as("segment"),
+          lit("1990-01-01").cast("date").as("valid_from"),
+          col("eff").as("valid_to"))
+        .unionByName(joined.filter(col("eff").isNotNull)
+          .select(col("c_custkey"), lit("UPGRADED").as("segment"),
+            col("eff").as("valid_from"), lit(null).cast("date").as("valid_to")))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+      o.join(scd, Seq("c_custkey"))
+        .filter(col("od") >= col("valid_from") &&
+          (col("valid_to").isNull || col("od") < col("valid_to")))
+        .groupBy(col("segment"), year(col("od")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("segment", "yr")
+    },
+    Some(s"""
+      WITH upd AS (SELECT o_custkey AS c_custkey,
+                          CAST(max(o_orderdate) AS DATE) AS eff
+                   FROM orders WHERE year(o_orderdate) >= 1998 GROUP BY 1),
+      j AS (SELECT c.c_custkey, c.c_mktsegment, upd.eff
+            FROM customer c LEFT JOIN upd USING (c_custkey)),
+      scd AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '1990-01-01' AS valid_from, eff AS valid_to FROM j
+        UNION ALL
+        SELECT c_custkey, 'UPGRADED', eff, NULL FROM j WHERE eff IS NOT NULL),
+      o AS (SELECT o_custkey AS c_custkey, CAST(o_orderdate AS DATE) AS od,
+                   o_totalprice FROM orders)
+      SELECT segment, CAST(year(od) AS BIGINT) AS yr,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             ${Det.dsumSql("o_totalprice")} AS revenue
+      FROM o JOIN scd USING (c_custkey)
+      WHERE od >= valid_from AND (valid_to IS NULL OR od < valid_to)
+      GROUP BY 1, 2 ORDER BY segment, yr"""))
+
   val all: Seq[QueryDef] =
-    Seq(q144FrequentPairs, q145SessionPaths, q146TableChecksum)
+    Seq(q144FrequentPairs, q145SessionPaths, q146TableChecksum, q147Scd2Lookup)
 }
