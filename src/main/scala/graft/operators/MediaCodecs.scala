@@ -1,0 +1,191 @@
+package graft.operators
+
+/** REAL pure-JVM media codecs for the two public uncompressed formats a
+  * zero-dependency sandbox can parse bit-exactly: 24-bit BI_RGB Windows BMP
+  * (BITMAPINFOHEADER) and 16-bit PCM RIFF/WAVE. These replace the
+  * round-2..4 decode STUB for payloads that actually carry these formats —
+  * [[Multimodal.decodeFeatures]] sniffs the magic bytes and falls back to
+  * the deterministic fake for anything else (JPEG/PNG/MP3 decode needs
+  * codec libraries this environment does not ship).
+  *
+  * The layouts implemented here are the public file-format specifications
+  * (BMP: 54-byte header, little-endian fields, BGR byte order, rows stored
+  * BOTTOM-UP, each row padded to a 4-byte boundary; WAV: RIFF chunk walk,
+  * `fmt ` + `data` chunks, odd-sized chunks padded per the RIFF rule).
+  * Getting any of those wrong — padding read as pixels, unflipped rows,
+  * RGB/BGR swap — shifts the decoded pixel statistics, which is exactly
+  * what the oracle-checked roundtrip queries (q148/q149) detect.
+  *
+  * Scale: both codecs are pure functions of one payload, used inside
+  * `mapPartitions`/typed `map` — embarrassingly parallel, no shuffle, no
+  * driver involvement.
+  */
+object MediaCodecs {
+
+  /** Decoded BMP: `pixels(y*width + x)` = (r, g, b) of the LOGICAL
+    * top-down pixel grid, padding stripped, BGR storage unswizzled.
+    */
+  final case class BmpImage(width: Int, height: Int, pixels: Array[(Int, Int, Int)])
+
+  /** Decoded WAV: PCM samples in file order. */
+  final case class WavAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                            samples: Array[Short])
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** Bytes per stored BMP row: 3 bytes per pixel, padded up to 4. */
+  def bmpRowStride(width: Int): Int = ((3 * width) + 3) / 4 * 4
+
+  /** Total file size of a 24-bit BMP with the 54-byte header. */
+  def bmpFileSize(width: Int, height: Int): Int =
+    54 + bmpRowStride(width) * height
+
+  /** Encode a 24-bit uncompressed BMP. `pixel(x, y)` yields (r, g, b) in
+    * 0..255 for the LOGICAL grid (y = 0 is the top row); the encoder
+    * handles the format's bottom-up row order, BGR byte order, and row
+    * padding.
+    */
+  def encodeBmp24(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val stride = bmpRowStride(width)
+    val size = bmpFileSize(width, height)
+    val b = new Array[Byte](size) // zero-filled => padding bytes are 0
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, size) // bfSize
+    putLe32(b, 10, 54) // bfOffBits
+    putLe32(b, 14, 40) // biSize (BITMAPINFOHEADER)
+    putLe32(b, 18, width)
+    putLe32(b, 22, height) // positive => bottom-up storage
+    putLe16(b, 26, 1) // biPlanes
+    putLe16(b, 28, 24) // biBitCount
+    putLe32(b, 30, 0) // biCompression = BI_RGB
+    putLe32(b, 34, stride * height) // biSizeImage
+    putLe32(b, 38, 2835); putLe32(b, 42, 2835) // 72 dpi in px/metre
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = pixel(x, y)
+        val p = rowOff + 3 * x
+        b(p) = bl.toByte; b(p + 1) = g.toByte; b(p + 2) = r.toByte // BGR
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Decode a 24-bit uncompressed BMP; None when the payload is not one
+    * (wrong magic, truncated, compressed, or not 24 bpp) — callers fall
+    * back to the stub path. Handles both bottom-up (positive height) and
+    * top-down (negative height) storage.
+    */
+  def decodeBmp24(b: Array[Byte]): Option[BmpImage] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (le32(b, 2) != b.length) return None // bfSize must match
+    val dataOff = le32(b, 10)
+    val width = le32(b, 18)
+    val rawH = le32(b, 22)
+    val bottomUp = rawH > 0
+    val height = math.abs(rawH)
+    if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
+    if (width <= 0 || height == 0) return None
+    val stride = bmpRowStride(width)
+    if (dataOff + stride.toLong * height > b.length) return None
+    val px = new Array[(Int, Int, Int)](width * height)
+    var y = 0
+    while (y < height) {
+      val stored = if (bottomUp) height - 1 - y else y
+      val rowOff = dataOff + stored * stride
+      var x = 0
+      while (x < width) {
+        val p = rowOff + 3 * x
+        px(y * width + x) = ((b(p + 2) & 0xff), (b(p + 1) & 0xff), (b(p) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpImage(width, height, px))
+  }
+
+  /** Total file size of a canonical 44-byte-header PCM16 mono WAV. */
+  def wavFileSize(nSamples: Int): Int = 44 + 2 * nSamples
+
+  /** Encode 16-bit PCM mono WAV (canonical RIFF: fmt then data). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = 2 * samples.length
+    val b = new Array[Byte](44 + dataLen)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, 36 + dataLen)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 16) // fmt chunk size
+    putLe16(b, 20, 1) // PCM
+    putLe16(b, 22, 1) // mono
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, sampleRate * 2) // byte rate
+    putLe16(b, 32, 2) // block align
+    putLe16(b, 34, 16) // bits per sample
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putLe32(b, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      putLe16(b, 44 + 2 * i, samples(i) & 0xffff); i += 1
+    }
+    b
+  }
+
+  /** Decode a PCM16 WAV by WALKING the RIFF chunk list (not fixed offsets:
+    * real files carry LIST/INFO/fact chunks between fmt and data; odd-sized
+    * chunks are followed by a pad byte per the RIFF rule). None when not a
+    * RIFF/WAVE or not 16-bit PCM.
+    */
+  def decodeWavPcm16(b: Array[Byte]): Option[WavAudio] = {
+    def tag(off: Int): String =
+      if (off + 4 <= b.length) new String(b.slice(off, off + 4), "US-ASCII") else ""
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= b.length && (rate < 0 || samples == null)) {
+      val id = tag(off)
+      val sz = le32(b, off + 4)
+      val body = off + 8
+      if (sz < 0 || body + sz > b.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16 || le16(b, body) != 1) return None // PCM only
+          channels = le16(b, body + 2)
+          rate = le32(b, body + 4)
+          bits = le16(b, body + 14)
+          if (bits != 16) return None
+        case "data" =>
+          val n = sz / 2
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) { s(i) = le16(b, body + 2 * i).toShort; i += 1 }
+          samples = s
+        case _ => () // skip unknown chunks (LIST, fact, ...)
+      }
+      off = body + sz + (sz & 1) // RIFF pad rule
+    }
+    if (rate < 0 || samples == null) None
+    else Some(WavAudio(rate, channels, bits, samples))
+  }
+}

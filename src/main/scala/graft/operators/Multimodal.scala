@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct; decode / feature-extract
   * run per-partition in batches.
   *
-  * The actual media decode is STUBBED — no image/audio codecs exist in this
-  * environment — with a deterministic fake ([[fakeDecode]]) so the
-  * Spark-side contract (schema, batch shape, partition-level execution,
-  * feature vector layout) is real and tested. Swapping in a real codec means
-  * replacing one pure function; the plan shape does not change.
+  * Decode is REAL for the uncompressed public formats a zero-dependency JVM
+  * can parse — 24-bit BMP and PCM16 WAV ([[MediaCodecs]], sniffed by magic
+  * bytes in [[realDecode]]) — and falls back to a deterministic fake
+  * ([[fakeDecode]]) for formats that need codec libraries this environment
+  * does not ship (JPEG/PNG/MP3). The Spark-side contract (schema, batch
+  * shape, partition-level execution, feature vector layout) is identical on
+  * both paths; swapping a codec in means replacing one pure function.
   *
   * Scale: decode is embarrassingly parallel (mapPartitions, no shuffle);
   * batching happens naturally per partition iterator. Size
@@ -61,14 +63,61 @@ object Multimodal {
     (width, height, channels, hist)
   }
 
+  /** REAL decode for the formats a zero-dependency JVM can parse
+    * ([[MediaCodecs]]): sniffs the payload and returns
+    * (width, height, channels, features) or None for formats that would
+    * need a codec library.
+    *
+    *  - 24-bit BMP → (width, height, 3) from the actual header; features =
+    *    [r, g, b of the logical TOP-LEFT pixel (catches an unflipped
+    *    bottom-up read or an RGB/BGR swizzle), then per-channel
+    *    row-weighted sums Σ_y (y+1)·Σ_x channel(x,y) (order-sensitive, so
+    *    padding bytes misread as pixels shift them)].
+    *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
+    *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
+    *    below 2^24 for the corpus encodings, so the float features are
+    *    exact.
+    */
+  def realDecode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    MediaCodecs.decodeBmp24(payload).map { img =>
+      var wr = 0L; var wg = 0L; var wb = 0L
+      var y = 0
+      while (y < img.height) {
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var x = 0
+        while (x < img.width) {
+          val (r, g, b) = img.pixels(y * img.width + x)
+          rs += r; gs += g; bs += b; x += 1
+        }
+        wr += (y + 1) * rs; wg += (y + 1) * gs; wb += (y + 1) * bs
+        y += 1
+      }
+      val (tr, tg, tb) = img.pixels(0)
+      (img.width, img.height, 3,
+        Array(tr.toFloat, tg.toFloat, tb.toFloat, wr.toFloat, wg.toFloat, wb.toFloat))
+    }.orElse {
+      MediaCodecs.decodeWavPcm16(payload).map { a =>
+        var s = 0L; var ws = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          s += a.samples(i); ws += (i + 1).toLong * a.samples(i); i += 1
+        }
+        val first = if (a.samples.nonEmpty) a.samples(0).toFloat else 0f
+        (a.samples.length, 1, a.channels,
+          Array(a.sampleRate.toFloat, first, s.toFloat, ws.toFloat))
+      }
+    }
+
   /** Per-partition batched decode → typed feature rows. mapPartitions (not
-    * per-row UDF) so a real codec could amortize setup per batch.
+    * per-row UDF) so codec setup could amortize per batch. Payloads in a
+    * REAL parseable format (BMP/WAV, see [[realDecode]]) are actually
+    * decoded; everything else takes the deterministic [[fakeDecode]] stand-in.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c, f) = fakeDecode(r.payload)
+        val (w, h, c, f) = realDecode(r.payload).getOrElse(fakeDecode(r.payload))
         MediaFeatures(r.doc_id, w, h, c, f)
       }
     }

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MediaCodecs, Multimodal}
+
+/** Pure-JVM codec tests: byte-level roundtrips plus the format quirks the
+  * oracle roundtrip queries (q148/q149) cannot reach — top-down BMPs,
+  * non-canonical RIFF chunk layouts, and rejection of non-media payloads
+  * (which must fall back to the stub path, not throw).
+  */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  test("bmp roundtrip recovers logical pixels across all four padding classes") {
+    for (w <- 8 to 16; h <- Seq(4, 7)) { // 3w mod 4 cycles 0,3,2,1
+      val px = (x: Int, y: Int) => ((x * 7 + y) % 256, (y * 11 + 3) % 256, (x + y * 5) % 256)
+      val bytes = MediaCodecs.encodeBmp24(w, h, px)
+      assert(bytes.length == MediaCodecs.bmpFileSize(w, h))
+      val img = MediaCodecs.decodeBmp24(bytes).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) == px(x, y), s"pixel ($x,$y) of ${w}x$h")
+    }
+  }
+
+  test("bmp decoder handles TOP-DOWN storage (negative height)") {
+    val w = 5; val h = 3
+    val bottomUp = MediaCodecs.encodeBmp24(w, h, (x, y) => (y * 10 + x, 0, 0))
+    // rewrite the height field to -h: rows are then stored top-down, so the
+    // same pixel array must come back from the UNflipped read
+    val topDown = bottomUp.clone()
+    val neg = -h
+    topDown(22) = (neg & 0xff).toByte
+    topDown(23) = ((neg >> 8) & 0xff).toByte
+    topDown(24) = ((neg >> 16) & 0xff).toByte
+    topDown(25) = ((neg >> 24) & 0xff).toByte
+    val a = MediaCodecs.decodeBmp24(bottomUp).get
+    val b = MediaCodecs.decodeBmp24(topDown).get
+    assert(b.height == h)
+    // flipping storage order while keeping bytes reverses the row order
+    for (y <- 0 until h; x <- 0 until w)
+      assert(b.pixels(y * w + x) == a.pixels((h - 1 - y) * w + x))
+  }
+
+  test("wav roundtrip recovers samples, rate, and channel count") {
+    val samples = Array.tabulate(97)(i => ((i * 1031) % 4001 - 2000).toShort)
+    val bytes = MediaCodecs.encodeWavPcm16(12000, samples)
+    assert(bytes.length == MediaCodecs.wavFileSize(97))
+    val a = MediaCodecs.decodeWavPcm16(bytes).get
+    assert(a.sampleRate == 12000 && a.channels == 1 && a.bitsPerSample == 16)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("wav decoder walks past unknown odd-sized chunks (RIFF pad rule)") {
+    val samples = Array[Short](100, -200, 300)
+    val canonical = MediaCodecs.encodeWavPcm16(8000, samples)
+    // splice a 5-byte LIST chunk (odd => 1 pad byte) between fmt and data
+    val head = canonical.slice(0, 36) // RIFF..fmt chunk end
+    val tail = canonical.slice(36, canonical.length) // data chunk
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = head ++ list ++ tail
+    // RIFF size field must cover the new bytes for a well-formed file
+    val newSize = spliced.length - 8
+    spliced(4) = (newSize & 0xff).toByte
+    spliced(5) = ((newSize >> 8) & 0xff).toByte
+    val a = MediaCodecs.decodeWavPcm16(spliced).get
+    assert(a.sampleRate == 8000 && a.samples.toSeq == samples.toSeq)
+  }
+
+  test("non-media payloads are rejected, so decodeFeatures falls back to the stub") {
+    val text = "BMthis is not a bitmap, just text starting with the magic".getBytes("UTF-8")
+    assert(MediaCodecs.decodeBmp24(text).isEmpty) // size field check rejects
+    assert(MediaCodecs.decodeWavPcm16(text).isEmpty)
+    assert(Multimodal.realDecode(text).isEmpty)
+    val (w, h, c, f) = Multimodal.fakeDecode(text)
+    assert(w >= 16 && h >= 16 && c == 3 && f.length == 8)
+  }
+
+  test("truncated and corrupt headers return None, never throw") {
+    val good = MediaCodecs.encodeBmp24(6, 4, (_, _) => (1, 2, 3))
+    assert(MediaCodecs.decodeBmp24(good.slice(0, 40)).isEmpty)
+    val badBpp = good.clone(); badBpp(28) = 8 // not 24-bit
+    assert(MediaCodecs.decodeBmp24(badBpp).isEmpty)
+    val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](1, 2))
+    assert(MediaCodecs.decodeWavPcm16(wav.slice(0, 20)).isEmpty)
+    val badFmt = wav.clone(); badFmt(20) = 3 // not PCM
+    assert(MediaCodecs.decodeWavPcm16(badFmt).isEmpty)
+  }
+}
