@@ -188,16 +188,31 @@ object Dedup {
       .select(col("doc_id"), size(col("fps")).as("n_fps"), col("fps"))
   }
 
-  /** SimHash near-dup pairs: pairs with Hamming distance <= maxHamming,
-    * length-bucket blocked (near-dups have near-equal length; random pairs
-    * never meet in a bucket).
+  /** SimHash near-dup pairs: Hamming distance <= maxHamming (<= 3) over the
+    * 63-bit shingle simhash, with the near-dup LENGTH sanity rule
+    * (|Δn_chars| <= [[BlockWidth]]) applied as a VERIFY-side predicate.
+    *
+    * Through round 4 the length rule doubled as the BLOCKING key — a
+    * length-bucket self-join, quadratic inside a bucket, so one popular
+    * document length becomes a skew cell at 100 TB. Candidates now come
+    * from the banded equi-join generator ([[simhash64BandedPairs]]):
+    * guaranteed recall at radius <= 3 by pigeonhole over four 16-bit
+    * bands, work proportional to band-key collisions, never to the length
+    * histogram. (Radius 6 over the old 32-bit simhash cannot be banded
+    * with useful keys — 7 guaranteed-recall bands of <= 5 bits collide on
+    * 1/32 of any corpus — which is WHY production simhash dedup is 64-bit
+    * radius-3; this operator now matches that shape.) The length predicate
+    * only filters verified candidates: it can shrink the output, never the
+    * recall of the banding stage.
     */
   def simhashPairs(docs: DataFrame, shingleK: Int, maxHamming: Int): DataFrame = {
-    val hs = simhashTable(docs, shingleK).cache()
-    lengthBlockedPairs(hs, Seq("sim"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to radius 3")
+    val lens = docs.select(col("doc_id"), col("n_chars"))
+    simhash64BandedPairs(docs, shingleK, maxHamming)
+      .join(lens.select(col("doc_id").as("doc_a"), col("n_chars").as("nc_a")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("n_chars").as("nc_b")), "doc_b")
+      .filter(abs(col("nc_a") - col("nc_b")) <= BlockWidth)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** Near-duplicate clusters: connected components over the MinHash-LSH pair
@@ -349,13 +364,22 @@ object Dedup {
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("df"), col("h"))))
+    // The prefix/length bounds are computed in DOUBLE; for non-dyadic tau
+    // the product tau*n can round PAST the exact rational value (e.g.
+    // tau=0.54, n=450: ceil rounds 243.000…1 up to 244), shortening the
+    // prefix / over-tightening the length filter and silently DROPPING
+    // true pairs. The epsilon loosens each bound by strictly less than one
+    // integer step, so the exact value always survives — candidate bounds
+    // may only ever be loosened (the final jaccard >= tau filter is the
+    // semantic gate; extra candidates cost verify work, never correctness).
+    val eps = 1e-9
     val prefix = ordered.join(arr.select(col("doc_id"), col("n")), "doc_id")
-      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n") - eps) + 1)
       .select(col("doc_id"), col("h"), col("n"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") >= ceil(lit(tau) * col("a.n")) &&
-          col("b.n") <= floor(col("a.n") / lit(tau)))
+          col("b.n") >= ceil(lit(tau) * col("a.n") - eps) &&
+          col("b.n") <= floor(col("a.n") / lit(tau) + eps))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     cand

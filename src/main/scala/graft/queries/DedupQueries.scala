@@ -29,6 +29,16 @@ object DedupQueries {
     s"list_min(list_transform(sh, t -> ($a * ${h32("t")} + $b) % 2147483647))"
   }
 
+  /** DuckDB fragment: n-bit simhash pack of a hash-list column, bits shifted
+    * up by `base` (mirrors Dedup.simhash64Table's two 32/31-bit halves).
+    */
+  private def simExpr(h: String, base: Int, n: Int): String =
+    s"""CAST(list_aggregate(list_transform(range(0, $n), b ->
+       |  CASE WHEN list_aggregate(list_transform($h, x ->
+       |         CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+       |       THEN (1::BIGINT << (b + $base)) ELSE 0::BIGINT END), 'sum') AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
   val q24DedupExact: QueryDef = QueryDef(
     "q24_dedup_exact",
     (s, dir) => Dedup.exactDedup(Tables.load(s, dir, "documents")).orderBy("keep_doc_id"),
@@ -68,24 +78,37 @@ object DedupQueries {
                   JOIN sig sb ON sb.doc_id = doc_b)
       WHERE jaccard >= 0.5e0 ORDER BY doc_a, doc_b"""))
 
+  /** SimHash near-dup pairs with the length rule as a VERIFY-side predicate:
+    * banded equi-join candidates (the q63 generator — guaranteed recall at
+    * Hamming radius <= 3), then |Δn_chars| <= 16 filters verified pairs.
+    * Round <= 4 blocked on length buckets instead (quadratic inside a
+    * bucket — a skew cell whenever one document length is popular); the
+    * banded generator's work tracks band-key collisions, never the length
+    * histogram. Differs from q63 by exactly the length predicate.
+    */
   val q27Simhash: QueryDef = QueryDef(
     "q27_dedup_simhash",
     (s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"),
-      shingleK = 3, maxHamming = 6).orderBy("doc_a", "doc_b"),
+      shingleK = 3, maxHamming = 3).orderBy("doc_a", "doc_b"),
     Some(s"""
       WITH $shingleCtes,
-      hs AS (SELECT doc_id, n_chars, list_transform(sh, t -> ${h32("t")}) AS hs FROM s),
+      hs AS (SELECT doc_id, n_chars,
+               list_transform(sh, t -> (('0x' || substr(md5(t), 1, 8))::BIGINT)) AS lo,
+               list_transform(sh, t -> (('0x' || substr(md5(t), 9, 8))::BIGINT)) AS hi
+             FROM s),
       sim AS (SELECT doc_id, n_chars,
-                CAST(list_aggregate(list_transform(range(0, 32), b ->
-                  CASE WHEN list_aggregate(list_transform(hs, h ->
-                         CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
-                       THEN (1::BIGINT << b) ELSE 0::BIGINT END), 'sum') AS BIGINT) AS sim
-              FROM hs)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
-      FROM sim a JOIN sim b
-        ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
-      WHERE bit_count(xor(a.sim, b.sim)) <= 6
+                ${simExpr("lo", 0, 32)} + ${simExpr("hi", 32, 31)} AS sim64
+              FROM hs),
+      bands AS (SELECT doc_id, n_chars, sim64, b, (sim64 >> (16 * b)) & 65535 AS key
+                FROM sim, generate_series(0, 3) g(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sim64 AS sa, b.sim64 AS sb,
+                      a.n_chars AS nca, b.n_chars AS ncb
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sa, sb)) <= 3 AND abs(nca - ncb) <= 16
       ORDER BY doc_a, doc_b"""))
 
   val q28NgramJaccard: QueryDef = QueryDef(
@@ -212,12 +235,6 @@ object DedupQueries {
     (s, dir) => graft.operators.Dedup.simhash64BandedPairs(
       Tables.load(s, dir, "documents"), shingleK = 3).orderBy("doc_a", "doc_b"),
     Some {
-      def simExpr(h: String, base: Int, n: Int): String =
-        s"""CAST(list_aggregate(list_transform(range(0, $n), b ->
-           |  CASE WHEN list_aggregate(list_transform($h, x ->
-           |         CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
-           |       THEN (1::BIGINT << (b + $base)) ELSE 0::BIGINT END), 'sum') AS BIGINT)"""
-          .stripMargin.replace("\n", " ")
       s"""
       WITH $shingleCtes,
       hs AS (SELECT doc_id,

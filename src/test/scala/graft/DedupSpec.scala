@@ -147,4 +147,22 @@ class DedupSpec extends SparkTestBase {
     assert(want.nonEmpty, "test corpus produced no qualifying pairs")
     assert(got == want)
   }
+
+  test("prefix jaccard join survives non-dyadic tau at the exact boundary") {
+    // tau = 0.55 is not a dyadic rational: the double product 0.55*20 is
+    // 11.000000000000002, so an unguarded ceil() yields 12 and the PPJoin
+    // length filter demands |b| >= 12 — silently dropping a true pair with
+    // |a| = 20, |b| = 11, inter = 11 (jaccard exactly 11/20 = 0.55 >= tau).
+    // Construct exactly that: 22 distinct words -> 20 distinct trigrams;
+    // the 13-word prefix -> 11 trigrams, all contained in the first set.
+    val words = (0 until 22).map(i => s"w$i")
+    val a = words.mkString(" ") // 20 trigram tokens
+    val b = words.take(13).mkString(" ") // 11 tokens, subset of a's
+    val far = "totally unrelated content about query engines and shuffles okay"
+    val d = docs(1L -> a, 2L -> b, 3L -> far)
+    val got = Dedup.prefixJaccardPairs(d, 0.55)
+      .select("i", "j", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 11L)))
+  }
 }
