@@ -158,4 +158,55 @@ class OpenSkyStreamSourceSpec extends SparkTestBase {
       assert(polls.get >= 1)
     } finally server.stop(0)
   }
+
+  test("mode=live pushes the bbox options to the server as query params") {
+    // STREAM parity with the batch source's filter pushdown
+    // (OpenSkyLiveSpec): micro-batch planning has no pushdown channel, so
+    // the bbox rides in as options — this pins that every live POLL carries
+    // lamin/lamax/lomin/lomax on the wire instead of downloading the full
+    // global state vector set and filtering downstream.
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import java.util.concurrent.atomic.AtomicReference
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val statesQuery = new AtomicReference[String]()
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      respond(ex, """{"access_token": "t"}""")
+    })
+    server.createContext("/states", (ex: HttpExchange) => {
+      statesQuery.set(ex.getRequestURI.getQuery)
+      respond(ex, snapshot("France", 2))
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val q = spark.readStream
+        .format("graft.sources.OpenSkyStreamProvider")
+        .option("mode", "live")
+        .option("url", s"http://127.0.0.1:$port/states")
+        .option("tokenUrl", s"http://127.0.0.1:$port/token")
+        .option("clientId", "cid").option("clientSecret", "s")
+        .option("lamin", "47").option("lamax", "48.5")
+        .option("lomin", "-2").option("lomax", "-1")
+        .load()
+        .groupBy("origin_country").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("opensky_live_bbox")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "live bbox run did not terminate")
+      val params = statesQuery.get.split("&").toSet
+      // fetch normalizes numeric forms via the toDouble round-trip
+      assert(params == Set("lamin=47.0", "lamax=48.5", "lomin=-2.0", "lomax=-1.0"),
+        statesQuery.get)
+    } finally server.stop(0)
+  }
 }
