@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query wall seconds.
+  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query wall seconds
+  * (median of SPARK_GRAFT_BENCH_REPEATS in-process runs, default 3).
   *
   * Results are written to the `noop` sink — a plain count() would let
   * Catalyst prune the output projections and under-measure expression-heavy
@@ -24,19 +25,35 @@ object Bench {
     // Warm file indexes / parquet footers so the alphabetically-first query
     // doesn't absorb session-init cost in its measurement.
     Tables.names.foreach { n =>
-      try Tables.load(spark, sfDir, n).limit(1).count() catch { case _: Throwable => () }
+      try Tables.load(spark, sfDir, n).limit(1).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
+    // Per-query MEDIAN of `repeats` in-process runs: single-shot numbers on
+    // this class of VM swing +-50% run-to-run (observed 200-454 s totals for
+    // identical code; a 1.9->14 s phantom regression got audited in round
+    // 4), so cross-round comparisons need a location estimate that sheds
+    // one-off JIT/GC/IO spikes. The median of 3 does that at +2 runs per
+    // query; the reported total is the sum of medians.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     // A failing query must be VISIBLE in the output, not a near-zero "fast
     // pass": failures are reported in an errors list and excluded from the
     // per-query map and the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        Some(e.getClass.getSimpleName)
+      var err: Option[String] = None
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < repeats && err.isEmpty) { // a failed run fails the query; don't re-run it
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          err = Some(e.getClass.getSimpleName)
+        }
+        times += (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val median = if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
+      (name, median, err)
     }
     val ok = results.collect { case (k, v, None) => k -> v }
     // qNN-compressed error names, capped: a mass failure (bad sfDir -> all
@@ -63,7 +80,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
-      s""""errors":$errs,"sf":"$sfDir","queries":{"""
+      s""""repeats":$repeats,"errors":$errs,"sf":"$sfDir","queries":{"""
     val budget = 1800 - head.length - 40 // room for closing + omitted count
     val bySlow = ok.sortBy(-_._2).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)

@@ -41,7 +41,9 @@ object ThroughputBench {
 
     // warm the table plans once so per-stream cost is query work, not listing
     Tables.names.foreach { n =>
-      try Tables.load(spark, sfDir, n).limit(1).count() catch { case _: Throwable => () }
+      // NonFatal only (missing table at this SF is fine; an OOM is not)
+      try Tables.load(spark, sfDir, n).limit(1).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     val work = new ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()

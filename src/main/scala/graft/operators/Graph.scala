@@ -71,6 +71,11 @@ object Graph {
         // joins a single cached relation instead of (edges ⋈ deg) per round
         // — one exchange and one codegen stage fewer per iteration.
         ed = e.join(deg, "src").cache()
+        // Same eager-materialization rule as e above: with the every-4th-
+        // round checkpoint cadence the first count() otherwise references
+        // ed up to 4 times against an unpopulated cache — each reference
+        // re-pays the e⋈deg build and contends writing the same blocks.
+        ed.count()
         val n = nodes.count()
         val base = (Scale * 15L / 100L) / n // the oracle div's truncation
         var pr = nodes.withColumn("p", lit(Scale / n))

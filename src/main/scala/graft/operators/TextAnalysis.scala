@@ -125,4 +125,36 @@ object TextAnalysis {
       .select(col("doc_id"),
         col("st.fp").as("fp_full"), col("st.mn").as("fp_min5"))
   }
+
+  /** One greedy BPE merge round applied to a space-separated symbol string
+    * `s` (form " a b c ", leading/trailing space): every leftmost
+    * non-overlapping occurrence of the pair `mp` ("a b") fuses into "ab".
+    *
+    * Implemented as a leftmost fold over the symbol list, NOT a string
+    * replace of " a b ": the replace form consumes the shared separator —
+    * the trailing space of one match is the leading space of an adjacent
+    * one — so " a b a b " merged only once, diverging from textbook greedy
+    * BPE on adjacent repeats. The fold splices the merged symbol whenever
+    * the accumulator's last symbol is `a` and the next is `b` (an
+    * endswith(" a") check is exact because symbols never contain spaces),
+    * which merges every non-overlapping occurrence left to right. The
+    * identical fold is expressible in DuckDB (list_reduce seeds with the
+    * first element, mirrored here by aggregate over slice(..., 2, n) with
+    * the first element as init), so oracle comparisons share the
+    * semantics. Single-symbol words pass through (empty slice -> init).
+    */
+  def bpeApplyMerge(s: Column, mp: Column): Column = {
+    val t = split(trim(s), " ")
+    val a = element_at(split(mp, " "), 1)
+    val b = element_at(split(mp, " "), 2)
+    val merged = regexp_replace(mp, " ", "")
+    val folded = aggregate(
+      slice(t, lit(2), size(t)),
+      element_at(t, 1),
+      (acc, x) =>
+        when((acc === a || acc.endsWith(concat(lit(" "), a))) && x === b,
+          concat(acc.substr(lit(1), length(acc) - length(a)), merged))
+          .otherwise(concat(acc, lit(" "), x)))
+    concat(lit(" "), folded, lit(" "))
+  }
 }

@@ -18,10 +18,13 @@ object Round5Queries3 {
     * corpus-weighted adjacent symbol pairs — an explode + one hash
     * aggregate over the distinct-word table, never the raw corpus,
     * (2) picks the argmax pair (count desc, pair asc — total order), and
-    * (3) applies the merge with a plain leftmost-nonoverlapping
-    * string replace (' a b ' → ' ab '; boundary spaces make symbols
-    * unambiguous even when one symbol is another's suffix, and both
-    * engines share leftmost-first semantics, which IS greedy BPE). The
+    * (3) applies the merge as a leftmost GREEDY FOLD over the symbol
+    * list (both engines fold identically: accumulate the merged string;
+    * when the last symbol is `a` and the next is `b`, splice in `ab`).
+    * A plain string replace(' a b ', ' ab ') is NOT greedy BPE on
+    * adjacent repeats — the trailing space of one match is the leading
+    * space of the next, so ' a b a b ' merged only once ( ' ab a b ' );
+    * the fold merges both, matching the textbook algorithm. The
     * per-round driver scalar is one broadcast row — the same shape at
     * any corpus size, because rounds aggregate the VOCABULARY, not the
     * corpus. Emits each round's chosen merge and its weighted count.
@@ -47,9 +50,8 @@ object Round5Queries3 {
         pc.orderBy(col("pc").desc, col("p")).limit(1)
       def applyMerge(df: DataFrame, top: DataFrame): DataFrame =
         df.crossJoin(broadcast(top.select(col("p").as("mp"))))
-          .select(col("w"), col("cnt"), expr(
-            "replace(s, ' ' || mp || ' ', ' ' || replace(mp, ' ', '') || ' ')")
-            .as("s"))
+          .select(col("w"), col("cnt"),
+            graft.operators.TextAnalysis.bpeApplyMerge(col("s"), col("mp")).as("s"))
       val t1 = top1(pairCounts(sym0)).cache()
       val sym1 = applyMerge(sym0, t1)
       val t2 = top1(pairCounts(sym1))
@@ -73,8 +75,14 @@ object Round5Queries3 {
              GROUP BY 1),
       top1 AS (SELECT p, pc FROM p1 ORDER BY pc DESC, p LIMIT 1),
       sym1 AS (SELECT w, cnt,
-                      replace(s, ' ' || top1.p || ' ',
-                              ' ' || replace(top1.p, ' ', '') || ' ') AS s
+                      ' ' || list_reduce(string_split(trim(s), ' '), (acc, x) ->
+                        CASE WHEN (acc = str_split(top1.p, ' ')[1]
+                                   OR ends_with(acc, ' ' || str_split(top1.p, ' ')[1]))
+                                  AND x = str_split(top1.p, ' ')[2]
+                          THEN substr(acc, 1,
+                                 length(acc) - length(str_split(top1.p, ' ')[1]))
+                               || replace(top1.p, ' ', '')
+                          ELSE acc || ' ' || x END) || ' ' AS s
                FROM sym0 CROSS JOIN top1),
       p2 AS (SELECT t[i] || ' ' || t[i+1] AS p, SUM(cnt) AS pc
              FROM (SELECT cnt, string_split(trim(s), ' ') AS t FROM sym1),

@@ -39,11 +39,29 @@ object Round5Queries5 {
         .filter(col("sup") >= lit(0.02e0) * col("n"))
         .select(col("item"), col("sup"))
       val fb = baskets.join(freq, "item")
-      val pairs = fb.as("a").join(fb.as("b"),
-          col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      // Pair generation is per-basket array comprehension, NOT a fact
+      // self-join on ok: one groupBy(ok) shuffle builds the (bounded)
+      // frequent-item array per basket, and pairs explode from it in the
+      // same task. Per-basket work is bounded by the A-Priori prune
+      // itself: #frequent items <= total occurrences / (minsup * n) =
+      // avgBasketSize / minsup (here 2% -> a few hundred at any scale),
+      // so even a pathological million-item basket contributes at most
+      // n_freq^2 pairs — the bound comes from the support threshold, not
+      // from trusting basket sizes. Each ok is its own aggregation key,
+      // so no basket can skew a task beyond that bound either.
+      val fbArr = fb.groupBy("ok")
+        .agg(sort_array(collect_list(struct(col("item"), col("sup")))).as("items"))
+      val pairs = fbArr
+        .select(explode(flatten(expr(
+          """transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)), y ->
+            |    named_struct('i', x.item, 'sup_i', x.sup,
+            |                 'j', y.item, 'sup_j', y.sup)))""".stripMargin))).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          col("p.sup_i").as("si"), col("p.sup_j").as("sj"))
+        .groupBy("i", "j")
         .agg(count(lit(1)).as("sup_pair"),
-          min(col("a.sup")).as("sup_i"), min(col("b.sup")).as("sup_j"))
+          min(col("si")).as("sup_i"), min(col("sj")).as("sup_j"))
         .crossJoin(nOrders)
         .filter(col("sup_pair") >= lit(0.0075e0) * col("n"))
       pairs.select(col("i"), col("j"), col("sup_pair"), col("sup_i"), col("sup_j"))

@@ -128,7 +128,15 @@ object EventsStreaming {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[EwmaState]) =>
           val st0 = state.getOption.getOrElse(EwmaState(0L, 0.0, Nil))
-          val incoming = rows.map(r => (r._2.getTime * 1000L, r._3, r._4)).toList
+          // full microsecond event time: getTime*1000 would truncate to
+          // millis (nanos lost), silently re-ordering sub-millisecond
+          // events by event_id and breaking the documented bit-for-bit
+          // equivalence with the batch fold (q137), which orders by the
+          // Catalyst microsecond ts. getNanos carries the sub-second part.
+          val incoming = rows.map { r =>
+            val us = Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
+            (us, r._3, r._4)
+          }.toList
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (safe, tail) = (st0.buf ++ incoming).sortBy(x => (x._1, x._2))
             .partition(_._1 < wmUs)

@@ -268,6 +268,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark-ordered EWMA keeps MICROSECOND event-time order inside one millisecond") {
+    // Two events land in the SAME millisecond, 100us and 900us in, with
+    // event_ids INVERTED relative to event time. A fold keying on
+    // Timestamp.getTime*1000 truncates both to the same microsecond value,
+    // falls through to the event_id tiebreak, and folds them backwards
+    // (6.25 instead of 2.75) — this pins the full-precision getNanos path
+    // that matches the batch fold's Catalyst microsecond ordering.
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def tsUs(us: Int): Timestamp = {
+      val t = new Timestamp(base)
+      t.setNanos(us * 1000)
+      t
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.ewmaPerUserOrdered(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .toDF("user_id", "n_events", "ewma")
+      .writeStream.format("memory").queryName("ewma_us_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, tsUs(900), 10L, "click", 8.0, "{}"), // later event time, lower id
+        (2L, tsUs(100), 10L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // far-future row advances the watermark past both buffered events
+      mem.addData((90L, new Timestamp(base + 40 * 60000L), 99L, "view", 5.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((91L, new Timestamp(base + 41 * 60000L), 99L, "view", 6.0, "{}"))
+      q.processAllAvailable()
+      val last = spark.table("ewma_us_test")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("ewma"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.ewma"))
+        .collect()
+      val u10 = last.find(_.getLong(0) == 10L).get
+      // event-time order is 1.0 (at +100us) then 8.0 (at +900us)
+      assert((u10.getLong(1), u10.getDouble(2)) == ((2L, 0.25 * 8.0 + 0.75 * 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch registers' estimate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]

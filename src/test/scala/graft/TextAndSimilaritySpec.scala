@@ -34,6 +34,21 @@ class TextAndSimilaritySpec extends SparkTestBase {
     assert(r.getLong(2) == 8)
   }
 
+  test("bpeApplyMerge is greedy on adjacent repeats (replace-based merge was not)") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      (" a b a b ", "a b", " ab ab "), // adjacent repeat: BOTH merge
+      (" a a a ", "a a", " aa a "), // leftmost-first, non-overlapping
+      (" x a b c ", "a b", " x ab c "), // interior occurrence
+      (" ba b ", "a b", " ba b "), // 'ba' ends in 'a' but is one symbol
+      (" q ", "a b", " q ")) // single symbol passes through
+    val out = cases.toDF("s", "mp", "want")
+      .withColumn("got", graft.operators.TextAnalysis.bpeApplyMerge(col("s"), col("mp")))
+      .collect()
+    out.foreach(r => assert(r.getAs[String]("got") == r.getAs[String]("want"),
+      s"merge(${r.getAs[String]("s")}, ${r.getAs[String]("mp")})"))
+  }
+
   test("fingerprints are equal iff normalized text is equal") {
     val d = docs(1L -> "Hello  World", 2L -> "  hello world ", 3L -> "hello there")
     val fp = TextAnalysis.fingerprints(d).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
