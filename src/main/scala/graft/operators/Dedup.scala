@@ -104,6 +104,51 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** INCREMENTAL near-dup detection — the production ingest shape: a NEW
+    * batch is checked against the HISTORICAL corpus without ever pairing
+    * history with itself. Both sides band their minhash signatures;
+    * candidates come from the (band, key) equi-join NEW × OLD only, so
+    * per-ingest work scales with the new batch's collision rate — never
+    * O(corpus²) and never O(history × history). History's banded table is
+    * exactly the persisted LSH INDEX a 100 TB lake would maintain between
+    * ingests (recomputed here — the fixture has no state store; the join
+    * shape and shuffle keys are identical when the index is a stored
+    * table). Verification is exact shingle Jaccard, one row per candidate
+    * via the native sorted-array intersect. Output: (new_doc, old_doc,
+    * jaccard) for every new doc colliding with history at >= threshold —
+    * all matches kept, the caller picks the drop/keep policy.
+    */
+  def deltaDedupPairs(newDocs: DataFrame, oldDocs: DataFrame, shingleK: Int,
+                      rowsPerBand: Int, threshold: Double): DataFrame = {
+    val nBands = MinhashParams.size / rowsPerBand
+    def banded(docs: DataFrame): DataFrame = {
+      val sigs = minhashSignatures(docs, shingleK)
+      sigs.select(col("doc_id"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rowsPerBand).map(r =>
+              col(s"sig_${b * rowsPerBand + r}")): _*).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    def shingled(docs: DataFrame): DataFrame =
+      docs.filter(size(split(col("text"), " ")) >= shingleK)
+        .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))
+    val cand = banded(newDocs).as("a")
+      .join(banded(oldDocs).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("old_doc"))
+      .distinct()
+    val inter = graft.plans.SortedLongArrayIntersectCount(col("sh_a"), col("sh_b"))
+    cand
+      .join(shingled(newDocs).select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(shingled(oldDocs).select(col("doc_id").as("old_doc"), col("sh").as("sh_b")), "old_doc")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select("new_doc", "old_doc", "jaccard")
+  }
+
   /** Length-bucket blocking width: candidate pairs must satisfy
     * |n_chars_a - n_chars_b| <= BlockWidth.
     */

@@ -255,7 +255,43 @@ object DedupQueries {
       ORDER BY doc_a, doc_b"""
     })
 
+  /** INCREMENTAL dedup — the nightly-ingest shape: the NEW batch (every
+    * 5th doc_id — a scale-factor-invariant 20% split) checks against the
+    * HISTORY (the rest) via the NEW × OLD band join only; history never
+    * pairs with itself. See [[graft.operators.Dedup.deltaDedupPairs]] for
+    * the 100 TB posture (history's banded table = the persisted LSH index).
+    */
+  val q150DeltaDedup: QueryDef = QueryDef(
+    "q150_delta_dedup",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.deltaDedupPairs(
+        d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+        shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+        .orderBy("new_doc", "old_doc")
+    },
+    Some(s"""
+      WITH $shingleCtes,
+      sig AS (SELECT doc_id,
+                list_distinct(list_transform(sh, t -> ${h32("t")})) AS hs,
+                [${(0 until 8).map(sigExpr).mkString(", ")}] AS sg FROM s),
+      bands AS (SELECT doc_id, b,
+                  sg[2*b+1]::VARCHAR || '_' || sg[2*b+2]::VARCHAR AS key
+                FROM sig, generate_series(0, 3) g(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.key = b.key
+               WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+      SELECT new_doc, old_doc, jaccard FROM (
+        SELECT new_doc, old_doc,
+               CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+        FROM cand JOIN sig sa ON sa.doc_id = new_doc
+                  JOIN sig sb ON sb.doc_id = old_doc)
+      WHERE jaccard >= 0.5e0 ORDER BY new_doc, old_doc"""))
+
   val all: Seq[QueryDef] = Seq(
     q24DedupExact, q25MinhashSignatures, q26MinhashLsh, q27Simhash, q28NgramJaccard,
-    q56DedupFingerprint, q57Winnowing, q58DedupClusters, q63SimhashBanded)
+    q56DedupFingerprint, q57Winnowing, q58DedupClusters, q63SimhashBanded,
+    q150DeltaDedup)
 }

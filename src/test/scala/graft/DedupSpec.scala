@@ -148,6 +148,23 @@ class DedupSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("delta dedup pairs NEW against OLD only — history never self-pairs") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      5L -> base, // NEW side (doc_id % 5 == 0)
+      1L -> nearDup, // old: near-dup of base
+      2L -> base, // old: exact dup of the new doc
+      3L -> other) // old: unrelated
+    val out = Dedup.deltaDedupPairs(
+        d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+        shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((5L, 2L)), s"exact dup across the split not found: $out")
+    assert(out.contains((5L, 1L)), s"near dup across the split not found: $out")
+    // the old x old dup pair (1, 2) must NOT appear: every row is new x old
+    assert(out.forall(_._1 == 5L), s"history self-pair leaked: $out")
+  }
+
   test("prefix jaccard join survives non-dyadic tau at the exact boundary") {
     // tau = 0.55 is not a dyadic rational: the double product 0.55*20 is
     // 11.000000000000002, so an unguarded ceil() yields 12 and the PPJoin
