@@ -44,7 +44,13 @@ object Scratch {
     }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      (1 to 2).foreach { round =>
+      // SPARK_GRAFT_EXPLAIN=1 prints the formatted physical plan instead of
+      // profiling (for plan-shape review of a new query).
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+        println(s"== PLAN $name ==")
+        println(fn(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+      } else (1 to 2).foreach { round =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"PROFILE $name round$round ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -149,6 +149,72 @@ object Round5Queries7 {
                (acc, x) -> (acc * 31 + x) % ${HashFunctions.Prime}) AS BIGINT) AS chash
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** DF-CAPPED sparse cosine — q136 with the production stop-word bound
+    * actually applied: postings for terms whose document frequency exceeds
+    * the cap (20) are DROPPED before the self-join, so the join work bound
+    * Σ df(t)² is enforced by construction (≤ cap²·|terms|) instead of
+    * assumed from the data. This is the knob that keeps the inverted-index
+    * route alive at 100 TB — a boilerplate phrase shared by a million
+    * documents would otherwise put 10¹² rows through one term key; capped,
+    * it contributes nothing (and near-duplicate detection is the dedup
+    * family's job, not the similarity ranker's). Norms use the SAME capped
+    * postings, so cosine stays a true cosine over the capped vector space.
+    * Output shape matches q136 (top-15 by cosine); values differ where
+    * common-term mass is discarded — the documented recall trade.
+    */
+  val q154SparseCosineCapped: QueryDef = QueryDef(
+    "q154_sparse_cosine_capped",
+    (s, dir) => {
+      val cap = 20
+      val tfAll = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 3)," +
+            " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
+          .as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tfAll.groupBy("w").agg(count(lit(1)).as("df"))
+      val tf = tfAll.join(df.filter(col("df") <= cap).select("w"), "w")
+        .cache() // capped postings feed the norms AND both join sides
+      val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nsq"))
+      val dots = tf.as("a").join(tf.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("i"), col("nsq").as("na")), "i")
+        .join(norms.select(col("doc_id").as("j"), col("nsq").as("nb")), "j")
+        .withColumn("cosine",
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .orderBy(col("cosine").desc, col("i"), col("j"))
+        .limit(15)
+        .select(col("i"), col("j"), col("dot"),
+          graft.functions.Det.rdet(col("cosine"), 6).as("cosine"))
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                  WHERE len(string_split(text, ' ')) >= 3),
+      tf0 AS (SELECT doc_id, ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS w,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM ws, unnest(range(1, len(ws) - 1)) AS u(i) GROUP BY 1, 2),
+      keep AS (SELECT w FROM (SELECT w, count(*) AS df FROM tf0 GROUP BY 1)
+               WHERE df <= 20),
+      tf AS (SELECT tf0.* FROM tf0 JOIN keep USING (w)),
+      norms AS (SELECT doc_id, SUM(tf * tf) AS nsq FROM tf GROUP BY 1),
+      dots AS (SELECT a.doc_id AS i, b.doc_id AS j, SUM(a.tf * b.tf) AS dot
+               FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      scored AS (SELECT i, j, CAST(dot AS BIGINT) AS dot,
+                        CAST(dot AS DOUBLE) /
+                          (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                          AS cosine
+                 FROM dots JOIN norms na ON na.doc_id = i
+                           JOIN norms nb ON nb.doc_id = j)
+      SELECT i, j, dot, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine
+      FROM scored ORDER BY scored.cosine DESC, i, j LIMIT 15"""))
+
   val all: Seq[QueryDef] =
-    Seq(q151CompactionPlan, q152OovRate, q153ChunkWindows)
+    Seq(q151CompactionPlan, q152OovRate, q153ChunkWindows, q154SparseCosineCapped)
 }

@@ -217,6 +217,50 @@ object EventsStreaming {
       .toDF("event_type", "est_distinct")
   }
 
+  /** (row, bucket) count-min cell coordinates for a user-keyed sketch —
+    * the q129 derivation (d=4 independent 8-hex md5 windows × w=512
+    * buckets) over `concat("u", user_id)`, shared by the streaming state
+    * update and its batch comparator.
+    */
+  def countMinRows(events: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions
+    val positions = Seq(1, 9, 17, 25)
+    events
+      .select(concat(lit("u"), col("user_id").cast("string")).as("k"))
+      .select(explode(array(positions.zipWithIndex.map { case (p, i) =>
+        struct(lit(i).as("row"),
+          (HashFunctions.hash32At(col("k"), p) % 512).cast("int").as("bucket"))
+      }: _*)).as("c"))
+      .select(col("c.row").as("row"), col("c.bucket").as("bucket"))
+  }
+
+  /** Streaming count-min sketch — q129's frequency sketch as INCREMENTAL
+    * state: each of the d=4 hash rows keeps its 512-counter array (4 KB,
+    * bounded forever) in mapGroupsWithState; every micro-batch ADDS its
+    * cell counts — the count-min update is a plain sum, so streaming state
+    * after any prefix equals the batch sketch of the same prefix, counter
+    * for counter (the mergeable-state property the spec pins). Emits each
+    * row's refreshed counter array per batch; a frequency service would
+    * serve `min over rows of counters[bucket(key)]` from exactly this
+    * state. State size is independent of stream length — the 100 TB/day
+    * property — and rows are independent keys, so the 4 states update in
+    * parallel.
+    */
+  def streamingCountMin(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = countMinRows(events).as[(Int, Int)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (Int, Array[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (row, rows, state: GroupState[Array[Long]]) =>
+          val cells = state.getOption.getOrElse(new Array[Long](512))
+          rows.foreach(r => cells(r._2) += 1L)
+          state.update(cells)
+          (row, cells.clone())
+      }
+      .toDF("row", "counters")
+  }
+
   /** Streaming ground-noise estimation: the flagship pipeline over a live
     * feed. Events classify into noise sources (same derivation as
     * NoiseQueries.sources), stream-static join against the precomputed

@@ -309,6 +309,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming count-min state equals the batch sketch counter-for-counter") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.streamingCountMin(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("cm_test")
+      .outputMode("update").start()
+    try {
+      val evs = (0 until 300).map { i =>
+        (i.toLong, ts(i % 20), (i * 6947L) % 97, "click", 1.0, "{}")
+      }
+      mem.addData(evs.take(150): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(150): _*)
+      q.processAllAvailable()
+      // latest streamed state per row: counters only grow, so the emission
+      // with the largest total IS the final one
+      val byRow = spark.table("cm_test").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .groupBy(_._1).map { case (row, emits) => row -> emits.map(_._2).maxBy(_.sum) }
+      // batch comparator: same derivation over the full event set
+      val batch = EventsStreaming.countMinRows(toDF(evs))
+        .groupBy("row", "bucket").count().collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      (0 until 4).foreach { row =>
+        val counters = byRow(row)
+        assert(counters.size == 512)
+        counters.zipWithIndex.foreach { case (c, bucket) =>
+          assert(c == batch.getOrElse((row, bucket), 0L),
+            s"cell ($row, $bucket): streamed $c vs batch ${batch.getOrElse((row, bucket), 0L)}")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch registers' estimate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
