@@ -62,6 +62,14 @@ object CorpusScaleBench {
         operators.Dedup.minhashLsh(corpus, shingleK = 3, rowsPerBand = 2, threshold = 0.5)),
       time("simhash_banded_pairs")(
         operators.Dedup.simhash64BandedPairs(corpus, shingleK = 3, maxHamming = 3)),
+      // incremental ingest: 1/replicas of the corpus checks against the rest
+      // — the nightly-batch shape; history (19/20 of the corpus) never
+      // self-pairs, so this must run well under the full LSH pair time
+      time("delta_dedup_pairs")(
+        operators.Dedup.deltaDedupPairs(
+          corpus.filter(col("doc_id") % replicas === 0),
+          corpus.filter(col("doc_id") % replicas =!= 0),
+          shingleK = 3, rowsPerBand = 2, threshold = 0.5)),
       time("decontaminate")(
         operators.CorpusOps.decontaminate(
           corpus.filter(col("doc_id") % replicas =!= 0),
