@@ -215,6 +215,121 @@ object Round5Queries7 {
       SELECT i, j, dot, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine
       FROM scored ORDER BY scored.cosine DESC, i, j LIMIT 15"""))
 
+  /** STRATIFIED train/val/test split — the holdout assignment every
+    * training pipeline needs, with EXACT per-stratum fractions (8/1/1
+    * tenths) rather than expected ones: within each stratum (`source`),
+    * docs order by (md5 hash, doc_id) — a deterministic shuffle that is
+    * reproducible across engines, partitionings, and reruns (rand(seed)
+    * is none of those) — and the first ⌊0.8n⌋ go to train, next ⌊0.9n⌋−
+    * ⌊0.8n⌋ to val, rest to test. The boundaries compare PURE INTEGERS
+    * (rn·10 ≤ n·8) — no float fraction arithmetic to round differently
+    * anywhere. Distributed shape: one window per stratum key; strata
+    * split independently and in parallel, the per-stratum count rides the
+    * same window. Unlike hash-mod sampling (q84's shape) the fractions
+    * are exact per stratum, which is what keeps a rare stratum from
+    * losing its entire val split to sampling variance.
+    */
+  val q155StratifiedSplit: QueryDef = QueryDef(
+    "q155_stratified_split",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("h", "doc_id")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          HashFunctions.hash32(concat(lit("d"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("split",
+          when(col("rn") * 10 <= col("n") * 8, "train")
+            .when(col("rn") * 10 <= col("n") * 9, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("source"), col("rn"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (SELECT doc_id, source,
+                        ('0x' || substr(md5('d' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                 FROM documents),
+      r AS (SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                     AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM h)
+      SELECT doc_id, source, rn,
+             CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                  WHEN rn * 10 <= n * 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r ORDER BY doc_id"""))
+
+  /** Histogram-sketch QUANTILE — the missing member of the mergeable-
+    * sketch family (HLL q132, count-min q129, Misra–Gries, bitmap q130):
+    * per-group equi-width bucket counts are a plain hash aggregate whose
+    * state is O(buckets) and merges by ADDITION across partitions, days,
+    * or shards — the shape a 100 TB percentile service maintains — and a
+    * quantile reads off the cumulative counts without touching data
+    * again. Two column-pruned passes (exact min/max, then counts; the
+    * Ranks bucket construction, reused as a SKETCH), one tiny window over
+    * the 64-row-per-group count relation. Emits the bucket holding each
+    * group's median and its value bounds — the sketch's answer, exact to
+    * (hi−lo)/64 — alongside n; all integer cents, no doubles.
+    */
+  val q156HistogramQuantile: QueryDef = QueryDef(
+    "q156_histogram_quantile",
+    (s, dir) => {
+      val B = 64L
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      val ext = li.groupBy("flag").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      // greatest(...,1) guards the degenerate single-value group (hi == lo
+      // would divide by zero); every v then lands in bucket 0, correctly
+      val d = greatest(col("hi") - col("lo"), lit(1L))
+      val bkt = least(
+        ((col("v") - col("lo")) * B - pmod((col("v") - col("lo")) * B, d)) / d,
+        lit(B - 1)).cast("long")
+      val counts = li.join(broadcast(ext), "flag")
+        .withColumn("b", bkt)
+        .groupBy("flag", "b").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("flag").orderBy("b")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("flag")
+      counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wn))
+        .filter(col("cum") * 2 >= col("n") && (col("cum") - col("c")) * 2 < col("n"))
+        .join(broadcast(ext), "flag")
+        .select(col("flag"), col("n"), col("b").as("med_bucket"),
+          (col("lo") + ((col("hi") - col("lo")) * col("b")
+            - pmod((col("hi") - col("lo")) * col("b"), lit(B))) / B)
+            .cast("long").as("bucket_lo_cents"),
+          (col("lo") + ((col("hi") - col("lo")) * (col("b") + 1)
+            - pmod((col("hi") - col("lo")) * (col("b") + 1), lit(B))) / B)
+            .cast("long").as("bucket_hi_cents"))
+        .orderBy("flag")
+    },
+    Some("""
+      WITH li AS (SELECT l_returnflag AS flag,
+                         CAST(floor(l_extendedprice * 100 + 0.5e0) AS BIGINT) AS v
+                  FROM lineitem),
+      ext AS (SELECT flag, min(v) AS lo, max(v) AS hi FROM li GROUP BY 1),
+      b AS (SELECT li.flag AS flag,
+                   least(((v - lo) * 64) // greatest(hi - lo, 1), 63) AS b
+            FROM li JOIN ext ON li.flag = ext.flag),
+      counts AS (SELECT flag, b, CAST(count(*) AS BIGINT) AS c
+                 FROM b GROUP BY 1, 2),
+      cum AS (SELECT flag, b, c,
+                     SUM(c) OVER (PARTITION BY flag ORDER BY b) AS cum,
+                     SUM(c) OVER (PARTITION BY flag) AS n
+              FROM counts)
+      SELECT cum.flag, CAST(n AS BIGINT) AS n, b AS med_bucket,
+             CAST(lo + ((hi - lo) * b) // 64 AS BIGINT) AS bucket_lo_cents,
+             CAST(lo + ((hi - lo) * (b + 1)) // 64 AS BIGINT) AS bucket_hi_cents
+      FROM cum JOIN ext ON cum.flag = ext.flag
+      WHERE cum * 2 >= n AND (cum - c) * 2 < n
+      ORDER BY cum.flag"""))
+
   val all: Seq[QueryDef] =
-    Seq(q151CompactionPlan, q152OovRate, q153ChunkWindows, q154SparseCosineCapped)
+    Seq(q151CompactionPlan, q152OovRate, q153ChunkWindows, q154SparseCosineCapped,
+      q155StratifiedSplit, q156HistogramQuantile)
 }
