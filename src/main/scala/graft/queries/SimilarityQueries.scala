@@ -212,7 +212,54 @@ object SimilarityQueries {
                AS resized_checksum
       FROM s ORDER BY doc_id"""))
 
+  /** ANN RECALL measurement — the quality gauge every approximate index
+    * needs beside its speed numbers: per query, recall@5 of the
+    * label-probed IVF search (q34's operator) against the brute-force
+    * ground truth (q33's). An ANN deployment that never measures recall
+    * is flying blind; this runs the measurement as a QUERY — both
+    * searches are the existing operators (queries broadcast, corpus never
+    * shuffles for the probe), the comparison is a per-query left join +
+    * count over 2×(nQueries×k) rows, driver sees nothing. recall_e4 is
+    * exact integer (hits × 10⁴ / k with k = 5 → hits × 2000).
+    */
+  val q157AnnRecall: QueryDef = QueryDef(
+    "q157_ann_recall",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val brute = Similarity.topKBrute(e, nQueries = 10, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val probed = Similarity.topKByLabel(e, nQueries = 10, k = 5)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      brute.join(probed, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_e4", col("n_hits") * 2000L)
+        .orderBy("q_id")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+                 FROM embeddings WHERE vec_id < 10),
+      bsc AS (SELECT q_id, vec_id, ${rdet6(cosSql("embedding", "q_emb"))} AS cos
+              FROM embeddings, q WHERE vec_id <> q_id),
+      brute AS (SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                  FROM bsc) WHERE rk <= 5),
+      lsc AS (SELECT q_id, vec_id, ${rdet6(cosSql("embedding", "q_emb"))} AS cos
+              FROM embeddings, q WHERE label = q_label AND vec_id <> q_id),
+      probed AS (SELECT q_id, vec_id FROM (
+                   SELECT q_id, vec_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                   FROM lsc) WHERE rk <= 5)
+      SELECT brute.q_id AS q_id,
+             CAST(SUM(CASE WHEN probed.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+             CAST(SUM(CASE WHEN probed.vec_id IS NULL THEN 0 ELSE 1 END) * 2000 AS BIGINT)
+               AS recall_e4
+      FROM brute LEFT JOIN probed
+        ON brute.q_id = probed.q_id AND brute.vec_id = probed.vec_id
+      GROUP BY 1 ORDER BY q_id"""))
+
   val all: Seq[QueryDef] = Seq(q33KnnBrute, q34KnnIvfLabel, q35EmbeddingDup,
     q36MultimodalMeta, q37KnnLshBucket, q38MultimodalDecode, q62PqCodes,
-    q108MultimodalResize)
+    q108MultimodalResize, q157AnnRecall)
 }
