@@ -243,5 +243,82 @@ object Round5Queries3 {
       FROM exact JOIN est ON exact.flag = est.flag AND exact.status = est.status
       ORDER BY flag, status"""))
 
-  val all: Seq[QueryDef] = Seq(q139BpeMerge, q140UnigramLogprob, q141HllRollup)
+  /** Bigram-LM document scoring with ADD-ONE smoothing — the conditional
+    * upgrade of q140's unigram proxy, and the smallest model that catches
+    * word-salad documents whose unigram stats look normal: score = mean
+    * over positions of log2 P(w_i | w_{i−1}) with P = (c(prev,w)+1) /
+    * (c(prev·)+V). Distributed shape mirrors q140: the bigram and
+    * prefix-count tables are VOCABULARY²-bounded state (broadcast), the
+    * only corpus-sized work is one (doc, bigram) hash aggregate, and the
+    * per-doc sum folds in bigram-sorted order so both engines execute the
+    * identical IEEE sequence (the q114/q137/q140 order-pinned-fold
+    * protocol; log2/division on identical doubles, rdet6 display).
+    */
+  val q160BigramLogprob: QueryDef = QueryDef(
+    "q160_bigram_logprob",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val db = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+          .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .cache() // feeds the corpus bigram counts AND the scoring join
+      val bgc = db.groupBy("bg").agg(sum(col("c")).as("cb"))
+        .withColumn("prev", element_at(split(col("bg"), " "), 1))
+      val prevc = bgc.groupBy("prev").agg(sum(col("cb")).as("cp"))
+      val vsize = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(countDistinct(col("w")).as("v"))
+      db.join(broadcast(bgc), "bg")
+        .join(broadcast(prevc), "prev")
+        .crossJoin(broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_bigrams"),
+          array_sort(collect_list(
+            struct(col("bg"), col("c"), col("cb"), col("cp"), col("v"))))
+            .as("terms"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Det.rdet(
+            aggregate(col("terms"), lit(0.0d),
+              (acc, x) => acc + x("c") *
+                log2((x("cb") + 1L).cast("double") / (x("cp") + x("v")).cast("double"))) /
+              col("n_bigrams"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+      db AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM d, unnest(range(1, len(ws))) AS u(i) GROUP BY 1, 2),
+      bgc AS (SELECT bg, SUM(c) AS cb, str_split(bg, ' ')[1] AS prev
+              FROM db GROUP BY 1),
+      prevc AS (SELECT prev, SUM(cb) AS cp FROM bgc GROUP BY 1),
+      vs AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE word != ''),
+      terms AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       list([bg, CAST(c AS VARCHAR), CAST(bgc.cb AS VARCHAR),
+                             CAST(prevc.cp AS VARCHAR), CAST(vs.v AS VARCHAR)]
+                            ORDER BY bg) AS ts
+                FROM db JOIN bgc USING (bg) JOIN prevc ON prevc.prev = bgc.prev
+                        CROSS JOIN vs
+                GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+             floor((list_reduce(
+                      list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(ts, x ->
+                          CAST(x[2] AS DOUBLE) *
+                            log2((CAST(x[3] AS DOUBLE) + 1) /
+                                 (CAST(x[4] AS DOUBLE) + CAST(x[5] AS DOUBLE))))),
+                      (acc, v) -> acc + v) / n_bigrams) * 1e6 + 0.5) / 1e6
+               AS avg_logprob
+      FROM terms ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q139BpeMerge, q140UnigramLogprob, q141HllRollup,
+    q160BigramLogprob)
 }

@@ -329,7 +329,72 @@ object Round5Queries7 {
       WHERE cum * 2 >= n AND (cum - c) * 2 < n
       ORDER BY cum.flag"""))
 
+  /** MULTI-quantile read from ONE histogram sketch — the property that
+    * justifies the sketch at 100 TB: q156's per-group bucket counts are
+    * computed once, and p25/p50/p75/p95 ALL read off the same cumulative
+    * relation (4 targets × 64 buckets per group — no further data passes,
+    * ever; a sorted-data approach would re-sort or re-select per
+    * quantile). Target ranks are exact integers (⌈pct·n/100⌉ via integer
+    * arithmetic); each target lands in the bucket whose cumulative range
+    * covers it. Emits (flag, pct, bucket, bucket value bounds in cents).
+    */
+  val q161QuantileGrid: QueryDef = QueryDef(
+    "q161_quantile_grid",
+    (s, dir) => {
+      val B = 64L
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      val ext = li.groupBy("flag").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val d = greatest(col("hi") - col("lo"), lit(1L))
+      val bkt = least(
+        ((col("v") - col("lo")) * B - pmod((col("v") - col("lo")) * B, d)) / d,
+        lit(B - 1)).cast("long")
+      val counts = li.join(broadcast(ext), "flag")
+        .withColumn("b", bkt)
+        .groupBy("flag", "b").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("flag").orderBy("b")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("flag")
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wn))
+      val targets = s.range(1).select(
+        explode(array(Seq(25, 50, 75, 95).map(p => lit(p)): _*)).as("pct"))
+      val tgt = col("pct") * col("n") + 99L
+      cum.join(broadcast(targets))
+        .withColumn("t", (tgt - pmod(tgt, lit(100L))) / 100L)
+        .filter(col("cum") >= col("t") && col("cum") - col("c") < col("t"))
+        .join(broadcast(ext), "flag")
+        .select(col("flag"), col("pct").cast("long").as("pct"), col("b").as("bucket"),
+          (col("lo") + ((col("hi") - col("lo")) * col("b")
+            - pmod((col("hi") - col("lo")) * col("b"), lit(B))) / B)
+            .cast("long").as("bucket_lo_cents"))
+        .orderBy("flag", "pct")
+    },
+    Some("""
+      WITH li AS (SELECT l_returnflag AS flag,
+                         CAST(floor(l_extendedprice * 100 + 0.5e0) AS BIGINT) AS v
+                  FROM lineitem),
+      ext AS (SELECT flag, min(v) AS lo, max(v) AS hi FROM li GROUP BY 1),
+      b AS (SELECT li.flag AS flag,
+                   least(((v - lo) * 64) // greatest(hi - lo, 1), 63) AS b
+            FROM li JOIN ext ON li.flag = ext.flag),
+      counts AS (SELECT flag, b, CAST(count(*) AS BIGINT) AS c
+                 FROM b GROUP BY 1, 2),
+      cum AS (SELECT flag, b, c,
+                     SUM(c) OVER (PARTITION BY flag ORDER BY b) AS cum,
+                     SUM(c) OVER (PARTITION BY flag) AS n
+              FROM counts),
+      tg AS (SELECT cum.*, pct, (pct * n + 99) // 100 AS t
+             FROM cum, unnest([25, 50, 75, 95]) u(pct))
+      SELECT tg.flag AS flag, CAST(pct AS BIGINT) AS pct, b AS bucket,
+             CAST(lo + ((hi - lo) * b) // 64 AS BIGINT) AS bucket_lo_cents
+      FROM tg JOIN ext ON tg.flag = ext.flag
+      WHERE cum >= t AND cum - c < t
+      ORDER BY tg.flag, pct"""))
+
   val all: Seq[QueryDef] =
     Seq(q151CompactionPlan, q152OovRate, q153ChunkWindows, q154SparseCosineCapped,
-      q155StratifiedSplit, q156HistogramQuantile)
+      q155StratifiedSplit, q156HistogramQuantile, q161QuantileGrid)
 }
