@@ -66,6 +66,34 @@ object Dedup {
     base.select(col("doc_id") +: sigCols: _*)
   }
 
+  /** Banded minhash signatures: one (band, key) row per document per band
+    * (band key = concat of the band's signature values) — the LSH INDEX
+    * shape. Pure projections end to end (no aggregation), so this works
+    * unchanged on a STREAMING DataFrame; `carry` names extra columns to
+    * keep (e.g. the arrival timestamp, or the shingle array for a
+    * downstream verify).
+    */
+  def bandedSignatures(docs: DataFrame, shingleK: Int, rowsPerBand: Int,
+                       carry: Seq[String] = Nil): DataFrame = {
+    val nBands = MinhashParams.size / rowsPerBand
+    val base = docs.filter(size(split(col("text"), " ")) >= shingleK)
+      .select((col("doc_id") +: col("text").as("__text") +:
+        carry.map(col)): _*)
+      .withColumn("__hs", hashedShingles(col("__text"), shingleK))
+    val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__hs"), h => pmod(lit(a) * h + lit(b), lit(Prime)))).as(s"sig_$i")
+    }
+    base.select((col("doc_id") +: carry.map(col)) ++ sigCols: _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rowsPerBand).map(r =>
+              col(s"sig_${b * rowsPerBand + r}")): _*).as("key"))
+        }: _*)).as("bk"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+  }
+
   /** MinHash-LSH near-duplicate pairs: band the signatures (bands of
     * `rowsPerBand`), bucket-join on (band, key), then verify candidates with
     * exact shingle Jaccard >= `threshold`.
@@ -120,17 +148,8 @@ object Dedup {
     */
   def deltaDedupPairs(newDocs: DataFrame, oldDocs: DataFrame, shingleK: Int,
                       rowsPerBand: Int, threshold: Double): DataFrame = {
-    val nBands = MinhashParams.size / rowsPerBand
-    def banded(docs: DataFrame): DataFrame = {
-      val sigs = minhashSignatures(docs, shingleK)
-      sigs.select(col("doc_id"),
-        explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("_", (0 until rowsPerBand).map(r =>
-              col(s"sig_${b * rowsPerBand + r}")): _*).as("key"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    }
+    def banded(docs: DataFrame): DataFrame =
+      bandedSignatures(docs, shingleK, rowsPerBand)
     def shingled(docs: DataFrame): DataFrame =
       docs.filter(size(split(col("text"), " ")) >= shingleK)
         .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))

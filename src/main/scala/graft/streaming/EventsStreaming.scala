@@ -397,6 +397,45 @@ object EventsStreaming {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming incremental near-dup detection — [[graft.operators.Dedup
+    * .deltaDedupPairs]]'s continuous twin: documents are LSH-banded AS THEY
+    * ARRIVE (pure projections, streaming-safe) and stream-static joined
+    * against the HISTORY's banded index; band collisions verify with exact
+    * shingle Jaccard in the same micro-batch. History never pairs with
+    * itself, and the arriving side never waits for a nightly sweep. The
+    * static side broadcasts here (fixture scale); a 100 TB history would
+    * be the persisted LSH index table and the same join runs shuffled on
+    * (band, key). Only state: the per-pair dedup, bounded by the
+    * `arrival_ts` watermark.
+    *
+    * `docs` needs (doc_id, text, arrival_ts); output is the stream of
+    * (new_doc, old_doc, jaccard) matches at >= threshold.
+    */
+  def nearDupArrivals(docs: DataFrame, history: DataFrame, shingleK: Int = 3,
+      rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val histBands = Dedup.bandedSignatures(history, shingleK, rowsPerBand)
+      .select(col("doc_id").as("old_doc"), col("band"), col("key"))
+    val histSh = history.filter(size(split(col("text"), " ")) >= shingleK)
+      .select(col("doc_id").as("old_doc"),
+        Dedup.hashedShingles(col("text"), shingleK).as("sh_b"))
+    val arriving = Dedup.bandedSignatures(
+        docs.withWatermark("arrival_ts", "10 minutes"),
+        shingleK, rowsPerBand, carry = Seq("arrival_ts", "text"))
+      .withColumn("sh_a", Dedup.hashedShingles(col("text"), shingleK))
+    val inter = graft.plans.SortedLongArrayIntersectCount(col("sh_a"), col("sh_b"))
+    arriving
+      .join(broadcast(histBands), Seq("band", "key"))
+      .join(broadcast(histSh), "old_doc")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id").as("new_doc"), col("old_doc"), col("jaccard"),
+        col("arrival_ts"))
+      .dropDuplicatesWithinWatermark("new_doc", "old_doc")
+      .select("new_doc", "old_doc", "jaccard")
+  }
+
   /** Stream-static bloom semi-join pruning: keep only events whose user is
     * in the static `hotUsers` set, with [[graft.operators.BloomPrune]]'s
     * build-once bloom applied map-side BEFORE the stream-static semi join.

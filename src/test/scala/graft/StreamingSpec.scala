@@ -309,6 +309,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup arrivals equal the batch delta dedup on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val baseText = "the quick brown fox jumps over the lazy dog again and again today"
+    val otherText = "completely different words about spark query engines and big data systems"
+    val history = Seq((1L, baseText + " dup"), (2L, otherText))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDS().toDF("doc_id", "arrival_ts", "text")
+    val q = EventsStreaming.nearDupArrivals(stream, history)
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, ts(0), baseText)) // near-dup of history doc 1
+      q.processAllAvailable()
+      mem.addData((11L, ts(1), "nothing in common with anything at all here truly"))
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.deltaDedupPairs(
+          Seq((10L, baseText), (11L, "nothing in common with anything at all here truly"))
+            .toDF("doc_id", "text"),
+          history, shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == Set((10L, 1L)), s"batch reference unexpected: $batch")
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming count-min state equals the batch sketch counter-for-counter") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
