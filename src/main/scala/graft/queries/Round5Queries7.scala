@@ -7,7 +7,8 @@ import graft.functions.HashFunctions
 
 /** Round-5 surface, seventh tranche: lakehouse maintenance and
   * training-data preparation — compaction planning, tokenizer vocabulary
-  * coverage, and overlapping chunk windows.
+  * coverage, overlapping chunk windows, df-capped sparse cosine,
+  * stratified holdout splits, and histogram-sketch quantiles.
   */
 object Round5Queries7 {
 
