@@ -30,6 +30,35 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                                  channels: Int, features: Array[Float])
 
+  /** REAL media-file ingest: read a directory of media files through
+    * Spark's built-in `binaryFile` source into the [[MediaRow]] shape —
+    * payload = the file bytes (opaque), doc_id = a stable 32-bit hash of
+    * the file name, formatGuess sniffed from the leading magic bytes (the
+    * same sniff [[realDecode]] trusts). This is the front door a real
+    * image/audio lake uses: files land as (path, content) splits, the
+    * binary column stays opaque until a decode operator runs, and
+    * `spark.sql.files.maxPartitionBytes` sizes the partitions exactly as
+    * for any other scan. `pathGlobFilter` pushes the extension filter to
+    * the LISTING, not the read.
+    */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        graft.functions.HashFunctions.hash32(col("path")).as("doc_id"),
+        col("content").as("payload"),
+        struct(
+          when(substring(col("content"), 1, 2) === lit("BM".getBytes("US-ASCII")), "bmp")
+            .when(substring(col("content"), 1, 4) === lit("RIFF".getBytes("US-ASCII")), "wav")
+            .otherwise("unknown").as("formatGuess"),
+          octet_length(col("content")).as("nBytes"),
+          crc32(col("content")).as("checksum")).as("meta"))
+      .as[MediaRow]
+  }
+
   /** Wrap a text corpus as binary payloads + metadata — the ingest shape a
     * real media table would have (payload column stays opaque bytes).
     */

@@ -1,7 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.operators.{MediaCodecs, Multimodal}
 
 /** Pure-JVM codec tests: byte-level roundtrips plus the format quirks the
@@ -9,7 +7,7 @@ import graft.operators.{MediaCodecs, Multimodal}
   * non-canonical RIFF chunk layouts, and rejection of non-media payloads
   * (which must fall back to the stub path, not throw).
   */
-class MediaCodecsSpec extends AnyFunSuite {
+class MediaCodecsSpec extends SparkTestBase {
 
   test("bmp roundtrip recovers logical pixels across all four padding classes") {
     for (w <- 8 to 16; h <- Seq(4, 7)) { // 3w mod 4 cycles 0,3,2,1
@@ -74,6 +72,32 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(Multimodal.realDecode(text).isEmpty)
     val (w, h, c, f) = Multimodal.fakeDecode(text)
     assert(w >= 16 && h >= 16 && c == 3 && f.length == 8)
+  }
+
+  test("binaryFile ingest: real files on disk decode through the media pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("media_ingest")
+    // two real BMPs with known content, one WAV, one decoy text file
+    java.nio.file.Files.write(dir.resolve("a.bmp"),
+      MediaCodecs.encodeBmp24(5, 3, (_, y) => (10 + y, 20, 30)))
+    java.nio.file.Files.write(dir.resolve("b.bmp"),
+      MediaCodecs.encodeBmp24(9, 4, (_, y) => (50 + y, 60, 70)))
+    java.nio.file.Files.write(dir.resolve("c.wav"),
+      MediaCodecs.encodeWavPcm16(8000, Array[Short](5, -5, 7)))
+    java.nio.file.Files.write(dir.resolve("readme.txt"),
+      "not media at all".getBytes("UTF-8"))
+    val media = Multimodal.readMediaDir(spark, dir.toString)
+    val rows = media.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.meta.formatGuess).sorted.toSeq ==
+      Seq("bmp", "bmp", "unknown", "wav"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => (f.width, f.height, f.channels)).toSet
+    // the two BMPs report their REAL header dims; the WAV reports
+    // (nSamples, 1, channels); the text file takes the stub path
+    assert(feats.contains((5, 3, 3)) && feats.contains((9, 4, 3)), feats)
+    assert(feats.contains((3, 1, 1)), feats)
+    // glob pushdown: only the bmps are even listed
+    assert(Multimodal.readMediaDir(spark, dir.toString, "*.bmp").count() == 2)
   }
 
   test("truncated and corrupt headers return None, never throw") {
