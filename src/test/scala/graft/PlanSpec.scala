@@ -103,6 +103,34 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q151 compaction planner shuffles once on the partition key") {
+    val p = planOf("q151_compaction_plan")
+    // one hash exchange (source) feeds both the window and the aggregate —
+    // the per-(source,bin) groupBy must NOT add a second hash exchange
+    // (partitioning by source satisfies clustering by (source, bin))
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q153 chunk windows is pure projection + explode — no hash shuffle at all") {
+    val p = planOf("q153_chunk_windows")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the explode
+  }
+
+  test("q152 oov rate broadcasts the vocabulary via TakeOrderedAndProject") {
+    val p = planOf("q152_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q150 delta dedup candidates come from hash joins, never nested loops") {
+    val p = planOf("q150_delta_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("NO query in the entire surface plans an unpartitioned WindowExec") {
     // the COVERAGE invariant, now CHECKED: a WindowExec with an empty
     // partitionSpec moves all rows to one task ("No Partition Defined"
