@@ -103,9 +103,16 @@ object MediaCodecs {
     val width = le32(b, 18)
     val rawH = le32(b, 22)
     val bottomUp = rawH > 0
-    val height = math.abs(rawH)
+    // all dimension arithmetic in LONG before any allocation: a hostile
+    // width (or height = Int.MinValue, whose abs is itself negative)
+    // would otherwise overflow the int stride/row-count math PAST the
+    // bounds check and surface as an allocation error — this decoder's
+    // contract is None, never throw
+    val heightL = math.abs(rawH.toLong)
     if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
-    if (width <= 0 || height == 0) return None
+    if (width <= 0 || heightL <= 0 || dataOff < 0) return None
+    if (width.toLong * heightL * 3L > b.length.toLong) return None
+    val height = heightL.toInt // <= len/3 after the check, so exact
     val stride = bmpRowStride(width)
     if (dataOff + stride.toLong * height > b.length) return None
     val px = new Array[(Int, Int, Int)](width * height)

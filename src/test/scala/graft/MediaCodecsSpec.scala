@@ -105,6 +105,16 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.decodeBmp24(good.slice(0, 40)).isEmpty)
     val badBpp = good.clone(); badBpp(28) = 8 // not 24-bit
     assert(MediaCodecs.decodeBmp24(badBpp).isEmpty)
+    // hostile dimensions must be rejected BEFORE any allocation: height =
+    // Int.MinValue (whose 32-bit abs is itself negative) and an overflowing
+    // width both previously slipped past int-arithmetic bounds checks
+    val minH = good.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(MediaCodecs.decodeBmp24(minH).isEmpty)
+    val hugeW = good.clone()
+    hugeW(18) = 0xff.toByte; hugeW(19) = 0xff.toByte
+    hugeW(20) = 0xff.toByte; hugeW(21) = 0x7f.toByte
+    assert(MediaCodecs.decodeBmp24(hugeW).isEmpty)
     val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](1, 2))
     assert(MediaCodecs.decodeWavPcm16(wav.slice(0, 20)).isEmpty)
     val badFmt = wav.clone(); badFmt(20) = 3 // not PCM
