@@ -52,7 +52,13 @@ object Bench {
         times += (System.nanoTime() - t0) / 1e9
         i += 1
       }
-      val median = if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
+      val median =
+        if (times.isEmpty) 0.0
+        else {
+          val s = times.sorted
+          val n = s.size // true median: average the two middle runs when even
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+        }
       (name, median, err)
     }
     val ok = results.collect { case (k, v, None) => k -> v }

@@ -74,16 +74,27 @@ object Dedup {
     * downstream verify).
     */
   def bandedSignatures(docs: DataFrame, shingleK: Int, rowsPerBand: Int,
-                       carry: Seq[String] = Nil): DataFrame = {
+                       carry: Seq[String] = Nil): DataFrame =
+    bandedFromHashes(
+      docs.filter(size(split(col("text"), " ")) >= shingleK)
+        .select((col("doc_id") +: carry.map(col)) :+
+          hashedShingles(col("text"), shingleK).as("__hs"): _*),
+      rowsPerBand, carry, hashCol = "__hs")
+
+  /** Banding over an ALREADY-HASHED shingle relation (doc_id, `hashCol`:
+    * sorted long array, carry...): the minhash family and band explode are
+    * cheap projections; the md5 shingle pass is the expensive step and
+    * lives with the caller, who can share one hashed relation between this
+    * index build and an exact-verify consumer (see [[deltaDedupPairs]]).
+    */
+  def bandedFromHashes(hs: DataFrame, rowsPerBand: Int,
+                       carry: Seq[String] = Nil,
+                       hashCol: String = "sh"): DataFrame = {
     val nBands = MinhashParams.size / rowsPerBand
-    val base = docs.filter(size(split(col("text"), " ")) >= shingleK)
-      .select((col("doc_id") +: col("text").as("__text") +:
-        carry.map(col)): _*)
-      .withColumn("__hs", hashedShingles(col("__text"), shingleK))
     val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("__hs"), h => pmod(lit(a) * h + lit(b), lit(Prime)))).as(s"sig_$i")
+      array_min(transform(col(hashCol), h => pmod(lit(a) * h + lit(b), lit(Prime)))).as(s"sig_$i")
     }
-    base.select((col("doc_id") +: carry.map(col)) ++ sigCols: _*)
+    hs.select((col("doc_id") +: carry.map(col)) ++ sigCols: _*)
       .select((col("doc_id") +: carry.map(col)) :+
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
@@ -148,20 +159,28 @@ object Dedup {
     */
   def deltaDedupPairs(newDocs: DataFrame, oldDocs: DataFrame, shingleK: Int,
                       rowsPerBand: Int, threshold: Double): DataFrame = {
-    def banded(docs: DataFrame): DataFrame =
-      bandedSignatures(docs, shingleK, rowsPerBand)
-    def shingled(docs: DataFrame): DataFrame =
+    // The md5 shingle pass is hashed ONCE per side: the banded index and
+    // the verify arrays both read the same doc_id-repartitioned hashed
+    // relation, so the two plan occurrences canonicalize to the SAME
+    // exchange and Spark's ReuseExchange/stage-reuse computes it once —
+    // single-compute without persist() (which a lazy-returning operator
+    // could never safely unpersist, and which would leak per micro-batch
+    // when this runs inside foreachBatch).
+    def hashedOnce(docs: DataFrame): DataFrame =
       docs.filter(size(split(col("text"), " ")) >= shingleK)
         .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))
-    val cand = banded(newDocs).as("a")
-      .join(banded(oldDocs).as("b"),
+        .repartition(col("doc_id"))
+    val hsNew = hashedOnce(newDocs)
+    val hsOld = hashedOnce(oldDocs)
+    val cand = bandedFromHashes(hsNew, rowsPerBand).as("a")
+      .join(bandedFromHashes(hsOld, rowsPerBand).as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("old_doc"))
       .distinct()
     val inter = graft.plans.SortedLongArrayIntersectCount(col("sh_a"), col("sh_b"))
     cand
-      .join(shingled(newDocs).select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
-      .join(shingled(oldDocs).select(col("doc_id").as("old_doc"), col("sh").as("sh_b")), "old_doc")
+      .join(hsNew.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(hsOld.select(col("doc_id").as("old_doc"), col("sh").as("sh_b")), "old_doc")
       .withColumn("jaccard",
         inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("jaccard") >= threshold)

@@ -111,7 +111,9 @@ object MediaCodecs {
     val heightL = math.abs(rawH.toLong)
     if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
     if (width <= 0 || heightL <= 0 || dataOff < 0) return None
-    if (width.toLong * heightL * 3L > b.length.toLong) return None
+    // divide, don't multiply: w * h * 3 can wrap Long for hostile
+    // (width, height = Int.MinValue) pairs and sneak past a product check
+    if (heightL > b.length.toLong / 3L / width.toLong) return None
     val height = heightL.toInt // <= len/3 after the check, so exact
     val stride = bmpRowStride(width)
     if (dataOff + stride.toLong * height > b.length) return None

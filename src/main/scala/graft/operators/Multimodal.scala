@@ -30,6 +30,15 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                                  channels: Int, features: Array[Float])
 
+  /** [[MediaFeatures]] plus the payload byte count, measured in the SAME
+    * pass — callers that report file size next to decoded features
+    * (q148/q149) would otherwise evaluate the payload column twice (once
+    * for octet_length, once for decode) and pay a join to stitch them.
+    */
+  final case class MediaFeaturesSized(doc_id: Long, width: Int, height: Int,
+                                      channels: Int, n_bytes: Long,
+                                      features: Array[Float])
+
   /** REAL media-file ingest: read a directory of media files through
     * Spark's built-in `binaryFile` source into the [[MediaRow]] shape —
     * payload = the file bytes (opaque), doc_id = a stable 32-bit hash of
@@ -148,6 +157,19 @@ object Multimodal {
       rows.map { r =>
         val (w, h, c, f) = realDecode(r.payload).getOrElse(fakeDecode(r.payload))
         MediaFeatures(r.doc_id, w, h, c, f)
+      }
+    }
+  }
+
+  /** [[decodeFeatures]] with the payload length carried through — one
+    * decode pass produces both the features and the measured file size.
+    */
+  def decodeFeaturesSized(media: Dataset[MediaRow]): Dataset[MediaFeaturesSized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, c, f) = realDecode(r.payload).getOrElse(fakeDecode(r.payload))
+        MediaFeaturesSized(r.doc_id, w, h, c, r.payload.length.toLong, f)
       }
     }
   }

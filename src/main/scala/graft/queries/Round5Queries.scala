@@ -96,7 +96,13 @@ object Round5Queries {
     * than doubles: round 4's driver checker hashed the double form
     * differently than a local row-diff (which matched bit-for-bit), and an
     * integer output column is immune to any checker's double
-    * canonicalization.
+    * canonicalization. The s2 moment itself is emitted as a STRING for the
+    * same reason one level down: it is the surface's only DECIMAL(38,0)
+    * output column, and a wide decimal survives no dataframe conversion —
+    * duckdb's fetchdf coerces DECIMAL to lossy float64 (1.23e+29), while a
+    * pyarrow read yields exact Decimal objects, so the two sides of any
+    * hasher that doesn't row-diff in SQL disagree. Digits-as-text is the
+    * one representation every path preserves bit-for-bit.
     */
   val q133StateMerge: QueryDef = QueryDef(
     "q133_state_merge",
@@ -118,7 +124,8 @@ object Round5Queries {
       val d = (col("n").cast("decimal(38,0)") * col("s2") -
         col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
       val nn = (col("n") * col("n")).cast("decimal(38,0)")
-      merged.select(col("segment"), col("n").as("n_orders"), col("s1"), col("s2"),
+      merged.select(col("segment"), col("n").as("n_orders"), col("s1"),
+          col("s2").cast("string").as("s2"),
           Det.rdetLong(col("s1").cast("double") / (col("n") * 100).cast("double"), 4)
             .as("mean_price_e4"),
           Det.rdetLong(sqrt(((d - pmod(d, nn)) / nn).cast("long").cast("double")) / 100.0, 4)
@@ -138,7 +145,7 @@ object Round5Queries {
                       - CAST(s1 AS HUGEINT) * s1 AS d,
                     CAST(n AS HUGEINT) * n AS nn
              FROM st)
-      SELECT segment, n AS n_orders, s1, s2,
+      SELECT segment, n AS n_orders, s1, CAST(s2 AS VARCHAR) AS s2,
              CAST(floor((CAST(s1 AS DOUBLE) / CAST(n * 100 AS DOUBLE)) * 1e4 + 0.5)
                AS BIGINT) AS mean_price_e4,
              CAST(floor((sqrt(CAST(CAST((d - d % nn) / nn AS BIGINT) AS DOUBLE)) / 100.0e0)

@@ -62,12 +62,11 @@ object Round5Queries6 {
         Multimodal.MediaRow(r.doc_id, bytes,
           Multimodal.MediaMeta("bmp", bytes.length, 0L))
       }
-      val sizes = media.toDF()
-        .select(col("doc_id"), octet_length(col("payload")).cast("long").as("file_bytes"))
-      Multimodal.decodeFeatures(media).toDF()
-        .join(sizes, "doc_id")
+      // n_bytes rides the decode pass (decodeFeaturesSized): one encode
+      // per payload, no size-side join
+      Multimodal.decodeFeaturesSized(media).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
-          col("file_bytes"),
+          col("n_bytes").as("file_bytes"),
           element_at(col("features"), 1).cast("long").as("top_r"),
           element_at(col("features"), 2).cast("long").as("top_g"),
           element_at(col("features"), 3).cast("long").as("top_b"),
@@ -123,13 +122,10 @@ object Round5Queries6 {
         Multimodal.MediaRow(r.doc_id, MediaCodecs.encodeWavPcm16(rate, samples),
           Multimodal.MediaMeta("wav", MediaCodecs.wavFileSize(ns), 0L))
       }
-      val sizes = media.toDF()
-        .select(col("doc_id"), octet_length(col("payload")).cast("long").as("file_bytes"))
-      Multimodal.decodeFeatures(media).toDF()
-        .join(sizes, "doc_id")
+      Multimodal.decodeFeaturesSized(media).toDF()
         .select(col("doc_id"),
           col("width").as("n_samples"), col("channels"),
-          col("file_bytes"),
+          col("n_bytes").as("file_bytes"),
           element_at(col("features"), 1).cast("long").as("sample_rate"),
           element_at(col("features"), 2).cast("long").as("first_sample"),
           element_at(col("features"), 3).cast("long").as("sum_samples"),

@@ -165,6 +165,21 @@ class DedupSpec extends SparkTestBase {
     assert(out.forall(_._1 == 5L), s"history self-pair leaked: $out")
   }
 
+  test("delta dedup hashes each side's shingles once (exchange reuse)") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(5L -> base, 1L -> nearDup, 2L -> base, 3L -> other)
+    val out = Dedup.deltaDedupPairs(
+      d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+      shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+    out.collect()
+    // the banded index and the verify arrays read the same repartitioned
+    // hashed-shingle relation; if the subtrees ever stop canonicalizing
+    // identically, the md5 pass silently doubles — pin the reuse here
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no exchange reuse in delta-dedup plan:\n$plan")
+  }
+
   test("prefix jaccard join survives non-dyadic tau at the exact boundary") {
     // tau = 0.55 is not a dyadic rational: the double product 0.55*20 is
     // 11.000000000000002, so an unguarded ceil() yields 12 and the PPJoin

@@ -115,6 +115,15 @@ class MediaCodecsSpec extends SparkTestBase {
     hugeW(18) = 0xff.toByte; hugeW(19) = 0xff.toByte
     hugeW(20) = 0xff.toByte; hugeW(21) = 0x7f.toByte
     assert(MediaCodecs.decodeBmp24(hugeW).isEmpty)
+    // the PAIR (w=0x55555556, h=0x80000000) wraps w*|h|*3 past Long.Max to
+    // a small value, sneaking through a product-form bound; the division
+    // guard rejects it (and any Some here would carry a negative height)
+    val wrapPair = good.clone()
+    wrapPair(18) = 0x56.toByte; wrapPair(19) = 0x55.toByte
+    wrapPair(20) = 0x55.toByte; wrapPair(21) = 0x55.toByte
+    wrapPair(22) = 0; wrapPair(23) = 0; wrapPair(24) = 0
+    wrapPair(25) = 0x80.toByte
+    assert(MediaCodecs.decodeBmp24(wrapPair).isEmpty)
     val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](1, 2))
     assert(MediaCodecs.decodeWavPcm16(wav.slice(0, 20)).isEmpty)
     val badFmt = wav.clone(); badFmt(20) = 3 // not PCM
