@@ -477,4 +477,70 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("i"), col("j"), col("la"), col("lb"), col("inter"), col("jaccard"))
   }
+
+  /** Exact CONTAINMENT join (overlap coefficient |A∩B| / min(|A|,|B|) ≥
+    * tau) — the measure that catches a short document QUOTED inside a long
+    * one, which Jaccard structurally cannot (a 10-token doc fully contained
+    * in a 200-token doc has Jaccard ≤ 0.05 but containment 1.0). Token sets
+    * are the same hashed word trigrams as [[prefixJaccardPairs]].
+    *
+    * Candidate generation differs from the Jaccard join because min() makes
+    * the PPJoin length filter unusable (no lower bound on the partner's
+    * size): each doc's prefix — its |d| − ceil(tau·|d|) + 1 globally rarest
+    * tokens — probes the FULL inverted index instead of other prefixes
+    * only. Recall is still guaranteed: for a qualifying pair the SMALLER
+    * side's intersection exceeds ceil(tau·m) with m = its own size, so at
+    * least one of its prefix tokens lies in the partner's full set (prefix
+    * theorem applied to the smaller side alone), and the prefix × full-index
+    * join scans exactly that. Work is Σ_h prefixdf(h)·df(h) — driven by
+    * RARE tokens (a token in every doc is in almost no prefix), the same
+    * near-linear posture as the Jaccard join, at the cost of the missing
+    * length filter. Verify is one row per candidate via the native
+    * sorted-array intersect. Returns (i, j, la, lb, inter, m_min, contain)
+    * with i < j and the RAW double containment ≥ tau.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3)," +
+          " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
+        .as("tk"))
+      .select(col("doc_id"), hash32(col("tk")).as("h"))
+      .distinct()
+      .cache() // feeds df, the prefix ordering, and the per-doc arrays
+    val arr = tok.groupBy("doc_id").agg(
+      sort_array(collect_list(col("h"))).as("hs"),
+      count(lit(1)).as("n"))
+    val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = tok.join(df, "h")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("h"))))
+    // eps loosens the double ceil for non-dyadic tau exactly as in
+    // prefixJaccardPairs: bounds may only widen, the final containment
+    // >= tau compare is the semantic gate
+    val eps = 1e-9
+    val prefix = ordered.join(arr.select(col("doc_id"), col("n")), "doc_id")
+      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n") - eps) + 1)
+      .select(col("doc_id").as("pd"), col("h"))
+    val cand = prefix.join(tok.select(col("doc_id").as("fd"), col("h")), "h")
+      .filter(col("pd") =!= col("fd"))
+      .select(least(col("pd"), col("fd")).as("i"),
+        greatest(col("pd"), col("fd")).as("j"))
+      .distinct()
+    cand
+      .join(arr.select(col("doc_id").as("i"), col("hs").as("ha"),
+        col("n").as("la")), "i")
+      .join(arr.select(col("doc_id").as("j"), col("hs").as("hb"),
+        col("n").as("lb")), "j")
+      .withColumn("inter", graft.plans.SortedLongArrayIntersectCount(
+        col("ha"), col("hb")).cast("long"))
+      .withColumn("m_min", least(col("la"), col("lb")))
+      .withColumn("contain", col("inter").cast("double") / col("m_min"))
+      .filter(col("contain") >= tau)
+      .select(col("i"), col("j"), col("la"), col("lb"), col("inter"),
+        col("m_min"), col("contain"))
+  }
 }

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Det, HashFunctions}
+import graft.functions.HashFunctions.MinhashParams
+import graft.operators.Dedup
+
+/** Round-6 surface: a TPC-H Q8-style market-share flagship (two nation
+  * roles + conditional share over a 7-table join), corpus-level source
+  * overlap, a Heaps'-law vocabulary growth curve, the containment
+  * (overlap-coefficient) join, and train/test split-leakage detection.
+  * Determinism per [[graft.functions.Det]] and the NOTES.md protocol.
+  */
+object Round6Queries {
+
+  private def h32(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+
+  private def sigExpr(i: Int): String = {
+    val (a, b) = MinhashParams(i)
+    s"list_min(list_transform(sh, t -> ($a * ${h32("t")} + $b) % 2147483647))"
+  }
+
+  /** TPC-H Q8-flavored MARKET SHARE: revenue by supplier nation and order
+    * year for one part type sold into one customer region, plus each
+    * nation's share of its year. The 100 TB plan is the exhibit: part,
+    * supplier⋈nation, and customer⋈nation⋈region are all BROADCAST dims
+    * (the part filter prunes before the fact join), so the only corpus
+    * shuffles are lineitem⋈orders on the orderkey and the final (year,
+    * nation) aggregate; the per-year denominator is a window over the tiny
+    * (7 years × 25 nations) aggregate, never a second fact scan. Revenue
+    * accumulates as exact CENTS (floor(v·100+0.5) longs — order-independent
+    * and < 2^53, so the share's double division is bit-identical
+    * cross-engine); no double is ever summed.
+    */
+  val q162MarketShare: QueryDef = QueryDef(
+    "q162_market_share",
+    (s, dir) => {
+      val nation = Tables.load(s, dir, "nation")
+      val suppDim = broadcast(Tables.load(s, dir, "supplier")
+        .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val partDim = broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey"))
+      val custDim = broadcast(Tables.load(s, dir, "customer")
+        .join(broadcast(nation.select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey"))
+      val rev = Tables.load(s, dir, "lineitem")
+        .join(partDim, col("l_partkey") === col("p_partkey"))
+        .join(suppDim, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custDim, col("o_custkey") === col("c_custkey"))
+        .select(year(col("o_orderdate")).as("o_year"), col("supp_nation"),
+          floor(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * 100 + 0.5)
+            .cast("long").as("v"))
+      val per = rev.groupBy("o_year", "supp_nation")
+        .agg(count(lit(1)).as("n_items"), sum(col("v")).as("revenue_cents"))
+      per.withColumn("year_cents", sum(col("revenue_cents")).over(Window.partitionBy("o_year")))
+        .select(col("o_year"), col("supp_nation"), col("n_items"), col("revenue_cents"),
+          Det.rdetLong(col("revenue_cents").cast("double") / col("year_cents").cast("double"), 6)
+            .as("share_e6"))
+        .orderBy("o_year", "supp_nation")
+    },
+    Some("""
+      WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      ac AS (SELECT c_custkey FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'),
+      rev AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, supp_nation,
+                     CAST(floor(l_extendedprice * (1e0 - l_discount) * 100e0 + 0.5e0)
+                       AS BIGINT) AS v
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN sn ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN ac ON o_custkey = c_custkey
+              WHERE p_type = 'ECONOMY'),
+      per AS (SELECT o_year, supp_nation, CAST(count(*) AS BIGINT) AS n_items,
+                     CAST(SUM(v) AS BIGINT) AS revenue_cents
+              FROM rev GROUP BY 1, 2)
+      SELECT o_year, supp_nation, n_items, revenue_cents,
+             CAST(floor((CAST(revenue_cents AS DOUBLE)
+               / CAST(SUM(revenue_cents) OVER (PARTITION BY o_year) AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS share_e6
+      FROM per ORDER BY o_year, supp_nation"""))
+
+  /** Cross-SOURCE overlap matrix — corpus-level contamination between
+    * domains (which crawl slices / data vendors duplicate each other),
+    * the aggregate view the per-pair dedup queries can't give. For every
+    * source pair: shared distinct shingles and the shingle-set Jaccard.
+    * Scale shape: one distinct over (source, shingle-hash) — the
+    * decontamination shuffle — then a per-shingle collect_set whose state
+    * is bounded by the SOURCE COUNT (not document frequency), an explode
+    * of at most C(n_src, 2) pairs per shingle, and a count. The corpus
+    * square never appears; output is n_src² rows.
+    */
+  val q163SourceOverlap: QueryDef = QueryDef(
+    "q163_source_overlap",
+    (s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("source"), explode(Dedup.hashedShingles(col("text"), 3)).as("h"))
+        .distinct()
+      val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sh.groupBy("h")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .select(explode(expr(
+          "flatten(transform(ss, (a, i) ->" +
+            " transform(slice(ss, i + 2, size(ss)), b -> struct(a AS src_a, b AS src_b))))"))
+          .as("p"))
+        .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(per.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(per.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("shared"),
+          Det.rdet(col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                 FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      e AS (SELECT DISTINCT source,
+                   ${h32("array_to_string(list_slice(ws, i, i + 2), ' ')")} AS h
+            FROM w, unnest(generate_series(1, len(ws) - 2)) AS u(i)),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      sh AS (SELECT a.source AS src_a, b.source AS src_b,
+                    CAST(count(*) AS BIGINT) AS shared
+             FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT src_a, src_b, pa.n AS n_a, pb.n AS n_b, shared,
+             floor((CAST(shared AS DOUBLE) / (pa.n + pb.n - shared)) * 1e6 + 0.5)
+               / 1e6 AS jaccard
+      FROM sh JOIN per pa ON pa.source = src_a JOIN per pb ON pb.source = src_b
+      ORDER BY src_a, src_b"""))
+
+  /** Heaps'-law VOCABULARY GROWTH — distinct-token count as the corpus
+    * accumulates, the curve that tells a data-mixing run when a source's
+    * marginal vocabulary is exhausted. Each token's FIRST document (one
+    * min-aggregate over the token explode — the inverted-index shuffle)
+    * assigns it to one of 32 doc_id-range buckets; per-bucket new-token
+    * counts then cumulative-sum across the 32-ROW bucket relation. The
+    * growth window runs over bucket counts, never over documents — and its
+    * partition key is the non-foldable `bucket * 0` (a foldable lit(0)
+    * would be stripped by Spark 4's EliminateWindowPartitions into a
+    * genuinely unpartitioned window; the PlanSpec sweep pins this).
+    */
+  val q164VocabGrowth: QueryDef = QueryDef(
+    "q164_vocab_growth",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val wdt = docs.agg((floor(max("doc_id") / 32.0d) + 1).cast("long").as("wdt"))
+      val tk = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      val firstDoc = tk.groupBy("t").agg(min("doc_id").as("fd"))
+      val newPer = firstDoc.crossJoin(broadcast(wdt))
+        .groupBy(floor(col("fd") / col("wdt")).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_new"))
+      val docsPer = docs.crossJoin(broadcast(wdt))
+        .groupBy(floor(col("doc_id") / col("wdt")).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      val grow = Window.partitionBy(col("bucket") * 0).orderBy("bucket")
+      docsPer.join(newPer, Seq("bucket"), "left_outer")
+        .na.fill(0L, Seq("n_new"))
+        .withColumn("cum_vocab", sum(col("n_new")).over(grow))
+        .select("bucket", "n_docs", "n_new", "cum_vocab")
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH mx AS (SELECT CAST(floor(max(doc_id) / 32.0e0) + 1 AS BIGINT) AS wdt
+                  FROM documents),
+      tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+             FROM documents),
+      fo AS (SELECT t, min(doc_id) AS fd FROM tk GROUP BY t),
+      nb AS (SELECT CAST(floor(fd / (1e0 * wdt)) AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n_new
+             FROM fo CROSS JOIN mx GROUP BY 1),
+      nd AS (SELECT CAST(floor(doc_id / (1e0 * wdt)) AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents CROSS JOIN mx GROUP BY 1)
+      SELECT nd.bucket AS bucket, n_docs,
+             COALESCE(n_new, 0) AS n_new,
+             CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY nd.bucket) AS BIGINT)
+               AS cum_vocab
+      FROM nd LEFT JOIN nb ON nd.bucket = nb.bucket
+      ORDER BY bucket"""))
+
+  /** CONTAINMENT dedup — quote/subset detection (see
+    * [[graft.operators.Dedup.containmentPairs]] for the prefix × full-index
+    * candidate scheme and its recall proof). tau = 0.7 so partially-edited
+    * embeddings of one doc inside another qualify, not only verbatim
+    * quotes. Same trigram tokens as q134; the brute-force oracle verifies
+    * the exact pair set.
+    */
+  val q165Containment: QueryDef = QueryDef(
+    "q165_containment",
+    (s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), 0.7e0)
+        .withColumn("contain", Det.rdet(col("contain"), 6))
+        .orderBy("i", "j"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      tok AS (SELECT DISTINCT doc_id,
+                     (('0x' || substr(md5(ws[i] || '_' || ws[i+1] || '_' || ws[i+2]), 1, 8))::BIGINT) AS h
+              FROM w, unnest(range(1, len(ws) - 1)) AS u(i)),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      inter AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS c
+                FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT i, j, sa.n AS la, sb.n AS lb, c AS inter,
+             least(sa.n, sb.n) AS m_min,
+             floor((CAST(c AS DOUBLE) / least(sa.n, sb.n)) * 1e6 + 0.5) / 1e6
+               AS contain
+      FROM inter JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+      WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.7e0
+      ORDER BY i, j"""))
+
+  /** TRAIN/TEST SPLIT LEAKAGE — near-duplicate pairs that CROSS the q155
+    * stratified split, the check that catches evaluation contamination
+    * before a training run does. Pairs come from the LSH band join (q26's
+    * operator — banded candidates, never corpus²); the split assignment
+    * joins on as two broadcast-sized lookups. A clean corpus returns only
+    * the planted near-dups that straddled the hash split.
+    */
+  val q166SplitLeakage: QueryDef = QueryDef(
+    "q166_split_leakage",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      val wn = Window.partitionBy("source")
+      val split = docs
+        .select(col("doc_id"), col("source"),
+          HashFunctions.hash32(concat(lit("d"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("doc_id"),
+          when(col("rn") * 10 <= col("n") * 8, "train")
+            .when(col("rn") * 10 <= col("n") * 9, "val")
+            .otherwise("test").as("split"))
+      Dedup.minhashLsh(docs, shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+          Det.rdet(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH hs0 AS (SELECT doc_id, source,
+                     ('0x' || substr(md5('d' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                   FROM documents),
+      spl AS (SELECT doc_id,
+                CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                     WHEN rn * 10 <= n * 9 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                        AS BIGINT) AS rn,
+                      CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                    FROM hs0)),
+      w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(w)-2),
+                i -> array_to_string(list_slice(w, i, i+2), ' '))) AS sh
+            FROM w WHERE len(w) >= 3),
+      sig AS (SELECT doc_id,
+                list_distinct(list_transform(sh, t -> ${h32("t")})) AS hs,
+                [${(0 until 8).map(sigExpr).mkString(", ")}] AS sg FROM s),
+      bands AS (SELECT doc_id, b,
+                  sg[2*b+1]::VARCHAR || '_' || sg[2*b+2]::VARCHAR AS key
+                FROM sig, generate_series(0, 3) g(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b, jaccard FROM (
+                  SELECT doc_a, doc_b,
+                         CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                           / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+                           AS jaccard
+                  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                            JOIN sig sb ON sb.doc_id = doc_b)
+                WHERE jaccard >= 0.5e0)
+      SELECT doc_a, doc_b, pa.split AS split_a, pb.split AS split_b,
+             floor(jaccard * 1e6 + 0.5) / 1e6 AS jaccard
+      FROM pairs JOIN spl pa ON pa.doc_id = doc_a
+                 JOIN spl pb ON pb.doc_id = doc_b
+      WHERE pa.split != pb.split
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q162MarketShare, q163SourceOverlap, q164VocabGrowth, q165Containment,
+    q166SplitLeakage)
+}

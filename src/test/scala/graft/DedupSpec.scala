@@ -180,6 +180,35 @@ class DedupSpec extends SparkTestBase {
       s"no exchange reuse in delta-dedup plan:\n$plan")
   }
 
+  test("containment join catches a short doc QUOTED in a long one that jaccard misses") {
+    // b = a 10-word quote from the middle of a: every trigram of b is in a,
+    // so containment = 1.0 — while jaccard is only 8/28 ≈ 0.29 and the
+    // jaccard join at tau 0.6 structurally cannot return the pair
+    val words = (0 until 30).map(i => s"w$i")
+    val a = words.mkString(" ") // 28 trigrams
+    val b = words.slice(10, 20).mkString(" ") // 8 trigrams, all inside a
+    val far = "totally unrelated content about query engines and shuffles okay"
+    val d = docs(1L -> a, 2L -> b, 3L -> far)
+    val got = Dedup.containmentPairs(d, 0.9)
+      .select("i", "j", "inter", "m_min", "contain").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 2L, 8L, 8L, 1.0)), got.toSeq)
+    assert(Dedup.prefixJaccardPairs(d, 0.6).count() == 0)
+  }
+
+  test("containment recall: the SMALLER side's prefix alone finds the pair") {
+    // the long doc's prefix tokens (rare ones) may all lie OUTSIDE the
+    // quote; recall must come from the small doc probing the full index.
+    // 60-word doc vs an 8-word quote: pair must still surface at tau 0.75
+    // (6 of the quote's 6 trigrams are in the long doc -> containment 1.0)
+    val words = (0 until 60).map(i => s"v$i")
+    val long = words.mkString(" ")
+    val quote = words.slice(30, 38).mkString(" ")
+    val d = docs(7L -> long, 9L -> quote)
+    val got = Dedup.containmentPairs(d, 0.75).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 7L && got.head.getLong(1) == 9L)
+  }
+
   test("prefix jaccard join survives non-dyadic tau at the exact boundary") {
     // tau = 0.55 is not a dyadic rational: the double product 0.55*20 is
     // 11.000000000000002, so an unguarded ceil() yields 12 and the PPJoin

@@ -131,6 +131,27 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q162 market share: every dimension broadcasts, part filter reaches the scan") {
+    val p = planOf("q162_market_share")
+    // part, supplier⋈nation, customer⋈nation⋈region all broadcast — the
+    // only corpus shuffles are lineitem⋈orders and the (year, nation) agg
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p) // pushed to the scan
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q163 source overlap: pair explode is a projection, state bounded by source count") {
+    val p = planOf("q163_source_overlap")
+    assert(p.contains("Generate"), p) // explode of per-shingle source pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q165 containment candidates come from hash joins with the native verify") {
+    val p = planOf("q165_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("sorted_intersect_count"), p)
+  }
+
   test("NO query in the entire surface plans an unpartitioned WindowExec") {
     // the COVERAGE invariant, now CHECKED: a WindowExec with an empty
     // partitionSpec moves all rows to one task ("No Partition Defined"
