@@ -28,7 +28,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
     */
   private val mustParse = Set(
     "q01_pricing_summary", "q04_nation_revenue", "q44_full_outer",
-    "q59_group_having", "q60_in_subquery", "q95_exists")
+    "q59_group_having", "q60_in_subquery", "q95_exists",
+    "q162_market_share")
 
   test("every Spark-parseable oracle returns exactly the DataFrame implementation's rows") {
     viewsReady
