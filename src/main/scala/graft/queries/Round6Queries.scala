@@ -380,7 +380,114 @@ object Round6Queries {
                AS BIGINT) AS ratio_e6
       FROM est CROSS JOIN ex CROSS JOIN tot ORDER BY r"""))
 
+  /** HLL SET INTERSECTION via inclusion–exclusion — the sketch-family
+    * member q132 (estimate) and q141 (union rollup) don't cover: distinct
+    * keys SHARED between two groups, answered from the register tables
+    * alone. |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes from
+    * the register-wise MAX of the two groups' tables — the merge HLL
+    * exists for; no data re-scan. The register relation is q132's (one
+    * hash aggregate, 256-entry mergeable state per group); the pair union
+    * is a (pair, idx) max-aggregate over ≤ 2·256 rows per pair. Every
+    * 2^−M term is a binary fraction (lsb ≥ 2^−25, totals < 256), so all
+    * three harmonic sums are exact, order-independent doubles — the
+    * estimator is bit-identical cross-engine (q132's protocol). The exact
+    * intersection rides along from the distinct (flag, pk) relation —
+    * self-joined on pk, ≤ #flags rows per key — exposing the
+    * inclusion–exclusion error (NEGATIVE estimates are possible and
+    * honest: the raw estimator's noise exceeds a small true overlap).
+    */
+  val q168HllIntersect: QueryDef = QueryDef(
+    "q168_hll_intersect",
+    (s, dir) => {
+      val alpha = 0.7213e0 / (1e0 + 1.079e0 / 256e0)
+      // keyed on l_orderkey, NOT l_partkey: every flag touches every part
+      // even at sf0.01 (degenerate A = B = A∪B), while an order's handful
+      // of lineitems carries a SUBSET of flags — real partial overlap
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey").as("pk"))
+      val reg = li
+        .select(col("flag"),
+          HashFunctions.hash32(concat(lit("ok"), col("pk").cast("string"))).as("hv"))
+        .select(col("flag"), pmod(col("hv"), lit(256L)).as("idx"),
+          shiftright(col("hv"), 8).as("w"))
+        .select(col("flag"), col("idx"),
+          when(col("w") === 0, lit(25))
+            .otherwise(lit(25) - length(bin(col("w")))).as("rho"))
+        .groupBy("flag", "idx").agg(max(col("rho")).as("m"))
+      def estCol(sCol: org.apache.spark.sql.Column,
+                 nregCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        lit(alpha) * lit(65536e0) / (sCol + (lit(256L) - nregCol).cast("double"))
+      val perFlag = reg.groupBy("flag").agg(
+        count(lit(1)).as("nreg"),
+        sum(lit(1.0) /
+          call_function("shiftleft", lit(1L), col("m").cast("int")).cast("double")).as("s"))
+        .select(col("flag"), estCol(col("s"), col("nreg")).as("est"))
+      val flags = reg.select("flag").distinct()
+      val pairs = broadcast(flags.as("x").join(flags.as("y"),
+          col("x.flag") < col("y.flag"))
+        .select(col("x.flag").as("fa"), col("y.flag").as("fb")))
+      val uni = reg.join(pairs, col("flag") === col("fa") || col("flag") === col("fb"))
+        .groupBy("fa", "fb", "idx").agg(max(col("m")).as("mu"))
+        .groupBy("fa", "fb").agg(
+          count(lit(1)).as("nreg"),
+          sum(lit(1.0) /
+            call_function("shiftleft", lit(1L), col("mu").cast("int")).cast("double")).as("s"))
+        .select(col("fa"), col("fb"), estCol(col("s"), col("nreg")).as("est_union"))
+      val fp = li.select("flag", "pk").distinct()
+      val exact = fp.as("a").join(fp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.flag") < col("b.flag"))
+        .groupBy(col("a.flag").as("fa"), col("b.flag").as("fb"))
+        .agg(count(lit(1)).as("n_exact_inter"))
+      uni
+        .join(perFlag.select(col("flag").as("fa"), col("est").as("ea")), "fa")
+        .join(perFlag.select(col("flag").as("fb"), col("est").as("eb")), "fb")
+        .join(exact, Seq("fa", "fb"), "left_outer")
+        .na.fill(0L, Seq("n_exact_inter"))
+        .select(col("fa"), col("fb"), col("n_exact_inter"),
+          Det.rdet(col("ea"), 2).as("est_a"),
+          Det.rdet(col("eb"), 2).as("est_b"),
+          Det.rdet(col("est_union"), 2).as("est_union"),
+          Det.rdet(col("ea") + col("eb") - col("est_union"), 2).as("est_inter"))
+        .orderBy("fa", "fb")
+    },
+    Some(s"""
+      WITH li AS (SELECT l_returnflag AS flag, l_orderkey AS pk FROM lineitem),
+      h AS (SELECT flag, pk, ${h32("('ok' || CAST(pk AS VARCHAR))")} AS hv FROM li),
+      reg AS (SELECT flag, hv % 256 AS idx,
+                     max(CASE WHEN hv // 256 = 0 THEN 25
+                              ELSE 25 - length(bin(hv // 256)) END) AS m
+              FROM h GROUP BY 1, 2),
+      per AS (SELECT flag,
+                     (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0 /
+                       (SUM(1e0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE))
+                         + CAST(256 - count(*) AS DOUBLE)) AS est
+              FROM reg GROUP BY 1),
+      fl AS (SELECT DISTINCT flag FROM reg),
+      pairs AS (SELECT x.flag AS fa, y.flag AS fb FROM fl x, fl y
+                WHERE x.flag < y.flag),
+      uni0 AS (SELECT fa, fb, idx, max(m) AS mu
+               FROM pairs JOIN reg ON flag = fa OR flag = fb
+               GROUP BY 1, 2, 3),
+      uni AS (SELECT fa, fb,
+                     (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0 /
+                       (SUM(1e0 / CAST(CAST(1 AS BIGINT) << mu AS DOUBLE))
+                         + CAST(256 - count(*) AS DOUBLE)) AS est_union
+              FROM uni0 GROUP BY 1, 2),
+      fp AS (SELECT DISTINCT flag, pk FROM li),
+      ex AS (SELECT a.flag AS fa, b.flag AS fb, CAST(count(*) AS BIGINT)
+                      AS n_exact_inter
+             FROM fp a JOIN fp b ON a.pk = b.pk AND a.flag < b.flag
+             GROUP BY 1, 2)
+      SELECT fa, fb, COALESCE(n_exact_inter, 0) AS n_exact_inter,
+             floor(pa.est * 1e2 + 0.5) / 1e2 AS est_a,
+             floor(pb.est * 1e2 + 0.5) / 1e2 AS est_b,
+             floor(est_union * 1e2 + 0.5) / 1e2 AS est_union,
+             floor((pa.est + pb.est - est_union) * 1e2 + 0.5) / 1e2 AS est_inter
+      FROM uni JOIN per pa ON pa.flag = fa JOIN per pb ON pb.flag = fb
+           LEFT JOIN ex USING (fa, fb)
+      ORDER BY fa, fb"""))
+
   val all: Seq[QueryDef] = Seq(
     q162MarketShare, q163SourceOverlap, q164VocabGrowth, q165Containment,
-    q166SplitLeakage, q167JoinSizeSketch)
+    q166SplitLeakage, q167JoinSizeSketch, q168HllIntersect)
 }
