@@ -487,7 +487,164 @@ object Round6Queries {
            LEFT JOIN ex USING (fa, fb)
       ORDER BY fa, fb"""))
 
+  private val markersSql: Map[String, String] =
+    graft.operators.TextAnalysis.LangMarkers.toMap.map { case (l, ms) =>
+      l -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
+    }
+
+  /** CLASSIFIER EVALUATION — confusion-matrix metrics for the q29
+    * language-ID heuristic against the labeled `lang` column: per
+    * predictable class, support, predicted count, true positives, and
+    * precision/recall/F1 as ×10⁶-scaled BIGINTs, one row per class that
+    * appears as a LABEL or a PREDICTION (full outer of the two margins,
+    * so a class the model never emits still shows its zero row). The
+    * numbers are honestly degenerate on this corpus: the synthetic langs
+    * share one vocabulary, so every doc ties toward 'en' (precision =
+    * en's base rate 0.436, recall 1.0, other classes all zero) — an eval
+    * query exists exactly to expose that. Scale shape:
+    * the classifier is a projection in the scan; the whole evaluation is
+    * one (label, prediction) hash aggregate (≤ classes² rows) and three
+    * tiny re-aggregations of it — model eval at 100 TB costs one pass.
+    */
+  val q169LangidEval: QueryDef = QueryDef(
+    "q169_langid_eval",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pred = graft.operators.TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("pred_lang"))
+      val conf = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val nTrue = conf.groupBy(col("lang").as("cls")).agg(sum("n").as("n_true"))
+      val nPred = conf.groupBy(col("pred_lang").as("cls")).agg(sum("n").as("n_pred"))
+      val tp = conf.filter(col("lang") === col("pred_lang"))
+        .select(col("lang").as("cls"), col("n").as("tp"))
+      val p = col("tp").cast("double") / col("n_pred").cast("double")
+      val r = col("tp").cast("double") / col("n_true").cast("double")
+      nTrue.join(nPred, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "left_outer")
+        .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+        .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+          Det.rdetLong(when(col("n_pred") === 0, lit(0.0)).otherwise(p), 6).as("prec_e6"),
+          Det.rdetLong(when(col("n_true") === 0, lit(0.0)).otherwise(r), 6).as("rec_e6"),
+          Det.rdetLong(when(col("tp") === 0, lit(0.0))
+            .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1_e6"))
+        .orderBy("cls")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          ${graft.operators.TextAnalysis.LangMarkers.map { case (l, _) =>
+            s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${markersSql(l)})) AS BIGINT) AS s_$l"
+          }.mkString(",\n          ")}
+        FROM documents),
+      pred AS (SELECT doc_id, lang,
+                 CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                      WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                      WHEN s_de >= s_es THEN 'de'
+                      ELSE 'es' END AS pred_lang
+               FROM scored),
+      conf AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+               FROM pred GROUP BY 1, 2),
+      nt AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+      np AS (SELECT pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+      tp AS (SELECT lang AS cls, n AS tp FROM conf WHERE lang = pred_lang)
+      SELECT COALESCE(nt.cls, np.cls) AS cls, COALESCE(n_true, 0) AS n_true,
+             COALESCE(n_pred, 0) AS n_pred, COALESCE(tp, 0) AS tp,
+             ${Det.rdetLongSql(
+               """CASE WHEN COALESCE(n_pred, 0) = 0 THEN 0e0
+                  ELSE CAST(COALESCE(tp, 0) AS DOUBLE) / n_pred END""", 6)} AS prec_e6,
+             ${Det.rdetLongSql(
+               """CASE WHEN COALESCE(n_true, 0) = 0 THEN 0e0
+                  ELSE CAST(COALESCE(tp, 0) AS DOUBLE) / n_true END""", 6)} AS rec_e6,
+             ${Det.rdetLongSql(
+               """CASE WHEN COALESCE(tp, 0) = 0 THEN 0e0
+                  ELSE 2e0 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_true)
+                       / ((CAST(tp AS DOUBLE) / n_pred) + (CAST(tp AS DOUBLE) / n_true)) END""", 6)}
+               AS f1_e6
+      FROM nt FULL OUTER JOIN np ON nt.cls = np.cls
+           LEFT JOIN tp ON tp.cls = COALESCE(nt.cls, np.cls)
+      ORDER BY cls"""))
+
+  /** Distributed AUC via the RANK-SUM (Mann–Whitney U) identity — the
+    * ranking-model eval metric at corpus scale, with EXACT integer tie
+    * handling: AUC = U/(n_pos·n_neg) where U counts (pos, neg) pairs
+    * ordered correctly, ties half. Per distinct score: (n_pos, n_neg)
+    * from one hash aggregate; "negatives strictly below" decomposes into
+    * a 65-row bucket cumulative (floor(score·64), non-foldable-constant
+    * window key) plus a within-bucket window partitioned by bucket —
+    * never an unpartitioned window over the score domain, never a pair
+    * join over n_pos·n_neg rows. U is accumulated ×2 (U2 = Σ n_p·(2·below
+    * + n_n)) so the tie half-credit stays integer; only the final
+    * U2/(2·n_pos·n_neg) touches doubles. Label: n_chars ≥ 300, scored by
+    * the q30 quality — whose length terms genuinely order long docs
+    * first, so the metric's DIRECTION sensitivity is exercised (measured
+    * AUC ≈ 0.993 at sf0.01; a sign error in `below` would crater it,
+    * where an uninformative label's ≈0.5 would hide one).
+    */
+  val q170AucRanksum: QueryDef = QueryDef(
+    "q170_auc_ranksum",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val q = graft.operators.TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality").as("s"))
+        .join(docs.select(col("doc_id"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("p")), "doc_id")
+      val per = q.groupBy("s").agg(sum(col("p")).as("np"),
+        sum(lit(1L) - col("p")).as("nn"))
+      val bkt = per.withColumn("b", floor(col("s") * 64).cast("long"))
+      val bucketNn = bkt.groupBy("b").agg(sum("nn").as("nn_b"))
+      val wB = Window.partitionBy(col("b") * 0).orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val below_b = bucketNn.withColumn("nn_before_b",
+        coalesce(sum(col("nn_b")).over(wB), lit(0L))).select("b", "nn_before_b")
+      val wS = Window.partitionBy("b").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val scored = bkt
+        .withColumn("nn_before_s", coalesce(sum(col("nn")).over(wS), lit(0L)))
+        .join(below_b, "b")
+        .select(col("np"), col("nn"),
+          (col("nn_before_b") + col("nn_before_s")).as("below"))
+      scored.agg(
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np") * (lit(2L) * col("below") + col("nn"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          Det.rdetLong(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc_e6"))
+    },
+    Some(s"""
+      WITH w0 AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w
+                  FROM documents),
+      qual AS (SELECT doc_id, n_chars,
+                 0.5e0 * stopword_ratio
+                   + 0.3e0 * least(avg_token_len / 10.0e0, 1.0e0)
+                   + 0.2e0 * least(CAST(n_tokens AS DOUBLE) / 100.0e0, 1.0e0) AS s
+               FROM (
+                 SELECT doc_id, n_chars,
+                        CAST(len(w) AS BIGINT) AS n_tokens,
+                        (CAST(length(text) AS DOUBLE)
+                          - CAST(len(w) AS BIGINT) + 1.0e0)
+                          / CAST(len(w) AS BIGINT) AS avg_token_len,
+                        CAST(CAST(len(list_filter(w, t -> t IN ${markersSql("en")})) AS BIGINT) AS DOUBLE)
+                          / CAST(len(w) AS BIGINT) AS stopword_ratio
+                 FROM w0)),
+      per AS (SELECT s,
+                     CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                     CAST(SUM(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+              FROM qual GROUP BY 1),
+      c AS (SELECT np, nn,
+                   CAST(COALESCE(SUM(nn) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS below
+            FROM per)
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+             CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS u2,
+             ${Det.rdetLongSql(
+               "CAST(SUM(np * (2 * below + nn)) AS DOUBLE) / (2e0 * SUM(np) * SUM(nn))", 6)}
+               AS auc_e6
+      FROM c"""))
+
   val all: Seq[QueryDef] = Seq(
     q162MarketShare, q163SourceOverlap, q164VocabGrowth, q165Containment,
-    q166SplitLeakage, q167JoinSizeSketch, q168HllIntersect)
+    q166SplitLeakage, q167JoinSizeSketch, q168HllIntersect, q169LangidEval,
+    q170AucRanksum)
 }
