@@ -63,4 +63,36 @@ object Det {
   /** SQL fragment mirroring [[rdetLong]] for oracle text. */
   def rdetLongSql(expr: String, k: Int): String =
     s"CAST(floor(($expr) * 1e$k + 0.5) AS BIGINT)"
+
+  /** Round-half-up of the NONNEGATIVE integer ratio num/den computed entirely
+    * in integer arithmetic — (2·num + den) div (2·den) — so no double (and no
+    * DECIMAL→DOUBLE cast, see [[dsum]]'s caveat) ever participates. Exact and
+    * engine-portable at any magnitude the operand type holds: pass
+    * DECIMAL(38,0)-cast columns for sums that can exceed int64 (the DuckDB
+    * mirror promotes to HUGEINT on its own). Requires num ≥ 0, den > 0.
+    */
+  def ihalfUp(num: Column, den: Column): Column = {
+    val n2 = num * 2 + den
+    val d2 = den * 2
+    ((n2 - n2 % d2) / d2).cast("long")
+  }
+
+  /** SQL fragment mirroring [[ihalfUp]]: DuckDB `//` is exact integer
+    * division (trunc — equal to floor for the nonnegative operands required
+    * here), and BIGINT sums are already HUGEINT so nothing overflows.
+    */
+  def ihalfUpSql(num: String, den: String): String =
+    s"CAST((2*($num) + ($den)) // (2*($den)) AS BIGINT)"
+
+  /** [[ihalfUp]] for a possibly-negative numerator: rounds half away from
+    * zero by reflecting the sign around the nonnegative core (trunc-vs-floor
+    * division asymmetry on negatives never enters). den must still be > 0.
+    */
+  def ihalfUpSigned(num: Column, den: Column): Column =
+    when(num >= 0, ihalfUp(num, den)).otherwise(-ihalfUp(-num, den))
+
+  /** SQL fragment mirroring [[ihalfUpSigned]]. */
+  def ihalfUpSignedSql(num: String, den: String): String =
+    s"""CASE WHEN ($num) >= 0 THEN ${ihalfUpSql(num, den)}
+       | ELSE -${ihalfUpSql(s"-($num)", den)} END""".stripMargin.replace("\n", " ")
 }
