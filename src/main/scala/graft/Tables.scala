@@ -64,6 +64,16 @@ object Tables {
       _ => spread(spark, enabled, loadRaw(spark, dir, name)))
   }
 
+  /** `load` without the `spread` repartition. For subtrees that re-execute
+    * per iteration inside a recursive CTE's UnionLoop: there the spread's
+    * round-robin exchange is re-paid at EVERY recursion level, while the
+    * level's own join exchange already redistributes the rows — so the
+    * spread buys no parallelism and multiplies its shuffle by the depth.
+    */
+  def loadNoSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((sessionTokens.of(spark), dir, name + "#nospread", false),
+      _ => loadRaw(spark, dir, name))
+
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader

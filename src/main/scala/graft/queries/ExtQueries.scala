@@ -795,7 +795,11 @@ object ExtQueries {
   val q111RecursiveDepth: QueryDef = QueryDef(
     "q111_recursive_depth",
     (s, dir) => {
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer111")
+      // no-spread load: the recursion re-executes this subtree once per
+      // level, and each level's join exchange already redistributes — the
+      // spread's extra round-robin shuffle would be paid depth times.
+      Tables.loadNoSpread(s, dir, "customer")
+        .select("c_custkey").createOrReplaceTempView("customer111")
       s.sql("""
         WITH RECURSIVE d(c_custkey, depth) AS (
           SELECT c_custkey, 0 FROM customer111 WHERE c_custkey = 1
