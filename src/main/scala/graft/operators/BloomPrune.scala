@@ -34,15 +34,23 @@ object BloomPrune {
   /** `probe` rows whose `probeKey` appears in `build`'s `buildKey` — exact
     * semi-join semantics, bloom-accelerated. `expectedItems` sizes the bloom
     * for the build-side distinct-key cardinality; fpp is the false-positive
-    * rate at that size (pruning power degrades, correctness never).
+    * rate at that size (pruning power degrades, correctness never). Pass
+    * `expectedItems <= 0` to size from the MEASURED build cardinality: one
+    * cheap extra count job on the (smaller) build side buys a bloom that is
+    * neither 10× oversized (wasted broadcast bytes at small scale) nor
+    * undersized (fpp collapse at large scale) when the build's selectivity
+    * isn't known ahead of time — the sizing then tracks the data across
+    * scale factors instead of freezing a guess.
     */
   def semiJoin(probe: DataFrame, probeKey: Column, build: DataFrame, buildKey: Column,
-               expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+               expectedItems: Long = -1L, fpp: Double = 0.03): DataFrame = {
     val keys = build.select(buildKey.as("__bloom_key"))
-    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(1L, keys.count())
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(col("__bloom_key")))),
-      Literal(expectedItems), Literal(numBits))
+      Literal(items), Literal(numBits))
       .toAggregateExpression()
     // one job, one ~numBits/8-byte result row on the driver
     val blob = keys.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)

@@ -26,8 +26,10 @@ object Round4Queries {
     (s, dir) => {
       val hot = Tables.load(s, dir, "orders")
         .filter(col("o_totalprice") > 150000.0).select(col("o_orderkey"))
+      // expectedItems unset: the bloom sizes itself from the measured
+      // build cardinality, tracking the filter's selectivity across sfs
       BloomPrune.semiJoin(Tables.load(s, dir, "lineitem"), col("l_orderkey"),
-          hot, col("o_orderkey"), expectedItems = 1000000L)
+          hot, col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("qty_sum"))
         .orderBy("l_returnflag")

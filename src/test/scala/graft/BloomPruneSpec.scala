@@ -29,6 +29,14 @@ class BloomPruneSpec extends SparkTestBase {
     assert(got.toSeq == Seq(3L, 500L, 1999L))
   }
 
+  test("self-sized bloom (expectedItems unset) is exact") {
+    val probe = (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val build = (0L until 1000L by 13).map(i => (i, "b")).toDF("bk", "tag")
+    val got = BloomPrune.semiJoin(probe, col("k"), build, col("bk"))
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 1000L).filter(_ % 13 == 0).toSeq)
+  }
+
   test("empty build side returns no rows") {
     val probe = (0L until 50L).toDF("k")
     val build = Seq.empty[Long].toDF("bk")
