@@ -76,14 +76,25 @@ object Tables {
 
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-      // rejects. Read it as a nanos long and truncate to microseconds — the
-      // same value DuckDB (no ns timestamp at read in 1.x) presents to the
-      // oracle. Integer DIV keeps the 1e18-scale nanos exact (a double round
-      // trip would lose precision past 2^53).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations and TIMESTAMP(MICROS) in others; handle both. NANOS the
+      // vectorized reader rejects, so it is read as a nanos long and
+      // truncated to microseconds — the same value DuckDB (no ns timestamp
+      // at read in 1.x) presents to the oracle; integer DIV keeps the
+      // 1e18-scale nanos exact (a double round trip would lose precision
+      // past 2^53). MICROS arrives as TIMESTAMP_NTZ (isAdjustedToUTC=false)
+      // and is cast to the session-zone TIMESTAMP every downstream consumer
+      // and spec fixture already types against — value-preserving because
+      // all graft sessions pin UTC.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
 
