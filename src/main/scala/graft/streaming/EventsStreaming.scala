@@ -261,6 +261,52 @@ object EventsStreaming {
       .toDF("row", "counters")
   }
 
+  /** Streaming Misra–Gries heavy-hitter CANDIDATES per event type —
+    * operators.Sketches.heavyHitterCandidates as INCREMENTAL state. Each
+    * key keeps at most k−1 counters forever (a few hundred bytes per event
+    * type, independent of stream length); every micro-batch folds its items
+    * through the classic MG update (increment tracked / admit if room /
+    * decrement-all). The one-pass MG error bound — true_count − counter ≤
+    * n/k — is preserved across batches because concatenating batches IS the
+    * one pass, so after any prefix every item with frequency > n/k is
+    * guaranteed present among the emitted candidates (the same superset
+    * guarantee the batch per-partition form gives; counters themselves are
+    * order-dependent, the guarantee is not). An exact verify join over the
+    * emitted candidates — the Sketches.heavyHitters second phase — turns
+    * the candidate set into exact heavy hitters without the full-cardinality
+    * aggregation ever running on the stream.
+    *
+    * Emits (event_type, item, counter, n_seen) per batch in Update mode.
+    */
+  def streamingHeavyHitters(events: DataFrame, k: Int = 8): DataFrame = {
+    import events.sparkSession.implicits._
+    require(k >= 2, s"k must be >= 2, got $k")
+    val typed = events
+      .select(col("event_type").cast("string"), col("user_id").cast("string"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Map[String, Long], Long), (String, String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[(Map[String, Long], Long)]) =>
+          val (prev, prevN) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val counters = scala.collection.mutable.HashMap[String, Long](prev.toSeq: _*)
+          var n = prevN
+          rows.foreach { case (_, item) =>
+            n += 1L
+            counters.get(item) match {
+              case Some(c) => counters.update(item, c + 1L)
+              case None if counters.size < k - 1 => counters.update(item, 1L)
+              case None =>
+                counters.mapValuesInPlace((_, v) => v - 1L)
+                counters.filterInPlace((_, v) => v > 0L)
+            }
+          }
+          state.update((counters.toMap, n))
+          counters.iterator.map { case (item, c) => (etype, item, c, n) }
+      }
+      .toDF("event_type", "item", "counter", "n_seen")
+  }
+
   /** Streaming ground-noise estimation: the flagship pipeline over a live
     * feed. Events classify into noise sources (same derivation as
     * NoiseQueries.sources), stream-static join against the precomputed

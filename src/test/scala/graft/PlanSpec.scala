@@ -152,6 +152,36 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("sorted_intersect_count"), p)
   }
 
+  test("q184 fuzzy linkage blocks via broadcast equi-joins, never listings x catalog") {
+    val p = planOf("q184_fuzzy_link")
+    assert(p.contains("BroadcastHashJoin"), p) // (first-char, length) blocks
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q188 importance scoring broadcasts the 256-row ratio table against one corpus scan") {
+    val p = planOf("q188_importance_score")
+    // the per-doc bucket relation is cached; ratios and the lang join are
+    // the only joins touching it — all broadcast, corpus never reshuffled
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q190 power iteration: matvecs broadcast the 64-row vector, moments aggregate once") {
+    val p = planOf("q190_power_iteration")
+    // s1 (x2 roles), nd, and the three iteration vectors all broadcast; the
+    // only wide op on data is the vec_id self-join + (i, j) aggregate
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q191 exclusive blame scans the fact table once (pair grain cached), supplier broadcasts") {
+    val p = planOf("q191_exclusive_blame")
+    assert(p.contains("InMemoryTableScan"), p) // pair-grain agg reused twice
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("NO query in the entire surface plans an unpartitioned WindowExec") {
     // the COVERAGE invariant, now CHECKED: a WindowExec with an empty
     // partitionSpec moves all rows to one task ("No Partition Defined"

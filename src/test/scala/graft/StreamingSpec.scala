@@ -538,4 +538,48 @@ class StreamingSpec extends SparkTestBase {
       assert(got == Seq(1L, 3L, 5L), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries candidates keep the superset guarantee across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 5
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.streamingHeavyHitters(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"), k)
+      .writeStream.format("memory").queryName("mg_test")
+      .outputMode("update").start()
+    try {
+      // 200 events: user 7 gets ~40% of clicks, user 9 ~30%; the long tail
+      // cycles through 17 cold users. Split across two batches so state
+      // genuinely carries over.
+      val evs = (0 until 200).map { i =>
+        val u = if (i % 5 < 2) 7L else if (i % 10 < 5) 9L else 100L + (i % 17)
+        (i.toLong, ts(i % 30), u, "click", 1.0, "{}")
+      }
+      mem.addData(evs.take(90): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(90): _*)
+      q.processAllAvailable()
+      // final emission per item = the one with the largest n_seen
+      val emits = spark.table("mg_test").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val lastN = emits.map(_._3).max
+      val candidates = emits.filter(_._3 == lastN).map(_._1).toSet
+      assert(lastN == 200L, s"state did not see all events: $lastN")
+      assert(candidates.size <= k - 1, s"state exceeded k-1 counters: $candidates")
+      // superset guarantee: every item with true count > n/k is a candidate
+      val trueCounts = evs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val trueHeavy = trueCounts.filter(_._2 * k > 200L).keySet.map(_.toString)
+      assert(trueHeavy.nonEmpty && trueHeavy.subsetOf(candidates),
+        s"heavy $trueHeavy not all in candidates $candidates")
+      // exact verify phase (the Sketches.heavyHitters second pass) over the
+      // streamed candidate set recovers exactly the true heavy hitters
+      val verified = toDF(evs)
+        .filter(col("user_id").cast("string").isin(candidates.toSeq: _*))
+        .groupBy(col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > 200L)
+        .collect().map(_.getString(0)).toSet
+      assert(verified == trueHeavy, s"verified $verified != true $trueHeavy")
+    } finally q.stop()
+  }
 }
