@@ -38,7 +38,13 @@ object Bench {
     // A failing query must be VISIBLE in the output, not a near-zero "fast
     // pass": failures are reported in an errors list and excluded from the
     // per-query map and the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY="q190,q41" restricts to name-prefix matches —
+    // dev loop only (mirrors Verify's SPARK_GRAFT_ONLY); driver unaffected.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       var err: Option[String] = None
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0

@@ -239,6 +239,52 @@ object Ranks {
       .drop("__bkt" +: "__woff" +: "__cw" +: "__t" +: "__w" +: groupNames: _*)
   }
 
+  /** Appends running (inclusive) SUMS of `vals` under the total order
+    * `sort` — the distributed cumulative sum, same two-phase data-pure
+    * bucket construction as [[globalRowNumber]]: per-bucket windowed
+    * cumsums (partitioned, parallel) plus broadcast per-bucket offsets
+    * cumulated over the O(B)-row bucket relation. An unpartitioned
+    * `sum(...).over(orderBy(...))` would move every row to one task; this
+    * shape never does, and — because buckets are a pure function of the
+    * data — the result is exact under any partition count or plan
+    * recomputation. Constraints as for [[globalRowNumber]]: leading sort
+    * column numeric, finite and NON-NULL; `sort` a total order; summed
+    * values integral (accumulated as long — keep Σ|v| < 2^63).
+    */
+  def globalCumSum(df: DataFrame, sort: Seq[Column],
+      vals: Seq[(Column, String)]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val b = parts * BucketFanout
+    val c1 = sort.head.cast("double")
+    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
+    val bucket =
+      when(col("__hi") <= col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
+          lit((b - 1).toDouble)).cast("long"))
+    val valNames = vals.indices.map(i => s"__v$i")
+    val base = df.crossJoin(broadcast(ext))
+      .withColumn("__bkt", bucket)
+      .drop("__lo", "__hi")
+    val withVals = vals.zip(valNames).foldLeft(base) {
+      case (d, ((c, _), n)) => d.withColumn(n, c.cast("long"))
+    }
+    val offW = Window.partitionBy(const0(col("__bkt"))).orderBy(col("__bkt"))
+    val bucketSums = valNames.map(n => sum(col(n)).as(s"${n}_s"))
+    val offsets = withVals.groupBy(col("__bkt"))
+      .agg(bucketSums.head, bucketSums.tail: _*)
+      .select(col("__bkt") +: valNames.map(n =>
+        (sum(col(s"${n}_s")).over(offW) - col(s"${n}_s")).as(s"${n}_off")): _*)
+    val w = Window.partitionBy(col("__bkt")).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withVals.join(broadcast(offsets), "__bkt")
+    val withOuts = vals.map(_._2).zip(valNames).foldLeft(cum) {
+      case (d, (out, n)) =>
+        d.withColumn(out, col(s"${n}_off") + sum(col(n)).over(w))
+    }
+    withOuts.drop("__bkt" +: (valNames ++ valNames.map(_ + "_off")): _*)
+  }
+
   /** Exact long integer division for non-negative operands: the numerator is
     * made divisible first, so the double-typed `/` is exact below 2^53.
     */

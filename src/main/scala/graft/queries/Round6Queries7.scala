@@ -190,17 +190,26 @@ object Round6Queries7 {
         .select(col("vec_id"), col("pos").as("i"),
           floor(col("col").cast("double") * 10000 + 0.5).cast("long").as("q"))
         .cache()
+      // moment sums accumulate as LONG (codegen'd hash agg): |q| < 2^15 so
+      // per-term products are < 2^30 and the sum stays exact through 2^33
+      // vectors; beyond that, interpose a per-shard long partial and a
+      // DECIMAL(38,0) merge (two-level aggregate) — the quantities only
+      // enter the D38 domain once, in the covariance combination below.
       val s2 = q.as("a").join(q.as("b"), "vec_id")
         .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-        .agg(sum((col("a.q") * col("b.q")).cast(D38)).as("s2"))
-      val s1 = q.groupBy("i").agg(sum(col("q").cast(D38)).as("s1"))
-      val nd = q.agg(countDistinct("vec_id").cast(D38).as("n"))
+        .agg(sum(col("a.q") * col("b.q")).as("s2"))
+      val s1 = q.groupBy("i").agg(sum(col("q")).as("s1"))
+      val nd = q.agg(countDistinct("vec_id").as("n"))
+      // cache: c is 64×64 rows but sits atop the corpus-sized moment join —
+      // each of the three matvec iterations references it (protocol #6)
       val c = s2
         .join(broadcast(s1.select(col("i"), col("s1").as("s1i"))), "i")
         .join(broadcast(s1.select(col("i").as("j"), col("s1").as("s1j"))), "j")
         .crossJoin(broadcast(nd))
         .select(col("i"), col("j"),
-          (col("n") * col("s2") - col("s1i") * col("s1j")).as("c"))
+          (col("n").cast(D38) * col("s2").cast(D38)
+            - col("s1i").cast(D38) * col("s1j").cast(D38)).as("c"))
+        .cache()
       var v = s.range(0, 64).toDF("j").withColumn("v", lit(1000000L))
       for (_ <- 1 to 3) {
         val w = c.join(broadcast(v), "j")

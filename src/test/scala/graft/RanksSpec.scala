@@ -136,4 +136,29 @@ class RanksSpec extends SparkTestBase {
       assert(got == want)
     }
   }
+
+  test("globalCumSum matches the single-partition window reference, multi-column") {
+    val df = randomDf(500, 11)
+      .withColumn("a", (col("id") % 5 + 1).cast("long"))
+      .withColumn("b", (col("id") % 3).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .select("id", "ca", "cb").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val got = Ranks.globalCumSum(df, Seq(col("v"), col("id")),
+        Seq(col("a") -> "ca", col("b") -> "cb"))
+      .select("id", "ca", "cb").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+    // and its plan never funnels the data through an empty-partition window
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Ranks.globalCumSum(df, Seq(col("v"), col("id")),
+      Seq(col("a") -> "ca")).queryExecution.executedPlan
+    val bad = plan.collect { case we: WindowExec if we.partitionSpec.isEmpty => we }
+    assert(bad.isEmpty, s"unpartitioned WindowExec: $bad")
+  }
 }
