@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det
+import graft.operators.Ranks
+
+/** Round-6 surface, ninth tranche: the recommendation layer over the
+  * mining outputs — association rules from the frequent-pair table and
+  * reciprocal-rank fusion of independent rankings.
+  */
+object Round6Queries9 {
+
+  /** ASSOCIATION RULES from the q144 frequent-pair relation — the step
+    * market-basket analysis actually ships: every frequent pair {i, j}
+    * yields the two directed rules i→j and j→i with
+    * confidence = sup(i,j)/sup(antecedent) and
+    * lift = sup(i,j)·N / (sup(i)·sup(j)), both as exact half-up ppm (the
+    * lift cross-product stays < 2^63 at any basket count with fractional
+    * support thresholds). Rules below 30% confidence drop; output is the
+    * top 20 by (lift, antecedent, consequent) — lift > 10⁶ ⇒ the
+    * antecedent genuinely raises the consequent's odds. Scale: identical
+    * to q144 (A-Priori prune before the per-basket pair comprehension);
+    * the rule arithmetic runs on the pair relation only.
+    */
+  val q195AssociationRules: QueryDef = QueryDef(
+    "q195_association_rules",
+    (s, dir) => {
+      val baskets = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          floor(sqrt(col("l_partkey") % 2500)).cast("long").as("item"))
+        .distinct()
+        .cache()
+      val nOrders = broadcast(baskets.agg(countDistinct(col("ok")).as("n")))
+      val freq = baskets.groupBy("item").agg(count(lit(1)).as("sup"))
+        .crossJoin(nOrders)
+        .filter(col("sup") >= lit(0.02e0) * col("n"))
+        .select(col("item"), col("sup"))
+      val fb = baskets.join(freq, "item")
+      val fbArr = fb.groupBy("ok")
+        .agg(sort_array(collect_list(struct(col("item"), col("sup")))).as("items"))
+      val pairs = fbArr
+        .select(explode(flatten(expr(
+          """transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)), y ->
+            |    named_struct('i', x.item, 'sup_i', x.sup,
+            |                 'j', y.item, 'sup_j', y.sup)))""".stripMargin))).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          col("p.sup_i").as("si"), col("p.sup_j").as("sj"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("sp"),
+          min(col("si")).as("si"), min(col("sj")).as("sj"))
+        .crossJoin(nOrders)
+        .filter(col("sp") >= lit(0.0075e0) * col("n"))
+      val rules = pairs.select(col("i").as("antecedent"),
+          col("j").as("consequent"), col("sp"), col("si").as("sa"),
+          col("sj").as("sc"), col("n"))
+        .unionByName(pairs.select(col("j").as("antecedent"),
+          col("i").as("consequent"), col("sp"), col("sj").as("sa"),
+          col("si").as("sc"), col("n")))
+      rules
+        .select(col("antecedent"), col("consequent"), col("sp").as("sup_pair"),
+          Det.ihalfUp(col("sp") * 1000000L, col("sa")).as("confidence_ppm"),
+          Det.ihalfUp(col("sp") * col("n") * 1000000L, col("sa") * col("sc"))
+            .as("lift_ppm"))
+        .filter(col("confidence_ppm") >= 300000L)
+        .orderBy(col("lift_ppm").desc, col("antecedent"), col("consequent"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH baskets AS (SELECT DISTINCT l_orderkey AS ok,
+                              CAST(floor(sqrt(l_partkey % 2500)) AS BIGINT) AS item
+                       FROM lineitem),
+      no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM baskets),
+      freq AS (SELECT item, CAST(count(*) AS BIGINT) AS sup FROM baskets
+               GROUP BY 1),
+      fitems AS (SELECT item, sup FROM freq CROSS JOIN no
+                 WHERE sup >= 0.02e0 * n),
+      fb AS (SELECT ok, baskets.item, sup FROM baskets JOIN fitems USING (item)),
+      pairs AS (SELECT a.item AS i, b.item AS j,
+                       CAST(count(*) AS BIGINT) AS sp,
+                       min(a.sup) AS si, min(b.sup) AS sj
+                FROM fb a JOIN fb b ON a.ok = b.ok AND a.item < b.item
+                GROUP BY 1, 2),
+      fp AS (SELECT i, j, sp, si, sj, n FROM pairs CROSS JOIN no
+             WHERE sp >= 0.0075e0 * n),
+      rules AS (
+        SELECT i AS antecedent, j AS consequent, sp, si AS sa, sj AS sc, n
+        FROM fp
+        UNION ALL
+        SELECT j, i, sp, sj, si, n FROM fp),
+      scored AS (
+        SELECT antecedent, consequent, sp AS sup_pair,
+               ${Det.ihalfUpSql("sp * 1000000", "sa")} AS confidence_ppm,
+               ${Det.ihalfUpSql("sp * n * 1000000", "sa * sc")} AS lift_ppm
+        FROM rules)
+      SELECT antecedent, consequent, sup_pair, confidence_ppm, lift_ppm
+      FROM scored WHERE confidence_ppm >= 300000
+      ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 20"""))
+
+  /** RECIPROCAL-RANK FUSION — combine two independent document rankings
+    * (length-based quality and lexical-diversity proxy) into one list
+    * without comparable scores, the standard trick for merging retrieval
+    * signals. Each signal ranks all documents via the distributed global
+    * rank (total order with doc_id tiebreaks — NO single-task window);
+    * RRF(d) = Σ_s 1/(60 + rank_s(d)) with each reciprocal as an exact
+    * half-up ×10⁹ integer, so the fusion sum and its ordering are
+    * bit-identical cross-engine. Top 10 fused.
+    */
+  val q196RankFusion: QueryDef = QueryDef(
+    "q196_rank_fusion",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("n_distinct"))
+        .cache() // three rank passes each evaluate their input
+      val byLen = Ranks.globalRowNumber(docs,
+        Seq(-col("n_chars"), col("doc_id")), "r_len")
+      val byDiv = Ranks.globalRowNumber(docs,
+        Seq(-col("n_distinct"), col("doc_id")), "r_div")
+      byLen.select(col("doc_id"), col("r_len"))
+        .join(byDiv.select(col("doc_id"), col("r_div")), "doc_id")
+        .select(col("doc_id"), col("r_len"), col("r_div"),
+          (Det.ihalfUp(lit(1000000000L), col("r_len") + 60L)
+            + Det.ihalfUp(lit(1000000000L), col("r_div") + 60L)).as("rrf_e9"))
+        .orderBy(col("rrf_e9").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH docs AS (SELECT doc_id, n_chars,
+                           CAST(len(list_distinct(string_split(text, ' ')))
+                             AS BIGINT) AS n_distinct
+                    FROM documents),
+      ranked AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                          AS r_len,
+                        row_number() OVER (ORDER BY n_distinct DESC, doc_id)
+                          AS r_div
+                 FROM docs)
+      SELECT doc_id, CAST(r_len AS BIGINT) AS r_len,
+             CAST(r_div AS BIGINT) AS r_div,
+             ${Det.ihalfUpSql("1000000000", "r_len + 60")}
+               + ${Det.ihalfUpSql("1000000000", "r_div + 60")} AS rrf_e9
+      FROM ranked ORDER BY rrf_e9 DESC, doc_id LIMIT 10"""))
+
+  val all: Seq[QueryDef] = Seq(q195AssociationRules, q196RankFusion)
+}
