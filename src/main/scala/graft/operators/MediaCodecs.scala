@@ -1,8 +1,9 @@
 package graft.operators
 
-/** REAL pure-JVM media codecs for the two public uncompressed formats a
+/** REAL pure-JVM media codecs for the public uncompressed formats a
   * zero-dependency sandbox can parse bit-exactly: 24-bit BI_RGB Windows BMP
-  * (BITMAPINFOHEADER) and 16-bit PCM RIFF/WAVE. These replace the
+  * (BITMAPINFOHEADER), binary PPM (P6, maxval ≤ 255 with `#` header
+  * comments), and 16-bit PCM RIFF/WAVE. These replace the
   * round-2..4 decode STUB for payloads that actually carry these formats —
   * [[Multimodal.decodeFeatures]] sniffs the magic bytes and falls back to
   * the deterministic fake for anything else (JPEG/PNG/MP3 decode needs
@@ -131,6 +132,89 @@ object MediaCodecs {
       y += 1
     }
     Some(BmpImage(width, height, px))
+  }
+
+  /** Encode a binary PPM (P6, maxval 255). `pixel(x, y)` yields (r, g, b)
+    * in 0..255, y = 0 the top row (PPM raster order is top-down,
+    * left-to-right — no flip, no padding). A `# graft` comment line sits
+    * between the magic and the dimensions so decoders exercise the
+    * format's comment rule.
+    */
+  def encodePpm6(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val header = s"P6\n# graft\n$width $height\n255\n".getBytes("US-ASCII")
+    val b = new Array[Byte](header.length + 3 * width * height)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = pixel(x, y)
+        val p = header.length + 3 * (y * width + x)
+        b(p) = r.toByte; b(p + 1) = g.toByte; b(p + 2) = bl.toByte // RGB
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Byte length of [[encodePpm6]]'s output (header incl. the comment). */
+  def ppmFileSize(width: Int, height: Int): Int =
+    s"P6\n# graft\n$width $height\n255\n".length + 3 * width * height
+
+  /** Decode a binary PPM (P6): header tokens may be separated by any
+    * whitespace and interleaved with `#` end-of-line comments (the spec's
+    * rule); exactly ONE whitespace byte separates the maxval from the
+    * raster, which is top-down RGB with no padding. None when not a P6,
+    * maxval > 255 (2-byte samples), truncated, or hostile-dimensioned —
+    * same divide-don't-multiply bounds discipline as [[decodeBmp24]]
+    * (None, never throw). Returns the shared RGB container.
+    */
+  def decodePpm6(b: Array[Byte]): Option[BmpImage] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var off = 2
+    def skipWs(): Boolean = { // false on end of input
+      var inComment = false
+      while (off < b.length) {
+        val c = b(off)
+        if (inComment) { if (c == '\n') inComment = false; off += 1 }
+        else if (c == '#') { inComment = true; off += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') off += 1
+        else return true
+      }
+      false
+    }
+    def token(): Long = { // nonnegative decimal, -1 on error
+      if (!skipWs()) return -1L
+      var v = 0L; var n = 0
+      // 18-digit cap: any header number a valid file can carry fits, every
+      // longer run still parses as ONE over-limit value (rejected by the
+      // dimension checks) instead of silently splitting into two tokens
+      while (off < b.length && b(off) >= '0' && b(off) <= '9' && n < 18) {
+        v = v * 10 + (b(off) - '0'); off += 1; n += 1
+      }
+      if (n == 0) -1L else v
+    }
+    val w = token(); val h = token(); val maxv = token()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    // single whitespace byte, then the raster
+    if (off >= b.length) return None
+    val sep = b(off)
+    if (sep != ' ' && sep != '\t' && sep != '\r' && sep != '\n') return None
+    off += 1
+    // divide, don't multiply (hostile headers must not overflow the check)
+    if (w > Int.MaxValue || h > (b.length - off).toLong / 3L / w) return None
+    val wi = w.toInt; val hi = h.toInt // h <= len/3/w fits int after the check
+    val px = new Array[(Int, Int, Int)](wi * hi)
+    var i = 0
+    while (i < wi * hi) {
+      val p = off + 3 * i
+      px(i) = ((b(p) & 0xff), (b(p + 1) & 0xff), (b(p + 2) & 0xff))
+      i += 1
+    }
+    Some(BmpImage(wi, hi, px))
   }
 
   /** Total file size of a canonical 44-byte-header PCM16 mono WAV. */

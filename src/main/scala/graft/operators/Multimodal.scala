@@ -111,13 +111,18 @@ object Multimodal {
     *    bottom-up read or an RGB/BGR swizzle), then per-channel
     *    row-weighted sums Σ_y (y+1)·Σ_x channel(x,y) (order-sensitive, so
     *    padding bytes misread as pixels shift them)].
+    *  - P6 PPM → the same RGB container and features (top-down raster, no
+    *    padding — a swapped decode order or a header comment consumed as
+    *    raster shifts them identically).
     *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
     *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
     *    below 2^24 for the corpus encodings, so the float features are
     *    exact.
     */
   def realDecode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
-    MediaCodecs.decodeBmp24(payload).map { img =>
+    MediaCodecs.decodeBmp24(payload)
+      .orElse(MediaCodecs.decodePpm6(payload)) // same RGB container + features
+      .map { img =>
       var wr = 0L; var wg = 0L; var wb = 0L
       var y = 0
       while (y < img.height) {

@@ -145,5 +145,79 @@ object Round6Queries9 {
                + ${Det.ihalfUpSql("1000000000", "r_div + 60")} AS rrf_e9
       FROM ranked ORDER BY rrf_e9 DESC, doc_id LIMIT 10"""))
 
-  val all: Seq[QueryDef] = Seq(q195AssociationRules, q196RankFusion)
+  /** Encoder source row — not `private`: Spark's generated SafeProjection
+    * accesses the class from outside this object (q148's pattern).
+    */
+  case class PpmSrc(doc_id: Long, n: Int, v: Int)
+
+  /** PPM (P6) roundtrip — the third REAL codec beside q148's BMP and
+    * q149's WAV: per document, encode a (5..16)×(3..9) binary PPM whose
+    * row y is the flat color (v+y, v+2y+1, v+3y+2) — the encoder writes a
+    * `#` comment line in the header, so the decode exercises the format's
+    * comment rule — then REALLY decode it via the sniffing path
+    * ([[graft.operators.MediaCodecs.decodePpm6]]) and emit header fields,
+    * the measured file size (validates the exact header length incl. the
+    * comment + the 3wh unpadded raster), the top-left pixel (off-by-one in
+    * the raster offset lands here), and the row-weighted channel sums
+    * (order-sensitive). The oracle predicts every column from the
+    * documents table alone.
+    */
+  val q197PpmDecode: QueryDef = QueryDef(
+    "q197_ppm_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.HashFunctions
+      import graft.operators.{MediaCodecs, Multimodal}
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[PpmSrc]
+      val media = src.map { r =>
+        val w = 5 + r.n % 12
+        val h = 3 + (r.n / 12) % 7
+        val bytes = MediaCodecs.encodePpm6(w, h,
+          (_, y) => (r.v + y, r.v + 2 * y + 1, r.v + 3 * y + 2))
+        Multimodal.MediaRow(r.doc_id, bytes,
+          Multimodal.MediaMeta("ppm", bytes.length, 0L))
+      }
+      Multimodal.decodeFeaturesSized(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("n_bytes").as("file_bytes"),
+          element_at(col("features"), 1).cast("long").as("top_r"),
+          element_at(col("features"), 2).cast("long").as("top_g"),
+          element_at(col("features"), 3).cast("long").as("top_b"),
+          element_at(col("features"), 4).cast("long").as("wsum_r"),
+          element_at(col("features"), 5).cast("long").as("wsum_g"),
+          element_at(col("features"), 6).cast("long").as("wsum_b"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v,
+                   5 + n % 12 AS w,
+                   3 + (n // 12) % 7 AS h
+            FROM d)
+      SELECT doc_id, w AS width, h AS height, 3 AS channels,
+             CAST(length('P6' || chr(10) || '# graft' || chr(10)
+                    || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+                    || chr(10) || '255' || chr(10)) + 3 * w * h
+               AS BIGINT) AS file_bytes,
+             CAST(v AS BIGINT)     AS top_r,
+             CAST(v + 1 AS BIGINT) AS top_g,
+             CAST(v + 2 AS BIGINT) AS top_b,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + y)))
+               AS BIGINT) AS wsum_r,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + 2 * y + 1)))
+               AS BIGINT) AS wsum_g,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + 3 * y + 2)))
+               AS BIGINT) AS wsum_b
+      FROM g ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q195AssociationRules, q196RankFusion, q197PpmDecode)
 }

@@ -129,4 +129,37 @@ class MediaCodecsSpec extends SparkTestBase {
     val badFmt = wav.clone(); badFmt(20) = 3 // not PCM
     assert(MediaCodecs.decodeWavPcm16(badFmt).isEmpty)
   }
+
+  test("ppm roundtrip recovers pixels; header comments and whitespace are skipped") {
+    for (w <- Seq(1, 5, 13); h <- Seq(1, 4, 9)) {
+      val enc = MediaCodecs.encodePpm6(w, h, (x, y) => (x + y, 2 * x, 3 * y))
+      assert(enc.length == MediaCodecs.ppmFileSize(w, h))
+      val img = MediaCodecs.decodePpm6(enc).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) == ((x + y, 2 * x, 3 * y)), s"($x,$y)")
+    }
+    // hand-built header: multiple comments, CRLF, tabs between tokens
+    val raster = Array.tabulate[Byte](6)(i => (10 + i).toByte)
+    val weird = ("P6 # trailing comment\n#another\n\t 2\r\n# mid\n 1 \t255\n"
+      .getBytes("US-ASCII")) ++ raster
+    val img = MediaCodecs.decodePpm6(weird).get
+    assert(img.width == 2 && img.height == 1)
+    assert(img.pixels.toSeq == Seq((10, 11, 12), (13, 14, 15)))
+  }
+
+  test("ppm decoder rejects truncation, 2-byte maxval, and hostile dims — never throws") {
+    val good = MediaCodecs.encodePpm6(4, 3, (_, _) => (1, 2, 3))
+    assert(MediaCodecs.decodePpm6(good.dropRight(1)).isEmpty) // short raster
+    assert(MediaCodecs.decodePpm6(good.take(8)).isEmpty) // header only
+    val deep = "P6\n4 3\n65535\n".getBytes("US-ASCII") ++ good.drop(15)
+    assert(MediaCodecs.decodePpm6(deep).isEmpty) // 2-byte samples unsupported
+    val negish = "P6\n4294967295 4294967295\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](32)(0)
+    assert(MediaCodecs.decodePpm6(negish).isEmpty) // dims past the byte budget
+    assert(MediaCodecs.decodePpm6("P6\n0 5\n255\n ".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.decodePpm6(Array[Byte]('P', '5')).isEmpty) // not P6
+    // a comment that swallows the would-be raster separator is truncation
+    assert(MediaCodecs.decodePpm6("P6\n2 1\n255# no newline".getBytes("US-ASCII")).isEmpty)
+  }
 }
