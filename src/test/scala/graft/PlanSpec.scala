@@ -182,6 +182,23 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("q195 association rules: pairs come from the per-basket comprehension, not a fact self-join") {
+    val p = planOf("q195_association_rules")
+    assert(p.contains("Generate"), p) // per-basket pair explode
+    assert(p.contains("InMemoryTableScan"), p) // baskets cached, reused
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q192 KS drift: both cumulative windows are partitioned (globalCumSum shape)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = queries.Registry.all.find(_.name == "q192_ks_drift").get
+      .run(spark, dir).queryExecution.executedPlan
+    val windows = collectWithSubqueries(plan) { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected window nodes in the cumsum")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in: $windows")
+  }
+
   test("NO query in the entire surface plans an unpartitioned WindowExec") {
     // the COVERAGE invariant, now CHECKED: a WindowExec with an empty
     // partitionSpec moves all rows to one task ("No Partition Defined"
