@@ -218,6 +218,74 @@ object Round6Queries9 {
                AS BIGINT) AS wsum_b
       FROM g ORDER BY doc_id"""))
 
+  /** Q-Q QUANTILE MAPPING between two corpus slices — the table behind a
+    * Q-Q plot and the lookup a quantile-normalization pass applies: at
+    * each decile level p = k/10, the click distribution's quantile
+    * x_p = min{v : F_a(v) ≥ p} and the view distribution's y_p, plus the
+    * additive shift y_p − x_p (zero everywhere ⇔ identical distributions;
+    * q192 quantifies the sup gap, this shows WHERE the distributions
+    * disagree). Both CDFs come from ONE [[Ranks.globalCumSum]] pass over
+    * the shared (value, cnt_a, cnt_b) relation; quantile ranks use the
+    * exact integer convention ceil(k·n/10) = (k·n+9) div 10, and each
+    * lookup is a min-aggregate over the cum relation joined against the
+    * broadcast 9-row decile table (a tiny-side non-equi join — never a
+    * sort, never a per-level scan of the fact table).
+    */
+  val q198QqMapping: QueryDef = QueryDef(
+    "q198_qq_mapping",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
+      val cells = ev.groupBy("v_c").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+        .cache()
+      val cum = Ranks.globalCumSum(cells, Seq(col("v_c")),
+        Seq(col("ca") -> "cum_a", col("cb") -> "cum_b")).cache()
+      val tot = cells.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val deciles = s.range(1, 10).toDF("k").crossJoin(broadcast(tot))
+        .select(col("k"),
+          ((col("k") * col("na") + 9) - (col("k") * col("na") + 9) % 10)
+            .divide(10).cast("long").as("ta"),
+          ((col("k") * col("nb") + 9) - (col("k") * col("nb") + 9) % 10)
+            .divide(10).cast("long").as("tb"))
+      val xa = cum.join(broadcast(deciles), col("cum_a") >= col("ta"))
+        .groupBy("k").agg(min("v_c").as("x_click"))
+      val xb = cum.join(broadcast(deciles), col("cum_b") >= col("tb"))
+        .groupBy("k").agg(min("v_c").as("y_view"))
+      xa.join(xb, "k")
+        .select(col("k"), col("x_click"), col("y_view"),
+          (col("y_view") - col("x_click")).as("shift_c"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH ev AS (SELECT event_type,
+                         CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS v_c
+                  FROM events WHERE event_type IN ('click', 'view')),
+      cells AS (SELECT v_c,
+                       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cb
+                FROM ev GROUP BY 1),
+      cum AS (SELECT v_c,
+                     sum(ca) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING) AS cum_a,
+                     sum(cb) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM cells),
+      tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+              FROM cells),
+      deciles AS (SELECT k, (k * na + 9) // 10 AS ta, (k * nb + 9) // 10 AS tb
+                  FROM (SELECT unnest(range(1, 10)) AS k) CROSS JOIN tot),
+      xa AS (SELECT k, min(v_c) AS x_click FROM cum JOIN deciles ON cum_a >= ta
+             GROUP BY 1),
+      xb AS (SELECT k, min(v_c) AS y_view FROM cum JOIN deciles ON cum_b >= tb
+             GROUP BY 1)
+      SELECT CAST(xa.k AS BIGINT) AS k, x_click, y_view,
+             y_view - x_click AS shift_c
+      FROM xa JOIN xb ON xa.k = xb.k ORDER BY k"""))
+
   val all: Seq[QueryDef] =
-    Seq(q195AssociationRules, q196RankFusion, q197PpmDecode)
+    Seq(q195AssociationRules, q196RankFusion, q197PpmDecode, q198QqMapping)
 }
