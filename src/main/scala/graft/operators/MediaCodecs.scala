@@ -164,16 +164,18 @@ object MediaCodecs {
   def ppmFileSize(width: Int, height: Int): Int =
     s"P6\n# graft\n$width $height\n255\n".length + 3 * width * height
 
-  /** Decode a binary PPM (P6): header tokens may be separated by any
-    * whitespace and interleaved with `#` end-of-line comments (the spec's
-    * rule); exactly ONE whitespace byte separates the maxval from the
-    * raster, which is top-down RGB with no padding. None when not a P6,
-    * maxval > 255 (2-byte samples), truncated, or hostile-dimensioned —
-    * same divide-don't-multiply bounds discipline as [[decodeBmp24]]
-    * (None, never throw). Returns the shared RGB container.
+  /** Parse a binary-Netpbm header (`P5`/`P6`): tokens may be separated by
+    * any whitespace and interleaved with `#` end-of-line comments (the
+    * spec's rule); exactly ONE whitespace byte separates the maxval from
+    * the raster. Returns (width, height, rasterOffset) or None when the
+    * magic mismatches, maxval needs 2-byte samples, the raster is
+    * truncated, or dimensions are hostile — divide-don't-multiply bounds
+    * discipline as in [[decodeBmp24]] (None, never throw).
+    * `bytesPerPixel` sizes the raster-budget check.
     */
-  def decodePpm6(b: Array[Byte]): Option[BmpImage] = {
-    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+  private def parseNetpbmHeader(b: Array[Byte], magic: Char,
+      bytesPerPixel: Int): Option[(Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != magic) return None
     var off = 2
     def skipWs(): Boolean = { // false on end of input
       var inComment = false
@@ -205,17 +207,62 @@ object MediaCodecs {
     if (sep != ' ' && sep != '\t' && sep != '\r' && sep != '\n') return None
     off += 1
     // divide, don't multiply (hostile headers must not overflow the check)
-    if (w > Int.MaxValue || h > (b.length - off).toLong / 3L / w) return None
-    val wi = w.toInt; val hi = h.toInt // h <= len/3/w fits int after the check
-    val px = new Array[(Int, Int, Int)](wi * hi)
-    var i = 0
-    while (i < wi * hi) {
-      val p = off + 3 * i
-      px(i) = ((b(p) & 0xff), (b(p + 1) & 0xff), (b(p + 2) & 0xff))
-      i += 1
-    }
-    Some(BmpImage(wi, hi, px))
+    if (w > Int.MaxValue ||
+      h > (b.length - off).toLong / bytesPerPixel.toLong / w) return None
+    Some((w.toInt, h.toInt, off)) // h <= len/bpp/w fits int after the check
   }
+
+  /** Decode a binary PPM (P6, maxval ≤ 255): comment-aware header scan
+    * ([[parseNetpbmHeader]]), top-down RGB raster with no padding. Returns
+    * the shared RGB container; None, never throw.
+    */
+  def decodePpm6(b: Array[Byte]): Option[BmpImage] =
+    parseNetpbmHeader(b, '6', bytesPerPixel = 3).map { case (wi, hi, off) =>
+      val px = new Array[(Int, Int, Int)](wi * hi)
+      var i = 0
+      while (i < wi * hi) {
+        val p = off + 3 * i
+        px(i) = ((b(p) & 0xff), (b(p + 1) & 0xff), (b(p + 2) & 0xff))
+        i += 1
+      }
+      BmpImage(wi, hi, px)
+    }
+
+  /** Encode a binary PGM (P5, maxval 255) — the grayscale Netpbm sibling.
+    * `pixel(x, y)` yields 0..255, y = 0 the top row.
+    */
+  def encodePgm5(width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val header = s"P5\n# graft\n$width $height\n255\n".getBytes("US-ASCII")
+    val b = new Array[Byte](header.length + width * height)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        b(header.length + y * width + x) = pixel(x, y).toByte; x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Decode a binary PGM (P5): one byte per pixel, top-down. Returned in
+    * the shared RGB container with r = g = b = gray (so every RGB consumer
+    * — feature folds, resizes — works unchanged); None, never throw.
+    */
+  def decodePgm5(b: Array[Byte]): Option[BmpImage] =
+    parseNetpbmHeader(b, '5', bytesPerPixel = 1).map { case (wi, hi, off) =>
+      val px = new Array[(Int, Int, Int)](wi * hi)
+      var i = 0
+      while (i < wi * hi) {
+        val g = b(off + i) & 0xff
+        px(i) = (g, g, g)
+        i += 1
+      }
+      BmpImage(wi, hi, px)
+    }
 
   /** Total file size of a canonical 44-byte-header PCM16 mono WAV. */
   def wavFileSize(nSamples: Int): Int = 44 + 2 * nSamples

@@ -122,6 +122,7 @@ object Multimodal {
   def realDecode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     MediaCodecs.decodeBmp24(payload)
       .orElse(MediaCodecs.decodePpm6(payload)) // same RGB container + features
+      .orElse(MediaCodecs.decodePgm5(payload)) // grayscale widened to RGB
       .map { img =>
       var wr = 0L; var wg = 0L; var wb = 0L
       var y = 0

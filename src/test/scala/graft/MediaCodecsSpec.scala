@@ -162,4 +162,16 @@ class MediaCodecsSpec extends SparkTestBase {
     // a comment that swallows the would-be raster separator is truncation
     assert(MediaCodecs.decodePpm6("P6\n2 1\n255# no newline".getBytes("US-ASCII")).isEmpty)
   }
+
+  test("pgm roundtrip widens gray to RGB; P5/P6 magics don't cross-decode") {
+    val enc = MediaCodecs.encodePgm5(3, 2, (x, y) => 10 * y + x)
+    val img = MediaCodecs.decodePgm5(enc).get
+    assert(img.width == 3 && img.height == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(img.pixels(y * 3 + x) == ((10 * y + x, 10 * y + x, 10 * y + x)))
+    assert(MediaCodecs.decodePpm6(enc).isEmpty) // P5 payload is not a P6
+    val ppm = MediaCodecs.encodePpm6(2, 2, (_, _) => (1, 2, 3))
+    assert(MediaCodecs.decodePgm5(ppm).isEmpty) // and vice versa
+    assert(MediaCodecs.decodePgm5(enc.dropRight(1)).isEmpty) // short raster
+  }
 }
