@@ -2,7 +2,7 @@ package graft.operators
 
 /** REAL pure-JVM media codecs for the public uncompressed formats a
   * zero-dependency sandbox can parse bit-exactly: 24-bit BI_RGB Windows BMP
-  * (BITMAPINFOHEADER), binary PPM (P6, maxval ≤ 255 with `#` header
+  * (BITMAPINFOHEADER), binary PPM/PGM (P6/P5, maxval ≤ 255 with `#` header
   * comments), and 16-bit PCM RIFF/WAVE. These replace the
   * round-2..4 decode STUB for payloads that actually carry these formats —
   * [[Multimodal.decodeFeatures]] sniffs the magic bytes and falls back to
@@ -143,6 +143,10 @@ object MediaCodecs {
   def encodePpm6(width: Int, height: Int,
       pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    // Int raster math below: reject sizes it would overflow (encoders are
+    // for synthesized test payloads; the decoder handles hostile headers)
+    require(3L * width * height + 64L <= Int.MaxValue,
+      s"dims ${width}x$height exceed the Int raster budget")
     val header = s"P6\n# graft\n$width $height\n255\n".getBytes("US-ASCII")
     val b = new Array[Byte](header.length + 3 * width * height)
     System.arraycopy(header, 0, b, 0, header.length)
@@ -160,9 +164,11 @@ object MediaCodecs {
     b
   }
 
-  /** Byte length of [[encodePpm6]]'s output (header incl. the comment). */
-  def ppmFileSize(width: Int, height: Int): Int =
-    s"P6\n# graft\n$width $height\n255\n".length + 3 * width * height
+  /** Byte length of [[encodePpm6]]'s output (header incl. the comment);
+    * Long so callers sizing buffers never see a silently negative value.
+    */
+  def ppmFileSize(width: Int, height: Int): Long =
+    s"P6\n# graft\n$width $height\n255\n".length + 3L * width * height
 
   /** Parse a binary-Netpbm header (`P5`/`P6`): tokens may be separated by
     * any whitespace and interleaved with `#` end-of-line comments (the
@@ -191,11 +197,14 @@ object MediaCodecs {
     def token(): Long = { // nonnegative decimal, -1 on error
       if (!skipWs()) return -1L
       var v = 0L; var n = 0
-      // 18-digit cap: any header number a valid file can carry fits, every
-      // longer run still parses as ONE over-limit value (rejected by the
-      // dimension checks) instead of silently splitting into two tokens
-      while (off < b.length && b(off) >= '0' && b(off) <= '9' && n < 18) {
-        v = v * 10 + (b(off) - '0'); off += 1; n += 1
+      // consume the ENTIRE digit run: a run too long for a valid header
+      // (incl. zero-padded ones) saturates to one over-limit value that
+      // the dimension/maxval checks reject — never splits into two tokens,
+      // which could mis-parse a hostile header as a small accepted image
+      while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+        if (v <= (Long.MaxValue - 9) / 10) v = v * 10 + (b(off) - '0')
+        else v = Long.MaxValue // saturate; keep consuming the run
+        off += 1; n += 1
       }
       if (n == 0) -1L else v
     }
@@ -234,6 +243,8 @@ object MediaCodecs {
   def encodePgm5(width: Int, height: Int,
       pixel: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(width.toLong * height + 64L <= Int.MaxValue,
+      s"dims ${width}x$height exceed the Int raster budget")
     val header = s"P5\n# graft\n$width $height\n255\n".getBytes("US-ASCII")
     val b = new Array[Byte](header.length + width * height)
     System.arraycopy(header, 0, b, 0, header.length)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * run per-partition in batches.
   *
   * Decode is REAL for the uncompressed public formats a zero-dependency JVM
-  * can parse — 24-bit BMP and PCM16 WAV ([[MediaCodecs]], sniffed by magic
+  * can parse — 24-bit BMP, P6 PPM, P5 PGM, and PCM16 WAV ([[MediaCodecs]], sniffed by magic
   * bytes in [[realDecode]]) — and falls back to a deterministic fake
   * ([[fakeDecode]]) for formats that need codec libraries this environment
   * does not ship (JPEG/PNG/MP3). The Spark-side contract (schema, batch
@@ -114,6 +114,8 @@ object Multimodal {
     *  - P6 PPM → the same RGB container and features (top-down raster, no
     *    padding — a swapped decode order or a header comment consumed as
     *    raster shifts them identically).
+    *  - P5 PGM → gray widened to r = g = b in the same container; channels
+    *    reports 3 (the container's), features as for RGB.
     *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
     *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
     *    below 2^24 for the corpus encodings, so the float features are
@@ -154,7 +156,7 @@ object Multimodal {
 
   /** Per-partition batched decode → typed feature rows. mapPartitions (not
     * per-row UDF) so codec setup could amortize per batch. Payloads in a
-    * REAL parseable format (BMP/WAV, see [[realDecode]]) are actually
+    * REAL parseable format (BMP/PPM/PGM/WAV, see [[realDecode]]) are actually
     * decoded; everything else takes the deterministic [[fakeDecode]] stand-in.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

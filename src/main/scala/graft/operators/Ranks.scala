@@ -97,24 +97,34 @@ object Ranks {
       out: String): DataFrame =
     rankCore(df, groups, sort, out)
 
+  /** Shared phase 1 of every operator here: append the data-pure `__bkt`
+    * bucket id of the leading sort column. ONE exact min/max aggregate
+    * (order-independent, hence identical in every (re-)computation of the
+    * subtree), then the monotone equi-width bucket; nulls land in bucket
+    * −1 (ASC NULLS FIRST: they rank/accumulate lowest, never silently
+    * drop). Keeping this in one place is what keeps the four consumers'
+    * bucket semantics identical.
+    */
+  private def withBucket(df: DataFrame, c1: Column, b: Int): DataFrame = {
+    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
+    val bucket =
+      when(c1.isNull, lit(-1L))
+        .when(col("__hi") <= col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
+          lit((b - 1).toDouble)).cast("long"))
+    df.crossJoin(broadcast(ext))
+      .withColumn("__bkt", bucket)
+      .drop("__lo", "__hi")
+  }
+
   private def rankCore(df: DataFrame, groups: Seq[Column], sort: Seq[Column],
       out: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val b = parts * BucketFanout
     val c1 = sort.head.cast("double")
-    // exact extremes of the leading sort column: order-independent, hence
-    // identical in every (re-)computation of this subtree
-    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
-    val bucket =
-      when(c1.isNull, lit(-1L)) // ASC NULLS FIRST: nulls rank lowest
-        .when(col("__hi") <= col("__lo"), lit(0L))
-        .otherwise(least(
-          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
-          lit((b - 1).toDouble)).cast("long"))
     val groupNames = groups.indices.map(i => s"__g$i")
-    val base = df.crossJoin(broadcast(ext))
-      .withColumn("__bkt", bucket)
-      .drop("__lo", "__hi")
+    val base = withBucket(df, c1, b)
     val keyed = base.select(
       (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
     val gcols = groupNames.map(col)
@@ -152,17 +162,8 @@ object Ranks {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val b = parts * BucketFanout
     val c1 = sort.head.cast("double")
-    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
-    val bucket =
-      when(c1.isNull, lit(-1L))
-        .when(col("__hi") <= col("__lo"), lit(0L))
-        .otherwise(least(
-          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
-          lit((b - 1).toDouble)).cast("long"))
     val groupNames = groups.indices.map(i => s"__g$i")
-    val base = df.crossJoin(broadcast(ext))
-      .withColumn("__bkt", bucket)
-      .drop("__lo", "__hi")
+    val base = withBucket(df, c1, b)
     val keyed = base.select(
       (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
     val gcols = groupNames.map(col)
@@ -204,18 +205,9 @@ object Ranks {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val b = parts * BucketFanout
     val c1 = sort.head.cast("double")
-    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
-    val bucket =
-      when(c1.isNull, lit(-1L))
-        .when(col("__hi") <= col("__lo"), lit(0L))
-        .otherwise(least(
-          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
-          lit((b - 1).toDouble)).cast("long"))
     val groupNames = groups.indices.map(i => s"__g$i")
-    val base = df.crossJoin(broadcast(ext))
-      .withColumn("__bkt", bucket)
+    val base = withBucket(df, c1, b)
       .withColumn("__w", weight.cast("long"))
-      .drop("__lo", "__hi")
     val keyed = base.select(
       (base.columns.map(col) ++ groups.zip(groupNames).map { case (g, n) => g.as(n) }): _*)
     val gcols = groupNames.map(col)
@@ -248,24 +240,18 @@ object Ranks {
     * shape never does, and — because buckets are a pure function of the
     * data — the result is exact under any partition count or plan
     * recomputation. Constraints as for [[globalRowNumber]]: leading sort
-    * column numeric, finite and NON-NULL; `sort` a total order; summed
-    * values integral (accumulated as long — keep Σ|v| < 2^63).
+    * column numeric and finite (nulls land in the −1 bucket and
+    * accumulate FIRST, matching Spark's ASC NULLS FIRST — they are never
+    * silently dropped); `sort` a total order; summed values integral
+    * (accumulated as long — keep Σ|v| < 2^63).
     */
   def globalCumSum(df: DataFrame, sort: Seq[Column],
       vals: Seq[(Column, String)]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val b = parts * BucketFanout
     val c1 = sort.head.cast("double")
-    val ext = df.agg(min(c1).as("__lo"), max(c1).as("__hi"))
-    val bucket =
-      when(col("__hi") <= col("__lo"), lit(0L))
-        .otherwise(least(
-          floor((c1 - col("__lo")) * b / (col("__hi") - col("__lo"))),
-          lit((b - 1).toDouble)).cast("long"))
     val valNames = vals.indices.map(i => s"__v$i")
-    val base = df.crossJoin(broadcast(ext))
-      .withColumn("__bkt", bucket)
-      .drop("__lo", "__hi")
+    val base = withBucket(df, c1, b)
     val withVals = vals.zip(valNames).foldLeft(base) {
       case (d, ((c, _), n)) => d.withColumn(n, c.cast("long"))
     }

@@ -31,7 +31,7 @@ object Round6Queries7 {
     * inputs are exact) — and quantized to a ×10⁹ long at the LEAF (rdet
     * protocol); each document's score is then a pure-integer Σ count·lr_e9,
     * order-independent in both engines. Scale: the corpus is scanned once
-    * into the cached (doc, bucket, count) relation; everything else is
+    * into the cached (doc, lang, bucket, count) relation; everything else is
     * 256-row broadcasts. Output: top 25 by (score desc, doc_id).
     */
   val q188ImportanceScore: QueryDef = QueryDef(
@@ -44,9 +44,13 @@ object Round6Queries7 {
         .filter(col("w") =!= "")
         .select(col("doc_id"), col("lang"),
           pmod(HashFunctions.hash32(col("w")), lit(256L)).as("b"))
-      val perDoc = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("c")).cache()
-      val tgt = toks.filter(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("t"))
+      // the ONE corpus tokenization: lang rides the per-doc grain (it is
+      // doc-functional, so the cardinality is unchanged) so the target LM,
+      // the raw LM, the doc scores, AND the output lang all read this cache
+      val perDoc = toks.groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("c")).cache()
+      val tgt = perDoc.filter(col("lang") === "en")
+        .groupBy("b").agg(sum("c").as("t"))
       val raw = perDoc.groupBy("b").agg(sum("c").as("r"))
       val tTot = tgt.agg(sum("t").as("tt"))
       val rTot = raw.agg(sum("r").as("rt"))
@@ -60,9 +64,8 @@ object Round6Queries7 {
             / ((coalesce(col("r"), lit(0L)) + 1).cast("double")
               * (col("tt") + 256).cast("double"))), 9).as("lr_e9"))
       perDoc.join(broadcast(ratios), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(sum("c").as("n_tokens"), sum(col("c") * col("lr_e9")).as("score_e9"))
-        .join(docs.select("doc_id", "lang"), "doc_id")
         .orderBy(col("score_e9").desc, col("doc_id"))
         .limit(25)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_e9"))

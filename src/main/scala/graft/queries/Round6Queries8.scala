@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.Det
@@ -13,6 +14,7 @@ import graft.operators.Ranks
   * ingests.
   */
 object Round6Queries8 {
+  private val D38 = DecimalType(38, 0)
 
   /** TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — "did the `click` value
     * distribution drift from `view`?", the canonical nonparametric check
@@ -23,8 +25,9 @@ object Round6Queries8 {
     * cumsums + broadcast bucket offsets — the cumulative never funnels
     * through one task however many distinct values exist), and the sup runs
     * as a plain max over |cum_a·n_b − cum_b·n_a| — CDFs cross-multiplied so
-    * every comparison is exact int64; the only division is the final
-    * half-up ÷ to D in ppm. Also reports the critical-value scaled
+    * every comparison is an exact integer (DECIMAL(38,0)/HUGEINT: the
+    * products pass int64 once each slice exceeds ~3·10⁹ rows); the only
+    * division is the final half-up ÷ to D in ppm. Also reports the critical-value scaled
     * statistic λ = D·√(n_a·n_b/(n_a+n_b)) (×10⁶, leaf-rounded) — reject at
     * α=0.05 when λ > 1.358.
     */
@@ -46,11 +49,13 @@ object Round6Queries8 {
       val tot = cells.agg(sum("ca").as("na"), sum("cb").as("nb"),
         count(lit(1)).as("n_values"))
       val d = cum.crossJoin(broadcast(tot))
-        .select(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")).as("d"))
+        .select(abs(col("cum_a").cast(D38) * col("nb").cast(D38)
+          - col("cum_b").cast(D38) * col("na").cast(D38)).as("d"))
         .agg(max("d").as("dmax"))
       d.crossJoin(broadcast(tot)).select(
         col("na"), col("nb"), col("n_values"),
-        Det.ihalfUp(col("dmax") * 1000000L, col("na") * col("nb")).as("ks_ppm"),
+        Det.ihalfUp(col("dmax").cast(D38) * lit(1000000L).cast(D38),
+          col("na").cast(D38) * col("nb").cast(D38)).as("ks_ppm"),
         Det.rdetLong(
           (col("dmax").cast("double") / (col("na").cast("double") * col("nb")))
             * sqrt(col("na").cast("double") * col("nb")
@@ -76,10 +81,11 @@ object Round6Queries8 {
                      CAST(sum(cb) AS BIGINT) AS nb,
                      CAST(count(*) AS BIGINT) AS n_values
               FROM cells),
-      d AS (SELECT max(abs(cum_a * nb - cum_b * na)) AS dmax
+      d AS (SELECT max(abs(CAST(cum_a AS HUGEINT) * nb
+                           - CAST(cum_b AS HUGEINT) * na)) AS dmax
             FROM cum CROSS JOIN tot)
       SELECT na, nb, n_values,
-             ${Det.ihalfUpSql("dmax * 1000000", "na * nb")} AS ks_ppm,
+             ${Det.ihalfUpSql("dmax * 1000000", "CAST(na AS HUGEINT) * nb")} AS ks_ppm,
              ${Det.rdetLongSql(
         """(CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * nb))
            * sqrt(CAST(na AS DOUBLE) * nb / (na + nb))""", 6)} AS lambda_e6
@@ -110,6 +116,8 @@ object Round6Queries8 {
         count(lit(1)).as("n"), sum("good").as("g"),
         (count(lit(1)) - sum("good")).as("b"))
       val tot = bins.agg(sum("g").as("gt"), sum("b").as("bt"))
+      // cache: the terms relation (10 rows, but sitting atop the corpus
+      // rank pass) feeds both union branches — protocol #6
       val terms = bins.crossJoin(broadcast(tot))
         .withColumn("woe_e6", Det.rdetLong(log(
           ((col("g") * 2 + 1).cast("double") * (col("bt") * 2 + 10).cast("double"))
@@ -120,6 +128,7 @@ object Round6Queries8 {
           col("gt") * col("bt")))
         .select(col("bin").cast("long").as("bin"), col("n"), col("g"),
           col("b"), col("woe_e6"), col("iv_term_e6"))
+        .cache()
       val total = terms.agg(sum("n").as("n"), sum("g").as("g"),
           sum("b").as("b"), sum("iv_term_e6").as("iv_term_e6"))
         .select(lit(0L).as("bin"), col("n"), col("g"), col("b"),
@@ -171,15 +180,21 @@ object Round6Queries8 {
   val q194SeasonalScreen: QueryDef = QueryDef(
     "q194_seasonal_screen",
     (s, dir) => {
+      // cache: the one fact aggregate feeds the baseline re-agg AND the
+      // deviation join — the events table is scanned exactly once
       val daily = Tables.load(s, dir, "events")
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
         .agg(count(lit(1)).as("x"))
         .withColumn("dow", dayofweek(col("day")) - 1)
+        .cache()
       val base = daily.groupBy("event_type", "dow")
         .agg(count(lit(1)).as("c"), sum("x").as("sm"))
+      // cache: dev (day-grain, small) sits atop the events aggregate and
+      // feeds three consumers (peak, peak-day, output agg) — protocol #6
       val dev = daily.join(broadcast(base), Seq("event_type", "dow"))
         .withColumn("dev_ppm", Det.ihalfUpSigned(
           (col("x") * col("c") - col("sm")) * 1000000L, col("sm")))
+        .cache()
       val peak = dev
         .groupBy("event_type").agg(max(abs(col("dev_ppm"))).as("peak_abs"))
       val peakDay = dev.join(peak, "event_type")

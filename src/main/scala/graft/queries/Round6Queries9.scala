@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.Det
@@ -11,14 +12,15 @@ import graft.operators.Ranks
   * reciprocal-rank fusion of independent rankings.
   */
 object Round6Queries9 {
+  private val D38 = DecimalType(38, 0)
 
   /** ASSOCIATION RULES from the q144 frequent-pair relation — the step
     * market-basket analysis actually ships: every frequent pair {i, j}
     * yields the two directed rules i→j and j→i with
     * confidence = sup(i,j)/sup(antecedent) and
-    * lift = sup(i,j)·N / (sup(i)·sup(j)), both as exact half-up ppm (the
-    * lift cross-product stays < 2^63 at any basket count with fractional
-    * support thresholds). Rules below 30% confidence drop; output is the
+    * lift = sup(i,j)·N / (sup(i)·sup(j)), both as exact half-up ppm — the
+    * lift cross-products run in DECIMAL(38,0)/HUGEINT since sup·N·10⁶
+    * passes int64 once the corpus holds ~2M+ baskets. Rules below 30% confidence drop; output is the
     * top 20 by (lift, antecedent, consequent) — lift > 10⁶ ⇒ the
     * antecedent genuinely raises the consequent's odds. Scale: identical
     * to q144 (A-Priori prune before the per-basket pair comprehension);
@@ -62,8 +64,9 @@ object Round6Queries9 {
       rules
         .select(col("antecedent"), col("consequent"), col("sp").as("sup_pair"),
           Det.ihalfUp(col("sp") * 1000000L, col("sa")).as("confidence_ppm"),
-          Det.ihalfUp(col("sp") * col("n") * 1000000L, col("sa") * col("sc"))
-            .as("lift_ppm"))
+          Det.ihalfUp(
+            col("sp").cast(D38) * col("n").cast(D38) * lit(1000000L).cast(D38),
+            col("sa").cast(D38) * col("sc").cast(D38)).as("lift_ppm"))
         .filter(col("confidence_ppm") >= 300000L)
         .orderBy(col("lift_ppm").desc, col("antecedent"), col("consequent"))
         .limit(20)
@@ -93,7 +96,7 @@ object Round6Queries9 {
       scored AS (
         SELECT antecedent, consequent, sp AS sup_pair,
                ${Det.ihalfUpSql("sp * 1000000", "sa")} AS confidence_ppm,
-               ${Det.ihalfUpSql("sp * n * 1000000", "sa * sc")} AS lift_ppm
+               ${Det.ihalfUpSql("CAST(sp AS HUGEINT) * n * 1000000", "CAST(sa AS HUGEINT) * sc")} AS lift_ppm
         FROM rules)
       SELECT antecedent, consequent, sup_pair, confidence_ppm, lift_ppm
       FROM scored WHERE confidence_ppm >= 300000

@@ -161,6 +161,11 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.decodePpm6(Array[Byte]('P', '5')).isEmpty) // not P6
     // a comment that swallows the would-be raster separator is truncation
     assert(MediaCodecs.decodePpm6("P6\n2 1\n255# no newline".getBytes("US-ASCII")).isEmpty)
+    // a zero-padded oversized width must parse as ONE over-limit token and
+    // be rejected — not split into two tokens that mimic a tiny valid image
+    val padded = "P6\n0000000000000000012 3\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](16)(7)
+    assert(MediaCodecs.decodePpm6(padded).isEmpty)
   }
 
   test("pgm roundtrip widens gray to RGB; P5/P6 magics don't cross-decode") {
