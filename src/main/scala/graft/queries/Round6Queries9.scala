@@ -289,6 +289,48 @@ object Round6Queries9 {
              y_view - x_click AS shift_c
       FROM xa JOIN xb ON xa.k = xb.k ORDER BY k"""))
 
+  /** PER-GROUP MODE — the categorical-compaction statistic ("what value
+    * does this stream USUALLY carry"): per event type, the most frequent
+    * cents value, its count, and its share of the type in ppm. Two-level
+    * aggregate: one corpus-sized (type, value) count with map-side
+    * partials, then the argmax via `max_by` over a (count, −value) struct
+    * — the deterministic smallest-value-on-ties convention shared with the
+    * oracle's window form (two independent formulations of the same
+    * semantics, cross-checked by the gate). Nothing after the first
+    * aggregate exceeds the distinct-value relation.
+    */
+  val q199GroupMode: QueryDef = QueryDef(
+    "q199_group_mode",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy("event_type")
+        .agg(sum("cnt").as("n"),
+          max_by(struct(col("v_c"), col("cnt")),
+            struct(col("cnt"), (-col("v_c")).as("nv"))).as("m"))
+        .select(col("event_type"), col("n"),
+          col("m.v_c").as("mode_v_c"), col("m.cnt").as("mode_n"),
+          Det.ihalfUp(col("m.cnt") * 1000000L, col("n")).as("share_ppm"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH counts AS (SELECT event_type,
+                             CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS v_c,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM events GROUP BY 1, 2),
+      ranked AS (SELECT *,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY cnt DESC, v_c ASC) AS rn,
+                        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                          AS n
+                 FROM counts)
+      SELECT event_type, n, v_c AS mode_v_c, cnt AS mode_n,
+             ${Det.ihalfUpSql("cnt * 1000000", "n")} AS share_ppm
+      FROM ranked WHERE rn = 1 ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
-    Seq(q195AssociationRules, q196RankFusion, q197PpmDecode, q198QqMapping)
+    Seq(q195AssociationRules, q196RankFusion, q197PpmDecode, q198QqMapping,
+      q199GroupMode)
 }
