@@ -170,17 +170,18 @@ object MediaCodecs {
   def ppmFileSize(width: Int, height: Int): Long =
     s"P6\n# graft\n$width $height\n255\n".length + 3L * width * height
 
-  /** Parse a binary-Netpbm header (`P5`/`P6`): tokens may be separated by
-    * any whitespace and interleaved with `#` end-of-line comments (the
-    * spec's rule); exactly ONE whitespace byte separates the maxval from
-    * the raster. Returns (width, height, rasterOffset) or None when the
-    * magic mismatches, maxval needs 2-byte samples, the raster is
-    * truncated, or dimensions are hostile — divide-don't-multiply bounds
-    * discipline as in [[decodeBmp24]] (None, never throw).
-    * `bytesPerPixel` sizes the raster-budget check.
+  /** Parse a binary-Netpbm header (`P4`/`P5`/`P6`): tokens may be
+    * separated by any whitespace and interleaved with `#` end-of-line
+    * comments (the spec's rule); exactly ONE whitespace byte separates the
+    * last header token from the raster. P4 (`hasMaxval = false`) carries
+    * no maxval token. Returns (width, height, rasterOffset) — dimensions
+    * validated positive and width ≤ Int.MaxValue, but the RASTER BUDGET is
+    * the caller's to check (stride rules differ per format) — or None on
+    * magic mismatch, a maxval needing 2-byte samples, or a malformed
+    * header. Never throws.
     */
   private def parseNetpbmHeader(b: Array[Byte], magic: Char,
-      bytesPerPixel: Int): Option[(Int, Int, Int)] = {
+      hasMaxval: Boolean): Option[(Int, Int, Int)] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != magic) return None
     var off = 2
     def skipWs(): Boolean = { // false on end of input
@@ -208,25 +209,33 @@ object MediaCodecs {
       }
       if (n == 0) -1L else v
     }
-    val w = token(); val h = token(); val maxv = token()
+    val w = token(); val h = token()
+    val maxv = if (hasMaxval) token() else 255L
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     // single whitespace byte, then the raster
     if (off >= b.length) return None
     val sep = b(off)
     if (sep != ' ' && sep != '\t' && sep != '\r' && sep != '\n') return None
     off += 1
-    // divide, don't multiply (hostile headers must not overflow the check)
-    if (w > Int.MaxValue ||
-      h > (b.length - off).toLong / bytesPerPixel.toLong / w) return None
-    Some((w.toInt, h.toInt, off)) // h <= len/bpp/w fits int after the check
+    if (w > Int.MaxValue || h > Int.MaxValue) return None
+    Some((w.toInt, h.toInt, off))
   }
+
+  /** Header + raster-budget parse for the byte-per-sample formats (P5/P6):
+    * divide-don't-multiply (hostile headers must not overflow the check).
+    */
+  private def parseBytePixelHeader(b: Array[Byte], magic: Char,
+      bytesPerPixel: Int): Option[(Int, Int, Int)] =
+    parseNetpbmHeader(b, magic, hasMaxval = true).filter { case (w, h, off) =>
+      h <= (b.length - off).toLong / bytesPerPixel.toLong / w
+    }
 
   /** Decode a binary PPM (P6, maxval ≤ 255): comment-aware header scan
     * ([[parseNetpbmHeader]]), top-down RGB raster with no padding. Returns
     * the shared RGB container; None, never throw.
     */
   def decodePpm6(b: Array[Byte]): Option[BmpImage] =
-    parseNetpbmHeader(b, '6', bytesPerPixel = 3).map { case (wi, hi, off) =>
+    parseBytePixelHeader(b, '6', bytesPerPixel = 3).map { case (wi, hi, off) =>
       val px = new Array[(Int, Int, Int)](wi * hi)
       var i = 0
       while (i < wi * hi) {
@@ -264,13 +273,72 @@ object MediaCodecs {
     * — feature folds, resizes — works unchanged); None, never throw.
     */
   def decodePgm5(b: Array[Byte]): Option[BmpImage] =
-    parseNetpbmHeader(b, '5', bytesPerPixel = 1).map { case (wi, hi, off) =>
+    parseBytePixelHeader(b, '5', bytesPerPixel = 1).map { case (wi, hi, off) =>
       val px = new Array[(Int, Int, Int)](wi * hi)
       var i = 0
       while (i < wi * hi) {
         val g = b(off + i) & 0xff
         px(i) = (g, g, g)
         i += 1
+      }
+      BmpImage(wi, hi, px)
+    }
+
+  /** Encode a binary PBM (P4) — the 1-bit Netpbm sibling: no maxval
+    * token, rows packed 8 pixels per byte MSB-first and padded to a byte
+    * boundary, bit 1 = BLACK. `pixel(x, y)` true ⇒ black.
+    */
+  def encodePbm4(width: Int, height: Int,
+      pixel: (Int, Int) => Boolean): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowBytes = (width + 7) / 8
+    require(rowBytes.toLong * height + 64L <= Int.MaxValue,
+      s"dims ${width}x$height exceed the Int raster budget")
+    val header = s"P4\n# graft\n$width $height\n".getBytes("US-ASCII")
+    val b = new Array[Byte](header.length + rowBytes * height)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (pixel(x, y)) {
+          val p = header.length + y * rowBytes + x / 8
+          b(p) = (b(p) | (0x80 >> (x % 8))).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Decode a binary PBM (P4): no maxval token, MSB-first packed rows
+    * padded to byte boundaries, 1 = black. Widened into the shared RGB
+    * container (black → (0,0,0), white → (255,255,255)) so every RGB
+    * consumer works unchanged; None, never throw.
+    */
+  def decodePbm4(b: Array[Byte]): Option[BmpImage] =
+    parseNetpbmHeader(b, '4', hasMaxval = false).filter { case (w, h, off) =>
+      // divide, don't multiply: the per-row stride is (w+7)/8 bytes. The
+      // extra w*h pixel-count bound matters HERE only: packed bits mean a
+      // payload can describe up to 8x its bytes in pixels, so the byte
+      // budget alone does not keep the pixel array inside Int (P5/P6's
+      // byte-per-sample budget does).
+      h <= (b.length - off).toLong / ((w.toLong + 7L) / 8L) &&
+        w.toLong * h <= Int.MaxValue
+    }.map { case (wi, hi, off) =>
+      val rowBytes = (wi + 7) / 8
+      val px = new Array[(Int, Int, Int)](wi * hi)
+      var y = 0
+      while (y < hi) {
+        var x = 0
+        while (x < wi) {
+          val bit = (b(off + y * rowBytes + x / 8) >> (7 - x % 8)) & 1
+          val v = if (bit == 1) 0 else 255 // 1 = black
+          px(y * wi + x) = (v, v, v)
+          x += 1
+        }
+        y += 1
       }
       BmpImage(wi, hi, px)
     }

@@ -125,6 +125,7 @@ object Multimodal {
     MediaCodecs.decodeBmp24(payload)
       .orElse(MediaCodecs.decodePpm6(payload)) // same RGB container + features
       .orElse(MediaCodecs.decodePgm5(payload)) // grayscale widened to RGB
+      .orElse(MediaCodecs.decodePbm4(payload)) // 1-bit widened to RGB
       .map { img =>
       var wr = 0L; var wg = 0L; var wb = 0L
       var y = 0

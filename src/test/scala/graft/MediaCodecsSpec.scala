@@ -168,6 +168,25 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.decodePpm6(padded).isEmpty)
   }
 
+  test("pbm roundtrip recovers bits across byte-boundary widths; 1 = black") {
+    for (w <- Seq(1, 7, 8, 9, 17); h <- Seq(1, 3)) {
+      val pat = (x: Int, y: Int) => (x + y) % 3 == 0
+      val enc = MediaCodecs.encodePbm4(w, h, pat)
+      val img = MediaCodecs.decodePbm4(enc).get
+      assert(img.width == w && img.height == h, s"${w}x$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = if (pat(x, y)) (0, 0, 0) else (255, 255, 255)
+        assert(img.pixels(y * w + x) == want, s"($x,$y) of ${w}x$h")
+      }
+    }
+    // truncation and cross-magic rejection
+    val good = MediaCodecs.encodePbm4(9, 2, (_, _) => true)
+    assert(MediaCodecs.decodePbm4(good.dropRight(1)).isEmpty)
+    assert(MediaCodecs.decodePgm5(good).isEmpty)
+    assert(MediaCodecs.decodePbm4(
+      MediaCodecs.encodePgm5(2, 2, (_, _) => 9)).isEmpty)
+  }
+
   test("pgm roundtrip widens gray to RGB; P5/P6 magics don't cross-decode") {
     val enc = MediaCodecs.encodePgm5(3, 2, (x, y) => 10 * y + x)
     val img = MediaCodecs.decodePgm5(enc).get
