@@ -2,7 +2,7 @@ package graft.operators
 
 /** REAL pure-JVM media codecs for the public uncompressed formats a
   * zero-dependency sandbox can parse bit-exactly: 24-bit BI_RGB Windows BMP
-  * (BITMAPINFOHEADER), binary PPM/PGM (P6/P5, maxval ≤ 255 with `#` header
+  * (BITMAPINFOHEADER), binary PPM/PGM/PBM (P6/P5/P4, maxval ≤ 255, `#` header
   * comments), and 16-bit PCM RIFF/WAVE. These replace the
   * round-2..4 decode STUB for payloads that actually carry these formats —
   * [[Multimodal.decodeFeatures]] sniffs the magic bytes and falls back to
@@ -291,9 +291,13 @@ object MediaCodecs {
   def encodePbm4(width: Int, height: Int,
       pixel: (Int, Int) => Boolean): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
-    val rowBytes = (width + 7) / 8
-    require(rowBytes.toLong * height + 64L <= Int.MaxValue,
+    // stride math in LONG (width + 7 wraps Int near Int.MaxValue), and the
+    // pixel count bounded too so every encodable image is also DECODABLE
+    // (packed bits let a small byte buffer describe > Int.MaxValue pixels)
+    require((width.toLong + 7L) / 8L * height + 64L <= Int.MaxValue &&
+      width.toLong * height <= Int.MaxValue,
       s"dims ${width}x$height exceed the Int raster budget")
+    val rowBytes = (width + 7) / 8
     val header = s"P4\n# graft\n$width $height\n".getBytes("US-ASCII")
     val b = new Array[Byte](header.length + rowBytes * height)
     System.arraycopy(header, 0, b, 0, header.length)

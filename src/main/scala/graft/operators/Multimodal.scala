@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * run per-partition in batches.
   *
   * Decode is REAL for the uncompressed public formats a zero-dependency JVM
-  * can parse — 24-bit BMP, P6 PPM, P5 PGM, and PCM16 WAV ([[MediaCodecs]], sniffed by magic
+  * can parse — 24-bit BMP, P6/P5/P4 Netpbm, and PCM16 WAV ([[MediaCodecs]], sniffed by magic
   * bytes in [[realDecode]]) — and falls back to a deterministic fake
   * ([[fakeDecode]]) for formats that need codec libraries this environment
   * does not ship (JPEG/PNG/MP3). The Spark-side contract (schema, batch
@@ -116,6 +116,7 @@ object Multimodal {
     *    raster shifts them identically).
     *  - P5 PGM → gray widened to r = g = b in the same container; channels
     *    reports 3 (the container's), features as for RGB.
+    *  - P4 PBM → 1-bit widened to black/white RGB in the same container.
     *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
     *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
     *    below 2^24 for the corpus encodings, so the float features are
@@ -157,7 +158,7 @@ object Multimodal {
 
   /** Per-partition batched decode → typed feature rows. mapPartitions (not
     * per-row UDF) so codec setup could amortize per batch. Payloads in a
-    * REAL parseable format (BMP/PPM/PGM/WAV, see [[realDecode]]) are actually
+    * REAL parseable format (BMP/PPM/PGM/PBM/WAV, see [[realDecode]]) are actually
     * decoded; everything else takes the deterministic [[fakeDecode]] stand-in.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

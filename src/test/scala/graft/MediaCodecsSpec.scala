@@ -168,6 +168,22 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.decodePpm6(padded).isEmpty)
   }
 
+  test("no fixture document text sniffs as real media (q50's stub-path assumption)") {
+    // q50-family oracles stub-decode every document on the DuckDB side,
+    // assuming no text payload parses as BMP/PPM/PGM/PBM/WAV. Each magic
+    // added to realDecode narrows that margin ('P4 20 9 ...' is almost
+    // prose), so the assumption is CHECKED here against the corpus: if the
+    // driver ever regenerates documents whose text decodes, this fails
+    // before the gate silently diverges.
+    val texts = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    val decodable = texts.filter(t =>
+      Multimodal.realDecode(t.getBytes("UTF-8")).isDefined)
+    assert(decodable.isEmpty,
+      s"document text parses as real media: ${decodable.take(3).mkString(" | ")}")
+  }
+
   test("pbm roundtrip recovers bits across byte-boundary widths; 1 = black") {
     for (w <- Seq(1, 7, 8, 9, 17); h <- Seq(1, 3)) {
       val pat = (x: Int, y: Int) => (x + y) % 3 == 0
