@@ -284,6 +284,18 @@ object MediaCodecs {
       BmpImage(wi, hi, px)
     }
 
+  /** P4 decode pixel budget: 16.7M pixels (4096×4096). The other formats
+    * spend ≥ 1 payload byte per pixel, so a 2 GiB byte array implicitly
+    * bounds their pixel arrays — P4's packed bits describe 8 pixels per
+    * byte, so a hostile ~270 MB payload could legitimately declare ~2^31
+    * pixels and force allocation of Int.MaxValue boxed (Int,Int,Int)
+    * tuples (tens of GB) in a decoder whose contract is never-throw. The
+    * cap bounds the worst-case decode allocation to a few hundred MB;
+    * raise it (encoder and decoder move together) for trusted corpora of
+    * larger bilevel scans.
+    */
+  val MaxPbmPixels: Long = 1L << 24
+
   /** Encode a binary PBM (P4) — the 1-bit Netpbm sibling: no maxval
     * token, rows packed 8 pixels per byte MSB-first and padded to a byte
     * boundary, bit 1 = BLACK. `pixel(x, y)` true ⇒ black.
@@ -292,11 +304,12 @@ object MediaCodecs {
       pixel: (Int, Int) => Boolean): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     // stride math in LONG (width + 7 wraps Int near Int.MaxValue), and the
-    // pixel count bounded too so every encodable image is also DECODABLE
-    // (packed bits let a small byte buffer describe > Int.MaxValue pixels)
+    // pixel count bounded by the DECODER's budget so every encodable image
+    // is also decodable (packed bits let a small byte buffer describe far
+    // more pixels than bytes)
     require((width.toLong + 7L) / 8L * height + 64L <= Int.MaxValue &&
-      width.toLong * height <= Int.MaxValue,
-      s"dims ${width}x$height exceed the Int raster budget")
+      width.toLong * height <= MaxPbmPixels,
+      s"dims ${width}x$height exceed the P4 pixel budget")
     val rowBytes = (width + 7) / 8
     val header = s"P4\n# graft\n$width $height\n".getBytes("US-ASCII")
     val b = new Array[Byte](header.length + rowBytes * height)
@@ -326,10 +339,11 @@ object MediaCodecs {
       // divide, don't multiply: the per-row stride is (w+7)/8 bytes. The
       // extra w*h pixel-count bound matters HERE only: packed bits mean a
       // payload can describe up to 8x its bytes in pixels, so the byte
-      // budget alone does not keep the pixel array inside Int (P5/P6's
-      // byte-per-sample budget does).
+      // budget alone neither keeps the pixel array inside Int nor bounds
+      // its allocation near the payload size — [[MaxPbmPixels]] does both
+      // (P5/P6's byte-per-sample budget needs neither).
       h <= (b.length - off).toLong / ((w.toLong + 7L) / 8L) &&
-        w.toLong * h <= Int.MaxValue
+        w.toLong * h <= MaxPbmPixels
     }.map { case (wi, hi, off) =>
       val rowBytes = (wi + 7) / 8
       val px = new Array[(Int, Int, Int)](wi * hi)

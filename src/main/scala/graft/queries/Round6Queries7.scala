@@ -122,17 +122,17 @@ object Round6Queries7 {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
       val avail = docs.groupBy("lang").agg(count(lit(1)).as("n_avail"))
       val tot = avail.agg(sum("n_avail").as("n_total"))
+      // integral `div`, not the make-divisible double `/` (exact only below
+      // 2^53 — budget·w_ppm crosses that near ~2.5e10 documents while the
+      // oracle's integer `//` stays exact). `div` is exact through int64;
+      // the remaining bound is budget·w_ppm < 2^63 ⇔ ~9e12 documents,
+      // beyond any 100 TB corpus of plausible document size.
       val rates = avail.join(broadcast(w), "lang").crossJoin(broadcast(tot))
-        .withColumn("budget",
-          (col("n_total") - col("n_total") % 2) / 2)
-        .withColumn("want",
-          ((col("budget") * col("w_ppm"))
-            - (col("budget") * col("w_ppm")) % 1000000L) / 1000000L)
+        .withColumn("budget", expr("n_total div 2"))
+        .withColumn("want", expr("(budget * w_ppm) div 1000000"))
         .withColumn("rate_ppm", least(lit(1000000L),
-          ((col("want") * 1000000L) - (col("want") * 1000000L) % col("n_avail"))
-            / col("n_avail")))
-        .select(col("lang"), col("n_avail"), col("want").cast("long").as("want"),
-          col("rate_ppm").cast("long").as("rate_ppm"))
+          expr("(want * 1000000) div n_avail")))
+        .select(col("lang"), col("n_avail"), col("want"), col("rate_ppm"))
       docs.join(broadcast(rates), "lang")
         .filter(pmod(HashFunctions.hash32(
           concat(lit("mix#"), col("doc_id").cast("string"))), lit(1000000L))

@@ -123,9 +123,14 @@ object Round6Queries8 {
           ((col("g") * 2 + 1).cast("double") * (col("bt") * 2 + 10).cast("double"))
             / ((col("b") * 2 + 1).cast("double")
               * (col("gt") * 2 + 10).cast("double"))), 6))
+        // D38 before the products: g·bt and the ×woe_e6 numerator cross
+        // int64 near 1e6 good × 1e6 bad docs, where Spark (non-ANSI)
+        // would wrap silently while the oracle's HUGEINT keeps going —
+        // the same route q192/q195 already take for cross-products
         .withColumn("iv_term_e6", Det.ihalfUpSigned(
-          (col("g") * col("bt") - col("b") * col("gt")) * col("woe_e6"),
-          col("gt") * col("bt")))
+          (col("g").cast(D38) * col("bt") - col("b").cast(D38) * col("gt"))
+            * col("woe_e6"),
+          col("gt").cast(D38) * col("bt")))
         .select(col("bin").cast("long").as("bin"), col("n"), col("g"),
           col("b"), col("woe_e6"), col("iv_term_e6"))
         .cache()
@@ -154,7 +159,8 @@ object Round6Queries8 {
                 FROM bins CROSS JOIN tot),
       iv AS (SELECT t.bin, t.n, t.g, t.b, t.woe_e6,
                     ${Det.ihalfUpSignedSql(
-        "(t.g * tot.bt - t.b * tot.gt) * t.woe_e6", "tot.gt * tot.bt")}
+        "(CAST(t.g AS HUGEINT) * tot.bt - CAST(t.b AS HUGEINT) * tot.gt) * t.woe_e6",
+        "CAST(tot.gt AS HUGEINT) * tot.bt")}
                       AS iv_term_e6
              FROM terms t CROSS JOIN tot)
       SELECT CAST(bin AS BIGINT) AS bin, n, g, b, woe_e6, iv_term_e6

@@ -195,6 +195,17 @@ class MediaCodecsSpec extends SparkTestBase {
         assert(img.pixels(y * w + x) == want, s"($x,$y) of ${w}x$h")
       }
     }
+    // a hostile header can declare ~8x more pixels than payload bytes
+    // (packed bits): 2^25 x 1 satisfies the BYTE budget with a 4 MiB
+    // raster but must be rejected by the MaxPbmPixels allocation bound —
+    // without it, a ~270 MB payload could force Int.MaxValue boxed tuples
+    val wide = s"P4\n${1 << 25} 1\n".getBytes("US-ASCII") ++
+      Array.fill[Byte]((1 << 22) + 8)(0)
+    assert(MediaCodecs.decodePbm4(wide).isEmpty)
+    // encoder moves with the decoder budget: encodable => decodable
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.encodePbm4(1 << 25, 1, (_, _) => false))
+      .getMessage.contains("P4 pixel budget"))
     // truncation and cross-magic rejection
     val good = MediaCodecs.encodePbm4(9, 2, (_, _) => true)
     assert(MediaCodecs.decodePbm4(good.dropRight(1)).isEmpty)
