@@ -173,55 +173,70 @@ object Round6Queries7 {
     * ITERATION — the top principal direction, the statistic behind
     * whitening, drift detection, and "is this embedding space collapsing"
     * monitoring. The (unnormalized, n²-scaled) covariance C = n·Σqqᵀ − ssᵀ
-    * comes from ONE pass over the quantized (×10⁴ long) coordinates: the
-    * 64-dim self-join per vector aggregates straight to the 64×64=4096-row
-    * moment relation in DECIMAL(38,0) — the fact table is never shuffled
-    * wider than (vec, dim). Three matvec iterations then run ENTIRELY on
-    * the 4096-row matrix relation (broadcast-joined against the 64-row
-    * vector), renormalizing by the max-|component| with exact half-up
-    * integer division to ×10⁶ — no sqrt, no driver-side linear algebra, no
-    * convergence loop whose trip count depends on data. The oracle unrolls
-    * the same three iterations as CTEs in HUGEINT. Output: the 64
-    * components of v₃ in ×10⁶ fixed point (sign = whatever the all-ones
-    * start converges to — identical arithmetic in both engines).
+    * comes from ONE pass over the quantized (×10⁴ long) coordinates with
+    * ZERO joins: each vector's 64-element quantized array is exploded once
+    * to (i, qᵢ, qarr) — 64 rows per vector, each still carrying the whole
+    * array — and one 64-group hash aggregate computes row i of the moment
+    * matrix (64 `sum(qᵢ·qarr[j])` buffers), the linear sums s1, and the
+    * vector count simultaneously; partial aggregation collapses everything
+    * map-side, so the corpus is never exchanged at all (the round-6 shape
+    * self-joined (vec, i, q) on vec_id: two corpus-sized hash exchanges
+    * plus 4096 joined rows per vector, buying nothing the in-row products
+    * don't; measured 4.8 s → 2.6 s at sf0.1). Three matvec
+    * iterations then run ENTIRELY on the 4096-row matrix relation
+    * (broadcast-joined against the 64-row vector), renormalizing by the
+    * max-|component| — floored at 1 so a degenerate all-identical corpus
+    * (zero covariance) yields a zero vector instead of Spark null-vs-DuckDB
+    * error divergence on m = 0 — with exact half-up integer division to
+    * ×10⁶; no sqrt, no driver-side linear algebra, no convergence loop
+    * whose trip count depends on data. The oracle unrolls the same three
+    * iterations as CTEs in HUGEINT. Output: the 64 components of v₃ in
+    * ×10⁶ fixed point (sign = whatever the all-ones start converges to —
+    * identical arithmetic in both engines).
     */
   val q190PowerIteration: QueryDef = QueryDef(
     "q190_power_iteration",
     (s, dir) => {
-      val q = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").as("i"),
-          floor(col("col").cast("double") * 10000 + 0.5).cast("long").as("q"))
-        .cache()
       // moment sums accumulate as LONG (codegen'd hash agg): |q| < 2^15 so
       // per-term products are < 2^30 and the sum stays exact through 2^33
       // vectors; beyond that, interpose a per-shard long partial and a
       // DECIMAL(38,0) merge (two-level aggregate) — the quantities only
       // enter the D38 domain once, in the covariance combination below.
-      val s2 = q.as("a").join(q.as("b"), "vec_id")
-        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-        .agg(sum(col("a.q") * col("b.q")).as("s2"))
-      val s1 = q.groupBy("i").agg(sum(col("q")).as("s1"))
-      val nd = q.agg(countDistinct("vec_id").as("n"))
-      // cache: c is 64×64 rows but sits atop the corpus-sized moment join —
+      // ONE corpus pass: row i of the moment matrix, the linear sums s1,
+      // and the vector count all come out of the same 64-group aggregate
+      // (64 input rows per vector, 66 sum buffers per group).
+      val wide = Tables.load(s, dir, "embeddings")
+        .select(transform(col("embedding"),
+          e => floor(e.cast("double") * 10000 + 0.5).cast("long")).as("qarr"))
+        .select(col("qarr"), posexplode(col("qarr")).as(Seq("i", "qi")))
+        .groupBy("i")
+        .agg(sum(col("qi")).as("lin"), (count(lit(1)).as("n") +:
+          (0 until 64).map(j =>
+            sum(col("qi") * element_at(col("qarr"), j + 1)).as(s"s$j"))): _*)
+        .cache() // 64 rows atop the corpus scan; feeds the unpivot AND linj
+      // cache: c is 64×64 rows but sits atop the corpus-sized moment scan —
       // each of the three matvec iterations references it (protocol #6)
-      val c = s2
-        .join(broadcast(s1.select(col("i"), col("s1").as("s1i"))), "i")
-        .join(broadcast(s1.select(col("i").as("j"), col("s1").as("s1j"))), "j")
-        .crossJoin(broadcast(nd))
+      val c = wide
+        .select(col("i"), col("lin"), col("n"),
+          posexplode(array((0 until 64).map(j => col(s"s$j")): _*))
+            .as(Seq("j", "s2")))
+        .join(broadcast(wide.select(col("i").as("j"), col("lin").as("linj"))), "j")
         .select(col("i"), col("j"),
           (col("n").cast(D38) * col("s2").cast(D38)
-            - col("s1i").cast(D38) * col("s1j").cast(D38)).as("c"))
+            - col("lin").cast(D38) * col("linj").cast(D38)).as("c"))
         .cache()
       var v = s.range(0, 64).toDF("j").withColumn("v", lit(1000000L))
       for (_ <- 1 to 3) {
         val w = c.join(broadcast(v), "j")
           .groupBy("i").agg(sum(col("c") * col("v").cast(D38)).as("w"))
         val m = w.agg(max(abs(col("w"))).as("m"))
+        // greatest(m, 1): zero covariance (degenerate corpus) would divide
+        // by zero — Spark yields nulls, DuckDB raises on HUGEINT; the floor
+        // makes both produce an exact zero vector
         v = w.crossJoin(broadcast(m))
           .select(col("i").as("j"),
-            Det.ihalfUpSigned(col("w") * lit(1000000L).cast(D38), col("m"))
-              .as("v"))
+            Det.ihalfUpSigned(col("w") * lit(1000000L).cast(D38),
+              greatest(col("m"), lit(1).cast(D38))).as("v"))
       }
       v.select(col("j").cast("long").as("i"), col("v").as("v_e6")).orderBy("i")
     },
@@ -244,15 +259,15 @@ object Round6Queries7 {
       v0 AS (SELECT unnest(range(64)) AS j, CAST(1000000 AS HUGEINT) AS v),
       w1 AS (SELECT i, sum(c * v) AS w FROM c JOIN v0 USING (j) GROUP BY 1),
       m1 AS (SELECT max(abs(w)) AS m FROM w1),
-      v1 AS (SELECT i AS j, ${Det.ihalfUpSignedSql("w * 1000000", "m")} AS v
+      v1 AS (SELECT i AS j, ${Det.ihalfUpSignedSql("w * 1000000", "greatest(m, 1)")} AS v
              FROM w1 CROSS JOIN m1),
       w2 AS (SELECT i, sum(c * v) AS w FROM c JOIN v1 USING (j) GROUP BY 1),
       m2 AS (SELECT max(abs(w)) AS m FROM w2),
-      v2 AS (SELECT i AS j, ${Det.ihalfUpSignedSql("w * 1000000", "m")} AS v
+      v2 AS (SELECT i AS j, ${Det.ihalfUpSignedSql("w * 1000000", "greatest(m, 1)")} AS v
              FROM w2 CROSS JOIN m2),
       w3 AS (SELECT i, sum(c * v) AS w FROM c JOIN v2 USING (j) GROUP BY 1),
       m3 AS (SELECT max(abs(w)) AS m FROM w3),
-      v3 AS (SELECT i AS j, ${Det.ihalfUpSignedSql("w * 1000000", "m")} AS v
+      v3 AS (SELECT i AS j, ${Det.ihalfUpSignedSql("w * 1000000", "greatest(m, 1)")} AS v
              FROM w3 CROSS JOIN m3)
       SELECT CAST(j AS BIGINT) AS i, CAST(v AS BIGINT) AS v_e6
       FROM v3 ORDER BY i"""))
