@@ -188,6 +188,77 @@ object Ranks {
       .drop("__bkt" +: "__off" +: "__rn" +: "__t" +: groupNames: _*)
   }
 
+  /** Exact INTERPOLATED percentiles (SQL `quantile_cont` semantics) per
+    * group via distributed selection — the scale path that replaces the
+    * `percentile()` ObjectHashAggregate, which buffers every value of a
+    * group inside ONE final reducer (the 100 TB anti-pattern PlanSpec now
+    * bans from the registered surface). For each requested p the two
+    * neighbor ranks ⌊1 + p·(n−1)⌋ / ⌈1 + p·(n−1)⌉ become named targets in
+    * the [[selectByRank]] bucket construction, FUSED across every
+    * requested percentile: one extremes aggregate, one per-(bucket, group)
+    * count aggregate, and one window pass over the union of target buckets
+    * (~2·|ps|·n/B rows) pick every neighbor value simultaneously — three
+    * column-pruned scans TOTAL however many percentiles are asked for,
+    * with no group's values ever collecting in one place. Neighbors
+    * interpolate as lo + frac·(hi − lo), the same IEEE-double formula the
+    * built-in aggregates use, so results match them bit-for-bit.
+    * Constraints: `value` numeric, finite, and NON-NULL (SQL percentile
+    * aggregates skip nulls; this operator would rank them — filter first);
+    * `tiebreak` must complete a total order (unique key). Callers should
+    * `cache()` the input when it is an expensive subtree. Output: one row
+    * per group with a raw double column per (p, name) pair.
+    */
+  def interpolatedPercentiles(df: DataFrame, groups: Seq[String], value: Column,
+      tiebreak: Seq[Column], ps: Seq[(Double, String)]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val b = parts * BucketFanout
+    val sort = value +: tiebreak
+    val gcols = groups.map(col)
+    val base = withBucket(df, sort.head.cast("double"), b)
+    val offParts = if (gcols.isEmpty) Seq(const0(col("__bkt"))) else gcols
+    val offW = Window.partitionBy(offParts: _*).orderBy(col("__bkt"))
+    val cnts = base.groupBy((col("__bkt") +: gcols): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", sum(col("__cnt")).over(offW) - col("__cnt"))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(offParts: _*)))
+    // every (percentile, lo/hi) bound becomes one named target rank; a
+    // bucket row survives once per target it covers (the explode is over a
+    // 2|ps|-element literal array on the O(B x groups) count relation)
+    val targets = cnts.select((gcols :+ col("__bkt") :+ col("__off") :+
+      col("__cnt") :+ col("__n") :+
+      explode(array(ps.flatMap { case (p, out) =>
+        val pos = lit(p) * (col("__n").cast("double") - 1) // 0-based index
+        Seq(struct(lit(s"lo_$out").as("__nm"),
+            (floor(pos) + 1).cast("long").as("__t")),
+          struct(lit(s"hi_$out").as("__nm"),
+            least(floor(pos) + 2, col("__n").cast("double")).cast("long").as("__t")))
+      }: _*)).as("__tg")): _*)
+      .filter(col("__off") < col("__tg.__t") &&
+        col("__tg.__t") <= col("__off") + col("__cnt"))
+      .select((gcols :+ col("__bkt") :+ col("__off") :+ col("__n") :+
+        col("__tg.__nm").as("__nm") :+ col("__tg.__t").as("__t")): _*)
+    // one window pass over the pruned rows; partitioning includes the
+    // target name so a bucket matched by several targets numbers each copy
+    // independently (identical numbers — the rank filter just reads its own)
+    val w = Window.partitionBy((col("__bkt") +: col("__nm") +: gcols): _*)
+      .orderBy(sort: _*)
+    val picked = base.join(broadcast(targets), "__bkt" +: groups)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .filter(col("__off") + col("__rn") === col("__t"))
+      .select((gcols :+ col("__nm") :+ col("__n") :+ value.as("__v")): _*)
+    val aggs = ps.flatMap { case (_, out) => Seq(
+      max(when(col("__nm") === s"lo_$out", col("__v"))).as(s"__lo_$out"),
+      max(when(col("__nm") === s"hi_$out", col("__v"))).as(s"__hi_$out"))
+    } :+ max(col("__n")).as("__n") // all rows of a group carry the same n
+    val pivoted = picked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+    val withOuts = ps.foldLeft(pivoted) { case (acc, (p, out)) =>
+      val pos = lit(p) * (col("__n").cast("double") - 1)
+      acc.withColumn(out, col(s"__lo_$out") +
+        (pos - floor(pos)) * (col(s"__hi_$out") - col(s"__lo_$out")))
+    }
+    withOuts.select(gcols ++ ps.map(p => col(p._2)): _*)
+  }
+
   /** WEIGHTED selection: the one row per group where the running weight
     * (accumulated in `sort` order) first reaches `targetOfW(W)`, W = the
     * group's total weight — e.g. the weighted median at target ceil(W/2).

@@ -405,18 +405,29 @@ object ExtQueries {
     * the sketch value is engine-specific, so the hashed output carries the
     * exact percentile plus a boolean pinning the approximation inside a 2%
     * relative band — "the sketch ran and was sane" as a hash-checkable fact.
+    * The exact anchor comes from the distributed selection path
+    * ([[graft.operators.Ranks.interpolatedPercentiles]]) — the
+    * `approx_percentile` sketch itself is a bounded mergeable state and
+    * stays; only the single-reducer exact `percentile()` aggregate is
+    * banned from the surface (PlanSpec).
     */
   val q78ApproxPercentile: QueryDef = QueryDef(
     "q78_approx_percentile",
-    (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"))
-        .select(col("l_returnflag"), Det.rdet(col("p50"), 4).as("p50"),
-          (abs(col("ap50") - col("p50")) <= col("p50") * 0.02d).as("approx_ok"))
-        .orderBy("l_returnflag"),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .cache()
+      val exact = graft.operators.Ranks.interpolatedPercentiles(li,
+        Seq("l_returnflag"), col("l_extendedprice"),
+        Seq(col("l_orderkey"), col("l_linenumber")), Seq(0.5 -> "p50x"))
+      li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"))
+        .join(broadcast(exact), "l_returnflag")
+        .select(col("l_returnflag"), Det.rdet(col("p50x"), 4).as("p50"),
+          (abs(col("ap50") - col("p50x")) <= col("p50x") * 0.02d).as("approx_ok"))
+        .orderBy("l_returnflag")
+    },
     Some(s"""
       SELECT l_returnflag,
              ${Det.rdetSql("quantile_cont(l_extendedprice, 0.5e0)", 4)} AS p50,

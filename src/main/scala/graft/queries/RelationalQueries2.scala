@@ -57,16 +57,31 @@ object RelationalQueries2 {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
       ORDER BY status, priority"""))
 
-  /** Exact interpolated percentiles (median, p90) per group. */
+  /** Exact interpolated percentiles (median, p90) per group — computed by
+    * [[graft.operators.Ranks.interpolatedPercentiles]] (distributed
+    * selection: neighbor-rank picks + IEEE interpolation) rather than the
+    * `percentile()` ObjectHashAggregate, which buffers a group's ENTIRE
+    * value column inside one final reducer and was the one registered plan
+    * that would not survive 100× (rounds 4–6 `weak`). RanksSpec pins the
+    * two forms equal; PlanSpec bans the single-reducer aggregate from the
+    * whole surface.
+    */
   val q41Percentile: QueryDef = QueryDef(
     "q41_percentile",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          Det.rdet(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          Det.rdet(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
-        .orderBy("l_returnflag"),
+    (s, dir) => {
+      // cache: the count + four rank selections (lo/hi × p50/p90) all
+      // re-read this pruned 4-column relation
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .cache()
+      graft.operators.Ranks.interpolatedPercentiles(li, Seq("l_returnflag"),
+        col("l_extendedprice"), Seq(col("l_orderkey"), col("l_linenumber")),
+        Seq(0.5 -> "p50", 0.9 -> "p90"))
+        .select(col("l_returnflag"),
+          Det.rdet(col("p50"), 4).as("p50"), Det.rdet(col("p90"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    },
     Some(s"""
       SELECT l_returnflag,
              ${Det.rdetSql("quantile_cont(l_extendedprice, 0.5e0)", 4)} AS p50,

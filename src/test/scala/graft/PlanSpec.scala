@@ -167,13 +167,17 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q190 power iteration: matvecs broadcast the 64-row vector, moments aggregate once") {
+  test("q190 power iteration: one corpus aggregate, zero corpus joins") {
     val p = planOf("q190_power_iteration")
-    // s1 (x2 roles), nd, and the three iteration vectors all broadcast; the
-    // only wide op on data is the vec_id self-join + (i, j) aggregate
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p)
+    // the moment matrix, linear sums, and vector count come from ONE wide
+    // hash aggregate over a single explode — the corpus is never joined
+    // (the round-6 vec_id self-join is gone); every join in the plan
+    // (linj unpivot + three matvec iterations) broadcasts 64-row relations
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
 
   test("q191 exclusive blame scans the fact table once (pair grain cached), supplier broadcasts") {
     val p = planOf("q191_exclusive_blame")
@@ -197,6 +201,28 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(windows.nonEmpty, "expected window nodes in the cumsum")
     assert(windows.forall(_.partitionSpec.nonEmpty),
       s"unpartitioned window in: $windows")
+  }
+
+  test("NO query plans the exact-percentile aggregate (a group's whole column in one reducer)") {
+    // percentile() is a TypedImperativeAggregate that BUFFERS every value
+    // of a group inside the final reducer — the one registered plan shape
+    // that would not survive 100x (rounds 4-6 perf_weak). The surface now
+    // routes exact percentiles through Ranks.interpolatedPercentiles
+    // (distributed selection); approx_percentile's bounded mergeable
+    // sketch remains allowed. (Whole-surface sweeps sit at the END of this
+    // suite: running every query populates their .cache() relations, which
+    // would fold earlier tests' expected operators into InMemoryRelations.)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val offenders = queries.Registry.all.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan
+      val bad = collectWithSubqueries(plan) {
+        case a: BaseAggregateExec if a.aggregateExpressions
+          .exists(_.aggregateFunction.isInstanceOf[Percentile]) => a
+      }
+      if (bad.nonEmpty) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"exact Percentile aggregate in: $offenders")
   }
 
   test("NO query in the entire surface plans an unpartitioned WindowExec") {

@@ -88,6 +88,27 @@ class RanksSpec extends SparkTestBase {
     assert(got.size == 3) // one selected row per group
   }
 
+  test("interpolatedPercentiles matches the percentile() aggregate it replaced") {
+    // the single-reducer ObjectHashAggregate form retired from the query
+    // surface (q41/q78) lives on HERE as the correctness reference: the
+    // distributed-selection path must reproduce SQL quantile_cont exactly
+    // (double-for-double — both interpolate lo + frac*(hi - lo))
+    val df = randomDf(601, 23).withColumn("g", (col("id") % 3).cast("string"))
+      .withColumn("x", col("v") * 1.25 + col("id") % 7)
+    val want = df.groupBy("g")
+      .agg(expr("percentile(x, 0.5)").as("p50"), expr("percentile(x, 0.9)").as("p90"))
+      .select("g", "p50", "p90").as[(String, Double, Double)].collect().toSet
+    val got = Ranks.interpolatedPercentiles(df.cache(), Seq("g"), col("x"),
+        Seq(col("id")), Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .select("g", "p50", "p90").as[(String, Double, Double)].collect().toSet
+    assert(got == want)
+    // grand-total grouping (groups = empty) also matches
+    val want0 = df.agg(expr("percentile(x, 0.25)")).head().getDouble(0)
+    val got0 = Ranks.interpolatedPercentiles(df, Seq.empty, col("x"),
+      Seq(col("id")), Seq(0.25 -> "p25")).head().getDouble(0)
+    assert(got0 == want0)
+  }
+
   test("selectByWeightedRank picks the window-reference weighted median") {
     val rnd2 = new scala.util.Random(17)
     val df = Seq.tabulate(700)(i =>
