@@ -361,6 +361,276 @@ object MediaCodecs {
       BmpImage(wi, hi, px)
     }
 
+  // ---------------------------------------------------------------- PNG --
+
+  /** PNG pixel budget — same rationale as [[MaxPbmPixels]], sharper: the
+    * raster is DEFLATE-compressed, so a few-KB payload can legitimately
+    * declare (and decompress to) an enormous raster. Decode allocation is
+    * bounded by this cap, never by the payload size.
+    */
+  val MaxPngPixels: Long = 1L << 24
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Paeth predictor (PNG spec §9.4): nearest of left/above/upper-left to
+    * the linear estimate a + b − c, ties broken a, then b.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** One PNG chunk: length + type + data + CRC32(type ++ data). Visible to
+    * the spec so hostile fixtures (bad filter bytes, oversized IHDR dims)
+    * can be assembled with VALID chunk framing — corruption tests then
+    * target exactly one invariant at a time.
+    */
+  private[graft] def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    require(t.length == 4, s"bad chunk type $typ")
+    val out = new Array[Byte](12 + data.length)
+    putBe32(out, 0, data.length)
+    System.arraycopy(t, 0, out, 4, 4)
+    System.arraycopy(data, 0, out, 8, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    putBe32(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  /** zlib-deflate a buffer (JDK Deflater — the zlib wrapper PNG IDAT
+    * requires). Spec-visible for the same hostile-fixture reason as
+    * [[pngChunk]].
+    */
+  private[graft] def pngDeflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Build a complete PNG from an already-FILTERED raw scanline buffer
+    * (h rows of 1 filter byte + stride sample bytes). Shared by the three
+    * public encoders; spec-visible so hostile streams (bad filter byte,
+    * short raster) can reuse the valid framing.
+    */
+  private[graft] def pngAssemble(width: Int, height: Int, colorType: Int,
+      raw: Array[Byte]): Array[Byte] = {
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorType.toByte
+    // ihdr(10..12) = compression 0, filter 0, interlace 0 (zero-filled)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngMagic)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", pngDeflate(raw)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Core PNG encode: 8-bit samples, `bpp` channels per pixel fed by
+    * `sample(x, y, channel)`, one filter type per row from `filterOf`
+    * (0=None 1=Sub 2=Up 3=Average 4=Paeth — encode with a mix to exercise
+    * every decoder unfilter path; the format allows any per-row choice).
+    */
+  private def encodePngRaw(width: Int, height: Int, colorType: Int, bpp: Int,
+      sample: (Int, Int, Int) => Int, filterOf: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= MaxPngPixels,
+      s"dims ${width}x$height exceed the PNG pixel budget")
+    val stride = bpp * width
+    val img = new Array[Byte](stride * height) // unfiltered samples
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var ch = 0
+        while (ch < bpp) {
+          img(y * stride + bpp * x + ch) = sample(x, y, ch).toByte; ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val raw = new Array[Byte]((1 + stride) * height) // filtered scanlines
+    y = 0
+    while (y < height) {
+      val ft = filterOf(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      raw(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = img(y * stride + x) & 0xff
+        val a = if (x >= bpp) img(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) img((y - 1) * stride + x - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(y * (1 + stride) + 1 + x) = (f & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngAssemble(width, height, colorType, raw)
+  }
+
+  /** Encode an 8-bit RGB (color type 2) PNG. `pixel(x, y)` yields
+    * (r, g, b) in 0..255, y = 0 the top row; `filterOf(y)` picks each
+    * row's filter type (default None — pass e.g. `_ % 5` to cycle through
+    * Sub/Up/Average/Paeth as well).
+    */
+  def encodePng(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int),
+      filterOf: Int => Int = _ => 0): Array[Byte] =
+    encodePngRaw(width, height, colorType = 2, bpp = 3,
+      (x, y, ch) => { val (r, g, b) = pixel(x, y)
+        if (ch == 0) r else if (ch == 1) g else b }, filterOf)
+
+  /** Encode an 8-bit grayscale (color type 0) PNG. */
+  def encodePngGray(width: Int, height: Int, pixel: (Int, Int) => Int,
+      filterOf: Int => Int = _ => 0): Array[Byte] =
+    encodePngRaw(width, height, colorType = 0, bpp = 1,
+      (x, y, _) => pixel(x, y), filterOf)
+
+  /** Encode an 8-bit RGBA (color type 6) PNG; `pixel(x, y)` yields
+    * (r, g, b, a).
+    */
+  def encodePngRgba(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int, Int),
+      filterOf: Int => Int = _ => 0): Array[Byte] =
+    encodePngRaw(width, height, colorType = 6, bpp = 4,
+      (x, y, ch) => { val (r, g, b, a) = pixel(x, y)
+        ch match { case 0 => r; case 1 => g; case 2 => b; case _ => a } },
+      filterOf)
+
+  /** Decode a PNG — pure JVM: chunk walk with CRC32 verification, IDAT
+    * concatenation, zlib inflate (JDK Inflater), per-row unfilter
+    * (None/Sub/Up/Average/Paeth). Supports 8-bit gray (widened r=g=b),
+    * RGB, and RGBA (alpha dropped — the shared container is RGB) in the
+    * non-interlaced layout; returns None — never throws — for anything
+    * else (palette/16-bit/Adam7, truncated or over-long IDAT stream, CRC
+    * mismatch, bad filter byte, hostile dims past [[MaxPngPixels]]).
+    */
+  def decodePng(b: Array[Byte]): Option[BmpImage] = {
+    if (b.length < 8 + 25 || !PngMagic.indices.forall(i => b(i) == PngMagic(i)))
+      return None
+    var off = 8
+    var w = 0; var h = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off + 12 <= b.length && !seenIend) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12L + len > b.length) return None // truncated
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue.toInt != be32(b, off + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          seenIhdr = true
+          w = be32(b, off + 8); h = be32(b, off + 12)
+          val bitDepth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
+          if (bitDepth != 8 ||
+            (colorType != 0 && colorType != 2 && colorType != 6)) return None
+          if (b(off + 18) != 0 || b(off + 19) != 0 || b(off + 20) != 0)
+            return None // compression/filter method, interlace (Adam7 rejected)
+          // dims are signed BE reads: negatives fail the > 0 check; the
+          // pixel cap bounds allocation (deflate hides the true raster
+          // size from any payload-proportional bound)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPngPixels) return None
+        case "IDAT" => if (!seenIhdr) return None; idat.write(b, off + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks (tEXt, gAMA, ...) skipped
+      }
+      off += 12 + len
+    }
+    if (!seenIhdr || !seenIend || idat.size == 0) return None
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val stride = bpp * w // <= 4 * MaxPngPixels, far inside Int
+    if ((1L + stride) * h > Int.MaxValue) return None
+    val raw = new Array[Byte]((1 + stride) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated stream / preset dictionary
+        got += n
+      }
+      if (got < raw.length) return None
+      // strict: the stream must END exactly at the declared raster — one
+      // more inflate drives the zlib trailer (Adler-32) through; surplus
+      // data (n > 0) or a missing/short trailer (still unfinished) is not
+      // the image the header describes
+      if (!inf.finished()) {
+        val n = inf.inflate(new Array[Byte](1))
+        if (n > 0 || !inf.finished()) return None
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place (prior reconstructed row is read back from `raw`)
+    var y = 0
+    while (y < h) {
+      val rs = y * (1 + stride)
+      val ft = raw(rs) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val i = rs + 1 + x
+        val a = if (x >= bpp) raw(i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(i - (1 + stride)) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) raw(i - (1 + stride) - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => raw(i) & 0xff
+          case 1 => (raw(i) & 0xff) + a
+          case 2 => (raw(i) & 0xff) + up
+          case 3 => (raw(i) & 0xff) + (a + up) / 2
+          case 4 => (raw(i) & 0xff) + paeth(a, up, c)
+        }
+        raw(i) = rec.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val px = new Array[(Int, Int, Int)](w * h)
+    var i = 0
+    while (i < w * h) {
+      val y0 = i / w
+      val p = y0 * (1 + stride) + 1 + bpp * (i - y0 * w)
+      px(i) = colorType match {
+        case 0 => val g = raw(p) & 0xff; (g, g, g)
+        case _ => ((raw(p) & 0xff), (raw(p + 1) & 0xff), (raw(p + 2) & 0xff))
+      }
+      i += 1
+    }
+    Some(BmpImage(w, h, px))
+  }
+
   /** Total file size of a canonical 44-byte-header PCM16 mono WAV. */
   def wavFileSize(nSamples: Int): Int = 44 + 2 * nSamples
 

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct; decode / feature-extract
   * run per-partition in batches.
   *
-  * Decode is REAL for the uncompressed public formats a zero-dependency JVM
-  * can parse — 24-bit BMP, P6/P5/P4 Netpbm, and PCM16 WAV ([[MediaCodecs]], sniffed by magic
-  * bytes in [[realDecode]]) — and falls back to a deterministic fake
-  * ([[fakeDecode]]) for formats that need codec libraries this environment
-  * does not ship (JPEG/PNG/MP3). The Spark-side contract (schema, batch
+  * Decode is REAL for the public formats a zero-dependency JVM can parse —
+  * 24-bit BMP, P6/P5/P4 Netpbm, PCM16 WAV, and 8-bit gray/RGB/RGBA PNG
+  * (chunk walk + JDK-Inflater IDAT + per-row unfilter) ([[MediaCodecs]],
+  * sniffed by magic bytes in [[realDecode]]) — and falls back to a
+  * deterministic fake ([[fakeDecode]]) for formats that need codec
+  * libraries this environment does not ship (JPEG/MP3, palette/16-bit/
+  * interlaced PNG). The Spark-side contract (schema, batch
   * shape, partition-level execution, feature vector layout) is identical on
   * both paths; swapping a codec in means replacing one pure function.
   *
@@ -62,6 +64,8 @@ object Multimodal {
         struct(
           when(substring(col("content"), 1, 2) === lit("BM".getBytes("US-ASCII")), "bmp")
             .when(substring(col("content"), 1, 4) === lit("RIFF".getBytes("US-ASCII")), "wav")
+            .when(substring(col("content"), 1, 4) ===
+              lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
             .otherwise("unknown").as("formatGuess"),
           octet_length(col("content")).as("nBytes"),
           crc32(col("content")).as("checksum")).as("meta"))
@@ -117,6 +121,9 @@ object Multimodal {
     *  - P5 PGM → gray widened to r = g = b in the same container; channels
     *    reports 3 (the container's), features as for RGB.
     *  - P4 PBM → 1-bit widened to black/white RGB in the same container.
+    *  - PNG (8-bit gray/RGB/RGBA, non-interlaced) → REAL decode: CRC'd
+    *    chunk walk, zlib-inflated IDAT, per-row unfilter — gray widens,
+    *    alpha drops; same RGB container and features.
     *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
     *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
     *    below 2^24 for the corpus encodings, so the float features are
@@ -127,6 +134,7 @@ object Multimodal {
       .orElse(MediaCodecs.decodePpm6(payload)) // same RGB container + features
       .orElse(MediaCodecs.decodePgm5(payload)) // grayscale widened to RGB
       .orElse(MediaCodecs.decodePbm4(payload)) // 1-bit widened to RGB
+      .orElse(MediaCodecs.decodePng(payload)) // inflate + unfilter, same container
       .map { img =>
       var wr = 0L; var wg = 0L; var wb = 0L
       var y = 0

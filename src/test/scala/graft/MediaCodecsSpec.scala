@@ -214,6 +214,77 @@ class MediaCodecsSpec extends SparkTestBase {
       MediaCodecs.encodePgm5(2, 2, (_, _) => 9)).isEmpty)
   }
 
+  test("png roundtrip recovers pixels across all five filter types and three color types") {
+    for (w <- Seq(1, 3, 5, 8); h <- Seq(1, 2, 7)) {
+      val pat = (x: Int, y: Int) =>
+        ((x * 7 + y * 13) % 256, (x * 3 + y) % 256, (x + y * 29) % 256)
+      // filterOf = _ % 5 walks None/Sub/Up/Average/Paeth — every unfilter
+      // path participates whenever h > 4, and Sub/Average/Paeth see the
+      // x < bpp left-edge case at every width
+      val enc = MediaCodecs.encodePng(w, h, pat, filterOf = _ % 5)
+      val img = MediaCodecs.decodePng(enc).get
+      assert(img.width == w && img.height == h, s"${w}x$h")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) == pat(x, y), s"($x,$y) of ${w}x$h")
+    }
+    // gray widens to r = g = b; RGBA's alpha drops — the shared container
+    val g = MediaCodecs.decodePng(
+      MediaCodecs.encodePngGray(4, 3, (x, y) => (10 * y + x) % 256, _ % 5)).get
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(g.pixels(y * 4 + x) == ((10 * y + x, 10 * y + x, 10 * y + x)))
+    val ra = MediaCodecs.decodePng(
+      MediaCodecs.encodePngRgba(3, 2, (x, y) => (x, y, x + y, 128), _ % 5)).get
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(ra.pixels(y * 3 + x) == ((x, y, x + y)))
+  }
+
+  test("png decoder rejects corruption, truncation, bad filters, hostile dims — never throws") {
+    val good = MediaCodecs.encodePng(5, 4, (x, y) => (x, y, x + y))
+    assert(MediaCodecs.decodePng(good).isDefined)
+    // one flipped byte inside IDAT data: the chunk CRC catches it
+    val flipped = good.clone()
+    flipped(43) = (flipped(43) ^ 0x41).toByte
+    assert(MediaCodecs.decodePng(flipped).isEmpty)
+    // truncation mid-chunk: framing bounds fail before any allocation
+    assert(MediaCodecs.decodePng(good.dropRight(15)).isEmpty)
+    assert(MediaCodecs.decodePng(good.take(20)).isEmpty)
+    // hostile streams with VALID chunk framing, one broken invariant each
+    val sig = good.take(8)
+    val ihdr = good.slice(8, 33) // the whole valid IHDR chunk
+    val iend = MediaCodecs.pngChunk("IEND", Array.emptyByteArray)
+    val rawLen = (1 + 3 * 5) * 4
+    val zeroRaw = new Array[Byte](rawLen) // filter 0 rows, black pixels
+    def png(idatData: Array[Byte], hdr: Array[Byte] = ihdr) =
+      sig ++ hdr ++ MediaCodecs.pngChunk("IDAT", idatData) ++ iend
+    assert(MediaCodecs.decodePng(png(MediaCodecs.pngDeflate(zeroRaw))).isDefined)
+    // zlib stream cut short of the declared raster
+    assert(MediaCodecs.decodePng(
+      png(MediaCodecs.pngDeflate(zeroRaw).dropRight(4))).isEmpty)
+    // stream decompressing PAST the declared raster
+    assert(MediaCodecs.decodePng(
+      png(MediaCodecs.pngDeflate(new Array[Byte](rawLen + 5)))).isEmpty)
+    // filter byte outside 0..4
+    val badFilter = zeroRaw.clone(); badFilter(0) = 9
+    assert(MediaCodecs.decodePng(png(MediaCodecs.pngDeflate(badFilter))).isEmpty)
+    // hostile dims: 32768 x 32768 = 2^30 pixels blows the MaxPngPixels cap
+    // (a few-KB deflate payload could otherwise force a multi-GB pixel
+    // array — compression hides the raster size from payload bounds)
+    val bigDims = Array[Byte](0, 0, 0x40, 0, 0, 0, 0x40, 0, 8, 2, 0, 0, 0)
+    val big = Array[Byte](0, 0, -128, 0, 0, 0, -128, 0, 8, 2, 0, 0, 0)
+    assert(MediaCodecs.decodePng(png(MediaCodecs.pngDeflate(zeroRaw),
+      MediaCodecs.pngChunk("IHDR", big))).isEmpty)
+    // 16-bit depth, palette color type, and Adam7 interlace all fall back
+    for (i <- Seq(8, 9, 12)) {
+      val hdr = ihdr.slice(8, 21) // the 13 IHDR data bytes
+      hdr(i) = (i match { case 8 => 16; case 9 => 3; case _ => 1 }).toByte
+      assert(MediaCodecs.decodePng(png(MediaCodecs.pngDeflate(zeroRaw),
+        MediaCodecs.pngChunk("IHDR", hdr))).isEmpty, s"ihdr byte $i")
+    }
+    // bigDims (2^14 square = 2^28 > cap) also rejected
+    assert(MediaCodecs.decodePng(png(MediaCodecs.pngDeflate(zeroRaw),
+      MediaCodecs.pngChunk("IHDR", bigDims))).isEmpty)
+  }
+
   test("pgm roundtrip widens gray to RGB; P5/P6 magics don't cross-decode") {
     val enc = MediaCodecs.encodePgm5(3, 2, (x, y) => 10 * y + x)
     val img = MediaCodecs.decodePgm5(enc).get
