@@ -106,6 +106,32 @@ object Bench {
     val tailJson =
       if (omitted == 0) "}}" else s"""},"queries_omitted":$omitted}"""
     println(head + kept.sorted.mkString(",") + tailJson)
+    // Side-channel: the COMPLETE per-query map (full names, 3-decimal
+    // seconds, errors inline), untruncated — the compact stdout line above
+    // drops the fastest entries once the surface outgrows its ~2000-char
+    // budget (60 entries omitted in round 6), which killed query-by-query
+    // cross-round diffing. This file restores it without touching the
+    // driver's contract.
+    val fullJson = {
+      def fmt3(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val entries = results.sortBy(_._1).map {
+        case (k, v, None)    => s""""$k":${fmt3(v)}"""
+        case (k, _, Some(e)) => s""""$k":"ERR:$e""""
+      }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
+        s""""repeats":$repeats,"sf":"$sfDir","queries":{""" +
+        entries.mkString(",") + "}}"
+    }
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_full.json write failed: $e")
+    }
     spark.stop()
   }
 }

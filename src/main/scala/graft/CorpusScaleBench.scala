@@ -126,9 +126,69 @@ object CorpusScaleBench {
       time("setsim_prefix") {
         operators.Dedup.prefixJaccardPairs(corpus, 0.6)
       })
-    val qs = results.map { case (k, v, n) =>
+
+    // Persisted-LSH-index lifecycle at corpus scale: the write pass pays
+    // history's shingle+banding cost ONCE; the probe answers the same delta
+    // as delta_dedup_pairs above from the stored bucketed tables — it must
+    // beat the stateless recompute, which re-hashes history every night.
+    val history = corpus.filter(col("doc_id") % replicas =!= 0)
+    val delta = corpus.filter(col("doc_id") % replicas === 0)
+    val tBuild = System.nanoTime()
+    operators.Dedup.writeLshIndex(history, shingleK = 3, rowsPerBand = 2,
+      indexTable = "csb_lsh_index", shingleTable = "csb_lsh_shingles")
+    val buildRows = spark.table("csb_lsh_index").count()
+    val indexResults = Seq(
+      ("lsh_index_build", (System.nanoTime() - tBuild) / 1e9, buildRows),
+      time("lsh_index_probe")(
+        operators.Dedup.probeLshIndex(delta, shingleK = 3, rowsPerBand = 2,
+          threshold = 0.5,
+          indexTable = "csb_lsh_index", shingleTable = "csb_lsh_shingles")))
+    // ANN recall at corpus scale: blow the 2k-vector embeddings fixture up
+    // EMB_REPLICAS× with per-dimension perturbations (replicas land near
+    // their original — realistic clustered structure, so IVF cells are
+    // meaningful), then measure recall@10 of trained-IVF multiprobe against
+    // the brute-force ground truth for the same 20 queries at nprobe
+    // 1/2/4. This is where nprobe matters: each probe step buys back the
+    // neighbors that fell across a cell boundary, at nprobe/kClusters of
+    // the corpus per query.
+    val embReplicas = sys.env.getOrElse("SPARK_GRAFT_EMB_REPLICAS", "50").toInt
+    val embCorpus = Tables.load(spark, sfDir, "embeddings")
+      .crossJoin(spark.range(embReplicas).toDF("r"))
+      .select(
+        (col("vec_id") * embReplicas + col("r")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + (pmod(col("r") * 7 + i, lit(11)) - 5).cast("float") * lit(0.003f))
+          .as("embedding"),
+        col("label"))
+      .repartition(cpus.toInt * 2)
+      .cache()
+    val nVecs = embCorpus.count()
+    val nQ = 20
+    val topK = 10
+    val (_, bruteSec, _) =
+      time("ann_brute")(operators.Similarity.topKBruteL2(embCorpus, nQ, topK))
+    val truth = operators.Similarity.topKBruteL2(embCorpus, nQ, topK)
+      .select(col("q_id"), col("vec_id")).cache()
+    truth.count()
+    val annResults = Seq(1, 2, 4).map { nprobe =>
+      val t0 = System.nanoTime()
+      val probed = operators.Similarity.topKIvfMultiprobe(
+        embCorpus, nQ, topK, kClusters = 32, iters = 2, nprobe = nprobe)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val hits = truth.join(probed, Seq("q_id", "vec_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L)))).collect()(0).getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (nprobe, sec, hits.toDouble / (nQ * topK))
+    }
+    // NOTE: nprobe=1's first run also pays the (cached) Lloyd fit; the fit
+    // is shared across the three settings via KMeans' fit memoization, so
+    // the nprobe=2/4 deltas are pure probe cost.
+    val qs = (results ++ indexResults).map { case (k, v, n) =>
       f""""$k":{"sec":$v%.2f,"rows":$n}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"sf":"$sfDir","cpus":$cpus}""")
+    val ann = annResults.map { case (p, sec, rec) =>
+      f""""probe$p":{"sec":$sec%.2f,"recall_at_10":$rec%.4f}""" }
+      .mkString(f"""{"brute":{"sec":$bruteSec%.2f,"recall_at_10":1.0},""", ",", "}")
+    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ann_vecs":$nVecs,"ann":$ann,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

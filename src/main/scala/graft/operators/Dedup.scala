@@ -187,6 +187,75 @@ object Dedup {
       .select("new_doc", "old_doc", "jaccard")
   }
 
+  /** PERSISTED LSH index lifecycle, write side — the state a 100 TB lake
+    * maintains between ingests instead of re-hashing history every night
+    * (what [[deltaDedupPairs]] must do when no index exists). Two tables:
+    *
+    *   - `shingleTable` (doc_id, sh): the hashed-shingle sets, bucketed by
+    *     doc_id — the exact-verify side of any future probe joins this
+    *     WITHOUT shuffling it (bucket-pruned sort-merge).
+    *   - `indexTable` (doc_id, band, key): the banded minhash signatures,
+    *     bucketed + sorted by (band, key) — a probe's candidate join reads
+    *     the buckets directly, so the only exchange in the whole probe plan
+    *     is the (small) new batch.
+    *
+    * The banded index is derived FROM the stored shingle table, so the md5
+    * shingle pass over history is paid exactly once, at write time. Both
+    * writes go through the session catalog (`saveAsTable`) because bucket
+    * metadata — what eliminates the probe-side exchange — only persists on
+    * catalog tables; plain parquet directories lose it.
+    */
+  def writeLshIndex(docs: DataFrame, shingleK: Int, rowsPerBand: Int,
+                    indexTable: String, shingleTable: String,
+                    buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val warehouse = new java.io.File("target/graft_warehouse").getAbsolutePath
+    def save(df: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .option("path", s"$warehouse/$table")
+        .saveAsTable(table)
+    }
+    save(docs.filter(size(split(col("text"), " ")) >= shingleK)
+      .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh")),
+      shingleTable, Seq("doc_id"))
+    save(bandedFromHashes(spark.table(shingleTable), rowsPerBand),
+      indexTable, Seq("band", "key"))
+  }
+
+  /** PERSISTED LSH index lifecycle, probe side: check a NEW batch against
+    * the stored index without touching history's text at all. The new batch
+    * is hashed and banded (projections); candidates come from the (band,
+    * key) join against the bucketed index — history-side exchange-free —
+    * and the exact-Jaccard verify reads history's shingle sets from the
+    * bucketed shingle store. Same output contract as [[deltaDedupPairs]]:
+    * (new_doc, old_doc, jaccard), all matches >= threshold.
+    */
+  def probeLshIndex(newDocs: DataFrame, shingleK: Int, rowsPerBand: Int,
+                    threshold: Double,
+                    indexTable: String, shingleTable: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val hsNew = newDocs.filter(size(split(col("text"), " ")) >= shingleK)
+      .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))
+      .repartition(col("doc_id")) // one hashed pass, reused twice (exchange reuse)
+    val cand = bandedFromHashes(hsNew, rowsPerBand).as("a")
+      .join(spark.table(indexTable).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("old_doc"))
+      .distinct()
+    val inter = graft.plans.SortedLongArrayIntersectCount(col("sh_a"), col("sh_b"))
+    cand
+      .join(hsNew.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(spark.table(shingleTable)
+        .select(col("doc_id").as("old_doc"), col("sh").as("sh_b")), "old_doc")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select("new_doc", "old_doc", "jaccard")
+  }
+
   /** Length-bucket blocking width: candidate pairs must satisfy
     * |n_chars_a - n_chars_b| <= BlockWidth.
     */

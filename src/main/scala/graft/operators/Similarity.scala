@@ -100,6 +100,58 @@ object Similarity {
       .select("q_id", "rk", "vec_id", "cos")
   }
 
+  /** Trained-quantizer IVF top-k with MULTI-PROBE — the generic form of
+    * q79's inline plan, shared with CorpusScaleBench's recall measurement:
+    * Lloyd-trained centroids ([[KMeans.fitCentroids]]) index the corpus
+    * once; each query (vec_id < nQueries) probes its `nprobe` nearest cells
+    * and ranks candidates by exact squared L2. Cost scales with
+    * nprobe/kClusters of the corpus per query; the corpus itself never
+    * shuffles — centroids and queries broadcast into its partitions.
+    */
+  def topKIvfMultiprobe(emb: DataFrame, nQueries: Int, k: Int,
+                        kClusters: Int, iters: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kClusters, s"nprobe $nprobe out of range")
+    val centroids = KMeans.fitCentroids(emb, kClusters, iters)
+    val index = KMeans.assignments(emb, centroids)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+    val wq = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", KMeans.d2Col)
+      .withColumn("rkc", row_number().over(wq))
+      .filter(col("rkc") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cluster"))
+    val pairD2 = dot(col("embedding"), col("embedding")) -
+      lit(2.0d) * dot(col("embedding"), col("q_emb")) +
+      dot(col("q_emb"), col("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+    index.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", Det.rdet(pairD2, 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "d2")
+  }
+
+  /** Exact top-k by squared L2 (the multiprobe family's ground truth —
+    * [[topKBrute]] ranks by cosine, which is a different metric).
+    */
+  def topKBruteL2(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pairD2 = dot(col("embedding"), col("embedding")) -
+      lit(2.0d) * dot(col("embedding"), col("q_emb")) +
+      dot(col("q_emb"), col("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+    emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", Det.rdet(pairD2, 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "d2")
+  }
+
   /** Product-quantization-style codes: the 64-dim embedding splits into 8
     * subvectors of 8 dims; each subvector gets a 2-bit sign-LSH code (two
     * seed-fixed hyperplanes), packed into a 16-bit code. A deterministic

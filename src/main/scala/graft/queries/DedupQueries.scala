@@ -261,16 +261,11 @@ object DedupQueries {
     * pairs with itself. See [[graft.operators.Dedup.deltaDedupPairs]] for
     * the 100 TB posture (history's banded table = the persisted LSH index).
     */
-  val q150DeltaDedup: QueryDef = QueryDef(
-    "q150_delta_dedup",
-    (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-      Dedup.deltaDedupPairs(
-        d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
-        shingleK = 3, rowsPerBand = 2, threshold = 0.5)
-        .orderBy("new_doc", "old_doc")
-    },
-    Some(s"""
+  /** Shared by q150 (stateless recompute) and q202 (stored-index probe):
+    * both produce the identical delta-vs-history near-dup pairs, so one
+    * oracle pins both paths.
+    */
+  private val deltaPairsOracle = s"""
       WITH $shingleCtes,
       sig AS (SELECT doc_id,
                 list_distinct(list_transform(sh, t -> ${h32("t")})) AS hs,
@@ -288,10 +283,81 @@ object DedupQueries {
                  / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
         FROM cand JOIN sig sa ON sa.doc_id = new_doc
                   JOIN sig sb ON sb.doc_id = old_doc)
-      WHERE jaccard >= 0.5e0 ORDER BY new_doc, old_doc"""))
+      WHERE jaccard >= 0.5e0 ORDER BY new_doc, old_doc"""
+
+  val q150DeltaDedup: QueryDef = QueryDef(
+    "q150_delta_dedup",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.deltaDedupPairs(
+        d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+        shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+        .orderBy("new_doc", "old_doc")
+    },
+    Some(deltaPairsOracle))
+
+  /** Persisted-LSH-index BUILD ([[graft.operators.Dedup.writeLshIndex]]):
+    * history's hashed shingles and its banded signatures land in two
+    * bucketed catalog tables, then the audit reads the INDEX back and
+    * summarizes it per band — row count, distinct band keys, and a doc_id
+    * checksum, every value predicted by the oracle from `documents` alone,
+    * so a wrong signature, a dropped row, or a corrupted write all
+    * hash-mismatch. The bucketed layout is what q202's probe exploits.
+    */
+  val q201LshIndexBuild: QueryDef = QueryDef(
+    "q201_lsh_index_build",
+    (s, dir) => {
+      Dedup.writeLshIndex(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+        shingleK = 3, rowsPerBand = 2,
+        indexTable = "graft_lsh_index_audit",
+        shingleTable = "graft_lsh_shingles_audit")
+      s.table("graft_lsh_index_audit")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("key")).as("n_keys"),
+          sum(col("doc_id")).as("doc_sum"))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH $shingleCtes,
+      sig AS (SELECT doc_id, [${(0 until 8).map(sigExpr).mkString(", ")}] AS sg
+              FROM s WHERE doc_id % 5 != 0),
+      bands AS (SELECT doc_id, b,
+                  sg[2*b+1]::VARCHAR || '_' || sg[2*b+2]::VARCHAR AS key
+                FROM sig, generate_series(0, 3) g(b))
+      SELECT CAST(b AS INTEGER) AS band,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+             CAST(sum(doc_id) AS BIGINT) AS doc_sum
+      FROM bands GROUP BY b ORDER BY band"""))
+
+  /** Persisted-LSH-index PROBE — the other half of the lifecycle q150
+    * recomputes statelessly: build the index tables for history (the write
+    * side runs eagerly, standing in for last night's ingest), then answer
+    * the delta entirely from the STORED tables
+    * ([[graft.operators.Dedup.probeLshIndex]] — history's text is never
+    * re-hashed; the index side of the candidate join is exchange-free off
+    * its buckets). Output is identical to q150, checked by the same oracle.
+    */
+  val q202LshIndexProbe: QueryDef = QueryDef(
+    "q202_lsh_index_probe",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.writeLshIndex(d.filter(col("doc_id") % 5 =!= 0),
+        shingleK = 3, rowsPerBand = 2,
+        indexTable = "graft_lsh_index",
+        shingleTable = "graft_lsh_shingles")
+      Dedup.probeLshIndex(d.filter(col("doc_id") % 5 === 0),
+        shingleK = 3, rowsPerBand = 2, threshold = 0.5,
+        indexTable = "graft_lsh_index",
+        shingleTable = "graft_lsh_shingles")
+        .orderBy("new_doc", "old_doc")
+    },
+    Some(deltaPairsOracle))
 
   val all: Seq[QueryDef] = Seq(
     q24DedupExact, q25MinhashSignatures, q26MinhashLsh, q27Simhash, q28NgramJaccard,
     q56DedupFingerprint, q57Winnowing, q58DedupClusters, q63SimhashBanded,
-    q150DeltaDedup)
+    q150DeltaDedup, q201LshIndexBuild, q202LshIndexProbe)
 }

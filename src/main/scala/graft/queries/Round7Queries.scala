@@ -78,5 +78,35 @@ object Round7Queries {
                AS BIGINT) AS wsum_b
       FROM g ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q200PngDecode)
+  /** Compressed TEXT ingest — the lake-default path the parquet fixtures
+    * never exercise: the documents table round-trips through
+    * gzip-compressed JSON-lines files (written eagerly by the query, read
+    * back with `spark.read.json` — Hadoop's codec resolution picks gzip
+    * off the `.gz` suffix, nothing is configured), then exact dedup runs
+    * on what came back. The oracle is q24's over the ORIGINAL parquet, so
+    * any corruption in the encode→compress→decompress→parse chain (JSON
+    * escaping of control chars, charset, a truncated stream) lands in the
+    * hash comparison.
+    *
+    * Splittability note (SCALE.md §gzip): a .gz text file is ONE input
+    * split no matter its size — parallelism at read time equals the file
+    * count, so the writer's partitioning (here: the upstream shuffle's 32
+    * files) IS the read-side parallelism knob. At 100 TB keep compressed
+    * text shards at a few hundred MB, or use bzip2 (splittable) or a
+    * container format (parquet+zstd) instead.
+    */
+  val q203GzipIngest: QueryDef = QueryDef(
+    "q203_gzip_ingest",
+    (s, dir) => {
+      val path = new java.io.File("target/graft_gzip_docs").getAbsolutePath
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .write.mode("overwrite").option("compression", "gzip").json(path)
+      val back = s.read.schema("doc_id LONG, text STRING").json(path)
+      graft.operators.Dedup.exactDedup(back).orderBy("keep_doc_id")
+    },
+    Some("""
+      SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q200PngDecode, q203GzipIngest)
 }

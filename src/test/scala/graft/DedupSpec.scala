@@ -180,6 +180,34 @@ class DedupSpec extends SparkTestBase {
       s"no exchange reuse in delta-dedup plan:\n$plan")
   }
 
+  test("persisted LSH index: probe answers match the stateless recompute; index scan is bucketed") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      5L -> base, 10L -> other, // NEW side
+      1L -> nearDup, 2L -> base, 3L -> other, // history
+      4L -> "yet another unrelated sentence with its own distinct vocabulary set entirely")
+    val newDocs = d.filter(col("doc_id") % 5 === 0)
+    val hist = d.filter(col("doc_id") % 5 =!= 0)
+    Dedup.writeLshIndex(hist, shingleK = 3, rowsPerBand = 2,
+      indexTable = "spec_lsh_index", shingleTable = "spec_lsh_shingles")
+    val probe = Dedup.probeLshIndex(newDocs, shingleK = 3, rowsPerBand = 2,
+      threshold = 0.5, indexTable = "spec_lsh_index", shingleTable = "spec_lsh_shingles")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs(Dedup.deltaDedupPairs(newDocs, hist, 3, 2, 0.5))
+    assert(want == Set((5L, 1L), (5L, 2L), (10L, 3L)), s"recompute reference: $want")
+    assert(pairs(probe) == want)
+    // what the lifecycle must never lose is the stored (band, key) bucket
+    // METADATA — without it no plan at any scale could skip the index-side
+    // exchange (whether a given plan exploits it is size-dependent: at
+    // fixture scale the delta broadcasts). Read it back from the catalog.
+    val desc = spark.sql("DESCRIBE FORMATTED spec_lsh_index").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").exists(_.trim == "8"), desc.get("Num Buckets"))
+    assert(desc.get("Bucket Columns").exists(v =>
+      v.contains("band") && v.contains("key")), desc.get("Bucket Columns"))
+  }
+
   test("containment join catches a short doc QUOTED in a long one that jaccard misses") {
     // b = a 10-word quote from the middle of a: every trigram of b is in a,
     // so containment = 1.0 — while jaccard is only 8/28 ≈ 0.29 and the

@@ -85,6 +85,25 @@ class TextAndSimilaritySpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("IVF multiprobe: full-probe equals brute-force L2; one probe stays inside its cells") {
+    // two tight planted clusters; vec 0 and 1 seed the Lloyd fit (k=2)
+    val near = (0 until 6).map(i => (i * 2L, Seq(1f + i * 0.01f, 0f, 0f), 0))
+    val far = (0 until 6).map(i => (i * 2L + 1L, Seq(0f, 1f + i * 0.01f, 0f), 1))
+    val e = embs(near ++ far: _*)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.topKBruteL2(e, nQueries = 2, k = 4))
+    // probing every cell = brute force, rank for rank
+    val full = rows(Similarity.topKIvfMultiprobe(e, nQueries = 2, k = 4,
+      kClusters = 2, iters = 2, nprobe = 2))
+    assert(full == brute, s"full-probe $full != brute $brute")
+    // single probe: query 0 (cluster of the 1-axis) must only return
+    // even vec_ids — the other cell is never touched
+    val one = Similarity.topKIvfMultiprobe(e, nQueries = 1, k = 4,
+      kClusters = 2, iters = 2, nprobe = 1).collect()
+    assert(one.nonEmpty && one.forall(_.getLong(2) % 2 == 0), one.mkString(","))
+  }
+
   test("frame sampling keeps every stride-th byte") {
     val d = docs(1L -> "abcdefghij") // 10 bytes
     val media = Multimodal.attachPayload(d)
