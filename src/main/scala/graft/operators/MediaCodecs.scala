@@ -425,12 +425,14 @@ object MediaCodecs {
   }
 
   /** Build a complete PNG from an already-FILTERED raw scanline buffer
-    * (h rows of 1 filter byte + stride sample bytes). Shared by the three
+    * (h rows of 1 filter byte + stride sample bytes). Shared by the
     * public encoders; spec-visible so hostile streams (bad filter byte,
-    * short raster) can reuse the valid framing.
+    * short raster) can reuse the valid framing. `plte` (when non-empty)
+    * lands as a PLTE chunk between IHDR and IDAT — required for color
+    * type 3, legal-but-ignored for the truecolor types.
     */
   private[graft] def pngAssemble(width: Int, height: Int, colorType: Int,
-      raw: Array[Byte]): Array[Byte] = {
+      raw: Array[Byte], plte: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
     ihdr(8) = 8 // bit depth
@@ -439,6 +441,7 @@ object MediaCodecs {
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngMagic)
     out.write(pngChunk("IHDR", ihdr))
+    if (plte.nonEmpty) out.write(pngChunk("PLTE", plte))
     out.write(pngChunk("IDAT", pngDeflate(raw)))
     out.write(pngChunk("IEND", Array.emptyByteArray))
     out.toByteArray
@@ -450,7 +453,8 @@ object MediaCodecs {
     * every decoder unfilter path; the format allows any per-row choice).
     */
   private def encodePngRaw(width: Int, height: Int, colorType: Int, bpp: Int,
-      sample: (Int, Int, Int) => Int, filterOf: Int => Int): Array[Byte] = {
+      sample: (Int, Int, Int) => Int, filterOf: Int => Int,
+      plte: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     require(width > 0 && height > 0 &&
       width.toLong * height <= MaxPngPixels,
       s"dims ${width}x$height exceed the PNG pixel budget")
@@ -492,7 +496,7 @@ object MediaCodecs {
       }
       y += 1
     }
-    pngAssemble(width, height, colorType, raw)
+    pngAssemble(width, height, colorType, raw, plte)
   }
 
   /** Encode an 8-bit RGB (color type 2) PNG. `pixel(x, y)` yields
@@ -524,13 +528,39 @@ object MediaCodecs {
         ch match { case 0 => r; case 1 => g; case 2 => b; case _ => a } },
       filterOf)
 
+  /** Encode an 8-bit PALETTE (color type 3) PNG — the icons/plots/
+    * screenshots format: `palette` is 1..256 RGB entries carried in a PLTE
+    * chunk, `index(x, y)` yields each pixel's palette index. One byte per
+    * pixel in the raster, so the same per-row filter machinery applies
+    * (bpp = 1, as for grayscale).
+    */
+  def encodePngPalette(width: Int, height: Int,
+      palette: Array[(Int, Int, Int)], index: (Int, Int) => Int,
+      filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette must have 1..256 entries, got ${palette.length}")
+    val plte = new Array[Byte](3 * palette.length)
+    palette.zipWithIndex.foreach { case ((r, g, b), i) =>
+      plte(3 * i) = r.toByte; plte(3 * i + 1) = g.toByte; plte(3 * i + 2) = b.toByte
+    }
+    encodePngRaw(width, height, colorType = 3, bpp = 1,
+      (x, y, _) => {
+        val i = index(x, y)
+        require(i >= 0 && i < palette.length, s"palette index $i out of range")
+        i
+      }, filterOf, plte)
+  }
+
   /** Decode a PNG — pure JVM: chunk walk with CRC32 verification, IDAT
     * concatenation, zlib inflate (JDK Inflater), per-row unfilter
     * (None/Sub/Up/Average/Paeth). Supports 8-bit gray (widened r=g=b),
-    * RGB, and RGBA (alpha dropped — the shared container is RGB) in the
+    * RGB, RGBA (alpha dropped — the shared container is RGB), and PALETTE
+    * (color type 3: one index byte per pixel looked up in the PLTE table;
+    * an index past the table is a corrupt image → None) in the
     * non-interlaced layout; returns None — never throws — for anything
-    * else (palette/16-bit/Adam7, truncated or over-long IDAT stream, CRC
-    * mismatch, bad filter byte, hostile dims past [[MaxPngPixels]]).
+    * else (16-bit/Adam7, type 3 missing its PLTE or with PLTE after IDAT,
+    * truncated or over-long IDAT stream, CRC mismatch, bad filter byte,
+    * hostile dims past [[MaxPngPixels]]).
     */
   def decodePng(b: Array[Byte]): Option[BmpImage] = {
     if (b.length < 8 + 25 || !PngMagic.indices.forall(i => b(i) == PngMagic(i)))
@@ -538,6 +568,7 @@ object MediaCodecs {
     var off = 8
     var w = 0; var h = 0; var colorType = -1
     var seenIhdr = false; var seenIend = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (off + 12 <= b.length && !seenIend) {
       val len = be32(b, off)
@@ -552,14 +583,20 @@ object MediaCodecs {
           seenIhdr = true
           w = be32(b, off + 8); h = be32(b, off + 12)
           val bitDepth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
-          if (bitDepth != 8 ||
-            (colorType != 0 && colorType != 2 && colorType != 6)) return None
+          if (bitDepth != 8 || (colorType != 0 && colorType != 2 &&
+            colorType != 3 && colorType != 6)) return None
           if (b(off + 18) != 0 || b(off + 19) != 0 || b(off + 20) != 0)
             return None // compression/filter method, interlace (Adam7 rejected)
           // dims are signed BE reads: negatives fail the > 0 check; the
           // pixel cap bounds allocation (deflate hides the true raster
           // size from any payload-proportional bound)
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPngPixels) return None
+        case "PLTE" =>
+          // spec §11.2.3: one PLTE, after IHDR, BEFORE the first IDAT,
+          // 1..256 RGB triples; forbidden for the grayscale types
+          if (!seenIhdr || plte != null || idat.size > 0) return None
+          if (colorType == 0 || len == 0 || len % 3 != 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
         case "IDAT" => if (!seenIhdr) return None; idat.write(b, off + 8, len)
         case "IEND" => seenIend = true
         case _ => () // ancillary chunks (tEXt, gAMA, ...) skipped
@@ -567,7 +604,8 @@ object MediaCodecs {
       off += 12 + len
     }
     if (!seenIhdr || !seenIend || idat.size == 0) return None
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    if (colorType == 3 && plte == null) return None // PLTE is mandatory
+    val bpp = colorType match { case 0 | 3 => 1; case 2 => 3; case _ => 4 }
     val stride = bpp * w // <= 4 * MaxPngPixels, far inside Int
     if ((1L + stride) * h > Int.MaxValue) return None
     val raw = new Array[Byte]((1 + stride) * h)
@@ -624,6 +662,12 @@ object MediaCodecs {
       val p = y0 * (1 + stride) + 1 + bpp * (i - y0 * w)
       px(i) = colorType match {
         case 0 => val g = raw(p) & 0xff; (g, g, g)
+        case 3 =>
+          val idx = raw(p) & 0xff
+          // an index past the palette is corrupt data, not a color — the
+          // contract is None, never a fabricated pixel
+          if (3 * idx + 2 >= plte.length) return None
+          ((plte(3 * idx) & 0xff), (plte(3 * idx + 1) & 0xff), (plte(3 * idx + 2) & 0xff))
         case _ => ((raw(p) & 0xff), (raw(p + 1) & 0xff), (raw(p + 2) & 0xff))
       }
       i += 1

@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
   * run per-partition in batches.
   *
   * Decode is REAL for the public formats a zero-dependency JVM can parse —
-  * 24-bit BMP, P6/P5/P4 Netpbm, PCM16 WAV, and 8-bit gray/RGB/RGBA PNG
-  * (chunk walk + JDK-Inflater IDAT + per-row unfilter) ([[MediaCodecs]],
-  * sniffed by magic bytes in [[realDecode]]) — and falls back to a
-  * deterministic fake ([[fakeDecode]]) for formats that need codec
-  * libraries this environment does not ship (JPEG/MP3, palette/16-bit/
+  * 24-bit BMP, P6/P5/P4 Netpbm, PCM16 WAV, and 8-bit gray/RGB/RGBA/palette
+  * PNG (chunk walk + JDK-Inflater IDAT + per-row unfilter + PLTE lookup)
+  * ([[MediaCodecs]], sniffed by magic bytes in [[realDecode]]) — and falls
+  * back to a deterministic fake ([[fakeDecode]]) for formats that need
+  * codec libraries this environment does not ship (MP3, 16-bit/
   * interlaced PNG). The Spark-side contract (schema, batch
   * shape, partition-level execution, feature vector layout) is identical on
   * both paths; swapping a codec in means replacing one pure function.
@@ -121,9 +121,9 @@ object Multimodal {
     *  - P5 PGM → gray widened to r = g = b in the same container; channels
     *    reports 3 (the container's), features as for RGB.
     *  - P4 PBM → 1-bit widened to black/white RGB in the same container.
-    *  - PNG (8-bit gray/RGB/RGBA, non-interlaced) → REAL decode: CRC'd
-    *    chunk walk, zlib-inflated IDAT, per-row unfilter — gray widens,
-    *    alpha drops; same RGB container and features.
+    *  - PNG (8-bit gray/RGB/RGBA/palette, non-interlaced) → REAL decode:
+    *    CRC'd chunk walk, zlib-inflated IDAT, per-row unfilter, PLTE
+    *    lookup — gray widens, alpha drops; same RGB container and features.
     *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
     *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
     *    below 2^24 for the corpus encodings, so the float features are

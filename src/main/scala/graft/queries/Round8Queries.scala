@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashFunctions
+import graft.operators.{MediaCodecs, Multimodal}
+
+/** Round-8 surface, first tranche: the palette-PNG decode path (color type
+  * 3 — icons/plots/screenshots, the wild's most common indexed format) made
+  * REAL, following the q200 protocol.
+  */
+object Round8Queries {
+
+  /** Palette-PNG roundtrip: per document, encode a (5..16)×(4..8) color-
+    * type-3 PNG with a (2 + v%7)-entry palette — entry j = (v + j,
+    * 255 − v − j, (2v + j) mod 251), pixel (x, y) indexing entry
+    * (x + y) mod P, row filters cycling 0..4 — then REALLY decode it
+    * ([[MediaCodecs.decodePng]]'s PLTE lookup path via
+    * [[Multimodal.decodeFeatures]]) and emit the q148/q200 order-sensitive
+    * pixel statistics. The oracle predicts every value from `documents`
+    * alone (nested range/list_transform sums), so a palette read off by an
+    * entry, an index byte unfiltered wrongly, or a dropped PLTE bounds
+    * check all land in the hash comparison.
+    */
+  val q205PaletteP205: QueryDef = QueryDef(
+    "q205_palette_png",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val w = 5 + r.n % 12
+        val h = 4 + (r.n / 9) % 5
+        val p = 2 + r.v % 7
+        val pal = Array.tabulate(p)(j =>
+          (r.v + j, 255 - r.v - j, (2 * r.v + j) % 251))
+        val bytes = MediaCodecs.encodePngPalette(w, h, pal,
+          (x, y) => (x + y) % p, filterOf = _ % 5)
+        Multimodal.MediaRow(r.doc_id, bytes,
+          Multimodal.MediaMeta("png", bytes.length, 0L))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("top_r"),
+          element_at(col("features"), 2).cast("long").as("top_g"),
+          element_at(col("features"), 3).cast("long").as("top_b"),
+          element_at(col("features"), 4).cast("long").as("wsum_r"),
+          element_at(col("features"), 5).cast("long").as("wsum_g"),
+          element_at(col("features"), 6).cast("long").as("wsum_b"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v,
+                   5 + n % 12 AS w,
+                   4 + (n // 9) % 5 AS h,
+                   2 + v % 7 AS p
+            FROM d)
+      SELECT doc_id, w AS width, h AS height, 3 AS channels,
+             CAST(v AS BIGINT)             AS top_r,
+             CAST(255 - v AS BIGINT)       AS top_g,
+             CAST((2 * v) % 251 AS BIGINT) AS top_b,
+             CAST(list_sum(list_transform(range(h), y -> (y + 1) *
+               list_sum(list_transform(range(w), x -> v + (x + y) % p))))
+               AS BIGINT) AS wsum_r,
+             CAST(list_sum(list_transform(range(h), y -> (y + 1) *
+               list_sum(list_transform(range(w), x -> 255 - v - (x + y) % p))))
+               AS BIGINT) AS wsum_g,
+             CAST(list_sum(list_transform(range(h), y -> (y + 1) *
+               list_sum(list_transform(range(w), x -> (2 * v + (x + y) % p) % 251))))
+               AS BIGINT) AS wsum_b
+      FROM g ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q205PaletteP205)
+}

@@ -273,7 +273,7 @@ class MediaCodecsSpec extends SparkTestBase {
     val big = Array[Byte](0, 0, -128, 0, 0, 0, -128, 0, 8, 2, 0, 0, 0)
     assert(MediaCodecs.decodePng(png(MediaCodecs.pngDeflate(zeroRaw),
       MediaCodecs.pngChunk("IHDR", big))).isEmpty)
-    // 16-bit depth, palette color type, and Adam7 interlace all fall back
+    // 16-bit depth, palette-without-PLTE, and Adam7 interlace all fall back
     for (i <- Seq(8, 9, 12)) {
       val hdr = ihdr.slice(8, 21) // the 13 IHDR data bytes
       hdr(i) = (i match { case 8 => 16; case 9 => 3; case _ => 1 }).toByte
@@ -283,6 +283,64 @@ class MediaCodecsSpec extends SparkTestBase {
     // bigDims (2^14 square = 2^28 > cap) also rejected
     assert(MediaCodecs.decodePng(png(MediaCodecs.pngDeflate(zeroRaw),
       MediaCodecs.pngChunk("IHDR", bigDims))).isEmpty)
+  }
+
+  test("palette png roundtrip looks pixels up in PLTE across all filter types") {
+    val pal = Array((10, 20, 30), (200, 100, 50), (0, 255, 7))
+    for (w <- Seq(1, 5); h <- Seq(1, 7)) {
+      val enc = MediaCodecs.encodePngPalette(w, h, pal, (x, y) => (x + y) % 3, _ % 5)
+      val img = MediaCodecs.decodePng(enc).get
+      assert(img.width == w && img.height == h, s"${w}x$h")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) == pal((x + y) % 3), s"($x,$y) of ${w}x$h")
+    }
+    // 1-entry and 256-entry palettes are both legal extremes
+    val one = MediaCodecs.decodePng(
+      MediaCodecs.encodePngPalette(2, 2, Array((9, 8, 7)), (_, _) => 0)).get
+    assert(one.pixels.forall(_ == ((9, 8, 7))))
+    val full = Array.tabulate(256)(i => (i, 255 - i, (i * 3) % 256))
+    val fimg = MediaCodecs.decodePng(
+      MediaCodecs.encodePngPalette(16, 16, full, (x, y) => 16 * y + x)).get
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(fimg.pixels(y * 16 + x) == full(16 * y + x))
+    intercept[IllegalArgumentException] {
+      MediaCodecs.encodePngPalette(2, 2, Array.empty, (_, _) => 0)
+    }
+  }
+
+  test("palette png: PLTE ordering, length, and index-range violations all reject") {
+    val plteBytes = Array((1, 2, 3), (4, 5, 6), (7, 8, 9))
+      .flatMap { case (r, g, b) => Array(r.toByte, g.toByte, b.toByte) }
+    val w = 4; val h = 2
+    val raw = new Array[Byte]((1 + w) * h) // filter-0 rows, all index 0
+    val okPng = MediaCodecs.pngAssemble(w, h, 3, raw, plteBytes)
+    assert(MediaCodecs.decodePng(okPng).exists(_.pixels.forall(_ == ((1, 2, 3)))))
+    // an index byte past the 3-entry palette: valid framing, corrupt data
+    val badIdx = raw.clone(); badIdx(2) = 3
+    assert(MediaCodecs.decodePng(
+      MediaCodecs.pngAssemble(w, h, 3, badIdx, plteBytes)).isEmpty)
+    // type 3 with no PLTE at all
+    assert(MediaCodecs.decodePng(MediaCodecs.pngAssemble(w, h, 3, raw)).isEmpty)
+    // hand-ordered chunk streams, one violation each
+    val sig = okPng.take(8)
+    val ihdrChunk = okPng.slice(8, 33)
+    val idat = MediaCodecs.pngChunk("IDAT", MediaCodecs.pngDeflate(raw))
+    val plteChunk = MediaCodecs.pngChunk("PLTE", plteBytes)
+    val iend = MediaCodecs.pngChunk("IEND", Array.emptyByteArray)
+    // PLTE after the first IDAT (spec: must precede it)
+    assert(MediaCodecs.decodePng(sig ++ ihdrChunk ++ idat ++ plteChunk ++ iend).isEmpty)
+    // duplicate PLTE
+    assert(MediaCodecs.decodePng(
+      sig ++ ihdrChunk ++ plteChunk ++ plteChunk ++ idat ++ iend).isEmpty)
+    // length not a multiple of 3; oversized (> 256 entries)
+    assert(MediaCodecs.decodePng(sig ++ ihdrChunk ++
+      MediaCodecs.pngChunk("PLTE", Array[Byte](1, 2)) ++ idat ++ iend).isEmpty)
+    assert(MediaCodecs.decodePng(sig ++ ihdrChunk ++
+      MediaCodecs.pngChunk("PLTE", new Array[Byte](771)) ++ idat ++ iend).isEmpty)
+    // PLTE on a grayscale image is spec-forbidden
+    val gray = MediaCodecs.encodePngGray(2, 2, (_, _) => 0)
+    assert(MediaCodecs.decodePng(
+      gray.take(8) ++ gray.slice(8, 33) ++ plteChunk ++ gray.drop(33)).isEmpty)
   }
 
   test("pgm roundtrip widens gray to RGB; P5/P6 magics don't cross-decode") {
