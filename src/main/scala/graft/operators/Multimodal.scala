@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * run per-partition in batches.
   *
   * Decode is REAL for the public formats a zero-dependency JVM can parse —
-  * 24-bit BMP, P6/P5/P4 Netpbm, PCM16 WAV, and 8-bit gray/RGB/RGBA/palette
-  * PNG (chunk walk + JDK-Inflater IDAT + per-row unfilter + PLTE lookup)
-  * ([[MediaCodecs]], sniffed by magic bytes in [[realDecode]]) — and falls
-  * back to a deterministic fake ([[fakeDecode]]) for formats that need
-  * codec libraries this environment does not ship (MP3, 16-bit/
+  * 24-bit BMP, P6/P5/P4 Netpbm, PCM16 WAV, 8-bit gray/RGB/RGBA/palette
+  * PNG (chunk walk + JDK-Inflater IDAT + per-row unfilter + PLTE lookup),
+  * and baseline JPEG (marker walk + Huffman + dequant + IDCT + YCbCr,
+  * [[JpegCodec]]) ([[MediaCodecs]], sniffed by magic bytes in
+  * [[realDecode]]) — and falls back to a deterministic fake
+  * ([[fakeDecode]]) for formats that need codec libraries this
+  * environment does not ship (MP3, progressive JPEG, 16-bit/
   * interlaced PNG). The Spark-side contract (schema, batch
   * shape, partition-level execution, feature vector layout) is identical on
   * both paths; swapping a codec in means replacing one pure function.
@@ -66,6 +68,8 @@ object Multimodal {
             .when(substring(col("content"), 1, 4) === lit("RIFF".getBytes("US-ASCII")), "wav")
             .when(substring(col("content"), 1, 4) ===
               lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
+            .when(substring(col("content"), 1, 3) ===
+              lit(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
             .otherwise("unknown").as("formatGuess"),
           octet_length(col("content")).as("nBytes"),
           crc32(col("content")).as("checksum")).as("meta"))
@@ -124,6 +128,9 @@ object Multimodal {
     *  - PNG (8-bit gray/RGB/RGBA/palette, non-interlaced) → REAL decode:
     *    CRC'd chunk walk, zlib-inflated IDAT, per-row unfilter, PLTE
     *    lookup — gray widens, alpha drops; same RGB container and features.
+    *  - Baseline JPEG (SOF0, 4:4:4/4:2:0/4:2:2, restart intervals) → REAL
+    *    decode ([[JpegCodec]]): Huffman entropy decode, dequant, IDCT,
+    *    chroma upsample, JFIF YCbCr→RGB; same RGB container and features.
     *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
     *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
     *    below 2^24 for the corpus encodings, so the float features are
@@ -135,6 +142,7 @@ object Multimodal {
       .orElse(MediaCodecs.decodePgm5(payload)) // grayscale widened to RGB
       .orElse(MediaCodecs.decodePbm4(payload)) // 1-bit widened to RGB
       .orElse(MediaCodecs.decodePng(payload)) // inflate + unfilter, same container
+      .orElse(JpegCodec.decodeJpeg(payload)) // baseline JFIF: Huffman + IDCT
       .map { img =>
       var wr = 0L; var wg = 0L; var wb = 0L
       var y = 0

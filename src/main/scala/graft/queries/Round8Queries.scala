@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.HashFunctions
-import graft.operators.{MediaCodecs, Multimodal}
+import graft.operators.{JpegCodec, MediaCodecs, Multimodal}
 
 /** Round-8 surface, first tranche: the palette-PNG decode path (color type
   * 3 — icons/plots/screenshots, the wild's most common indexed format) made
@@ -78,5 +78,69 @@ object Round8Queries {
                AS BIGINT) AS wsum_b
       FROM g ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q205PaletteP205)
+  /** Baseline-JPEG roundtrip — the first LOSSY format on the real decode
+    * path: per document, encode a 16/32-square-multiple 4:4:4 or 4:2:0
+    * (alternating by doc) baseline JFIF whose luma block row `by` is the
+    * flat value v + by with Cb = Cr = 128, every fifth doc carrying
+    * restart markers, then REALLY decode it ([[JpegCodec.decodeJpeg]]:
+    * marker walk → Huffman entropy decode → dequant → IDCT → chroma
+    * upsample → YCbCr, via [[Multimodal.decodeFeatures]]'s sniff chain)
+    * and emit the q148/q200 pixel statistics. Flat blocks make the lossy
+    * codec exact ([[JpegCodec.FlatQuant]]: every AC is zero, the IDCT of a
+    * pure-DC block is closed-form), so the DuckDB oracle predicts every
+    * value from `documents` alone — a wrong Huffman code, a broken zigzag,
+    * an off-by-one DC prediction, or a chroma swizzle all land in the hash
+    * comparison.
+    */
+  val q204JpegDecode: QueryDef = QueryDef(
+    "q204_jpeg_decode",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val w = 16 * (1 + r.n % 2)
+        val h = 16 * (1 + (r.n / 7) % 2)
+        val bytes = JpegCodec.encodeJpegFlat(w, h,
+          subsample420 = r.n % 3 == 0,
+          (_, by) => r.v + by,
+          restartInterval = if (r.n % 5 == 0) 2 else 0)
+        Multimodal.MediaRow(r.doc_id, bytes,
+          Multimodal.MediaMeta("jpeg", bytes.length, 0L))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("top_r"),
+          element_at(col("features"), 2).cast("long").as("top_g"),
+          element_at(col("features"), 3).cast("long").as("top_b"),
+          element_at(col("features"), 4).cast("long").as("wsum_r"),
+          element_at(col("features"), 5).cast("long").as("wsum_g"),
+          element_at(col("features"), 6).cast("long").as("wsum_b"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v,
+                   16 * (1 + n % 2) AS w,
+                   16 * (1 + (n // 7) % 2) AS h
+            FROM d)
+      SELECT doc_id, w AS width, h AS height, 3 AS channels,
+             CAST(v AS BIGINT) AS top_r,
+             CAST(v AS BIGINT) AS top_g,
+             CAST(v AS BIGINT) AS top_b,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + y // 8)))
+               AS BIGINT) AS wsum_r,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + y // 8)))
+               AS BIGINT) AS wsum_g,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + y // 8)))
+               AS BIGINT) AS wsum_b
+      FROM g ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q204JpegDecode, q205PaletteP205)
 }
