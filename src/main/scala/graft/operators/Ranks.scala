@@ -200,8 +200,11 @@ object Ranks {
     * (~2·|ps|·n/B rows) pick every neighbor value simultaneously — three
     * column-pruned scans TOTAL however many percentiles are asked for,
     * with no group's values ever collecting in one place. Neighbors
-    * interpolate as lo + frac·(hi − lo), the same IEEE-double formula the
-    * built-in aggregates use, so results match them bit-for-bit.
+    * interpolate as lo + frac·(hi − lo) — SQL quantile_cont's form, the
+    * one the DuckDB oracle pins bit-for-bit. (Spark's built-in
+    * `percentile()` evaluates the algebraically-equal weighted form
+    * (ceil−pos)·lo + (pos−floor)·hi, which can land 1 ulp away — the
+    * RanksSpec 500-case property measures that envelope.)
     * Constraints: `value` numeric, finite, and NON-NULL (SQL percentile
     * aggregates skip nulls; this operator would rank them — filter first);
     * `tiebreak` must complete a total order (unique key). Callers should

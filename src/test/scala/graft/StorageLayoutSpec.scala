@@ -109,4 +109,38 @@ class StorageLayoutSpec extends SparkTestBase {
     assert(joined.count() ==
       o.join(l, col("o_orderkey") === col("l_orderkey")).count())
   }
+
+  test("bzip2 text shards split at read; the same file as gzip is ONE split") {
+    // The SCALE.md compressed-text claim, observed: bzip2's block structure
+    // is splittable (Hadoop aligns range splits to 100 KB compression
+    // blocks), so ONE large .bz2 file still reads in parallel — while the
+    // same bytes as .gz are forced into a single task no matter the size.
+    val dir = Files.createTempDirectory("codec").toString
+    // ~15 MB of incompressible-ish JSON lines => a few MB compressed,
+    // i.e. dozens of bzip2 blocks
+    val docs = spark.range(120000).select(col("id"),
+      concat(md5(col("id").cast("string")),
+        md5((col("id") + 1000000).cast("string"))).as("text"))
+    docs.coalesce(1).write.mode("overwrite")
+      .option("compression", "bzip2").json(s"$dir/bz")
+    docs.coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").json(s"$dir/gz")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "262144") // 256 KB ranges
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    val schema = "id LONG, text STRING"
+    val bz = s2.read.schema(schema).json(s"$dir/bz")
+    val gz = s2.read.schema(schema).json(s"$dir/gz")
+    assert(gz.rdd.getNumPartitions == 1, "gzip must be one split per file")
+    assert(bz.rdd.getNumPartitions > 1,
+      s"bzip2 read planned ${bz.rdd.getNumPartitions} splits")
+    // the splits genuinely decode in parallel (several nonempty partitions)
+    // and lose nothing: counts and a content checksum survive the split read
+    val perPart = bz.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.count(_ > 0) >= 2, perPart.mkString(","))
+    assert(perPart.sum == 120000)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(crc32(col("text"))), sum(col("id"))).collect()(0)
+    assert(sig(bz) == sig(docs.toDF("id", "text")))
+  }
 }

@@ -349,25 +349,30 @@ class StreamingSpec extends SparkTestBase {
       val evs = (0 until 300).map { i =>
         (i.toLong, ts(i % 20), (i * 6947L) % 97, "click", 1.0, "{}")
       }
-      mem.addData(evs.take(150): _*)
-      q.processAllAvailable()
-      mem.addData(evs.drop(150): _*)
-      q.processAllAvailable()
-      // latest streamed state per row: counters only grow, so the emission
-      // with the largest total IS the final one
-      val byRow = spark.table("cm_test").collect()
-        .map(r => (r.getInt(0), r.getSeq[Long](1)))
-        .groupBy(_._1).map { case (row, emits) => row -> emits.map(_._2).maxBy(_.sum) }
-      // batch comparator: same derivation over the full event set
-      val batch = EventsStreaming.countMinRows(toDF(evs))
-        .groupBy("row", "bucket").count().collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
-      (0 until 4).foreach { row =>
-        val counters = byRow(row)
-        assert(counters.size == 512)
-        counters.zipWithIndex.foreach { case (c, bucket) =>
-          assert(c == batch.getOrElse((row, bucket), 0L),
-            s"cell ($row, $bucket): streamed $c vs batch ${batch.getOrElse((row, bucket), 0L)}")
+      // AT EACH MICRO-BATCH: the streamed state must equal the q129 batch
+      // sketch of the SAME PREFIX, counter for counter — the mergeable-
+      // state property, checked at every prefix rather than just the end
+      var seen = Vector.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      Seq(evs.take(150), evs.drop(150)).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        // latest streamed state per row: counters only grow, so the
+        // emission with the largest total IS this prefix's
+        val byRow = spark.table("cm_test").collect()
+          .map(r => (r.getInt(0), r.getSeq[Long](1)))
+          .groupBy(_._1).map { case (row, emits) => row -> emits.map(_._2).maxBy(_.sum) }
+        val batch = EventsStreaming.countMinRows(toDF(seen))
+          .groupBy("row", "bucket").count().collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+        (0 until 4).foreach { row =>
+          val counters = byRow(row)
+          assert(counters.size == 512)
+          counters.zipWithIndex.foreach { case (c, bucket) =>
+            assert(c == batch.getOrElse((row, bucket), 0L),
+              s"prefix ${seen.size} cell ($row, $bucket): streamed $c vs " +
+                s"batch ${batch.getOrElse((row, bucket), 0L)}")
+          }
         }
       }
     } finally q.stop()
@@ -386,27 +391,37 @@ class StreamingSpec extends SparkTestBase {
         (i.toLong, ts(i % 30), (i * 7919L) % 180,
           if (i % 3 == 0) "click" else "view", 1.0, "{}")
       }
-      mem.addData(evs.take(200): _*)
-      q.processAllAvailable()
-      mem.addData(evs.drop(200): _*)
-      q.processAllAvailable()
-      // latest streamed estimate per type (update mode appends per batch)
+      // AT EACH MICRO-BATCH: the streamed estimate must equal the q132
+      // register derivation over the SAME PREFIX (register max is the HLL
+      // merge, so streaming state after any prefix IS the batch sketch of
+      // that prefix)
+      var seen = Vector.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      Seq(evs.take(200), evs.drop(200)).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        // latest streamed estimate per type (update mode appends per batch)
+        val streamed = spark.table("hll_test")
+          .groupBy("event_type")
+          .agg(org.apache.spark.sql.functions.collect_list("est_distinct").as("es"))
+          .collect().map(r => r.getString(0) -> r.getSeq[Double](1).last).toMap
+        val batchDf = seen.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val regRows = EventsStreaming.hllRegisterRows(batchDf)
+          .groupBy("event_type", "idx")
+          .agg(max("rho").as("m")).collect()
+        val want = regRows.groupBy(_.getString(0)).map { case (t, rows) =>
+          val regs = new Array[Int](256)
+          rows.foreach(r => regs(r.getInt(1)) = r.getInt(2))
+          t -> EventsStreaming.hllEstimate(regs)
+        }
+        assert(streamed == want, s"prefix ${seen.size}: streamed=$streamed want=$want")
+      }
+      // sanity: the final estimate is within HLL's expected error of truth
+      val batchDf = evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       val streamed = spark.table("hll_test")
         .groupBy("event_type")
         .agg(org.apache.spark.sql.functions.collect_list("est_distinct").as("es"))
         .collect().map(r => r.getString(0) -> r.getSeq[Double](1).last).toMap
-      // batch comparator: same register derivation over ALL the rows at once
-      val batchDf = evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      val regRows = EventsStreaming.hllRegisterRows(batchDf)
-        .groupBy("event_type", "idx")
-        .agg(max("rho").as("m")).collect()
-      val want = regRows.groupBy(_.getString(0)).map { case (t, rows) =>
-        val regs = new Array[Int](256)
-        rows.foreach(r => regs(r.getInt(1)) = r.getInt(2))
-        t -> EventsStreaming.hllEstimate(regs)
-      }
-      assert(streamed == want, s"streamed=$streamed want=$want")
-      // sanity: within HLL's expected error of the true cardinalities
       val exact = batchDf.groupBy("event_type")
         .agg(countDistinct("user_id").as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
