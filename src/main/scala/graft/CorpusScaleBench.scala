@@ -127,79 +127,110 @@ object CorpusScaleBench {
         operators.Dedup.prefixJaccardPairs(corpus, 0.6)
       })
 
-    // Persisted-LSH-index lifecycle at corpus scale: the write pass pays
-    // history's shingle+banding cost ONCE; the probe answers the same delta
-    // as delta_dedup_pairs above from the stored bucketed tables — it must
-    // beat the stateless recompute, which re-hashes history every night.
-    val history = corpus.filter(col("doc_id") % replicas =!= 0)
-    val delta = corpus.filter(col("doc_id") % replicas === 0)
+    // Persisted-LSH-index lifecycle at corpus scale, run as the NIGHTLY
+    // LOOP it exists for: build once from the initial history, then N
+    // successive ingests each probe their delta against the STORED index
+    // and commit it (appendLshIndex) — so later probes answer against a
+    // strictly larger history. The claim under measurement (SCALE.md):
+    // per-ingest probe time tracks the delta's size and collision rate,
+    // NOT the cumulative history volume — the stateless recompute
+    // (delta_dedup_pairs above) re-hashes all of history every night and
+    // is the growing-cost baseline.
+    val nIngest = 4
+    val history0 = corpus.filter(pmod(col("doc_id"), lit(replicas)) >= nIngest)
     val tBuild = System.nanoTime()
-    operators.Dedup.writeLshIndex(history, shingleK = 3, rowsPerBand = 2,
+    operators.Dedup.writeLshIndex(history0, shingleK = 3, rowsPerBand = 2,
       indexTable = "csb_lsh_index", shingleTable = "csb_lsh_shingles")
     val buildRows = spark.table("csb_lsh_index").count()
-    val indexResults = Seq(
-      ("lsh_index_build", (System.nanoTime() - tBuild) / 1e9, buildRows),
-      time("lsh_index_probe")(
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+    val ingestSteps = (0 until nIngest).map { r =>
+      val delta = corpus.filter(col("doc_id") % replicas === r)
+      val historyDocs = spark.table("csb_lsh_shingles").count()
+      val (_, probeSec, pairRows) = time(s"probe_$r")(
         operators.Dedup.probeLshIndex(delta, shingleK = 3, rowsPerBand = 2,
           threshold = 0.5,
-          indexTable = "csb_lsh_index", shingleTable = "csb_lsh_shingles")))
-    // ANN recall at corpus scale: blow the 2k-vector embeddings fixture up
-    // EMB_REPLICAS× with per-dimension perturbations (replicas land near
-    // their original — realistic clustered structure, so IVF cells are
-    // meaningful), then measure recall@10 of trained-IVF multiprobe against
-    // the brute-force ground truth for the same 20 queries at nprobe
-    // 1/2/4. This is where nprobe matters: each probe step buys back the
-    // neighbors that fell across a cell boundary, at nprobe/kClusters of
-    // the corpus per query.
+          indexTable = "csb_lsh_index", shingleTable = "csb_lsh_shingles"))
+      val tApp = System.nanoTime()
+      operators.Dedup.appendLshIndex(delta, shingleK = 3, rowsPerBand = 2,
+        indexTable = "csb_lsh_index", shingleTable = "csb_lsh_shingles")
+      val appendSec = (System.nanoTime() - tApp) / 1e9
+      (r, historyDocs, probeSec, pairRows, appendSec)
+    }
+    val indexResults = Seq(
+      ("lsh_index_build", buildSec, buildRows),
+      ("lsh_index_probe", ingestSteps.head._3, ingestSteps.head._4))
+    // ANN recall at corpus scale, measured in TWO regimes of the same
+    // replica construction. vec_id = r * nBase + base, so the low ids
+    // (queries, vec_id < nQ; Lloyd seeds, vec_id < kClusters) are the
+    // r = 0 copies of DISTINCT base vectors — recall is measured across
+    // the base distribution and the quantizer seeds span it. The
+    // perturbation carries an r-proportional term on top of the mod-11
+    // dither, so replicas r and r + 11 differ.
+    //
+    //   - neardup (dither 0.003/dim ≈ L2 0.07 per replica cloud, vs ~1.08
+    //     between the unit-norm 64-dim bases): every cloud is a tight
+    //     island, a trained quantizer keeps islands whole, and nprobe = 1
+    //     already reads the query's entire top-k — IVF's best case, the
+    //     structure embedding-dedup corpora actually have.
+    //   - diffuse (dither 0.025/dim ≈ L2 0.6, comparable to the base
+    //     spacing): clouds interleave and cells cut through neighborhoods,
+    //     so recall CLIMBS with nprobe — the regime where multiprobe earns
+    //     its cost.
     val embReplicas = sys.env.getOrElse("SPARK_GRAFT_EMB_REPLICAS", "50").toInt
     val embBase = Tables.load(spark, sfDir, "embeddings")
     val nBaseVecs = embBase.count()
-    // vec_id = r * nBase + base: the low ids (queries, vec_id < nQ; Lloyd
-    // seeds, vec_id < kClusters) are the r = 0 copies of DISTINCT base
-    // vectors, not replicas of base 0 — recall is measured across the base
-    // distribution and the quantizer seeds span it. The perturbation carries
-    // an r-proportional term on top of the mod-11 dither, so replicas r and
-    // r + 11 differ (the dither alone has period 11 in r) — every replica is
-    // a distinct point near its base, the clustered structure IVF needs.
-    val embCorpus = embBase
-      .crossJoin(spark.range(embReplicas).toDF("r"))
-      .select(
-        (col("r") * nBaseVecs + col("vec_id")).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          x + ((pmod(col("r") * 7 + i, lit(11)) - 5) * lit(0.003d) +
-            col("r") * lit(1.0e-4d)).cast("float"))
-          .as("embedding"),
-        col("label"))
-      .repartition(cpus.toInt * 2)
-      .cache()
-    val nVecs = embCorpus.count()
     val nQ = 20
     val topK = 10
-    // ONE brute pass: the timed materialization IS the cached ground truth
-    val truth = operators.Similarity.topKBruteL2(embCorpus, nQ, topK)
-      .select(col("q_id"), col("vec_id")).cache()
-    val tBrute = System.nanoTime()
-    truth.count()
-    val bruteSec = (System.nanoTime() - tBrute) / 1e9
-    val annResults = Seq(1, 2, 4).map { nprobe =>
-      val t0 = System.nanoTime()
-      val probed = operators.Similarity.topKIvfMultiprobe(
-        embCorpus, nQ, topK, kClusters = 32, iters = 2, nprobe = nprobe)
-        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-      val hits = truth.join(probed, Seq("q_id", "vec_id"), "left")
-        .agg(sum(coalesce(col("hit"), lit(0L)))).collect()(0).getLong(0)
-      val sec = (System.nanoTime() - t0) / 1e9
-      (nprobe, sec, hits.toDouble / (nQ * topK))
+    var nVecs = 0L
+    def annPass(dither: Double): (Double, Seq[(Int, Double, Double)]) = {
+      val embCorpus = embBase
+        .crossJoin(spark.range(embReplicas).toDF("r"))
+        .select(
+          (col("r") * nBaseVecs + col("vec_id")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((pmod(col("r") * 7 + i, lit(11)) - 5) * lit(dither) +
+              col("r") * lit(1.0e-4d)).cast("float"))
+            .as("embedding"),
+          col("label"))
+        .repartition(cpus.toInt * 2)
+        .cache()
+      nVecs = embCorpus.count()
+      // ONE brute pass: the timed materialization IS the ground truth
+      val truth = operators.Similarity.topKBruteL2(embCorpus, nQ, topK)
+        .select(col("q_id"), col("vec_id")).cache()
+      val tBrute = System.nanoTime()
+      truth.count()
+      val bruteSec = (System.nanoTime() - tBrute) / 1e9
+      // NOTE: nprobe=1's run also pays the (cached) Lloyd fit; the fit is
+      // shared across the three settings via KMeans' fit memoization, so
+      // the nprobe=2/4 deltas are pure probe cost.
+      val curve = Seq(1, 2, 4).map { nprobe =>
+        val t0 = System.nanoTime()
+        val probed = operators.Similarity.topKIvfMultiprobe(
+          embCorpus, nQ, topK, kClusters = 32, iters = 2, nprobe = nprobe)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        val hits = truth.join(probed, Seq("q_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L)))).collect()(0).getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        (nprobe, sec, hits.toDouble / (nQ * topK))
+      }
+      truth.unpersist(); embCorpus.unpersist()
+      (bruteSec, curve)
     }
-    // NOTE: nprobe=1's first run also pays the (cached) Lloyd fit; the fit
-    // is shared across the three settings via KMeans' fit memoization, so
-    // the nprobe=2/4 deltas are pure probe cost.
+    val annRegimes = Seq("neardup" -> 0.003, "diffuse" -> 0.025).map {
+      case (name, dither) => name -> annPass(dither)
+    }
     val qs = (results ++ indexResults).map { case (k, v, n) =>
       f""""$k":{"sec":$v%.2f,"rows":$n}""" }.mkString("{", ",", "}")
-    val ann = annResults.map { case (p, sec, rec) =>
-      f""""probe$p":{"sec":$sec%.2f,"recall_at_10":$rec%.4f}""" }
-      .mkString(f"""{"brute":{"sec":$bruteSec%.2f,"recall_at_10":1.0},""", ",", "}")
-    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ann_vecs":$nVecs,"ann":$ann,"sf":"$sfDir","cpus":$cpus}""")
+    val ingest = ingestSteps.map { case (r, hist, probeSec, pairs, appSec) =>
+      f"""{"step":$r,"history_docs":$hist,"probe_sec":$probeSec%.2f,"pairs":$pairs,"append_sec":$appSec%.2f}"""
+    }.mkString("[", ",", "]")
+    val ann = annRegimes.map { case (name, (bruteSec, curve)) =>
+      curve.map { case (p, sec, rec) =>
+        f""""probe$p":{"sec":$sec%.2f,"recall_at_10":$rec%.4f}""" }
+        .mkString(f""""$name":{"brute":{"sec":$bruteSec%.2f,"recall_at_10":1.0},""", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ingest_loop":$ingest,"ann_vecs":$nVecs,"ann":$ann,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

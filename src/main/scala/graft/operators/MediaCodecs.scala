@@ -702,41 +702,113 @@ object MediaCodecs {
     b
   }
 
-  /** Decode a PCM16 WAV by WALKING the RIFF chunk list (not fixed offsets:
-    * real files carry LIST/INFO/fact chunks between fmt and data; odd-sized
-    * chunks are followed by a pad byte per the RIFF rule). None when not a
-    * RIFF/WAVE or not 16-bit PCM.
+  /** G.711 µ-law expansion (format code 7): one companded byte → the
+    * 16-bit linear sample, the public CCITT reference algorithm (bias 0x84,
+    * 3-bit segment, 4-bit mantissa, complemented on the wire). A public
+    * spec table, so the oracle can recompute it in SQL.
+    */
+  def mulawExpand(byte: Int): Int = {
+    val u = ~byte & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion (format code 6): XOR 0x55 on the wire, segments
+    * 0/1 linear then doubling — the public CCITT reference algorithm.
+    */
+  def alawExpand(byte: Int): Int = {
+    val a = (byte ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    val t0 = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case _ => (t0 + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Encode a mono G.711 WAV (format code 6 = A-law, 7 = µ-law): one
+    * companded byte per sample, canonical RIFF layout (fmt carries the
+    * 0-length extension field these codes require, then data).
+    */
+  def encodeWavG711(sampleRate: Int, data: Array[Byte], aLaw: Boolean): Array[Byte] = {
+    val b = new Array[Byte](46 + data.length + (data.length & 1))
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, b.length - 8)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 18) // fmt chunk size (16 + cbSize field)
+    putLe16(b, 20, if (aLaw) 6 else 7)
+    putLe16(b, 22, 1) // mono
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, sampleRate) // byte rate: 1 byte per sample
+    putLe16(b, 32, 1) // block align
+    putLe16(b, 34, 8) // bits per companded sample
+    putLe16(b, 36, 0) // cbSize = 0
+    b(38) = 'd'; b(39) = 'a'; b(40) = 't'; b(41) = 'a'
+    putLe32(b, 42, data.length)
+    System.arraycopy(data, 0, b, 46, data.length)
+    b // trailing zero IS the RIFF pad byte when data.length is odd
+  }
+
+  /** Decode a WAV to PCM16 samples by WALKING the RIFF chunk list (not
+    * fixed offsets: real files carry LIST/INFO/fact chunks between fmt and
+    * data; odd-sized chunks are followed by a pad byte per the RIFF rule).
+    * Accepts 16-bit PCM (format 1) verbatim, and G.711 A-law/µ-law
+    * (formats 6/7, 8-bit companded) EXPANDED to linear 16-bit — the
+    * telephony formats a real audio lake carries. `bitsPerSample` reports
+    * the FILE's storage width (8 for G.711), samples are always linear
+    * PCM16. None for anything else — float, ADPCM, wrong widths — never
+    * throw.
     */
   def decodeWavPcm16(b: Array[Byte]): Option[WavAudio] = {
     def tag(off: Int): String =
       if (off + 4 <= b.length) new String(b.slice(off, off + 4), "US-ASCII") else ""
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
-    var rate = -1; var channels = -1; var bits = -1
-    var samples: Array[Short] = null
-    while (off + 8 <= b.length && (rate < 0 || samples == null)) {
+    var rate = -1; var channels = -1; var bits = -1; var fmt = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
       val id = tag(off)
       val sz = le32(b, off + 4)
       val body = off + 8
       if (sz < 0 || body + sz > b.length) return None
       id match {
         case "fmt " =>
-          if (sz < 16 || le16(b, body) != 1) return None // PCM only
+          if (sz < 16) return None
+          fmt = le16(b, body)
           channels = le16(b, body + 2)
           rate = le32(b, body + 4)
           bits = le16(b, body + 14)
-          if (bits != 16) return None
-        case "data" =>
-          val n = sz / 2
-          val s = new Array[Short](n)
-          var i = 0
-          while (i < n) { s(i) = le16(b, body + 2 * i).toShort; i += 1 }
-          samples = s
+          fmt match {
+            case 1 => if (bits != 16) return None // linear PCM
+            case 6 | 7 => if (bits != 8) return None // G.711 companded
+            case _ => return None // float/ADPCM/extensible: out of scope
+          }
+        case "data" => dataOff = body; dataLen = sz
         case _ => () // skip unknown chunks (LIST, fact, ...)
       }
       off = body + sz + (sz & 1) // RIFF pad rule
     }
-    if (rate < 0 || samples == null) None
-    else Some(WavAudio(rate, channels, bits, samples))
+    if (rate < 0 || dataOff < 0) return None
+    val samples = fmt match {
+      case 1 =>
+        val n = dataLen / 2
+        val s = new Array[Short](n)
+        var i = 0
+        while (i < n) { s(i) = le16(b, dataOff + 2 * i).toShort; i += 1 }
+        s
+      case _ =>
+        val s = new Array[Short](dataLen)
+        var i = 0
+        while (i < dataLen) {
+          s(i) = (if (fmt == 6) alawExpand(b(dataOff + i) & 0xff)
+            else mulawExpand(b(dataOff + i) & 0xff)).toShort
+          i += 1
+        }
+        s
+    }
+    Some(WavAudio(rate, channels, bits, samples))
   }
 }

@@ -165,5 +165,73 @@ object Round8Queries {
       SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY keep_doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q204JpegDecode, q205PaletteP205, q206Bzip2Ingest)
+  /** G.711 µ-law / A-law telephony audio decode — WAV format codes 7/6,
+    * the companded 8-bit formats real speech lakes carry: per document,
+    * encode a mono G.711 WAV (alternating law by doc) whose companded
+    * bytes sweep the full 0..255 range (every segment of both laws
+    * participates), then REALLY decode it
+    * ([[MediaCodecs.decodeWavPcm16]]'s expansion path) and emit the q149
+    * sample statistics. The oracle RECOMPUTES the public CCITT expansion
+    * in SQL (bias/segment/mantissa arithmetic over the byte sequence), so
+    * a wrong bias, an off-by-one segment shift, or a sign-bit slip all
+    * hash-mismatch. Sample counts stay ≤ 30 so every feature magnitude is
+    * under 2^24 and exact in the float features array.
+    */
+  val q207G711Decode: QueryDef = QueryDef(
+    "q207_g711_decode",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val ns = 16 + r.n % 15
+        val data = Array.tabulate(ns)(i => ((r.v * 7 + i * 13) % 256).toByte)
+        val bytes = MediaCodecs.encodeWavG711(8000, data, aLaw = r.n % 2 == 0)
+        Multimodal.MediaRow(r.doc_id, bytes,
+          Multimodal.MediaMeta("wav", bytes.length, 0L))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"),
+          col("width").as("n_samples"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("first_sample"),
+          element_at(col("features"), 3).cast("long").as("sum_samples"),
+          element_at(col("features"), 4).cast("long").as("wsum_samples"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v, 16 + n % 15 AS ns, n % 2 = 0 AS alaw FROM d),
+      e AS (SELECT doc_id, ns,
+              CASE WHEN alaw THEN
+                list_transform(
+                  list_transform(range(ns), i -> xor((v * 7 + i * 13) % 256, 85)),
+                  a -> (CASE WHEN (a & 128) != 0 THEN 1 ELSE -1 END) *
+                       (CASE WHEN (a & 112) // 16 = 0 THEN (a & 15) * 16 + 8
+                             WHEN (a & 112) // 16 = 1 THEN (a & 15) * 16 + 264
+                             ELSE ((a & 15) * 16 + 264) * (1 << ((a & 112) // 16 - 1))
+                        END))
+              ELSE
+                list_transform(
+                  list_transform(range(ns), i -> 255 - (v * 7 + i * 13) % 256),
+                  u -> (CASE WHEN (u & 128) != 0 THEN -1 ELSE 1 END) *
+                       (((u & 15) * 8 + 132) * (1 << ((u & 112) // 16)) - 132))
+              END AS s
+            FROM g)
+      SELECT doc_id, ns AS n_samples, 1 AS channels,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(s[1] AS BIGINT) AS first_sample,
+             CAST(list_sum(s) AS BIGINT) AS sum_samples,
+             CAST(list_sum(list_transform(range(ns), i -> (i + 1) * s[i + 1]))
+               AS BIGINT) AS wsum_samples
+      FROM e ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q204JpegDecode, q205PaletteP205, q206Bzip2Ingest, q207G711Decode)
 }

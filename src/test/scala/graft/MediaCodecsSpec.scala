@@ -65,6 +65,39 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(a.sampleRate == 8000 && a.samples.toSeq == samples.toSeq)
   }
 
+  test("G.711 mu-law/A-law expand to the CCITT reference values and roundtrip the container") {
+    // reference points from the public tables: codec zeros, both extremes
+    assert(MediaCodecs.mulawExpand(0xff) == 0)
+    assert(MediaCodecs.mulawExpand(0x7f) == 0)
+    assert(MediaCodecs.mulawExpand(0x80) == 32124)
+    assert(MediaCodecs.mulawExpand(0x00) == -32124)
+    assert(MediaCodecs.alawExpand(0x55) == -8)
+    assert(MediaCodecs.alawExpand(0xd5) == 8)
+    assert(MediaCodecs.alawExpand(0x2a) == -32256)
+    assert(MediaCodecs.alawExpand(0xaa) == 32256)
+    // sign-bit symmetry across the whole byte range, both laws
+    for (b <- 0 until 256) {
+      assert(MediaCodecs.mulawExpand(b ^ 0x80) == -MediaCodecs.mulawExpand(b))
+      assert(MediaCodecs.alawExpand(b ^ 0x80) == -MediaCodecs.alawExpand(b))
+    }
+    // container roundtrip: fmt codes 6/7, 8-bit storage, expanded samples
+    val data = Array.tabulate(101)(i => ((i * 37) % 256).toByte)
+    for (aLaw <- Seq(true, false)) {
+      val wav = MediaCodecs.encodeWavG711(8000, data, aLaw)
+      val a = MediaCodecs.decodeWavPcm16(wav).get
+      assert(a.sampleRate == 8000 && a.channels == 1 && a.bitsPerSample == 8)
+      val want = data.map(b => if (aLaw) MediaCodecs.alawExpand(b & 0xff)
+        else MediaCodecs.mulawExpand(b & 0xff))
+      assert(a.samples.map(_.toInt).toSeq == want.toSeq)
+      // truncation still rejects; float format (3) still rejects
+      assert(MediaCodecs.decodeWavPcm16(wav.take(30)).isEmpty)
+    }
+    // G.711 with a lying bits-per-sample field rejects
+    val bad = MediaCodecs.encodeWavG711(8000, data, aLaw = true)
+    bad(34) = 16
+    assert(MediaCodecs.decodeWavPcm16(bad).isEmpty)
+  }
+
   test("non-media payloads are rejected, so decodeFeatures falls back to the stub") {
     val text = "BMthis is not a bitmap, just text starting with the magic".getBytes("UTF-8")
     assert(MediaCodecs.decodeBmp24(text).isEmpty) // size field check rejects
