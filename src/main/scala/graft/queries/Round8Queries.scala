@@ -232,6 +232,71 @@ object Round8Queries {
                AS BIGINT) AS wsum_samples
       FROM e ORDER BY doc_id"""))
 
+  private def h32at(x: String, pos: Int): String =
+    s"(('0x' || substr(md5($x), $pos, 8))::BIGINT)"
+
+  /** The STREAMING count-min state path under the ORACLE gate:
+    * [[graft.streaming.EventsStreaming.streamingCountMin]] — the exact
+    * mapGroupsWithState function the continuous query runs — executed over
+    * the batch `events` frame (batch mode folds each key's rows through
+    * the same state update once), its 4×512 counter state exploded to
+    * nonzero (row, bucket, c) cells and hash-compared against the q129
+    * count-min derivation recomputed by DuckDB over `concat('u', user_id)`.
+    * StreamingSpec separately proves the micro-batched run reaches this
+    * same state at every prefix; this query pins WHAT that state is.
+    */
+  val q208StreamingCmState: QueryDef = QueryDef(
+    "q208_streaming_cm_state",
+    (s, dir) => {
+      graft.streaming.EventsStreaming
+        .streamingCountMin(Tables.load(s, dir, "events"))
+        .select(col("row"),
+          posexplode(col("counters")).as(Seq("bucket", "c")))
+        .filter(col("c") > 0)
+        .orderBy("row", "bucket")
+    },
+    Some(s"""
+      WITH k AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS k FROM events),
+      cells AS (
+        SELECT unnest([0, 1, 2, 3]) AS row,
+               unnest([${h32at("k", 1)} % 512, ${h32at("k", 9)} % 512,
+                       ${h32at("k", 17)} % 512, ${h32at("k", 25)} % 512])
+                 AS bucket
+        FROM k)
+      SELECT CAST(row AS INTEGER) AS row, CAST(bucket AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY row, bucket ORDER BY row, bucket"""))
+
+  /** The STREAMING HyperLogLog state path under the ORACLE gate:
+    * [[graft.streaming.EventsStreaming.hllRegisterState]] — the same
+    * register-max state update `hllDistinctUsers` folds per micro-batch —
+    * over the batch `events` frame, nonzero registers exploded to
+    * (event_type, idx, rho) and checked against DuckDB recomputing the
+    * q132 register derivation (md5-derived 32-bit hash, low 8 bits index,
+    * MSB-position rank of the remaining 24). Registers are integers, so
+    * the state compares exactly across engines where the estimate's
+    * log-based correction could not.
+    */
+  val q209StreamingHllState: QueryDef = QueryDef(
+    "q209_streaming_hll_state",
+    (s, dir) => {
+      graft.streaming.EventsStreaming
+        .hllRegisterState(Tables.load(s, dir, "events"))
+        .select(col("event_type"),
+          posexplode(col("regs")).as(Seq("idx", "rho")))
+        .filter(col("rho") > 0)
+        .orderBy("event_type", "idx")
+    },
+    Some(s"""
+      WITH h AS (SELECT event_type,
+                        ${h32at("('u' || CAST(user_id AS VARCHAR))", 1)} AS hv
+                 FROM events)
+      SELECT event_type, CAST(hv % 256 AS INTEGER) AS idx,
+             CAST(max(CASE WHEN hv // 256 = 0 THEN 25
+                           ELSE 25 - length(bin(hv // 256)) END) AS INTEGER) AS rho
+      FROM h GROUP BY event_type, idx ORDER BY event_type, idx"""))
+
   val all: Seq[QueryDef] = Seq(
-    q204JpegDecode, q205PaletteP205, q206Bzip2Ingest, q207G711Decode)
+    q204JpegDecode, q205PaletteP205, q206Bzip2Ingest, q207G711Decode,
+    q208StreamingCmState, q209StreamingHllState)
 }

@@ -217,6 +217,31 @@ object EventsStreaming {
       .toDF("event_type", "est_distinct")
   }
 
+  /** [[hllDistinctUsers]]'s register-level twin for the ORACLE gate: the
+    * identical mapGroupsWithState state update, emitting the raw 256
+    * registers instead of the estimate — registers are integers and
+    * hash-compare across engines, while the estimate's log-based
+    * small-range correction is not bit-portable. Run over a BATCH frame
+    * (mapGroupsWithState executes in batch too, one state fold per key)
+    * this puts the exact streaming-state code path under the DuckDB
+    * compare (q209), complementing the per-micro-batch prefix checks in
+    * StreamingSpec.
+    */
+  def hllRegisterState(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = hllRegisterRows(events).as[(String, Int, Int)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Int], (String, Array[Int])](
+        GroupStateTimeout.NoTimeout) {
+        case (t, rows, state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(new Array[Int](256))
+          rows.foreach { r => if (r._3 > regs(r._2)) regs(r._2) = r._3 }
+          state.update(regs)
+          (t, regs.clone())
+      }
+      .toDF("event_type", "regs")
+  }
+
   /** (row, bucket) count-min cell coordinates for a user-keyed sketch —
     * the q129 derivation (d=4 independent 8-hex md5 windows × w=512
     * buckets) over `concat("u", user_id)`, shared by the streaming state
