@@ -172,10 +172,15 @@ object CorpusScaleBench {
     //     island, a trained quantizer keeps islands whole, and nprobe = 1
     //     already reads the query's entire top-k — IVF's best case, the
     //     structure embedding-dedup corpora actually have.
+    //   - boundary (dither 0.010/dim ≈ L2 0.25): clouds stay coherent but
+    //     straddle cell boundaries, so recall climbs with nprobe — the
+    //     classic IVF curve, the regime where multiprobe earns its cost.
     //   - diffuse (dither 0.025/dim ≈ L2 0.6, comparable to the base
-    //     spacing): clouds interleave and cells cut through neighborhoods,
-    //     so recall CLIMBS with nprobe — the regime where multiprobe earns
-    //     its cost.
+    //     spacing): neighborhoods smear across many cells of the
+    //     64-dim space — recall plateaus well below 1 regardless of a few
+    //     extra probes, the curse-of-dimensionality hard case that says
+    //     when IVF needs more cells probed (or a better index) rather
+    //     than pretending recall is free.
     val embReplicas = sys.env.getOrElse("SPARK_GRAFT_EMB_REPLICAS", "50").toInt
     val embBase = Tables.load(spark, sfDir, "embeddings")
     val nBaseVecs = embBase.count()
@@ -217,9 +222,10 @@ object CorpusScaleBench {
       truth.unpersist(); embCorpus.unpersist()
       (bruteSec, curve)
     }
-    val annRegimes = Seq("neardup" -> 0.003, "diffuse" -> 0.025).map {
-      case (name, dither) => name -> annPass(dither)
-    }
+    val annRegimes =
+      Seq("neardup" -> 0.003, "boundary" -> 0.010, "diffuse" -> 0.025).map {
+        case (name, dither) => name -> annPass(dither)
+      }
     val qs = (results ++ indexResults).map { case (k, v, n) =>
       f""""$k":{"sec":$v%.2f,"rows":$n}""" }.mkString("{", ",", "}")
     val ingest = ingestSteps.map { case (r, hist, probeSec, pairs, appSec) =>

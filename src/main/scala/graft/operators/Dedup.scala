@@ -219,16 +219,22 @@ object Dedup {
                     buckets: Int = 8, basePath: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     requireValidTable(indexTable); requireValidTable(shingleTable)
+    // data lands under the session's configured warehouse by default (no
+    // cwd-relative collisions across apps with distinct warehouses);
+    // basePath points the same layout at an external lake path. The table
+    // is EXTERNAL-with-path rather than managed on purpose: overwrite
+    // semantics replace the location's contents even when a fresh
+    // session's (in-memory) catalog has forgotten the table — a managed
+    // saveAsTable would refuse with LOCATION_ALREADY_EXISTS, stranding
+    // every rebuild after a JVM restart.
+    val base = basePath.getOrElse(spark.sessionState.conf.warehousePath)
     def save(df: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      val w = df.write.format("parquet").mode("overwrite")
+      df.write.format("parquet").mode("overwrite")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
-      // default: a MANAGED table — the data lands under the session's
-      // spark.sql.warehouse.dir, so concurrent apps with distinct
-      // warehouses never collide on a shared cwd. basePath opts into an
-      // external location (a lake path) without changing the layout.
-      basePath.fold(w)(p => w.option("path", s"$p/$table")).saveAsTable(table)
+        .option("path", s"$base/$table")
+        .saveAsTable(table)
     }
     save(docs.filter(size(split(col("text"), " ")) >= shingleK)
       .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh")),

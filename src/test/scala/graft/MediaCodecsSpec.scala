@@ -109,26 +109,32 @@ class MediaCodecsSpec extends SparkTestBase {
 
   test("binaryFile ingest: real files on disk decode through the media pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("media_ingest")
-    // two real BMPs with known content, one WAV, one decoy text file
+    // real files in five formats with known content, one decoy text file
     java.nio.file.Files.write(dir.resolve("a.bmp"),
       MediaCodecs.encodeBmp24(5, 3, (_, y) => (10 + y, 20, 30)))
     java.nio.file.Files.write(dir.resolve("b.bmp"),
       MediaCodecs.encodeBmp24(9, 4, (_, y) => (50 + y, 60, 70)))
     java.nio.file.Files.write(dir.resolve("c.wav"),
       MediaCodecs.encodeWavPcm16(8000, Array[Short](5, -5, 7)))
+    java.nio.file.Files.write(dir.resolve("d.png"),
+      MediaCodecs.encodePng(7, 2, (x, y) => (x, y, x + y)))
+    java.nio.file.Files.write(dir.resolve("e.jpg"),
+      graft.operators.JpegCodec.encodeJpegFlat(16, 8, subsample420 = false,
+        (bx, _) => 90 + bx))
     java.nio.file.Files.write(dir.resolve("readme.txt"),
       "not media at all".getBytes("UTF-8"))
     val media = Multimodal.readMediaDir(spark, dir.toString)
     val rows = media.collect()
-    assert(rows.length == 4)
+    assert(rows.length == 6)
     assert(rows.map(_.meta.formatGuess).sorted.toSeq ==
-      Seq("bmp", "bmp", "unknown", "wav"))
+      Seq("bmp", "bmp", "jpeg", "png", "unknown", "wav"))
     val feats = Multimodal.decodeFeatures(media).collect()
       .map(f => (f.width, f.height, f.channels)).toSet
-    // the two BMPs report their REAL header dims; the WAV reports
-    // (nSamples, 1, channels); the text file takes the stub path
+    // each real format reports its REAL header dims ((nSamples, 1,
+    // channels) for the WAV); the text file takes the stub path
     assert(feats.contains((5, 3, 3)) && feats.contains((9, 4, 3)), feats)
     assert(feats.contains((3, 1, 1)), feats)
+    assert(feats.contains((7, 2, 3)) && feats.contains((16, 8, 3)), feats)
     // glob pushdown: only the bmps are even listed
     assert(Multimodal.readMediaDir(spark, dir.toString, "*.bmp").count() == 2)
   }
