@@ -1,13 +1,14 @@
 package graft.operators
 
-/** REAL pure-JVM media codecs for the public uncompressed formats a
-  * zero-dependency sandbox can parse bit-exactly: 24-bit BI_RGB Windows BMP
-  * (BITMAPINFOHEADER), binary PPM/PGM/PBM (P6/P5/P4, maxval ≤ 255, `#` header
-  * comments), and 16-bit PCM RIFF/WAVE. These replace the
-  * round-2..4 decode STUB for payloads that actually carry these formats —
+/** REAL pure-JVM media codecs for the public formats a zero-dependency
+  * sandbox can parse bit-exactly: 24-bit BI_RGB Windows BMP
+  * (BITMAPINFOHEADER), binary PPM/PGM/PBM (P6/P5/P4, maxval ≤ 255, `#`
+  * header comments), RIFF/WAVE audio (16-bit PCM + G.711 µ-law/A-law),
+  * and PNG (8/16-bit, gray/RGB/RGBA/gray-alpha/palette, straight and
+  * Adam7-interlaced). Baseline JPEG lives in its own [[JpegCodec]].
   * [[Multimodal.decodeFeatures]] sniffs the magic bytes and falls back to
-  * the deterministic fake for anything else (JPEG/PNG/MP3 decode needs
-  * codec libraries this environment does not ship).
+  * the deterministic fake only for the formats still out of scope
+  * (MP3, progressive JPEG).
   *
   * The layouts implemented here are the public file-format specifications
   * (BMP: 54-byte header, little-endian fields, BGR byte order, rows stored
@@ -424,20 +425,38 @@ object MediaCodecs {
     } finally d.end()
   }
 
+  /** The seven Adam7 interlace passes: (xStart, yStart, xStep, yStep),
+    * spec §8.2. Each pass is an independently-filtered sub-image; passes
+    * with zero width or height contribute no bytes at all.
+    */
+  private[graft] val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** A pass's sub-image dimensions for a w×h frame (0 when empty). */
+  private def adam7Dims(w: Int, h: Int, pass: (Int, Int, Int, Int)): (Int, Int) = {
+    val (x0, y0, dx, dy) = pass
+    (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+      if (h > y0) (h - y0 + dy - 1) / dy else 0)
+  }
+
   /** Build a complete PNG from an already-FILTERED raw scanline buffer
-    * (h rows of 1 filter byte + stride sample bytes). Shared by the
-    * public encoders; spec-visible so hostile streams (bad filter byte,
-    * short raster) can reuse the valid framing. `plte` (when non-empty)
-    * lands as a PLTE chunk between IHDR and IDAT — required for color
-    * type 3, legal-but-ignored for the truecolor types.
+    * (rows of 1 filter byte + stride sample bytes; for interlace 1, the
+    * seven passes' rasters concatenated). Shared by the public encoders;
+    * spec-visible so hostile streams (bad filter byte, short raster) can
+    * reuse the valid framing. `plte` (when non-empty) lands as a PLTE
+    * chunk between IHDR and IDAT — required for color type 3,
+    * legal-but-ignored for the truecolor types.
     */
   private[graft] def pngAssemble(width: Int, height: Int, colorType: Int,
-      raw: Array[Byte], plte: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      raw: Array[Byte], plte: Array[Byte] = Array.emptyByteArray,
+      depth: Int = 8, interlace: Int = 0): Array[Byte] = {
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
-    ihdr(8) = 8 // bit depth
+    ihdr(8) = depth.toByte
     ihdr(9) = colorType.toByte
-    // ihdr(10..12) = compression 0, filter 0, interlace 0 (zero-filled)
+    // ihdr(10), ihdr(11) = compression 0, filter 0 (zero-filled)
+    ihdr(12) = interlace.toByte
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngMagic)
     out.write(pngChunk("IHDR", ihdr))
@@ -447,33 +466,15 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Core PNG encode: 8-bit samples, `bpp` channels per pixel fed by
-    * `sample(x, y, channel)`, one filter type per row from `filterOf`
-    * (0=None 1=Sub 2=Up 3=Average 4=Paeth — encode with a mix to exercise
-    * every decoder unfilter path; the format allows any per-row choice).
+  /** Filter an unfiltered raster (`stride` bytes per row, `height` rows,
+    * pixel unit `bpp` BYTES) into the on-wire form: per row one filter
+    * byte from `filterOf` then the filtered bytes. Shared by the straight
+    * and the per-pass (Adam7) encoders.
     */
-  private def encodePngRaw(width: Int, height: Int, colorType: Int, bpp: Int,
-      sample: (Int, Int, Int) => Int, filterOf: Int => Int,
-      plte: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
-    require(width > 0 && height > 0 &&
-      width.toLong * height <= MaxPngPixels,
-      s"dims ${width}x$height exceed the PNG pixel budget")
-    val stride = bpp * width
-    val img = new Array[Byte](stride * height) // unfiltered samples
+  private def filterRaster(img: Array[Byte], stride: Int, height: Int,
+      bpp: Int, filterOf: Int => Int): Array[Byte] = {
+    val raw = new Array[Byte]((1 + stride) * height)
     var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        var ch = 0
-        while (ch < bpp) {
-          img(y * stride + bpp * x + ch) = sample(x, y, ch).toByte; ch += 1
-        }
-        x += 1
-      }
-      y += 1
-    }
-    val raw = new Array[Byte]((1 + stride) * height) // filtered scanlines
-    y = 0
     while (y < height) {
       val ft = filterOf(y)
       require(ft >= 0 && ft <= 4, s"bad filter type $ft")
@@ -496,7 +497,45 @@ object MediaCodecs {
       }
       y += 1
     }
-    pngAssemble(width, height, colorType, raw, plte)
+    raw
+  }
+
+  /** Core PNG encode: `channels` samples per pixel at `depth` 8 or 16 bits
+    * (16-bit stored big-endian per the spec), fed by `sample(x, y,
+    * channel)` (0..255 or 0..65535), one filter type per row from
+    * `filterOf` (0=None 1=Sub 2=Up 3=Average 4=Paeth — encode with a mix
+    * to exercise every decoder unfilter path; the format allows any
+    * per-row choice).
+    */
+  private def encodePngRaw(width: Int, height: Int, colorType: Int, channels: Int,
+      sample: (Int, Int, Int) => Int, filterOf: Int => Int,
+      plte: Array[Byte] = Array.emptyByteArray, depth: Int = 8): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= MaxPngPixels,
+      s"dims ${width}x$height exceed the PNG pixel budget")
+    require(depth == 8 || depth == 16, s"unsupported bit depth $depth")
+    val bps = depth / 8
+    val bpp = channels * bps
+    val stride = bpp * width
+    val img = new Array[Byte](stride * height) // unfiltered samples
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var ch = 0
+        while (ch < channels) {
+          val v = sample(x, y, ch)
+          val p = y * stride + bpp * x + bps * ch
+          if (bps == 1) img(p) = v.toByte
+          else { img(p) = (v >> 8).toByte; img(p + 1) = v.toByte } // big-endian
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    pngAssemble(width, height, colorType,
+      filterRaster(img, stride, height, bpp, filterOf), plte, depth)
   }
 
   /** Encode an 8-bit RGB (color type 2) PNG. `pixel(x, y)` yields
@@ -507,14 +546,14 @@ object MediaCodecs {
   def encodePng(width: Int, height: Int,
       pixel: (Int, Int) => (Int, Int, Int),
       filterOf: Int => Int = _ => 0): Array[Byte] =
-    encodePngRaw(width, height, colorType = 2, bpp = 3,
+    encodePngRaw(width, height, colorType = 2, channels = 3,
       (x, y, ch) => { val (r, g, b) = pixel(x, y)
         if (ch == 0) r else if (ch == 1) g else b }, filterOf)
 
   /** Encode an 8-bit grayscale (color type 0) PNG. */
   def encodePngGray(width: Int, height: Int, pixel: (Int, Int) => Int,
       filterOf: Int => Int = _ => 0): Array[Byte] =
-    encodePngRaw(width, height, colorType = 0, bpp = 1,
+    encodePngRaw(width, height, colorType = 0, channels = 1,
       (x, y, _) => pixel(x, y), filterOf)
 
   /** Encode an 8-bit RGBA (color type 6) PNG; `pixel(x, y)` yields
@@ -523,7 +562,7 @@ object MediaCodecs {
   def encodePngRgba(width: Int, height: Int,
       pixel: (Int, Int) => (Int, Int, Int, Int),
       filterOf: Int => Int = _ => 0): Array[Byte] =
-    encodePngRaw(width, height, colorType = 6, bpp = 4,
+    encodePngRaw(width, height, colorType = 6, channels = 4,
       (x, y, ch) => { val (r, g, b, a) = pixel(x, y)
         ch match { case 0 => r; case 1 => g; case 2 => b; case _ => a } },
       filterOf)
@@ -543,7 +582,7 @@ object MediaCodecs {
     palette.zipWithIndex.foreach { case ((r, g, b), i) =>
       plte(3 * i) = r.toByte; plte(3 * i + 1) = g.toByte; plte(3 * i + 2) = b.toByte
     }
-    encodePngRaw(width, height, colorType = 3, bpp = 1,
+    encodePngRaw(width, height, colorType = 3, channels = 1,
       (x, y, _) => {
         val i = index(x, y)
         require(i >= 0 && i < palette.length, s"palette index $i out of range")
@@ -551,14 +590,82 @@ object MediaCodecs {
       }, filterOf, plte)
   }
 
+  /** Encode a 16-BIT RGB (color type 2, depth 16) PNG — the photography/
+    * scientific-imaging depth; `pixel(x, y)` yields (r, g, b) in 0..65535,
+    * stored big-endian per the spec.
+    */
+  def encodePng16(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int),
+      filterOf: Int => Int = _ => 0): Array[Byte] =
+    encodePngRaw(width, height, colorType = 2, channels = 3,
+      (x, y, ch) => { val (r, g, b) = pixel(x, y)
+        if (ch == 0) r else if (ch == 1) g else b }, filterOf, depth = 16)
+
+  /** Encode a 16-bit grayscale (color type 0, depth 16) PNG; samples in
+    * 0..65535.
+    */
+  def encodePngGray16(width: Int, height: Int, pixel: (Int, Int) => Int,
+      filterOf: Int => Int = _ => 0): Array[Byte] =
+    encodePngRaw(width, height, colorType = 0, channels = 1,
+      (x, y, _) => pixel(x, y), filterOf, depth = 16)
+
+  /** Encode an 8-bit GRAY+ALPHA (color type 4) PNG; `pixel(x, y)` yields
+    * (gray, alpha).
+    */
+  def encodePngGrayAlpha(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int),
+      filterOf: Int => Int = _ => 0): Array[Byte] =
+    encodePngRaw(width, height, colorType = 4, channels = 2,
+      (x, y, ch) => { val (g, a) = pixel(x, y); if (ch == 0) g else a },
+      filterOf)
+
+  /** Encode an ADAM7-INTERLACED 8-bit RGB PNG: the seven passes built as
+    * independently-filtered sub-images (spec §8.2) and concatenated into
+    * one IDAT stream. `filterOf` picks each pass-row's filter (pass-local
+    * row index — cycling still exercises every unfilter path).
+    */
+  def encodePngAdam7(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int),
+      filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= MaxPngPixels,
+      s"dims ${width}x$height exceed the PNG pixel budget")
+    val out = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { pass =>
+      val (x0, y0, dx, dy) = pass
+      val (pw, ph) = adam7Dims(width, height, pass)
+      if (pw > 0 && ph > 0) {
+        val stride = 3 * pw
+        val img = new Array[Byte](stride * ph)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            val (r, g, b) = pixel(x0 + px * dx, y0 + py * dy)
+            val p = py * stride + 3 * px
+            img(p) = r.toByte; img(p + 1) = g.toByte; img(p + 2) = b.toByte
+            px += 1
+          }
+          py += 1
+        }
+        out.write(filterRaster(img, stride, ph, 3, filterOf))
+      }
+    }
+    pngAssemble(width, height, colorType = 2, out.toByteArray,
+      interlace = 1)
+  }
+
   /** Decode a PNG — pure JVM: chunk walk with CRC32 verification, IDAT
     * concatenation, zlib inflate (JDK Inflater), per-row unfilter
-    * (None/Sub/Up/Average/Paeth). Supports 8-bit gray (widened r=g=b),
-    * RGB, RGBA (alpha dropped — the shared container is RGB), and PALETTE
-    * (color type 3: one index byte per pixel looked up in the PLTE table;
-    * an index past the table is a corrupt image → None) in the
-    * non-interlaced layout; returns None — never throws — for anything
-    * else (16-bit/Adam7, type 3 missing its PLTE or with PLTE after IDAT,
+    * (None/Sub/Up/Average/Paeth). Supports bit depths 8 AND 16 (16-bit
+    * big-endian samples scale to the 8-bit container by their high byte),
+    * color types 0 (gray, widened r=g=b), 2 (RGB), 3 (palette via PLTE
+    * lookup — 8-bit only per the spec; an index past the table is a
+    * corrupt image → None), 4 (gray+alpha: widened, alpha dropped), and
+    * 6 (RGBA: alpha dropped), in BOTH the straight and the ADAM7
+    * INTERLACED layouts (seven independently-filtered passes scattered to
+    * the output grid). Returns None — never throws — for anything else
+    * (1/2/4-bit depths, type 3 missing its PLTE or with PLTE after IDAT,
     * truncated or over-long IDAT stream, CRC mismatch, bad filter byte,
     * hostile dims past [[MaxPngPixels]]).
     */
@@ -566,7 +673,7 @@ object MediaCodecs {
     if (b.length < 8 + 25 || !PngMagic.indices.forall(i => b(i) == PngMagic(i)))
       return None
     var off = 8
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var depth = 0; var interlace = 0
     var seenIhdr = false; var seenIend = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -582,11 +689,13 @@ object MediaCodecs {
           if (seenIhdr || len != 13) return None
           seenIhdr = true
           w = be32(b, off + 8); h = be32(b, off + 12)
-          val bitDepth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
-          if (bitDepth != 8 || (colorType != 0 && colorType != 2 &&
-            colorType != 3 && colorType != 6)) return None
-          if (b(off + 18) != 0 || b(off + 19) != 0 || b(off + 20) != 0)
-            return None // compression/filter method, interlace (Adam7 rejected)
+          depth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
+          if ((depth != 8 && depth != 16) || (colorType != 0 && colorType != 2 &&
+            colorType != 3 && colorType != 4 && colorType != 6)) return None
+          if (colorType == 3 && depth != 8) return None // spec: palette ≤ 8-bit
+          if (b(off + 18) != 0 || b(off + 19) != 0) return None // compression/filter method
+          interlace = b(off + 20) & 0xff
+          if (interlace != 0 && interlace != 1) return None
           // dims are signed BE reads: negatives fail the > 0 check; the
           // pixel cap bounds allocation (deflate hides the true raster
           // size from any payload-proportional bound)
@@ -595,7 +704,8 @@ object MediaCodecs {
           // spec §11.2.3: one PLTE, after IHDR, BEFORE the first IDAT,
           // 1..256 RGB triples; forbidden for the grayscale types
           if (!seenIhdr || plte != null || idat.size > 0) return None
-          if (colorType == 0 || len == 0 || len % 3 != 0 || len > 768) return None
+          if (colorType == 0 || colorType == 4 ||
+            len == 0 || len % 3 != 0 || len > 768) return None
           plte = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
         case "IDAT" => if (!seenIhdr) return None; idat.write(b, off + 8, len)
         case "IEND" => seenIend = true
@@ -605,10 +715,20 @@ object MediaCodecs {
     }
     if (!seenIhdr || !seenIend || idat.size == 0) return None
     if (colorType == 3 && plte == null) return None // PLTE is mandatory
-    val bpp = colorType match { case 0 | 3 => 1; case 2 => 3; case _ => 4 }
-    val stride = bpp * w // <= 4 * MaxPngPixels, far inside Int
-    if ((1L + stride) * h > Int.MaxValue) return None
-    val raw = new Array[Byte]((1 + stride) * h)
+    val channels = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case _ => 4
+    }
+    val bps = depth / 8
+    val bpp = channels * bps // filter unit in BYTES (spec: ceil(depth/8)·channels)
+    // pass list: the whole frame is the single "pass" when non-interlaced
+    val passes =
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    val passDims = passes.map(adam7Dims(w, h, _))
+    val totalLen = passDims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0L else (1L + pw.toLong * bpp) * ph
+    }.sum
+    if (totalLen > Int.MaxValue) return None // <= 8·MaxPngPixels + rows, but be explicit
+    val raw = new Array[Byte](totalLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -631,46 +751,67 @@ object MediaCodecs {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // unfilter in place (prior reconstructed row is read back from `raw`)
-    var y = 0
-    while (y < h) {
-      val rs = y * (1 + stride)
-      val ft = raw(rs) & 0xff
-      if (ft > 4) return None
-      var x = 0
-      while (x < stride) {
-        val i = rs + 1 + x
-        val a = if (x >= bpp) raw(i - bpp) & 0xff else 0
-        val up = if (y > 0) raw(i - (1 + stride)) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) raw(i - (1 + stride) - bpp) & 0xff else 0
-        val rec = ft match {
-          case 0 => raw(i) & 0xff
-          case 1 => (raw(i) & 0xff) + a
-          case 2 => (raw(i) & 0xff) + up
-          case 3 => (raw(i) & 0xff) + (a + up) / 2
-          case 4 => (raw(i) & 0xff) + paeth(a, up, c)
-        }
-        raw(i) = rec.toByte
-        x += 1
-      }
-      y += 1
-    }
     val px = new Array[(Int, Int, Int)](w * h)
-    var i = 0
-    while (i < w * h) {
-      val y0 = i / w
-      val p = y0 * (1 + stride) + 1 + bpp * (i - y0 * w)
-      px(i) = colorType match {
-        case 0 => val g = raw(p) & 0xff; (g, g, g)
-        case 3 =>
-          val idx = raw(p) & 0xff
-          // an index past the palette is corrupt data, not a color — the
-          // contract is None, never a fabricated pixel
-          if (3 * idx + 2 >= plte.length) return None
-          ((plte(3 * idx) & 0xff), (plte(3 * idx + 1) & 0xff), (plte(3 * idx + 2) & 0xff))
-        case _ => ((raw(p) & 0xff), (raw(p + 1) & 0xff), (raw(p + 2) & 0xff))
+    var passOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(pi)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        // unfilter this pass in place (prior reconstructed row is read
+        // back from `raw`; rows never reference a previous PASS)
+        var y = 0
+        while (y < ph) {
+          val rs = passOff + y * (1 + stride)
+          val ft = raw(rs) & 0xff
+          if (ft > 4) return None
+          var x = 0
+          while (x < stride) {
+            val i = rs + 1 + x
+            val a = if (x >= bpp) raw(i - bpp) & 0xff else 0
+            val up = if (y > 0) raw(i - (1 + stride)) & 0xff else 0
+            val c = if (y > 0 && x >= bpp) raw(i - (1 + stride) - bpp) & 0xff else 0
+            val rec = ft match {
+              case 0 => raw(i) & 0xff
+              case 1 => (raw(i) & 0xff) + a
+              case 2 => (raw(i) & 0xff) + up
+              case 3 => (raw(i) & 0xff) + (a + up) / 2
+              case 4 => (raw(i) & 0xff) + paeth(a, up, c)
+            }
+            raw(i) = rec.toByte
+            x += 1
+          }
+          y += 1
+        }
+        // scatter this pass's pixels to the output grid; a 16-bit sample's
+        // HIGH byte is its first byte (big-endian), which IS the standard
+        // 16→8 downscale
+        y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            val p = passOff + y * (1 + stride) + 1 + x * bpp
+            val pix = colorType match {
+              case 0 | 4 => val g = raw(p) & 0xff; (g, g, g)
+              case 3 =>
+                val idx = raw(p) & 0xff
+                // an index past the palette is corrupt data, not a color —
+                // the contract is None, never a fabricated pixel
+                if (3 * idx + 2 >= plte.length) return None
+                ((plte(3 * idx) & 0xff), (plte(3 * idx + 1) & 0xff),
+                  (plte(3 * idx + 2) & 0xff))
+              case _ =>
+                ((raw(p) & 0xff), (raw(p + bps) & 0xff), (raw(p + 2 * bps) & 0xff))
+            }
+            px((y0 + y * dy) * w + (x0 + x * dx)) = pix
+            x += 1
+          }
+          y += 1
+        }
+        passOff += (1 + stride) * ph
       }
-      i += 1
+      pi += 1
     }
     Some(BmpImage(w, h, px))
   }

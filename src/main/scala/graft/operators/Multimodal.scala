@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * run per-partition in batches.
   *
   * Decode is REAL for the public formats a zero-dependency JVM can parse —
-  * 24-bit BMP, P6/P5/P4 Netpbm, PCM16 WAV, 8-bit gray/RGB/RGBA/palette
-  * PNG (chunk walk + JDK-Inflater IDAT + per-row unfilter + PLTE lookup),
-  * and baseline JPEG (marker walk + Huffman + dequant + IDCT + YCbCr,
-  * [[JpegCodec]]) ([[MediaCodecs]], sniffed by magic bytes in
-  * [[realDecode]]) — and falls back to a deterministic fake
-  * ([[fakeDecode]]) for formats that need codec libraries this
-  * environment does not ship (MP3, progressive JPEG, 16-bit/
-  * interlaced PNG). The Spark-side contract (schema, batch
+  * 24-bit BMP, P6/P5/P4 Netpbm, WAV (PCM16 + G.711 µ-law/A-law), PNG
+  * (8/16-bit gray/RGB/RGBA/gray-alpha/palette, straight AND
+  * Adam7-interlaced: chunk walk + JDK-Inflater IDAT + per-pass unfilter +
+  * PLTE lookup), and baseline JPEG (marker walk + Huffman + dequant +
+  * IDCT + YCbCr, [[JpegCodec]]) ([[MediaCodecs]], sniffed by magic bytes
+  * in [[realDecode]]) — and falls back to a deterministic fake
+  * ([[fakeDecode]]) for the formats still out of scope (MP3,
+  * progressive JPEG). The Spark-side contract (schema, batch
   * shape, partition-level execution, feature vector layout) is identical on
   * both paths; swapping a codec in means replacing one pure function.
   *
@@ -125,9 +125,10 @@ object Multimodal {
     *  - P5 PGM → gray widened to r = g = b in the same container; channels
     *    reports 3 (the container's), features as for RGB.
     *  - P4 PBM → 1-bit widened to black/white RGB in the same container.
-    *  - PNG (8-bit gray/RGB/RGBA/palette, non-interlaced) → REAL decode:
-    *    CRC'd chunk walk, zlib-inflated IDAT, per-row unfilter, PLTE
-    *    lookup — gray widens, alpha drops; same RGB container and features.
+    *  - PNG (8/16-bit gray/RGB/RGBA/gray-alpha/palette, straight and
+    *    Adam7-interlaced) → REAL decode: CRC'd chunk walk, zlib-inflated
+    *    IDAT, per-pass unfilter, PLTE lookup — gray widens, alpha drops,
+    *    16-bit scales by high byte; same RGB container and features.
     *  - Baseline JPEG (SOF0, 4:4:4/4:2:0/4:2:2, restart intervals) → REAL
     *    decode ([[JpegCodec]]): Huffman entropy decode, dequant, IDCT,
     *    chroma upsample, JFIF YCbCr→RGB; same RGB container and features.

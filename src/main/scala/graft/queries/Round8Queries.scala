@@ -296,7 +296,130 @@ object Round8Queries {
                            ELSE 25 - length(bin(hv // 256)) END) AS INTEGER) AS rho
       FROM h GROUP BY event_type, idx ORDER BY event_type, idx"""))
 
+  /** 16-BIT PNG roundtrip (photography/scientific depth): per document,
+    * encode a depth-16 RGB PNG whose row y carries HIGH bytes (v+y,
+    * v+2y+1, v+3y+2) over NONZERO low bytes derived from n — decode
+    * scales by the high byte, so a big-endian/little-endian slip or a
+    * one-byte-per-sample stride bug shifts every decoded value and lands
+    * in the hash. Same decoded image as q200, so q200's oracle pins it;
+    * filters cycle 0..4 over the doubled-stride rows.
+    */
+  val q210Png16Decode: QueryDef = QueryDef(
+    "q210_png16_decode",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val w = 5 + r.n % 12
+        val h = 4 + (r.n / 9) % 5
+        val lo = 1 + r.n % 255 // nonzero low byte: endianness slips visible
+        val bytes = MediaCodecs.encodePng16(w, h,
+          (_, y) => (((r.v + y) << 8) | lo,
+            ((r.v + 2 * y + 1) << 8) | lo,
+            ((r.v + 3 * y + 2) << 8) | lo),
+          filterOf = _ % 5)
+        Multimodal.MediaRow(r.doc_id, bytes,
+          Multimodal.MediaMeta("png", bytes.length, 0L))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("top_r"),
+          element_at(col("features"), 2).cast("long").as("top_g"),
+          element_at(col("features"), 3).cast("long").as("top_b"),
+          element_at(col("features"), 4).cast("long").as("wsum_r"),
+          element_at(col("features"), 5).cast("long").as("wsum_g"),
+          element_at(col("features"), 6).cast("long").as("wsum_b"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v,
+                   5 + n % 12 AS w,
+                   4 + (n // 9) % 5 AS h
+            FROM d)
+      SELECT doc_id, w AS width, h AS height, 3 AS channels,
+             CAST(v AS BIGINT)     AS top_r,
+             CAST(v + 1 AS BIGINT) AS top_g,
+             CAST(v + 2 AS BIGINT) AS top_b,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + y)))
+               AS BIGINT) AS wsum_r,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + 2 * y + 1)))
+               AS BIGINT) AS wsum_g,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + 3 * y + 2)))
+               AS BIGINT) AS wsum_b
+      FROM g ORDER BY doc_id"""))
+
+  /** ADAM7-INTERLACED PNG roundtrip: per document, encode the interlaced
+    * layout (seven independently-filtered passes) with a pattern varying
+    * in BOTH axes — (v + y + x mod 3, 255 − v − (x + 2y) mod 5,
+    * (2v + x + y) mod 251) — so a pass scattered to the wrong offset or
+    * step lands in the order-sensitive sums. The oracle computes the
+    * logical image directly (it never sees the pass structure): correct
+    * deinterlacing is exactly what makes the two match.
+    */
+  val q211Adam7Decode: QueryDef = QueryDef(
+    "q211_adam7_decode",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val w = 5 + r.n % 12
+        val h = 4 + (r.n / 9) % 5
+        val bytes = MediaCodecs.encodePngAdam7(w, h,
+          (x, y) => (r.v + y + x % 3,
+            255 - r.v - (x + 2 * y) % 5,
+            (2 * r.v + x + y) % 251),
+          filterOf = _ % 5)
+        Multimodal.MediaRow(r.doc_id, bytes,
+          Multimodal.MediaMeta("png", bytes.length, 0L))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("top_r"),
+          element_at(col("features"), 2).cast("long").as("top_g"),
+          element_at(col("features"), 3).cast("long").as("top_b"),
+          element_at(col("features"), 4).cast("long").as("wsum_r"),
+          element_at(col("features"), 5).cast("long").as("wsum_g"),
+          element_at(col("features"), 6).cast("long").as("wsum_b"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v,
+                   5 + n % 12 AS w,
+                   4 + (n // 9) % 5 AS h
+            FROM d)
+      SELECT doc_id, w AS width, h AS height, 3 AS channels,
+             CAST(v AS BIGINT)               AS top_r,
+             CAST(255 - v AS BIGINT)         AS top_g,
+             CAST((2 * v) % 251 AS BIGINT)   AS top_b,
+             CAST(list_sum(list_transform(range(h), y -> (y + 1) *
+               list_sum(list_transform(range(w), x -> v + y + x % 3))))
+               AS BIGINT) AS wsum_r,
+             CAST(list_sum(list_transform(range(h), y -> (y + 1) *
+               list_sum(list_transform(range(w), x -> 255 - v - (x + 2 * y) % 5))))
+               AS BIGINT) AS wsum_g,
+             CAST(list_sum(list_transform(range(h), y -> (y + 1) *
+               list_sum(list_transform(range(w), x -> (2 * v + x + y) % 251))))
+               AS BIGINT) AS wsum_b
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q204JpegDecode, q205PaletteP205, q206Bzip2Ingest, q207G711Decode,
-    q208StreamingCmState, q209StreamingHllState)
+    q208StreamingCmState, q209StreamingHllState, q210Png16Decode,
+    q211Adam7Decode)
 }
