@@ -157,4 +157,62 @@ object TextAnalysis {
           .otherwise(concat(acc, lit(" "), x)))
     concat(lit(" "), folded, lit(" "))
   }
+
+  /** HTML boilerplate-block patterns, Java ∩ RE2 dialect ((?s) dotall +
+    * non-greedy bodies, as for [[EmailRe]]): the elements a jusText-style
+    * main-content extractor drops wholesale before any text operator runs
+    * on a web crawl. Spec-visible so the DuckDB oracle can apply the
+    * IDENTICAL chain.
+    */
+  val HtmlBoilerplateRes: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<nav[^>]*>.*?</nav>",
+    "(?s)<header[^>]*>.*?</header>",
+    "(?s)<footer[^>]*>.*?</footer>",
+    "(?s)<aside[^>]*>.*?</aside>")
+
+  /** Generic tag pattern for the post-block strip. */
+  val HtmlTagRe = "<[^>]+>"
+
+  /** MAIN-CONTENT extraction from an HTML column — the first operator a
+    * web-crawl curation pipeline runs: drop the boilerplate blocks
+    * (script/style/nav/header/footer/aside, bodies included), strip the
+    * remaining tags, collapse whitespace runs, trim. Pure codegen'd
+    * string expressions — one projection, no shuffle, streaming-safe.
+    * (A full extractor also scores text density per DOM block; the block
+    * list is the load-bearing part a regex pipeline can do exactly.)
+    */
+  def stripHtmlBoilerplate(html: Column): Column = {
+    val noBlocks = HtmlBoilerplateRes.foldLeft(html)(
+      (c, re) => regexp_replace(c, re, " "))
+    trim(regexp_replace(regexp_replace(noBlocks, HtmlTagRe, " "), "\\s+", " "))
+  }
+
+  /** URL CANONICALIZATION for dedup/linkage — the normalizations that make
+    * syntactically-different URLs of the same resource compare equal:
+    * scheme and host lowercased, `www.`-prefix and default ports (:80/:443)
+    * dropped, the fragment dropped, `utm_*` tracking params dropped (with
+    * their separator healed), the trailing path slash stripped. All
+    * Java ∩ RE2 regex + string builtins, so a DuckDB oracle reproduces the
+    * result (replacement backrefs are `$1` here, `\\1` there — the one
+    * dialect seam, isolated to the oracle text). The utm strip runs its
+    * leading-separator form twice: global replace does not rescan
+    * replacement output, so each pass heals one adjacency of consecutive
+    * utm params (two passes cover the ≤3-adjacent real-world case).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(url, "(?i)^[a-z]+://([^/]+)", 1))
+    val hostNorm = regexp_replace(
+      regexp_replace(host, "^www[0-9]*\\.", ""), ":(443|80)$", "")
+    val rest = regexp_extract(url, "(?i)^[a-z]+://[^/]+([^#]*)", 1)
+    val dropUtmMid = (c: Column) =>
+      regexp_replace(c, "([?&])utm_[A-Za-z]+=[^&]*&", "$1")
+    val noUtm = regexp_replace(
+      dropUtmMid(dropUtmMid(rest)), "[?&]utm_[A-Za-z]+=[^&]*$", "")
+    val noSlash = regexp_replace(
+      regexp_replace(regexp_replace(noUtm, "/\\?", "?"), "/$", ""), "\\?$", "")
+    concat(scheme, lit("://"), hostNorm, noSlash)
+  }
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashFunctions
+import graft.operators.TextAnalysis
+
+/** Round-8 surface, second tranche: the web-crawl curation front door —
+  * HTML main-content extraction and URL canonicalization, the two
+  * operators that run before ANY text operator sees a crawled page.
+  */
+object Round8Queries2 {
+
+  private def srcCols(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), col("text"),
+      octet_length(col("text")).cast("int").as("n"),
+      pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+
+  /** HTML boilerplate strip: each document is wrapped in a realistic page
+    * (head with style + script, nav, content div, aside, footer — all
+    * varying per doc), then
+    * [[graft.operators.TextAnalysis.stripHtmlBoilerplate]] extracts the
+    * main content. The oracle predicts the CLEAN TEXT from first
+    * principles — title + body text, whitespace-collapsed — without ever
+    * running the strip chain, so a block pattern that over- or
+    * under-matches, a tag regex eating text, or a collapse slip all land
+    * in the md5/length comparison. boilerplate_ppm is the Gopher-style
+    * markup-fraction signal a crawl pipeline filters on.
+    */
+  val q212HtmlStrip: QueryDef = QueryDef(
+    "q212_html_strip",
+    (s, dir) => {
+      val d = srcCols(Tables.load(s, dir, "documents"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style type=\"text/css\">p{margin:"), col("v"),
+        lit("px}</style><script>track("), col("n"),
+        lit(");</script></head><body><nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav><div class=\"content\"><p>"),
+        col("text"),
+        lit("</p></div><aside>related "), col("v"),
+        lit("</aside><footer>&copy; site "), col("n"),
+        lit("</footer></body></html>"))
+      val clean = TextAnalysis.stripHtmlBoilerplate(html)
+      d.select(col("doc_id"),
+          length(html).cast("long").as("raw_len"),
+          length(clean).cast("long").as("clean_len"),
+          md5(clean.cast("binary")).as("clean_md5"),
+          ((length(html) - length(clean)).cast("long") * 1000000L /
+            length(html).cast("long")).cast("long").as("boilerplate_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      h AS (SELECT doc_id,
+                   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                   '</title><style type="text/css">p{margin:' || CAST(v AS VARCHAR) ||
+                   'px}</style><script>track(' || CAST(n AS VARCHAR) ||
+                   ');</script></head><body><nav><a href="/">home</a> <a href="/a">about</a></nav><div class="content"><p>' ||
+                   text ||
+                   '</p></div><aside>related ' || CAST(v AS VARCHAR) ||
+                   '</aside><footer>&copy; site ' || CAST(n AS VARCHAR) ||
+                   '</footer></body></html>' AS html,
+                   trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text,
+                     '\s+', ' ', 'g')) AS clean
+            FROM d)
+      SELECT doc_id,
+             CAST(length(html) AS BIGINT) AS raw_len,
+             CAST(length(clean) AS BIGINT) AS clean_len,
+             md5(clean) AS clean_md5,
+             CAST((length(html) - length(clean)) * 1000000 // length(html)
+               AS BIGINT) AS boilerplate_ppm
+      FROM h ORDER BY doc_id"""))
+
+  /** URL canonicalization + dedup: each document mints a messy-but-valid
+    * URL (mixed-case scheme and host, www prefix, an explicit :443 on
+    * some, a trailing path slash on some, utm_* params in first/middle/
+    * last positions, an occasional fragment), then
+    * [[graft.operators.TextAnalysis.canonicalizeUrl]] folds the noise and
+    * the query groups by the canonical form — the URL-dedup step of a
+    * crawl frontier. The oracle writes the CANONICAL URL in closed form
+    * (string arithmetic only, no regex), so every normalization —
+    * case-fold scope, port and www and fragment drops, utm removal with
+    * separator healing, slash strip — is independently checked.
+    */
+  val q213UrlCanon: QueryDef = QueryDef(
+    "q213_url_canon",
+    (s, dir) => {
+      val d = srcCols(Tables.load(s, dir, "documents"))
+      val url = concat(
+        when(col("n") % 2 === 0, "HTTPS").otherwise("https"),
+        lit("://WWW.Site"), pmod(col("v"), lit(20)), lit(".Example.COM"),
+        when(col("n") % 3 === 0, ":443").otherwise(""),
+        lit("/p/"), pmod(col("doc_id"), lit(97)),
+        when(col("n") % 2 === 0, "/").otherwise(""),
+        lit("?q="), pmod(col("v"), lit(7)),
+        lit("&utm_source=feed"),
+        when(col("n") % 5 === 0, "&utm_medium=rss").otherwise(""),
+        when(col("n") % 4 === 0, concat(lit("&ref="), pmod(col("n"), lit(13))))
+          .otherwise(""),
+        when(col("n") % 6 === 0, concat(lit("#sec"), pmod(col("doc_id"), lit(5))))
+          .otherwise(""))
+      d.groupBy(TextAnalysis.canonicalizeUrl(url).as("canon_url"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("min_doc"))
+        .orderBy("canon_url")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      c AS (SELECT doc_id,
+                   'https://site' || CAST(v % 20 AS VARCHAR) || '.example.com/p/' ||
+                   CAST(doc_id % 97 AS VARCHAR) ||
+                   '?q=' || CAST(v % 7 AS VARCHAR) ||
+                   CASE WHEN n % 4 = 0 THEN '&ref=' || CAST(n % 13 AS VARCHAR)
+                        ELSE '' END AS canon_url
+            FROM d)
+      SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(min(doc_id) AS BIGINT) AS min_doc
+      FROM c GROUP BY canon_url ORDER BY canon_url"""))
+
+  val all: Seq[QueryDef] = Seq(q212HtmlStrip, q213UrlCanon)
+}

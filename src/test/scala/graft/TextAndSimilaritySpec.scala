@@ -9,6 +9,42 @@ class TextAndSimilaritySpec extends SparkTestBase {
     rows.map { case (id, t) => (id, t, t.length.toLong) }
       .toDF("doc_id", "text", "n_chars")
 
+  test("html boilerplate strip drops blocks wholesale, keeps content, collapses space") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script body containing '<' must not break the block match
+      ("<html><head><script>if(a<b)x()</script><title>T</title></head>" +
+        "<body><p>hello   world</p><footer>f</footer></body></html>", "T hello world"),
+      ("<div>plain <b>bold</b> text</div>", "plain bold text"),
+      ("no tags at all", "no tags at all"),
+      ("<nav>m1 <a href=x>m2</a></nav><p>real</p><aside>ad</aside>", "real"),
+      ("<style>p{}</style><header>h</header>only", "only"))
+    val got = cases.toDF("html", "want")
+      .select(TextAnalysis.stripHtmlBoilerplate(col("html")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"'${r.getString(0)}' != '${r.getString(1)}'"))
+  }
+
+  test("url canonicalization folds case/port/www/utm/fragment/slash") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&q=1#top",
+        "https://example.com/a/b?q=1"),
+      // three adjacent utm params: two healing passes + the trailing strip
+      ("http://www2.Site.org:80/p?utm_a=1&utm_b=2&utm_c=3", "http://site.org/p"),
+      ("https://host.net/x/", "https://host.net/x"),
+      ("https://host.net/?utm_only=1", "https://host.net"),
+      ("https://host.net/a?x=1&utm_m=2&y=3", "https://host.net/a?x=1&y=3"),
+      // ports that are NOT default survive; non-utm params never touched
+      ("https://Host.net:8443/a?utm=notreally&z=2", "https://host.net:8443/a?utm=notreally&z=2"))
+    val got = cases.toDF("url", "want")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"'${r.getString(0)}' != '${r.getString(1)}'"))
+  }
+
   test("langId picks the language with the most marker hits") {
     val d = docs(
       1L -> "the cat is one of the pets and it is small",
