@@ -2,23 +2,26 @@ package graft.operators
 
 import MediaCodecs.BmpImage
 
-/** Pure-JVM BASELINE JPEG codec (ITU-T T.81 sequential DCT, 8-bit,
-  * non-progressive) — the last commonly-hit image format on the real
-  * decode path. No external libraries: the marker walk, canonical Huffman
-  * coding (spec §C.2 / F.2.2.3), zigzag + dequantization, the 2-D IDCT,
-  * chroma upsampling, and JFIF YCbCr→RGB conversion are all implemented
-  * here from the public specification.
+/** Pure-JVM JPEG codec (ITU-T T.81, 8-bit) — BASELINE sequential (SOF0)
+  * AND PROGRESSIVE (SOF2), the two formats that cover essentially every
+  * JPEG a real multimodal lake holds. No external libraries: the marker
+  * walk, canonical Huffman coding (spec §C.2 / F.2.2.3), zigzag +
+  * dequantization, the 2-D IDCT, chroma upsampling, JFIF YCbCr→RGB, and
+  * the full progressive machinery (spec §G: spectral selection, DC/AC
+  * successive approximation, EOB runs, refinement correction bits) are
+  * all implemented here from the public specification.
   *
-  * Decoder scope: SOF0 frames, 1 or 3 components, sampling factors in
-  * {1, 2} per axis (covers 4:4:4, 4:2:0, 4:2:2, 4:4:0), restart
-  * intervals, 8-bit quantization tables, single interleaved scan.
-  * Everything else — progressive (SOF2), arithmetic coding, 12-bit,
-  * hierarchical — returns None, as does any corruption: truncated entropy
-  * stream, a marker mid-scan, an undefined Huffman/quant table, a
-  * coefficient run past k=63, dims over [[MaxJpegPixels]] (a few-KB
-  * payload can declare an enormous frame — allocation is bounded by the
-  * cap, never by payload size), or a missing EOI trailer. The decoder
-  * NEVER throws on hostile bytes.
+  * Decoder scope: SOF0/SOF2 frames, 1 or 3 components, sampling factors
+  * in {1, 2} per axis (covers 4:4:4, 4:2:0, 4:2:2, 4:4:0), restart
+  * intervals, 8-bit quantization tables; progressive scans may be
+  * interleaved (DC) or single-component over the non-interleaved scan
+  * grid (spec A.2.2), in any spectral/approximation order. Everything
+  * else — arithmetic coding, 12-bit, hierarchical — returns None, as
+  * does any corruption: truncated entropy stream, a marker mid-scan, an
+  * undefined Huffman/quant table, a coefficient run past the band, dims
+  * over [[MaxJpegPixels]] (a few-KB payload can declare an enormous
+  * frame — allocation is bounded by the cap, never by payload size), or
+  * a missing EOI trailer. The decoder NEVER throws on hostile bytes.
   *
   * The encoder is driven at the QUANTIZED-COEFFICIENT level: callers
   * supply each 8×8 block's 64 quantized coefficients, and the encoder
@@ -179,6 +182,8 @@ object JpegCodec {
       if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 + n)) fail()
       pos += 2
     }
+    /** Drop padding bits; the position where the next marker must start. */
+    def endOfScan(): Int = { nbits = 0; pos }
     /** Drop padding bits and require the EOI trailer (fill FFs allowed). */
     def expectEoi(): Unit = {
       nbits = 0
@@ -202,9 +207,277 @@ object JpegCodec {
 
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
 
-  /** Decode a baseline JPEG; None — never throw — on anything outside the
-    * documented scope or on corrupt/hostile bytes. Returns the shared RGB
-    * container (grayscale widened to r = g = b).
+  /** Shared frame geometry: the MCU-padded per-component block grids
+    * (interleaved scans walk these) and the NON-interleaved scan grids
+    * (progressive AC scans and single-component DC scans walk ceil of the
+    * component's own sampled dimensions — one less padding column/row than
+    * the MCU grid when the frame size is awkward; spec A.2.2/A.2.3).
+    */
+  private final class Geometry(val comps: Array[Comp], val w: Int, val h: Int) {
+    val hmax: Int = comps.map(_.h).max
+    val vmax: Int = comps.map(_.v).max
+    val mcusX: Int = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (h + 8 * vmax - 1) / (8 * vmax)
+    val blocksW: Array[Int] = comps.map(c => mcusX * c.h)
+    val blocksH: Array[Int] = comps.map(c => mcusY * c.v)
+    val scanW: Array[Int] =
+      comps.map(c => ((w * c.h + hmax - 1) / hmax + 7) / 8)
+    val scanH: Array[Int] =
+      comps.map(c => ((h * c.v + vmax - 1) / vmax + 7) / 8)
+  }
+
+  /** Separable IDCT of one natural-order coefficient block into a
+    * component plane at (baseX, baseY), with level shift and clamp.
+    * `s1` is the caller's reusable 8×8 scratch.
+    */
+  private def idctInto(nat: Array[Int], plane: Array[Int], planeW: Int,
+      baseX: Int, baseY: Int, s1: Array[Array[Double]]): Unit = {
+    var v0 = 0
+    while (v0 < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += CosT(x)(u) * nat(v0 * 8 + u); u += 1 }
+        s1(v0)(x) = acc
+        x += 1
+      }
+      v0 += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v1 = 0
+        while (v1 < 8) { acc += CosT(y)(v1) * s1(v1)(x); v1 += 1 }
+        val px = math.round(0.25 * acc + 128.0).toInt
+        plane((baseY + y) * planeW + baseX + x) = math.max(0, math.min(255, px))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Crop the component planes to w×h RGB: chroma upsamples by
+    * replication; 1-component widens gray; 3-component converts JFIF
+    * YCbCr. Shared by the baseline and progressive reconstructions.
+    */
+  private def assemblePixels(planes: Array[Array[Int]], planeW: Array[Int],
+      comps: Array[Comp], w: Int, h: Int): BmpImage = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val px = new Array[(Int, Int, Int)](w * h)
+    def sample(ci: Int, x: Int, y: Int): Int =
+      planes(ci)((y * comps(ci).v / vmax) * planeW(ci) + x * comps(ci).h / hmax)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          if (comps.length == 1) {
+            val g = sample(0, x, y); (g, g, g)
+          } else {
+            val yy = sample(0, x, y).toDouble
+            val cb = sample(1, x, y) - 128.0
+            val cr = sample(2, x, y) - 128.0
+            def clamp(d: Double): Int =
+              math.max(0, math.min(255, math.round(d).toInt))
+            (clamp(yy + 1.402 * cr),
+              clamp(yy - 0.344136 * cb - 0.714136 * cr),
+              clamp(yy + 1.772 * cb))
+          }
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(w, h, px)
+  }
+
+  /** Accumulated PROGRESSIVE decode state: per component, the quantized
+    * coefficients of every MCU-padded block in ZIGZAG order, refined scan
+    * by scan; DC predictors and the EOB run reset per scan (and at
+    * restart markers).
+    */
+  private final class ProgState(val geo: Geometry) {
+    val coefs: Array[Array[Int]] = geo.comps.indices.map(i =>
+      new Array[Int](geo.blocksW(i) * geo.blocksH(i) * 64)).toArray
+    val preds = new Array[Int](geo.comps.length)
+    var eobrun = 0
+  }
+
+  /** Decode one progressive scan's entropy data (spec G.2): DC first /
+    * DC refinement (interleaved or single-component), AC first with EOB
+    * runs, and AC refinement with correction bits — updating `st` in
+    * place. Returns the byte position where the next marker must start.
+    */
+  private def decodeProgScan(b: Array[Byte], dataStart: Int, st: ProgState,
+      scanComps: Array[(Int, Huff, Huff)], ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int): Int = {
+    val geo = st.geo
+    val br = new BitReader(b, dataStart)
+    java.util.Arrays.fill(st.preds, 0)
+    st.eobrun = 0
+    var unit = 0
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.expectRestart((unit / restartInterval - 1) % 8)
+        java.util.Arrays.fill(st.preds, 0)
+        st.eobrun = 0
+      }
+    def dcUnit(ci: Int, off: Int, dcT: Huff): Unit =
+      if (ah == 0) {
+        if (dcT == null) fail()
+        val s = dcT.decode(br)
+        if (s > 11) fail()
+        val diff = if (s == 0) 0 else extend(br.receive(s), s)
+        st.preds(ci) += diff
+        st.coefs(ci)(off) = st.preds(ci) << al
+      } else {
+        if (br.bit() == 1) st.coefs(ci)(off) |= (1 << al)
+      }
+    def acFirst(cf: Array[Int], off: Int, acT: Huff): Unit = {
+      if (st.eobrun > 0) { st.eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = acT.decode(br)
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { st.eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0); k = 64 }
+        } else {
+          k += r
+          if (k > se || s > 10) fail()
+          cf(off + k) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+    def acRefine(cf: Array[Int], off: Int, acT: Huff): Unit = {
+      val p1 = 1 << al; val m1 = -p1
+      def correct(k: Int): Unit = if (br.bit() == 1) {
+        val c = cf(off + k)
+        if ((c & p1) == 0) cf(off + k) = c + (if (c >= 0) p1 else m1)
+      }
+      var k = ss
+      if (st.eobrun == 0) {
+        var inBand = true
+        while (inBand && k <= se) {
+          val rs = acT.decode(br)
+          var r = rs >> 4; val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) {
+              st.eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              inBand = false // fall through to the EOB correction sweep
+            }
+          } else {
+            if (s != 1) fail() // refinement only creates +-1 at this bit
+            newVal = if (br.bit() == 1) p1 else m1
+          }
+          if (inBand) {
+            // advance past r ZERO-HISTORY coefficients, correcting the
+            // nonzero-history ones passed on the way (they do not count)
+            var placed = false
+            while (!placed) {
+              if (k > se) fail()
+              val c = cf(off + k)
+              if (c != 0) { correct(k); k += 1 }
+              else if (r == 0) placed = true
+              else { r -= 1; k += 1 }
+            }
+            if (newVal != 0) cf(off + k) = newVal
+            k += 1
+          }
+        }
+      }
+      if (st.eobrun > 0) {
+        while (k <= se) { if (cf(off + k) != 0) correct(k); k += 1 }
+        st.eobrun -= 1
+      }
+    }
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan: MCU walk over every component's sub-blocks
+      var my = 0
+      while (my < geo.mcusY) {
+        var mx = 0
+        while (mx < geo.mcusX) {
+          maybeRestart()
+          scanComps.foreach { case (ci, dcT, _) =>
+            val c = geo.comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                dcUnit(ci,
+                  ((my * c.v + by) * geo.blocksW(ci) + (mx * c.h + bx)) * 64, dcT)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          unit += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component walk over the NON-interleaved scan grid
+      val (ci, dcT, acT) = scanComps(0)
+      if (ss > 0 && acT == null) fail()
+      val cf = st.coefs(ci)
+      var by = 0
+      while (by < geo.scanH(ci)) {
+        var bx = 0
+        while (bx < geo.scanW(ci)) {
+          maybeRestart()
+          val off = (by * geo.blocksW(ci) + bx) * 64
+          if (ss == 0) dcUnit(ci, off, dcT)
+          else if (ah == 0) acFirst(cf, off, acT)
+          else acRefine(cf, off, acT)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    br.endOfScan()
+  }
+
+  /** Dequantize + IDCT every accumulated block and assemble RGB. */
+  private def reconstructProgressive(st: ProgState, qt: Array[Array[Int]],
+      qtSeen: Array[Boolean]): BmpImage = {
+    val geo = st.geo
+    geo.comps.foreach(c => if (!qtSeen(c.tq)) fail())
+    val planeW = geo.comps.indices.map(i => geo.blocksW(i) * 8).toArray
+    val planes = geo.comps.indices.map(i =>
+      new Array[Int](planeW(i) * geo.blocksH(i) * 8)).toArray
+    val s1 = Array.ofDim[Double](8, 8)
+    val nat = new Array[Int](64)
+    var ci = 0
+    while (ci < geo.comps.length) {
+      val q = qt(geo.comps(ci).tq)
+      val cf = st.coefs(ci)
+      var br0 = 0
+      while (br0 < geo.blocksH(ci)) {
+        var bc = 0
+        while (bc < geo.blocksW(ci)) {
+          val off = (br0 * geo.blocksW(ci) + bc) * 64
+          var k = 0
+          while (k < 64) { nat(ZigZag(k)) = cf(off + k) * q(k); k += 1 }
+          idctInto(nat, planes(ci), planeW(ci), bc * 8, br0 * 8, s1)
+          bc += 1
+        }
+        br0 += 1
+      }
+      ci += 1
+    }
+    assemblePixels(planes, planeW, geo.comps, geo.w, geo.h)
+  }
+
+  /** Decode a baseline OR progressive JPEG; None — never throw — on
+    * anything outside the documented scope or on corrupt/hostile bytes.
+    * Returns the shared RGB container (grayscale widened to r = g = b).
     */
   def decodeJpeg(b: Array[Byte]): Option[BmpImage] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -222,6 +495,8 @@ object JpegCodec {
     var restartInterval = 0
     var w = 0; var h = 0
     var comps: Array[Comp] = null
+    var progressive = false
+    var prog: ProgState = null
     var pos = 2
 
     var result: BmpImage = null
@@ -231,8 +506,13 @@ object JpegCodec {
       while (u8(pos + 1) == 0xff) pos += 1
       val m = u8(pos + 1)
       pos += 2
-      if (m == 0xd8 || m == 0xd9 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
-        fail() // second SOI, EOI before any scan, or a stray standalone marker
+      if (m == 0xd9) {
+        // EOI: in a progressive stream with at least one scan decoded,
+        // this is where reconstruction happens; anywhere else it is early
+        if (prog == null) fail()
+        result = reconstructProgressive(prog, qt, qtSeen)
+      } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        fail() // second SOI or a stray standalone marker
       } else {
         val len = u16(pos)
         if (len < 2 || pos + len > b.length) fail()
@@ -269,8 +549,9 @@ object JpegCodec {
               p += 17 + n
             }
             if (p != pos + len) fail()
-          case 0xc0 => // SOF0 — baseline sequential
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
             if (comps != null) fail()
+            progressive = m == 0xc2
             if (u8(pos + 2) != 8) fail() // sample precision
             h = u16(pos + 3); w = u16(pos + 5)
             val nc = u8(pos + 7)
@@ -284,12 +565,13 @@ object JpegCodec {
               c
             }
             if (comps.map(_.id).distinct.length != nc) fail()
-          case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
-            fail() // progressive/extended/lossless/arithmetic frames
+          case mm if mm >= 0xc1 && mm <= 0xcf &&
+            mm != 0xc2 && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
+            fail() // extended/lossless/arithmetic frames
           case 0xdd => // DRI
             if (len != 4) fail()
             restartInterval = u16(pos + 2)
-          case 0xda => // SOS — decode the single interleaved scan
+          case 0xda if !progressive => // baseline: the single interleaved scan
             if (comps == null) fail()
             val ns = u8(pos + 2)
             if (ns != comps.length || len != 6 + 2 * ns) fail()
@@ -308,6 +590,31 @@ object JpegCodec {
             comps.foreach(c => if (!qtSeen(c.tq)) fail())
             result = decodeScan(b, pos + len, w, h, comps, scanTabs, qt,
               restartInterval)
+          case 0xda => // progressive: one of many scans — accumulate
+            if (comps == null) fail()
+            val ns = u8(pos + 2)
+            if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) fail()
+            val ss = u8(pos + len - 3); val se = u8(pos + len - 2)
+            val ahAl = u8(pos + len - 1)
+            val ah = ahAl >> 4; val al = ahAl & 15
+            if (al > 13 || ah > 13) fail()
+            if (ss == 0) { if (se != 0) fail() } // DC scan: Se must be 0
+            else if (ns != 1 || se < ss || se > 63) fail() // AC: single comp
+            val scanComps = Array.tabulate(ns) { i =>
+              val cs = u8(pos + 3 + 2 * i)
+              val ci = comps.indexWhere(_.id == cs)
+              if (ci < 0) fail()
+              val tdTa = u8(pos + 4 + 2 * i)
+              val dcT = dcTabs(tdTa >> 4) // may be null for DC REFINE (bits only)
+              val acT = acTabs(tdTa & 15)
+              if (ss == 0 && ah == 0 && dcT == null) fail()
+              if (ss > 0 && acT == null) fail()
+              (ci, dcT, acT)
+            }
+            if (scanComps.map(_._1).distinct.length != ns) fail()
+            if (prog == null) prog = new ProgState(new Geometry(comps, w, h))
+            pos = decodeProgScan(b, pos + len, prog, scanComps, ss, se, ah, al,
+              restartInterval) - len // the shared advance below re-adds len
           case _ => () // APPn / COM / DNL-free: skip
         }
         if (result == null) pos += len
@@ -370,34 +677,8 @@ object JpegCodec {
                 }
               }
               // -- separable IDCT + level shift into the component plane --
-              var v0 = 0
-              while (v0 < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) { acc += CosT(x)(u) * coef(v0 * 8 + u); u += 1 }
-                  s1(v0)(x) = acc
-                  x += 1
-                }
-                v0 += 1
-              }
-              val baseX = (mx * c.h + bx) * 8
-              val baseY = (my * c.v + by) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var v1 = 0
-                  while (v1 < 8) { acc += CosT(y)(v1) * s1(v1)(x); v1 += 1 }
-                  val px = math.round(0.25 * acc + 128.0).toInt
-                  planes(ci)((baseY + y) * planeW(ci) + baseX + x) =
-                    math.max(0, math.min(255, px))
-                  x += 1
-                }
-                y += 1
-              }
+              idctInto(coef, planes(ci), planeW(ci),
+                (mx * c.h + bx) * 8, (my * c.v + by) * 8, s1)
               bx += 1
             }
             by += 1
@@ -410,33 +691,7 @@ object JpegCodec {
       my += 1
     }
     br.expectEoi()
-
-    // assemble RGB, cropping MCU padding; chroma upsamples by replication
-    val px = new Array[(Int, Int, Int)](w * h)
-    def sample(ci: Int, x: Int, y: Int): Int =
-      planes(ci)((y * comps(ci).v / vmax) * planeW(ci) + x * comps(ci).h / hmax)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        px(y * w + x) =
-          if (comps.length == 1) {
-            val g = sample(0, x, y); (g, g, g)
-          } else {
-            val yy = sample(0, x, y).toDouble
-            val cb = sample(1, x, y) - 128.0
-            val cr = sample(2, x, y) - 128.0
-            def clamp(d: Double): Int =
-              math.max(0, math.min(255, math.round(d).toInt))
-            (clamp(yy + 1.402 * cr),
-              clamp(yy - 0.344136 * cb - 0.714136 * cr),
-              clamp(yy + 1.772 * cb))
-          }
-        x += 1
-      }
-      y += 1
-    }
-    BmpImage(w, h, px)
+    assemblePixels(planes, planeW, comps, w, h)
   }
 
   // ------------------------------------------------------------ encoder --
@@ -597,6 +852,291 @@ object JpegCodec {
       my += 1
     }
     bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------- progressive encoder --
+
+  /** AC Huffman table for PROGRESSIVE scans: the Annex K sequential tables
+    * lack the EOBn symbols (r<<4 for r = 1..14) progressive EOB runs
+    * need, so scans here use a flat canonical table carrying every symbol
+    * the emitters can produce — EOB0..EOB14, all (run, size ≤ 10) pairs,
+    * and ZRL — each at 8 bits (175/256 of the code space; the all-ones
+    * code stays unused per the spec's convention). Compression is
+    * secondary to a complete alphabet; the DECODER builds whatever DHT a
+    * file carries, so this choice is encoder-local.
+    */
+  private val AcProgSyms: Array[Int] =
+    ((0 to 14).map(_ << 4) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s) :+ 0xf0).toArray
+  private val AcProg = new Huff(
+    Array(0, 0, 0, 0, 0, 0, 0, AcProgSyms.length, 0, 0, 0, 0, 0, 0, 0, 0),
+    AcProgSyms)
+
+  /** One progressive scan: component indices (into the frame list),
+    * spectral band [ss, se], successive-approximation bit positions
+    * (ah = 0 for a first scan, else the previous al; al = this scan's
+    * low bit).
+    */
+  final case class ProgScan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+
+  /** The default scan script — chosen to exercise every decoder path: an
+    * interleaved DC first scan with a point transform, per-component AC
+    * first scans (luma split into two bands, so band-boundary EOB logic
+    * runs), then DC and AC refinement scans.
+    */
+  def progressiveScript(nComp: Int): Seq[ProgScan] = {
+    val acFirst = (0 until nComp).flatMap { ci =>
+      if (ci == 0) Seq(ProgScan(Seq(0), 1, 5, 0, 1), ProgScan(Seq(0), 6, 63, 0, 1))
+      else Seq(ProgScan(Seq(ci), 1, 63, 0, 1))
+    }
+    (ProgScan(0 until nComp, 0, 0, 0, 1) +: acFirst) ++
+      (ProgScan(0 until nComp, 0, 0, 1, 0) +:
+        (0 until nComp).map(ci => ProgScan(Seq(ci), 1, 63, 1, 0)))
+  }
+
+  /** Encode a PROGRESSIVE (SOF2) JFIF JPEG from the same quantized
+    * coefficient blocks as [[encodeJpeg]], emitted through `scans`
+    * (default [[progressiveScript]]): spectral selection, DC/AC
+    * successive approximation, EOB runs, and refinement correction bits —
+    * the real thing, not a re-ordered baseline. Same dims/quant/
+    * coefficient contracts as the baseline encoder.
+    */
+  def encodeJpegProgressive(width: Int, height: Int, nComp: Int,
+      subsample420: Boolean, quantLuma: Array[Int], quantChroma: Array[Int],
+      coeffs: (Int, Int, Int) => Array[Int],
+      scans: Seq[ProgScan] = null): Array[Byte] = {
+    require(nComp == 1 || nComp == 3, s"nComp must be 1 or 3, got $nComp")
+    require(!(subsample420 && nComp == 1), "4:2:0 needs 3 components")
+    val mcuPx = if (subsample420) 16 else 8
+    require(width > 0 && height > 0 && width % mcuPx == 0 && height % mcuPx == 0,
+      s"dims ${width}x$height must be positive multiples of $mcuPx")
+    require(width.toLong * height <= MaxJpegPixels,
+      s"dims ${width}x$height exceed the JPEG pixel budget")
+    Seq(quantLuma, quantChroma).foreach(q =>
+      require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+        "quant tables need 64 entries in 1..255"))
+    val script = Option(scans).getOrElse(progressiveScript(nComp))
+    script.foreach { sc =>
+      require(sc.comps.nonEmpty && sc.comps.forall(c => c >= 0 && c < nComp) &&
+        sc.comps.distinct.length == sc.comps.length, s"bad scan comps $sc")
+      if (sc.ss == 0) require(sc.se == 0, s"DC scan needs se=0: $sc")
+      else require(sc.comps.length == 1 && sc.se >= sc.ss && sc.se <= 63,
+        s"AC scans are single-component with a valid band: $sc")
+      require(sc.al >= 0 && sc.al <= 13 && sc.ah >= 0 &&
+        (sc.ah == 0 || sc.ah == sc.al + 1), s"bad successive approximation: $sc")
+    }
+    val comps = Array.tabulate(nComp) { i =>
+      if (i == 0) Comp(1, if (subsample420) 2 else 1, if (subsample420) 2 else 1, 0)
+      else Comp(i + 1, 1, 1, 1)
+    }
+    val geo = new Geometry(comps, width, height)
+    // materialize the quantized coefficients, ZIGZAG order, padded grids
+    // (MCU-aligned dims make the padded and scan grids coincide)
+    val store = comps.indices.map(i =>
+      new Array[Int](geo.blocksW(i) * geo.blocksH(i) * 64)).toArray
+    var ci = 0
+    while (ci < nComp) {
+      var by = 0
+      while (by < geo.blocksH(ci)) {
+        var bx = 0
+        while (bx < geo.blocksW(ci)) {
+          val cf = coeffs(ci, bx, by)
+          require(cf.length == 64, s"coeffs($ci,$bx,$by) must have 64 entries")
+          require(math.abs(cf(0)) <= 2047, s"DC ${cf(0)} past baseline category 11")
+          val off = (by * geo.blocksW(ci) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            val v = cf(ZigZag(k))
+            if (k > 0) require(math.abs(v) <= 1023, s"AC $v past category 10")
+            store(ci)(off + k) = v
+            k += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    seg(0xdb, (Array(0) ++ quantLuma) ++
+      (if (nComp == 3) Array(1) ++ quantChroma else Array.empty[Int])) // DQT
+    seg(0xc2, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      nComp) ++ comps.flatMap(c => Array(c.id, (c.h << 4) | c.v, c.tq))) // SOF2
+    def dht(tc: Int, th: Int, hu: Huff, counts: Array[Int]): Array[Int] =
+      Array((tc << 4) | th) ++ counts ++ hu.symbols
+    seg(0xc4, dht(0, 0, DcLuma, DcLumaCounts) ++
+      dht(1, 0, AcProg,
+        Array(0, 0, 0, 0, 0, 0, 0, AcProgSyms.length, 0, 0, 0, 0, 0, 0, 0, 0)) ++
+      (if (nComp == 3)
+        dht(0, 1, DcChroma, DcChromaCounts) ++
+          dht(1, 1, AcProg,
+            Array(0, 0, 0, 0, 0, 0, 0, AcProgSyms.length, 0, 0, 0, 0, 0, 0, 0, 0))
+      else Array.empty[Int])) // DHT
+
+    script.foreach { sc =>
+      seg(0xda, Array(sc.comps.length) ++
+        sc.comps.flatMap(i => Array(comps(i).id,
+          ((if (i == 0) 0 else 1) << 4) | (if (i == 0) 0 else 1))) ++
+        Array(sc.ss, sc.se, (sc.ah << 4) | sc.al))
+      val bw = new BitWriter(out)
+      // unified walk: interleaved MCU order for multi-component DC scans,
+      // the component's scan grid otherwise — mirroring the decoder
+      def walk(block: (Int, Int) => Unit): Unit =
+        if (sc.comps.length > 1) {
+          var my = 0
+          while (my < geo.mcusY) {
+            var mx = 0
+            while (mx < geo.mcusX) {
+              sc.comps.foreach { i =>
+                val c = comps(i)
+                var by = 0
+                while (by < c.v) {
+                  var bx = 0
+                  while (bx < c.h) {
+                    block(i, ((my * c.v + by) * geo.blocksW(i) + (mx * c.h + bx)) * 64)
+                    bx += 1
+                  }
+                  by += 1
+                }
+              }
+              mx += 1
+            }
+            my += 1
+          }
+        } else {
+          val i = sc.comps.head
+          var by = 0
+          while (by < geo.scanH(i)) {
+            var bx = 0
+            while (bx < geo.scanW(i)) {
+              block(i, (by * geo.blocksW(i) + bx) * 64)
+              bx += 1
+            }
+            by += 1
+          }
+        }
+      if (sc.ss == 0 && sc.ah == 0) { // DC first: diffs of point-transformed DCs
+        val preds = new Array[Int](nComp)
+        walk { (i, off) =>
+          val huff = if (i == 0) DcLuma else DcChroma
+          val v = store(i)(off) >> sc.al
+          val diff = v - preds(i)
+          preds(i) = v
+          val s = if (diff == 0) 0 else category(diff)
+          bw.put(huff.encCode(s), huff.encSize(s))
+          if (s > 0) bw.put(if (diff < 0) (diff - 1) & ((1 << s) - 1) else diff, s)
+        }
+      } else if (sc.ss == 0) { // DC refinement: one bit per block
+        walk((i, off) => bw.put((store(i)(off) >> sc.al) & 1, 1))
+      } else if (sc.ah == 0) { // AC first: runs + EOB runs over the band
+        val cf = store(sc.comps.head)
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+          bw.put(AcProg.encCode(r << 4), AcProg.encSize(r << 4))
+          if (r > 0) bw.put(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        def shifted(v: Int): Int = if (v >= 0) v >> sc.al else -((-v) >> sc.al)
+        walk { (_, off) =>
+          var lastNZ = sc.ss - 1
+          var k = sc.ss
+          while (k <= sc.se) { if (shifted(cf(off + k)) != 0) lastNZ = k; k += 1 }
+          if (lastNZ < sc.ss) {
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          } else {
+            flushEob()
+            var r = 0
+            k = sc.ss
+            while (k <= lastNZ) {
+              val v = shifted(cf(off + k))
+              if (v == 0) r += 1
+              else {
+                while (r > 15) {
+                  bw.put(AcProg.encCode(0xf0), AcProg.encSize(0xf0)); r -= 16
+                }
+                val s = category(v)
+                bw.put(AcProg.encCode((r << 4) | s), AcProg.encSize((r << 4) | s))
+                bw.put(if (v < 0) (v - 1) & ((1 << s) - 1) else v, s)
+                r = 0
+              }
+              k += 1
+            }
+            if (lastNZ < sc.se) {
+              eobrun += 1
+              if (eobrun == 0x7fff) flushEob()
+            }
+          }
+        }
+        flushEob()
+      } else { // AC refinement: the correction-bit algorithm (spec G.1.2.3)
+        val cf = store(sc.comps.head)
+        var eobrun = 0
+        val pendingBE = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushEob(): Unit = {
+          if (eobrun > 0) {
+            val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+            bw.put(AcProg.encCode(r << 4), AcProg.encSize(r << 4))
+            if (r > 0) bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+          }
+          pendingBE.foreach(bw.put(_, 1))
+          pendingBE.clear()
+        }
+        walk { (_, off) =>
+          val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+          // last NEWLY-significant position: zeros beyond it fold into EOB
+          var eobPos = sc.ss - 1
+          var k = sc.ss
+          while (k <= sc.se) {
+            if ((math.abs(cf(off + k)) >> sc.al) == 1) eobPos = k
+            k += 1
+          }
+          var r = 0
+          k = sc.ss
+          while (k <= sc.se) {
+            val t = math.abs(cf(off + k)) >> sc.al
+            if (t == 0) r += 1
+            else {
+              while (r > 15 && k <= eobPos) {
+                flushEob()
+                bw.put(AcProg.encCode(0xf0), AcProg.encSize(0xf0))
+                r -= 16
+                br.foreach(bw.put(_, 1)); br.clear()
+              }
+              if (t > 1) br += (t & 1) // history-nonzero: a correction bit
+              else { // newly significant at this bit position
+                flushEob()
+                bw.put(AcProg.encCode((r << 4) | 1), AcProg.encSize((r << 4) | 1))
+                bw.put(if (cf(off + k) < 0) 0 else 1, 1)
+                br.foreach(bw.put(_, 1)); br.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || br.nonEmpty) { // block ends in an EOB: join the run
+            eobrun += 1
+            pendingBE ++= br
+            if (eobrun == 0x7fff) flushEob()
+          }
+        }
+        flushEob()
+      }
+      bw.flush()
+    }
     marker(0xd9) // EOI
     out.toByteArray
   }

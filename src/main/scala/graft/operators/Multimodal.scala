@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * PLTE lookup), and baseline JPEG (marker walk + Huffman + dequant +
   * IDCT + YCbCr, [[JpegCodec]]) ([[MediaCodecs]], sniffed by magic bytes
   * in [[realDecode]]) — and falls back to a deterministic fake
-  * ([[fakeDecode]]) for the formats still out of scope (MP3,
-  * progressive JPEG). The Spark-side contract (schema, batch
+  * ([[fakeDecode]]) for the one format still out of scope (MP3 — the
+  * polyphase filterbank + IMDCT stack is the single remaining
+  * out-of-scope codec). The Spark-side contract (schema, batch
   * shape, partition-level execution, feature vector layout) is identical on
   * both paths; swapping a codec in means replacing one pure function.
   *
@@ -129,9 +130,10 @@ object Multimodal {
     *    Adam7-interlaced) → REAL decode: CRC'd chunk walk, zlib-inflated
     *    IDAT, per-pass unfilter, PLTE lookup — gray widens, alpha drops,
     *    16-bit scales by high byte; same RGB container and features.
-    *  - Baseline JPEG (SOF0, 4:4:4/4:2:0/4:2:2, restart intervals) → REAL
-    *    decode ([[JpegCodec]]): Huffman entropy decode, dequant, IDCT,
-    *    chroma upsample, JFIF YCbCr→RGB; same RGB container and features.
+    *  - JPEG, baseline AND progressive (SOF0/SOF2, 4:4:4/4:2:0/4:2:2,
+    *    restart intervals, spectral selection + successive approximation)
+    *    → REAL decode ([[JpegCodec]]): Huffman entropy decode, dequant,
+    *    IDCT, chroma upsample, JFIF YCbCr→RGB; same container/features.
     *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
     *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
     *    below 2^24 for the corpus encodings, so the float features are

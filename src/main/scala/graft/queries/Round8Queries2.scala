@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.HashFunctions
-import graft.operators.TextAnalysis
+import graft.operators.{JpegCodec, Multimodal, TextAnalysis}
 
 /** Round-8 surface, second tranche: the web-crawl curation front door —
   * HTML main-content extraction and URL canonicalization, the two
@@ -123,5 +123,68 @@ object Round8Queries2 {
              CAST(min(doc_id) AS BIGINT) AS min_doc
       FROM c GROUP BY canon_url ORDER BY canon_url"""))
 
-  val all: Seq[QueryDef] = Seq(q212HtmlStrip, q213UrlCanon)
+  /** PROGRESSIVE JPEG roundtrip — the other half of the format a real
+    * image lake holds (most large web JPEGs are progressive): per
+    * document, encode an SOF2 stream through the full default scan script
+    * ([[JpegCodec.progressiveScript]]: interleaved DC first with a point
+    * transform, split-band AC firsts, DC + AC refinement scans with EOB
+    * runs and correction bits), alternating 4:4:4/4:2:0 by doc, then
+    * REALLY decode it ([[JpegCodec.decodeJpeg]]'s SOF2 path: per-scan
+    * coefficient accumulation → dequant → IDCT) and emit the q204 pixel
+    * statistics against the SAME closed-form oracle — flat blocks make
+    * the multi-scan lossy pipeline exact, so a wrong refinement bit, a
+    * broken EOB run, or a mis-walked scan grid all land in the hash.
+    */
+  val q214ProgressiveJpeg: QueryDef = QueryDef(
+    "q214_progressive_jpeg",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val w = 16 * (1 + r.n % 2)
+        val h = 16 * (1 + (r.n / 7) % 2)
+        def dcOnly(value: Int) = { val a = new Array[Int](64); a(0) = value - 128; a }
+        val bytes = JpegCodec.encodeJpegProgressive(w, h, nComp = 3,
+          subsample420 = r.n % 3 == 0,
+          JpegCodec.FlatQuant, JpegCodec.FlatQuant,
+          (ci, _, by) => if (ci == 0) dcOnly(r.v + by) else dcOnly(128))
+        Multimodal.MediaRow(r.doc_id, bytes,
+          Multimodal.MediaMeta("jpeg", bytes.length, 0L))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("top_r"),
+          element_at(col("features"), 2).cast("long").as("top_g"),
+          element_at(col("features"), 3).cast("long").as("top_b"),
+          element_at(col("features"), 4).cast("long").as("wsum_r"),
+          element_at(col("features"), 5).cast("long").as("wsum_g"),
+          element_at(col("features"), 6).cast("long").as("wsum_b"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v,
+                   16 * (1 + n % 2) AS w,
+                   16 * (1 + (n // 7) % 2) AS h
+            FROM d)
+      SELECT doc_id, w AS width, h AS height, 3 AS channels,
+             CAST(v AS BIGINT) AS top_r,
+             CAST(v AS BIGINT) AS top_g,
+             CAST(v AS BIGINT) AS top_b,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + y // 8)))
+               AS BIGINT) AS wsum_r,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + y // 8)))
+               AS BIGINT) AS wsum_g,
+             CAST(w * list_sum(list_transform(range(h), y -> (y + 1) * (v + y // 8)))
+               AS BIGINT) AS wsum_b
+      FROM g ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q212HtmlStrip, q213UrlCanon, q214ProgressiveJpeg)
 }
