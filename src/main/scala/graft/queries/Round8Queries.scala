@@ -23,7 +23,7 @@ object Round8Queries {
     * entry, an index byte unfiltered wrongly, or a dropped PLTE bounds
     * check all land in the hash comparison.
     */
-  val q205PaletteP205: QueryDef = QueryDef(
+  val q205PalettePng: QueryDef = QueryDef(
     "q205_palette_png",
     (s, dir) => {
       import s.implicits._
@@ -419,7 +419,7 @@ object Round8Queries {
       FROM g ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    q204JpegDecode, q205PaletteP205, q206Bzip2Ingest, q207G711Decode,
+    q204JpegDecode, q205PalettePng, q206Bzip2Ingest, q207G711Decode,
     q208StreamingCmState, q209StreamingHllState, q210Png16Decode,
     q211Adam7Decode)
 }

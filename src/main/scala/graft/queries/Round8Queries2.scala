@@ -7,8 +7,9 @@ import graft.functions.HashFunctions
 import graft.operators.{JpegCodec, Multimodal, TextAnalysis}
 
 /** Round-8 surface, second tranche: the web-crawl curation front door —
-  * HTML main-content extraction and URL canonicalization, the two
-  * operators that run before ANY text operator sees a crawled page.
+  * HTML main-content extraction and URL canonicalization (the two
+  * operators that run before ANY text operator sees a crawled page) —
+  * plus the progressive-JPEG roundtrip that closes the media family.
   */
 object Round8Queries2 {
 

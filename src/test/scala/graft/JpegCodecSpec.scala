@@ -4,10 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.JpegCodec
 
-/** Baseline-JPEG codec tests: closed-form flat-block roundtrips (bit-exact
-  * by construction), the AC/run-length path checked against an
-  * INDEPENDENTLY-coded direct IDCT, chroma subsampling, restart markers,
-  * and the hostile-input contract (None, never throw).
+/** JPEG codec tests, baseline AND progressive: closed-form flat-block
+  * roundtrips (bit-exact by construction), the AC/run-length path checked
+  * against an INDEPENDENTLY-coded direct IDCT, chroma subsampling,
+  * restart markers, the progressive scan machinery (point transform,
+  * EOB runs, refinement correction bits) checked pixel-equal to the
+  * proven baseline decode, and the hostile-input contract (None, never
+  * throw).
   */
 class JpegCodecSpec extends AnyFunSuite {
 
@@ -187,7 +190,7 @@ class JpegCodecSpec extends AnyFunSuite {
       assert(img.pixels(i) == base.pixels(i), s"pixel $i: ${img.pixels(i)} vs ${base.pixels(i)}")
   }
 
-  test("progressive grayscale and non-MCU-aligned-ish bands decode; hostile scans reject") {
+  test("progressive grayscale equals its baseline decode; truncated scans reject") {
     val cfG = (_: Int, bx: Int, by: Int) => {
       val a = new Array[Int](64); a(0) = 10 * bx + by - 50; a(5) = bx - by; a
     }
