@@ -5,10 +5,10 @@ package graft.operators
   * (BITMAPINFOHEADER), binary PPM/PGM/PBM (P6/P5/P4, maxval ≤ 255, `#`
   * header comments), RIFF/WAVE audio (16-bit PCM + G.711 µ-law/A-law),
   * and PNG (8/16-bit, gray/RGB/RGBA/gray-alpha/palette, straight and
-  * Adam7-interlaced). Baseline JPEG lives in its own [[JpegCodec]].
-  * [[Multimodal.decodeFeatures]] sniffs the magic bytes and falls back to
-  * the deterministic fake only for the formats still out of scope
-  * (MP3, progressive JPEG).
+  * Adam7-interlaced). JPEG — baseline AND progressive — lives in its own
+  * [[JpegCodec]]. [[Multimodal.decodeFeatures]] sniffs the magic bytes
+  * and falls back to the deterministic fake only for the one format
+  * still out of scope (MP3).
   *
   * The layouts implemented here are the public file-format specifications
   * (BMP: 54-byte header, little-endian fields, BGR byte order, rows stored
