@@ -580,6 +580,9 @@ object JpegCodec {
               val ci = comps.indexWhere(_.id == cs)
               if (ci != i) fail() // baseline interleave in frame order
               val tdTa = u8(pos + 4 + 2 * i)
+              // table slots are 0..3: a hostile nibble past that must fail
+              // cleanly, not index out of the 4-slot arrays
+              if ((tdTa >> 4) > 3 || (tdTa & 15) > 3) fail()
               val dc = dcTabs(tdTa >> 4); val ac = acTabs(tdTa & 15)
               if (dc == null || ac == null) fail()
               (dc, ac)
@@ -605,6 +608,9 @@ object JpegCodec {
               val ci = comps.indexWhere(_.id == cs)
               if (ci < 0) fail()
               val tdTa = u8(pos + 4 + 2 * i)
+              // table slots are 0..3: a hostile nibble past that must fail
+              // cleanly, not index out of the 4-slot arrays
+              if ((tdTa >> 4) > 3 || (tdTa & 15) > 3) fail()
               val dcT = dcTabs(tdTa >> 4) // may be null for DC REFINE (bits only)
               val acT = acTabs(tdTa & 15)
               if (ss == 0 && ah == 0 && dcT == null) fail()

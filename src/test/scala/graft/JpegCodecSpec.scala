@@ -233,6 +233,15 @@ class JpegCodecSpec extends AnyFunSuite {
     val zero = good.clone()
     zero(sof + 7) = 0; zero(sof + 8) = 0
     assert(JpegCodec.decodeJpeg(zero).isEmpty)
+    // SOS table-selector nibbles past slot 3: must reject, not index out
+    // of the 4-slot table arrays (found by self-review — the one hostile
+    // byte the original fixture set never flipped)
+    val sos = good.indexOfSlice(Seq(0xff.toByte, 0xda.toByte))
+    assert(sos > 0)
+    val badTd = good.clone(); badTd(sos + 6) = 0x75.toByte // comp 1's Td/Ta
+    assert(JpegCodec.decodeJpeg(badTd).isEmpty)
+    val badTa = good.clone(); badTa(sos + 6) = 0x07.toByte
+    assert(JpegCodec.decodeJpeg(badTa).isEmpty)
     // quant tables never defined: DQT marker disguised as a comment
     val dqt = good.indexOfSlice(Seq(0xff.toByte, 0xdb.toByte))
     val noQ = good.clone(); noQ(dqt + 1) = 0xfe.toByte
