@@ -261,6 +261,25 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decodeJpeg(good.dropRight(2) :+ 0x00.toByte :+ 0x00.toByte).isEmpty)
   }
 
+  test("single-byte corruption sweep: no 1-byte flip anywhere makes decode throw") {
+    // exhaustive deterministic fuzz over BOTH stream kinds: every byte
+    // position, three xor masks — markers, lengths, table definitions,
+    // dims, entropy data, trailers all get hit. The contract under test
+    // is exactly "None or garbage pixels, never a throw".
+    def dcOnly(v: Int) = { val a = new Array[Int](64); a(0) = v - 128; a }
+    val files = Seq(
+      JpegCodec.encodeJpegFlat(16, 16, subsample420 = false,
+        (bx, by) => 50 + bx + by, restartInterval = 1),
+      JpegCodec.encodeJpegProgressive(16, 16, nComp = 3, subsample420 = false,
+        JpegCodec.FlatQuant, JpegCodec.FlatQuant,
+        (ci, bx, by) => if (ci == 0) dcOnly(60 + bx + by) else dcOnly(128)))
+    for (f <- files; i <- f.indices; m <- Seq(0xff, 0x10, 0x01)) {
+      val bad = f.clone()
+      bad(i) = (bad(i) ^ m).toByte
+      JpegCodec.decodeJpeg(bad) // must return, Some or None
+    }
+  }
+
   test("encoder rejects out-of-contract inputs loudly") {
     intercept[IllegalArgumentException] { // dims not MCU-aligned
       JpegCodec.encodeJpegFlat(12, 8, subsample420 = false, (_, _) => 0)

@@ -422,6 +422,39 @@ class MediaCodecsSpec extends SparkTestBase {
       gray.take(8) ++ gray.slice(8, 33) ++ plteChunk ++ gray.drop(33)).isEmpty)
   }
 
+  test("single-byte corruption sweep: no 1-byte flip in any format makes decode throw") {
+    // exhaustive deterministic fuzz: every byte of every codec's output,
+    // two xor masks each — the never-throw contract tested wholesale
+    // instead of by curated hostile fixtures
+    val files: Seq[(String, Array[Byte])] = Seq(
+      "png" -> MediaCodecs.encodePng(5, 4, (x, y) => (x, y, x + y), _ % 5),
+      "png16" -> MediaCodecs.encodePng16(4, 3, (x, y) => (x << 9, y << 9, 999), _ % 5),
+      "adam7" -> MediaCodecs.encodePngAdam7(9, 9, (x, y) => (x, y, x + y), _ % 5),
+      "palette" -> MediaCodecs.encodePngPalette(5, 4,
+        Array((1, 2, 3), (4, 5, 6)), (x, y) => (x + y) % 2, _ % 5),
+      "grayalpha" -> MediaCodecs.encodePngGrayAlpha(4, 3, (x, y) => (x + y, 200)),
+      "bmp" -> MediaCodecs.encodeBmp24(5, 3, (x, y) => (x, y, 9)),
+      "ppm" -> MediaCodecs.encodePpm6(4, 3, (x, y) => (x, y, 7)),
+      "pgm" -> MediaCodecs.encodePgm5(4, 3, (x, y) => x + y),
+      "pbm" -> MediaCodecs.encodePbm4(9, 3, (x, y) => (x + y) % 2 == 0),
+      "wav" -> MediaCodecs.encodeWavPcm16(8000, Array[Short](5, -5, 700, -700)),
+      "g711u" -> MediaCodecs.encodeWavG711(8000,
+        Array.tabulate(16)(i => (i * 17).toByte), aLaw = false),
+      "g711a" -> MediaCodecs.encodeWavG711(8000,
+        Array.tabulate(16)(i => (i * 17).toByte), aLaw = true))
+    for ((name, f) <- files; i <- f.indices; m <- Seq(0xff, 0x01)) {
+      val bad = f.clone()
+      bad(i) = (bad(i) ^ m).toByte
+      try {
+        MediaCodecs.decodePng(bad); MediaCodecs.decodeBmp24(bad)
+        MediaCodecs.decodePpm6(bad); MediaCodecs.decodePgm5(bad)
+        MediaCodecs.decodePbm4(bad); MediaCodecs.decodeWavPcm16(bad)
+      } catch {
+        case e: Throwable => fail(s"$name byte $i mask $m threw: $e")
+      }
+    }
+  }
+
   test("pgm roundtrip widens gray to RGB; P5/P6 magics don't cross-decode") {
     val enc = MediaCodecs.encodePgm5(3, 2, (x, y) => 10 * y + x)
     val img = MediaCodecs.decodePgm5(enc).get
