@@ -737,9 +737,9 @@ object JpegCodec {
     *   - `nComp` 1 (grayscale) or 3 (YCbCr; component 0 uses the luma
     *     quant/Huffman tables, 1..2 the chroma ones).
     *   - `subsample420` (3-component only): component 0 sampled 2×2,
-    *     chroma 1×1 — dims must be multiples of 16; otherwise 4:4:4 with
-    *     dims multiples of 8 (the decoder handles arbitrary dims; the
-    *     encoder keeps full MCUs so callers control every pixel).
+    *     chroma 1×1. Dims may be ANY positive size: the stream always
+    *     carries whole MCUs (spec A.2.4), so the block callback is asked
+    *     for the right/bottom padding blocks too, and the decoder crops.
     *   - `quantLuma` / `quantChroma`: 64 entries in ZIGZAG order, 1..255.
     *   - `coeffs(comp, bx, by)`: the block's 64 quantized coefficients in
     *     NATURAL order, |AC| ≤ 1023 and |ΔDC| ≤ 2047 (baseline category
@@ -753,9 +753,11 @@ object JpegCodec {
       restartInterval: Int = 0): Array[Byte] = {
     require(nComp == 1 || nComp == 3, s"nComp must be 1 or 3, got $nComp")
     require(!(subsample420 && nComp == 1), "4:2:0 needs 3 components")
-    val mcuPx = if (subsample420) 16 else 8
-    require(width > 0 && height > 0 && width % mcuPx == 0 && height % mcuPx == 0,
-      s"dims ${width}x$height must be positive multiples of $mcuPx")
+    // dims need NOT be MCU multiples: the stream always carries whole
+    // MCUs (spec A.2.4) and the decoder crops — the block callback is
+    // simply asked for the padding blocks too
+    require(width > 0 && height > 0,
+      s"dims ${width}x$height must be positive")
     require(width.toLong * height <= MaxJpegPixels,
       s"dims ${width}x$height exceed the JPEG pixel budget")
     Seq(quantLuma, quantChroma).foreach(q =>
@@ -826,8 +828,9 @@ object JpegCodec {
       }
       if (run > 0) bw.put(acH.encCode(0x00), acH.encSize(0x00)) // EOB
     }
-    val mcusX = width / mcuPx
-    val mcusY = height / mcuPx
+    val mcuPx = if (subsample420) 16 else 8
+    val mcusX = (width + mcuPx - 1) / mcuPx
+    val mcusY = (height + mcuPx - 1) / mcuPx
     var mcu = 0
     var my = 0
     while (my < mcusY) {
@@ -915,9 +918,12 @@ object JpegCodec {
       scans: Seq[ProgScan] = null): Array[Byte] = {
     require(nComp == 1 || nComp == 3, s"nComp must be 1 or 3, got $nComp")
     require(!(subsample420 && nComp == 1), "4:2:0 needs 3 components")
-    val mcuPx = if (subsample420) 16 else 8
-    require(width > 0 && height > 0 && width % mcuPx == 0 && height % mcuPx == 0,
-      s"dims ${width}x$height must be positive multiples of $mcuPx")
+    // dims need not be MCU multiples (the decoder crops); non-aligned
+    // dims are in fact what makes the padded-vs-scan-grid distinction
+    // real: interleaved DC scans cover the MCU-padded grid, AC scans only
+    // the component's own ceil(sampled-dim/8) grid (spec A.2.2/A.2.4)
+    require(width > 0 && height > 0,
+      s"dims ${width}x$height must be positive")
     require(width.toLong * height <= MaxJpegPixels,
       s"dims ${width}x$height exceed the JPEG pixel budget")
     Seq(quantLuma, quantChroma).foreach(q =>
@@ -1160,7 +1166,8 @@ object JpegCodec {
     * RGB equals the luma value exactly: the YCbCr→RGB terms vanish). With
     * [[FlatQuant]] the roundtrip is bit-exact and closed-form, which is
     * what the q204 oracle predicts from SQL. 3 components; 4:2:0 when
-    * `subsample420` (dims multiples of 16, one chroma block per MCU).
+    * `subsample420` (one chroma block per MCU; any positive dims — the
+    * stream pads to whole MCUs and the decoder crops).
     */
   def encodeJpegFlat(width: Int, height: Int, subsample420: Boolean,
       yOf: (Int, Int) => Int, cb: Int = 128, cr: Int = 128,

@@ -280,12 +280,34 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("encoder rejects out-of-contract inputs loudly") {
-    intercept[IllegalArgumentException] { // dims not MCU-aligned
-      JpegCodec.encodeJpegFlat(12, 8, subsample420 = false, (_, _) => 0)
+  test("non-MCU-aligned dims: whole-MCU streams crop exactly, baseline and progressive") {
+    // (24,16,420) is THE padded-vs-scan-grid case: luma's interleaved DC
+    // walk covers 4 block columns (2 MCUs wide) while its AC scans cover
+    // only ceil(24/8) = 3 — spec A.2.2 vs A.2.4. (17,23,420) pads both
+    // axes; (9,9) and (20,10) exercise the 4:4:4 crop.
+    def dcOnly(v: Int) = { val a = new Array[Int](64); a(0) = v - 128; a }
+    for ((w, h, sub) <- Seq((20, 10, false), (9, 9, false), (24, 16, true), (17, 23, true))) {
+      val yOf = (bx: Int, by: Int) => 30 + 9 * bx + 5 * by
+      val encs = Seq(
+        JpegCodec.encodeJpegFlat(w, h, subsample420 = sub, yOf),
+        JpegCodec.encodeJpegProgressive(w, h, nComp = 3, subsample420 = sub,
+          JpegCodec.FlatQuant, JpegCodec.FlatQuant,
+          (ci, bx, by) => if (ci == 0) dcOnly(yOf(bx, by)) else dcOnly(128)))
+      for ((enc, kind) <- encs.zip(Seq("baseline", "progressive"))) {
+        val img = JpegCodec.decodeJpeg(enc).get
+        assert(img.width == w && img.height == h, s"$kind ${w}x$h sub=$sub")
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = yOf(x / 8, y / 8)
+          assert(img.pixels(y * w + x) == ((v, v, v)),
+            s"$kind ${w}x$h sub=$sub ($x,$y)")
+        }
+      }
     }
-    intercept[IllegalArgumentException] { // 4:2:0 needs multiples of 16
-      JpegCodec.encodeJpegFlat(24, 24, subsample420 = true, (_, _) => 0)
+  }
+
+  test("encoder rejects out-of-contract inputs loudly") {
+    intercept[IllegalArgumentException] { // nonpositive dims
+      JpegCodec.encodeJpegFlat(0, 8, subsample420 = false, (_, _) => 0)
     }
     intercept[IllegalArgumentException] { // sample out of range
       JpegCodec.encodeJpegFlat(8, 8, subsample420 = false, (_, _) => 300)

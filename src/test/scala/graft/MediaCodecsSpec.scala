@@ -387,6 +387,37 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.decodePng(fixed).isEmpty)
   }
 
+  test("16-bit Adam7 PNG (combined depth + interlace) decodes by high byte") {
+    // no encoder emits this combination, so build the stream by hand:
+    // per-pass filter-0 rasters of big-endian 16-bit RGB samples with
+    // nonzero low bytes, assembled as depth=16 interlace=1
+    val w = 5; val h = 5
+    val pix = (x: Int, y: Int) =>
+      (((10 * x + y) << 8) | 77, ((x + 10 * y) << 8) | 99, ((40 + x * y) << 8) | 1)
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) for (py <- 0 until ph) {
+        raw.write(0) // filter None
+        for (px <- 0 until pw) {
+          val (r, g, b) = pix(x0 + px * dx, y0 + py * dy)
+          Seq(r, g, b).foreach { v => raw.write(v >> 8); raw.write(v & 0xff) }
+        }
+      }
+    }
+    val png = MediaCodecs.pngAssemble(w, h, 2, raw.toByteArray,
+      depth = 16, interlace = 1)
+    val img = MediaCodecs.decodePng(png).get
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      assert(img.pixels(y * w + x) == ((r >> 8, g >> 8, b >> 8)), s"($x,$y)")
+    }
+  }
+
   test("palette png: PLTE ordering, length, and index-range violations all reject") {
     val plteBytes = Array((1, 2, 3), (4, 5, 6), (7, 8, 9))
       .flatMap { case (r, g, b) => Array(r.toByte, g.toByte, b.toByte) }
