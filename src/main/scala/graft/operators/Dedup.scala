@@ -285,6 +285,12 @@ object Dedup {
     * Cost tracks the BATCH size only; history is never read, which is what
     * keeps the nightly loop's write amortized O(delta) while
     * [[probeLshIndex]] stays O(delta x collision rate).
+    *
+    * Visibility: the writing session's relation cache refreshes on append;
+    * OTHER long-lived sessions reading the same tables see the new files
+    * after their own `spark.catalog.refreshTable` (standard Spark
+    * cross-session semantics — StreamingSpec's foreachBatch loop
+    * demonstrates both sides).
     */
   def appendLshIndex(newDocs: DataFrame, shingleK: Int, rowsPerBand: Int,
                      indexTable: String, shingleTable: String,

@@ -597,4 +597,51 @@ class StreamingSpec extends SparkTestBase {
       assert(verified == trueHeavy, s"verified $verified != true $trueHeavy")
     } finally q.stop()
   }
+
+  test("streaming index maintenance: probe-then-commit per micro-batch sees prior batches") {
+    // the CONTINUOUS version of the persisted-LSH-index nightly loop: each
+    // micro-batch probes the STORED index for near-dups, then commits
+    // itself via appendLshIndex — so batch 2's matches include batch 1's
+    // docs without any history re-hash. foreachBatch is the composition
+    // point (the probe/append operators are plain batch functions).
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different words about spark query engines and big data systems"
+    Dedup.writeLshIndex(
+      Seq((1L, base), (3L, other)).toDF("doc_id", "text"),
+      shingleK = 3, rowsPerBand = 2,
+      indexTable = "stream_idx", shingleTable = "stream_sh")
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val pairs = Dedup.probeLshIndex(batch, shingleK = 3, rowsPerBand = 2,
+            threshold = 0.5, indexTable = "stream_idx", shingleTable = "stream_sh")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        perBatch.synchronized { perBatch(id) = pairs }
+        Dedup.appendLshIndex(batch, shingleK = 3, rowsPerBand = 2,
+          indexTable = "stream_idx", shingleTable = "stream_sh")
+      }
+      .start()
+    try {
+      mem.addData((10L, base + " dup"))
+      q.processAllAvailable()
+      mem.addData((20L, base + " dup extra"))
+      q.processAllAvailable()
+      assert(perBatch(0L) == Set((10L, 1L)), perBatch.toString)
+      // batch 2 matches BOTH the original history and batch 1's committed doc
+      assert(perBatch(1L) == Set((20L, 1L), (20L, 10L)), perBatch.toString)
+      // the stored shingle table now carries history + both batches. The
+      // appends ran in foreachBatch's per-batch session clones, which
+      // refresh THEIR relation caches — this session's cached file
+      // listing is stale until refreshed (standard cross-session Spark
+      // semantics; the in-loop probes resolved fresh, as the (20,10)
+      // match proves)
+      spark.catalog.refreshTable("stream_sh")
+      assert(spark.table("stream_sh").select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L, 10L, 20L))
+    } finally q.stop()
+  }
 }
