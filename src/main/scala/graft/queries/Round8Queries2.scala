@@ -187,5 +187,98 @@ object Round8Queries2 {
                AS BIGINT) AS wsum_b
       FROM g ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q212HtmlStrip, q213UrlCanon, q214ProgressiveJpeg)
+  /** DUPLICATE-SPAN REMOVAL PLAN, keep-first policy — the operation
+    * corpus-level exact substring dedup actually performs on LM training
+    * data (flagging, as q121/q135 do, is the diagnostic; REMOVING all but
+    * the first occurrence is the treatment): every stride-1 20-char
+    * window is hashed in one codegen'd Rabin–Karp pass
+    * ([[graft.plans.RollingWindowHashes]]), the corpus-wide FIRST
+    * occurrence of each window — min (doc_id, pos), a total order — is
+    * exempted, and every other occurrence marks its [pos, pos+20) span
+    * for removal. Overlapping spans within a doc merge by the sorted
+    * lead-difference identity (contribution = min(next−pos, 20); last
+    * span contributes 20), so `chars_removed` is the exact merged
+    * coverage without materializing per-character rows — one doc-keyed
+    * window over the REMOVABLE positions only, never over the corpus.
+    * The oracle reproduces the wrapping-64-bit hash (q135's HUGEINT
+    * protocol), the lexicographic first-occurrence, and the interval
+    * merge independently.
+    */
+  val q215DupSpanRemoval: QueryDef = QueryDef(
+    "q215_dup_span_removal",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 20
+      val docs = Tables.load(s, dir, "documents").filter(length(col("text")) >= L)
+      val wins = docs
+        .select(col("doc_id"),
+          posexplode(graft.plans.RollingWindowHashes(col("text"), L)).as(Seq("pos", "gh")))
+        .cache()
+      val firsts = wins.groupBy("gh")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2)
+        .select(col("gh"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+      val removable = wins.join(firsts, "gh")
+        .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+        .select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val cov = removable
+        .withColumn("nxt", lead(col("pos"), 1).over(w))
+        .withColumn("contrib",
+          when(col("nxt").isNull, lit(L)).otherwise(least(col("nxt") - col("pos"), lit(L))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_removed_windows"),
+          sum(col("contrib")).cast("long").as("chars_removed"))
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("doc_len"))
+        .join(cov, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("doc_len"),
+          coalesce(col("n_removed_windows"), lit(0L)).as("n_removed_windows"),
+          coalesce(col("chars_removed"), lit(0L)).as("chars_removed"))
+        .withColumn("keep_ppm",
+          expr("(doc_len - chars_removed) * 1000000 div doc_len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH pos AS (
+        SELECT doc_id, text, unnest(generate_series(1, len(text) - 19)) AS i
+        FROM documents WHERE len(text) >= 20),
+      raw AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, list_reduce(
+                 list_transform(string_split(substr(text, i, 20), ''),
+                                c -> CAST(ascii(c) AS HUGEINT)),
+                 (acc, c) -> (acc * 1000003 + c)
+                   % CAST(18446744073709551616 AS HUGEINT)) AS h
+        FROM pos),
+      grams AS (
+        SELECT doc_id, pos,
+               CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN h - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE h END AS BIGINT) AS gh
+        FROM raw),
+      firsts AS (
+        SELECT gh, min([doc_id, pos]) AS f
+        FROM grams GROUP BY gh HAVING count(*) >= 2),
+      removable AS (
+        SELECT g.doc_id, g.pos
+        FROM grams g JOIN firsts ON g.gh = firsts.gh
+        WHERE NOT (g.doc_id = f[1] AND g.pos = f[2])),
+      cov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_windows,
+               CAST(sum(CASE WHEN nxt IS NULL THEN 20
+                             ELSE least(nxt - pos, 20) END) AS BIGINT) AS chars_removed
+        FROM (SELECT doc_id, pos,
+                     lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+              FROM removable)
+        GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS doc_len,
+             coalesce(n_removed_windows, 0) AS n_removed_windows,
+             coalesce(chars_removed, 0) AS chars_removed,
+             (len(d.text) - coalesce(chars_removed, 0)) * 1000000 // len(d.text)
+               AS keep_ppm
+      FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+      WHERE len(d.text) >= 20
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q212HtmlStrip, q213UrlCanon, q214ProgressiveJpeg, q215DupSpanRemoval)
 }
