@@ -110,6 +110,47 @@ class StorageLayoutSpec extends SparkTestBase {
       o.join(l, col("o_orderkey") === col("l_orderkey")).count())
   }
 
+  test("parquet bloom filters: written per column option, functional in the footer") {
+    // the point-lookup accelerator for high-cardinality non-sorted columns
+    // (min/max pruning is useless when every row group spans the domain):
+    // write with the column-scoped bloom options, then assert FUNCTIONALLY
+    // against the file's own footer via parquet-mr — the filter exists for
+    // the enabled column only, contains every written key, and excludes
+    // most absent ones (the property row-group skipping keys off).
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("bloom").toString
+    spark.range(5000).select(
+        (col("id") * 2654435761L % 1000003L).as("k"), // high-cardinality, unsorted
+        col("id").as("v"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "10000")
+      .parquet(s"$dir/t")
+    val file = new java.io.File(s"$dir/t").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val cols = block.getColumns.asScala
+      val kMeta = cols.find(_.getPath.toDotString == "k").get
+      val vMeta = cols.find(_.getPath.toDotString == "v").get
+      assert(kMeta.getBloomFilterOffset >= 0, "bloom missing on enabled column")
+      assert(vMeta.getBloomFilterOffset < 0, "bloom present on disabled column")
+      val bf = reader.getBloomFilterDataReader(block).readBloomFilter(kMeta)
+      assert(bf != null)
+      val written = (0L until 5000L).map(i => i * 2654435761L % 1000003L).toSet
+      written.foreach(k => assert(bf.findHash(bf.hash(k)), s"written key $k absent"))
+      // absent keys: the filter must say no for MOST (fpp is ~1% at this ndv)
+      val absent = (1000004L to 1000103L).filterNot(written)
+      val falsePos = absent.count(k => bf.findHash(bf.hash(k)))
+      assert(falsePos < absent.size / 4,
+        s"$falsePos/${absent.size} false positives — filter not functional")
+    } finally reader.close()
+  }
+
   test("bzip2 text shards split at read; the same file as gzip is ONE split") {
     // The SCALE.md compressed-text claim, observed: bzip2's block structure
     // is splittable (Hadoop aligns range splits to 100 KB compression
