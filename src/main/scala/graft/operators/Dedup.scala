@@ -241,11 +241,36 @@ object Dedup {
       shingleTable, Seq("doc_id"))
     save(bandedFromHashes(spark.table(shingleTable), rowsPerBand),
       indexTable, Seq("band", "key"))
+    // Stamp the build parameters on the shingle table so ensureLshIndex can
+    // refuse to reuse an index built with a DIFFERENT (k, rowsPerBand,
+    // buckets) — a row-count-only freshness key would silently serve stale-
+    // parameter candidates whenever the eligible-doc count happens to match.
+    spark.sql(s"ALTER TABLE $shingleTable SET TBLPROPERTIES(" +
+      s"'graft.lsh.params' = '${paramsKey(shingleK, rowsPerBand, buckets)}')")
+  }
+
+  /** Canonical build-parameter fingerprint stored as a table property by
+    * [[writeLshIndex]] and checked by [[ensureLshIndex]].
+    */
+  private def paramsKey(shingleK: Int, rowsPerBand: Int, buckets: Int): String =
+    s"k=$shingleK,rpb=$rowsPerBand,buckets=$buckets"
+
+  /** The stored [[paramsKey]] of `table`, or None when absent (pre-existing
+    * tables written before the stamp, or foreign tables).
+    */
+  private def storedParams(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Option[String] = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .filter(col("key") === "graft.lsh.params")
+      .select("value").collect() // catalog metadata: one tiny driver row
+    rows.headOption.map(_.getString(0))
   }
 
   /** Build-once guard for the index lifecycle: [[writeLshIndex]] only when
     * the stored tables are absent or STALE — staleness detected by the
-    * shingle table's row count differing from the history's current
+    * stored build-parameter fingerprint (shingleK/rowsPerBand/buckets, a
+    * table property stamped at write time) differing from this call's, or
+    * by the shingle table's row count differing from the history's current
     * eligible-doc count (one row per doc with >= shingleK words). The
     * counts are a column-pruned scan each — paid instead of the full
     * md5-shingle + banding rebuild, which is the point: a nightly job (or
@@ -263,7 +288,11 @@ object Dedup {
     val spark = docs.sparkSession
     requireValidTable(indexTable); requireValidTable(shingleTable)
     val fresh = spark.catalog.tableExists(indexTable) &&
-      spark.catalog.tableExists(shingleTable) && {
+      spark.catalog.tableExists(shingleTable) &&
+      // parameter fingerprint first: an index built with different
+      // (k, rowsPerBand, buckets) is stale even if the doc count matches
+      storedParams(spark, shingleTable)
+        .contains(paramsKey(shingleK, rowsPerBand, buckets)) && {
         val eligible =
           docs.filter(size(split(col("text"), " ")) >= shingleK).count()
         spark.table(shingleTable).count() == eligible
@@ -299,14 +328,21 @@ object Dedup {
     requireValidTable(indexTable); requireValidTable(shingleTable)
     val hs = newDocs.filter(size(split(col("text"), " ")) >= shingleK)
       .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))
-      .repartition(col("doc_id")) // hash once, feed both writes
-    hs.write.format("parquet").mode("append")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(shingleTable)
-    bandedFromHashes(hs, rowsPerBand)
-      .write.format("parquet").mode("append")
-      .bucketBy(buckets, "band", "key").sortBy("band", "key")
-      .saveAsTable(indexTable)
+      .repartition(col("doc_id"))
+      // persist: the two saveAsTable calls below are separate ACTIONS with
+      // independently planned physical plans — without materializing here,
+      // the batch's md5-per-shingle hashing would run once per write
+      // (repartition alone does not carry an exchange across actions)
+      .persist()
+    try {
+      hs.write.format("parquet").mode("append")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(shingleTable)
+      bandedFromHashes(hs, rowsPerBand)
+        .write.format("parquet").mode("append")
+        .bucketBy(buckets, "band", "key").sortBy("band", "key")
+        .saveAsTable(indexTable)
+    } finally hs.unpersist()
   }
 
   /** PERSISTED LSH index lifecycle, probe side: check a NEW batch against

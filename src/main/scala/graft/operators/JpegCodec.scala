@@ -644,11 +644,21 @@ object JpegCodec {
     val s1 = Array.ofDim[Double](8, 8)
     val br = new BitReader(b, dataStart)
 
+    // T.81 A.2: a SINGLE-component scan is NON-interleaved — one block per
+    // MCU over the component's own ceil(dim/8) grid (sampling factors only
+    // relate components to each other; alone, the component spans the full
+    // frame whatever its declared factors). The interleaved walk below is
+    // parametrized so both cases share the block-decode body; the MCU-
+    // aligned plane is never smaller than the ceil(dim/8) grid needs.
+    val oneComp = comps.length == 1
+    val stepsX = if (oneComp) (w + 7) / 8 else mcusX
+    val stepsY = if (oneComp) (h + 7) / 8 else mcusY
+
     var mcu = 0
     var my = 0
-    while (my < mcusY) {
+    while (my < stepsY) {
       var mx = 0
-      while (mx < mcusX) {
+      while (mx < stepsX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.expectRestart((mcu / restartInterval - 1) % 8)
           java.util.Arrays.fill(preds, 0)
@@ -658,10 +668,12 @@ object JpegCodec {
           val c = comps(ci)
           val (dcT, acT) = scanTabs(ci)
           val q = qt(c.tq)
+          val nv = if (oneComp) 1 else c.v
+          val nh = if (oneComp) 1 else c.h
           var by = 0
-          while (by < c.v) {
+          while (by < nv) {
             var bx = 0
-            while (bx < c.h) {
+            while (bx < nh) {
               // -- decode one block's 64 dequantized coefficients --
               java.util.Arrays.fill(coef, 0)
               val s = dcT.decode(br)
@@ -684,7 +696,8 @@ object JpegCodec {
               }
               // -- separable IDCT + level shift into the component plane --
               idctInto(coef, planes(ci), planeW(ci),
-                (mx * c.h + bx) * 8, (my * c.v + by) * 8, s1)
+                (if (oneComp) mx else mx * c.h + bx) * 8,
+                (if (oneComp) my else my * c.v + by) * 8, s1)
               bx += 1
             }
             by += 1

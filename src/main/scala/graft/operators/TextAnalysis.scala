@@ -165,12 +165,14 @@ object TextAnalysis {
     * IDENTICAL chain.
     */
   val HtmlBoilerplateRes: Seq[String] = Seq(
-    "(?s)<script[^>]*>.*?</script>",
-    "(?s)<style[^>]*>.*?</style>",
-    "(?s)<nav[^>]*>.*?</nav>",
-    "(?s)<header[^>]*>.*?</header>",
-    "(?s)<footer[^>]*>.*?</footer>",
-    "(?s)<aside[^>]*>.*?</aside>")
+    "script", "style", "nav", "header", "footer", "aside").map(tag =>
+    // (?i): HTML tag names are case-insensitive (<SCRIPT> is legal and
+    // common in real crawls). (\\s[^>]*)? instead of [^>]*: the open tag
+    // must END at the name or continue with whitespace-led attributes, so
+    // unrelated tags sharing the prefix (<scripty>) don't match. The close
+    // tag tolerates trailing whitespace (</script >). No lookarounds — the
+    // pattern stays in the Java ∩ RE2 common dialect.
+    s"(?is)<$tag(\\s[^>]*)?>.*?</$tag\\s*>")
 
   /** Generic tag pattern for the post-block strip. */
   val HtmlTagRe = "<[^>]+>"
@@ -203,10 +205,14 @@ object TextAnalysis {
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
-    val host = lower(regexp_extract(url, "(?i)^[a-z]+://([^/]+)", 1))
+    // host ends at the FIRST of /?# — a path-less URL's query or fragment
+    // (https://example.com?utm_source=x, https://example.com#frag) must not
+    // be absorbed into the host, where it would be case-folded and escape
+    // the utm/fragment normalizations below
+    val host = lower(regexp_extract(url, "(?i)^[a-z]+://([^/?#]+)", 1))
     val hostNorm = regexp_replace(
       regexp_replace(host, "^www[0-9]*\\.", ""), ":(443|80)$", "")
-    val rest = regexp_extract(url, "(?i)^[a-z]+://[^/]+([^#]*)", 1)
+    val rest = regexp_extract(url, "(?i)^[a-z]+://[^/?#]+([^#]*)", 1)
     val dropUtmMid = (c: Column) =>
       regexp_replace(c, "([?&])utm_[A-Za-z]+=[^&]*&", "$1")
     val noUtm = regexp_replace(

@@ -33,14 +33,17 @@ object Round8Queries2 {
     "q212_html_strip",
     (s, dir) => {
       val d = srcCols(Tables.load(s, dir, "documents"))
+      // Tag case varies on purpose — <STYLE>, <SCRIPT>…</SCRIPT>, <Nav>,
+      // and a close tag with trailing whitespace (</aside >): all legal
+      // HTML a real crawl carries, all must still strip as blocks.
       val html = concat(
         lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><style type=\"text/css\">p{margin:"), col("v"),
-        lit("px}</style><script>track("), col("n"),
-        lit(");</script></head><body><nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav><div class=\"content\"><p>"),
+        lit("</title><STYLE type=\"text/css\">p{margin:"), col("v"),
+        lit("px}</style><SCRIPT>track("), col("n"),
+        lit(");</SCRIPT></head><body><Nav><a href=\"/\">home</a> <a href=\"/a\">about</a></Nav><div class=\"content\"><p>"),
         col("text"),
         lit("</p></div><aside>related "), col("v"),
-        lit("</aside><footer>&copy; site "), col("n"),
+        lit("</aside ><footer>&copy; site "), col("n"),
         lit("</footer></body></html>"))
       val clean = TextAnalysis.stripHtmlBoilerplate(html)
       d.select(col("doc_id"),
@@ -58,12 +61,12 @@ object Round8Queries2 {
                  FROM documents),
       h AS (SELECT doc_id,
                    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-                   '</title><style type="text/css">p{margin:' || CAST(v AS VARCHAR) ||
-                   'px}</style><script>track(' || CAST(n AS VARCHAR) ||
-                   ');</script></head><body><nav><a href="/">home</a> <a href="/a">about</a></nav><div class="content"><p>' ||
+                   '</title><STYLE type="text/css">p{margin:' || CAST(v AS VARCHAR) ||
+                   'px}</style><SCRIPT>track(' || CAST(n AS VARCHAR) ||
+                   ');</SCRIPT></head><body><Nav><a href="/">home</a> <a href="/a">about</a></Nav><div class="content"><p>' ||
                    text ||
                    '</p></div><aside>related ' || CAST(v AS VARCHAR) ||
-                   '</aside><footer>&copy; site ' || CAST(n AS VARCHAR) ||
+                   '</aside ><footer>&copy; site ' || CAST(n AS VARCHAR) ||
                    '</footer></body></html>' AS html,
                    trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text,
                      '\s+', ' ', 'g')) AS clean
@@ -95,8 +98,11 @@ object Round8Queries2 {
         when(col("n") % 2 === 0, "HTTPS").otherwise("https"),
         lit("://WWW.Site"), pmod(col("v"), lit(20)), lit(".Example.COM"),
         when(col("n") % 3 === 0, ":443").otherwise(""),
-        lit("/p/"), pmod(col("doc_id"), lit(97)),
-        when(col("n") % 2 === 0, "/").otherwise(""),
+        // every 7th doc mints a PATH-LESS URL — the query string attaches
+        // directly to the host, so host extraction must stop at '?'
+        when(col("n") % 7 === 0, "")
+          .otherwise(concat(lit("/p/"), pmod(col("doc_id"), lit(97)),
+            when(col("n") % 2 === 0, "/").otherwise(""))),
         lit("?q="), pmod(col("v"), lit(7)),
         lit("&utm_source=feed"),
         when(col("n") % 5 === 0, "&utm_medium=rss").otherwise(""),
@@ -114,8 +120,9 @@ object Round8Queries2 {
                         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
                  FROM documents),
       c AS (SELECT doc_id,
-                   'https://site' || CAST(v % 20 AS VARCHAR) || '.example.com/p/' ||
-                   CAST(doc_id % 97 AS VARCHAR) ||
+                   'https://site' || CAST(v % 20 AS VARCHAR) || '.example.com' ||
+                   CASE WHEN n % 7 = 0 THEN ''
+                        ELSE '/p/' || CAST(doc_id % 97 AS VARCHAR) END ||
                    '?q=' || CAST(v % 7 AS VARCHAR) ||
                    CASE WHEN n % 4 = 0 THEN '&ref=' || CAST(n % 13 AS VARCHAR)
                         ELSE '' END AS canon_url

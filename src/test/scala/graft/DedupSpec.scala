@@ -223,6 +223,18 @@ class DedupSpec extends SparkTestBase {
     assert(ensure(grown), "stale index (doc-count mismatch) must rebuild")
     assert(spark.table("spec_ensure_shingles").count() == 4L)
     assert(!ensure(grown), "rebuilt index must again be reused")
+    // DIFFERENT build parameters with the SAME eligible-doc count: the
+    // stored parameter fingerprint must force a rebuild (a count-only
+    // freshness key would silently serve stale-parameter candidates)
+    assert(Dedup.ensureLshIndex(grown, shingleK = 4, rowsPerBand = 2,
+      indexTable = "spec_ensure_index", shingleTable = "spec_ensure_shingles"),
+      "changed shingleK must rebuild")
+    assert(Dedup.ensureLshIndex(grown, shingleK = 4, rowsPerBand = 4,
+      indexTable = "spec_ensure_index", shingleTable = "spec_ensure_shingles"),
+      "changed rowsPerBand must rebuild")
+    assert(!Dedup.ensureLshIndex(grown, shingleK = 4, rowsPerBand = 4,
+      indexTable = "spec_ensure_index", shingleTable = "spec_ensure_shingles"),
+      "same parameters again must be reused")
     // hostile table names are rejected before any SQL is assembled
     intercept[IllegalArgumentException] {
       Dedup.ensureLshIndex(hist, 3, 2,

@@ -55,6 +55,36 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("single-component baseline scan is NON-interleaved whatever the sampling factors") {
+    // T.81 A.2: a 1-component scan walks the component's own ceil(dim/8)
+    // grid, one block per MCU — declared sampling factors (which only
+    // relate components to each other) must not change the walk. The
+    // entropy stream of a single-component frame is therefore IDENTICAL
+    // for 1x1 and 2x2 factors: encode at 1x1, patch the SOF0 sampling
+    // byte to 2x2, and the decode must agree pixel-for-pixel. Dims are
+    // deliberately non-multiples of 16 so an interleaved walk would
+    // misalign (9 blocks in the stream vs 16 expected) and fail to None.
+    val w = 24; val h = 17 // ceil(24/8) x ceil(17/8) = 3 x 3 blocks
+    val cf = (_: Int, bx: Int, by: Int) => {
+      val a = new Array[Int](64); a(0) = 11 * bx + 5 * by - 60; a
+    }
+    val enc = JpegCodec.encodeJpeg(w, h, nComp = 1, subsample420 = false,
+      JpegCodec.FlatQuant, JpegCodec.FlatQuant, cf)
+    val sof = (0 until enc.length - 1).find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0).get
+    assert((enc(sof + 11) & 0xff) == 0x11)
+    val patched = enc.clone()
+    patched(sof + 11) = 0x22.toByte // h=2, v=2 on the only component
+    val base = JpegCodec.decodeJpeg(enc).get
+    val img = JpegCodec.decodeJpeg(patched).get
+    assert(img.width == w && img.height == h)
+    assert(img.pixels.toSeq == base.pixels.toSeq)
+    // mixed 2x1 factors walk the same grid too
+    val patched21 = enc.clone()
+    patched21(sof + 11) = 0x21.toByte
+    assert(JpegCodec.decodeJpeg(patched21).get.pixels.toSeq == base.pixels.toSeq)
+  }
+
   test("JFIF YCbCr->RGB conversion matches the closed-form formula") {
     val enc = JpegCodec.encodeJpegFlat(8, 8, subsample420 = false,
       (_, _) => 100, cb = 90, cr = 160)

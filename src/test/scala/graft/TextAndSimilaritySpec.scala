@@ -18,7 +18,13 @@ class TextAndSimilaritySpec extends SparkTestBase {
       ("<div>plain <b>bold</b> text</div>", "plain bold text"),
       ("no tags at all", "no tags at all"),
       ("<nav>m1 <a href=x>m2</a></nav><p>real</p><aside>ad</aside>", "real"),
-      ("<style>p{}</style><header>h</header>only", "only"))
+      ("<style>p{}</style><header>h</header>only", "only"),
+      // tag names are case-insensitive in HTML: blocks must strip anyway
+      ("<SCRIPT src=x>dead()</SCRIPT><p>kept</p>", "kept"),
+      ("<Style>p{}</STYLE ><NAV>m</nav>yes", "yes"),
+      // an unrelated tag SHARING the prefix is not a script block: its
+      // body survives (the tags themselves strip as generic tags)
+      ("<scripty>not a script</scripty> ok", "not a script ok"))
     val got = cases.toDF("html", "want")
       .select(TextAnalysis.stripHtmlBoilerplate(col("html")).as("got"), col("want"))
       .collect()
@@ -37,7 +43,12 @@ class TextAndSimilaritySpec extends SparkTestBase {
       ("https://host.net/?utm_only=1", "https://host.net"),
       ("https://host.net/a?x=1&utm_m=2&y=3", "https://host.net/a?x=1&y=3"),
       // ports that are NOT default survive; non-utm params never touched
-      ("https://Host.net:8443/a?utm=notreally&z=2", "https://host.net:8443/a?utm=notreally&z=2"))
+      ("https://Host.net:8443/a?utm=notreally&z=2", "https://host.net:8443/a?utm=notreally&z=2"),
+      // PATH-LESS urls: host extraction stops at ? and #, so the query
+      // still gets utm-stripped and the fragment still drops
+      ("https://Example.com?utm_source=x", "https://example.com"),
+      ("HTTP://EXAMPLE.COM#frag", "http://example.com"),
+      ("https://www.Example.com:443?a=1#f", "https://example.com?a=1"))
     val got = cases.toDF("url", "want")
       .select(TextAnalysis.canonicalizeUrl(col("url")).as("got"), col("want"))
       .collect()
