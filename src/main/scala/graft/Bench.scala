@@ -90,13 +90,39 @@ object Bench {
     // of `head`, so its (capped) length is inside the budget too.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // MOVERS from the previous run's side-channel file (same sf only):
+    // any query whose median shifted >2x either way is forced into the
+    // compact stdout line ahead of the slowest-first fill, so the driver-
+    // captured BENCH_rN alone surfaces every cross-round mover even when
+    // the char budget drops fast entries. Sub-50ms medians are exempt
+    // (pure timer noise at that magnitude).
+    val prev: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("target", "bench_full.json")
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == sfDir)
+          if (sfOk)
+            """"(q[0-9][^"]*)":([0-9.]+)""".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          else Map.empty
+        } else Map.empty
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val movers = ok.filter { case (k, v) =>
+      prev.get(k).exists(p0 => p0 > 0.05 && v > 0.05 &&
+        (v / p0 > 2.0 || p0 / v > 2.0))
+    }.map(_._1).toSet
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
-      s""""repeats":$repeats,"errors":$errs,"sf":"$sfDir","queries":{"""
+      s""""repeats":$repeats,"errors":$errs,"movers":${movers.size},""" +
+      s""""sf":"$sfDir","queries":{"""
     val budget = 1800 - head.length - 40 // room for closing + omitted count
-    val bySlow = ok.sortBy(-_._2).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
-    }
+    val bySlow = ok.sortBy { case (k, v) => (if (movers(k)) 0 else 1, -v) }
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+      }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     bySlow.foreach { e =>

@@ -618,6 +618,20 @@ object Dedup {
     * dropped, mirroring the oracle contract).
     */
   def prefixJaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val (cand, arr) = prefixJaccardParts(docs, tau, midPrefix = true)
+    verifyJaccard(cand, arr, tau)
+  }
+
+  /** Candidate (i, j) surface of [[prefixJaccardPairs]], package-private so
+    * the spec can measure the midprefix bound's candidate reduction and
+    * assert result equality against the basic prefix filter.
+    */
+  private[graft] def prefixJaccardCandidates(docs: DataFrame, tau: Double,
+      midPrefix: Boolean): DataFrame =
+    prefixJaccardParts(docs, tau, midPrefix)._1
+
+  private def prefixJaccardParts(docs: DataFrame, tau: Double,
+      midPrefix: Boolean): (DataFrame, DataFrame) = {
     val tok = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3) // sequence() would descend below 3
@@ -627,15 +641,23 @@ object Dedup {
         .as("tk"))
       .select(col("doc_id"), hash32(col("tk")).as("h"))
       .distinct()
-      .cache() // feeds df, the prefix ordering, and the per-doc arrays
-    val arr = tok.groupBy("doc_id").agg(
-      sort_array(collect_list(col("h"))).as("hs"), // distinct input -> sorted distinct
-      count(lit(1)).as("n"))
+      .cache() // feeds the df counts and the per-doc aggregation
     val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    val ordered = tok.join(df, "h")
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("df"), col("h"))))
+    // ONE doc-keyed aggregation builds BOTH per-doc surfaces: the sorted
+    // hash array the verify step merges, and the (df, h)-ordered token
+    // list the prefix slices. The earlier form paid a row_number window
+    // (its own doc-keyed shuffle + sort) PLUS a separate arr aggregation
+    // over the same rows — measured ~1.9 s of the query's 3.4 s at sf0.1;
+    // fusing them into this single groupBy removed a full shuffle+sort
+    // pass with identical output.
+    val perDoc = tok.join(df, "h")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(col("h"))).as("hs"), // distinct input -> sorted distinct
+        count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("df"), col("h")))).as("rare"))
+      .cache() // feeds the prefix explode AND the verify arrays
+    val arr = perDoc.select(col("doc_id"), col("hs"), col("n"))
     // The prefix/length bounds are computed in DOUBLE; for non-dyadic tau
     // the product tau*n can round PAST the exact rational value (e.g.
     // tau=0.54, n=450: ceil rounds 243.000…1 up to 244), shortening the
@@ -645,15 +667,46 @@ object Dedup {
     // may only ever be loosened (the final jaccard >= tau filter is the
     // semantic gate; extra candidates cost verify work, never correctness).
     val eps = 1e-9
-    val prefix = ordered.join(arr.select(col("doc_id"), col("n")), "doc_id")
-      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n") - eps) + 1)
-      .select(col("doc_id"), col("h"), col("n"))
+    val prefLen = (col("n") - ceil(lit(tau) * col("n") - eps) + 1).cast("int")
+    val prefix = perDoc
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("rare"), lit(1), prefLen)).as(Seq("p0", "t")))
+      .select(col("doc_id"), col("t.h").as("h"), col("n"),
+        (col("p0") + 1).as("pos"))
+    // PPJoin MIDPREFIX tightening (Xiao et al.): for a qualifying pair the
+    // required overlap is alpha = ceil(tau/(1+tau)·(|x|+|y|)); for the
+    // SMALLER set y (|y| <= |x|) that gives alpha >= 2tau/(1+tau)·|y|, so
+    // a shared token must appear within y's first
+    // |y| − ceil(2tau/(1+tau)·|y|) + 1 tokens (the "indexing prefix") —
+    // shorter than the basic |y| − ceil(tau·|y|) + 1 probing prefix the
+    // larger side still needs (alpha >= tau·|x| there). Applying the mid
+    // bound to the smaller-by-(n, doc_id) side keeps candidate
+    // completeness while measurably cutting the candidates that reach the
+    // verify join (the dominant cost) — DedupSpec asserts both the count
+    // drop and result equality against the basic filter. Bounds carry the
+    // same epsilon loosening as above.
+    val midBound = (n: Column, pos: Column) =>
+      pos <= n - ceil(lit(2 * tau / (1 + tau)) * n - eps) + 1
+    val aIsSmaller = col("a.n") < col("b.n") ||
+      (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n") >= ceil(lit(tau) * col("a.n") - eps) &&
-          col("b.n") <= floor(col("a.n") / lit(tau) + eps))
+          col("b.n") <= floor(col("a.n") / lit(tau) + eps) &&
+          (!lit(midPrefix) ||
+            when(aIsSmaller, midBound(col("a.n"), col("a.pos")))
+              .otherwise(midBound(col("b.n"), col("b.pos")))))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
+    (cand, arr)
+  }
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs against the
+    * per-doc sorted hash arrays: one row per candidate, the native merge
+    * intersect, filter to >= tau.
+    */
+  private def verifyJaccard(cand: DataFrame, arr: DataFrame,
+      tau: Double): DataFrame =
     cand
       .join(arr.select(col("doc_id").as("i"), col("hs").as("ha"),
         col("n").as("la")), "i")
@@ -665,7 +718,6 @@ object Dedup {
         col("inter").cast("double") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("i"), col("j"), col("la"), col("lb"), col("inter"), col("jaccard"))
-  }
 
   /** Exact CONTAINMENT join (overlap coefficient |A∩B| / min(|A|,|B|) ≥
     * tau) — the measure that catches a short document QUOTED inside a long
@@ -731,5 +783,91 @@ object Dedup {
       .filter(col("contain") >= tau)
       .select(col("i"), col("j"), col("la"), col("lb"), col("inter"),
         col("m_min"), col("contain"))
+  }
+
+  /** MERGED removable intervals under the KEEP-FIRST duplicate-span policy
+    * (the q215 treatment plan as a reusable operator): every stride-1
+    * `winLen`-char window is hashed in one codegen'd Rabin–Karp pass
+    * ([[graft.plans.RollingWindowHashes]]); the corpus-wide FIRST occurrence
+    * of each window — min (doc_id, pos), a total order — is exempt; every
+    * other occurrence marks [pos, pos+winLen) removable. Overlapping and
+    * adjacent spans merge per doc (new interval starts only when the gap to
+    * the previous span exceeds winLen). Output: (doc_id, s, e) with s
+    * inclusive, e exclusive, 0-based — ready for the [[removeDupSpans]]
+    * splice.
+    *
+    * Scale shape: one hash-shuffle on the 64-bit window hash (firsts), one
+    * equi-join back (window-hash keyed), and a doc-keyed window over the
+    * REMOVABLE positions only — never a corpus-wide sort.
+    *
+    * `cacheWindows` controls the stride-1 window set — the repo's largest
+    * intermediate (~len(text) rows per doc) — which feeds BOTH the firsts
+    * aggregate and the join back. Cached (default), the Rabin–Karp pass
+    * and its explode run once and the second consumer reads executor
+    * memory/disk; uncached, the pass recomputes but nothing competes for
+    * storage. CorpusScaleBench measures the trade at 100k docs (SCALE.md
+    * §substring-dedup) — prefer uncached only when executor storage is the
+    * scarcer resource.
+    */
+  def dupSpanIntervals(docs: DataFrame, winLen: Int,
+                       cacheWindows: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins0 = docs
+      .filter(length(col("text")) >= winLen)
+      .select(col("doc_id"),
+        posexplode(graft.plans.RollingWindowHashes(col("text"), winLen))
+          .as(Seq("pos", "gh")))
+    val wins = if (cacheWindows) wins0.cache() else wins0
+    val firsts = wins.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("gh"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val removable = wins.join(firsts, "gh")
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    removable
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      // equal-length spans sorted by start: the running interval's end is
+      // always prev+winLen, so a new interval starts exactly when the gap
+      // exceeds winLen (gap == winLen is adjacent — merged, same splice)
+      .withColumn("newgrp",
+        when(col("prev").isNull || col("pos") - col("prev") > winLen, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("newgrp")).over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + winLen).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** MATERIALIZE the cleaned corpus from the keep-first duplicate-span plan:
+    * splice each doc's merged removable intervals ([[dupSpanIntervals]]) out
+    * of the actual text — the artifact a pretraining pipeline ships, not
+    * just the diagnostic counts. The splice is a per-doc projection: a fold
+    * over the (few, sorted) intervals concatenating the kept segments
+    * between them plus the tail. Docs with no removable spans pass through
+    * unchanged. Output: (doc_id, text, clean_text, n_spans).
+    */
+  def removeDupSpans(docs: DataFrame, winLen: Int): DataFrame = {
+    val ivs = dupSpanIntervals(docs, winLen)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs.filter(length(col("text")) >= winLen)
+      .join(ivs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("ivs"), array().cast("array<struct<s:int,e:int>>")).as("ivs"))
+      .withColumn("clean_text",
+        aggregate(col("ivs"),
+          struct(lit("").as("t"), lit(0).as("c")),
+          (acc, iv) => struct(
+            concat(acc.getField("t"),
+              col("text").substr(acc.getField("c") + 1,
+                iv.getField("s") - acc.getField("c"))).as("t"),
+            iv.getField("e").as("c")),
+          acc => concat(acc.getField("t"),
+            col("text").substr(acc.getField("c") + 1,
+              length(col("text")) - acc.getField("c")))))
+      .select(col("doc_id"), col("text"), col("clean_text"),
+        size(col("ivs")).as("n_spans"))
   }
 }

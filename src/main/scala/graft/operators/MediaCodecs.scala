@@ -893,15 +893,177 @@ object MediaCodecs {
     b // trailing zero IS the RIFF pad byte when data.length is odd
   }
 
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-adjust table —
+    * public constants from the IMA ADPCM reference algorithm (also WAV
+    * format code 0x11). Spec-visible so the DuckDB oracle can replay the
+    * identical integer state machine.
+    */
+  val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM decode step: (predictor, index) + 4-bit code → the new
+    * (predictor, index). Pure integer — the reference reconstruction
+    * diff = (step>>3) + code-bit-gated step>>2 / step>>1 / step, predictor
+    * clamped to int16, index stepped by [[AdpcmIndexTable]] and clamped to
+    * the table.
+    */
+  def adpcmStep(pred: Int, index: Int, code: Int): (Int, Int) = {
+    val step = AdpcmStepTable(index)
+    var diff = step >> 3
+    if ((code & 1) != 0) diff += step >> 2
+    if ((code & 2) != 0) diff += step >> 1
+    if ((code & 4) != 0) diff += step
+    val p = if ((code & 8) != 0) pred - diff else pred + diff
+    val pc = math.max(-32768, math.min(32767, p))
+    val ic = math.max(0, math.min(88, index + AdpcmIndexTable(code & 7)))
+    (pc, ic)
+  }
+
+  /** One IMA ADPCM ENCODE step: quantize (sample − predictor) against the
+    * current step size into the 4-bit code, returning (code, new predictor,
+    * new index) with the predictor tracked through the DECODER's
+    * reconstruction (so encoder and decoder states never drift).
+    */
+  def adpcmEncodeStep(pred: Int, index: Int, sample: Int): (Int, Int, Int) = {
+    val step = AdpcmStepTable(index)
+    var diff = sample - pred
+    var code = 0
+    if (diff < 0) { code = 8; diff = -diff }
+    if (diff >= step) { code |= 4; diff -= step }
+    if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) code |= 1
+    val (p, i) = adpcmStep(pred, index, code)
+    (code, p, i)
+  }
+
+  /** Encode mono IMA ADPCM WAV (format code 0x11): fixed-size blocks of
+    * `blockAlign` bytes, each opening with the 4-byte header (predictor
+    * int16 LE = the block's first sample verbatim, step index, reserved 0)
+    * followed by 4-bit codes two-per-byte, LOW nibble first. The fmt chunk
+    * carries the mandatory cbSize=2 extension with wSamplesPerBlock =
+    * 1 + (blockAlign−4)·2; the final block is zero-padded codes past the
+    * last sample (decoders stop at the fact-chunk/sample count — here the
+    * encoder emits whole blocks and [[decodeWavPcm16]] reports every
+    * decoded sample, so callers control exact counts via the input
+    * length). State (predictor, index) carries ACROSS blocks through the
+    * header per the IMA reference.
+    */
+  def encodeWavAdpcm(sampleRate: Int, samples: Array[Short],
+      blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign >= 8 && blockAlign % 4 == 0,
+      s"blockAlign $blockAlign must be >= 8 and a multiple of 4")
+    require(samples.nonEmpty, "ADPCM needs at least one sample")
+    val perBlock = 1 + (blockAlign - 4) * 2
+    val nBlocks = (samples.length + perBlock - 1) / perBlock
+    val data = new Array[Byte](nBlocks * blockAlign)
+    var pred = 0; var index = 0
+    var s = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockAlign
+      pred = samples(s) // block header sample, stored verbatim
+      putLe16(data, base, pred & 0xffff)
+      data(base + 2) = index.toByte
+      data(base + 3) = 0
+      s += 1
+      var nib = 0
+      while (nib < (blockAlign - 4) * 2) {
+        val code = if (s < samples.length) {
+          val (c, p, i) = adpcmEncodeStep(pred, index, samples(s))
+          pred = p; index = i; s += 1; c
+        } else 0
+        val pos = base + 4 + (nib >> 1)
+        if ((nib & 1) == 0) data(pos) = code.toByte // LOW nibble first
+        else data(pos) = (data(pos) | (code << 4)).toByte
+        nib += 1
+      }
+      blk += 1
+    }
+    val b = new Array[Byte](48 + data.length)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, b.length - 8)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 20) // fmt chunk size (16 + cbSize + wSamplesPerBlock)
+    putLe16(b, 20, 0x11) // IMA ADPCM
+    putLe16(b, 22, 1) // mono
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, sampleRate * blockAlign / perBlock) // byte rate (approx, informative)
+    putLe16(b, 32, blockAlign)
+    putLe16(b, 34, 4) // bits per sample
+    putLe16(b, 36, 2) // cbSize
+    putLe16(b, 38, perBlock) // wSamplesPerBlock
+    b(40) = 'd'; b(41) = 'a'; b(42) = 't'; b(43) = 'a'
+    putLe32(b, 44, data.length)
+    System.arraycopy(data, 0, b, 48, data.length)
+    b
+  }
+
+  /** [[encodeWavAdpcm]]'s raw sibling: build the wire bytes from an
+    * EXPLICIT initial state and 4-bit code sequence (one block; codes must
+    * fill it exactly: (blockAlign−4)·2 codes). The decoder recovers these
+    * verbatim, so an oracle that generates the same codes can replay the
+    * predictor state machine independently — the encodeJpeg-style
+    * coefficients-in contract for audio.
+    */
+  def encodeWavAdpcmRaw(sampleRate: Int, pred0: Int, index0: Int,
+      codes: Array[Int], blockAlign: Int): Array[Byte] = {
+    require(blockAlign >= 8 && blockAlign % 4 == 0)
+    require(codes.length == (blockAlign - 4) * 2,
+      s"need ${(blockAlign - 4) * 2} codes to fill one block, got ${codes.length}")
+    require(pred0 >= -32768 && pred0 <= 32767 && index0 >= 0 && index0 <= 88)
+    require(codes.forall(c => c >= 0 && c <= 15))
+    val perBlock = 1 + (blockAlign - 4) * 2
+    val data = new Array[Byte](blockAlign)
+    putLe16(data, 0, pred0 & 0xffff)
+    data(2) = index0.toByte
+    data(3) = 0
+    var nib = 0
+    while (nib < codes.length) {
+      val pos = 4 + (nib >> 1)
+      if ((nib & 1) == 0) data(pos) = codes(nib).toByte
+      else data(pos) = (data(pos) | (codes(nib) << 4)).toByte
+      nib += 1
+    }
+    val b = new Array[Byte](48 + data.length)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, b.length - 8)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 20)
+    putLe16(b, 20, 0x11)
+    putLe16(b, 22, 1)
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, sampleRate * blockAlign / perBlock)
+    putLe16(b, 32, blockAlign)
+    putLe16(b, 34, 4)
+    putLe16(b, 36, 2)
+    putLe16(b, 38, perBlock)
+    b(40) = 'd'; b(41) = 'a'; b(42) = 't'; b(43) = 'a'
+    putLe32(b, 44, data.length)
+    System.arraycopy(data, 0, b, 48, data.length)
+    b
+  }
+
   /** Decode a WAV to PCM16 samples by WALKING the RIFF chunk list (not
     * fixed offsets: real files carry LIST/INFO/fact chunks between fmt and
     * data; odd-sized chunks are followed by a pad byte per the RIFF rule).
-    * Accepts 16-bit PCM (format 1) verbatim, and G.711 A-law/µ-law
+    * Accepts 16-bit PCM (format 1) verbatim, G.711 A-law/µ-law
     * (formats 6/7, 8-bit companded) EXPANDED to linear 16-bit — the
-    * telephony formats a real audio lake carries. `bitsPerSample` reports
-    * the FILE's storage width (8 for G.711), samples are always linear
-    * PCM16. None for anything else — float, ADPCM, wrong widths — never
-    * throw.
+    * telephony formats a real audio lake carries — and mono IMA ADPCM
+    * (format 0x11, 4-bit) run through the REAL integer predictor/step
+    * state machine ([[adpcmStep]]). `bitsPerSample` reports the FILE's
+    * storage width (8 for G.711, 4 for ADPCM), samples are always linear
+    * PCM16. None for anything else — float, MS-ADPCM, extensible, wrong
+    * widths — never throw.
     */
   def decodeWavPcm16(b: Array[Byte]): Option[WavAudio] = {
     def tag(off: Int): String =
@@ -909,6 +1071,7 @@ object MediaCodecs {
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
     var rate = -1; var channels = -1; var bits = -1; var fmt = -1
+    var blockAlign = -1; var perBlock = -1
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
       val id = tag(off)
@@ -921,11 +1084,17 @@ object MediaCodecs {
           fmt = le16(b, body)
           channels = le16(b, body + 2)
           rate = le32(b, body + 4)
+          blockAlign = le16(b, body + 12)
           bits = le16(b, body + 14)
           fmt match {
             case 1 => if (bits != 16) return None // linear PCM
             case 6 | 7 => if (bits != 8) return None // G.711 companded
-            case _ => return None // float/ADPCM/extensible: out of scope
+            case 0x11 => // mono IMA ADPCM: block structure must be coherent
+              if (bits != 4 || channels != 1 || sz < 20 || blockAlign < 8)
+                return None
+              perBlock = le16(b, body + 18)
+              if (perBlock != 1 + (blockAlign - 4) * 2) return None
+            case _ => return None // float/MS-ADPCM/extensible: out of scope
           }
         case "data" => dataOff = body; dataLen = sz
         case _ => () // skip unknown chunks (LIST, fact, ...)
@@ -939,6 +1108,30 @@ object MediaCodecs {
         val s = new Array[Short](n)
         var i = 0
         while (i < n) { s(i) = le16(b, dataOff + 2 * i).toShort; i += 1 }
+        s
+      case 0x11 =>
+        if (dataLen % blockAlign != 0) return None
+        val nBlocks = dataLen / blockAlign
+        val s = new Array[Short](nBlocks * perBlock)
+        var blk = 0
+        var o = 0
+        while (blk < nBlocks) {
+          val base = dataOff + blk * blockAlign
+          var pred = le16(b, base).toShort.toInt // block header sample
+          var index = b(base + 2) & 0xff
+          if (index > 88) return None
+          s(o) = pred.toShort; o += 1
+          var nib = 0
+          while (nib < (blockAlign - 4) * 2) {
+            val byte = b(base + 4 + (nib >> 1)) & 0xff
+            val code = if ((nib & 1) == 0) byte & 0x0f else byte >> 4
+            val (p, i) = adpcmStep(pred, index, code)
+            pred = p; index = i
+            s(o) = pred.toShort; o += 1
+            nib += 1
+          }
+          blk += 1
+        }
         s
       case _ =>
         val s = new Array[Short](dataLen)

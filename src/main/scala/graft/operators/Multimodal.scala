@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
   * run per-partition in batches.
   *
   * Decode is REAL for the public formats a zero-dependency JVM can parse —
-  * 24-bit BMP, P6/P5/P4 Netpbm, WAV (PCM16 + G.711 µ-law/A-law), PNG
-  * (8/16-bit gray/RGB/RGBA/gray-alpha/palette, straight AND
+  * 24-bit BMP, P6/P5/P4 Netpbm, WAV (PCM16 + G.711 µ-law/A-law + IMA
+  * ADPCM), PNG (8/16-bit gray/RGB/RGBA/gray-alpha/palette, straight AND
   * Adam7-interlaced: chunk walk + JDK-Inflater IDAT + per-pass unfilter +
-  * PLTE lookup), and baseline JPEG (marker walk + Huffman + dequant +
-  * IDCT + YCbCr, [[JpegCodec]]) ([[MediaCodecs]], sniffed by magic bytes
-  * in [[realDecode]]) — and falls back to a deterministic fake
-  * ([[fakeDecode]]) for the one format still out of scope (MP3 — the
-  * polyphase filterbank + IMDCT stack is the single remaining
-  * out-of-scope codec). The Spark-side contract (schema, batch
-  * shape, partition-level execution, feature vector layout) is identical on
-  * both paths; swapping a codec in means replacing one pure function.
+  * PLTE lookup), and baseline+progressive JPEG (marker walk + Huffman +
+  * dequant + IDCT + YCbCr, [[JpegCodec]]) ([[MediaCodecs]], sniffed by
+  * magic bytes in [[realDecode]]). Payloads NO codec here can parse
+  * surface as EXPLICIT NULLS — this engine never fabricates sample data
+  * (MPEG audio PCM is the documented out-of-scope case: [[MpegFrames]]
+  * supplies its real container metadata, and explains why the PCM layer
+  * is declined rather than approximated). The Spark-side contract
+  * (schema, batch shape, partition-level execution, feature vector
+  * layout) is identical for every codec; adding one means adding one
+  * pure function to the sniff chain.
   *
   * Scale: decode is embarrassingly parallel (mapPartitions, no shuffle);
   * batching happens naturally per partition iterator. Size
@@ -32,17 +34,26 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
 
-  final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
-                                 channels: Int, features: Array[Float])
+  /** Decoded features, nullable by design: a payload no codec in
+    * [[realDecode]] parses yields None in EVERY field — the decode
+    * operators surface "couldn't decode" explicitly instead of
+    * fabricating plausible values (the schema a curation pipeline can
+    * filter on: `WHERE width IS NULL` is the reject queue).
+    */
+  final case class MediaFeatures(doc_id: Long, width: Option[Int],
+                                 height: Option[Int], channels: Option[Int],
+                                 features: Option[Array[Float]])
 
   /** [[MediaFeatures]] plus the payload byte count, measured in the SAME
     * pass — callers that report file size next to decoded features
     * (q148/q149) would otherwise evaluate the payload column twice (once
     * for octet_length, once for decode) and pay a join to stitch them.
+    * n_bytes is known for every payload; the decode fields stay nullable.
     */
-  final case class MediaFeaturesSized(doc_id: Long, width: Int, height: Int,
-                                      channels: Int, n_bytes: Long,
-                                      features: Array[Float])
+  final case class MediaFeaturesSized(doc_id: Long, width: Option[Int],
+                                      height: Option[Int],
+                                      channels: Option[Int], n_bytes: Long,
+                                      features: Option[Array[Float]])
 
   /** REAL media-file ingest: read a directory of media files through
     * Spark's built-in `binaryFile` source into the [[MediaRow]] shape —
@@ -71,6 +82,10 @@ object Multimodal {
               lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
             .when(substring(col("content"), 1, 3) ===
               lit(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
+            .when(substring(col("content"), 1, 3) === lit("ID3".getBytes("US-ASCII")),
+              "mpeg-audio")
+            .when(substring(col("content"), 1, 1) === lit(Array(0xff.toByte)),
+              "mpeg-audio")
             .otherwise("unknown").as("formatGuess"),
           octet_length(col("content")).as("nBytes"),
           crc32(col("content")).as("checksum")).as("meta"))
@@ -78,7 +93,9 @@ object Multimodal {
   }
 
   /** Wrap a text corpus as binary payloads + metadata — the ingest shape a
-    * real media table would have (payload column stays opaque bytes).
+    * real media table would have (payload column stays opaque bytes). The
+    * format sniff is the REAL magic-byte check [[readMediaDir]] runs; text
+    * payloads honestly sniff "unknown" (and decode to explicit nulls).
     */
   def attachPayload(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -86,28 +103,12 @@ object Multimodal {
         col("doc_id"),
         col("text").cast("binary").as("payload"),
         struct(
-          when(substring(col("text"), 1, 1).rlike("[a-m]"), "png")
-            .otherwise("jpeg").as("formatGuess"),
+          when(substring(col("text"), 1, 2) === "BM", "bmp")
+            .when(substring(col("text"), 1, 4) === "RIFF", "wav")
+            .otherwise("unknown").as("formatGuess"),
           octet_length(col("text")).as("nBytes"),
           graft.functions.HashFunctions.hash32(col("text")).as("checksum")).as("meta"))
       .as[MediaRow]
-  }
-
-  /** STUB decode: deterministic fake dimensions/features from the payload
-    * bytes. A real implementation would decode the image and pool pixels;
-    * everything around this function (signature, batching, schema) is the
-    * production shape.
-    */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val n = payload.length
-    val width = 16 + (n % 64)
-    val height = 16 + ((n / 64) % 64)
-    val channels = 3
-    // 8-bin "intensity histogram" over the raw bytes, L1-normalized
-    val hist = new Array[Float](8)
-    payload.foreach(b => hist((b & 0xff) / 32) += 1f)
-    if (n > 0) (0 until 8).foreach(i => hist(i) /= n.toFloat)
-    (width, height, channels, hist)
   }
 
   /** REAL decode for the formats a zero-dependency JVM can parse
@@ -134,10 +135,11 @@ object Multimodal {
     *    restart intervals, spectral selection + successive approximation)
     *    → REAL decode ([[JpegCodec]]): Huffman entropy decode, dequant,
     *    IDCT, chroma upsample, JFIF YCbCr→RGB; same container/features.
-    *  - PCM16 WAV → (nSamples, 1, nChannels); features = [sampleRate,
-    *    first sample, Σ samples, Σ (i+1)·sample_i]. All magnitudes stay
-    *    below 2^24 for the corpus encodings, so the float features are
-    *    exact.
+    *  - WAV (PCM16, G.711 µ-law/A-law, mono IMA ADPCM — the expansion /
+    *    predictor state machines run for real) → (nSamples, 1, nChannels);
+    *    features = [sampleRate, first sample, Σ samples, Σ (i+1)·sample_i].
+    *    All magnitudes stay below 2^24 for the corpus encodings, so the
+    *    float features are exact.
     */
   def realDecode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     MediaCodecs.decodeBmp24(payload)
@@ -177,15 +179,19 @@ object Multimodal {
 
   /** Per-partition batched decode → typed feature rows. mapPartitions (not
     * per-row UDF) so codec setup could amortize per batch. Payloads in a
-    * REAL parseable format (BMP/PPM/PGM/PBM/WAV, see [[realDecode]]) are actually
-    * decoded; everything else takes the deterministic [[fakeDecode]] stand-in.
+    * REAL parseable format (see [[realDecode]]) are actually decoded;
+    * everything else yields an EXPLICIT all-null feature row — never
+    * fabricated values.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c, f) = realDecode(r.payload).getOrElse(fakeDecode(r.payload))
-        MediaFeatures(r.doc_id, w, h, c, f)
+        realDecode(r.payload) match {
+          case Some((w, h, c, f)) =>
+            MediaFeatures(r.doc_id, Some(w), Some(h), Some(c), Some(f))
+          case None => MediaFeatures(r.doc_id, None, None, None, None)
+        }
       }
     }
   }
@@ -197,8 +203,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c, f) = realDecode(r.payload).getOrElse(fakeDecode(r.payload))
-        MediaFeaturesSized(r.doc_id, w, h, c, r.payload.length.toLong, f)
+        val n = r.payload.length.toLong
+        realDecode(r.payload) match {
+          case Some((w, h, c, f)) =>
+            MediaFeaturesSized(r.doc_id, Some(w), Some(h), Some(c), n, Some(f))
+          case None => MediaFeaturesSized(r.doc_id, None, None, None, n, None)
+        }
       }
     }
   }

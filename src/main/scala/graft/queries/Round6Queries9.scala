@@ -39,17 +39,19 @@ object Round6Queries9 {
         .crossJoin(nOrders)
         .filter(col("sup") >= lit(0.02e0) * col("n"))
         .select(col("item"), col("sup"))
-      val fb = baskets.join(freq, "item")
-      val fbArr = fb.groupBy("ok")
-        .agg(sort_array(collect_list(struct(col("item"), col("sup")))).as("items"))
-      val pairs = fbArr
-        .select(explode(flatten(expr(
-          """transform(items, (x, i) ->
-            |  transform(slice(items, i + 2, size(items)), y ->
-            |    named_struct('i', x.item, 'sup_i', x.sup,
-            |                 'j', y.item, 'sup_j', y.sup)))""".stripMargin))).as("p"))
-        .select(col("p.i").as("i"), col("p.j").as("j"),
-          col("p.sup_i").as("si"), col("p.sup_j").as("sj"))
+      // Pair support via a WHOLE-STAGE-CODEGEN'D self-equi-join on the
+      // basket key with partial aggregation, replacing the earlier
+      // collect_list + nested-transform pair explosion: higher-order-
+      // function lambdas evaluate INTERPRETED (NOTES determinism item 7),
+      // so at sf0.1 the lambda walk dominated the query (~3.3 s isolated);
+      // the join form runs the same A-Priori-pruned candidate volume
+      // entirely inside codegen (measured ~2x faster, identical output).
+      // Both sides reuse one shuffle of fb by ok (same exchange key).
+      val fb = baskets.join(freq, "item").cache()
+      val pairs = fb.select(col("ok"), col("item").as("i"), col("sup").as("si"))
+        .join(fb.select(col("ok"), col("item").as("j"), col("sup").as("sj")),
+          "ok")
+        .filter(col("i") < col("j"))
         .groupBy("i", "j")
         .agg(count(lit(1)).as("sp"),
           min(col("si")).as("si"), min(col("sj")).as("sj"))

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 surface, first tranche: the cleaned-corpus MATERIALIZATION —
+  * q215 planned which duplicate spans to remove; q217 actually removes
+  * them and ships the spliced text, pinned by an md5 over the result.
+  */
+object Round9Queries {
+
+  /** CLEANED-CORPUS SPLICE, keep-first policy: every corpus-wide duplicate
+    * 20-char window occurrence except the first is removed from the actual
+    * text ([[graft.operators.Dedup.removeDupSpans]]): merged intervals from
+    * the q215 plan, then a per-doc fold concatenating the kept segments.
+    * The oracle reproduces the whole chain independently — the wrapping-
+    * 64-bit Rabin–Karp hash (q135's HUGEINT protocol), the lexicographic
+    * first-occurrence exemption, the interval merge, and the splice itself
+    * (string_agg over the complement segments) — so a span dropped from
+    * the wrong side, an off-by-one interval bound, or a lost tail segment
+    * all land in the md5/length comparison. `chars_removed` additionally
+    * cross-checks the splice against q215's lead-difference coverage
+    * identity (doc_len − clean_len must equal the merged coverage).
+    */
+  val q217CleanCorpus: QueryDef = QueryDef(
+    "q217_clean_corpus",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Dedup.removeDupSpans(docs, winLen = 20)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("doc_len"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"),
+          col("n_spans").cast("long").as("n_spans"),
+          (length(col("text")) - length(col("clean_text")))
+            .cast("long").as("chars_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH pos AS (
+        SELECT doc_id, text, unnest(generate_series(1, len(text) - 19)) AS i
+        FROM documents WHERE len(text) >= 20),
+      raw AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, list_reduce(
+                 list_transform(string_split(substr(text, i, 20), ''),
+                                c -> CAST(ascii(c) AS HUGEINT)),
+                 (acc, c) -> (acc * 1000003 + c)
+                   % CAST(18446744073709551616 AS HUGEINT)) AS h
+        FROM pos),
+      grams AS (
+        SELECT doc_id, pos,
+               CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN h - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE h END AS BIGINT) AS gh
+        FROM raw),
+      firsts AS (
+        SELECT gh, min([doc_id, pos]) AS f
+        FROM grams GROUP BY gh HAVING count(*) >= 2),
+      removable AS (
+        SELECT g.doc_id, g.pos
+        FROM grams g JOIN firsts ON g.gh = firsts.gh
+        WHERE NOT (g.doc_id = f[1] AND g.pos = f[2])),
+      grp0 AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS newgrp
+        FROM removable WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      grp AS (
+        SELECT doc_id, pos,
+               sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM grp0),
+      ivs AS (
+        SELECT doc_id, g, min(pos) AS s, max(pos) + 20 AS e
+        FROM grp GROUP BY doc_id, g),
+      pieces AS (
+        SELECT doc_id, s, e,
+               lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        FROM ivs),
+      spliced AS (
+        SELECT p.doc_id,
+               string_agg(substr(d.text, CAST(p.pe + 1 AS INTEGER),
+                                 CAST(p.s - p.pe AS INTEGER)), '' ORDER BY p.s)
+                 || substr(d.text, CAST(max(p.e) + 1 AS INTEGER)) AS clean,
+               count(*) AS n_spans
+        FROM pieces p JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY p.doc_id, d.text)
+      SELECT d.doc_id,
+             CAST(len(d.text) AS BIGINT) AS doc_len,
+             CAST(len(coalesce(s.clean, d.text)) AS BIGINT) AS clean_len,
+             md5(coalesce(s.clean, d.text)) AS clean_md5,
+             CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(len(d.text) - len(coalesce(s.clean, d.text)) AS BIGINT)
+               AS chars_removed
+      FROM documents d LEFT JOIN spliced s ON d.doc_id = s.doc_id
+      WHERE len(d.text) >= 20
+      ORDER BY d.doc_id"""))
+
+  private val AdpcmStepsSql: String =
+    graft.operators.MediaCodecs.AdpcmStepTable.mkString("[", ", ", "]")
+
+  /** IMA ADPCM audio decode — WAV format code 0x11, the 4-bit lossy
+    * predictive format real speech/game lakes carry: per document, build a
+    * one-block mono ADPCM WAV from an explicit (predictor, step-index,
+    * 16-code) state minted closed-form from the doc
+    * ([[graft.operators.MediaCodecs.encodeWavAdpcmRaw]]), then REALLY
+    * decode it (the predictor/step state machine in
+    * [[graft.operators.MediaCodecs.decodeWavPcm16]], via
+    * [[graft.operators.Multimodal.decodeFeatures]]'s sniff chain) and emit
+    * the q207 sample statistics. The oracle REPLAYS the public IMA state
+    * machine in SQL — a recursive CTE stepping (pred, idx) through the
+    * same 16 codes with the step/index tables as literals — so a wrong
+    * step-size lookup, a missed clamp, a swapped nibble order, or a sign
+    * slip all land in the hash. Every decode is pure integer, so the
+    * comparison is exact, not tolerance-based.
+    */
+  val q216AdpcmDecode: QueryDef = QueryDef(
+    "q216_adpcm_decode",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val pred0 = (r.v * 9973) % 60000 - 30000
+        val idx0 = r.v % 89
+        val codes = Array.tabulate(16)(j => (r.v * 7 + j * 3) % 16)
+        val bytes = graft.operators.MediaCodecs
+          .encodeWavAdpcmRaw(8000, pred0, idx0, codes, blockAlign = 12)
+        graft.operators.Multimodal.MediaRow(r.doc_id, bytes,
+          graft.operators.Multimodal.MediaMeta("wav", bytes.length, 0L))
+      }
+      graft.operators.Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"),
+          col("width").as("n_samples"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("first_sample"),
+          element_at(col("features"), 3).cast("long").as("sum_samples"),
+          element_at(col("features"), 4).cast("long").as("wsum_samples"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+        FROM documents),
+      walk AS (
+        SELECT doc_id, v, 0 AS j,
+               CAST((v * 9973) % 60000 - 30000 AS INTEGER) AS pred,
+               CAST(v % 89 AS INTEGER) AS idx
+        FROM d
+        UNION ALL
+        SELECT doc_id, v, j + 1,
+               CAST(least(32767, greatest(-32768, pred +
+                 (CASE WHEN ((v * 7 + j * 3) % 16 & 8) != 0 THEN -1 ELSE 1 END) *
+                 ( $AdpcmStepsSql[idx + 1] // 8
+                 + CASE WHEN ((v * 7 + j * 3) % 16 & 1) != 0
+                        THEN $AdpcmStepsSql[idx + 1] // 4 ELSE 0 END
+                 + CASE WHEN ((v * 7 + j * 3) % 16 & 2) != 0
+                        THEN $AdpcmStepsSql[idx + 1] // 2 ELSE 0 END
+                 + CASE WHEN ((v * 7 + j * 3) % 16 & 4) != 0
+                        THEN $AdpcmStepsSql[idx + 1] ELSE 0 END))) AS INTEGER),
+               CAST(least(88, greatest(0,
+                 idx + [-1, -1, -1, -1, 2, 4, 6, 8][((v * 7 + j * 3) % 16 & 7) + 1]))
+                 AS INTEGER)
+        FROM walk WHERE j < 16)
+      SELECT doc_id,
+             17 AS n_samples, 1 AS channels,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(min(CASE WHEN j = 0 THEN pred END) AS BIGINT) AS first_sample,
+             CAST(sum(pred) AS BIGINT) AS sum_samples,
+             CAST(sum((j + 1) * pred) AS BIGINT) AS wsum_samples
+      FROM walk GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** MPEG-1 AUDIO FRAME WALK (MP1/MP2/MP3 container decode) — per
+    * document, synthesize a VALID multi-frame MPEG-1 stream (layer by
+    * doc_id mod 3, sample rate by n mod 3, per-frame VBR bitrate indices
+    * and padding bits, an ID3v2 prefix on every 5th doc and an ID3v1
+    * trailer on every 7th), then REALLY walk it
+    * ([[graft.operators.MpegFrames.probe]]: sync check, header field
+    * decode, spec frame-size arithmetic, tag skips) and emit the stream
+    * metadata a media lake's prober extracts. The oracle recomputes every
+    * number from the spec tables in closed form — bitrate tables as
+    * literals, frame bytes as the Layer-I slot arithmetic vs the II/III
+    * byte form, duration as exact integer math — so a wrong table row, a
+    * padding slip, or a mis-skipped tag all land in the hash (a one-byte
+    * frame-size error desyncs the walk entirely: probe returns None and
+    * the row nulls out). PCM for these payloads is EXPLICITLY out of
+    * scope (see [[graft.operators.MpegFrames]] scaladoc) — the prober
+    * supplies the container truth instead of fabricated samples.
+    */
+  val q218MpegFrameWalk: QueryDef = QueryDef(
+    "q218_mpeg_frame_walk",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        val layer = 1 + (r.doc_id % 3).toInt
+        val srIdx = r.n % 3
+        val k = 2 + r.n % 4
+        val frames = (0 until k).map(j =>
+          (1 + (r.v + j) % 14, (r.n + j) % 2 == 0))
+        val bytes = graft.operators.MpegFrames.synthStream(
+          layer, srIdx, frames, (fi, j) => (fi * 7 + j * 13) % 251,
+          id3v2Body = if (r.n % 5 == 0) 7 + r.v % 20 else -1,
+          id3v1 = r.n % 7 == 0)
+        val info = graft.operators.MpegFrames.probe(bytes)
+          .getOrElse(sys.error(s"synthesized stream failed to probe: doc ${r.doc_id}"))
+        (r.doc_id, info.layer, info.sampleRate, info.channels,
+          info.nFrames, info.nSamples, info.durationMs,
+          info.frames.map(_.bitrateKbps).sum.toLong,
+          info.frames.count(_.padded), info.id3v2Bytes.toLong,
+          info.id3v1, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "layer", "sample_rate", "channels", "n_frames",
+          "n_samples", "duration_ms", "sum_kbps", "n_padded", "id3v2_bytes",
+          "has_id3v1", "stream_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS layer,
+                   [44100, 48000, 32000][n % 3 + 1] AS sr,
+                   2 + n % 4 AS k
+            FROM d),
+      f AS (SELECT doc_id, layer, sr, k,
+                   CASE WHEN layer = 1 THEN 384 ELSE 1152 END AS spf,
+                   list_transform(range(k), j ->
+                     [[32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+                      [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+                      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                     ][layer][(v + j) % 14 + 1]) AS kbps,
+                   list_transform(range(k), j ->
+                     CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END) AS pads,
+                   CASE WHEN n % 5 = 0 THEN 10 + 7 + v % 20 ELSE 0 END AS id3v2,
+                   CASE WHEN n % 7 = 0 THEN 128 ELSE 0 END AS id3v1
+            FROM g)
+      SELECT doc_id,
+             layer, CAST(sr AS INTEGER) AS sample_rate, 1 AS channels,
+             CAST(k AS INTEGER) AS n_frames,
+             CAST(k * spf AS BIGINT) AS n_samples,
+             CAST(k * spf * 1000 // sr AS BIGINT) AS duration_ms,
+             CAST(list_sum(kbps) AS BIGINT) AS sum_kbps,
+             CAST(list_sum(pads) AS INTEGER) AS n_padded,
+             CAST(id3v2 AS BIGINT) AS id3v2_bytes,
+             id3v1 = 128 AS has_id3v1,
+             CAST(id3v2 + id3v1 + list_sum(list_transform(range(k), j ->
+               CASE WHEN layer = 1
+                    THEN (12000 * kbps[j + 1] // sr + pads[j + 1]) * 4
+                    ELSE 144000 * kbps[j + 1] // sr + pads[j + 1] END))
+               AS BIGINT) AS stream_bytes
+      FROM f ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q216AdpcmDecode, q217CleanCorpus, q218MpegFrameWalk)
+}

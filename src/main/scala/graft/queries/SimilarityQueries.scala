@@ -93,44 +93,74 @@ object SimilarityQueries {
       WHERE rk <= 3 ORDER BY q_id, rk"""
     })
 
-  /** Multimodal batched decode over binary payloads (STUB decode — see
-    * operators.Multimodal). The stub is deterministic from the payload
-    * bytes, so the whole mapPartitions decode path IS oracle-checkable: the
-    * L1-normalized float histogram is de-normalized back to integer byte
-    * counts (exact for n <= 2^20 at float precision), and DuckDB recomputes
-    * the same counts character-wise (the corpus is pure ASCII, so chars ==
-    * bytes). n_bytes is reconstructed from the stub's width/height encoding.
+  /** Multimodal batched decode over a MIXED corpus — the honest decode
+    * contract: even docs carry a REAL PCM16 WAV payload (samples minted
+    * closed-form from the doc, decoded by the actual RIFF walk in
+    * [[graft.operators.MediaCodecs.decodeWavPcm16]]); odd docs carry bytes
+    * no codec parses, and every decode column surfaces as an EXPLICIT NULL
+    * — the engine never fabricates features for payloads it cannot decode
+    * (`WHERE width IS NULL` is a curation pipeline's reject queue). The
+    * oracle recomputes the WAV sample statistics from `documents` alone
+    * and pins the null pattern doc-by-doc.
     */
   val q38MultimodalDecode: QueryDef = QueryDef(
     "q50_multimodal_decode",
     (s, dir) => {
-      val media = graft.operators.Multimodal.attachPayload(Tables.load(s, dir, "documents"))
-      val nb = (col("height") - 16) * 64 + (col("width") - 16)
-      val bins = (0 until 8).map { i =>
-        floor(element_at(col("features"), i + 1).cast("double") * nb + 0.5)
-          .cast("long").as(s"bin$i")
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        if (r.doc_id % 2 == 0) {
+          val ns = 12 + r.n % 9
+          val samples = Array.tabulate(ns)(i =>
+            ((r.v * 37 + i * 101) % 8191 - 4095).toShort)
+          val bytes = graft.operators.MediaCodecs.encodeWavPcm16(16000, samples)
+          graft.operators.Multimodal.MediaRow(r.doc_id, bytes,
+            graft.operators.Multimodal.MediaMeta("wav", bytes.length, 0L))
+        } else {
+          // deliberately UNDECODABLE: 'x' leader matches no codec magic
+          val nb = 10 + r.n % 50
+          val bytes = Array.tabulate(nb)(i =>
+            if (i == 0) 'x'.toByte else ((r.v + i) % 251).toByte)
+          graft.operators.Multimodal.MediaRow(r.doc_id, bytes,
+            graft.operators.Multimodal.MediaMeta("unknown", bytes.length, 0L))
+        }
       }
       graft.operators.Multimodal.decodeFeatures(media).toDF()
-        .select(Seq(col("doc_id"), col("width"), col("height"), col("channels"),
-          nb.as("n_bytes")) ++ bins: _*)
+        .select(col("doc_id"),
+          col("width").isNotNull.as("decoded"),
+          col("width").as("n_samples"),
+          col("channels"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("first_sample"),
+          element_at(col("features"), 3).cast("long").as("sum_samples"),
+          element_at(col("features"), 4).cast("long").as("wsum_samples"))
         .orderBy("doc_id")
     },
-    Some {
-      val bins = (0 until 8).map(i =>
-        s"len(list_filter(string_split(text, ''), c -> ascii(c) // 32 = $i)) AS bin$i")
-        .mkString(",\n             ")
-      s"""
-      WITH n AS (SELECT doc_id, text,
-                        CAST(octet_length(encode(text)) AS INTEGER) AS nb
-                 FROM documents)
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v, 12 + n % 9 AS ns, doc_id % 2 = 0 AS dec FROM d),
+      e AS (SELECT doc_id, ns, dec,
+                   list_transform(range(ns),
+                                  i -> (v * 37 + i * 101) % 8191 - 4095) AS s
+            FROM g)
       SELECT doc_id,
-             16 + nb % 64 AS width,
-             16 + (nb // 64) % 64 AS height,
-             3 AS channels,
-             nb AS n_bytes,
-             $bins
-      FROM n ORDER BY doc_id"""
-    })
+             dec AS decoded,
+             CASE WHEN dec THEN CAST(ns AS INTEGER) END AS n_samples,
+             CASE WHEN dec THEN 1 END AS channels,
+             CASE WHEN dec THEN CAST(16000 AS BIGINT) END AS sample_rate,
+             CASE WHEN dec THEN CAST(s[1] AS BIGINT) END AS first_sample,
+             CASE WHEN dec THEN CAST(list_sum(s) AS BIGINT) END AS sum_samples,
+             CASE WHEN dec THEN CAST(list_sum(list_transform(range(ns),
+               i -> (i + 1) * s[i + 1])) AS BIGINT) END AS wsum_samples
+      FROM e ORDER BY doc_id"""))
 
   /** Multimodal column plumbing: byte length, portable checksum, and a
     * first-byte "format sniff" over the text treated as an opaque payload

@@ -16,6 +16,30 @@ class DedupSpec extends SparkTestBase {
   private val nearDup = base + " dup"
   private val other = "completely different words about spark query engines and big data systems here"
 
+  test("removeDupSpans splices every non-first duplicate window out of the text") {
+    // winLen=5; d1 holds the first occurrence of every shared window.
+    // d2: one interior dup span. d3: a WITHIN-doc dup (zzzzz at pos 0 and
+    // 1, keep-first exempts pos 0) whose span merges (gap == winLen) with
+    // the cross-doc dup of d1's whole text — one interval [1,16). d4: two
+    // spans separated by a gap > winLen stay separate intervals.
+    val d = docs(
+      1L -> "abcdefghij",
+      2L -> "xxabcdeyy",
+      3L -> "zzzzzzabcdefghij",
+      4L -> "abcde123456789012bcdef")
+    val out = Dedup.removeDupSpans(d, winLen = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Int]("n_spans")))
+      .toSeq
+    assert(out == Seq(
+      (1L, "abcdefghij", 0),
+      (2L, "xxyy", 1),
+      (3L, "z", 1),
+      (4L, "123456789012", 2)))
+  }
+
   test("exact dedup keeps the lowest doc_id per identical text") {
     val d = docs(1L -> base, 2L -> base, 3L -> other)
     val out = Dedup.exactDedup(d).orderBy("keep_doc_id").collect()
@@ -121,7 +145,18 @@ class DedupSpec extends SparkTestBase {
       val v2 = (words.take(6) ++ words.drop(6).reverse).mkString(" ")
       Seq((i * 3 + 0L) -> v0, (i * 3 + 1L) -> v1, (i * 3 + 2L) -> v2)
     }
-    val d = docs(rows: _*)
+    // plus a pair engineered to be a BASIC-prefix candidate but NOT a
+    // midprefix candidate (and not a true pair): distinct 6-word prefixes
+    // + a shared 8-word suffix give 6 unique + 6 shared trigrams per doc;
+    // unique tokens (df=1) sort first, so the first shared token sits at
+    // pos 7 — inside the basic prefix (12−6+1=7), outside the midprefix
+    // (12−ceil(2·0.5/1.5·12)+1=5). Jaccard 6/18 < 0.5, so dropping the
+    // candidate cannot change the verified result.
+    val common = (0 until 8).map(k => s"cc$k").mkString(" ")
+    val engineered = Seq(
+      100L -> ((0 until 6).map(k => s"pa$k").mkString(" ") + " " + common),
+      101L -> ((0 until 6).map(k => s"qb$k").mkString(" ") + " " + common))
+    val d = docs(rows ++ engineered: _*)
     val got = Dedup.prefixJaccardPairs(d, 0.5)
       .select("i", "j", "inter").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -146,6 +181,16 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(want.nonEmpty, "test corpus produced no qualifying pairs")
     assert(got == want)
+    // the PPJoin midprefix bound admits strictly fewer candidates than the
+    // basic prefix filter (the engineered pair above is dropped) while the
+    // verified result stays exact — candidate work shrinks, recall doesn't
+    val nMid = Dedup.prefixJaccardCandidates(d, 0.5, midPrefix = true).count()
+    val nBasic = Dedup.prefixJaccardCandidates(d, 0.5, midPrefix = false).count()
+    assert(nMid < nBasic, s"midprefix candidates $nMid !< basic $nBasic")
+    val midSet = Dedup.prefixJaccardCandidates(d, 0.5, midPrefix = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.forall { case (i, j, _) => midSet.contains((i, j)) },
+      "midprefix filter dropped a TRUE pair")
   }
 
   test("delta dedup pairs NEW against OLD only — history never self-pairs") {

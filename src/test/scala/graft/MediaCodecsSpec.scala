@@ -98,13 +98,89 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.decodeWavPcm16(bad).isEmpty)
   }
 
-  test("non-media payloads are rejected, so decodeFeatures falls back to the stub") {
+  test("IMA ADPCM decode replays the reference state machine exactly") {
+    // Independent re-implementation of the public IMA update (coded here
+    // from the spec, not calling the library's adpcmStep): the decoded
+    // samples of a raw-codes block must match it value-for-value.
+    def refStep(pred: Int, idx: Int, code: Int): (Int, Int) = {
+      val st = MediaCodecs.AdpcmStepTable(idx)
+      val mag = st / 8 + (if ((code & 1) != 0) st / 4 else 0) +
+        (if ((code & 2) != 0) st / 2 else 0) + (if ((code & 4) != 0) st else 0)
+      val p = pred + (if ((code & 8) != 0) -mag else mag)
+      (math.max(-32768, math.min(32767, p)),
+        math.max(0, math.min(88, idx + MediaCodecs.AdpcmIndexTable(code & 7))))
+    }
+    for (seed <- Seq(0, 37, 122, 199)) {
+      val pred0 = seed * 9973 % 60000 - 30000
+      val idx0 = seed % 89
+      val codes = Array.tabulate(24)(j => (seed * 7 + j * 3) % 16)
+      val wav = MediaCodecs.encodeWavAdpcmRaw(8000, pred0, idx0, codes, 16)
+      val a = MediaCodecs.decodeWavPcm16(wav).get
+      assert(a.sampleRate == 8000 && a.channels == 1 && a.bitsPerSample == 4)
+      var pred = pred0; var idx = idx0
+      val want = pred0 +: codes.map { c =>
+        val (p, i) = refStep(pred, idx, c); pred = p; idx = i; p
+      }.toSeq
+      assert(a.samples.map(_.toInt).toSeq == want, s"seed $seed")
+    }
+  }
+
+  test("IMA ADPCM roundtrip: block headers exact, interior within step error") {
+    val n = 505 // spans 3 blocks at blockAlign 128 (249 samples/block)
+    val samples = Array.tabulate(n)(i =>
+      (8000 * math.sin(i / 20.0) + 2000 * math.sin(i / 5.0)).toInt.toShort)
+    val wav = MediaCodecs.encodeWavAdpcm(22050, samples, blockAlign = 128)
+    val a = MediaCodecs.decodeWavPcm16(wav).get
+    assert(a.sampleRate == 22050)
+    val perBlock = 1 + (128 - 4) * 2
+    assert(a.samples.length == 3 * perBlock) // whole blocks, zero-padded tail
+    // each block's first sample is stored verbatim in the header
+    for (b <- 0 until 3)
+      assert(a.samples(b * perBlock) == samples(b * perBlock))
+    // 4-bit predictive coding tracks a smooth signal closely; the step
+    // size needs a few samples to adapt up from index 0, so the attack
+    // transient dominates the max error (authentic ADPCM behavior)
+    val errs = samples.indices.map(i => math.abs(a.samples(i) - samples(i)))
+    assert(errs.max < 4000, s"max err ${errs.max}")
+    assert(errs.drop(40).max < 1200, s"post-attack err ${errs.drop(40).max}")
+    val snr = samples.map(s => s.toDouble * s).sum /
+      errs.map(e => e.toDouble * e).sum.max(1.0)
+    assert(snr > 100.0, s"snr $snr") // > 20 dB
+  }
+
+  test("IMA ADPCM hostile inputs reject cleanly") {
+    val good = MediaCodecs.encodeWavAdpcmRaw(8000, 10, 5,
+      Array.fill(16)(3), 12)
+    assert(MediaCodecs.decodeWavPcm16(good).isDefined)
+    // wSamplesPerBlock inconsistent with blockAlign
+    val badPer = good.clone(); badPer(38) = 99.toByte
+    assert(MediaCodecs.decodeWavPcm16(badPer).isEmpty)
+    // block header step index out of the 89-entry table
+    val badIdx = good.clone(); badIdx(50) = 120.toByte
+    assert(MediaCodecs.decodeWavPcm16(badIdx).isEmpty)
+    // data length not a whole number of blocks
+    val badLen = good.clone()
+    badLen(44) = (badLen(44) - 1).toByte // data chunk size 11
+    assert(MediaCodecs.decodeWavPcm16(badLen.dropRight(1)).isEmpty)
+    // truncation mid-data
+    assert(MediaCodecs.decodeWavPcm16(good.take(50)).isEmpty)
+    // encoder rejects out-of-contract args loudly
+    intercept[IllegalArgumentException] {
+      MediaCodecs.encodeWavAdpcmRaw(8000, 10, 5, Array.fill(15)(3), 12)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.encodeWavAdpcmRaw(8000, 10, 89, Array.fill(16)(3), 12)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.encodeWavAdpcm(8000, Array.emptyShortArray)
+    }
+  }
+
+  test("non-media payloads are rejected, so decodeFeatures yields explicit nulls") {
     val text = "BMthis is not a bitmap, just text starting with the magic".getBytes("UTF-8")
     assert(MediaCodecs.decodeBmp24(text).isEmpty) // size field check rejects
     assert(MediaCodecs.decodeWavPcm16(text).isEmpty)
     assert(Multimodal.realDecode(text).isEmpty)
-    val (w, h, c, f) = Multimodal.fakeDecode(text)
-    assert(w >= 16 && h >= 16 && c == 3 && f.length == 8)
   }
 
   test("binaryFile ingest: real files on disk decode through the media pipeline") {
@@ -131,10 +207,13 @@ class MediaCodecsSpec extends SparkTestBase {
     val feats = Multimodal.decodeFeatures(media).collect()
       .map(f => (f.width, f.height, f.channels)).toSet
     // each real format reports its REAL header dims ((nSamples, 1,
-    // channels) for the WAV); the text file takes the stub path
-    assert(feats.contains((5, 3, 3)) && feats.contains((9, 4, 3)), feats)
-    assert(feats.contains((3, 1, 1)), feats)
-    assert(feats.contains((7, 2, 3)) && feats.contains((16, 8, 3)), feats)
+    // channels) for the WAV); the text file surfaces as explicit nulls
+    assert(feats.contains((Some(5), Some(3), Some(3))) &&
+      feats.contains((Some(9), Some(4), Some(3))), feats)
+    assert(feats.contains((Some(3), Some(1), Some(1))), feats)
+    assert(feats.contains((Some(7), Some(2), Some(3))) &&
+      feats.contains((Some(16), Some(8), Some(3))), feats)
+    assert(feats.contains((None, None, None)), feats)
     // glob pushdown: only the bmps are even listed
     assert(Multimodal.readMediaDir(spark, dir.toString, "*.bmp").count() == 2)
   }
@@ -207,9 +286,9 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.decodePpm6(padded).isEmpty)
   }
 
-  test("no fixture document text sniffs as real media (q50's stub-path assumption)") {
-    // q50-family oracles stub-decode every document on the DuckDB side,
-    // assuming no text payload parses as BMP/PPM/PGM/PBM/WAV. Each magic
+  test("no fixture document text sniffs as real media (q50's null-path assumption)") {
+    // q50's oracle NULLs the decode columns for raw-text payloads,
+    // assuming no text parses as BMP/PPM/PGM/PBM/WAV. Each magic
     // added to realDecode narrows that margin ('P4 20 9 ...' is almost
     // prose), so the assumption is CHECKED here against the corpus: if the
     // driver ever regenerates documents whose text decodes, this fails

@@ -186,11 +186,20 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
-  test("q195 association rules: pairs come from the per-basket comprehension, not a fact self-join") {
+  test("q195 association rules: pair support is a codegen'd basket self-join, no interpreted lambdas") {
+    // Round 9 moved pair generation from the collect_list + nested-
+    // transform comprehension (interpreted HOF eval dominated the query)
+    // to a basket-keyed self-equi-join of the CACHED frequent-item frame:
+    // identical A-Priori-pruned candidate volume (sum f_b² vs sum C(f_b,2)
+    // — never a corpus square; the join key is the basket id), but the
+    // whole pair path now runs inside whole-stage codegen (3.3 → 2.1 s
+    // isolated at sf0.1). The only nested-loop join is the 1-row
+    // order-count broadcast.
     val p = planOf("q195_association_rules")
-    assert(p.contains("Generate"), p) // per-basket pair explode
-    assert(p.contains("InMemoryTableScan"), p) // baskets cached, reused
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // fb cached, feeds BOTH join sides
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"), p) // the interpreted pair explode is gone
   }
 
   test("q192 KS drift: both cumulative windows are partitioned (globalCumSum shape)") {

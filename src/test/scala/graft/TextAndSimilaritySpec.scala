@@ -170,17 +170,21 @@ class TextAndSimilaritySpec extends SparkTestBase {
     assert(out(0).getLong(3) == 2L) // two vectors share the code
   }
 
-  test("multimodal plumbing: payload survives, stub decode is deterministic") {
+  test("multimodal plumbing: payload survives, undecodable input is EXPLICIT nulls") {
     val d = docs(7L -> "some payload text")
     val media = Multimodal.attachPayload(d)
     val row = media.collect().head
     assert(row.doc_id == 7L)
     assert(new String(row.payload, "UTF-8") == "some payload text")
     assert(row.meta.nBytes == 17)
+    assert(row.meta.formatGuess == "unknown")
+    // text bytes parse as no media format: every decode field is None —
+    // the engine declines rather than fabricating dimensions/features
     val f = Multimodal.decodeFeatures(media).collect().head
-    assert(f.features.length == 8)
-    assert(math.abs(f.features.sum - 1.0f) < 1e-5)
-    val again = Multimodal.decodeFeatures(media).collect().head
-    assert(f.width == again.width && f.features.toSeq == again.features.toSeq)
+    assert(f.width.isEmpty && f.height.isEmpty && f.channels.isEmpty &&
+      f.features.isEmpty)
+    // and the null lands in the DataFrame schema as a real SQL NULL
+    val df = Multimodal.decodeFeatures(media).toDF()
+    assert(df.filter(org.apache.spark.sql.functions.col("width").isNull).count() == 1)
   }
 }
