@@ -869,6 +869,45 @@ object MediaCodecs {
     if ((a & 0x80) != 0) t else -t
   }
 
+  /** Nearest-level G.711 COMPRESSION (linear 16-bit → companded byte),
+    * derived from the PINNED expansions rather than memorized bit tricks:
+    * compress(x) = the lowest code b in 0..255 minimizing |expand(b) − x|
+    * — the textbook optimal quantizer for the law's level set, precomputed
+    * as a 65536-entry inverse table per law (ascending scan ⇒ ties go to
+    * the lowest code, a rule the SQL oracle reproduces with
+    * list_position-of-min). Building compress FROM expand means the two
+    * directions cannot drift: any error would be an error in the already
+    * q207-gated expansion.
+    */
+  private def nearestInverse(expand: Int => Int): Array[Byte] = {
+    val t = new Array[Byte](65536)
+    var x = -32768
+    while (x <= 32767) {
+      var best = 0
+      var bestD = Int.MaxValue
+      var b = 0
+      while (b < 256) {
+        val d = math.abs(expand(b) - x)
+        if (d < bestD) { bestD = d; best = b }
+        b += 1
+      }
+      t(x & 0xffff) = best.toByte
+      x += 1
+    }
+    t
+  }
+
+  private lazy val MulawInv: Array[Byte] = nearestInverse(mulawExpand)
+  private lazy val AlawInv: Array[Byte] = nearestInverse(alawExpand)
+
+  /** µ-law compression of a linear sample in −32768..32767 (see
+    * [[nearestInverse]]).
+    */
+  def mulawCompress(pcm: Int): Int = MulawInv(pcm & 0xffff) & 0xff
+
+  /** A-law compression of a linear sample in −32768..32767. */
+  def alawCompress(pcm: Int): Int = AlawInv(pcm & 0xffff) & 0xff
+
   /** Encode a mono G.711 WAV (format code 6 = A-law, 7 = µ-law): one
     * companded byte per sample, canonical RIFF layout (fmt carries the
     * 0-length extension field these codes require, then data).

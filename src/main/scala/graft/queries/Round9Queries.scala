@@ -263,6 +263,185 @@ object Round9Queries {
                AS BIGINT) AS stream_bytes
       FROM f ORDER BY doc_id"""))
 
+  /** IMA ADPCM ENCODER under the oracle gate — q216 pins the decoder on
+    * given codes; q219 pins the QUANTIZER: per document, 17 closed-form
+    * PCM samples run through the real encoder
+    * ([[graft.operators.MediaCodecs.encodeWavAdpcm]]: threshold cascade
+    * against the current step, sign bit, decoder-tracked predictor so
+    * encode and decode states never drift) and back through the real
+    * decoder. The oracle replays BOTH machines in one recursive CTE —
+    * the b4/b2/b1 threshold cascade, the reconstruction magnitude, the
+    * clamps, and the index walk, generated textually from the same public
+    * tables — so a swapped threshold, a wrong residual update, or an
+    * encode-side state drift lands in the exact integer comparison.
+    */
+  val q219AdpcmEncode: QueryDef = QueryDef(
+    "q219_adpcm_encode",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val samples = Array.tabulate(17)(j =>
+          ((r.v * 53 + j * 409) % 16384 - 8192).toShort)
+        val bytes = graft.operators.MediaCodecs
+          .encodeWavAdpcm(16000, samples, blockAlign = 12)
+        graft.operators.Multimodal.MediaRow(r.doc_id, bytes,
+          graft.operators.Multimodal.MediaMeta("wav", bytes.length, 0L))
+      }
+      graft.operators.Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"),
+          col("width").as("n_samples"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("first_sample"),
+          element_at(col("features"), 3).cast("long").as("sum_samples"),
+          element_at(col("features"), 4).cast("long").as("wsum_samples"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // Textual macros over the public tables: the encode threshold
+      // cascade (b4/b2/b1 against step, step//2, step//4 of the CURRENT
+      // step) and the shared reconstruction update, expanded inline in
+      // the recursive step (SQL has no local bindings; rows are few).
+      val step = s"$AdpcmStepsSql[idx + 1]"
+      val sj = "((v * 53 + (j + 1) * 409) % 16384 - 8192)" // sample being encoded
+      val d0 = s"abs($sj - pred)"
+      val b4 = s"(CASE WHEN $d0 >= $step THEN 1 ELSE 0 END)"
+      val r1 = s"($d0 - $b4 * $step)"
+      val b2 = s"(CASE WHEN $r1 >= $step // 2 THEN 1 ELSE 0 END)"
+      val r2 = s"($r1 - $b2 * ($step // 2))"
+      val b1 = s"(CASE WHEN $r2 >= $step // 4 THEN 1 ELSE 0 END)"
+      val mag = s"($step // 8 + $b1 * ($step // 4) + $b2 * ($step // 2) + $b4 * $step)"
+      val sgn = s"(CASE WHEN $sj < pred THEN -1 ELSE 1 END)"
+      s"""
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+        FROM documents),
+      walk AS (
+        SELECT doc_id, v, 0 AS j,
+               CAST((v * 53) % 16384 - 8192 AS INTEGER) AS pred,
+               0 AS idx
+        FROM d
+        UNION ALL
+        SELECT doc_id, v, j + 1,
+               CAST(least(32767, greatest(-32768, pred + $sgn * $mag)) AS INTEGER),
+               CAST(least(88, greatest(0,
+                 idx + [-1, -1, -1, -1, 2, 4, 6, 8][$b4 * 4 + $b2 * 2 + $b1 + 1]))
+                 AS INTEGER)
+        FROM walk WHERE j < 16)
+      SELECT doc_id,
+             17 AS n_samples, 1 AS channels,
+             CAST(16000 AS BIGINT) AS sample_rate,
+             CAST(min(CASE WHEN j = 0 THEN pred END) AS BIGINT) AS first_sample,
+             CAST(sum(pred) AS BIGINT) AS sum_samples,
+             CAST(sum((j + 1) * pred) AS BIGINT) AS wsum_samples
+      FROM walk GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  /** G.711 COMPRESSION under the oracle gate — q207 pins the expansion on
+    * given companded bytes; q220 pins the ENCODER direction: full-range
+    * linear samples minted closed-form run through
+    * [[graft.operators.MediaCodecs.mulawCompress]]/`alawCompress` (the
+    * nearest-level inverse of the pinned expansions — ties to the lowest
+    * code), then through the REAL container path (G.711 WAV encode → RIFF
+    * walk → expansion) back to quantized linear. The oracle recomputes
+    * compression from first principles — for each sample, the argmin over
+    * all 256 codes of |expand(code) − x| with the same lowest-code tie
+    * rule (list_position of the list min) — plus the reconstruction and
+    * the max quantization error, all exact integers.
+    */
+  val q220G711Compand: QueryDef = QueryDef(
+    "q220_g711_compand",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val out = src.map { r =>
+        val aLaw = r.n % 2 == 0
+        val ns = 14 + r.n % 7
+        val xs = Array.tabulate(ns)(i => (r.v * 331 + i * 4391) % 65536 - 32768)
+        val codes = xs.map(x =>
+          if (aLaw) graft.operators.MediaCodecs.alawCompress(x)
+          else graft.operators.MediaCodecs.mulawCompress(x))
+        val wav = graft.operators.MediaCodecs
+          .encodeWavG711(8000, codes.map(_.toByte), aLaw)
+        val recon = graft.operators.MediaCodecs.decodeWavPcm16(wav)
+          .getOrElse(sys.error(s"companded WAV failed to decode: doc ${r.doc_id}"))
+          .samples
+        var sc = 0L; var wc = 0L; var sr = 0L; var wr = 0L; var me = 0L
+        var i = 0
+        while (i < ns) {
+          sc += codes(i); wc += (i + 1).toLong * codes(i)
+          sr += recon(i); wr += (i + 1).toLong * recon(i)
+          me = math.max(me, math.abs(recon(i).toLong - xs(i)))
+          i += 1
+        }
+        (r.doc_id, ns, aLaw, sc, wc, sr, wr, me)
+      }
+      out.toDF("doc_id", "n_samples", "a_law", "sum_code", "wsum_code",
+          "sum_recon", "wsum_recon", "max_abs_err")
+        .orderBy("doc_id")
+    },
+    Some {
+      // Expansion macros over a code expression, identical to the
+      // q207-gated formulas (wire complement / XOR 0x55 on the argument).
+      def mu(b: String) =
+        s"""((CASE WHEN ((255 - ($b)) & 128) != 0 THEN -1 ELSE 1 END) *
+           |  ((((255 - ($b)) & 15) * 8 + 132) *
+           |   (1 << (((255 - ($b)) & 112) // 16)) - 132))""".stripMargin
+      def al(b: String) =
+        s"""((CASE WHEN (xor(($b), 85) & 128) != 0 THEN 1 ELSE -1 END) *
+           |  (CASE WHEN (xor(($b), 85) & 112) // 16 = 0
+           |          THEN (xor(($b), 85) & 15) * 16 + 8
+           |        WHEN (xor(($b), 85) & 112) // 16 = 1
+           |          THEN (xor(($b), 85) & 15) * 16 + 264
+           |        ELSE ((xor(($b), 85) & 15) * 16 + 264) *
+           |             (1 << ((xor(($b), 85) & 112) // 16 - 1)) END))""".stripMargin
+      def argmin(exp: String => String) =
+        s"""(list_position(
+           |   list_transform(range(256), b -> abs(${exp("b")} - x)),
+           |   list_min(
+           |     list_transform(range(256), b -> abs(${exp("b")} - x)))) - 1)"""
+          .stripMargin
+      s"""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, v, 14 + n % 7 AS ns, n % 2 = 0 AS alaw FROM d),
+      sm AS (SELECT doc_id, v, ns, alaw, unnest(range(ns)) AS i FROM g),
+      xx AS (SELECT doc_id, ns, alaw, i,
+                    (v * 331 + i * 4391) % 65536 - 32768 AS x
+             FROM sm),
+      cc AS (SELECT doc_id, ns, alaw, i, x,
+                    CASE WHEN alaw THEN ${argmin(al)}
+                         ELSE ${argmin(mu)} END AS code
+             FROM xx),
+      rr AS (SELECT doc_id, ns, alaw, i, x, code,
+                    CASE WHEN alaw THEN ${al("code")}
+                         ELSE ${mu("code")} END AS recon
+             FROM cc)
+      SELECT doc_id,
+             CAST(ns AS INTEGER) AS n_samples,
+             alaw AS a_law,
+             CAST(sum(code) AS BIGINT) AS sum_code,
+             CAST(sum((i + 1) * code) AS BIGINT) AS wsum_code,
+             CAST(sum(recon) AS BIGINT) AS sum_recon,
+             CAST(sum((i + 1) * recon) AS BIGINT) AS wsum_recon,
+             CAST(max(abs(recon - x)) AS BIGINT) AS max_abs_err
+      FROM rr GROUP BY doc_id, ns, alaw ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryDef] =
-    Seq(q216AdpcmDecode, q217CleanCorpus, q218MpegFrameWalk)
+    Seq(q216AdpcmDecode, q217CleanCorpus, q218MpegFrameWalk, q219AdpcmEncode,
+      q220G711Compand)
 }

@@ -27,6 +27,13 @@ object CompressedIngest {
     p
   }
 
+  // One monitor per dump key: concurrent streams (ThroughputBench runs the
+  // whole surface across parallel pools in ONE JVM) must not overwrite a
+  // dump another stream is mid-read — the first caller writes, the rest
+  // wait then read the finished files.
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Read-back frame of the documents dump under `codec` for `sfDir`,
     * (re)writing it only when absent or stale. Returns the JSON reader —
     * every downstream count/dedup runs against the compressed files.
@@ -38,12 +45,15 @@ object CompressedIngest {
     val key = s"${codec}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val path = tmpRoot.resolve(key).toString
     def readBack = spark.read.schema("doc_id LONG, text STRING").json(path)
-    val expected = src.count()
-    val fresh =
-      try readBack.count() == expected
-      catch { case scala.util.control.NonFatal(_) => false }
-    if (!fresh)
-      src.write.mode("overwrite").option("compression", codec).json(path)
+    val lock = keyLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val expected = src.count()
+      val fresh =
+        try readBack.count() == expected
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!fresh)
+        src.write.mode("overwrite").option("compression", codec).json(path)
+    }
     readBack
   }
 }

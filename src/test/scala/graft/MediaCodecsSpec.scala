@@ -98,6 +98,30 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.decodeWavPcm16(bad).isEmpty)
   }
 
+  test("G.711 compression is the nearest-level inverse of the pinned expansion") {
+    for ((compress, expand) <- Seq(
+      (MediaCodecs.mulawCompress _, MediaCodecs.mulawExpand _),
+      (MediaCodecs.alawCompress _, MediaCodecs.alawExpand _))) {
+      // level-preserving: compressing any decodable level re-quantizes to
+      // the SAME level (codes may alias — mu-law 0x7F and 0xFF both decode
+      // to 0 — so the identity holds on values, not code bytes)
+      for (b <- 0 until 256) {
+        val lvl = expand(b)
+        assert(expand(compress(lvl)) == lvl, s"code $b level $lvl")
+      }
+      // optimality spot-check on a full-range sweep: no code is strictly
+      // closer than the chosen one
+      for (x <- -32768 to 32767 by 257) {
+        val chosen = math.abs(expand(compress(x)) - x)
+        val best = (0 until 256).map(b => math.abs(expand(b) - x)).min
+        assert(chosen == best, s"x=$x chosen=$chosen best=$best")
+      }
+    }
+    // deterministic tie rule: 0 decodes from mu-law codes 127 AND 255; the
+    // ascending scan must pick 127
+    assert(MediaCodecs.mulawCompress(0) == 127)
+  }
+
   test("IMA ADPCM decode replays the reference state machine exactly") {
     // Independent re-implementation of the public IMA update (coded here
     // from the spec, not calling the library's adpcmStep): the decoded
