@@ -1026,7 +1026,18 @@ object MediaCodecs {
       }
       blk += 1
     }
-    val b = new Array[Byte](48 + data.length)
+    adpcmContainer(sampleRate, blockAlign, perBlock, samples.length, data)
+  }
+
+  /** RIFF container for one mono IMA ADPCM data payload: fmt (with the
+    * mandatory cbSize=2 / wSamplesPerBlock extension) + the spec-REQUIRED
+    * `fact` chunk carrying the TRUE sample count — compressed WAV formats
+    * must declare it because the final block's code padding would
+    * otherwise read as extra samples — + data.
+    */
+  private def adpcmContainer(sampleRate: Int, blockAlign: Int, perBlock: Int,
+      nSamples: Int, data: Array[Byte]): Array[Byte] = {
+    val b = new Array[Byte](60 + data.length)
     b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
     putLe32(b, 4, b.length - 8)
     b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
@@ -1040,9 +1051,12 @@ object MediaCodecs {
     putLe16(b, 34, 4) // bits per sample
     putLe16(b, 36, 2) // cbSize
     putLe16(b, 38, perBlock) // wSamplesPerBlock
-    b(40) = 'd'; b(41) = 'a'; b(42) = 't'; b(43) = 'a'
-    putLe32(b, 44, data.length)
-    System.arraycopy(data, 0, b, 48, data.length)
+    b(40) = 'f'; b(41) = 'a'; b(42) = 'c'; b(43) = 't'
+    putLe32(b, 44, 4)
+    putLe32(b, 48, nSamples) // dwSampleLength: the TRUE count
+    b(52) = 'd'; b(53) = 'a'; b(54) = 't'; b(55) = 'a'
+    putLe32(b, 56, data.length)
+    System.arraycopy(data, 0, b, 60, data.length)
     b
   }
 
@@ -1072,24 +1086,7 @@ object MediaCodecs {
       else data(pos) = (data(pos) | (codes(nib) << 4)).toByte
       nib += 1
     }
-    val b = new Array[Byte](48 + data.length)
-    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
-    putLe32(b, 4, b.length - 8)
-    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
-    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
-    putLe32(b, 16, 20)
-    putLe16(b, 20, 0x11)
-    putLe16(b, 22, 1)
-    putLe32(b, 24, sampleRate)
-    putLe32(b, 28, sampleRate * blockAlign / perBlock)
-    putLe16(b, 32, blockAlign)
-    putLe16(b, 34, 4)
-    putLe16(b, 36, 2)
-    putLe16(b, 38, perBlock)
-    b(40) = 'd'; b(41) = 'a'; b(42) = 't'; b(43) = 'a'
-    putLe32(b, 44, data.length)
-    System.arraycopy(data, 0, b, 48, data.length)
-    b
+    adpcmContainer(sampleRate, blockAlign, perBlock, perBlock, data)
   }
 
   /** Decode a WAV to PCM16 samples by WALKING the RIFF chunk list (not
@@ -1099,7 +1096,9 @@ object MediaCodecs {
     * (formats 6/7, 8-bit companded) EXPANDED to linear 16-bit — the
     * telephony formats a real audio lake carries — and mono IMA ADPCM
     * (format 0x11, 4-bit) run through the REAL integer predictor/step
-    * state machine ([[adpcmStep]]). `bitsPerSample` reports the FILE's
+    * state machine ([[adpcmStep]]), honoring the `fact` chunk's declared
+    * true sample count (final-block code padding dropped; a count past
+    * the blocks' capacity rejects). `bitsPerSample` reports the FILE's
     * storage width (8 for G.711, 4 for ADPCM), samples are always linear
     * PCM16. None for anything else — float, MS-ADPCM, extensible, wrong
     * widths — never throw.
@@ -1110,7 +1109,7 @@ object MediaCodecs {
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
     var rate = -1; var channels = -1; var bits = -1; var fmt = -1
-    var blockAlign = -1; var perBlock = -1
+    var blockAlign = -1; var perBlock = -1; var factCount = -1
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
       val id = tag(off)
@@ -1118,6 +1117,10 @@ object MediaCodecs {
       val body = off + 8
       if (sz < 0 || body + sz > b.length) return None
       id match {
+        case "fact" => // dwSampleLength: the TRUE sample count (required
+          // for compressed formats — the final block's code padding would
+          // otherwise read as extra samples)
+          if (sz >= 4) factCount = le32(b, body)
         case "fmt " =>
           if (sz < 16) return None
           fmt = le16(b, body)
@@ -1136,7 +1139,7 @@ object MediaCodecs {
             case _ => return None // float/MS-ADPCM/extensible: out of scope
           }
         case "data" => dataOff = body; dataLen = sz
-        case _ => () // skip unknown chunks (LIST, fact, ...)
+        case _ => () // skip unknown chunks (LIST, INFO, ...)
       }
       off = body + sz + (sz & 1) // RIFF pad rule
     }
@@ -1151,6 +1154,8 @@ object MediaCodecs {
       case 0x11 =>
         if (dataLen % blockAlign != 0) return None
         val nBlocks = dataLen / blockAlign
+        // a fact chunk must not claim more samples than the blocks hold
+        if (factCount > nBlocks * perBlock) return None
         val s = new Array[Short](nBlocks * perBlock)
         var blk = 0
         var o = 0
@@ -1171,7 +1176,10 @@ object MediaCodecs {
           }
           blk += 1
         }
-        s
+        // honor the declared TRUE count: drop the final block's padding
+        if (factCount >= 0 && factCount < s.length)
+          java.util.Arrays.copyOf(s, factCount)
+        else s
       case _ =>
         val s = new Array[Short](dataLen)
         var i = 0

@@ -33,6 +33,9 @@ object MpegFrames {
   /** Samples per frame in MPEG-1: Layer I = 384, Layers II/III = 1152. */
   def samplesPerFrame(layer: Int): Int = if (layer == 1) 384 else 1152
 
+  /** kbps for a (layer, bitrate-index) pair; index must be 1..14. */
+  def bitrateKbps(layer: Int, idx: Int): Int = BitrateKbps(layer - 1)(idx)
+
   /** Frame length in bytes (header included) from the spec arithmetic:
     * Layer I counts in 4-byte slots, II/III in bytes; integer division.
     */
@@ -45,8 +48,19 @@ object MpegFrames {
 
   final case class MpegFrame(offset: Int, bitrateKbps: Int, padded: Boolean)
 
+  /** Parsed Xing ("Xing" = VBR) / Info ("Info" = CBR) tag from the first
+    * Layer III frame: optional frame/byte totals, TOC presence, quality —
+    * the header VBR encoders write so players can seek and length-report
+    * without walking every frame. All fields big-endian per the public
+    * layout; absent fields are None, an absent tag is a None tag (not an
+    * error).
+    */
+  final case class XingTag(vbr: Boolean, frames: Option[Long],
+      bytes: Option[Long], toc: Boolean, quality: Option[Long])
+
   final case class MpegInfo(layer: Int, sampleRate: Int, channels: Int,
-      id3v2Bytes: Int, id3v1: Boolean, frames: Vector[MpegFrame]) {
+      id3v2Bytes: Int, id3v1: Boolean, frames: Vector[MpegFrame],
+      xing: Option[XingTag] = None) {
     def nFrames: Int = frames.length
     def nSamples: Long = frames.length.toLong * samplesPerFrame(layer)
     /** Floor-integer playback duration — exact cross-engine arithmetic. */
@@ -103,7 +117,40 @@ object MpegFrames {
     }
     if (n == 0) return None
     val id3v1 = pos < b.length // only reachable via the TAG match above
-    Some(MpegInfo(layer, rate, channels, id3v2, id3v1, frames.result()))
+    val fs = frames.result()
+    Some(MpegInfo(layer, rate, channels, id3v2, id3v1, fs,
+      parseXing(b, fs.head, layer, rate, channels)))
+  }
+
+  /** Xing/Info tag lookup in the FIRST frame (Layer III only — the tag
+    * sits right after the side info, 17 bytes mono / 32 stereo for
+    * MPEG-1). Returns None when absent or when a declared field would
+    * overrun the frame; never throws.
+    */
+  private def parseXing(b: Array[Byte], f0: MpegFrame, layer: Int,
+      rate: Int, channels: Int): Option[XingTag] = {
+    if (layer != 3) return None
+    val frameEnd = f0.offset + frameBytes(layer, f0.bitrateKbps, rate, f0.padded)
+    var p = f0.offset + 4 + (if (channels == 1) 17 else 32)
+    if (p + 8 > frameEnd || p + 8 > b.length) return None
+    val tag = new String(b.slice(p, p + 4), "US-ASCII")
+    if (tag != "Xing" && tag != "Info") return None
+    def be32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val flags = be32(p + 4)
+    p += 8
+    def take(n: Int): Option[Int] =
+      if (p + n <= frameEnd && p + n <= b.length) { val o = p; p += n; Some(o) }
+      else None
+    val frames = if ((flags & 1) != 0) take(4).map(be32) else None
+    if ((flags & 1) != 0 && frames.isEmpty) return None
+    val bytes = if ((flags & 2) != 0) take(4).map(be32) else None
+    if ((flags & 2) != 0 && bytes.isEmpty) return None
+    val toc = (flags & 4) != 0
+    if (toc && take(100).isEmpty) return None
+    val quality = if ((flags & 8) != 0) take(4).map(be32) else None
+    if ((flags & 8) != 0 && quality.isEmpty) return None
+    Some(XingTag(tag == "Xing", frames, bytes, toc, quality))
   }
 
   /** Synthesize a VALID MPEG-1 stream for the probe: per frame a real
@@ -115,8 +162,9 @@ object MpegFrames {
     */
   def synthStream(layer: Int, srIdx: Int, frames: Seq[(Int, Boolean)],
       fill: (Int, Int) => Int, id3v2Body: Int = -1,
-      id3v1: Boolean = false): Array[Byte] = {
+      id3v1: Boolean = false, xing: Option[XingTag] = None): Array[Byte] = {
     require(layer >= 1 && layer <= 3 && srIdx >= 0 && srIdx <= 2)
+    require(xing.isEmpty || layer == 3, "Xing tags are a Layer III structure")
     val out = new java.io.ByteArrayOutputStream()
     if (id3v2Body >= 0) {
       require(id3v2Body < (1 << 28))
@@ -130,11 +178,40 @@ object MpegFrames {
       val kbps = BitrateKbps(layer - 1)(brIdx)
       val len = frameBytes(layer, kbps, SampleRates(srIdx), padded)
       val layerCode = 4 - layer
-      out.write(0xff)
-      out.write(0xe0 | (3 << 3) | (layerCode << 1) | 1) // MPEG-1, no CRC
-      out.write((brIdx << 4) | (srIdx << 2) | (if (padded) 2 else 0))
-      out.write(3 << 6) // single_channel, no flags, emphasis 0
-      (4 until len).foreach(j => out.write(fill(fi, j) & 0xff))
+      val frame = new Array[Byte](len)
+      frame(0) = 0xff.toByte
+      frame(1) = (0xe0 | (3 << 3) | (layerCode << 1) | 1).toByte // MPEG-1, no CRC
+      frame(2) = ((brIdx << 4) | (srIdx << 2) | (if (padded) 2 else 0)).toByte
+      frame(3) = (3 << 6).toByte // single_channel, no flags, emphasis 0
+      var start = 4
+      if (fi == 0 && xing.isDefined) {
+        // mono MPEG-1 Layer III side info: 17 zeroed bytes, then the tag
+        val x = xing.get
+        val need = 4 + 17 + 8 + x.frames.size * 4 + x.bytes.size * 4 +
+          (if (x.toc) 100 else 0) + x.quality.size * 4
+        require(need <= len, s"Xing tag ($need bytes) overruns the $len-byte frame")
+        var p = 4 + 17
+        def put32(v: Long): Unit = {
+          frame(p) = (v >>> 24).toByte; frame(p + 1) = (v >>> 16).toByte
+          frame(p + 2) = (v >>> 8).toByte; frame(p + 3) = v.toByte
+          p += 4
+        }
+        val tag = if (x.vbr) "Xing" else "Info"
+        tag.getBytes("US-ASCII").zipWithIndex.foreach { case (c, k) =>
+          frame(p + k) = c
+        }
+        p += 4
+        put32((if (x.frames.isDefined) 1 else 0) |
+          (if (x.bytes.isDefined) 2 else 0) | (if (x.toc) 4 else 0) |
+          (if (x.quality.isDefined) 8 else 0))
+        x.frames.foreach(put32)
+        x.bytes.foreach(put32)
+        if (x.toc) { (0 until 100).foreach(k => frame(p + k) = (k * 255 / 99).toByte); p += 100 }
+        x.quality.foreach(put32)
+        start = p
+      }
+      (start until len).foreach(j => frame(j) = (fill(fi, j) & 0xff).toByte)
+      out.write(frame)
     }
     if (id3v1) {
       out.write('T'); out.write('A'); out.write('G')

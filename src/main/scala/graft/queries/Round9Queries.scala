@@ -441,7 +441,88 @@ object Round9Queries {
       FROM rr GROUP BY doc_id, ns, alaw ORDER BY doc_id"""
     })
 
+  /** XING/INFO VBR TAG probe — the metadata block real MP3 encoders write
+    * into the first Layer III frame (after the side info) so players can
+    * length-report and seek without walking every frame: per document, a
+    * VBR Layer III stream whose first frame carries a tag with a
+    * doc-varying field set (frame total, byte total, TOC, quality — each
+    * optionally present), parsed by [[graft.operators.MpegFrames.probe]]
+    * and CROSS-CHECKED against the probe's own frame walk
+    * (`frames_match` / `bytes_match`: tag truth vs walked truth). The
+    * oracle recomputes the stream geometry closed-form, so a misplaced
+    * side-info offset, a flag misread, or a skipped TOC shifts a field
+    * and lands in the hash.
+    */
+  val q221XingProbe: QueryDef = QueryDef(
+    "q221_xing_vbr_probe",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        val M = graft.operators.MpegFrames
+        val srIdx = r.n % 3
+        val sr = Seq(44100, 48000, 32000)(srIdx)
+        val k = 2 + r.n % 4
+        val frames = (0 until k).map(j =>
+          (if (j == 0) 10 + r.v % 5 else 1 + (r.v + j) % 14,
+            (r.n + j) % 2 == 0))
+        val total = frames.map { case (bi, pad) =>
+          M.frameBytes(3, M.bitrateKbps(3, bi), sr, pad)
+        }.sum
+        val tag = M.XingTag(
+          vbr = r.n % 2 == 0,
+          frames = if (r.v % 2 == 0) Some(k.toLong) else None,
+          bytes = if (r.v % 3 == 0) Some(total.toLong) else None,
+          toc = r.n % 3 == 0,
+          quality = if (r.n % 4 == 0) Some((r.v % 101).toLong) else None)
+        val bytes = M.synthStream(3, srIdx, frames,
+          (fi, j) => (fi * 11 + j * 17) % 251, xing = Some(tag))
+        val info = M.probe(bytes)
+          .getOrElse(sys.error(s"synthesized stream failed to probe: doc ${r.doc_id}"))
+        val x = info.xing
+          .getOrElse(sys.error(s"Xing tag not parsed: doc ${r.doc_id}"))
+        (r.doc_id, x.vbr, x.frames,
+          x.frames.map(_ == info.nFrames.toLong),
+          x.bytes, x.bytes.map(_ == bytes.length.toLong),
+          x.toc, x.quality)
+      }
+      probed.toDF("doc_id", "is_vbr", "xing_frames", "frames_match",
+          "xing_bytes", "bytes_match", "has_toc", "quality")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   [44100, 48000, 32000][n % 3 + 1] AS sr,
+                   2 + n % 4 AS k
+            FROM d),
+      f AS (SELECT doc_id, n, v, k,
+                   CAST(list_sum(list_transform(range(k), j ->
+                     144000 * ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                       [CASE WHEN j = 0 THEN 10 + v % 5
+                             ELSE (v + j) % 14 + 1 END])
+                     // sr + CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END))
+                     AS BIGINT) AS total
+            FROM g)
+      SELECT doc_id,
+             n % 2 = 0 AS is_vbr,
+             CASE WHEN v % 2 = 0 THEN CAST(k AS BIGINT) END AS xing_frames,
+             CASE WHEN v % 2 = 0 THEN TRUE END AS frames_match,
+             CASE WHEN v % 3 = 0 THEN total END AS xing_bytes,
+             CASE WHEN v % 3 = 0 THEN TRUE END AS bytes_match,
+             n % 3 = 0 AS has_toc,
+             CASE WHEN n % 4 = 0 THEN CAST(v % 101 AS BIGINT) END AS quality
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q216AdpcmDecode, q217CleanCorpus, q218MpegFrameWalk, q219AdpcmEncode,
-      q220G711Compand)
+      q220G711Compand, q221XingProbe)
 }

@@ -157,7 +157,9 @@ class MediaCodecsSpec extends SparkTestBase {
     val a = MediaCodecs.decodeWavPcm16(wav).get
     assert(a.sampleRate == 22050)
     val perBlock = 1 + (128 - 4) * 2
-    assert(a.samples.length == 3 * perBlock) // whole blocks, zero-padded tail
+    // the fact chunk declares the TRUE count: the final block's code
+    // padding is dropped, so decode length equals the input length
+    assert(a.samples.length == n)
     // each block's first sample is stored verbatim in the header
     for (b <- 0 until 3)
       assert(a.samples(b * perBlock) == samples(b * perBlock))
@@ -179,12 +181,16 @@ class MediaCodecsSpec extends SparkTestBase {
     // wSamplesPerBlock inconsistent with blockAlign
     val badPer = good.clone(); badPer(38) = 99.toByte
     assert(MediaCodecs.decodeWavPcm16(badPer).isEmpty)
-    // block header step index out of the 89-entry table
-    val badIdx = good.clone(); badIdx(50) = 120.toByte
+    // block header step index out of the 89-entry table (data at 60,
+    // index byte is data+2)
+    val badIdx = good.clone(); badIdx(62) = 120.toByte
     assert(MediaCodecs.decodeWavPcm16(badIdx).isEmpty)
+    // fact chunk claiming more samples than the blocks hold
+    val badFact = good.clone(); badFact(48) = 99.toByte
+    assert(MediaCodecs.decodeWavPcm16(badFact).isEmpty)
     // data length not a whole number of blocks
     val badLen = good.clone()
-    badLen(44) = (badLen(44) - 1).toByte // data chunk size 11
+    badLen(56) = (badLen(56) - 1).toByte // data chunk size 11
     assert(MediaCodecs.decodeWavPcm16(badLen.dropRight(1)).isEmpty)
     // truncation mid-data
     assert(MediaCodecs.decodeWavPcm16(good.take(50)).isEmpty)

@@ -51,6 +51,43 @@ class MpegFramesSpec extends AnyFunSuite {
     assert(b.length == 310 + 2 * MpegFrames.frameBytes(2, 80, 48000, padded = false) + 128)
   }
 
+  test("Xing/Info VBR tag roundtrips from the first Layer III frame") {
+    val frames = Seq((12, false), (3, true), (5, false))
+    val full = MpegFrames.XingTag(vbr = true, frames = Some(3L),
+      bytes = Some(999L), toc = true, quality = Some(42L))
+    val b = MpegFrames.synthStream(3, 1, frames, fill, xing = Some(full))
+    val x = MpegFrames.probe(b).get.xing.get
+    assert(x == full)
+    // Info variant with a sparse field set: absent fields are None
+    val sparse = MpegFrames.XingTag(vbr = false, frames = Some(3L),
+      bytes = None, toc = false, quality = None)
+    val b2 = MpegFrames.synthStream(3, 0, frames, fill, xing = Some(sparse))
+    assert(MpegFrames.probe(b2).get.xing.get == sparse)
+    // no tag written -> None (the fill bytes must not alias as a tag)
+    val b3 = MpegFrames.synthStream(3, 1, frames, fill)
+    assert(MpegFrames.probe(b3).get.xing.isEmpty)
+    // Layer II streams have no Xing structure
+    val b4 = MpegFrames.synthStream(2, 1, frames, fill)
+    assert(MpegFrames.probe(b4).get.xing.isEmpty)
+    // a flags word claiming a field the frame cannot hold -> tag rejected,
+    // stream still walks (96-byte Layer III frame: 32 kbps @ 48 kHz has
+    // room for the 8-byte tag head but not frames+bytes+TOC+quality)
+    val small = MpegFrames.synthStream(3, 1, Seq((1, false), (1, false)), fill)
+    val off = 4 + 17
+    Array[Byte]('X', 'i', 'n', 'g', 0, 0, 0, 15).zipWithIndex.foreach {
+      case (c, k) => small(off + k) = c
+    }
+    val pSmall = MpegFrames.probe(small).get
+    assert(pSmall.xing.isEmpty && pSmall.nFrames == 2)
+    // synthStream refuses a tag that cannot fit its frame
+    intercept[IllegalArgumentException] {
+      MpegFrames.synthStream(3, 1, Seq((1, false)), fill, xing = Some(full))
+    }
+    intercept[IllegalArgumentException] {
+      MpegFrames.synthStream(2, 1, frames, fill, xing = Some(full))
+    }
+  }
+
   test("hostile inputs return None, never throw") {
     val good = MpegFrames.synthStream(2, 1, Seq((5, false), (8, true)), fill)
     assert(MpegFrames.probe(good).isDefined)
