@@ -522,7 +522,91 @@ object Round9Queries {
              CASE WHEN n % 4 = 0 THEN CAST(v % 101 AS BIGINT) END AS quality
       FROM f ORDER BY doc_id"""))
 
+  /** MULTI-BLOCK ADPCM with the `fact` chunk under the oracle gate —
+    * q219 pins the quantizer on one exactly-full block; q222 pins the
+    * BLOCK MACHINERY: a doc-varying sample count spanning two blocks, so
+    * the stream exercises the verbatim block-2 header (predictor reset to
+    * the exact sample), the step-index CARRY across the block boundary,
+    * the final block's zero-code padding, and the fact chunk's truncation
+    * back to the true count. The oracle's recursive CTE replays the
+    * encoder with the block rule inline — at each 17-sample boundary the
+    * predictor snaps to the sample and the index carries — and the row
+    * count per doc IS the fact assertion (a decoder ignoring fact would
+    * emit padded rows and break n_samples and both sums).
+    */
+  val q222AdpcmBlocks: QueryDef = QueryDef(
+    "q222_adpcm_blocks",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val media = src.map { r =>
+        val ns = 20 + r.n % 9 // 20..28: always 2 blocks of 17, second partial
+        val samples = Array.tabulate(ns)(j =>
+          ((r.v * 61 + j * 557) % 16384 - 8192).toShort)
+        val bytes = graft.operators.MediaCodecs
+          .encodeWavAdpcm(8000, samples, blockAlign = 12)
+        graft.operators.Multimodal.MediaRow(r.doc_id, bytes,
+          graft.operators.Multimodal.MediaMeta("wav", bytes.length, 0L))
+      }
+      graft.operators.Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"),
+          col("width").as("n_samples"), col("channels"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("first_sample"),
+          element_at(col("features"), 3).cast("long").as("sum_samples"),
+          element_at(col("features"), 4).cast("long").as("wsum_samples"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val step = s"$AdpcmStepsSql[idx + 1]"
+      val sj = "((v * 61 + (j + 1) * 557) % 16384 - 8192)"
+      val d0 = s"abs($sj - pred)"
+      val b4 = s"(CASE WHEN $d0 >= $step THEN 1 ELSE 0 END)"
+      val r1 = s"($d0 - $b4 * $step)"
+      val b2 = s"(CASE WHEN $r1 >= $step // 2 THEN 1 ELSE 0 END)"
+      val r2 = s"($r1 - $b2 * ($step // 2))"
+      val b1 = s"(CASE WHEN $r2 >= $step // 4 THEN 1 ELSE 0 END)"
+      val mag = s"($step // 8 + $b1 * ($step // 4) + $b2 * ($step // 2) + $b4 * $step)"
+      val sgn = s"(CASE WHEN $sj < pred THEN -1 ELSE 1 END)"
+      s"""
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n,
+               CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+        FROM documents),
+      g AS (SELECT doc_id, v, 20 + n % 9 AS ns FROM d),
+      walk AS (
+        SELECT doc_id, v, ns, 0 AS j,
+               CAST((v * 61) % 16384 - 8192 AS INTEGER) AS pred,
+               0 AS idx
+        FROM g
+        UNION ALL
+        SELECT doc_id, v, ns, j + 1,
+               CASE WHEN (j + 1) % 17 = 0
+                    THEN CAST($sj AS INTEGER) -- block header: verbatim sample
+                    ELSE CAST(least(32767, greatest(-32768,
+                           pred + $sgn * $mag)) AS INTEGER) END,
+               CASE WHEN (j + 1) % 17 = 0
+                    THEN idx -- index CARRIES across the block boundary
+                    ELSE CAST(least(88, greatest(0,
+                           idx + [-1, -1, -1, -1, 2, 4, 6, 8]
+                             [$b4 * 4 + $b2 * 2 + $b1 + 1])) AS INTEGER) END
+        FROM walk WHERE j < ns - 1)
+      SELECT doc_id,
+             CAST(ns AS INTEGER) AS n_samples, 1 AS channels,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(min(CASE WHEN j = 0 THEN pred END) AS BIGINT) AS first_sample,
+             CAST(sum(pred) AS BIGINT) AS sum_samples,
+             CAST(sum((j + 1) * pred) AS BIGINT) AS wsum_samples
+      FROM walk GROUP BY doc_id, ns ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q216AdpcmDecode, q217CleanCorpus, q218MpegFrameWalk, q219AdpcmEncode,
-      q220G711Compand, q221XingProbe)
+      q220G711Compand, q221XingProbe, q222AdpcmBlocks)
 }
