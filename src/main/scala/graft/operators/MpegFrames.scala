@@ -162,8 +162,10 @@ object MpegFrames {
     */
   def synthStream(layer: Int, srIdx: Int, frames: Seq[(Int, Boolean)],
       fill: (Int, Int) => Int, id3v2Body: Int = -1,
-      id3v1: Boolean = false, xing: Option[XingTag] = None): Array[Byte] = {
+      id3v1: Boolean = false, xing: Option[XingTag] = None,
+      channels: Int = 1): Array[Byte] = {
     require(layer >= 1 && layer <= 3 && srIdx >= 0 && srIdx <= 2)
+    require(channels == 1 || channels == 2)
     require(xing.isEmpty || layer == 3, "Xing tags are a Layer III structure")
     val out = new java.io.ByteArrayOutputStream()
     if (id3v2Body >= 0) {
@@ -182,15 +184,18 @@ object MpegFrames {
       frame(0) = 0xff.toByte
       frame(1) = (0xe0 | (3 << 3) | (layerCode << 1) | 1).toByte // MPEG-1, no CRC
       frame(2) = ((brIdx << 4) | (srIdx << 2) | (if (padded) 2 else 0)).toByte
-      frame(3) = (3 << 6).toByte // single_channel, no flags, emphasis 0
+      // mode 11 = single_channel, 00 = stereo; no flags, emphasis 0
+      frame(3) = (if (channels == 1) 3 << 6 else 0).toByte
       var start = 4
       if (fi == 0 && xing.isDefined) {
-        // mono MPEG-1 Layer III side info: 17 zeroed bytes, then the tag
+        // MPEG-1 Layer III side info: 17 zeroed bytes mono / 32 stereo,
+        // then the tag
+        val side = if (channels == 1) 17 else 32
         val x = xing.get
-        val need = 4 + 17 + 8 + x.frames.size * 4 + x.bytes.size * 4 +
+        val need = 4 + side + 8 + x.frames.size * 4 + x.bytes.size * 4 +
           (if (x.toc) 100 else 0) + x.quality.size * 4
         require(need <= len, s"Xing tag ($need bytes) overruns the $len-byte frame")
-        var p = 4 + 17
+        var p = 4 + side
         def put32(v: Long): Unit = {
           frame(p) = (v >>> 24).toByte; frame(p + 1) = (v >>> 16).toByte
           frame(p + 2) = (v >>> 8).toByte; frame(p + 3) = v.toByte

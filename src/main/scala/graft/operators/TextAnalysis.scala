@@ -43,6 +43,47 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>"))
 
+  /** 16-digit payment-card CANDIDATE pattern: a standalone digit run
+    * (lookarounds keep a 17+-digit run or an embedded id from matching).
+    * Java-dialect lookbehind/lookahead — Spark-side only; the oracle never
+    * runs this regex (it predicts the candidates it minted).
+    */
+  val CardRe = "(?<![0-9])[0-9]{16}(?![0-9])"
+
+  /** Payment-card PII scrub with LUHN validation — the curation pass a
+    * bare regex cannot do: every 16-digit run is a CANDIDATE, but only
+    * the Luhn checksum (double every second digit from the right, fold
+    * digit sums, total ≡ 0 mod 10) separates real card numbers from
+    * order ids and ISBNs, and redacting every digit run destroys those.
+    * Appends `n_card_candidates`, `n_luhn_valid`, and `scrubbed` (only
+    * VALIDATED numbers replaced by `<CARD>`). The validation fold and
+    * the replacement fold run per candidate (a handful per document) —
+    * stateless expressions, streaming-safe like [[redactPii]].
+    */
+  def luhnScrub(docs: DataFrame, textCol: String): DataFrame = {
+    def luhnOk(c: Column): Column = {
+      val chars = split(c, "")
+      pmod(aggregate(sequence(lit(0), lit(15)), lit(0), (acc, i) => {
+        val d = ascii(element_at(chars, i + 1)) - 48
+        // 16-digit number: right-position r = 16 - i is even iff i is
+        // even (0-based from the left), so even i doubles
+        val dd = when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      }), lit(10)) === 0
+    }
+    docs
+      .withColumn("card_cands",
+        regexp_extract_all(col(textCol), lit(CardRe), lit(0)))
+      .withColumn("luhn_valid", filter(col("card_cands"), luhnOk(_)))
+      .withColumn("n_card_candidates", size(col("card_cands")).cast("long"))
+      .withColumn("n_luhn_valid", size(col("luhn_valid")).cast("long"))
+      .withColumn("scrubbed",
+        aggregate(col("luhn_valid"), col(textCol),
+          (acc, card) => replace(acc, card, lit("<CARD>"))))
+      .drop("card_cands", "luhn_valid")
+  }
+
   /** Count of tokens belonging to a marker set. */
   def markerScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers: _*))).cast("long")

@@ -606,7 +606,103 @@ object Round9Queries {
       FROM walk GROUP BY doc_id, ns ORDER BY doc_id"""
     })
 
+  /** PARQUET + ZSTD text container round-trip — SCALE.md's recommended
+    * shape for compressed text at 100 TB (row groups split regardless of
+    * compression: neither gzip's single-split trap nor bzip2's block
+    * alignment applies): the documents table dumps through
+    * [[graft.sources.CompressedIngest.documentsParquet]] (memoized, same
+    * harness as q203/q206) and exact dedup runs on what came back, pinned
+    * by q24's oracle over the ORIGINAL parquet. `StorageLayoutSpec`
+    * separately asserts from the parquet FOOTER that every column chunk
+    * really carries the ZSTD codec — the claim is observed, not assumed.
+    */
+  val q223ZstdParquet: QueryDef = QueryDef(
+    "q223_zstd_parquet_ingest",
+    (s, dir) => {
+      val back = graft.sources.CompressedIngest.documentsParquet(s, dir, "zstd")
+      graft.operators.Dedup.exactDedup(back).orderBy("keep_doc_id")
+    },
+    Some("""
+      SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_doc_id"""))
+
+  /** LUHN-VALIDATED PAYMENT-CARD PII — the curation scrub the email/phone
+    * pass (q55 family) cannot do with a regex alone: 16-digit candidates
+    * are cheap to find, but only the Luhn checksum separates real card
+    * numbers from arbitrary digit runs, and a pipeline that redacts every
+    * 16-digit run destroys order ids and ISBNs. Per document, two minted
+    * candidates ride the text — one Luhn-VALID (check digit computed),
+    * one guaranteed invalid (check digit +1 mod 10) —
+    * [[graft.operators.TextAnalysis.luhnScrub]] extracts candidates,
+    * validates each with the doubling fold, counts both classes, and
+    * redacts ONLY the valid ones. The oracle recomputes the Luhn fold in
+    * SQL over the same minted digits and predicts the redacted text's
+    * md5 — a wrong doubling parity, a reversed fold, or an over-eager
+    * redaction all land in the hash.
+    */
+  val q224LuhnPii: QueryDef = QueryDef(
+    "q224_luhn_pii",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+      // 15 deterministic digits from v + the position, then the Luhn
+      // check digit (valid) or check+1 mod 10 (invalid)
+      val digits15 = (0 until 15).map(i => pmod(col("v") * (i + 3) + i * 7, lit(10)))
+      // Luhn sum over the 15 payload digits as positions 2..16 from the
+      // RIGHT (the check digit is position 1): digit index i (0-based
+      // from the left of the 15) sits at right-position 16 - i, doubled
+      // when that position is even -> i even
+      val luhnSum = digits15.zipWithIndex.map { case (dcol, i) =>
+        if (i % 2 == 0) {
+          val d2 = dcol * 2
+          when(d2 > 9, d2 - 9).otherwise(d2)
+        } else dcol
+      }.reduce(_ + _)
+      val check = pmod(lit(10) - pmod(luhnSum, lit(10)), lit(10))
+      val validCard = concat((digits15 :+ check).map(_.cast("string")): _*)
+      val invalidCard = concat(
+        (digits15 :+ pmod(check + 1, lit(10))).map(_.cast("string")): _*)
+      // digit-free carrier (every corpus digit -> 'x'), so the ONLY
+      // 16-digit candidates are the two minted ones — data-independent
+      val salted = concat(regexp_replace(col("text"), "[0-9]", "x"),
+        lit(" card "), validCard, lit(" ref "), invalidCard)
+      graft.operators.TextAnalysis.luhnScrub(
+          d.select(col("doc_id"), salted.as("text")), "text")
+        .select(col("doc_id"),
+          col("n_card_candidates"), col("n_luhn_valid"),
+          length(col("scrubbed")).cast("long").as("scrubbed_len"),
+          md5(col("scrubbed").cast("binary")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, text, v,
+                   list_transform(range(15), i -> (v * (i + 3) + i * 7) % 10) AS ds
+            FROM d),
+      c AS (SELECT doc_id, text,
+                   list_aggregate(list_transform(ds, x -> CAST(x AS VARCHAR)),
+                                  'string_agg', '') AS body,
+                   (10 - list_sum(list_transform(range(15), i ->
+                      CASE WHEN i % 2 = 0
+                           THEN CASE WHEN ds[i + 1] * 2 > 9 THEN ds[i + 1] * 2 - 9
+                                     ELSE ds[i + 1] * 2 END
+                           ELSE ds[i + 1] END)) % 10) % 10 AS chk
+            FROM g)
+      SELECT doc_id,
+             CAST(2 AS BIGINT) AS n_card_candidates,
+             CAST(1 AS BIGINT) AS n_luhn_valid,
+             CAST(len(text) + 33 AS BIGINT) AS scrubbed_len,
+             md5(regexp_replace(text, '[0-9]', 'x', 'g') ||
+                 ' card <CARD> ref ' || body ||
+                 CAST((chk + 1) % 10 AS VARCHAR)) AS scrubbed_md5
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q216AdpcmDecode, q217CleanCorpus, q218MpegFrameWalk, q219AdpcmEncode,
-      q220G711Compand, q221XingProbe, q222AdpcmBlocks)
+      q220G711Compand, q221XingProbe, q222AdpcmBlocks, q223ZstdParquet,
+      q224LuhnPii)
 }

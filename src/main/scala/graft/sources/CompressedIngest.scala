@@ -39,21 +39,48 @@ object CompressedIngest {
     * every downstream count/dedup runs against the compressed files.
     */
   def documentsRoundTrip(spark: SparkSession, sfDir: String,
-      codec: String): DataFrame = {
+      codec: String): DataFrame =
+    memoized(spark, sfDir, s"json_$codec",
+      p => spark.read.schema("doc_id LONG, text STRING").json(p),
+      (src, p) => src.write.mode("overwrite")
+        .option("compression", codec).json(p))
+
+  /** Columnar sibling: the documents table round-tripped through
+    * parquet + `codec` (zstd is SCALE.md's recommended text container at
+    * 100 TB — row groups split regardless of compression, so neither the
+    * gzip single-split trap nor bzip2's block alignment applies). Same
+    * memoization and locking as the JSON form. Returns the parquet
+    * reader over the compressed files.
+    */
+  def documentsParquet(spark: SparkSession, sfDir: String,
+      codec: String): DataFrame =
+    memoized(spark, sfDir, s"parquet_$codec",
+      p => spark.read.parquet(p),
+      (src, p) => src.write.mode("overwrite")
+        .option("compression", codec).parquet(p))
+
+  /** The dump path a (sfDir, flavor) pair resolves to — exposed so specs
+    * can assert properties of the written files (e.g. the parquet
+    * footer's declared codec).
+    */
+  def dumpPath(sfDir: String, flavor: String): String =
+    tmpRoot.resolve(
+      s"${flavor}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  private def memoized(spark: SparkSession, sfDir: String, flavor: String,
+      read: String => DataFrame,
+      write: (DataFrame, String) => Unit): DataFrame = {
     val src = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val key = s"${codec}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = tmpRoot.resolve(key).toString
-    def readBack = spark.read.schema("doc_id LONG, text STRING").json(path)
-    val lock = keyLocks.computeIfAbsent(key, _ => new Object)
+    val path = dumpPath(sfDir, flavor)
+    val lock = keyLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
       val expected = src.count()
       val fresh =
-        try readBack.count() == expected
+        try read(path).count() == expected
         catch { case scala.util.control.NonFatal(_) => false }
-      if (!fresh)
-        src.write.mode("overwrite").option("compression", codec).json(path)
+      if (!fresh) write(src, path)
     }
-    readBack
+    read(path)
   }
 }

@@ -79,6 +79,15 @@ class MpegFramesSpec extends AnyFunSuite {
     }
     val pSmall = MpegFrames.probe(small).get
     assert(pSmall.xing.isEmpty && pSmall.nFrames == 2)
+    // STEREO stream: mode bits read as 2 channels, and the Xing tag sits
+    // after the 32-byte stereo side info instead of the 17-byte mono one
+    val st = MpegFrames.synthStream(3, 1, frames, fill, xing = Some(full),
+      channels = 2)
+    val pst = MpegFrames.probe(st).get
+    assert(pst.channels == 2 && pst.xing.get == full)
+    // a MONO-offset reader would find no tag at the stereo offset: verify
+    // the tag truly sits at 4+32 by checking the magic directly
+    assert(new String(st.slice(4 + 32, 4 + 36), "US-ASCII") == "Xing")
     // synthStream refuses a tag that cannot fit its frame
     intercept[IllegalArgumentException] {
       MpegFrames.synthStream(3, 1, Seq((1, false)), fill, xing = Some(full))

@@ -151,6 +151,39 @@ class StorageLayoutSpec extends SparkTestBase {
     } finally reader.close()
   }
 
+  test("compressed-ingest dump is memoized: a second call skips the rewrite") {
+    val sf = "/root/testdata/sf0.001"
+    assert(graft.sources.CompressedIngest
+      .documentsRoundTrip(spark, sf, "gzip").count() > 0)
+    val dir = new java.io.File(
+      graft.sources.CompressedIngest.dumpPath(sf, "json_gzip"))
+    val stamps = dir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(1100) // cross mtime resolution
+    assert(graft.sources.CompressedIngest
+      .documentsRoundTrip(spark, sf, "gzip").count() > 0)
+    val again = dir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(again == stamps, "second call rewrote the memoized dump")
+  }
+
+  test("parquet + zstd: every column chunk carries the ZSTD codec (footer-observed)") {
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.sources.CompressedIngest.documentsParquet(spark, sf, "zstd")
+    assert(df.count() > 0)
+    val dir = new java.io.File(
+      graft.sources.CompressedIngest.dumpPath(sf, "parquet_zstd"))
+    val file = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val codecs = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala).map(_.getCodec.toString).toSet
+      assert(codecs == Set("ZSTD"), s"footer codecs: $codecs")
+    } finally reader.close()
+  }
+
   test("bzip2 text shards split at read; the same file as gzip is ONE split") {
     // The SCALE.md compressed-text claim, observed: bzip2's block structure
     // is splittable (Hadoop aligns range splits to 100 KB compression

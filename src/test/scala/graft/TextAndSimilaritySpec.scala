@@ -56,6 +56,35 @@ class TextAndSimilaritySpec extends SparkTestBase {
       s"'${r.getString(0)}' != '${r.getString(1)}'"))
   }
 
+  test("luhnScrub validates candidates with the real checksum and redacts only valid ones") {
+    import org.apache.spark.sql.functions.col
+    // independent Luhn reference, coded plainly from the public algorithm
+    def luhnValid(s: String): Boolean = {
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum
+      sum % 10 == 0
+    }
+    def mint(seed: Int): String = {
+      val body = (0 until 15).map(i => (seed * (i + 3) + i * 7) % 10)
+      // brute-force the check digit against the reference
+      (0 to 9).map(c => body.mkString + c).find(luhnValid).get
+    }
+    val valid1 = mint(7); val valid2 = mint(123)
+    val invalid = valid1.dropRight(1) + ((valid1.last - '0' + 1) % 10)
+    val d = docs(
+      1L -> s"pay $valid1 or $invalid now",
+      2L -> s"ids 12345678901234567 and $valid2.", // 17-digit run: no candidate
+      3L -> "no digits at all")
+    val out = TextAnalysis.luhnScrub(d, "text").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("n_card_candidates"),
+      r.getAs[Long]("n_luhn_valid"))).toSeq == Seq((2L, 1L), (1L, 1L), (0L, 0L)))
+    assert(out(0).getAs[String]("scrubbed") == s"pay <CARD> or $invalid now")
+    assert(out(1).getAs[String]("scrubbed") == "ids 12345678901234567 and <CARD>.")
+    assert(out(2).getAs[String]("scrubbed") == "no digits at all")
+  }
+
   test("langId picks the language with the most marker hits") {
     val d = docs(
       1L -> "the cat is one of the pets and it is small",
