@@ -626,6 +626,23 @@ object Round9Queries {
       SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY keep_doc_id"""))
 
+  /** ORC + ZSTD round-trip — the OTHER columnar container Spark ships
+    * natively, under the same gate as q223's parquet form: documents dump
+    * through [[graft.sources.CompressedIngest.documentsOrc]] (memoized),
+    * exact dedup on the read-back, q24's oracle over the ORIGINAL
+    * parquet. `StorageLayoutSpec` asserts the ZSTD compression kind from
+    * the ORC file's own footer (orc-core reader) — observed, not assumed.
+    */
+  val q225OrcIngest: QueryDef = QueryDef(
+    "q225_orc_zstd_ingest",
+    (s, dir) => {
+      val back = graft.sources.CompressedIngest.documentsOrc(s, dir, "zstd")
+      graft.operators.Dedup.exactDedup(back).orderBy("keep_doc_id")
+    },
+    Some("""
+      SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_doc_id"""))
+
   /** LUHN-VALIDATED PAYMENT-CARD PII — the curation scrub the email/phone
     * pass (q55 family) cannot do with a regex alone: 16-digit candidates
     * are cheap to find, but only the Luhn checksum separates real card
@@ -704,5 +721,5 @@ object Round9Queries {
   val all: Seq[QueryDef] =
     Seq(q216AdpcmDecode, q217CleanCorpus, q218MpegFrameWalk, q219AdpcmEncode,
       q220G711Compand, q221XingProbe, q222AdpcmBlocks, q223ZstdParquet,
-      q224LuhnPii)
+      q224LuhnPii, q225OrcIngest)
 }

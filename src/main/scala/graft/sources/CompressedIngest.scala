@@ -59,6 +59,16 @@ object CompressedIngest {
       (src, p) => src.write.mode("overwrite")
         .option("compression", codec).parquet(p))
 
+  /** ORC sibling — the OTHER columnar container Spark ships natively
+    * (same memoization and locking; codec e.g. "zstd" or "zlib").
+    */
+  def documentsOrc(spark: SparkSession, sfDir: String,
+      codec: String): DataFrame =
+    memoized(spark, sfDir, s"orc_$codec",
+      p => spark.read.orc(p),
+      (src, p) => src.write.mode("overwrite")
+        .option("compression", codec).orc(p))
+
   /** The dump path a (sfDir, flavor) pair resolves to — exposed so specs
     * can assert properties of the written files (e.g. the parquet
     * footer's declared codec).

@@ -184,6 +184,23 @@ class StorageLayoutSpec extends SparkTestBase {
     } finally reader.close()
   }
 
+  test("orc + zstd: the file's own footer declares ZSTD compression") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.sources.CompressedIngest.documentsOrc(spark, sf, "zstd")
+    assert(df.count() > 0)
+    val dir = new java.io.File(
+      graft.sources.CompressedIngest.dumpPath(sf, "orc_zstd"))
+    val file = dir.listFiles().find(_.getName.endsWith(".orc")).get
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+      org.apache.orc.OrcFile.readerOptions(spark.sparkContext.hadoopConfiguration))
+    try {
+      assert(reader.getCompressionKind.toString == "ZSTD",
+        s"orc footer codec: ${reader.getCompressionKind}")
+      assert(reader.getNumberOfRows > 0)
+    } finally reader.close()
+  }
+
   test("bzip2 text shards split at read; the same file as gzip is ONE split") {
     // The SCALE.md compressed-text claim, observed: bzip2's block structure
     // is splittable (Hadoop aligns range splits to 100 KB compression
