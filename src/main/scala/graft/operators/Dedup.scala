@@ -845,14 +845,16 @@ object Dedup {
     * of the actual text — the artifact a pretraining pipeline ships, not
     * just the diagnostic counts. The splice is a per-doc projection: a fold
     * over the (few, sorted) intervals concatenating the kept segments
-    * between them plus the tail. Docs with no removable spans pass through
-    * unchanged. Output: (doc_id, text, clean_text, n_spans).
+    * between them plus the tail. Docs with no removable spans — including
+    * docs SHORTER than winLen, which cannot hold any window — pass
+    * through unchanged: a corpus materialization must ship every doc.
+    * Output: (doc_id, text, clean_text, n_spans).
     */
   def removeDupSpans(docs: DataFrame, winLen: Int): DataFrame = {
     val ivs = dupSpanIntervals(docs, winLen)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
-    docs.filter(length(col("text")) >= winLen)
+    docs
       .join(ivs, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("text"),
         coalesce(col("ivs"), array().cast("array<struct<s:int,e:int>>")).as("ivs"))

@@ -80,7 +80,14 @@ object TextAnalysis {
       .withColumn("n_luhn_valid", size(col("luhn_valid")).cast("long"))
       .withColumn("scrubbed",
         aggregate(col("luhn_valid"), col(textCol),
-          (acc, card) => replace(acc, card, lit("<CARD>"))))
+          // the SAME standalone bounds as candidate extraction: a literal
+          // replace would also rewrite the card's digits where they
+          // happen to appear INSIDE a longer run (a 17-digit id that was
+          // correctly not a candidate). Cards are pure digits, so
+          // embedding one in a pattern is metacharacter-safe.
+          (acc, card) => regexp_replace(acc,
+            concat(lit("(?<![0-9])"), card, lit("(?![0-9])")),
+            lit("<CARD>"))))
       .drop("card_cands", "luhn_valid")
   }
 

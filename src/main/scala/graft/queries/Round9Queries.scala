@@ -93,7 +93,6 @@ object Round9Queries {
              CAST(len(d.text) - len(coalesce(s.clean, d.text)) AS BIGINT)
                AS chars_removed
       FROM documents d LEFT JOIN spliced s ON d.doc_id = s.doc_id
-      WHERE len(d.text) >= 20
       ORDER BY d.doc_id"""))
 
   private val AdpcmStepsSql: String =

@@ -26,7 +26,8 @@ class DedupSpec extends SparkTestBase {
       1L -> "abcdefghij",
       2L -> "xxabcdeyy",
       3L -> "zzzzzzabcdefghij",
-      4L -> "abcde123456789012bcdef")
+      4L -> "abcde123456789012bcdef",
+      5L -> "tiny") // shorter than winLen: no windows, must pass through
     val out = Dedup.removeDupSpans(d, winLen = 5)
       .orderBy("doc_id")
       .collect()
@@ -37,7 +38,8 @@ class DedupSpec extends SparkTestBase {
       (1L, "abcdefghij", 0),
       (2L, "xxyy", 1),
       (3L, "z", 1),
-      (4L, "123456789012", 2)))
+      (4L, "123456789012", 2),
+      (5L, "tiny", 0)))
   }
 
   test("exact dedup keeps the lowest doc_id per identical text") {

@@ -76,13 +76,19 @@ class TextAndSimilaritySpec extends SparkTestBase {
     val d = docs(
       1L -> s"pay $valid1 or $invalid now",
       2L -> s"ids 12345678901234567 and $valid2.", // 17-digit run: no candidate
-      3L -> "no digits at all")
+      3L -> "no digits at all",
+      // the valid card's digits EMBEDDED in a longer run: the run is not
+      // a candidate, and redaction of the standalone occurrence must not
+      // rewrite the embedded copy
+      4L -> s"big 9$valid1 vs $valid1 end")
     val out = TextAnalysis.luhnScrub(d, "text").orderBy("doc_id").collect()
     assert(out.map(r => (r.getAs[Long]("n_card_candidates"),
-      r.getAs[Long]("n_luhn_valid"))).toSeq == Seq((2L, 1L), (1L, 1L), (0L, 0L)))
+      r.getAs[Long]("n_luhn_valid"))).toSeq ==
+      Seq((2L, 1L), (1L, 1L), (0L, 0L), (1L, 1L)))
     assert(out(0).getAs[String]("scrubbed") == s"pay <CARD> or $invalid now")
     assert(out(1).getAs[String]("scrubbed") == "ids 12345678901234567 and <CARD>.")
     assert(out(2).getAs[String]("scrubbed") == "no digits at all")
+    assert(out(3).getAs[String]("scrubbed") == s"big 9$valid1 vs <CARD> end")
   }
 
   test("langId picks the language with the most marker hits") {
