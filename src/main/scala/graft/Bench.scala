@@ -96,20 +96,28 @@ object Bench {
     // captured BENCH_rN alone surfaces every cross-round mover even when
     // the char budget drops fast entries. Sub-50ms medians are exempt
     // (pure timer noise at that magnitude).
+    // Two sources, in order: this JVM tree's own last side-channel file,
+    // then the COMMITTED per-round snapshot (bench_prev.json, refreshed
+    // at each round close) — so the driver's fresh-target round run still
+    // sees the previous round's medians.
     val prev: Map[String, Double] =
-      try {
-        val p = java.nio.file.Paths.get("target", "bench_full.json")
-        if (java.nio.file.Files.exists(p)) {
-          val txt = new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
-            .exists(_.group(1) == sfDir)
-          if (sfOk)
-            """"(q[0-9][^"]*)":([0-9.]+)""".r.findAllMatchIn(txt)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          else Map.empty
-        } else Map.empty
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      Seq(java.nio.file.Paths.get("target", "bench_full.json"),
+        java.nio.file.Paths.get("bench_prev.json")).view.map { p =>
+        try {
+          if (java.nio.file.Files.exists(p)) {
+            val txt = new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+              .exists(_.group(1) == sfDir)
+            if (sfOk)
+              """"(q[0-9][^"]*)":([0-9.]+)""".r.findAllMatchIn(txt)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            else Map.empty[String, Double]
+          } else Map.empty[String, Double]
+        } catch {
+          case scala.util.control.NonFatal(_) => Map.empty[String, Double]
+        }
+      }.find(_.nonEmpty).getOrElse(Map.empty)
     val movers = ok.filter { case (k, v) =>
       prev.get(k).exists(p0 => p0 > 0.05 && v > 0.05 &&
         (v / p0 > 2.0 || p0 / v > 2.0))
