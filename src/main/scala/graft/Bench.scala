@@ -122,9 +122,32 @@ object Bench {
       prev.get(k).exists(p0 => p0 > 0.05 && v > 0.05 &&
         (v / p0 > 2.0 || p0 / v > 2.0))
     }.map(_._1).toSet
+    // SELF-ADJUDICATION: re-run each flagged mover once more, now that the
+    // full sweep has warmed the JVM — the VM-interleaving spikes that have
+    // produced phantom >2x movers every round since round 4 evaporate on
+    // the re-run, while a real regression reproduces. Both numbers ship in
+    // the compact head ("moved": {"qNN": [sweepMedian, rerun]}), so the
+    // driver-captured BENCH_rN alone distinguishes noise from regression
+    // without a judge session. Slowest-first, capped so a mass-mover round
+    // cannot blow the char budget (the count is always in "movers").
+    val movedPairs = ok.filter { case (k, _) => movers(k) }
+      .sortBy(-_._2).take(12).map { case (k, v) =>
+        val t0 = System.nanoTime()
+        val rerun =
+          try {
+            SparkEntry.queries(k)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        (k, v, rerun)
+      }
+    val movedJson = movedPairs.map { case (k, v, r) =>
+      "\"" + k.takeWhile(_ != '_') + "\":[" + fmt(v) + "," + fmt(r) + "]"
+    }.mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
       s""""repeats":$repeats,"errors":$errs,"movers":${movers.size},""" +
+      s""""moved":$movedJson,""" +
       s""""sf":"$sfDir","queries":{"""
     val budget = 1800 - head.length - 40 // room for closing + omitted count
     val bySlow = ok.sortBy { case (k, v) => (if (movers(k)) 0 else 1, -v) }
@@ -155,7 +178,7 @@ object Bench {
       }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
-        s""""repeats":$repeats,"sf":"$sfDir","queries":{""" +
+        s""""repeats":$repeats,"sf":"$sfDir","moved":$movedJson,"queries":{""" +
         entries.mkString(",") + "}}"
     }
     try {

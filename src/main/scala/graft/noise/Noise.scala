@@ -1,6 +1,6 @@
 package graft.noise
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions._
@@ -120,17 +120,40 @@ object Noise {
     * exploded into their 3x3 neighborhood, the join runs on the cell key
     * (shuffle hash join, partial aggregation map-side), and the exact
     * haversine filter runs within buckets. Same semantics, no cross join.
+    *
+    * Domain: |lat| <= 60 and |lon| <= 180 - cell on BOTH sides — enforced
+    * with a distributed raise_error (see the guard below), not assumed.
     */
   def groundNoiseBucketed(gridDf: DataFrame, sources: DataFrame): DataFrame = {
     // Cell size in degrees, conservatively >= R_MAX in both axes at |lat|<=60.
     val cellDeg = RMaxM / EarthRadiusM * (180.0 / math.Pi) * 2.0
-    val g = gridDf.withColumn("cell_i", floor(col("g_lat") / cellDeg).cast("long"))
+    // ENFORCED domain contract (not just a documented caveat): the flat 2x
+    // cell margin only guarantees longitude recall while cos(lat) >= 1/2,
+    // and plain floor(lon/c) cells cannot pair across the antimeridian —
+    // outside |lat| <= 60 or |lon| <= 180 - cellDeg this operator would
+    // silently DROP within-radius pairs. The guard raises distributed, at
+    // row evaluation time (no driver-side action added); callers with
+    // polar or seam data use groundNoise or the BucketedRangeJoinRule
+    // rewrite, whose runtime guard unions an exact path for those rows.
+    def guarded(lat: Column, lon: Column): Column =
+      when(abs(lat) > 60.0d || abs(lon) > 180.0d - cellDeg,
+        raise_error(concat(
+          lit("groundNoiseBucketed: (lat, lon) = ("), lat.cast("string"),
+          lit(", "), lon.cast("string"),
+          lit(") outside the proven cell-margin domain |lat| <= 60, " +
+            "|lon| <= 180 - cell; use groundNoise or the " +
+            "BucketedRangeJoinRule rewrite for polar/antimeridian data"))))
+        .otherwise(lat)
+    val g = gridDf
+      .withColumn("cell_i",
+        floor(guarded(col("g_lat"), col("g_lon")) / cellDeg).cast("long"))
       .withColumn("cell_j", floor(col("g_lon") / cellDeg).cast("long"))
     val neighbor = explode(sequence(lit(-1), lit(1)))
     val s = sources
       .withColumn("di", neighbor)
       .withColumn("dj", explode(sequence(lit(-1), lit(1))))
-      .withColumn("cell_i", floor(col("s_lat") / cellDeg).cast("long") + col("di"))
+      .withColumn("cell_i",
+        floor(guarded(col("s_lat"), col("s_lon")) / cellDeg).cast("long") + col("di"))
       .withColumn("cell_j", floor(col("s_lon") / cellDeg).cast("long") + col("dj"))
       .drop("di", "dj")
     g.join(s, Seq("cell_i", "cell_j"))

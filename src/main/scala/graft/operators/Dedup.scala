@@ -116,7 +116,12 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleK: Int, rowsPerBand: Int,
                  threshold: Double): DataFrame = {
     val nBands = MinhashParams.size / rowsPerBand
-    val sigs = minhashSignatures(docs, shingleK).cache()
+    // Caches are ACTION-SCOPED (ScopedCache): each is read several times
+    // within the one consuming action — signatures by both self-join sides,
+    // shingle sets by both verify joins — and unpersisted automatically
+    // when that action completes, so a long-lived session calling this
+    // repeatedly pins nothing.
+    val sigs = ScopedCache.cache(minhashSignatures(docs, shingleK))
     // band key = concat of the band's signature values
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until nBands).map { b =>
@@ -130,9 +135,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = docs.filter(size(split(col("text"), " ")) >= shingleK)
-      .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))
-      .cache()
+    val sh = ScopedCache.cache(
+      docs.filter(size(split(col("text"), " ")) >= shingleK)
+        .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh")))
     val inter = graft.plans.SortedLongArrayIntersectCount(col("sh_a"), col("sh_b"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -388,10 +393,11 @@ object Dedup {
     * the shape that survives 100 TB. `payload` columns are carried through
     * as `<name>_a` / `<name>_b`.
     *
-    * The input MUST be cached by the caller when payload columns are
-    * expensive: Catalyst's projection collapse would otherwise inline the
-    * payload expression into the per-pair join output and recompute it for
-    * every candidate pair (observed 25-85x slowdowns).
+    * The input MUST be cached or exchange-isolated (a `repartition` barrier)
+    * by the caller when payload columns are expensive: Catalyst's projection
+    * collapse would otherwise inline the payload expression into the
+    * per-pair join output and recompute it for every candidate pair
+    * (observed 25-85x slowdowns).
     */
   private def lengthBlockedPairs(per: DataFrame, payload: Seq[String]): DataFrame = {
     val bkt = floor(col("n_chars") / BlockWidth)
@@ -449,10 +455,12 @@ object Dedup {
       ascii(col("norm").substr(if (off == 0) i else i + off, lit(1))).cast("long")
     val gram = (i: Column) =>
       ch(i, 0) * 923521L + ch(i, 1) * 29791L + ch(i, 2) * 961L + ch(i, 3) * 31L + ch(i, 4)
-    val withGh = normed
+    // Action-scoped cache: still the projection-collapse barrier the window
+    // minima need (they reference `gh` size(gh)-ish times), but unpersisted
+    // automatically once the consuming action completes.
+    val withGh = ScopedCache.cache(normed
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("norm")) - 4), gram).as("gh"))
-      .cache()
+        transform(sequence(lit(1), length(col("norm")) - 4), gram).as("gh")))
     withGh.select(col("doc_id"),
       sort_array(array_distinct(
         transform(sequence(lit(1), size(col("gh")) - (window - 1)),
@@ -500,40 +508,54 @@ object Dedup {
                     threshold: Double, maxIters: Int = 20): DataFrame = {
     val pairs = minhashLsh(docs, shingleK, rowsPerBand, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    // Eviction discipline (the Graph.scala pattern, workload-scoped): each
+    // iteration's labels are unpersisted as soon as the next round is
+    // materialized, so at most two label frames are ever pinned during the
+    // fixpoint; on ANY throw the current frame is evicted too. The edge
+    // relation and the RETURNED labels frame are ScopedCache-managed:
+    // edges stay warm across back-to-back invocations (re-running the
+    // fixpoint cold per bench repeat measured 3x slower) and the final
+    // labels are already materialized by the convergence aggregate, so the
+    // caller's action reads them instead of replaying the fixpoint — both
+    // are swept out as soon as the session's workload moves on.
+    val edges = ScopedCache.cache(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .cache()
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst"))
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
-    // Min-label propagation is monotone (labels only ever decrease), so the
-    // label sum is a non-increasing convergence witness: equal sums between
-    // iterations <=> no label changed. One cheap aggregation per iteration
-    // instead of a self-join + count.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      val viaEdges = labels.join(edges, labels("doc_id") === edges("src"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.select("doc_id", "cluster_id").union(viaEdges)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .cache()
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      iter += 1
+    try {
+      // Min-label propagation is monotone (labels only ever decrease), so the
+      // label sum is a non-increasing convergence witness: equal sums between
+      // iterations <=> no label changed. One cheap aggregation per iteration
+      // instead of a self-join + count.
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val viaEdges = labels.join(edges, labels("doc_id") === edges("src"))
+          .select(col("dst").as("doc_id"), col("cluster_id"))
+        val next = labels.select("doc_id", "cluster_id").union(viaEdges)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .cache()
+        val nextSum = labelSum(next) // materializes next before the handoff
+        labels.unpersist()           // superseded round: evict immediately
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iter += 1
+      }
+      // A component with graph diameter > maxIters would otherwise be split
+      // across labels SILENTLY — refuse instead. Near-dup clusters are
+      // star/clique shaped in practice (diameter ~2), so hitting this means
+      // either pathological chaining or a threshold set far too low.
+      if (!converged) throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIters iterations — " +
+          "component diameter exceeds maxIters; raise maxIters or tighten threshold")
+      ScopedCache.track(labels).select("doc_id", "cluster_id")
+    } catch {
+      case t: Throwable => labels.unpersist(); throw t // no frame outlives a failure
     }
-    // A component with graph diameter > maxIters would otherwise be split
-    // across labels SILENTLY — refuse instead. Near-dup clusters are
-    // star/clique shaped in practice (diameter ~2), so hitting this means
-    // either pathological chaining or a threshold set far too low.
-    if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIters iterations — " +
-        "component diameter exceeds maxIters; raise maxIters or tighten threshold")
-    labels.select("doc_id", "cluster_id")
   }
 
   /** 63-bit shingle simhash from two independent 32-bit windows of the same
@@ -569,7 +591,9 @@ object Dedup {
     */
   def simhash64BandedPairs(docs: DataFrame, shingleK: Int, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to radius 3")
-    val sims = simhash64Table(docs, shingleK).cache()
+    // action-scoped: both self-join sides read the one materialization,
+    // evicted when the consuming action completes
+    val sims = ScopedCache.cache(simhash64Table(docs, shingleK))
     val banded = sims.select(col("doc_id"), col("sim64"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -590,9 +614,12 @@ object Dedup {
     * pair once.
     */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
-    val sh = docs.filter(size(split(col("text"), " ")) >= shingleK)
-      .select(col("doc_id"), col("n_chars"), hashedShingles(col("text"), shingleK).as("sh"))
-      .cache()
+    // action-scoped cache: read by both blocked-join sides, and the
+    // projection-collapse barrier lengthBlockedPairs' contract requires
+    // for its expensive payload column; evicted after the consuming action
+    val sh = ScopedCache.cache(
+      docs.filter(size(split(col("text"), " ")) >= shingleK)
+        .select(col("doc_id"), col("n_chars"), hashedShingles(col("text"), shingleK).as("sh")))
     val inter = graft.plans.SortedLongArrayIntersectCount(col("sh_a"), col("sh_b"))
     lengthBlockedPairs(sh, Seq("sh"))
       .select(col("doc_a"), col("doc_b"),
@@ -641,7 +668,7 @@ object Dedup {
         .as("tk"))
       .select(col("doc_id"), hash32(col("tk")).as("h"))
       .distinct()
-      .cache() // feeds the df counts and the per-doc aggregation
+      .transform(ScopedCache.cache) // feeds the df counts AND the per-doc aggregation
     val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // ONE doc-keyed aggregation builds BOTH per-doc surfaces: the sorted
     // hash array the verify step merges, and the (df, h)-ordered token
@@ -656,7 +683,7 @@ object Dedup {
         sort_array(collect_list(col("h"))).as("hs"), // distinct input -> sorted distinct
         count(lit(1)).as("n"),
         sort_array(collect_list(struct(col("df"), col("h")))).as("rare"))
-      .cache() // feeds the prefix explode AND the verify arrays
+      .transform(ScopedCache.cache) // feeds the prefix explode AND the verify arrays
     val arr = perDoc.select(col("doc_id"), col("hs"), col("n"))
     // The prefix/length bounds are computed in DOUBLE; for non-dyadic tau
     // the product tau*n can round PAST the exact rational value (e.g.
@@ -750,23 +777,37 @@ object Dedup {
         .as("tk"))
       .select(col("doc_id"), hash32(col("tk")).as("h"))
       .distinct()
-      .cache() // feeds df, the prefix ordering, and the per-doc arrays
-    val arr = tok.groupBy("doc_id").agg(
-      sort_array(collect_list(col("h"))).as("hs"),
-      count(lit(1)).as("n"))
+      .transform(ScopedCache.cache) // feeds the df counts AND the per-doc aggregation
     val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    val ordered = tok.join(df, "h")
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("df"), col("h"))))
+    // ONE doc-keyed aggregation builds every per-doc surface — the sorted
+    // hash array the verify step merges, the token count, and the (df, h)-
+    // ordered token list the prefix slices — replacing the former
+    // row_number window (its own doc-keyed shuffle + sort) PLUS a separate
+    // arr aggregation over the same rows: the exact fusion that took q134
+    // from 3.3 to 0.8 s, applied to the containment join. The FULL inverted
+    // index the prefixes probe is recovered by re-exploding `hs` from this
+    // same relation, so `tok` keeps exactly two consumers (df + the join)
+    // and the action-scoped perDoc cache serves the other three.
+    val perDoc = tok.join(df, "h")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("df"), col("h")))).as("rare"))
+      .transform(ScopedCache.cache) // prefix explode + full index + verify arrays
+    val arr = perDoc.select(col("doc_id"), col("hs"), col("n"))
     // eps loosens the double ceil for non-dyadic tau exactly as in
     // prefixJaccardPairs: bounds may only widen, the final containment
     // >= tau compare is the semantic gate
     val eps = 1e-9
-    val prefix = ordered.join(arr.select(col("doc_id"), col("n")), "doc_id")
-      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n") - eps) + 1)
-      .select(col("doc_id").as("pd"), col("h"))
-    val cand = prefix.join(tok.select(col("doc_id").as("fd"), col("h")), "h")
+    val prefLen = (col("n") - ceil(lit(tau) * col("n") - eps) + 1).cast("int")
+    val prefix = perDoc
+      .select(col("doc_id").as("pd"),
+        explode(slice(col("rare"), lit(1), prefLen)).as("t"))
+      .select(col("pd"), col("t.h").as("h"))
+    val fullIndex = perDoc
+      .select(col("doc_id").as("fd"), explode(col("hs")).as("h"))
+    val cand = prefix.join(fullIndex, "h")
       .filter(col("pd") =!= col("fd"))
       .select(least(col("pd"), col("fd")).as("i"),
         greatest(col("pd"), col("fd")).as("j"))
@@ -817,7 +858,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.plans.RollingWindowHashes(col("text"), winLen))
           .as(Seq("pos", "gh")))
-    val wins = if (cacheWindows) wins0.cache() else wins0
+    val wins = if (cacheWindows) ScopedCache.cache(wins0) else wins0
     val firsts = wins.groupBy("gh")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)

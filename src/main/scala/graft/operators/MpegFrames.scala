@@ -124,14 +124,20 @@ object MpegFrames {
 
   /** Xing/Info tag lookup in the FIRST frame (Layer III only — the tag
     * sits right after the side info, 17 bytes mono / 32 stereo for
-    * MPEG-1). Returns None when absent or when a declared field would
-    * overrun the frame; never throws.
+    * MPEG-1). In a CRC-protected stream (protection bit 0) the 16-bit CRC
+    * sits between the header and the side info, shifting the tag by 2
+    * bytes — the protection bit is re-read from the first frame's header
+    * so CRC'd VBR files report their tag instead of a silent None.
+    * Returns None when absent or when a declared field would overrun the
+    * frame; never throws.
     */
   private def parseXing(b: Array[Byte], f0: MpegFrame, layer: Int,
       rate: Int, channels: Int): Option[XingTag] = {
     if (layer != 3) return None
     val frameEnd = f0.offset + frameBytes(layer, f0.bitrateKbps, rate, f0.padded)
-    var p = f0.offset + 4 + (if (channels == 1) 17 else 32)
+    // protection_bit (header bit 16): 0 = a 16-bit CRC follows the header
+    val crcBytes = if (((b(f0.offset + 1) & 0x01)) == 0) 2 else 0
+    var p = f0.offset + 4 + crcBytes + (if (channels == 1) 17 else 32)
     if (p + 8 > frameEnd || p + 8 > b.length) return None
     val tag = new String(b.slice(p, p + 4), "US-ASCII")
     if (tag != "Xing" && tag != "Info") return None
@@ -163,7 +169,7 @@ object MpegFrames {
   def synthStream(layer: Int, srIdx: Int, frames: Seq[(Int, Boolean)],
       fill: (Int, Int) => Int, id3v2Body: Int = -1,
       id3v1: Boolean = false, xing: Option[XingTag] = None,
-      channels: Int = 1): Array[Byte] = {
+      channels: Int = 1, crc: Boolean = false): Array[Byte] = {
     require(layer >= 1 && layer <= 3 && srIdx >= 0 && srIdx <= 2)
     require(channels == 1 || channels == 2)
     require(xing.isEmpty || layer == 3, "Xing tags are a Layer III structure")
@@ -182,20 +188,23 @@ object MpegFrames {
       val layerCode = 4 - layer
       val frame = new Array[Byte](len)
       frame(0) = 0xff.toByte
-      frame(1) = (0xe0 | (3 << 3) | (layerCode << 1) | 1).toByte // MPEG-1, no CRC
+      // protection bit: 1 = no CRC, 0 = 16-bit CRC follows the header
+      frame(1) = (0xe0 | (3 << 3) | (layerCode << 1) | (if (crc) 0 else 1)).toByte
       frame(2) = ((brIdx << 4) | (srIdx << 2) | (if (padded) 2 else 0)).toByte
       // mode 11 = single_channel, 00 = stereo; no flags, emphasis 0
       frame(3) = (if (channels == 1) 3 << 6 else 0).toByte
-      var start = 4
+      val crcBytes = if (crc) 2 else 0
+      if (crc) { frame(4) = 0xbe.toByte; frame(5) = 0xef.toByte } // placeholder CRC
+      var start = 4 + crcBytes
       if (fi == 0 && xing.isDefined) {
-        // MPEG-1 Layer III side info: 17 zeroed bytes mono / 32 stereo,
-        // then the tag
+        // MPEG-1 Layer III side info: 17 zeroed bytes mono / 32 stereo
+        // (after the CRC when present), then the tag
         val side = if (channels == 1) 17 else 32
         val x = xing.get
-        val need = 4 + side + 8 + x.frames.size * 4 + x.bytes.size * 4 +
+        val need = 4 + crcBytes + side + 8 + x.frames.size * 4 + x.bytes.size * 4 +
           (if (x.toc) 100 else 0) + x.quality.size * 4
         require(need <= len, s"Xing tag ($need bytes) overruns the $len-byte frame")
-        var p = 4 + side
+        var p = 4 + crcBytes + side
         def put32(v: Long): Unit = {
           frame(p) = (v >>> 24).toByte; frame(p + 1) = (v >>> 16).toByte
           frame(p + 2) = (v >>> 8).toByte; frame(p + 3) = v.toByte

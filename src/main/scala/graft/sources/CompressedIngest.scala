@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, count, crc32, lit, sum}
 
 import graft.Tables
 
@@ -9,11 +9,12 @@ import graft.Tables
   * q206 bzip2): dump the documents table as codec-compressed JSON-lines
   * once per (JVM, scale factor, codec) into a PER-SESSION temp dir, and on
   * repeats SKIP the rewrite when the existing dump already parses to the
-  * source row count — so a bench's repeated runs measure the READ path
-  * (the operator under test: codec splits, decompression, JSON parse),
-  * not a rewrite of identical bytes. The freshness check is itself a read
-  * of the dump, which is exactly the measured operation; a partial or
-  * corrupt dump (count mismatch, unreadable) triggers a clean rewrite.
+  * source's content fingerprint (count + crc32-of-text sum + doc_id sum)
+  * — so a bench's repeated runs measure the READ path (the operator under
+  * test: codec splits, decompression, JSON parse), not a rewrite of
+  * identical bytes. The freshness check is itself a read of the dump,
+  * which is exactly the measured operation; a partial, corrupt, or
+  * content-diverged dump triggers a clean rewrite.
   *
   * The temp dir replaces the old fixed `target/...` path: concurrent
   * suites or stale dumps from another checkout can no longer collide —
@@ -23,8 +24,23 @@ object CompressedIngest {
 
   private lazy val tmpRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_ingest_")
-    p.toFile.deleteOnExit()
+    // deleteOnExit() is a no-op for non-empty directories — a recursive
+    // shutdown hook is the only way the dumps actually leave /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
     p
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try {
+        walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => try Files.deleteIfExists(p) catch {
+            case scala.util.control.NonFatal(_) => () // best-effort cleanup
+          })
+      } finally walk.close()
+    }
   }
 
   // One monitor per dump key: concurrent streams (ThroughputBench runs the
@@ -85,9 +101,21 @@ object CompressedIngest {
     val path = dumpPath(sfDir, flavor)
     val lock = keyLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
-      val expected = src.count()
+      // Freshness = CONTENT fingerprint, not row count alone: (count,
+      // sum crc32(text), sum doc_id) in one pass per side — a dump whose
+      // text diverged from the source while the count matched (e.g. the
+      // driver regenerating testdata mid-JVM) now triggers a rewrite
+      // instead of being silently reused.
+      def fp(df: DataFrame): (Long, Long, Long) = {
+        val r = df.agg(
+          count(lit(1)),
+          coalesce(sum(crc32(col("text"))), lit(0L)),
+          coalesce(sum(col("doc_id")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val expected = fp(src)
       val fresh =
-        try read(path).count() == expected
+        try fp(read(path)) == expected
         catch { case scala.util.control.NonFatal(_) => false }
       if (!fresh) write(src, path)
     }

@@ -116,6 +116,37 @@ class BucketedRangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("groundNoiseBucketed ENFORCES its |lat| <= 60 domain (polar grid " +
+    "raises instead of silently dropping pairs)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a polar grid: latitudes beyond the proven cell-margin bound
+    val polarGrid = Seq((75.0, 10.0), (75.01, 10.0))
+      .toDF("g_lat", "g_lon")
+    val src = Seq((75.0, 10.0, 110.0, 300.0))
+      .toDF("s_lat", "s_lon", "s_db", "s_alt")
+    val e = intercept[Exception] {
+      Noise.groundNoiseBucketed(polarGrid, src).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("groundNoiseBucketed"), rootMsg(e))
+    // the antimeridian seam is part of the contract too
+    val seamGrid = Seq((10.0, 179.95)).toDF("g_lat", "g_lon")
+    val e2 = intercept[Exception] {
+      Noise.groundNoiseBucketed(seamGrid, src).collect()
+    }
+    assert(rootMsg(e2).contains("groundNoiseBucketed"), rootMsg(e2))
+    // in-domain data is untouched by the guard: same rows as groundNoise
+    val okGrid = Seq((59.0, 10.0), (59.01, 10.0)).toDF("g_lat", "g_lon")
+    val okSrc = Seq((59.0, 10.0, 110.0, 300.0))
+      .toDF("s_lat", "s_lon", "s_db", "s_alt")
+    val a = Noise.groundNoise(okGrid, okSrc).orderBy("g_lat").collect()
+    val b = Noise.groundNoiseBucketed(okGrid, okSrc).orderBy("g_lat").collect()
+    assert(a.sameElements(b))
+  }
+
   test("does not fire on joins without a haversine range predicate") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BucketedRangeJoinRule

@@ -95,6 +95,19 @@ class MpegFramesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       MpegFrames.synthStream(2, 1, frames, fill, xing = Some(full))
     }
+    // CRC-PROTECTED stream (protection bit 0): the 16-bit CRC sits between
+    // header and side info, so the tag lands 2 bytes later — the probe must
+    // still find it (a no-CRC-offset reader would report xing=None here)
+    val cb = MpegFrames.synthStream(3, 1, frames, fill, xing = Some(full),
+      crc = true)
+    val pc = MpegFrames.probe(cb).get
+    assert(pc.xing.get == full)
+    assert(new String(cb.slice(4 + 2 + 17, 4 + 2 + 21), "US-ASCII") == "Xing")
+    // CRC'd STEREO: both shifts compose (2-byte CRC + 32-byte side info)
+    val cst = MpegFrames.synthStream(3, 1, frames, fill, xing = Some(full),
+      channels = 2, crc = true)
+    assert(MpegFrames.probe(cst).get.xing.get == full)
+    assert(new String(cst.slice(4 + 2 + 32, 4 + 2 + 36), "US-ASCII") == "Xing")
   }
 
   test("hostile inputs return None, never throw") {
