@@ -1,0 +1,267 @@
+package graft.operators
+
+/** ISO-BMFF (MP4/MOV family, ISO/IEC 14496-12) CONTAINER probe: the box
+  * walk a media lake's prober runs over the billions of video payloads it
+  * curates — brand, movie timescale/duration, track count, handler types,
+  * codec fourccs, video dimensions, languages, mdat payload size — and the
+  * exact structural walk any full demuxer must run first.
+  *
+  * Scope is deliberate and explicit, mirroring [[MpegFrames]]: this
+  * operator decodes the CONTAINER, not the samples. Frame/sample
+  * reconstruction (stts/stsz/stco sample tables driving codec payloads in
+  * mdat) requires the per-codec bitstream decoders (H.264/HEVC/AAC...),
+  * which this library does not fabricate; payloads whose samples it cannot
+  * reconstruct surface as EXPLICIT NULLS from the decode operators, with
+  * this prober still supplying the real container metadata. Everything
+  * parsed here is pure spec arithmetic over the public box layouts —
+  * sizes, versioned fullbox fields, 16.16 fixed-point dimensions, the
+  * 3x5-bit packed language code — with no tabulated signal data.
+  *
+  * Hostile-byte posture: [[probe]] never throws. Truncated boxes, sizes
+  * under the header length, children that do not exactly tile their
+  * container, reserved versions, a missing/misplaced ftyp, or a malformed
+  * stsd entry list all yield None.
+  */
+object Mp4Boxes {
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** One parsed box: type + payload bounds (header excluded). */
+  final case class Box(typ: String, start: Int, end: Int) {
+    def len: Int = end - start
+  }
+
+  /** Child boxes exactly tiling [from, to). Handles the three size forms
+    * of the spec: plain 32-bit, size==1 -> 64-bit largesize, size==0 ->
+    * extends to the end of the enclosing space (top level only). None on
+    * any overrun, undersized box, or trailing garbage.
+    */
+  private[graft] def walk(b: Array[Byte], from: Int, to: Int,
+      topLevel: Boolean): Option[Vector[Box]] = {
+    val out = Vector.newBuilder[Box]
+    var p = from
+    while (p < to) {
+      if (p + 8 > to) return None
+      var size = be32(b, p)
+      var hdr = 8
+      if (size == 1L) {
+        if (p + 16 > to) return None
+        size = be64(b, p + 8)
+        hdr = 16
+        if (size < 0) return None // u64 beyond Long range: not addressable
+      } else if (size == 0L) {
+        if (!topLevel) return None // to-end form is a top-level-only escape
+        size = (to - p).toLong
+      }
+      if (size < hdr || size > (to - p).toLong) return None
+      out += Box(fourcc(b, p + 4), p + hdr, p + size.toInt)
+      p += size.toInt
+    }
+    Some(out.result())
+  }
+
+  /** FullBox header: (version, body offset past version+flags), or None
+    * when the 4 header bytes do not fit or the version is not 0/1.
+    */
+  private def fullVer(b: Array[Byte], box: Box): Option[Int] = {
+    if (box.len < 4) return None
+    val v = b(box.start) & 0xff
+    if (v > 1) None else Some(v)
+  }
+
+  /** Per-track container metadata. `width`/`height` are the integer part
+    * of tkhd's 16.16 fixed-point values (0 for sound tracks); `lang` is
+    * the mdhd 3x5-bit packed code decoded to its 3 lowercase letters.
+    */
+  final case class Mp4Track(trackId: Long, handler: String,
+      codecs: Vector[String], width: Int, height: Int,
+      timescale: Long, duration: Long, lang: String) {
+    /** Floor-integer track duration in ms — exact cross-engine math. */
+    def durationMs: Long =
+      if (timescale > 0) duration * 1000L / timescale else 0L
+  }
+
+  /** Parsed container: ftyp brands, mvhd movie clock, tracks, and the
+    * total mdat payload size (content deliberately untouched).
+    */
+  final case class Mp4Info(brand: String, minorVersion: Long,
+      compatibleBrands: Vector[String], timescale: Long, duration: Long,
+      tracks: Vector[Mp4Track], mdatBytes: Long) {
+    def nTracks: Int = tracks.length
+    def durationMs: Long =
+      if (timescale > 0) duration * 1000L / timescale else 0L
+  }
+
+  /** Walk a whole file: ftyp must come first (14496-12 §4.3: "should be
+    * placed as early as possible"; this prober requires it first, the
+    * position every mainstream muxer writes), exactly one moov, any number
+    * of mdat/free/skip/unknown boxes (skipped structurally — their sizes
+    * still validate). None on any malformation; never throws.
+    */
+  def probe(b: Array[Byte]): Option[Mp4Info] = {
+    val tops = walk(b, 0, b.length, topLevel = true).getOrElse(return None)
+    if (tops.isEmpty || tops.head.typ != "ftyp") return None
+    val ft = tops.head
+    if (ft.len < 8 || (ft.len - 8) % 4 != 0) return None
+    val brand = fourcc(b, ft.start)
+    val minor = be32(b, ft.start + 4)
+    val compat = (0 until (ft.len - 8) / 4)
+      .map(i => fourcc(b, ft.start + 8 + 4 * i)).toVector
+    val moovs = tops.filter(_.typ == "moov")
+    if (moovs.size != 1) return None
+    val mdatBytes = tops.filter(_.typ == "mdat").map(_.len.toLong).sum
+    val kids = walk(b, moovs.head.start, moovs.head.end, topLevel = false)
+      .getOrElse(return None)
+    val mvhd = kids.find(_.typ == "mvhd").getOrElse(return None)
+    val (ts, dur) = fullVer(b, mvhd).getOrElse(return None) match {
+      case 0 if mvhd.len >= 100 => (be32(b, mvhd.start + 12), be32(b, mvhd.start + 16))
+      case 1 if mvhd.len >= 112 => (be32(b, mvhd.start + 20), be64(b, mvhd.start + 24))
+      case _ => return None
+    }
+    val trackBoxes = kids.filter(_.typ == "trak")
+    val tracks = Vector.newBuilder[Mp4Track]
+    trackBoxes.foreach { tk =>
+      tracks += parseTrak(b, tk).getOrElse(return None)
+    }
+    Some(Mp4Info(brand, minor, compat, ts, dur, tracks.result(), mdatBytes))
+  }
+
+  private def parseTrak(b: Array[Byte], trak: Box): Option[Mp4Track] = {
+    val kids = walk(b, trak.start, trak.end, topLevel = false).getOrElse(return None)
+    val tkhd = kids.find(_.typ == "tkhd").getOrElse(return None)
+    // tkhd body offsets past the version/flags word: v0 packs 32-bit
+    // times (track_ID at +12, width/height 16.16 at +76/+80, body 84);
+    // v1 widens the times to 64 bits (track_ID +20, width +88, body 96)
+    val (tid, w, h) = fullVer(b, tkhd).getOrElse(return None) match {
+      case 0 if tkhd.len >= 84 =>
+        (be32(b, tkhd.start + 12),
+          (be32(b, tkhd.start + 76) >> 16).toInt, (be32(b, tkhd.start + 80) >> 16).toInt)
+      case 1 if tkhd.len >= 96 =>
+        (be32(b, tkhd.start + 20),
+          (be32(b, tkhd.start + 88) >> 16).toInt, (be32(b, tkhd.start + 92) >> 16).toInt)
+      case _ => return None
+    }
+    val mdia = kids.find(_.typ == "mdia").getOrElse(return None)
+    val mkids = walk(b, mdia.start, mdia.end, topLevel = false).getOrElse(return None)
+    val mdhd = mkids.find(_.typ == "mdhd").getOrElse(return None)
+    val (mts, mdur, langCode) = fullVer(b, mdhd).getOrElse(return None) match {
+      case 0 if mdhd.len >= 24 =>
+        (be32(b, mdhd.start + 12), be32(b, mdhd.start + 16), be16(b, mdhd.start + 20))
+      case 1 if mdhd.len >= 36 =>
+        (be32(b, mdhd.start + 20), be64(b, mdhd.start + 24), be16(b, mdhd.start + 32))
+      case _ => return None
+    }
+    // 3 x 5-bit letters, each stored minus 0x60 (14496-12 §8.4.2)
+    val lang = new String(Array(
+      ((langCode >> 10) & 31) + 0x60, ((langCode >> 5) & 31) + 0x60,
+      (langCode & 31) + 0x60).map(_.toChar))
+    val hdlr = mkids.find(_.typ == "hdlr").getOrElse(return None)
+    if (fullVer(b, hdlr).getOrElse(return None) != 0 || hdlr.len < 24) return None
+    val handler = fourcc(b, hdlr.start + 8)
+    val minf = mkids.find(_.typ == "minf").getOrElse(return None)
+    val stbl = walk(b, minf.start, minf.end, topLevel = false)
+      .getOrElse(return None).find(_.typ == "stbl").getOrElse(return None)
+    val stsd = walk(b, stbl.start, stbl.end, topLevel = false)
+      .getOrElse(return None).find(_.typ == "stsd").getOrElse(return None)
+    if (fullVer(b, stsd).getOrElse(return None) != 0 || stsd.len < 8) return None
+    val entryCount = be32(b, stsd.start + 4)
+    val entries = walk(b, stsd.start + 8, stsd.end, topLevel = false)
+      .getOrElse(return None)
+    // the declared count must match the boxes present, and every sample
+    // entry carries at least the 8-byte SampleEntry fields
+    if (entries.size.toLong != entryCount || entries.exists(_.len < 8)) return None
+    Some(Mp4Track(tid, handler, entries.map(_.typ), w, h, mts, mdur, lang))
+  }
+
+  // ------------------------------------------------------------------
+  // Synthesis (test/oracle side): real wire format, minimal but valid.
+  // ------------------------------------------------------------------
+
+  /** Track parameters for [[synthMp4]]. */
+  final case class SynthTrack(trackId: Long, handler: String, codec: String,
+      width: Int, height: Int, timescale: Long, duration: Long, lang: String)
+
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+  private def cc(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+    s.getBytes("ISO-8859-1")
+  }
+
+  private def boxOf(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    u32(8L + body.length) ++ cc(typ) ++ body
+  }
+  private def fullBox(typ: String, version: Int, parts: Array[Byte]*): Array[Byte] =
+    boxOf(typ, Array(version.toByte, 0.toByte, 0.toByte, 0.toByte) +: parts: _*)
+
+  private def packLang(lang: String): Int = {
+    require(lang.length == 3 && lang.forall(c => c >= 'a' && c <= 'z'),
+      s"language must be 3 lowercase letters: '$lang'")
+    ((lang(0) - 0x60) << 10) | ((lang(1) - 0x60) << 5) | (lang(2) - 0x60)
+  }
+
+  /** Synthesize a VALID minimal ISO-BMFF file: ftyp, moov(mvhd + one trak
+    * per [[SynthTrack]] with tkhd/mdia(mdhd+hdlr+minf(stbl(stsd with one
+    * SampleEntry)))), and an mdat of `mdatLen` deterministic filler bytes.
+    * `version1` emits the 64-bit (version 1) forms of mvhd/tkhd/mdhd.
+    * Every header is the real wire format — [[probe]] is not told anything
+    * the bytes don't say.
+    */
+  def synthMp4(brand: String, minorVersion: Long, compat: Seq[String],
+      timescale: Long, duration: Long, tracks: Seq[SynthTrack],
+      mdatLen: Int, fill: Int => Int, version1: Boolean = false): Array[Byte] = {
+    val ver = if (version1) 1 else 0
+    def time(v: Long): Array[Byte] = if (version1) u64(v) else u32(v)
+    val ftyp = boxOf("ftyp",
+      (cc(brand) +: u32(minorVersion) +: compat.map(cc)): _*)
+    val mvhd = fullBox("mvhd", ver,
+      time(0), time(0), // creation, modification
+      u32(timescale), time(duration),
+      u32(0x00010000L), u16(0x0100), u16(0), u32(0), u32(0), // rate, volume, reserved
+      // unity matrix
+      u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L), u32(0),
+      u32(0), u32(0), u32(0x40000000L),
+      u32(0), u32(0), u32(0), u32(0), u32(0), u32(0), // pre_defined x6
+      u32(0xffffffffL)) // next_track_ID
+    val traks = tracks.map { t =>
+      val tkhd = fullBox("tkhd", ver,
+        time(0), time(0), u32(t.trackId), u32(0), time(t.duration),
+        u32(0), u32(0), // reserved
+        u16(0), u16(0), u16(if (t.handler == "soun") 0x0100 else 0), u16(0),
+        u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L), u32(0),
+        u32(0), u32(0), u32(0x40000000L),
+        u32(t.width.toLong << 16), u32(t.height.toLong << 16))
+      val mdhd = fullBox("mdhd", ver,
+        time(0), time(0), u32(t.timescale), time(t.duration),
+        u16(packLang(t.lang)), u16(0))
+      val hdlr = fullBox("hdlr", 0,
+        u32(0), cc(t.handler), u32(0), u32(0), u32(0),
+        Array(0.toByte)) // empty null-terminated name
+      // minimal SampleEntry: 6 reserved bytes + data_reference_index
+      val entry = boxOf(t.codec,
+        Array.fill(6)(0.toByte), u16(1))
+      val stsd = fullBox("stsd", 0, u32(1), entry)
+      val stbl = boxOf("stbl", stsd)
+      val minf = boxOf("minf", stbl)
+      val mdia = boxOf("mdia", mdhd, hdlr, minf)
+      boxOf("trak", tkhd, mdia)
+    }
+    val moov = boxOf("moov", (mvhd +: traks): _*)
+    val mdat = boxOf("mdat",
+      Array.tabulate(mdatLen)(i => (fill(i) & 0xff).toByte))
+    ftyp ++ moov ++ mdat
+  }
+}
