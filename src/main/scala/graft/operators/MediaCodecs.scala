@@ -1026,17 +1026,79 @@ object MediaCodecs {
       }
       blk += 1
     }
-    adpcmContainer(sampleRate, blockAlign, perBlock, samples.length, data)
+    adpcmContainer(sampleRate, blockAlign, perBlock, samples.length, data, 1)
   }
 
-  /** RIFF container for one mono IMA ADPCM data payload: fmt (with the
+  /** Encode STEREO IMA ADPCM WAV (format code 0x11, channels = 2): each
+    * block opens with ONE 4-byte header PER CHANNEL (left first), then the
+    * coded data runs in interleaved 4-byte groups — 8 left nibbles, 8
+    * right nibbles, repeating — per the IMA WAV layout. Each channel runs
+    * its own independent predictor/index state machine; state carries
+    * across blocks through the headers exactly as in the mono form.
+    * wSamplesPerBlock (per channel) = 1 + (blockAlign - 8); blockAlign
+    * must leave whole 4-byte groups per channel ((blockAlign - 8) % 8 == 0).
+    * The final block's code padding past the last frame is dropped by the
+    * decoder via the fact chunk's true per-channel count.
+    */
+  def encodeWavAdpcmStereo(sampleRate: Int, left: Array[Short],
+      right: Array[Short], blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign >= 16 && (blockAlign - 8) % 8 == 0,
+      s"stereo blockAlign $blockAlign must be >= 16 with whole 4-byte groups per channel")
+    require(left.length == right.length, "channels must be equal length")
+    require(left.nonEmpty, "ADPCM needs at least one frame")
+    val perBlock = 1 + (blockAlign - 8) // frames per channel per block
+    val nBlocks = (left.length + perBlock - 1) / perBlock
+    val data = new Array[Byte](nBlocks * blockAlign)
+    var pL = 0; var iL = 0; var pR = 0; var iR = 0
+    var s = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockAlign
+      pL = left(s); pR = right(s) // header frame, stored verbatim per channel
+      putLe16(data, base, pL & 0xffff)
+      data(base + 2) = iL.toByte; data(base + 3) = 0
+      putLe16(data, base + 4, pR & 0xffff)
+      data(base + 6) = iR.toByte; data(base + 7) = 0
+      s += 1
+      val groups = (blockAlign - 8) / 8
+      var g = 0
+      while (g < groups) {
+        val gbase = base + 8 + g * 8
+        var k = 0
+        while (k < 8) {
+          val si = s + k
+          val cL = if (si < left.length) {
+            val (c, p, i) = adpcmEncodeStep(pL, iL, left(si))
+            pL = p; iL = i; c
+          } else 0
+          val posL = gbase + (k >> 1)
+          if ((k & 1) == 0) data(posL) = cL.toByte // LOW nibble first
+          else data(posL) = (data(posL) | (cL << 4)).toByte
+          val cR = if (si < right.length) {
+            val (c, p, i) = adpcmEncodeStep(pR, iR, right(si))
+            pR = p; iR = i; c
+          } else 0
+          val posR = gbase + 4 + (k >> 1)
+          if ((k & 1) == 0) data(posR) = cR.toByte
+          else data(posR) = (data(posR) | (cR << 4)).toByte
+          k += 1
+        }
+        s += 8
+        g += 1
+      }
+      blk += 1
+    }
+    adpcmContainer(sampleRate, blockAlign, perBlock, left.length, data, 2)
+  }
+
+  /** RIFF container for one IMA ADPCM data payload: fmt (with the
     * mandatory cbSize=2 / wSamplesPerBlock extension) + the spec-REQUIRED
-    * `fact` chunk carrying the TRUE sample count — compressed WAV formats
-    * must declare it because the final block's code padding would
-    * otherwise read as extra samples — + data.
+    * `fact` chunk carrying the TRUE per-channel sample count — compressed
+    * WAV formats must declare it because the final block's code padding
+    * would otherwise read as extra samples — + data.
     */
   private def adpcmContainer(sampleRate: Int, blockAlign: Int, perBlock: Int,
-      nSamples: Int, data: Array[Byte]): Array[Byte] = {
+      nSamples: Int, data: Array[Byte], channels: Int): Array[Byte] = {
     val b = new Array[Byte](60 + data.length)
     b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
     putLe32(b, 4, b.length - 8)
@@ -1044,7 +1106,7 @@ object MediaCodecs {
     b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
     putLe32(b, 16, 20) // fmt chunk size (16 + cbSize + wSamplesPerBlock)
     putLe16(b, 20, 0x11) // IMA ADPCM
-    putLe16(b, 22, 1) // mono
+    putLe16(b, 22, channels)
     putLe32(b, 24, sampleRate)
     putLe32(b, 28, sampleRate * blockAlign / perBlock) // byte rate (approx, informative)
     putLe16(b, 32, blockAlign)
@@ -1053,7 +1115,7 @@ object MediaCodecs {
     putLe16(b, 38, perBlock) // wSamplesPerBlock
     b(40) = 'f'; b(41) = 'a'; b(42) = 'c'; b(43) = 't'
     putLe32(b, 44, 4)
-    putLe32(b, 48, nSamples) // dwSampleLength: the TRUE count
+    putLe32(b, 48, nSamples) // dwSampleLength: the TRUE per-channel count
     b(52) = 'd'; b(53) = 'a'; b(54) = 't'; b(55) = 'a'
     putLe32(b, 56, data.length)
     System.arraycopy(data, 0, b, 60, data.length)
@@ -1086,7 +1148,7 @@ object MediaCodecs {
       else data(pos) = (data(pos) | (codes(nib) << 4)).toByte
       nib += 1
     }
-    adpcmContainer(sampleRate, blockAlign, perBlock, perBlock, data)
+    adpcmContainer(sampleRate, blockAlign, perBlock, perBlock, data, 1)
   }
 
   /** Decode a WAV to PCM16 samples by WALKING the RIFF chunk list (not
@@ -1094,11 +1156,13 @@ object MediaCodecs {
     * data; odd-sized chunks are followed by a pad byte per the RIFF rule).
     * Accepts 16-bit PCM (format 1) verbatim, G.711 A-law/µ-law
     * (formats 6/7, 8-bit companded) EXPANDED to linear 16-bit — the
-    * telephony formats a real audio lake carries — and mono IMA ADPCM
-    * (format 0x11, 4-bit) run through the REAL integer predictor/step
-    * state machine ([[adpcmStep]]), honoring the `fact` chunk's declared
-    * true sample count (final-block code padding dropped; a count past
-    * the blocks' capacity rejects). `bitsPerSample` reports the FILE's
+    * telephony formats a real audio lake carries — and mono OR stereo IMA
+    * ADPCM (format 0x11, 4-bit; stereo = per-channel block headers +
+    * interleaved 4-byte nibble groups, one independent state machine per
+    * channel) run through the REAL integer predictor/step state machine
+    * ([[adpcmStep]]), honoring the `fact` chunk's declared true
+    * per-channel sample count (final-block code padding dropped; a count
+    * past the blocks' capacity rejects). `bitsPerSample` reports the FILE's
     * storage width (8 for G.711, 4 for ADPCM), samples are always linear
     * PCM16. None for anything else — float, MS-ADPCM, extensible, wrong
     * widths — never throw.
@@ -1131,11 +1195,19 @@ object MediaCodecs {
           fmt match {
             case 1 => if (bits != 16) return None // linear PCM
             case 6 | 7 => if (bits != 8) return None // G.711 companded
-            case 0x11 => // mono IMA ADPCM: block structure must be coherent
-              if (bits != 4 || channels != 1 || sz < 20 || blockAlign < 8)
-                return None
+            case 0x11 => // IMA ADPCM, mono or stereo: block structure must cohere
+              if (bits != 4 || sz < 20) return None
               perBlock = le16(b, body + 18)
-              if (perBlock != 1 + (blockAlign - 4) * 2) return None
+              channels match {
+                case 1 =>
+                  if (blockAlign < 8 ||
+                    perBlock != 1 + (blockAlign - 4) * 2) return None
+                case 2 =>
+                  // two 4-byte headers + whole interleaved 4-byte groups
+                  if (blockAlign < 16 || (blockAlign - 8) % 8 != 0 ||
+                    perBlock != 1 + (blockAlign - 8)) return None
+                case _ => return None
+              }
             case _ => return None // float/MS-ADPCM/extensible: out of scope
           }
         case "data" => dataOff = body; dataLen = sz
@@ -1151,7 +1223,7 @@ object MediaCodecs {
         var i = 0
         while (i < n) { s(i) = le16(b, dataOff + 2 * i).toShort; i += 1 }
         s
-      case 0x11 =>
+      case 0x11 if channels == 1 =>
         if (dataLen % blockAlign != 0) return None
         val nBlocks = dataLen / blockAlign
         // a fact chunk must not claim more samples than the blocks hold
@@ -1179,6 +1251,47 @@ object MediaCodecs {
         // honor the declared TRUE count: drop the final block's padding
         if (factCount >= 0 && factCount < s.length)
           java.util.Arrays.copyOf(s, factCount)
+        else s
+      case 0x11 => // stereo: per-channel headers, interleaved 4-byte groups
+        if (dataLen % blockAlign != 0) return None
+        val nBlocks = dataLen / blockAlign
+        if (factCount > nBlocks * perBlock) return None
+        // output is frame-interleaved [L0, R0, L1, R1, ...] like PCM
+        val s = new Array[Short](nBlocks * perBlock * 2)
+        var blk = 0
+        var o = 0
+        while (blk < nBlocks) {
+          val base = dataOff + blk * blockAlign
+          var predL = le16(b, base).toShort.toInt
+          var idxL = b(base + 2) & 0xff
+          var predR = le16(b, base + 4).toShort.toInt
+          var idxR = b(base + 6) & 0xff
+          if (idxL > 88 || idxR > 88) return None
+          s(o) = predL.toShort; s(o + 1) = predR.toShort; o += 2
+          val groups = (blockAlign - 8) / 8
+          var g = 0
+          while (g < groups) {
+            val gbase = base + 8 + g * 8
+            var k = 0
+            while (k < 8) {
+              val byteL = b(gbase + (k >> 1)) & 0xff
+              val codeL = if ((k & 1) == 0) byteL & 0x0f else byteL >> 4
+              val (pL, iL) = adpcmStep(predL, idxL, codeL)
+              predL = pL; idxL = iL
+              val byteR = b(gbase + 4 + (k >> 1)) & 0xff
+              val codeR = if ((k & 1) == 0) byteR & 0x0f else byteR >> 4
+              val (pR, iR) = adpcmStep(predR, idxR, codeR)
+              predR = pR; idxR = iR
+              s(o) = predL.toShort; s(o + 1) = predR.toShort; o += 2
+              k += 1
+            }
+            g += 1
+          }
+          blk += 1
+        }
+        // fact declares FRAMES per channel: truncate the interleaved pair
+        if (factCount >= 0 && factCount * 2 < s.length)
+          java.util.Arrays.copyOf(s, factCount * 2)
         else s
       case _ =>
         val s = new Array[Short](dataLen)

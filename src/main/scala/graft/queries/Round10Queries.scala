@@ -142,5 +142,116 @@ object Round10Queries {
                + 8 + n % 64 + v % 16 AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q226Mp4Probe)
+  private val AdpcmStepsSql: String =
+    graft.operators.MediaCodecs.AdpcmStepTable.mkString("[", ", ", "]")
+
+  /** STEREO IMA ADPCM round trip under the oracle gate — q216/q219/q222
+    * pin the mono machine; q227 pins the CHANNEL-INTERLEAVED layout: per
+    * document, 17 closed-form frames per channel run through the real
+    * stereo encoder ([[graft.operators.MediaCodecs.encodeWavAdpcmStereo]]:
+    * one 4-byte header per channel per block, coded data in alternating
+    * 4-byte nibble groups, two independent predictor/index machines whose
+    * state carries across blocks through the headers) and back through
+    * the real decoder. blockAlign 16 gives 9 frames/channel/block, so the
+    * 17 frames span two blocks with a padded tail the fact chunk
+    * truncates — multi-block state carry, interleave, and padding all in
+    * the hash. The oracle replays BOTH channels' encode+decode machines
+    * in ONE recursive CTE (two state tuples per row; the block-boundary
+    * header reset at j = 9 stores the frame verbatim and carries the
+    * index, exactly like the wire), so a crossed channel, a swapped
+    * group, or a state leak between channels lands in the exact integer
+    * comparison.
+    */
+  val q227AdpcmStereo: QueryDef = QueryDef(
+    "q227_adpcm_stereo",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val out = src.map { r =>
+        val left = Array.tabulate(17)(j =>
+          ((r.v * 53 + j * 409) % 16384 - 8192).toShort)
+        val right = Array.tabulate(17)(j =>
+          ((r.v * 29 + j * 577) % 16384 - 8192).toShort)
+        val wav = graft.operators.MediaCodecs
+          .encodeWavAdpcmStereo(22050, left, right, blockAlign = 16)
+        val dec = graft.operators.MediaCodecs.decodeWavPcm16(wav)
+          .getOrElse(sys.error(s"stereo ADPCM failed to decode: doc ${r.doc_id}"))
+        require(dec.channels == 2 && dec.samples.length == 34,
+          s"doc ${r.doc_id}: ${dec.channels} ch x ${dec.samples.length}")
+        var sumL = 0L; var sumR = 0L; var wL = 0L; var wR = 0L
+        var j = 0
+        while (j < 17) {
+          val l = dec.samples(2 * j).toLong
+          val rr = dec.samples(2 * j + 1).toLong
+          sumL += l; sumR += rr
+          wL += (j + 1) * l; wR += (j + 1) * rr
+          j += 1
+        }
+        (r.doc_id, 17, dec.channels, dec.sampleRate.toLong,
+          dec.samples(0).toLong, dec.samples(1).toLong,
+          sumL, sumR, wL, wR)
+      }
+      out.toDF("doc_id", "n_frames", "channels", "sample_rate",
+          "first_l", "first_r", "sum_l", "sum_r", "wsum_l", "wsum_r")
+        .orderBy("doc_id")
+    },
+    Some {
+      // Textual encode+decode cascade per channel (the q219 macros,
+      // instantiated twice with per-channel state and sample formulas);
+      // j = 9 is the second block's header: frame stored verbatim, index
+      // carried — the wire contract of the per-channel block headers.
+      def mac(pred: String, idx: String, sj: String): (String, String) = {
+        val step = s"$AdpcmStepsSql[$idx + 1]"
+        val d0 = s"abs($sj - $pred)"
+        val b4 = s"(CASE WHEN $d0 >= $step THEN 1 ELSE 0 END)"
+        val r1 = s"($d0 - $b4 * $step)"
+        val b2 = s"(CASE WHEN $r1 >= $step // 2 THEN 1 ELSE 0 END)"
+        val r2 = s"($r1 - $b2 * ($step // 2))"
+        val b1 = s"(CASE WHEN $r2 >= $step // 4 THEN 1 ELSE 0 END)"
+        val mag = s"($step // 8 + $b1 * ($step // 4) + $b2 * ($step // 2) + $b4 * $step)"
+        val sgn = s"(CASE WHEN $sj < $pred THEN -1 ELSE 1 END)"
+        val predNext = s"CASE WHEN j + 1 = 9 THEN $sj ELSE " +
+          s"least(32767, greatest(-32768, $pred + $sgn * $mag)) END"
+        val idxNext = s"CASE WHEN j + 1 = 9 THEN $idx ELSE " +
+          s"least(88, greatest(0, $idx + " +
+          s"[-1, -1, -1, -1, 2, 4, 6, 8][$b4 * 4 + $b2 * 2 + $b1 + 1])) END"
+        (predNext, idxNext)
+      }
+      val sl = "((v * 53 + (j + 1) * 409) % 16384 - 8192)"
+      val sr = "((v * 29 + (j + 1) * 577) % 16384 - 8192)"
+      val (plN, ilN) = mac("predl", "idxl", sl)
+      val (prN, irN) = mac("predr", "idxr", sr)
+      s"""
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+        FROM documents),
+      walk AS (
+        SELECT doc_id, v, 0 AS j,
+               CAST((v * 53) % 16384 - 8192 AS INTEGER) AS predl, 0 AS idxl,
+               CAST((v * 29) % 16384 - 8192 AS INTEGER) AS predr, 0 AS idxr
+        FROM d
+        UNION ALL
+        SELECT doc_id, v, j + 1,
+               CAST($plN AS INTEGER), CAST($ilN AS INTEGER),
+               CAST($prN AS INTEGER), CAST($irN AS INTEGER)
+        FROM walk WHERE j < 16)
+      SELECT doc_id,
+             17 AS n_frames, 2 AS channels,
+             CAST(22050 AS BIGINT) AS sample_rate,
+             CAST(min(CASE WHEN j = 0 THEN predl END) AS BIGINT) AS first_l,
+             CAST(min(CASE WHEN j = 0 THEN predr END) AS BIGINT) AS first_r,
+             CAST(sum(predl) AS BIGINT) AS sum_l,
+             CAST(sum(predr) AS BIGINT) AS sum_r,
+             CAST(sum((j + 1) * predl) AS BIGINT) AS wsum_l,
+             CAST(sum((j + 1) * predr) AS BIGINT) AS wsum_r
+      FROM walk GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q226Mp4Probe, q227AdpcmStereo)
 }

@@ -206,6 +206,67 @@ class MediaCodecsSpec extends SparkTestBase {
     }
   }
 
+  test("STEREO IMA ADPCM: channels decode as two independent mono machines") {
+    val n = 23 // spans 3 blocks at blockAlign 16 (9 frames/channel/block)
+    val left = Array.tabulate(n)(i =>
+      (7000 * math.sin(i / 7.0)).toInt.toShort)
+    val right = Array.tabulate(n)(i =>
+      (5000 * math.cos(i / 3.0) - 1500).toInt.toShort)
+    val wav = MediaCodecs.encodeWavAdpcmStereo(22050, left, right, blockAlign = 16)
+    val a = MediaCodecs.decodeWavPcm16(wav).get
+    assert(a.sampleRate == 22050 && a.channels == 2 && a.bitsPerSample == 4)
+    // fact truncation: n frames per channel, interleaved [L, R, L, R ...]
+    assert(a.samples.length == 2 * n)
+    // THE structural proof of the interleave: stereo blockAlign 16 gives
+    // the same 9-frame/block schedule as mono blockAlign 8, so each
+    // de-interleaved channel must equal its own INDEPENDENT mono decode —
+    // any state leak between channels or swapped 4-byte group breaks this
+    val evens = Array.tabulate(n)(j => a.samples(2 * j))
+    val odds = Array.tabulate(n)(j => a.samples(2 * j + 1))
+    val monoL = MediaCodecs.decodeWavPcm16(
+      MediaCodecs.encodeWavAdpcm(22050, left, blockAlign = 8)).get.samples
+    val monoR = MediaCodecs.decodeWavPcm16(
+      MediaCodecs.encodeWavAdpcm(22050, right, blockAlign = 8)).get.samples
+    assert(evens.sameElements(monoL))
+    assert(odds.sameElements(monoR))
+    // block headers: each block's first frame is verbatim per channel
+    for (b <- 0 until 3) {
+      assert(evens(b * 9) == left(b * 9))
+      assert(odds(b * 9) == right(b * 9))
+    }
+  }
+
+  test("stereo IMA ADPCM hostile inputs reject cleanly") {
+    val l = Array.tabulate(10)(i => (i * 700).toShort)
+    val r = Array.tabulate(10)(i => (i * -500).toShort)
+    val good = MediaCodecs.encodeWavAdpcmStereo(8000, l, r, blockAlign = 16)
+    assert(MediaCodecs.decodeWavPcm16(good).isDefined)
+    // wSamplesPerBlock inconsistent with the stereo formula
+    val badPer = good.clone(); badPer(38) = 25.toByte
+    assert(MediaCodecs.decodeWavPcm16(badPer).isEmpty)
+    // a blockAlign without whole per-channel 4-byte groups
+    val badBa = good.clone(); badBa(32) = 20.toByte
+    assert(MediaCodecs.decodeWavPcm16(badBa).isEmpty)
+    // right-channel header index out of table range (data at 60, right
+    // header at +4, its index byte at +6)
+    val badIdx = good.clone(); badIdx(66) = 101.toByte
+    assert(MediaCodecs.decodeWavPcm16(badIdx).isEmpty)
+    // fact chunk claiming more frames than the blocks hold
+    val badFact = good.clone(); badFact(48) = 99.toByte
+    assert(MediaCodecs.decodeWavPcm16(badFact).isEmpty)
+    // encoder contract: unequal channels, bad blockAlign, empty input
+    intercept[IllegalArgumentException] {
+      MediaCodecs.encodeWavAdpcmStereo(8000, l, r.take(9), 16)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.encodeWavAdpcmStereo(8000, l, r, 20)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.encodeWavAdpcmStereo(8000,
+        Array.emptyShortArray, Array.emptyShortArray, 16)
+    }
+  }
+
   test("non-media payloads are rejected, so decodeFeatures yields explicit nulls") {
     val text = "BMthis is not a bitmap, just text starting with the magic".getBytes("UTF-8")
     assert(MediaCodecs.decodeBmp24(text).isEmpty) // size field check rejects
