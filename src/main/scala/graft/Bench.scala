@@ -99,7 +99,11 @@ object Bench {
     // Two sources, in order: this JVM tree's own last side-channel file,
     // then the COMMITTED per-round snapshot (bench_prev.json, refreshed
     // at each round close) — so the driver's fresh-target round run still
-    // sees the previous round's medians.
+    // sees the previous round's medians. A source only counts when it
+    // covers at least half the current surface: a dev-loop
+    // SPARK_GRAFT_BENCH_ONLY run leaves a few-query side-channel behind,
+    // and comparing the full sweep against it would blind the mover
+    // detection for every query the restricted run skipped.
     val prev: Map[String, Double] =
       Seq(java.nio.file.Paths.get("target", "bench_full.json"),
         java.nio.file.Paths.get("bench_prev.json")).view.map { p =>
@@ -117,7 +121,7 @@ object Bench {
         } catch {
           case scala.util.control.NonFatal(_) => Map.empty[String, Double]
         }
-      }.find(_.nonEmpty).getOrElse(Map.empty)
+      }.find(_.size * 2 >= ok.size.max(1)).getOrElse(Map.empty)
     val movers = ok.filter { case (k, v) =>
       prev.get(k).exists(p0 => p0 > 0.05 && v > 0.05 &&
         (v / p0 > 2.0 || p0 / v > 2.0))

@@ -86,7 +86,7 @@ object Similarity {
     * an equi-join on the bucket id (≈ corpus/256 of the work per query).
     */
   def topKLshBucket(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val c = withNorm(emb).withColumn("bucket", lshBucket(col("embedding"))).cache()
+    val c = withNorm(emb).withColumn("bucket", lshBucket(col("embedding"))).transform(ScopedCache.cache)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket"))
@@ -185,7 +185,7 @@ object Similarity {
     * normed table is cached so per-vector work runs once, not per pair.
     */
   def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val c = withNorm(emb.select(col("vec_id"), col("label"), col("embedding"))).cache()
+    val c = withNorm(emb.select(col("vec_id"), col("label"), col("embedding"))).transform(ScopedCache.cache)
     c.as("a").join(c.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

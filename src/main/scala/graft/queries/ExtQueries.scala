@@ -274,7 +274,7 @@ object ExtQueries {
       val assigned = KMeans.fit(emb, k = 4, iters = 2)
         .select("vec_id", "cluster")
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val queries = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("cluster"), col("embedding").as("q_emb"))
       val d2 = VectorDotProduct(col("embedding"), col("embedding")) -
@@ -362,7 +362,7 @@ object ExtQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = KMeans.fitCentroids(emb, k = 4, iters = 2)
       val index = KMeans.assignments(emb, centroids)
-        .select(col("vec_id"), col("cluster"), col("embedding")).cache()
+        .select(col("vec_id"), col("cluster"), col("embedding")).transform(graft.operators.ScopedCache.cache)
       // two nearest centroids per query vector
       val wq = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -417,7 +417,7 @@ object ExtQueries {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val exact = graft.operators.Ranks.interpolatedPercentiles(li,
         Seq("l_returnflag"), col("l_extendedprice"),
         Seq(col("l_orderkey"), col("l_linenumber")), Seq(0.5 -> "p50x"))

@@ -74,7 +74,7 @@ object RelationalQueries2 {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       graft.operators.Ranks.interpolatedPercentiles(li, Seq("l_returnflag"),
         col("l_extendedprice"), Seq(col("l_orderkey"), col("l_linenumber")),
         Seq(0.5 -> "p50", 0.9 -> "p90"))

@@ -46,7 +46,7 @@ object Round4Queries2 {
           s"transform(sequence(1, length(text) - ${L - 1})," +
             s" i -> substring(text, i, $L))")).as("gram"))
         .select(col("doc_id"), HashFunctions.hash32(col("gram")).as("gh"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val shared = grams.groupBy("gh")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)
@@ -198,7 +198,7 @@ object Round4Queries2 {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
           col("l_orderkey"), col("l_linenumber"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       // ceil(n/2) = (n+1) div 2; the double-typed '/' is exact below 2^53
       val med = Ranks.selectByRank(li, Seq(col("flag")),
           Seq(col("v"), col("l_orderkey"), col("l_linenumber")),
@@ -207,7 +207,7 @@ object Round4Queries2 {
       val dev = li.join(broadcast(med), "flag")
         .select(col("flag"), abs(col("v") - col("med")).as("d"),
           col("l_orderkey"), col("l_linenumber"), col("med"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       Ranks.selectByRank(dev, Seq(col("flag")),
           Seq(col("d"), col("l_orderkey"), col("l_linenumber")),
           n => floor((n + 1L) / 2L).cast("long"), "r")

@@ -36,7 +36,7 @@ object Round4Queries3 {
         .filter(col("u") =!= col("v"))
       // canonical orientation low→high, deduplicated
       val edges = e0.select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b")).distinct().cache()
+        greatest(col("u"), col("v")).as("b")).distinct().transform(graft.operators.ScopedCache.cache)
       val wedges = edges.as("e1")
         .join(edges.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
@@ -87,7 +87,7 @@ object Round4Queries3 {
           struct(lit(i).as("row"), col(s"b$i").as("bucket"))): _*)).as("cell"))
         .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
         .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
-        .cache() // 2048 rows, probed by 4 joins — never recount the corpus
+        .transform(graft.operators.ScopedCache.cache) // 2048 rows, probed by 4 joins — never recount the corpus
       // point queries: every distinct word probes its d cells
       val probes = words.groupBy("word").agg(count(lit(1)).as("exact_c"))
         .select((col("word") +: col("exact_c") +: positions.zipWithIndex.map {

@@ -220,7 +220,7 @@ object Round5Queries {
         .filter(length(col("text")) >= L)
         .select(col("doc_id"),
           explode(RollingWindowHashes(col("text"), L)).as("gh"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val shared = grams.groupBy("gh")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)

@@ -37,7 +37,7 @@ object Round5Queries2 {
             " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
           .as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        .cache() // postings feed the norm aggregate AND both join sides
+        .transform(graft.operators.ScopedCache.cache) // postings feed the norm aggregate AND both join sides
       val norms = tf.groupBy("doc_id")
         .agg(sum(col("tf") * col("tf")).as("nsq"))
       val dots = tf.as("a").join(tf.as("b"),
@@ -129,7 +129,7 @@ object Round5Queries2 {
           (col("l_partkey") + 1000000L).as("v"))
       val fwd = e0.select(col("u").as("a"), col("v").as("b"))
       val edges = fwd.union(e0.select(col("v").as("a"), col("u").as("b")))
-        .distinct().cache()
+        .distinct().transform(graft.operators.ScopedCache.cache)
       var reached = Tables.load(s, dir, "lineitem").sparkSession
         .range(1, 6).select(col("id").as("node"), lit(0).as("hop"))
       for (h <- 1 to 3) {
@@ -137,7 +137,7 @@ object Round5Queries2 {
           .select(col("b").as("node"), lit(h).as("hop"))
         reached = reached.union(next)
           .groupBy("node").agg(min(col("hop")).as("hop"))
-          .cache() // each round feeds the next join AND the final aggregate
+          .transform(graft.operators.ScopedCache.cache) // each round feeds the next join AND the final aggregate
       }
       reached.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
     },

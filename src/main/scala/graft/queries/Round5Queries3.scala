@@ -38,7 +38,7 @@ object Round5Queries3 {
         .groupBy("w").agg(count(lit(1)).as("cnt"))
       val sym0 = words.select(col("w"), col("cnt"),
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
-        .cache() // two rounds of pair counts + merge both re-read this
+        .transform(graft.operators.ScopedCache.cache) // two rounds of pair counts + merge both re-read this
       def pairCounts(df: DataFrame): DataFrame =
         df.select(col("cnt"), split(trim(col("s")), " ").as("t"))
           .filter(size(col("t")) >= 2) // sequence() descends below 2
@@ -52,7 +52,7 @@ object Round5Queries3 {
         df.crossJoin(broadcast(top.select(col("p").as("mp"))))
           .select(col("w"), col("cnt"),
             graft.operators.TextAnalysis.bpeApplyMerge(col("s"), col("mp")).as("s"))
-      val t1 = top1(pairCounts(sym0)).cache()
+      val t1 = top1(pairCounts(sym0)).transform(graft.operators.ScopedCache.cache)
       val sym1 = applyMerge(sym0, t1)
       val t2 = top1(pairCounts(sym1))
       t1.select(lit(1L).as("round"), col("p").as("pair"),
@@ -114,7 +114,7 @@ object Round5Queries3 {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .cache() // feeds the vocabulary aggregate and the scoring join
+        .transform(graft.operators.ScopedCache.cache) // feeds the vocabulary aggregate and the scoring join
       val vocab = tok.groupBy("w").agg(sum(col("c")).as("cw"))
       val total = vocab.agg(sum(col("cw")).as("t"))
       tok.join(broadcast(vocab), "w")
@@ -179,7 +179,7 @@ object Round5Queries3 {
           when(col("w") === 0, lit(25))
             .otherwise(lit(25) - length(bin(col("w")))).as("rho"))
         .groupBy("flag", "status", "idx").agg(max(col("rho")).as("m"))
-        .cache() // the state table every coarser level derives from
+        .transform(graft.operators.ScopedCache.cache) // the state table every coarser level derives from
       def estimate(reg: DataFrame, keys: Seq[String]): DataFrame = {
         val g = if (keys.isEmpty) reg.groupBy() else reg.groupBy(keys.map(col): _*)
         g.agg(count(lit(1)).as("nreg"),
@@ -265,7 +265,7 @@ object Round5Queries3 {
           "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
           .as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .cache() // feeds the corpus bigram counts AND the scoring join
+        .transform(graft.operators.ScopedCache.cache) // feeds the corpus bigram counts AND the scoring join
       val bgc = db.groupBy("bg").agg(sum(col("c")).as("cb"))
         .withColumn("prev", element_at(split(col("bg"), " "), 1))
       val prevc = bgc.groupBy("prev").agg(sum(col("cb")).as("cp"))

@@ -84,7 +84,7 @@ object Round5Queries4 {
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
-        .cache() // feeds the corpus aggregate and the per-source folds
+        .transform(graft.operators.ScopedCache.cache) // feeds the corpus aggregate and the per-source folds
       val corpus = tok.groupBy("w").agg(sum(col("c")).as("cw"))
       val totals = corpus.agg(sum(col("cw")).as("t"))
       tok.join(broadcast(corpus), "w")

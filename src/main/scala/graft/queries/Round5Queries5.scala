@@ -32,7 +32,7 @@ object Round5Queries5 {
         .select(col("l_orderkey").as("ok"),
           floor(sqrt(col("l_partkey") % 2500)).cast("long").as("item"))
         .distinct()
-        .cache() // feeds item supports and the pair join
+        .transform(graft.operators.ScopedCache.cache) // feeds item supports and the pair join
       val nOrders = broadcast(baskets.agg(countDistinct(col("ok")).as("n")))
       val freq = baskets.groupBy("item").agg(count(lit(1)).as("sup"))
         .crossJoin(nOrders)

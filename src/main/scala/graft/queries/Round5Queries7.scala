@@ -177,7 +177,7 @@ object Round5Queries7 {
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = tfAll.groupBy("w").agg(count(lit(1)).as("df"))
       val tf = tfAll.join(df.filter(col("df") <= cap).select("w"), "w")
-        .cache() // capped postings feed the norms AND both join sides
+        .transform(graft.operators.ScopedCache.cache) // capped postings feed the norms AND both join sides
       val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nsq"))
       val dots = tf.as("a").join(tf.as("b"),
           col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))

@@ -48,7 +48,7 @@ object Round6Queries7 {
       // doc-functional, so the cardinality is unchanged) so the target LM,
       // the raw LM, the doc scores, AND the output lang all read this cache
       val perDoc = toks.groupBy("doc_id", "lang", "b")
-        .agg(count(lit(1)).as("c")).cache()
+        .agg(count(lit(1)).as("c")).transform(graft.operators.ScopedCache.cache)
       val tgt = perDoc.filter(col("lang") === "en")
         .groupBy("b").agg(sum("c").as("t"))
       val raw = perDoc.groupBy("b").agg(sum("c").as("r"))
@@ -213,7 +213,7 @@ object Round6Queries7 {
         .agg(sum(col("qi")).as("lin"), (count(lit(1)).as("n") +:
           (0 until 64).map(j =>
             sum(col("qi") * element_at(col("qarr"), j + 1)).as(s"s$j"))): _*)
-        .cache() // 64 rows atop the corpus scan; feeds the unpivot AND linj
+        .transform(graft.operators.ScopedCache.cache) // 64 rows atop the corpus scan; feeds the unpivot AND linj
       // cache: c is 64×64 rows but sits atop the corpus-sized moment scan —
       // each of the three matvec iterations references it (protocol #6)
       val c = wide
@@ -224,7 +224,7 @@ object Round6Queries7 {
         .select(col("i"), col("j"),
           (col("n").cast(D38) * col("s2").cast(D38)
             - col("lin").cast(D38) * col("linj").cast(D38)).as("c"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       var v = s.range(0, 64).toDF("j").withColumn("v", lit(1000000L))
       for (_ <- 1 to 3) {
         val w = c.join(broadcast(v), "j")
@@ -291,7 +291,7 @@ object Round6Queries7 {
       val pairs = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("late"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val perOrder = pairs.groupBy("l_orderkey")
         .agg(count(lit(1)).as("ns"), sum("late").as("nr"))
         .filter(col("ns") > 1 && col("nr") === 1)

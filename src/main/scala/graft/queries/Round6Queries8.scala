@@ -43,7 +43,7 @@ object Round6Queries8 {
       val cells = ev.groupBy("v_c").agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val cum = Ranks.globalCumSum(cells, Seq(col("v_c")),
         Seq(col("ca") -> "cum_a", col("cb") -> "cum_b"))
       val tot = cells.agg(sum("ca").as("na"), sum("cb").as("nb"),
@@ -133,7 +133,7 @@ object Round6Queries8 {
           col("gt").cast(D38) * col("bt")))
         .select(col("bin").cast("long").as("bin"), col("n"), col("g"),
           col("b"), col("woe_e6"), col("iv_term_e6"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val total = terms.agg(sum("n").as("n"), sum("g").as("g"),
           sum("b").as("b"), sum("iv_term_e6").as("iv_term_e6"))
         .select(lit(0L).as("bin"), col("n"), col("g"), col("b"),
@@ -192,7 +192,7 @@ object Round6Queries8 {
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
         .agg(count(lit(1)).as("x"))
         .withColumn("dow", dayofweek(col("day")) - 1)
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val base = daily.groupBy("event_type", "dow")
         .agg(count(lit(1)).as("c"), sum("x").as("sm"))
       // cache: dev (day-grain, small) sits atop the events aggregate and
@@ -200,7 +200,7 @@ object Round6Queries8 {
       val dev = daily.join(broadcast(base), Seq("event_type", "dow"))
         .withColumn("dev_ppm", Det.ihalfUpSigned(
           (col("x") * col("c") - col("sm")) * 1000000L, col("sm")))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val peak = dev
         .groupBy("event_type").agg(max(abs(col("dev_ppm"))).as("peak_abs"))
       val peakDay = dev.join(peak, "event_type")

@@ -23,17 +23,31 @@ object Round6Queries9 {
     * passes int64 once the corpus holds ~2M+ baskets. Rules below 30% confidence drop; output is the
     * top 20 by (lift, antecedent, consequent) — lift > 10⁶ ⇒ the
     * antecedent genuinely raises the consequent's odds. Scale: identical
-    * to q144 (A-Priori prune before the per-basket pair comprehension);
-    * the rule arithmetic runs on the pair relation only.
+    * to q144 (A-Priori prune before the per-basket pair expansion); the
+    * rule arithmetic runs on the pair relation only.
     */
   val q195AssociationRules: QueryDef = QueryDef(
     "q195_association_rules",
     (s, dir) => {
-      val baskets = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"),
-          floor(sqrt(col("l_partkey") % 2500)).cast("long").as("item"))
-        .distinct()
-        .cache()
+      val baskets = graft.operators.ScopedCache.cache(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"),
+            floor(sqrt(col("l_partkey") % 2500)).cast("long").as("item"))
+          .distinct())
+      // Materialize the basket relation BEFORE the dependent plan runs:
+      // the order-count and frequent-item broadcast subqueries execute as
+      // CONCURRENT jobs at plan time, and an unmaterialized cache would be
+      // computed once per racing job (each re-scanning lineitem) instead
+      // of once total — the dominant cost of the earlier form. (A
+      // distinct-basket-mask rewrite — 64-bit bit_or per order, pair
+      // support from the mask histogram — was built and measured SLOWER
+      // here: at ~4 items/basket over 50 item values the histogram barely
+      // collapses, and the broadcast bit-probe nested-loop joins cost
+      // more than the codegen'd self-equi-join they replaced.) The count
+      // runs AFTER every ScopedCache registration below: registrations
+      // reset eviction protection, and an eager action fired between a
+      // repeat run's registrations would sweep the not-yet-re-registered
+      // warm entries of the previous run.
       val nOrders = broadcast(baskets.agg(countDistinct(col("ok")).as("n")))
       val freq = baskets.groupBy("item").agg(count(lit(1)).as("sup"))
         .crossJoin(nOrders)
@@ -45,9 +59,10 @@ object Round6Queries9 {
       // function lambdas evaluate INTERPRETED (NOTES determinism item 7),
       // so at sf0.1 the lambda walk dominated the query (~3.3 s isolated);
       // the join form runs the same A-Priori-pruned candidate volume
-      // entirely inside codegen (measured ~2x faster, identical output).
-      // Both sides reuse one shuffle of fb by ok (same exchange key).
-      val fb = baskets.join(freq, "item").cache()
+      // entirely inside codegen. Both sides reuse one shuffle of fb by ok
+      // (same exchange key); the cache is workload-scoped (ScopedCache).
+      val fb = graft.operators.ScopedCache.cache(baskets.join(freq, "item"))
+      baskets.count() // all registrations done — safe to materialize
       val pairs = fb.select(col("ok"), col("item").as("i"), col("sup").as("si"))
         .join(fb.select(col("ok"), col("item").as("j"), col("sup").as("sj")),
           "ok")
@@ -120,7 +135,7 @@ object Round6Queries9 {
         .select(col("doc_id"), col("n_chars"),
           size(array_distinct(split(col("text"), " "))).cast("long")
             .as("n_distinct"))
-        .cache() // three rank passes each evaluate their input
+        .transform(graft.operators.ScopedCache.cache) // three rank passes each evaluate their input
       val byLen = Ranks.globalRowNumber(docs,
         Seq(-col("n_chars"), col("doc_id")), "r_len")
       val byDiv = Ranks.globalRowNumber(docs,
@@ -246,9 +261,9 @@ object Round6Queries9 {
       val cells = ev.groupBy("v_c").agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val cum = Ranks.globalCumSum(cells, Seq(col("v_c")),
-        Seq(col("ca") -> "cum_a", col("cb") -> "cum_b")).cache()
+        Seq(col("ca") -> "cum_a", col("cb") -> "cum_b")).transform(graft.operators.ScopedCache.cache)
       val tot = cells.agg(sum("ca").as("na"), sum("cb").as("nb"))
       val deciles = s.range(1, 10).toDF("k").crossJoin(broadcast(tot))
         .select(col("k"),

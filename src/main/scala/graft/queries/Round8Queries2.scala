@@ -220,7 +220,7 @@ object Round8Queries2 {
       val wins = docs
         .select(col("doc_id"),
           posexplode(graft.plans.RollingWindowHashes(col("text"), L)).as(Seq("pos", "gh")))
-        .cache()
+        .transform(graft.operators.ScopedCache.cache)
       val firsts = wins.groupBy("gh")
         .agg(min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("occ"))
         .filter(col("occ") >= 2)
