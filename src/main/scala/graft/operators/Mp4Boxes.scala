@@ -77,27 +77,51 @@ object Mp4Boxes {
     if (v > 1) None else Some(v)
   }
 
+  /** SAMPLE-TABLE summary (stts/stsz/stco) — the per-sample TIMING and
+    * SIZE bookkeeping, which is still container metadata: how many
+    * samples, how long they last, how many bytes they occupy, in how many
+    * chunks — without touching one byte of sample DATA. When both stts
+    * and stsz are present their sample counts must agree (spec invariant;
+    * a mismatch rejects the probe).
+    */
+  final case class SampleTables(sampleCount: Long, sttsDuration: Long,
+      totalSampleBytes: Long, uniformSize: Option[Long], chunkCount: Long)
+
+  /** One movie fragment (moof) summary: sequence number, the traf's
+    * track, its decode-time anchor (tfdt), and the trun accounting —
+    * sample count, total duration, and total declared bytes, with trex
+    * defaults resolved per the tfhd/trun flag rules.
+    */
+  final case class Fragment(sequence: Long, trackId: Long,
+      baseDecodeTime: Long, sampleCount: Long, duration: Long,
+      sampleBytes: Long)
+
   /** Per-track container metadata. `width`/`height` are the integer part
     * of tkhd's 16.16 fixed-point values (0 for sound tracks); `lang` is
-    * the mdhd 3x5-bit packed code decoded to its 3 lowercase letters.
+    * the mdhd 3x5-bit packed code decoded to its 3 lowercase letters;
+    * `samples` summarizes the stbl sample tables when present.
     */
   final case class Mp4Track(trackId: Long, handler: String,
       codecs: Vector[String], width: Int, height: Int,
-      timescale: Long, duration: Long, lang: String) {
+      timescale: Long, duration: Long, lang: String,
+      samples: Option[SampleTables] = None) {
     /** Floor-integer track duration in ms — exact cross-engine math. */
     def durationMs: Long =
       if (timescale > 0) duration * 1000L / timescale else 0L
   }
 
-  /** Parsed container: ftyp brands, mvhd movie clock, tracks, and the
-    * total mdat payload size (content deliberately untouched).
+  /** Parsed container: ftyp brands, mvhd movie clock, tracks, the total
+    * mdat payload size (content deliberately untouched), and — for
+    * fragmented (CMAF/DASH-style) files — the moof fragment summaries.
     */
   final case class Mp4Info(brand: String, minorVersion: Long,
       compatibleBrands: Vector[String], timescale: Long, duration: Long,
-      tracks: Vector[Mp4Track], mdatBytes: Long) {
+      tracks: Vector[Mp4Track], mdatBytes: Long,
+      fragments: Vector[Fragment] = Vector.empty) {
     def nTracks: Int = tracks.length
     def durationMs: Long =
       if (timescale > 0) duration * 1000L / timescale else 0L
+    def fragmented: Boolean = fragments.nonEmpty
   }
 
   /** Walk a whole file: ftyp must come first (14496-12 §4.3: "should be
@@ -131,7 +155,102 @@ object Mp4Boxes {
     trackBoxes.foreach { tk =>
       tracks += parseTrak(b, tk).getOrElse(return None)
     }
-    Some(Mp4Info(brand, minor, compat, ts, dur, tracks.result(), mdatBytes))
+    // movie-extends defaults (trex): per-track default sample duration and
+    // size, resolved into trun accounting when a fragment omits them
+    val trex: Map[Long, (Long, Long)] = kids.find(_.typ == "mvex") match {
+      case None => Map.empty
+      case Some(mvex) =>
+        val trexes = walk(b, mvex.start, mvex.end, topLevel = false)
+          .getOrElse(return None).filter(_.typ == "trex")
+        trexes.map { t =>
+          if (fullVer(b, t).getOrElse(return None) != 0 || t.len < 24) return None
+          be32(b, t.start + 4) -> (be32(b, t.start + 12), be32(b, t.start + 16))
+        }.toMap
+    }
+    val frags = Vector.newBuilder[Fragment]
+    tops.filter(_.typ == "moof").foreach { mf =>
+      frags += parseMoof(b, mf, trex).getOrElse(return None)
+    }
+    Some(Mp4Info(brand, minor, compat, ts, dur, tracks.result(), mdatBytes,
+      frags.result()))
+  }
+
+  /** One moof: exactly one mfhd + exactly one traf (the shape CMAF
+    * single-track segments use); the traf carries tfhd (track + optional
+    * per-fragment defaults), an optional tfdt decode-time anchor, and one
+    * or more truns whose per-sample duration/size fields — when absent —
+    * fall back to the tfhd defaults, then to the trex defaults.
+    */
+  private def parseMoof(b: Array[Byte], moof: Box,
+      trex: Map[Long, (Long, Long)]): Option[Fragment] = {
+    val kids = walk(b, moof.start, moof.end, topLevel = false).getOrElse(return None)
+    val mfhds = kids.filter(_.typ == "mfhd")
+    val trafs = kids.filter(_.typ == "traf")
+    if (mfhds.size != 1 || trafs.size != 1) return None
+    val mfhd = mfhds.head
+    if (fullVer(b, mfhd).getOrElse(return None) != 0 || mfhd.len < 8) return None
+    val seq = be32(b, mfhd.start + 4)
+    val traf = trafs.head
+    val tkids = walk(b, traf.start, traf.end, topLevel = false).getOrElse(return None)
+    val tfhd = tkids.find(_.typ == "tfhd").getOrElse(return None)
+    if (tfhd.len < 8) return None
+    val tfFlags = (be32(b, tfhd.start) & 0xffffff).toInt
+    if ((b(tfhd.start) & 0xff) != 0) return None // tfhd is version 0
+    val trackId = be32(b, tfhd.start + 4)
+    // optional tfhd fields, in spec order
+    var p = tfhd.start + 8
+    def take(n: Int): Option[Int] =
+      if (p + n <= tfhd.end) { val o = p; p += n; Some(o) } else None
+    if ((tfFlags & 0x01) != 0 && take(8).isEmpty) return None // base-data-offset
+    if ((tfFlags & 0x02) != 0 && take(4).isEmpty) return None // sample-desc-index
+    val defDur: Option[Long] =
+      if ((tfFlags & 0x08) != 0) Some(be32(b, take(4).getOrElse(return None)))
+      else None
+    val defSize: Option[Long] =
+      if ((tfFlags & 0x10) != 0) Some(be32(b, take(4).getOrElse(return None)))
+      else None
+    if ((tfFlags & 0x20) != 0 && take(4).isEmpty) return None // default-sample-flags
+    val (trexDur, trexSize) = trex.getOrElse(trackId, (0L, 0L))
+    val fallDur = defDur.getOrElse(trexDur)
+    val fallSize = defSize.getOrElse(trexSize)
+    val tfdt: Long = tkids.find(_.typ == "tfdt") match {
+      case None => 0L
+      case Some(t) => fullVer(b, t).getOrElse(return None) match {
+        case 0 if t.len >= 8 => be32(b, t.start + 4)
+        case 1 if t.len >= 12 => be64(b, t.start + 4)
+        case _ => return None
+      }
+    }
+    var nSamples = 0L; var sumDur = 0L; var sumBytes = 0L
+    val truns = tkids.filter(_.typ == "trun")
+    if (truns.isEmpty) return None
+    truns.foreach { tr =>
+      if (fullVer(b, tr).getOrElse(return None) != 0 || tr.len < 8) return None
+      val flags = (be32(b, tr.start) & 0xffffff).toInt
+      val count = be32(b, tr.start + 4)
+      var q = tr.start + 8
+      def rtake(n: Int): Option[Int] =
+        if (q + n <= tr.end) { val o = q; q += n; Some(o) } else None
+      if ((flags & 0x01) != 0 && rtake(4).isEmpty) return None // data_offset
+      if ((flags & 0x04) != 0 && rtake(4).isEmpty) return None // first_sample_flags
+      val perDur = (flags & 0x100) != 0
+      val perSize = (flags & 0x200) != 0
+      val perFlags = (flags & 0x400) != 0
+      val perCto = (flags & 0x800) != 0
+      var i = 0L
+      while (i < count) {
+        if (perDur) sumDur += be32(b, rtake(4).getOrElse(return None))
+        else sumDur += fallDur
+        if (perSize) sumBytes += be32(b, rtake(4).getOrElse(return None))
+        else sumBytes += fallSize
+        if (perFlags && rtake(4).isEmpty) return None
+        if (perCto && rtake(4).isEmpty) return None
+        i += 1
+      }
+      if (q != tr.end) return None // trailing bytes in the trun
+      nSamples += count
+    }
+    Some(Fragment(seq, trackId, tfdt, nSamples, sumDur, sumBytes))
   }
 
   private def parseTrak(b: Array[Byte], trak: Box): Option[Mp4Track] = {
@@ -169,8 +288,9 @@ object Mp4Boxes {
     val minf = mkids.find(_.typ == "minf").getOrElse(return None)
     val stbl = walk(b, minf.start, minf.end, topLevel = false)
       .getOrElse(return None).find(_.typ == "stbl").getOrElse(return None)
-    val stsd = walk(b, stbl.start, stbl.end, topLevel = false)
-      .getOrElse(return None).find(_.typ == "stsd").getOrElse(return None)
+    val stblKids = walk(b, stbl.start, stbl.end, topLevel = false)
+      .getOrElse(return None)
+    val stsd = stblKids.find(_.typ == "stsd").getOrElse(return None)
     if (fullVer(b, stsd).getOrElse(return None) != 0 || stsd.len < 8) return None
     val entryCount = be32(b, stsd.start + 4)
     val entries = walk(b, stsd.start + 8, stsd.end, topLevel = false)
@@ -178,16 +298,81 @@ object Mp4Boxes {
     // the declared count must match the boxes present, and every sample
     // entry carries at least the 8-byte SampleEntry fields
     if (entries.size.toLong != entryCount || entries.exists(_.len < 8)) return None
-    Some(Mp4Track(tid, handler, entries.map(_.typ), w, h, mts, mdur, lang))
+    val tables = parseSampleTables(b, stblKids).getOrElse(return None)
+    Some(Mp4Track(tid, handler, entries.map(_.typ), w, h, mts, mdur, lang,
+      tables))
+  }
+
+  /** stts/stsz/stco summary — Some(None) when the track carries no sample
+    * tables (a fragmented-file moov), Some(Some(...)) when all three are
+    * present and mutually consistent, None (probe rejection) when they
+    * are partial, mistiled, or disagree on the sample count.
+    */
+  private def parseSampleTables(b: Array[Byte],
+      stblKids: Vector[Box]): Option[Option[SampleTables]] = {
+    val stts = stblKids.find(_.typ == "stts")
+    val stsz = stblKids.find(_.typ == "stsz")
+    val stco = stblKids.find(_.typ == "stco")
+    if (stts.isEmpty && stsz.isEmpty && stco.isEmpty) return Some(None)
+    if (stts.isEmpty || stsz.isEmpty || stco.isEmpty) return None
+    val t = stts.get
+    if (fullVer(b, t).getOrElse(return None) != 0 || t.len < 8) return None
+    val nT = be32(b, t.start + 4)
+    if (t.len.toLong != 8 + 8 * nT) return None // exact entry tiling
+    var sttsCount = 0L; var sttsDur = 0L
+    var i = 0L
+    while (i < nT) {
+      val o = t.start + 8 + 8 * i.toInt
+      val c = be32(b, o); val d = be32(b, o + 4)
+      sttsCount += c; sttsDur += c * d
+      i += 1
+    }
+    val z = stsz.get
+    if (fullVer(b, z).getOrElse(return None) != 0 || z.len < 12) return None
+    val uniform = be32(b, z.start + 4)
+    val nZ = be32(b, z.start + 8)
+    val totalBytes =
+      if (uniform != 0) {
+        if (z.len != 12) return None
+        uniform * nZ
+      } else {
+        if (z.len.toLong != 12 + 4 * nZ) return None
+        var s = 0L; var j = 0L
+        while (j < nZ) { s += be32(b, z.start + 12 + 4 * j.toInt); j += 1 }
+        s
+      }
+    if (nZ != sttsCount) return None // timing and size tables must agree
+    val c = stco.get
+    if (fullVer(b, c).getOrElse(return None) != 0 || c.len < 8) return None
+    val nC = be32(b, c.start + 4)
+    if (c.len.toLong != 8 + 4 * nC) return None
+    Some(Some(SampleTables(sttsCount, sttsDur, totalBytes,
+      if (uniform != 0) Some(uniform) else None, nC)))
   }
 
   // ------------------------------------------------------------------
   // Synthesis (test/oracle side): real wire format, minimal but valid.
   // ------------------------------------------------------------------
 
-  /** Track parameters for [[synthMp4]]. */
+  /** Track parameters for [[synthMp4]]. `sttsEntries` (count, delta)
+    * run-lengths switch the sample tables on: stts from the entries, stsz
+    * uniform (`Left(size)`) or per-sample (`Right(sizes)`, length = total
+    * count), stco with `chunks` deterministic offsets.
+    */
   final case class SynthTrack(trackId: Long, handler: String, codec: String,
-      width: Int, height: Int, timescale: Long, duration: Long, lang: String)
+      width: Int, height: Int, timescale: Long, duration: Long, lang: String,
+      sttsEntries: Seq[(Long, Long)] = Nil,
+      sizes: Option[Either[Long, Seq[Long]]] = None,
+      chunks: Int = 0)
+
+  /** One synthetic movie fragment for [[synthFragmented]]: per-sample
+    * duration/size lists when present (trun flags 0x100/0x200), otherwise
+    * the tfhd per-fragment defaults when present (flags 0x08/0x10),
+    * otherwise the trex movie defaults.
+    */
+  final case class SynthFrag(sequence: Long, baseDecodeTime: Long,
+      count: Int, durations: Option[Seq[Long]], sizes: Option[Seq[Long]],
+      tfhdDefaults: Option[(Long, Long)], mdatLen: Int)
 
   private def u16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -254,7 +439,29 @@ object Mp4Boxes {
       val entry = boxOf(t.codec,
         Array.fill(6)(0.toByte), u16(1))
       val stsd = fullBox("stsd", 0, u32(1), entry)
-      val stbl = boxOf("stbl", stsd)
+      val tableBoxes: Seq[Array[Byte]] =
+        if (t.sttsEntries.isEmpty) Nil
+        else {
+          val total = t.sttsEntries.map(_._1).sum
+          val stts = fullBox("stts", 0,
+            (u32(t.sttsEntries.size.toLong) +:
+              t.sttsEntries.flatMap { case (c, d) => Seq(u32(c), u32(d)) }): _*)
+          val stsz = t.sizes.getOrElse(Left(0L)) match {
+            case Left(uniformSz) =>
+              require(uniformSz > 0, "uniform sample size must be positive")
+              fullBox("stsz", 0, u32(uniformSz), u32(total))
+            case Right(szs) =>
+              require(szs.size.toLong == total,
+                s"stsz needs $total per-sample sizes, got ${szs.size}")
+              fullBox("stsz", 0,
+                (u32(0L) +: u32(total) +: szs.map(u32)): _*)
+          }
+          val stco = fullBox("stco", 0,
+            (u32(t.chunks.toLong) +:
+              (0 until t.chunks).map(i => u32(1000L + 16L * i))): _*)
+          Seq(stts, stsz, stco)
+        }
+      val stbl = boxOf("stbl", (stsd +: tableBoxes): _*)
       val minf = boxOf("minf", stbl)
       val mdia = boxOf("mdia", mdhd, hdlr, minf)
       boxOf("trak", tkhd, mdia)
@@ -263,5 +470,68 @@ object Mp4Boxes {
     val mdat = boxOf("mdat",
       Array.tabulate(mdatLen)(i => (fill(i) & 0xff).toByte))
     ftyp ++ moov ++ mdat
+  }
+
+  /** Synthesize a VALID fragmented (CMAF-style) file: ftyp, moov(mvhd +
+    * one trak + mvex(trex with the movie-default sample duration/size)),
+    * then per fragment moof(mfhd + traf(tfhd[+defaults] + tfdt v1 +
+    * trun[+per-sample fields])) + mdat. tfhd uses default-base-is-moof
+    * (0x20000); per-sample duration/size lists set trun flags 0x100/0x200,
+    * per-fragment defaults set tfhd flags 0x08/0x10 — the three fallback
+    * levels [[probe]] must resolve. Real wire format throughout.
+    */
+  def synthFragmented(brand: String, minorVersion: Long, compat: Seq[String],
+      timescale: Long, duration: Long, track: SynthTrack,
+      trexDefaults: (Long, Long), frags: Seq[SynthFrag],
+      fill: Int => Int): Array[Byte] = {
+    require(track.sttsEntries.isEmpty, "fragmented tracks carry no stbl tables")
+    val base = synthMp4(brand, minorVersion, compat, timescale, duration,
+      Seq(track), mdatLen = 0, fill, version1 = false)
+    // splice mvex into the moov: rebuild rather than patch — simplest is
+    // to rebuild moov from scratch with the same parts plus mvex
+    val ftypLen = 16 + 4 * compat.size
+    val moovStart = ftypLen
+    val moovLen = (base.length - ftypLen) - 8 // minus the empty mdat box
+    val moovBody = base.slice(moovStart + 8, moovStart + moovLen)
+    val trex = fullBox("trex", 0,
+      u32(track.trackId), u32(1), // track, default sample description idx
+      u32(trexDefaults._1), u32(trexDefaults._2), u32(0))
+    val mvex = boxOf("mvex", trex)
+    val moov = boxOf("moov", moovBody, mvex)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, ftypLen)
+    out.write(moov, 0, moov.length)
+    frags.foreach { f =>
+      f.durations.foreach(d => require(d.size == f.count, "durations length"))
+      f.sizes.foreach(sz => require(sz.size == f.count, "sizes length"))
+      val mfhd = fullBox("mfhd", 0, u32(f.sequence))
+      val tfFlags = 0x20000 |
+        (if (f.tfhdDefaults.isDefined) 0x08 | 0x10 else 0)
+      val tfhdParts = Seq(u32(track.trackId)) ++
+        f.tfhdDefaults.toSeq.flatMap { case (d, s) => Seq(u32(d), u32(s)) }
+      val tfhd = boxOf("tfhd",
+        (Array(0.toByte, ((tfFlags >> 16) & 0xff).toByte,
+          ((tfFlags >> 8) & 0xff).toByte, (tfFlags & 0xff).toByte) +:
+          tfhdParts): _*)
+      val tfdt = boxOf("tfdt",
+        Array(1.toByte, 0.toByte, 0.toByte, 0.toByte), u64(f.baseDecodeTime))
+      val trFlags = (if (f.durations.isDefined) 0x100 else 0) |
+        (if (f.sizes.isDefined) 0x200 else 0)
+      val samples = (0 until f.count).flatMap { i =>
+        f.durations.toSeq.map(d => u32(d(i))) ++
+          f.sizes.toSeq.map(sz => u32(sz(i)))
+      }
+      val trun = boxOf("trun",
+        (Array(0.toByte, ((trFlags >> 16) & 0xff).toByte,
+          ((trFlags >> 8) & 0xff).toByte, (trFlags & 0xff).toByte) +:
+          u32(f.count.toLong) +: samples): _*)
+      val traf = boxOf("traf", tfhd, tfdt, trun)
+      val moof = boxOf("moof", mfhd, traf)
+      val mdat = boxOf("mdat",
+        Array.tabulate(f.mdatLen)(i => (fill(i) & 0xff).toByte))
+      out.write(moof, 0, moof.length)
+      out.write(mdat, 0, mdat.length)
+    }
+    out.toByteArray
   }
 }

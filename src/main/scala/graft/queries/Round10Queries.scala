@@ -253,5 +253,239 @@ object Round10Queries {
       FROM walk GROUP BY doc_id ORDER BY doc_id"""
     })
 
-  val all: Seq[QueryDef] = Seq(q226Mp4Probe, q227AdpcmStereo)
+  /** FRAGMENTED MP4 (CMAF/DASH-style) probe under the oracle gate — the
+    * container shape streaming-video lakes actually hold: per document, a
+    * synthesized init section (ftyp + moov with mvex/trex movie defaults)
+    * followed by 2-4 moof+mdat fragment pairs whose trun sample
+    * accounting exercises all THREE default-resolution levels (per-sample
+    * duration/size arrays, tfhd per-fragment defaults, trex movie
+    * defaults — one fragment per mode by construction), probed by
+    * [[graft.operators.Mp4Boxes.probe]] (mfhd sequence, tfhd flag walk,
+    * tfdt v1 64-bit decode-time anchor, trun field-presence arithmetic,
+    * exact trailing-byte tiling). The oracle recomputes fragment
+    * geometry, the three-level fallbacks, and total file size as integer
+    * sums over the box layouts, so a flag misread, a skipped optional
+    * field, or a fallback taken at the wrong level lands in the hash.
+    * Sample DATA stays untouched — mdat is sized, never parsed.
+    */
+  val q228Mp4Fragments: QueryDef = QueryDef(
+    "q228_mp4_fragments",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val out = src.map { r =>
+        import graft.operators.Mp4Boxes
+        val nc = 1 + r.v % 2
+        val brand = Seq("isom", "cmfc", "iso5", "dash")(r.v % 4)
+        val compat = (0 until nc).map(i => Seq("iso6", "msdh")((r.v + i) % 2))
+        val ts = 1000L * (1 + r.v % 3)
+        val dur = r.n.toLong * 100
+        val track = Mp4Boxes.SynthTrack(1, "vide",
+          Seq("avc1", "hvc1")(r.n % 2),
+          width = 16 * (1 + r.v % 80), height = 16 * (1 + r.n % 45),
+          timescale = ts, duration = dur,
+          lang = new String(Array(('a' + r.v % 26).toChar,
+            ('a' + r.n % 26).toChar, ('a' + (r.v + r.n) % 26).toChar)))
+        val trexD = (100L + r.v % 50, 500L + r.n % 100)
+        val k = 2 + (r.doc_id % 3).toInt
+        val frags = (0 until k).map { f =>
+          val cnt = 3 + (r.n + f) % 4
+          val mode = (r.v + f) % 3
+          Mp4Boxes.SynthFrag(
+            sequence = f + 1,
+            baseDecodeTime = f.toLong * 10000 + r.v,
+            count = cnt,
+            durations = if (mode == 0)
+              Some((0 until cnt).map(i => 90L + (r.v + f * 7 + i * 13) % 30))
+            else None,
+            sizes = if (mode == 0)
+              Some((0 until cnt).map(i => 400L + (r.n + f * 11 + i * 17) % 200))
+            else None,
+            tfhdDefaults = if (mode == 1)
+              Some((120L + (r.v + f) % 40, 600L + (r.n + f) % 80))
+            else None,
+            mdatLen = 16 + (r.n + f) % 32)
+        }
+        val bytes = Mp4Boxes.synthFragmented(brand, r.v.toLong, compat, ts,
+          dur, track, trexD, frags, i => i * 29 + r.n)
+        val info = Mp4Boxes.probe(bytes)
+          .getOrElse(sys.error(s"synthesized fMP4 failed to probe: doc ${r.doc_id}"))
+        require(info.fragmented && info.fragments.size == k)
+        val fs = info.fragments
+        (r.doc_id, info.brand, k,
+          fs.map(_.sampleCount).sum, fs.map(_.duration).sum,
+          fs.map(_.sampleBytes).sum,
+          fs.map(_.sequence).sum,
+          fs.last.baseDecodeTime + fs.last.duration,
+          info.mdatBytes, bytes.length.toLong)
+      }
+      out.toDF("doc_id", "brand", "n_fragments", "total_samples",
+          "sum_duration", "sum_bytes", "seq_sum", "end_time",
+          "mdat_total", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   ['isom', 'cmfc', 'iso5', 'dash'][v % 4 + 1] AS brand,
+                   1 + v % 2 AS nc,
+                   CAST(1 + doc_id % 3 + 1 AS INTEGER) AS k
+            FROM d),
+      f AS (SELECT doc_id, n, v, brand, nc, k, unnest(range(k)) AS fr
+            FROM g),
+      fr AS (SELECT doc_id, n, v, brand, nc, k, fr,
+                    3 + (n + fr) % 4 AS cnt,
+                    (v + fr) % 3 AS mode,
+                    CAST(fr * 10000 + v AS BIGINT) AS tfdt
+             FROM f),
+      acct AS (SELECT doc_id, n, v, brand, nc, k, fr, cnt, mode, tfdt,
+                      CASE mode
+                        WHEN 0 THEN list_sum(list_transform(range(cnt),
+                          i -> 90 + (v + fr * 7 + i * 13) % 30))
+                        WHEN 1 THEN cnt * (120 + (v + fr) % 40)
+                        ELSE cnt * (100 + v % 50) END AS dur_f,
+                      CASE mode
+                        WHEN 0 THEN list_sum(list_transform(range(cnt),
+                          i -> 400 + (n + fr * 11 + i * 17) % 200))
+                        WHEN 1 THEN cnt * (600 + (n + fr) % 80)
+                        ELSE cnt * (500 + n % 100) END AS bytes_f,
+                      16 + (n + fr) % 32 AS mdat_f,
+                      -- moof = 8 + mfhd 16 + traf(8 + tfhd + tfdt 20 + trun)
+                      8 + 16 + 8
+                        + (CASE WHEN mode = 1 THEN 24 ELSE 16 END)
+                        + 20
+                        + (16 + CASE WHEN mode = 0 THEN 8 * cnt ELSE 0 END)
+                        + 8 + 16 + (n + fr) % 32 AS frag_bytes
+               FROM fr)
+      SELECT doc_id,
+             brand,
+             CAST(k AS INTEGER) AS n_fragments,
+             CAST(sum(cnt) AS BIGINT) AS total_samples,
+             CAST(sum(dur_f) AS BIGINT) AS sum_duration,
+             CAST(sum(bytes_f) AS BIGINT) AS sum_bytes,
+             CAST(sum(fr + 1) AS BIGINT) AS seq_sum,
+             CAST(max(tfdt) + max(CASE WHEN fr = k - 1 THEN dur_f END)
+               AS BIGINT) AS end_time,
+             CAST(sum(mdat_f) AS BIGINT) AS mdat_total,
+             CAST((16 + 4 * nc) + (8 + 108 + 221 + 40) + sum(frag_bytes)
+               AS BIGINT) AS file_bytes
+      FROM acct GROUP BY doc_id, brand, nc, k ORDER BY doc_id"""))
+
+  /** SAMPLE-TABLE walk (stts/stsz/stco) under the oracle gate — the
+    * per-sample TIMING/SIZE bookkeeping of a progressive (non-fragmented)
+    * MP4, which is still container metadata: per document, 1-3 tracks
+    * whose stts run-lengths, uniform-vs-per-sample stsz, and stco chunk
+    * lists are minted closed-form, synthesized as real boxes, and walked
+    * by the probe (exact entry tiling, stts-vs-stsz sample-count
+    * consistency enforced). mdhd durations deliberately match the stts
+    * sum on only half the tracks, so the coherence check itself is
+    * data-varying and lands in the hash. Sample DATA stays untouched.
+    */
+  val q229Mp4SampleTables: QueryDef = QueryDef(
+    "q229_mp4_sample_tables",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val out = src.map { r =>
+        import graft.operators.Mp4Boxes
+        val k = 1 + (r.doc_id % 3).toInt
+        val tracks = (0 until k).map { t =>
+          val e = 2 + (r.n + t) % 3
+          val entries = (0 until e).map(j =>
+            (2L + (r.v + t + j) % 5, 100L * (1 + (r.n + t + j) % 4)))
+          val total = entries.map(_._1).sum
+          val sttsDur = entries.map { case (c, dl) => c * dl }.sum
+          val uniform = (r.v + t) % 2 == 0
+          val sizes: Either[Long, Seq[Long]] =
+            if (uniform) Left(300L + (r.n + t) % 100)
+            else Right((0L until total).map(i => 200L + (r.v + i * 19 + t) % 150))
+          val mdur = sttsDur + (if ((r.n + t) % 2 == 0) 0L else 7L)
+          Mp4Boxes.SynthTrack(t + 1, if (t % 2 == 0) "vide" else "soun",
+            if (t % 2 == 0) "avc1" else "mp4a",
+            width = if (t % 2 == 0) 320 else 0,
+            height = if (t % 2 == 0) 240 else 0,
+            timescale = 1000L * (1 + (r.v + t) % 4), duration = mdur,
+            lang = "und",
+            sttsEntries = entries, sizes = Some(sizes),
+            chunks = 1 + (r.n + t) % 4)
+        }
+        val bytes = Mp4Boxes.synthMp4("isom", r.v.toLong, Seq("mp41"),
+          600L, r.n.toLong * 50, tracks, mdatLen = r.n % 50,
+          i => i * 37 + r.v)
+        val info = Mp4Boxes.probe(bytes)
+          .getOrElse(sys.error(s"synthesized sample tables failed: doc ${r.doc_id}"))
+        val st = info.tracks.map(t => (t, t.samples.getOrElse(
+          sys.error(s"missing tables: doc ${r.doc_id}"))))
+        (r.doc_id, k,
+          st.map(_._2.sampleCount).sum,
+          st.map(_._2.sttsDuration).sum,
+          st.map(_._2.totalSampleBytes).sum,
+          st.count(_._2.uniformSize.isDefined),
+          st.map(_._2.chunkCount).sum,
+          st.count { case (t, sa) => t.duration == sa.sttsDuration },
+          bytes.length.toLong)
+      }
+      out.toDF("doc_id", "n_tracks", "total_samples", "sum_stts_dur",
+          "sum_bytes", "n_uniform", "chunk_total", "n_dur_match",
+          "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, CAST(1 + doc_id % 3 AS INTEGER) AS k
+            FROM d),
+      tr AS (SELECT doc_id, n, v, k, unnest(range(k)) AS t FROM g),
+      per AS (SELECT doc_id, n, v, k, t,
+                     2 + (n + t) % 3 AS e,
+                     list_sum(list_transform(range(2 + (n + t) % 3),
+                       j -> 2 + (v + t + j) % 5)) AS total,
+                     list_sum(list_transform(range(2 + (n + t) % 3),
+                       j -> (2 + (v + t + j) % 5) * 100 * (1 + (n + t + j) % 4)))
+                       AS sttsdur,
+                     (v + t) % 2 = 0 AS uni,
+                     1 + (n + t) % 4 AS chunks
+              FROM tr),
+      acct AS (SELECT doc_id, n, v, k, t, e, total, sttsdur, uni, chunks,
+                      CASE WHEN uni THEN (300 + (n + t) % 100) * total
+                           ELSE list_sum(list_transform(
+                             range(CAST(total AS BIGINT)),
+                             i -> 200 + (v + i * 19 + t) % 150)) END AS bytes_t,
+                      CASE WHEN (n + t) % 2 = 0 THEN 1 ELSE 0 END AS dmatch,
+                      -- trak = 8 + tkhd 92 + mdia(8 + mdhd 32 + hdlr 33
+                      --   + minf(8 + stbl(8 + stsd 32 + stts + stsz + stco)))
+                      8 + 92 + 8 + 32 + 33 + 8 + 8 + 32
+                        + (16 + 8 * e)
+                        + (CASE WHEN uni THEN 20 ELSE 20 + 4 * total END)
+                        + (16 + 4 * chunks) AS trak_bytes
+               FROM per)
+      SELECT doc_id,
+             k AS n_tracks,
+             CAST(sum(total) AS BIGINT) AS total_samples,
+             CAST(sum(sttsdur) AS BIGINT) AS sum_stts_dur,
+             CAST(sum(bytes_t) AS BIGINT) AS sum_bytes,
+             CAST(sum(CASE WHEN uni THEN 1 ELSE 0 END) AS INTEGER) AS n_uniform,
+             CAST(sum(chunks) AS BIGINT) AS chunk_total,
+             CAST(sum(dmatch) AS INTEGER) AS n_dur_match,
+             CAST(20 + (8 + 108 + sum(trak_bytes)) + 8 + n % 50
+               AS BIGINT) AS file_bytes
+      FROM acct GROUP BY doc_id, k, n ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q226Mp4Probe, q227AdpcmStereo, q228Mp4Fragments, q229Mp4SampleTables)
 }

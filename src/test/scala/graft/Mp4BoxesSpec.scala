@@ -120,6 +120,94 @@ class Mp4BoxesSpec extends AnyFunSuite {
     assert(Mp4Boxes.probe(b ++ Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("sample tables (stts/stsz/stco) round trip, uniform and per-sample") {
+    val vt = vTrack.copy(
+      sttsEntries = Seq((3L, 100L), (2L, 250L)), // 5 samples, 800 ticks
+      sizes = Some(Right(Seq(10L, 20L, 30L, 40L, 50L))),
+      chunks = 3)
+    val at = aTrack.copy(
+      sttsEntries = Seq((4L, 1024L)),
+      sizes = Some(Left(512L)),
+      chunks = 2)
+    val b = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 800,
+      Seq(vt, at), 16, _ => 7)
+    val info = Mp4Boxes.probe(b).get
+    val Some(s1) = info.tracks(0).samples
+    assert(s1.sampleCount == 5 && s1.sttsDuration == 3 * 100 + 2 * 250)
+    assert(s1.totalSampleBytes == 150 && s1.uniformSize.isEmpty)
+    assert(s1.chunkCount == 3)
+    val Some(s2) = info.tracks(1).samples
+    assert(s2.sampleCount == 4 && s2.sttsDuration == 4096)
+    assert(s2.totalSampleBytes == 2048 && s2.uniformSize.contains(512L))
+    assert(s2.chunkCount == 2)
+    // closed-form size: ftyp 20 + moov(8 + 108 + trak1 + trak2) + mdat 24
+    // trak = 221 + stts(16+8e) + stsz + stco(16+4c)
+    val trak1 = 221 + (16 + 8 * 2) + (20 + 4 * 5) + (16 + 4 * 3)
+    val trak2 = 221 + (16 + 8 * 1) + 20 + (16 + 4 * 2)
+    assert(b.length == 20 + (8 + 108 + trak1 + trak2) + 24)
+    // INCONSISTENT tables reject: stsz declaring a count the stts sum
+    // does not match (patch the stsz sample_count field)
+    val stszMagic = "stsz".getBytes("US-ASCII")
+    val zOff = b.indices.find(i => i + 4 <= b.length &&
+      b.slice(i, i + 4).sameElements(stszMagic)).get - 4
+    val lying = b.clone(); lying(zOff + 8 + 4 + 4 + 3) = 9
+    assert(Mp4Boxes.probe(lying).isEmpty)
+    // PARTIAL tables reject: stco retyped to an unknown box leaves
+    // stts+stsz without their chunk table
+    val stcoMagic = "stco".getBytes("US-ASCII")
+    val cOff = b.indices.find(i => i + 4 <= b.length &&
+      b.slice(i, i + 4).sameElements(stcoMagic)).get
+    val partial = b.clone()
+    Array[Byte]('f', 'r', 'e', 'e').zipWithIndex.foreach {
+      case (ch, i) => partial(cOff + i) = ch
+    }
+    assert(Mp4Boxes.probe(partial).isEmpty)
+  }
+
+  test("fragmented (CMAF) files: trun accounting across all three " +
+    "default-resolution levels") {
+    val t = vTrack // no stbl tables
+    val frags = Seq(
+      Mp4Boxes.SynthFrag(1, 0L, 3,
+        Some(Seq(100L, 110L, 120L)), Some(Seq(10L, 20L, 30L)), None, 8),
+      Mp4Boxes.SynthFrag(2, 330L, 2, None, None, Some((200L, 99L)), 4),
+      Mp4Boxes.SynthFrag(3, 730L, 4, None, None, None, 12)) // trex defaults
+    val b = Mp4Boxes.synthFragmented("cmfc", 7, Seq("iso6"), 30000, 0,
+      t, (50L, 500L), frags, _ => 1)
+    val info = Mp4Boxes.probe(b).get
+    assert(info.fragmented && info.fragments.size == 3)
+    val Vector(f1, f2, f3) = info.fragments
+    assert(f1 == Mp4Boxes.Fragment(1, 1, 0L, 3, 330L, 60L))
+    assert(f2 == Mp4Boxes.Fragment(2, 1, 330L, 2, 400L, 198L))
+    assert(f3 == Mp4Boxes.Fragment(3, 1, 730L, 4, 200L, 2000L))
+    assert(info.mdatBytes == 8 + 4 + 12)
+    // non-fragmented files report no fragments
+    assert(!Mp4Boxes.probe(synth()).get.fragmented)
+    // hostile: a trun whose declared count leaves trailing bytes
+    val trunMagic = "trun".getBytes("US-ASCII")
+    val tOff = b.indices.find(i => i + 4 <= b.length &&
+      b.slice(i, i + 4).sameElements(trunMagic)).get - 4
+    val lying = b.clone(); lying(tOff + 8 + 4 + 3) = 2 // 3 -> 2 samples
+    assert(Mp4Boxes.probe(lying).isEmpty)
+    // hostile: tfdt with a reserved version
+    val tfdtMagic = "tfdt".getBytes("US-ASCII")
+    val dOff = b.indices.find(i => i + 4 <= b.length &&
+      b.slice(i, i + 4).sameElements(tfdtMagic)).get + 4
+    val badVer = b.clone(); badVer(dOff) = 2
+    assert(Mp4Boxes.probe(badVer).isEmpty)
+    // hostile: duplicate mfhd inside one moof
+    val mfhdMagic = "mfhd".getBytes("US-ASCII")
+    val mOff = b.indices.find(i => i + 4 <= b.length &&
+      b.slice(i, i + 4).sameElements(mfhdMagic)).get
+    val twoMfhd = b.clone()
+    // retype the traf to mfhd: moof now has 2 mfhd, 0 traf
+    val trafMagic = "traf".getBytes("US-ASCII")
+    val trOff = b.indices.find(i => i + 4 <= b.length &&
+      b.slice(i, i + 4).sameElements(trafMagic)).get
+    mfhdMagic.zipWithIndex.foreach { case (ch, i) => twoMfhd(trOff + i) = ch }
+    assert(mOff > 0 && Mp4Boxes.probe(twoMfhd).isEmpty)
+  }
+
   test("synthMp4 rejects out-of-contract inputs eagerly") {
     intercept[IllegalArgumentException] {
       Mp4Boxes.synthMp4("toolong5", 0, Nil, 600, 0, Seq(vTrack), 0, _ => 0)
