@@ -206,6 +206,64 @@ object TextAnalysis {
     concat(lit(" "), folded, lit(" "))
   }
 
+  /** FULL BPE vocabulary induction — `rounds` greedy merge rounds over the
+    * corpus's word-frequency table, the trainer behind every
+    * byte-pair-encoding tokenizer. Each round runs (1) distributed
+    * corpus-weighted adjacent-pair counts over the CURRENT symbol
+    * sequences, (2) the argmax pair (count desc, pair asc — a total
+    * order) fetched as ONE driver scalar row — the dedupClusters/labelSum
+    * pattern: rounds aggregate the VOCABULARY, never the corpus, and the
+    * driver only ever holds one row per round — (3) the merge applied as
+    * the leftmost greedy fold ([[bpeApplyMerge]]), and (4) the post-merge
+    * corpus token count (the compression trajectory a tokenizer team
+    * actually tracks while choosing the vocabulary size). Eager-fixpoint
+    * cache discipline: each round's symbol table is materialized by the
+    * token-count aggregate before the superseded one unpersists, and the
+    * final table unpersists on exit (the RESULT is the tiny merge table,
+    * not the symbols).
+    *
+    * Output: (round, pair, merged, pc, corpus_tokens) — `rounds` rows,
+    * fewer if the vocabulary exhausts (no adjacent pair left) first.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var sym = words.select(col("w"), col("cnt"),
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s")).cache()
+    val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val pc = sym.select(col("cnt"), split(trim(col("s")), " ").as("t"))
+          .filter(size(col("t")) >= 2) // sequence() descends below 2
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(t) - 2)," +
+              " i -> concat(t[i], ' ', t[i+1]))")).as("p"))
+          .groupBy("p").agg(sum(col("cnt")).as("pc"))
+        val top = pc.orderBy(col("pc").desc, col("p")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val next = sym.select(col("w"), col("cnt"),
+            bpeApplyMerge(col("s"), lit(pair)).as("s")).cache()
+          val postTokens = next // materializes next before the handoff
+            .agg(sum(col("cnt") * size(split(trim(col("s")), " "))))
+            .head().getLong(0)
+          sym.unpersist()
+          sym = next
+          out += ((r.toLong, pair, pair.replace(" ", ""), cnt, postTokens))
+          r += 1
+        }
+      }
+      out.result().toDF("round", "pair", "merged", "pc", "corpus_tokens")
+    } finally sym.unpersist()
+  }
+
   /** HTML boilerplate-block patterns, Java ∩ RE2 dialect ((?s) dotall +
     * non-greedy bodies, as for [[EmailRe]]): the elements a jusText-style
     * main-content extractor drops wholesale before any text operator runs

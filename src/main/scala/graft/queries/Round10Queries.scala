@@ -486,6 +486,67 @@ object Round10Queries {
                AS BIGINT) AS file_bytes
       FROM acct GROUP BY doc_id, k, n ORDER BY doc_id"""))
 
+  /** FULL BPE TRAINER under the oracle gate — q139 pinned two merge
+    * rounds; q230 runs the real vocabulary-induction loop
+    * ([[graft.operators.TextAnalysis.bpeTrain]]): SIX greedy rounds, each
+    * a distributed corpus-weighted pair count over the current symbol
+    * sequences, a one-row argmax (count desc, pair asc), the leftmost
+    * greedy fold merge, and the post-merge corpus token count — the
+    * compression trajectory that drives vocabulary-size decisions. The
+    * oracle UNROLLS all six rounds textually (the q190 unrolled-CTE
+    * protocol): pair counts, argmax, the identical list_reduce fold, and
+    * the token count per round, so a tie-break slip, a fold divergence on
+    * adjacent repeats, or a stale symbol table in ANY round lands in the
+    * hash. Driver state is one scalar row per round — the loop shape is
+    * corpus-size-independent.
+    */
+  val q230BpeTrain: QueryDef = QueryDef(
+    "q230_bpe_train",
+    (s, dir) => graft.operators.TextAnalysis
+      .bpeTrain(Tables.load(s, dir, "documents"), rounds = 6)
+      .orderBy("round"),
+    Some {
+      val K = 6
+      def pairs(i: Int): String =
+        s"""p$i AS (SELECT t[i] || ' ' || t[i+1] AS p, SUM(cnt) AS pc
+           |  FROM (SELECT cnt, string_split(trim(s), ' ') AS t FROM sym${i - 1}),
+           |       unnest(range(1, len(t))) AS u(i)
+           |  GROUP BY 1),
+           |top$i AS (SELECT p, pc FROM p$i ORDER BY pc DESC, p LIMIT 1)"""
+          .stripMargin
+      def fold(i: Int): String =
+        s"""sym$i AS (SELECT w, cnt,
+           |  ' ' || list_reduce(string_split(trim(s), ' '), (acc, x) ->
+           |    CASE WHEN (acc = str_split(top$i.p, ' ')[1]
+           |               OR ends_with(acc, ' ' || str_split(top$i.p, ' ')[1]))
+           |              AND x = str_split(top$i.p, ' ')[2]
+           |      THEN substr(acc, 1,
+           |             length(acc) - length(str_split(top$i.p, ' ')[1]))
+           |           || replace(top$i.p, ' ', '')
+           |      ELSE acc || ' ' || x END) || ' ' AS s
+           |  FROM sym${i - 1} CROSS JOIN top$i),
+           |n$i AS (SELECT CAST(SUM(cnt * len(string_split(trim(s), ' ')))
+           |  AS BIGINT) AS t FROM sym$i)""".stripMargin
+      val ctes = (1 to K).map(i => pairs(i) + ",\n" + fold(i)).mkString(",\n")
+      val rows = (1 to K).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS round, p AS pair,
+           |  replace(p, ' ', '') AS merged, CAST(pc AS BIGINT) AS pc,
+           |  (SELECT t FROM n$i) AS corpus_tokens FROM top$i"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""
+      WITH words AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word
+                           FROM documents)
+                     WHERE word != '' GROUP BY 1),
+      sym0 AS (SELECT w, cnt,
+                      ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+               FROM words),
+      $ctes
+      $rows
+      ORDER BY round"""
+    })
+
   val all: Seq[QueryDef] =
-    Seq(q226Mp4Probe, q227AdpcmStereo, q228Mp4Fragments, q229Mp4SampleTables)
+    Seq(q226Mp4Probe, q227AdpcmStereo, q228Mp4Fragments, q229Mp4SampleTables,
+      q230BpeTrain)
 }

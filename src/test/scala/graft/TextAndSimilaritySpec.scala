@@ -131,6 +131,28 @@ class TextAndSimilaritySpec extends SparkTestBase {
       s"merge(${r.getAs[String]("s")}, ${r.getAs[String]("mp")})"))
   }
 
+  test("bpeTrain learns the hand-computed merge sequence with exact " +
+    "tie-breaks and compression trajectory") {
+    import org.apache.spark.sql.functions.col
+    // corpus: low x2, lower, lowest — the textbook example
+    val d = Seq((1L, "low lower lowest low")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(d, rounds = 4).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.length == 4)
+    // round 1: "l o" and "o w" tie at 4; pair-asc tie-break picks "l o";
+    // tokens after: lo w (x2) + lo w e r + lo w e s t = 4 + 4 + 5 = 13
+    assert(m(0) == (1L, "l o", "lo", 4L, 13L))
+    assert(m(1) == (2L, "lo w", "low", 4L, 9L))
+    assert(m(2) == (3L, "low e", "lowe", 2L, 7L))
+    // round 4: three pairs tie at 1; "lowe r" < "lowe s" < "s t"
+    assert(m(3) == (4L, "lowe r", "lower", 1L, 6L))
+    // vocabulary exhaustion stops the loop early instead of erroring
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val mt = TextAnalysis.bpeTrain(tiny, rounds = 10).collect()
+    assert(mt.length == 1 && mt(0).getString(2) == "ab")
+  }
+
   test("fingerprints are equal iff normalized text is equal") {
     val d = docs(1L -> "Hello  World", 2L -> "  hello world ", 3L -> "hello there")
     val fp = TextAnalysis.fingerprints(d).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
