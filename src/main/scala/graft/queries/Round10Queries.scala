@@ -546,7 +546,83 @@ object Round10Queries {
       ORDER BY round"""
     })
 
+  /** BPE TOKENIZATION at corpus scale — the APPLY side of q230's trainer:
+    * learn the six merges, then tokenize every document with them and
+    * emit per-doc word and BPE-token counts (the sequence-length budget a
+    * packing pipeline feeds on). Shape: the merges fold over the
+    * DISTINCT-WORD table only (vocabulary-sized work, the chained
+    * [[graft.operators.TextAnalysis.bpeApplyMerge]] folds), and the
+    * corpus pass is one explode + equi-join + per-doc aggregate — the
+    * expensive fold never touches per-occurrence rows. The oracle
+    * re-derives the merges with the q230 unrolled chain and joins its own
+    * sym6 table back to the exploded corpus, so a divergence in either
+    * the training OR the application lands in the hash.
+    */
+  val q231BpeTokenize: QueryDef = QueryDef(
+    "q231_bpe_tokenize",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, rounds = 6)
+        .orderBy("round").collect().map(_.getString(1)) // the pair per round
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+      val sym = merges.foldLeft(
+        words.select(col("w"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))) {
+        (df, mp) =>
+          df.select(col("w"), TextAnalysis.bpeApplyMerge(col("s"), lit(mp)).as("s"))
+      }.select(col("w"), size(split(trim(col("s")), " ")).as("nt"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(sym, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val K = 6
+      def pairs(i: Int): String =
+        s"""p$i AS (SELECT t[i] || ' ' || t[i+1] AS p, SUM(cnt) AS pc
+           |  FROM (SELECT cnt, string_split(trim(s), ' ') AS t FROM sym${i - 1}),
+           |       unnest(range(1, len(t))) AS u(i)
+           |  GROUP BY 1),
+           |top$i AS (SELECT p, pc FROM p$i ORDER BY pc DESC, p LIMIT 1)"""
+          .stripMargin
+      def fold(i: Int): String =
+        s"""sym$i AS (SELECT w, cnt,
+           |  ' ' || list_reduce(string_split(trim(s), ' '), (acc, x) ->
+           |    CASE WHEN (acc = str_split(top$i.p, ' ')[1]
+           |               OR ends_with(acc, ' ' || str_split(top$i.p, ' ')[1]))
+           |              AND x = str_split(top$i.p, ' ')[2]
+           |      THEN substr(acc, 1,
+           |             length(acc) - length(str_split(top$i.p, ' ')[1]))
+           |           || replace(top$i.p, ' ', '')
+           |      ELSE acc || ' ' || x END) || ' ' AS s
+           |  FROM sym${i - 1} CROSS JOIN top$i)""".stripMargin
+      val ctes = (1 to K).map(i => pairs(i) + ",\n" + fold(i)).mkString(",\n")
+      s"""
+      WITH words AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word
+                           FROM documents)
+                     WHERE word != '' GROUP BY 1),
+      sym0 AS (SELECT w, cnt,
+                      ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+               FROM words),
+      $ctes
+      SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(string_split(trim(sym$K.s), ' '))) AS BIGINT)
+               AS n_bpe_tokens
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) d
+      JOIN sym$K ON d.w = sym$K.w
+      WHERE d.w != ''
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q226Mp4Probe, q227AdpcmStereo, q228Mp4Fragments, q229Mp4SampleTables,
-      q230BpeTrain)
+      q230BpeTrain, q231BpeTokenize)
 }
