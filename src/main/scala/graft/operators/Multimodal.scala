@@ -177,6 +177,60 @@ object Multimodal {
       }
     }
 
+  /** Unified CONTAINER probe row — the `ffprobe`-shaped front door over
+    * every container family the engine parses: which container, how long,
+    * how many streams/tracks, which codec. Sample data is never touched
+    * (the [[Mp4Boxes]]/[[MpegFrames]] contract); a payload no prober
+    * accepts yields an EXPLICIT all-null row, the reject-queue shape.
+    */
+  final case class ContainerProbe(doc_id: Long, container: Option[String],
+      duration_ms: Option[Long], n_streams: Option[Int],
+      codec: Option[String], payload_bytes: Long)
+
+  /** Probe each payload against the container families in
+    * false-positive-safe order — ISO-BMFF (requires a leading ftyp), then
+    * MPEG-1 audio (strict sync walk to EOF), then RIFF/WAVE (PCM16, G.711,
+    * ADPCM via the real decoders) — and report the container truth:
+    *   - mp4: movie duration (mvhd clock), track count, first track's
+    *     stsd codec fourcc;
+    *   - mpeg: walked duration, 1 stream, "mp1"/"mp2"/"mp3" by layer;
+    *   - wav: frame count / rate duration, 1 stream, codec by the fmt tag
+    *     ("pcm16" / "g711" / "adpcm").
+    * Everything else — including text sniffed as nothing — is an explicit
+    * all-null reject row. mapPartitions batch shape as [[decodeFeatures]].
+    */
+  def probeContainers(media: Dataset[MediaRow]): Dataset[ContainerProbe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        val probed: Option[(String, Long, Int, String)] =
+          Mp4Boxes.probe(p).map { m =>
+            ("mp4", m.durationMs, m.nTracks,
+              m.tracks.headOption.flatMap(_.codecs.headOption).getOrElse(""))
+          }.orElse(MpegFrames.probe(p).map { m =>
+            ("mpeg", m.durationMs, 1, s"mp${m.layer}")
+          }).orElse(MediaCodecs.decodeWavPcm16(p).map { a =>
+            val frames = a.samples.length / math.max(1, a.channels)
+            val codec = a.bitsPerSample match {
+              case 16 => "pcm16"
+              case 8 => "g711"
+              case 4 => "adpcm"
+              case _ => "wav"
+            }
+            ("wav", frames.toLong * 1000L / a.sampleRate, 1, codec)
+          })
+        probed match {
+          case Some((c, d, n, cod)) =>
+            ContainerProbe(r.doc_id, Some(c), Some(d), Some(n), Some(cod),
+              p.length.toLong)
+          case None =>
+            ContainerProbe(r.doc_id, None, None, None, None, p.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Per-partition batched decode → typed feature rows. mapPartitions (not
     * per-row UDF) so codec setup could amortize per batch. Payloads in a
     * REAL parseable format (see [[realDecode]]) are actually decoded;

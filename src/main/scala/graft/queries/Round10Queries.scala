@@ -622,7 +622,104 @@ object Round10Queries {
       GROUP BY d.doc_id ORDER BY d.doc_id"""
     })
 
+  /** UNIFIED CONTAINER PROBE over a MIXED-FAMILY corpus — the
+    * `ffprobe`-shaped front door a media lake runs first: per document the
+    * payload is (by doc_id mod 4) a real MP4, a real MPEG-1 audio stream,
+    * a real PCM16 WAV, or RAW TEXT, and
+    * [[graft.operators.Multimodal.probeContainers]] dispatches the
+    * container families in false-positive-safe order, reporting container
+    * kind, duration, stream count, and codec — with the text payloads
+    * surfacing as EXPLICIT all-null reject rows (the q50 contract at the
+    * container level). The oracle recomputes every family's metadata
+    * closed-form (mvhd clock division, the MPEG frame-size walk, the WAV
+    * sample arithmetic) AND the exact payload byte sizes, so a family
+    * misdispatch, a false positive on text, or any probe regression lands
+    * in the hash.
+    */
+  val q232ContainerProbe: QueryDef = QueryDef(
+    "q232_container_probe",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"),
+          col("text"))
+      val media = src.map { r =>
+        val docId = r.getLong(0); val n = r.getInt(1); val v = r.getInt(2)
+        val text = r.getString(3)
+        val payload: Array[Byte] = (docId % 4) match {
+          case 0 =>
+            graft.operators.Mp4Boxes.synthMp4("isom", v.toLong, Seq("mp41"),
+              600L * (1 + v % 5), n.toLong * 1000 + v * 17,
+              Seq(graft.operators.Mp4Boxes.SynthTrack(1, "vide", "avc1",
+                320, 240, 30000L, 90000L, "und")),
+              mdatLen = n % 32, i => i * 11 + v)
+          case 1 =>
+            graft.operators.MpegFrames.synthStream(1 + v % 3, n % 3,
+              (0 until 2 + n % 4).map(j => (1 + (v + j) % 14, (n + j) % 2 == 0)),
+              (fi, j) => fi * 7 + j * 13)
+          case 2 =>
+            graft.operators.MediaCodecs.encodeWavPcm16(8000,
+              Array.tabulate(10 + n % 20)(i => ((v * 31 + i * 97) % 8192).toShort))
+          case _ => text.getBytes("UTF-8")
+        }
+        graft.operators.Multimodal.MediaRow(docId, payload,
+          graft.operators.Multimodal.MediaMeta("mixed", payload.length, 0L))
+      }
+      graft.operators.Multimodal.probeContainers(media).toDF()
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      mpeg AS (SELECT doc_id, n, v,
+                      CAST(1 + v % 3 AS INTEGER) AS layer,
+                      [44100, 48000, 32000][n % 3 + 1] AS sr,
+                      2 + n % 4 AS k
+               FROM d WHERE doc_id % 4 = 1),
+      mpeg2 AS (SELECT doc_id, layer, sr, k,
+                       CASE WHEN layer = 1 THEN 384 ELSE 1152 END AS spf,
+                       list_sum(list_transform(range(k), j ->
+                         CASE WHEN layer = 1
+                           THEN (12000 * [[32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+                                 [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+                                 [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                                ][layer][(v + j) % 14 + 1] // sr
+                                 + CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END) * 4
+                           ELSE 144000 * [[32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+                                 [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+                                 [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                                ][layer][(v + j) % 14 + 1] // sr
+                                 + CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END
+                         END)) AS stream_bytes
+                FROM mpeg)
+      SELECT d.doc_id,
+             CASE d.doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mpeg'
+                               WHEN 2 THEN 'wav' END AS container,
+             CASE d.doc_id % 4
+               WHEN 0 THEN (CAST(d.n AS BIGINT) * 1000 + d.v * 17) * 1000
+                             // (600 * (1 + d.v % 5))
+               WHEN 1 THEN CAST(m.k AS BIGINT) * m.spf * 1000 // m.sr
+               WHEN 2 THEN CAST(10 + d.n % 20 AS BIGINT) * 1000 // 8000
+             END AS duration_ms,
+             CASE WHEN d.doc_id % 4 <= 2 THEN 1 END AS n_streams,
+             CASE d.doc_id % 4 WHEN 0 THEN 'avc1'
+                               WHEN 1 THEN 'mp' || CAST(1 + d.v % 3 AS VARCHAR)
+                               WHEN 2 THEN 'pcm16' END AS codec,
+             CAST(CASE d.doc_id % 4
+               WHEN 0 THEN 20 + 8 + 108 + 221 + 8 + d.n % 32
+               WHEN 1 THEN m.stream_bytes
+               WHEN 2 THEN 44 + 2 * (10 + d.n % 20)
+               ELSE d.n
+             END AS BIGINT) AS payload_bytes
+      FROM d LEFT JOIN mpeg2 m ON d.doc_id = m.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q226Mp4Probe, q227AdpcmStereo, q228Mp4Fragments, q229Mp4SampleTables,
-      q230BpeTrain, q231BpeTokenize)
+      q230BpeTrain, q231BpeTokenize, q232ContainerProbe)
 }

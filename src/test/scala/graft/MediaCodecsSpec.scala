@@ -274,6 +274,42 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(Multimodal.realDecode(text).isEmpty)
   }
 
+  test("probeContainers dispatches mp4/mpeg/wav in false-positive-safe " +
+    "order and rejects text explicitly") {
+    import spark.implicits._
+    import graft.operators.{Mp4Boxes, MpegFrames, Multimodal}
+    val mp4 = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 1200,
+      Seq(Mp4Boxes.SynthTrack(1, "vide", "hvc1", 320, 240, 30000, 90000, "und")),
+      8, _ => 3)
+    val mpeg = MpegFrames.synthStream(3, 0, Seq((5, false), (5, false)),
+      (_, _) => 77)
+    val pcm = MediaCodecs.encodeWavPcm16(16000, Array.tabulate(32)(i => i.toShort))
+    val g711 = MediaCodecs.encodeWavG711(8000,
+      Array.tabulate(16)(i => (i * 7).toByte), aLaw = true)
+    val adpcm = MediaCodecs.encodeWavAdpcmStereo(22050,
+      Array.tabulate(10)(i => (i * 100).toShort),
+      Array.tabulate(10)(i => (i * -50).toShort), blockAlign = 16)
+    val junk = "just some text, no container here".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, mp4), (2L, mpeg), (3L, pcm), (4L, g711), (5L, adpcm), (6L, junk)
+    ).map { case (id, p) =>
+      Multimodal.MediaRow(id, p, Multimodal.MediaMeta("x", p.length, 0L))
+    }
+    val out = Multimodal.probeContainers(rows.toDS()).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).container.contains("mp4") && out(1L).codec.contains("hvc1"))
+    assert(out(1L).duration_ms.contains(1200L * 1000 / 600))
+    assert(out(2L).container.contains("mpeg") && out(2L).codec.contains("mp3"))
+    assert(out(2L).duration_ms.contains(2L * 1152 * 1000 / 44100))
+    assert(out(3L).container.contains("wav") && out(3L).codec.contains("pcm16"))
+    assert(out(3L).duration_ms.contains(32L * 1000 / 16000))
+    assert(out(4L).codec.contains("g711"))
+    assert(out(5L).codec.contains("adpcm") &&
+      out(5L).duration_ms.contains(10L * 1000 / 22050)) // per-channel frames
+    assert(out(6L).container.isEmpty && out(6L).duration_ms.isEmpty &&
+      out(6L).codec.isEmpty && out(6L).payload_bytes == junk.length)
+  }
+
   test("binaryFile ingest: real files on disk decode through the media pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("media_ingest")
     // real files in five formats with known content, one decoy text file
