@@ -190,12 +190,15 @@ object Multimodal {
   /** Probe each payload against the container families in
     * false-positive-safe order — ISO-BMFF (requires a leading ftyp), then
     * MPEG-1 audio (strict sync walk to EOF), then RIFF/WAVE (PCM16, G.711,
-    * ADPCM via the real decoders) — and report the container truth:
+    * ADPCM via the real decoders), then TIFF (byte-order magic + strict
+    * IFD walk) — and report the container truth:
     *   - mp4: movie duration (mvhd clock), track count, first track's
     *     stsd codec fourcc;
     *   - mpeg: walked duration, 1 stream, "mp1"/"mp2"/"mp3" by layer;
     *   - wav: frame count / rate duration, 1 stream, codec by the fmt tag
-    *     ("pcm16" / "g711" / "adpcm").
+    *     ("pcm16" / "g711" / "adpcm");
+    *   - tiff: no time axis (duration stays null), page count as the
+    *     stream count.
     * Everything else — including text sniffed as nothing — is an explicit
     * all-null reject row. mapPartitions batch shape as [[decodeFeatures]].
     */
@@ -204,12 +207,12 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val p = r.payload
-        val probed: Option[(String, Long, Int, String)] =
+        val probed: Option[(String, Option[Long], Int, String)] =
           Mp4Boxes.probe(p).map { m =>
-            ("mp4", m.durationMs, m.nTracks,
+            ("mp4", Some(m.durationMs), m.nTracks,
               m.tracks.headOption.flatMap(_.codecs.headOption).getOrElse(""))
           }.orElse(MpegFrames.probe(p).map { m =>
-            ("mpeg", m.durationMs, 1, s"mp${m.layer}")
+            ("mpeg", Some(m.durationMs), 1, s"mp${m.layer}")
           }).orElse(MediaCodecs.decodeWavPcm16(p).map { a =>
             val frames = a.samples.length / math.max(1, a.channels)
             val codec = a.bitsPerSample match {
@@ -218,11 +221,13 @@ object Multimodal {
               case 4 => "adpcm"
               case _ => "wav"
             }
-            ("wav", frames.toLong * 1000L / a.sampleRate, 1, codec)
+            ("wav", Some(frames.toLong * 1000L / a.sampleRate), 1, codec)
+          }).orElse(TiffProbe.probe(p).map { t =>
+            ("tiff", None, t.nPages, "tiff")
           })
         probed match {
           case Some((c, d, n, cod)) =>
-            ContainerProbe(r.doc_id, Some(c), Some(d), Some(n), Some(cod),
+            ContainerProbe(r.doc_id, Some(c), d, Some(n), Some(cod),
               p.length.toLong)
           case None =>
             ContainerProbe(r.doc_id, None, None, None, None, p.length.toLong)

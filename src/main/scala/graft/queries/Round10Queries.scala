@@ -719,7 +719,84 @@ object Round10Queries {
       FROM d LEFT JOIN mpeg2 m ON d.doc_id = m.doc_id
       ORDER BY d.doc_id"""))
 
+  /** TIFF/IFD container probe under the oracle gate — the remaining major
+    * image container (and the DNG/GeoTIFF shape): per document a real
+    * multi-page TIFF in a doc-varying byte order
+    * ([[graft.operators.TiffProbe.synthTiff]]: II/MM header, chained IFDs,
+    * tags sorted ascending per the spec, inline SHORT/LONG values), walked
+    * by the real prober (byte-order dispatch, strict IFD tiling, the
+    * ascending-tag rule, the next-IFD chain with a cycle guard) and
+    * reduced to per-doc page/geometry statistics. Raster strips stay
+    * untouched — container truth only. The oracle recomputes every tag
+    * value and the exact file size (8 + pages x 78) closed-form.
+    */
+  val q233TiffProbe: QueryDef = QueryDef(
+    "q233_tiff_probe",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val out = src.map { r =>
+        import graft.operators.TiffProbe
+        val le = r.n % 2 == 0
+        val k = 1 + (r.doc_id % 3).toInt
+        val pages = (0 until k).map { p =>
+          TiffProbe.SynthPage(
+            width = 100L + (r.v + p) % 900,
+            height = 50L + (r.n + p) % 500,
+            bits = Seq(1L, 8L, 16L)((r.v + p) % 3),
+            compression = Seq(1L, 5L, 7L)((r.n + p) % 3),
+            orientation = 1L + (r.v + p) % 8,
+            samplesPerPixel = 1L + (r.n + p) % 3)
+        }
+        val bytes = TiffProbe.synthTiff(le, pages)
+        val info = TiffProbe.probe(bytes)
+          .getOrElse(sys.error(s"synthesized TIFF failed to probe: doc ${r.doc_id}"))
+        require(info.nPages == k && info.littleEndian == le)
+        val ps = info.pages
+        (r.doc_id, if (info.littleEndian) "II" else "MM", k,
+          ps.map(_.width).sum, ps.map(_.height).sum, ps.map(_.bits).sum,
+          ps.map(_.orientation).max, ps.map(_.samplesPerPixel).sum,
+          ps.count(_.compression != 1L), bytes.length.toLong)
+      }
+      out.toDF("doc_id", "byte_order", "n_pages", "sum_width", "sum_height",
+          "sum_bits", "max_orient", "sum_spp", "n_compressed", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, CAST(1 + doc_id % 3 AS INTEGER) AS k
+            FROM d),
+      pg AS (SELECT doc_id, n, v, k, unnest(range(k)) AS p FROM g),
+      acct AS (SELECT doc_id, n, v, k, p,
+                      100 + (v + p) % 900 AS w,
+                      50 + (n + p) % 500 AS h,
+                      [1, 8, 16][(v + p) % 3 + 1] AS bits,
+                      [1, 5, 7][(n + p) % 3 + 1] AS comp,
+                      1 + (v + p) % 8 AS orient,
+                      1 + (n + p) % 3 AS spp
+               FROM pg)
+      SELECT doc_id,
+             CASE WHEN n % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+             k AS n_pages,
+             CAST(sum(w) AS BIGINT) AS sum_width,
+             CAST(sum(h) AS BIGINT) AS sum_height,
+             CAST(sum(bits) AS BIGINT) AS sum_bits,
+             CAST(max(orient) AS BIGINT) AS max_orient,
+             CAST(sum(spp) AS BIGINT) AS sum_spp,
+             CAST(sum(CASE WHEN comp != 1 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_compressed,
+             CAST(8 + k * 78 AS BIGINT) AS file_bytes
+      FROM acct GROUP BY doc_id, n, k ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q226Mp4Probe, q227AdpcmStereo, q228Mp4Fragments, q229Mp4SampleTables,
-      q230BpeTrain, q231BpeTokenize, q232ContainerProbe)
+      q230BpeTrain, q231BpeTokenize, q232ContainerProbe, q233TiffProbe)
 }

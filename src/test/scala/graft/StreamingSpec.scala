@@ -506,6 +506,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming container probe: file stream of mixed payloads equals " +
+    "the batch probe") {
+    // probeContainers is a stateless mapPartitions transform, so it runs
+    // unchanged on a stream — the ingest-time probe a media lake applies
+    // as payloads ARRIVE, reject rows included
+    import graft.operators.{MediaCodecs, Mp4Boxes, MpegFrames, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("media_lake").toString
+    val payloads = Seq(
+      1L -> Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 1200,
+        Seq(Mp4Boxes.SynthTrack(1, "soun", "mp4a", 0, 0, 48000, 96000, "eng")),
+        4, _ => 2),
+      2L -> MpegFrames.synthStream(2, 1, Seq((3, false), (4, true)), (_, j) => j),
+      3L -> MediaCodecs.encodeWavPcm16(8000, Array.tabulate(24)(_.toShort)),
+      4L -> graft.operators.TiffProbe.synthTiff(littleEndian = true,
+        Seq(graft.operators.TiffProbe.SynthPage(12, 8, 8, 1, 1, 3))),
+      5L -> "no container at all".getBytes("UTF-8"))
+    val batch = payloads.map { case (id, p) =>
+      Multimodal.MediaRow(id, p, Multimodal.MediaMeta("x", p.length, 0L))
+    }.toDS()
+    batch.toDF().repartition(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[Multimodal.MediaRow]
+    val q = Multimodal.probeContainers(stream).toDF()
+      .writeStream.format("memory").queryName("probe_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("probe_stream_test").orderBy("doc_id").collect()
+      val expected = Multimodal.probeContainers(batch).toDF()
+        .orderBy("doc_id").collect()
+      assert(streamed.toSeq == expected.toSeq)
+      // the content is the full dispatch surface: 4 families + 1 reject
+      val kinds = streamed.map(_.getAs[String]("container")).toSeq
+      assert(kinds == Seq("mp4", "mpeg", "wav", "tiff", null))
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags arriving docs against the static eval set") {
     implicit val sqlCtx = spark.sqlContext
     // static eval set: one doc whose 4-grams are known
