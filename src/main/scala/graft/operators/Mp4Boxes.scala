@@ -77,15 +77,34 @@ object Mp4Boxes {
     if (v > 1) None else Some(v)
   }
 
-  /** SAMPLE-TABLE summary (stts/stsz/stco) — the per-sample TIMING and
-    * SIZE bookkeeping, which is still container metadata: how many
-    * samples, how long they last, how many bytes they occupy, in how many
-    * chunks — without touching one byte of sample DATA. When both stts
-    * and stsz are present their sample counts must agree (spec invariant;
-    * a mismatch rejects the probe).
+  /** SAMPLE-TABLE summary (stts/stsz/stco, optional ctts) — the
+    * per-sample TIMING and SIZE bookkeeping, which is still container
+    * metadata: how many samples, how long they last, how many bytes they
+    * occupy, in how many chunks — without touching one byte of sample
+    * DATA. When both stts and stsz are present their sample counts must
+    * agree (spec invariant; a mismatch rejects the probe), and a ctts
+    * composition-offset table must cover exactly the stts sample count.
+    * `ctts` summarizes the decode-to-presentation reordering: entry
+    * count, the largest offset, and the exact sum of per-sample offsets
+    * (signed in the version-1 form B-frames need).
     */
   final case class SampleTables(sampleCount: Long, sttsDuration: Long,
-      totalSampleBytes: Long, uniformSize: Option[Long], chunkCount: Long)
+      totalSampleBytes: Long, uniformSize: Option[Long], chunkCount: Long,
+      ctts: Option[CttsSummary] = None)
+
+  /** ctts summary: run-length entry count, max per-sample composition
+    * offset, and the sum of offsets over all samples (exact, signed).
+    */
+  final case class CttsSummary(entryCount: Long, maxOffset: Long,
+      sumOffsets: Long)
+
+  /** One elst edit: `segmentDuration` ticks in the MOVIE timescale,
+    * `mediaTime` in the MEDIA timescale (-1 = empty edit: nothing is
+    * presented for the segment), and the 16.16 media rate split into its
+    * integer and fraction halves.
+    */
+  final case class Edit(segmentDuration: Long, mediaTime: Long,
+      rateInt: Int, rateFrac: Int)
 
   /** One movie fragment (moof) summary: sequence number, the traf's
     * track, its decode-time anchor (tfdt), and the trun accounting —
@@ -104,10 +123,20 @@ object Mp4Boxes {
   final case class Mp4Track(trackId: Long, handler: String,
       codecs: Vector[String], width: Int, height: Int,
       timescale: Long, duration: Long, lang: String,
-      samples: Option[SampleTables] = None) {
+      samples: Option[SampleTables] = None,
+      edits: Vector[Edit] = Vector.empty) {
     /** Floor-integer track duration in ms — exact cross-engine math. */
     def durationMs: Long =
       if (timescale > 0) duration * 1000L / timescale else 0L
+    /** Presentation delay: an INITIAL empty edit's span (movie ticks). */
+    def initialDelay: Long =
+      edits.headOption.filter(_.mediaTime == -1L)
+        .map(_.segmentDuration).getOrElse(0L)
+    /** Start trim: the first presented edit's media_time (media ticks). */
+    def startTrim: Long =
+      edits.find(_.mediaTime >= 0).map(_.mediaTime).getOrElse(0L)
+    /** Total edited presentation span in movie ticks. */
+    def editDuration: Long = edits.map(_.segmentDuration).sum
   }
 
   /** Parsed container: ftyp brands, mvhd movie clock, tracks, the total
@@ -268,6 +297,36 @@ object Mp4Boxes {
           (be32(b, tkhd.start + 88) >> 16).toInt, (be32(b, tkhd.start + 92) >> 16).toInt)
       case _ => return None
     }
+    // edts/elst: optional, at most one, exactly one elst inside; exact
+    // entry tiling; media_time is SIGNED (s32/s64 by version), -1 being
+    // the only legal negative (the empty-edit marker)
+    val edits: Vector[Edit] = kids.find(_.typ == "edts") match {
+      case None => Vector.empty
+      case Some(ed) =>
+        val ekids = walk(b, ed.start, ed.end, topLevel = false)
+          .getOrElse(return None)
+        val elsts = ekids.filter(_.typ == "elst")
+        if (elsts.size != 1) return None
+        val el = elsts.head
+        val ver = fullVer(b, el).getOrElse(return None)
+        if (el.len < 8) return None
+        val nE = be32(b, el.start + 4)
+        val entryLen = if (ver == 1) 20 else 12
+        if (el.len.toLong != 8 + entryLen * nE) return None
+        val out = Vector.newBuilder[Edit]
+        var i = 0L
+        while (i < nE) {
+          val o = el.start + 8 + entryLen * i.toInt
+          val (segDur, mt, ro) =
+            if (ver == 1) (be64(b, o), be64(b, o + 8), o + 16)
+            else (be32(b, o), be32(b, o + 4).toInt.toLong, o + 8)
+          if (mt < -1L) return None
+          out += Edit(segDur, mt, be16(b, ro).toShort.toInt,
+            be16(b, ro + 2).toShort.toInt)
+          i += 1
+        }
+        out.result()
+    }
     val mdia = kids.find(_.typ == "mdia").getOrElse(return None)
     val mkids = walk(b, mdia.start, mdia.end, topLevel = false).getOrElse(return None)
     val mdhd = mkids.find(_.typ == "mdhd").getOrElse(return None)
@@ -300,7 +359,7 @@ object Mp4Boxes {
     if (entries.size.toLong != entryCount || entries.exists(_.len < 8)) return None
     val tables = parseSampleTables(b, stblKids).getOrElse(return None)
     Some(Mp4Track(tid, handler, entries.map(_.typ), w, h, mts, mdur, lang,
-      tables))
+      tables, edits))
   }
 
   /** stts/stsz/stco summary — Some(None) when the track carries no sample
@@ -313,7 +372,10 @@ object Mp4Boxes {
     val stts = stblKids.find(_.typ == "stts")
     val stsz = stblKids.find(_.typ == "stsz")
     val stco = stblKids.find(_.typ == "stco")
-    if (stts.isEmpty && stsz.isEmpty && stco.isEmpty) return Some(None)
+    if (stts.isEmpty && stsz.isEmpty && stco.isEmpty) {
+      // a composition-offset table with no timing table to cover rejects
+      return if (stblKids.exists(_.typ == "ctts")) None else Some(None)
+    }
     if (stts.isEmpty || stsz.isEmpty || stco.isEmpty) return None
     val t = stts.get
     if (fullVer(b, t).getOrElse(return None) != 0 || t.len < 8) return None
@@ -346,8 +408,31 @@ object Mp4Boxes {
     if (fullVer(b, c).getOrElse(return None) != 0 || c.len < 8) return None
     val nC = be32(b, c.start + 4)
     if (c.len.toLong != 8 + 4 * nC) return None
+    // ctts: optional; its run lengths must cover exactly the stts sample
+    // count; version 0 offsets are unsigned, version 1 signed (B-frames)
+    val ctts: Option[CttsSummary] = stblKids.find(_.typ == "ctts") match {
+      case None => None
+      case Some(ct) =>
+        val ver = fullVer(b, ct).getOrElse(return None)
+        if (ct.len < 8) return None
+        val nCt = be32(b, ct.start + 4)
+        if (ct.len.toLong != 8 + 8 * nCt) return None
+        var covered = 0L; var maxOff = Long.MinValue; var sumOff = 0L
+        var j = 0L
+        while (j < nCt) {
+          val o = ct.start + 8 + 8 * j.toInt
+          val cnt = be32(b, o)
+          val off = if (ver == 1) be32(b, o + 4).toInt.toLong else be32(b, o + 4)
+          if (cnt < 1) return None
+          covered += cnt; sumOff += cnt * off
+          if (off > maxOff) maxOff = off
+          j += 1
+        }
+        if (covered != sttsCount) return None
+        Some(CttsSummary(nCt, if (nCt == 0) 0L else maxOff, sumOff))
+    }
     Some(Some(SampleTables(sttsCount, sttsDur, totalBytes,
-      if (uniform != 0) Some(uniform) else None, nC)))
+      if (uniform != 0) Some(uniform) else None, nC, ctts)))
   }
 
   // ------------------------------------------------------------------
@@ -357,13 +442,18 @@ object Mp4Boxes {
   /** Track parameters for [[synthMp4]]. `sttsEntries` (count, delta)
     * run-lengths switch the sample tables on: stts from the entries, stsz
     * uniform (`Left(size)`) or per-sample (`Right(sizes)`, length = total
-    * count), stco with `chunks` deterministic offsets.
+    * count), stco with `chunks` deterministic offsets. `edits` emits an
+    * edts/elst (segment_duration, media_time, rate_integer; fraction 0);
+    * `cttsRuns` (count, offset) emits a ctts, in the signed version-1
+    * form when any offset is negative.
     */
   final case class SynthTrack(trackId: Long, handler: String, codec: String,
       width: Int, height: Int, timescale: Long, duration: Long, lang: String,
       sttsEntries: Seq[(Long, Long)] = Nil,
       sizes: Option[Either[Long, Seq[Long]]] = None,
-      chunks: Int = 0)
+      chunks: Int = 0,
+      edits: Seq[(Long, Long, Int)] = Nil,
+      cttsRuns: Seq[(Long, Long)] = Nil)
 
   /** One synthetic movie fragment for [[synthFragmented]]: per-sample
     * duration/size lists when present (trun flags 0x100/0x200), otherwise
@@ -461,10 +551,37 @@ object Mp4Boxes {
               (0 until t.chunks).map(i => u32(1000L + 16L * i))): _*)
           Seq(stts, stsz, stco)
         }
-      val stbl = boxOf("stbl", (stsd +: tableBoxes): _*)
+      val cttsBox: Seq[Array[Byte]] =
+        if (t.cttsRuns.isEmpty) Nil
+        else {
+          require(t.sttsEntries.nonEmpty, "ctts needs an stts to cover")
+          require(t.cttsRuns.map(_._1).sum == t.sttsEntries.map(_._1).sum,
+            "ctts runs must cover exactly the stts sample count")
+          val cttsVer = if (t.cttsRuns.exists(_._2 < 0)) 1 else 0
+          Seq(fullBox("ctts", cttsVer,
+            (u32(t.cttsRuns.size.toLong) +:
+              t.cttsRuns.flatMap { case (c, o) =>
+                Seq(u32(c), u32(o & 0xffffffffL))
+              }): _*))
+        }
+      val stbl = boxOf("stbl", (stsd +: (tableBoxes ++ cttsBox)): _*)
       val minf = boxOf("minf", stbl)
       val mdia = boxOf("mdia", mdhd, hdlr, minf)
-      boxOf("trak", tkhd, mdia)
+      val edtsBox: Seq[Array[Byte]] =
+        if (t.edits.isEmpty) Nil
+        else {
+          val elst = fullBox("elst", ver,
+            (u32(t.edits.size.toLong) +: t.edits.flatMap {
+              case (segDur, mediaTime, rateInt) =>
+                require(mediaTime >= -1L, "media_time below -1 is malformed")
+                if (version1) Seq(u64(segDur), u64(mediaTime),
+                  u16(rateInt), u16(0))
+                else Seq(u32(segDur), u32(mediaTime & 0xffffffffL),
+                  u16(rateInt), u16(0))
+            }): _*)
+          Seq(boxOf("edts", elst))
+        }
+      boxOf("trak", (tkhd +: (edtsBox :+ mdia)): _*)
     }
     val moov = boxOf("moov", (mvhd +: traks): _*)
     val mdat = boxOf("mdat",

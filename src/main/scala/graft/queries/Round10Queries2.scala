@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 surface, second tranche: ID3v2 tag decoding — the metadata
+  * layer of the MP3 story ([[graft.operators.MpegFrames]] measures and
+  * skips the tag; [[graft.operators.Id3]] decodes it), under the same
+  * q218/q221 protocol: synthesize real wire bytes deterministically per
+  * document, parse them with the real parser, oracle-reproduce every
+  * number and string from the public spec layout in closed form.
+  */
+object Round10Queries2 {
+
+  /** ID3v2 TEXT-FRAME DECODE under the oracle gate — per document,
+    * synthesize a VALID ID3v2.3 or v2.4 tag (TIT2/TPE1/TALB/TYER-or-TDRC/
+    * TRCK text frames in a doc-determined encoding, an occasional PRIV
+    * binary frame, zero padding) followed by a VALID multi-frame MPEG-1
+    * stream, then REALLY parse both layers: [[graft.operators.Id3.parse]]
+    * walks the frames (v2.3 plain-32-bit vs v2.4 syncsafe sizes, the
+    * encoding's body layout incl. the UTF-16 BOM) and
+    * [[graft.operators.MpegFrames.probe]] must skip the very same tag via
+    * its declared syncsafe size and walk the audio frames behind it — the
+    * two parsers' accounts of the tag span are cross-checked row by row.
+    * The oracle recomputes every string (chr/repeat arithmetic) and every
+    * size (frame = 10-byte header + 1 encoding byte + payload, UTF-16
+    * payload = BOM + 2 bytes/char, tag = 10 + frames + padding) in closed
+    * form, so a size-form slip, a BOM miss, an encoding-width error, or a
+    * mis-skipped tag lands in the hash.
+    */
+  val q234Id3Tags: QueryDef = QueryDef(
+    "q234_id3_tags",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.{Id3, MpegFrames}
+        val major = if (r.n % 2 == 0) 4 else 3
+        val enc =
+          if (r.v % 3 == 2) (if (major == 4) 3 else 0) else r.v % 3
+        val title = "t" + ('a' + r.v % 26).toChar.toString * (1 + r.n % 8)
+        val artist = "a" + ('a' + (r.n + r.v) % 26).toChar.toString +
+          ('a' + (2 * r.n + r.v) % 26).toChar.toString
+        val album = "b" + ('a' + r.n % 26).toChar.toString * (1 + r.v % 5)
+        val yearId = if (major == 4) "TDRC" else "TYER"
+        val year = (1960 + r.v % 60).toString
+        val track = (1 + r.n % 20).toString
+        val bin =
+          if (r.v % 4 == 0)
+            Seq(("PRIV", Array.tabulate(1 + r.n % 6)(i => ((i * 29 + r.v) % 251).toByte)))
+          else Nil
+        val tagBytes = Id3.synthTag(major,
+          Seq(("TIT2", title, enc), ("TPE1", artist, enc),
+            ("TALB", album, enc), (yearId, year, enc), ("TRCK", track, enc)),
+          padding = r.n % 33, binFrames = bin)
+        val layer = 1 + (r.doc_id % 3).toInt
+        val srIdx = r.n % 3
+        val k = 2 + r.v % 3
+        val frames = (0 until k).map(j => (1 + (r.v + j) % 14, (r.n + j) % 2 == 0))
+        val bytes = tagBytes ++ MpegFrames.synthStream(
+          layer, srIdx, frames, (fi, j) => (fi * 11 + j * 7) % 251)
+        val info = MpegFrames.probe(bytes)
+          .getOrElse(sys.error(s"stream failed to probe: doc ${r.doc_id}"))
+        val tag = Id3.parse(bytes)
+          .getOrElse(sys.error(s"tag failed to parse: doc ${r.doc_id}"))
+        // the two parsers must agree on the tag span byte for byte
+        require(info.id3v2Bytes == tag.tagBytes,
+          s"tag-span disagreement on doc ${r.doc_id}: " +
+            s"${info.id3v2Bytes} vs ${tag.tagBytes}")
+        (r.doc_id, tag.major, tag.tagBytes.toLong, tag.nFrames,
+          tag.frames.head.encoding, tag.text("TIT2").orNull,
+          tag.text("TPE1").orNull, tag.text("TALB").orNull,
+          tag.text(yearId).orNull, tag.text("TRCK").orNull,
+          tag.frames.exists(_.id == "PRIV"), tag.paddingBytes,
+          info.nFrames, info.durationMs, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "major", "tag_bytes", "n_id3_frames", "enc",
+          "title", "artist", "album", "year_txt", "track_txt", "has_priv",
+          "padding", "n_mpeg_frames", "duration_ms", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CASE WHEN n % 2 = 0 THEN 4 ELSE 3 END AS major,
+                   CASE WHEN v % 3 = 2
+                        THEN (CASE WHEN n % 2 = 0 THEN 3 ELSE 0 END)
+                        ELSE v % 3 END AS enc,
+                   2 + n % 8 AS len_t,
+                   3 AS len_a,
+                   2 + v % 5 AS len_b,
+                   4 AS len_y,
+                   CAST(len(CAST(1 + n % 20 AS VARCHAR)) AS INTEGER) AS len_k,
+                   CASE WHEN v % 4 = 0 THEN 10 + 1 + n % 6 ELSE 0 END AS priv,
+                   n % 33 AS pad,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS layer,
+                   [44100, 48000, 32000][n % 3 + 1] AS sr,
+                   2 + v % 3 AS k
+            FROM d),
+      t AS (SELECT *,
+                   11 + (CASE WHEN enc = 1 THEN 2 + 2 * len_t ELSE len_t END)
+                 + 11 + (CASE WHEN enc = 1 THEN 2 + 2 * len_a ELSE len_a END)
+                 + 11 + (CASE WHEN enc = 1 THEN 2 + 2 * len_b ELSE len_b END)
+                 + 11 + (CASE WHEN enc = 1 THEN 2 + 2 * len_y ELSE len_y END)
+                 + 11 + (CASE WHEN enc = 1 THEN 2 + 2 * len_k ELSE len_k END)
+                 + priv + pad AS tag_body,
+                   CASE WHEN layer = 1 THEN 384 ELSE 1152 END AS spf,
+                   list_transform(range(k), j ->
+                     [[32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+                      [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+                      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                     ][layer][(v + j) % 14 + 1]) AS kbps,
+                   list_transform(range(k), j ->
+                     CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END) AS pads
+            FROM g)
+      SELECT doc_id,
+             major,
+             CAST(10 + tag_body AS BIGINT) AS tag_bytes,
+             CAST(5 + (CASE WHEN v % 4 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_id3_frames,
+             CAST(enc AS INTEGER) AS enc,
+             't' || repeat(chr(CAST(97 + v % 26 AS INTEGER)), 1 + n % 8) AS title,
+             'a' || chr(CAST(97 + (n + v) % 26 AS INTEGER))
+                 || chr(CAST(97 + (2 * n + v) % 26 AS INTEGER)) AS artist,
+             'b' || repeat(chr(CAST(97 + n % 26 AS INTEGER)), 1 + v % 5) AS album,
+             CAST(1960 + v % 60 AS VARCHAR) AS year_txt,
+             CAST(1 + n % 20 AS VARCHAR) AS track_txt,
+             v % 4 = 0 AS has_priv,
+             CAST(pad AS INTEGER) AS padding,
+             CAST(k AS INTEGER) AS n_mpeg_frames,
+             CAST(CAST(k AS BIGINT) * spf * 1000 // sr AS BIGINT) AS duration_ms,
+             CAST(10 + tag_body + list_sum(list_transform(range(k), j ->
+               CASE WHEN layer = 1
+                    THEN (12000 * kbps[j + 1] // sr + pads[j + 1]) * 4
+                    ELSE 144000 * kbps[j + 1] // sr + pads[j + 1] END))
+               AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
+  /** MP4 EDIT LISTS + COMPOSITION OFFSETS under the oracle gate — the
+    * remaining container-TIMING subtlety after q226/q228/q229: per
+    * document, synthesize a VALID MP4 whose single track carries an
+    * edts/elst (an initial empty edit on even-n docs — the classic
+    * presentation delay — then normal edits with media_time start trims)
+    * and a ctts composition-offset table covering exactly the stts sample
+    * count (signed version-1 offsets whenever the doc's offset schedule
+    * dips negative, as B-frame reordering does; version-0 unsigned
+    * otherwise), then REALLY parse it ([[graft.operators.Mp4Boxes.probe]]:
+    * exact elst/ctts entry tiling, signed media_time and offset decode,
+    * the empty-edit marker, the ctts-covers-stts invariant) and emit the
+    * presentation-timing summary. The oracle recomputes every number in
+    * closed form — the delay/trim/edit-span decomposition, the signed
+    * offset sum (a parser that misreads version-1 offsets as unsigned is
+    * off by 2^32 per negative sample), and the full file byte layout with
+    * the two new boxes in it.
+    */
+  val q235Mp4Edits: QueryDef = QueryDef(
+    "q235_mp4_edits",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.Mp4Boxes
+        val mts = 600L * (1 + r.v % 4)
+        val tts = 1000L * (1 + r.v % 3)
+        val nst = 1 + r.n % 3
+        val stts = (0 until nst).map(j =>
+          (1L + (r.v + j) % 4, 10L + (r.n + j) % 20))
+        val sTot = stts.map(_._1).sum.toInt
+        val sizes: Either[Long, Seq[Long]] =
+          if (r.v % 2 == 0) Left(100L + r.v % 50)
+          else Right((0 until sTot).map(i => 50L + (i * 13 + r.n) % 100))
+        val ctts = (0 until sTot).map { i =>
+          val off =
+            if (r.n % 3 == 0) ((r.v + i * 7) % 9).toLong * 5
+            else (((r.v + i * 7) % 9).toLong - 3) * 10
+          (1L, off)
+        }
+        val ne = 1 + r.v % 3
+        val edits = (0 until ne).map { e =>
+          if (r.n % 2 == 0 && e == 0) (300L + r.v % 100, -1L, 1)
+          else (200L + (r.n + e * 37) % 300L, (r.v + e * 11) % 500L, 1)
+        }
+        val track = Mp4Boxes.SynthTrack(
+          trackId = 1, handler = "vide", codec = "avc1",
+          width = 640, height = 360, timescale = tts,
+          duration = r.n.toLong * 700 + r.v, lang = "und",
+          sttsEntries = stts, sizes = Some(sizes), chunks = 1 + r.n % 4,
+          edits = edits, cttsRuns = ctts)
+        val mdatLen = r.n % 40 + r.v % 8
+        val bytes = Mp4Boxes.synthMp4("isom", r.v.toLong, Seq("isom"),
+          mts, r.n.toLong * 500 + r.v, Seq(track), mdatLen,
+          i => i * 17 + r.n, version1 = false)
+        val info = Mp4Boxes.probe(bytes)
+          .getOrElse(sys.error(s"synthesized mp4 failed to probe: doc ${r.doc_id}"))
+        val t = info.tracks.head
+        val st = t.samples.getOrElse(sys.error("sample tables missing"))
+        val ct = st.ctts.getOrElse(sys.error("ctts missing"))
+        (r.doc_id, t.edits.length, t.initialDelay, t.startTrim,
+          t.editDuration, t.editDuration * 1000L / info.timescale,
+          st.sampleCount, st.sttsDuration, ct.entryCount, ct.maxOffset,
+          ct.sumOffsets, st.totalSampleBytes, st.uniformSize.isDefined,
+          st.chunkCount, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_edits", "initial_delay", "start_trim",
+          "edit_dur", "edited_ms", "sample_count", "stts_dur",
+          "ctts_entries", "ctts_max", "ctts_sum", "sample_bytes",
+          "uniform_sz", "chunk_count", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   600 * (1 + v % 4) AS mts,
+                   1 + n % 3 AS nst,
+                   1 + v % 3 AS ne,
+                   1 + n % 4 AS chunks,
+                   n % 40 + v % 8 AS mdat
+            FROM d),
+      t AS (SELECT *,
+                   list_transform(range(nst), j -> 1 + (v + j) % 4) AS cnts,
+                   list_transform(range(nst), j -> 10 + (n + j) % 20) AS dels,
+                   list_transform(range(ne), e ->
+                     CASE WHEN n % 2 = 0 AND e = 0 THEN 300 + v % 100
+                          ELSE 200 + (n + e * 37) % 300 END) AS segs,
+                   list_transform(range(ne), e ->
+                     CASE WHEN n % 2 = 0 AND e = 0 THEN -1
+                          ELSE (v + e * 11) % 500 END) AS mtimes
+            FROM g),
+      u AS (SELECT *,
+                   CAST(list_sum(cnts) AS BIGINT) AS s_tot,
+                   CAST(list_sum(list_transform(range(nst), j ->
+                     cnts[j + 1] * dels[j + 1])) AS BIGINT) AS stts_d
+            FROM t),
+      w AS (SELECT *,
+                   list_transform(range(CAST(s_tot AS INTEGER)), i ->
+                     CASE WHEN n % 3 = 0 THEN ((v + i * 7) % 9) * 5
+                          ELSE ((v + i * 7) % 9 - 3) * 10 END) AS offs,
+                   CASE WHEN v % 2 = 0 THEN (100 + v % 50) * s_tot
+                        ELSE list_sum(list_transform(range(CAST(s_tot AS INTEGER)),
+                          i -> 50 + (i * 13 + n) % 100)) END AS sbytes
+            FROM u)
+      SELECT doc_id,
+             CAST(ne AS INTEGER) AS n_edits,
+             CAST(CASE WHEN n % 2 = 0 THEN 300 + v % 100 ELSE 0 END AS BIGINT)
+               AS initial_delay,
+             CAST(CASE WHEN n % 2 = 0 AND ne = 1 THEN 0
+                       WHEN n % 2 = 0 THEN (v + 11) % 500
+                       ELSE v % 500 END AS BIGINT) AS start_trim,
+             CAST(list_sum(segs) AS BIGINT) AS edit_dur,
+             CAST(CAST(list_sum(segs) AS BIGINT) * 1000 // mts AS BIGINT)
+               AS edited_ms,
+             s_tot AS sample_count,
+             stts_d AS stts_dur,
+             s_tot AS ctts_entries,
+             CAST(list_max(offs) AS BIGINT) AS ctts_max,
+             CAST(list_sum(offs) AS BIGINT) AS ctts_sum,
+             CAST(sbytes AS BIGINT) AS sample_bytes,
+             v % 2 = 0 AS uniform_sz,
+             CAST(chunks AS BIGINT) AS chunk_count,
+             CAST(20 + 8 + 108
+               + 8 + 92 + (24 + 12 * ne)
+               + 8 + 32 + 33
+               + 8 + 8 + 32
+               + (16 + 8 * nst) + (16 + 8 * s_tot)
+               + (CASE WHEN v % 2 = 0 THEN 20 ELSE 20 + 4 * s_tot END)
+               + (16 + 4 * chunks)
+               + 8 + mdat AS BIGINT) AS file_bytes
+      FROM w ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q234Id3Tags, q235Mp4Edits)
+}
