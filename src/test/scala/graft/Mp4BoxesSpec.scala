@@ -217,4 +217,73 @@ class Mp4BoxesSpec extends AnyFunSuite {
         Seq(vTrack.copy(lang = "EN1")), 0, _ => 0)
     }
   }
+
+  private def synthEdited(track: SynthTrack, version1: Boolean = false) =
+    Mp4Boxes.synthMp4("isom", 0, Seq("isom"), 600, 6000, Seq(track), 16,
+      i => i, version1 = version1)
+
+  test("edit lists: delay/trim/span decomposition, both elst versions") {
+    val vt = vTrack.copy(edits = Seq((300L, -1L, 1), (900L, 450L, 1),
+      (120L, 0L, 1)))
+    for (v1 <- Seq(false, true)) {
+      val t = Mp4Boxes.probe(synthEdited(vt, v1)).get.tracks.head
+      assert(t.edits.length == 3, s"version1=$v1")
+      assert(t.initialDelay == 300 && t.startTrim == 450)
+      assert(t.editDuration == 1320)
+      assert(t.edits.map(_.rateInt) == Vector(1, 1, 1))
+    }
+    // no initial empty edit -> no delay; first edit's media_time trims
+    val noDelay = Mp4Boxes.probe(synthEdited(
+      vTrack.copy(edits = Seq((600L, 42L, 1))))).get.tracks.head
+    assert(noDelay.initialDelay == 0 && noDelay.startTrim == 42)
+    // no edts at all -> empty edits, zero delay/trim
+    val plain = Mp4Boxes.probe(synthEdited(vTrack)).get.tracks.head
+    assert(plain.edits.isEmpty && plain.initialDelay == 0 && plain.startTrim == 0)
+  }
+
+  test("ctts composition offsets: signed v1 decode and stts coverage") {
+    val base = vTrack.copy(sttsEntries = Seq((3L, 100L), (2L, 250L)),
+      sizes = Some(Left(500L)), chunks = 2)
+    // all-nonnegative -> version 0 (unsigned)
+    val v0 = Mp4Boxes.probe(synthEdited(base.copy(
+      cttsRuns = Seq((2L, 0L), (3L, 120L))))).get.tracks.head
+    val s0 = v0.samples.get.ctts.get
+    assert(s0.entryCount == 2 && s0.maxOffset == 120 && s0.sumOffsets == 360)
+    // a negative offset -> version 1 (signed); an unsigned misread would
+    // be off by 2^32 per negative sample
+    val v1 = Mp4Boxes.probe(synthEdited(base.copy(
+      cttsRuns = Seq((1L, -90L), (4L, 30L))))).get.tracks.head
+    val s1 = v1.samples.get.ctts.get
+    assert(s1.entryCount == 2 && s1.maxOffset == 30 && s1.sumOffsets == 30)
+    // absent ctts stays None without rejecting the tables
+    val no = Mp4Boxes.probe(synthEdited(base)).get.tracks.head
+    assert(no.samples.get.ctts.isEmpty && no.samples.get.sampleCount == 5)
+  }
+
+  test("hostile elst/ctts bytes reject, never throw") {
+    val edited = synthEdited(vTrack.copy(edits = Seq((300L, -1L, 1), (900L, 450L, 1)),
+      sttsEntries = Seq((5L, 100L)), sizes = Some(Left(10L)), chunks = 1,
+      cttsRuns = Seq((5L, 40L))))
+    assert(Mp4Boxes.probe(edited).isDefined)
+    def patch(magic: String)(f: (Array[Byte], Int) => Unit): Option[Mp4Boxes.Mp4Info] = {
+      val c = edited.clone()
+      val m = magic.getBytes("US-ASCII")
+      val off = c.indices.find(i => i + 4 <= c.length &&
+        c.slice(i, i + 4).sameElements(m)).get - 4
+      f(c, off)
+      Mp4Boxes.probe(c)
+    }
+    // elst entry count lies (declared 3, two entries present)
+    assert(patch("elst")((c, o) => c(o + 8 + 4 + 3) = 3).isEmpty)
+    // media_time below -1 (0xFFFFFFFE = -2) is malformed
+    assert(patch("elst")((c, o) => c(o + 8 + 4 + 4 + 4 + 3) = 0xfe.toByte).isEmpty)
+    // reserved elst fullbox version
+    assert(patch("elst")((c, o) => c(o + 8) = 2).isEmpty)
+    // ctts run-length coverage disagrees with stts (5 declared, patch to 6)
+    assert(patch("ctts")((c, o) => c(o + 8 + 4 + 4 + 3) = 6).isEmpty)
+    // ctts entry count lies -> mistiled box
+    assert(patch("ctts")((c, o) => c(o + 8 + 4 + 3) = 2).isEmpty)
+    // a zero-count ctts run
+    assert(patch("ctts")((c, o) => c(o + 8 + 4 + 4 + 3) = 0).isEmpty)
+  }
 }
