@@ -283,5 +283,145 @@ object Round10Queries2 {
                + 8 + mdat AS BIGINT) AS file_bytes
       FROM w ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q234Id3Tags, q235Mp4Edits)
+  /** EBML/MATROSKA (WebM) CONTAINER PROBE under the oracle gate — the
+    * other half of the video-lake container story next to q226's
+    * ISO-BMFF: per document, synthesize a VALID Matroska/WebM stream
+    * (EBML header with DocType/versions, Segment with Info —
+    * 3-octet TimestampScale, 8-octet-double Duration, app strings —,
+    * Tracks with video PixelWidth/Height and audio
+    * SamplingFrequency/Channels subtrees, and Clusters of
+    * timestamped SimpleBlocks), then REALLY walk it
+    * ([[graft.operators.MkvProbe.probe]]: RFC 8794 varint ids/sizes,
+    * exact element tiling, big-endian uints with leading zeros, 4/8-octet
+    * floats) and emit the container metadata. Block payloads are counted,
+    * never decoded — the [[graft.operators.Mp4Boxes]] sample-data
+    * contract applied to EBML. The oracle recomputes every number from
+    * the spec layout in closed form — element totals as id-width + the
+    * fixed 2-octet size form + body, duration as exact
+    * ticks x scale / 1e6 integer math — so a varint-width slip, a
+    * mistiled element, or a float-width error lands in the hash.
+    */
+  val q236MkvProbe: QueryDef = QueryDef(
+    "q236_mkv_probe",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.MkvProbe
+        val docType = if (r.v % 2 == 0) "webm" else "matroska"
+        val dtv = 2L + r.n % 3
+        val scale = Seq(1000000L, 500000L, 250000L)(r.v % 3)
+        val durTicks = (r.n.toLong * 50 + r.v).toDouble
+        val muxApp = "mux" + ('a' + r.v % 26).toChar
+        val wriApp = "wri" + ('a' + r.n % 26).toChar
+        val k = 1 + (r.doc_id % 3).toInt
+        val tracks = (0 until k).map { t =>
+          val video = (r.v + t) % 2 == 0
+          if (video) MkvProbe.SynthMkvTrack(
+            number = t + 1, uid = (r.v + t) % 200 + 1, trackType = 1,
+            codecId = Seq("V_VP8", "V_VP9", "V_AV1")((r.n + t) % 3),
+            width = 16L * (1 + (r.v + t) % 80),
+            height = 16L * (1 + (r.n + t) % 45))
+          else MkvProbe.SynthMkvTrack(
+            number = t + 1, uid = (r.v + t) % 200 + 1, trackType = 2,
+            codecId = Seq("A_OPUS", "A_VORBIS", "A_FLAC")((r.n + t) % 3),
+            sampleRate = Seq(48000.0, 44100.0, 16000.0)((r.v + t) % 3),
+            channels = 1L + (r.v + t) % 2)
+        }
+        val clusters = (0 until r.n % 3).map { c =>
+          MkvProbe.SynthCluster(c * 1000L + r.v % 500,
+            (0 until 1 + (r.n + c) % 3).map(j => 20 + (r.v + c * 7 + j * 3) % 40))
+        }
+        val bytes = MkvProbe.synth(docType, dtv, scale, durTicks, muxApp,
+          wriApp, tracks, clusters, (ci, i) => ci * 13 + i * 5 + r.v)
+        val info = MkvProbe.probe(bytes)
+          .getOrElse(sys.error(s"synthesized mkv failed to probe: doc ${r.doc_id}"))
+        val nVideo = info.tracks.count(_.trackType == 1)
+        (r.doc_id, info.docType, info.docTypeVersion, info.timestampScale,
+          info.durationMs, info.muxingApp, info.writingApp, info.nTracks,
+          nVideo, info.nTracks - nVideo,
+          info.tracks.map(_.codecId).mkString(","),
+          info.tracks.map(_.width).max, info.tracks.map(_.height).max,
+          info.tracks.map(_.sampleRate).sum.toLong,
+          info.tracks.map(_.channels).sum, info.clusterCount,
+          info.blockCount, info.blockBytes, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "doc_type", "dt_version", "ts_scale",
+          "duration_ms", "mux_app", "wri_app", "n_tracks", "n_video",
+          "n_audio", "codecs", "max_width", "max_height", "sum_rate",
+          "sum_channels", "n_clusters", "n_blocks", "block_bytes",
+          "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CASE WHEN v % 2 = 0 THEN 'webm' ELSE 'matroska' END AS dt,
+                   CAST(2 + n % 3 AS BIGINT) AS dtv,
+                   [1000000, 500000, 250000][v % 3 + 1] AS scale,
+                   CAST(n AS BIGINT) * 50 + v AS ticks,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS k,
+                   n % 3 AS nc
+            FROM d),
+      t AS (SELECT *,
+                   list_transform(range(k), t -> (v + t) % 2 = 0) AS isv,
+                   list_transform(range(k), t -> CASE WHEN (v + t) % 2 = 0
+                       THEN ['V_VP8', 'V_VP9', 'V_AV1'][(n + t) % 3 + 1]
+                       ELSE ['A_OPUS', 'A_VORBIS', 'A_FLAC'][(n + t) % 3 + 1] END) AS cods,
+                   list_transform(range(k), t -> CASE WHEN (v + t) % 2 = 0
+                       THEN 16 * (1 + (v + t) % 80) ELSE 0 END) AS ws,
+                   list_transform(range(k), t -> CASE WHEN (v + t) % 2 = 0
+                       THEN 16 * (1 + (n + t) % 45) ELSE 0 END) AS hs,
+                   list_transform(range(k), t -> CASE WHEN (v + t) % 2 = 0
+                       THEN 0 ELSE [48000, 44100, 16000][(v + t) % 3 + 1] END) AS rates,
+                   list_transform(range(k), t -> CASE WHEN (v + t) % 2 = 0
+                       THEN 0 ELSE 1 + (v + t) % 2 END) AS chans,
+                   list_transform(range(nc), c ->
+                     5 + list_sum(list_transform(range(1 + (n + c) % 3), j ->
+                       3 + 4 + 20 + (v + c * 7 + j * 3) % 40))) AS cluster_bodies,
+                   list_transform(range(nc), c ->
+                     list_sum(list_transform(range(1 + (n + c) % 3), j ->
+                       4 + 20 + (v + c * 7 + j * 3) % 40))) AS cluster_blockbytes,
+                   list_transform(range(nc), c -> 1 + (n + c) % 3) AS cluster_nblocks
+            FROM g),
+      u AS (SELECT *,
+                   CAST(list_sum(list_transform(range(k), t ->
+                     19 + len(cods[t + 1])
+                       + (CASE WHEN isv[t + 1] THEN 13 ELSE 18 END)))
+                     AS BIGINT) AS track_entries,
+                   CAST(COALESCE(list_sum(list_transform(range(nc), c ->
+                     6 + cluster_bodies[c + 1])), 0) AS BIGINT) AS clusters_total
+            FROM t)
+      SELECT doc_id,
+             dt AS doc_type,
+             dtv AS dt_version,
+             CAST(scale AS BIGINT) AS ts_scale,
+             CAST(ticks * scale // 1000000 AS BIGINT) AS duration_ms,
+             'mux' || chr(CAST(97 + v % 26 AS INTEGER)) AS mux_app,
+             'wri' || chr(CAST(97 + n % 26 AS INTEGER)) AS wri_app,
+             CAST(k AS INTEGER) AS n_tracks,
+             CAST(len(list_filter(isv, x -> x)) AS INTEGER) AS n_video,
+             CAST(k - len(list_filter(isv, x -> x)) AS INTEGER) AS n_audio,
+             array_to_string(cods, ',') AS codecs,
+             CAST(list_max(ws) AS BIGINT) AS max_width,
+             CAST(list_max(hs) AS BIGINT) AS max_height,
+             CAST(list_sum(rates) AS BIGINT) AS sum_rate,
+             CAST(list_sum(chans) AS BIGINT) AS sum_channels,
+             CAST(nc AS BIGINT) AS n_clusters,
+             CAST(COALESCE(list_sum(cluster_nblocks), 0) AS BIGINT) AS n_blocks,
+             CAST(COALESCE(list_sum(cluster_blockbytes), 0) AS BIGINT) AS block_bytes,
+             CAST(20 + len(dt)
+               + 6 + 42 + 6 + track_entries + clusters_total
+               AS BIGINT) AS file_bytes
+      FROM u ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe)
 }
