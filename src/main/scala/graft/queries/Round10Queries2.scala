@@ -423,5 +423,105 @@ object Round10Queries2 {
                AS BIGINT) AS file_bytes
       FROM u ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe)
+  /** ZIP CENTRAL-DIRECTORY WALK + REAL MEMBER EXTRACTION under the
+    * oracle gate — the docx/epub/jar container story: per document,
+    * synthesize a VALID single-disk archive (stored members and
+    * raw-deflate members in the closed-form single-stored-block
+    * encoding, true CRC-32s, an EOCD comment on every 4th doc), then
+    * REALLY walk it ([[graft.operators.ZipProbe.probe]]: backward EOCD
+    * scan over the comment, exact central-directory tiling, full
+    * local-header cross-check) and EXTRACT every member
+    * ([[graft.operators.ZipProbe.extract]]: JDK raw inflate for method
+    * 8, then CRC-32 and size verification) — the first and last members'
+    * extracted text goes straight into the hash, so a broken inflate, a
+    * CRC miss, or an offset slip is a row-level failure. The oracle
+    * rebuilds names, methods, sizes, offsets, and the extracted strings
+    * in closed form (deflate is byte-predictable because the synth uses
+    * the BTYPE=00 stored-block form: csize = usize + 5).
+    */
+  val q237ZipProbe: QueryDef = QueryDef(
+    "q237_zip_probe",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.ZipProbe
+        val k = 1 + (r.n + r.v) % 4
+        val members = (0 until k).map { i =>
+          val content = Array.fill(10 + (r.n + i) % 30)(
+            ('a' + (r.v + i) % 26).toByte)
+          ZipProbe.SynthMember(
+            name = s"doc/${('a' + (r.n + i) % 26).toChar}$i.txt",
+            content = content,
+            method = if ((r.v + i) % 2 == 0) 0 else 8)
+        }
+        val comment = if (r.n % 4 == 0) "zc" + ('a' + r.v % 26).toChar else ""
+        val bytes = ZipProbe.synth(members, comment)
+        val info = ZipProbe.probe(bytes)
+          .getOrElse(sys.error(s"synthesized zip failed to probe: doc ${r.doc_id}"))
+        val extracted = info.entries.map { e =>
+          ZipProbe.extract(bytes, e)
+            .getOrElse(sys.error(s"member ${e.name} failed extraction: doc ${r.doc_id}"))
+        }
+        (r.doc_id, info.nEntries,
+          info.entries.map(_.name).mkString(","),
+          info.entries.map(_.method).mkString(","),
+          info.totalUncompressed, info.totalCompressed,
+          info.cdOffset, info.cdSize, info.comment,
+          new String(extracted.head, "UTF-8"),
+          new String(extracted.last, "UTF-8"),
+          bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_entries", "names", "methods", "total_usize",
+          "total_csize", "cd_offset", "cd_size", "comment", "content_first",
+          "content_last", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   1 + (n + v) % 4 AS k,
+                   CASE WHEN n % 4 = 0
+                        THEN 'zc' || chr(CAST(97 + v % 26 AS INTEGER))
+                        ELSE '' END AS cmt
+            FROM d),
+      t AS (SELECT *,
+                   list_transform(range(k), i ->
+                     'doc/' || chr(CAST(97 + (n + i) % 26 AS INTEGER))
+                            || CAST(i AS VARCHAR) || '.txt') AS names_l,
+                   list_transform(range(k), i ->
+                     CASE WHEN (v + i) % 2 = 0 THEN '0' ELSE '8' END) AS methods_l,
+                   list_transform(range(k), i -> 10 + (n + i) % 30) AS us,
+                   list_transform(range(k), i ->
+                     CASE WHEN (v + i) % 2 = 0 THEN 10 + (n + i) % 30
+                          ELSE 15 + (n + i) % 30 END) AS cs
+            FROM g)
+      SELECT doc_id,
+             CAST(k AS INTEGER) AS n_entries,
+             array_to_string(names_l, ',') AS names,
+             array_to_string(methods_l, ',') AS methods,
+             CAST(list_sum(us) AS BIGINT) AS total_usize,
+             CAST(list_sum(cs) AS BIGINT) AS total_csize,
+             CAST(list_sum(list_transform(range(k), i -> 40 + cs[i + 1]))
+               AS BIGINT) AS cd_offset,
+             CAST(56 * k AS BIGINT) AS cd_size,
+             cmt AS comment,
+             repeat(chr(CAST(97 + v % 26 AS INTEGER)), 10 + n % 30)
+               AS content_first,
+             repeat(chr(CAST(97 + (v + k - 1) % 26 AS INTEGER)),
+               10 + (n + k - 1) % 30) AS content_last,
+             CAST(list_sum(list_transform(range(k), i -> 40 + cs[i + 1]))
+               + 56 * k + 22 + len(cmt) AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe, q237ZipProbe)
 }
