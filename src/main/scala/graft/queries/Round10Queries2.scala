@@ -522,6 +522,119 @@ object Round10Queries2 {
                + 56 * k + 22 + len(cmt) AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** FLAC CONTAINER PROBE under the oracle gate — the lossless-audio
+    * container story: per document, synthesize a VALID FLAC stream
+    * (STREAMINFO with the 20/3/5/36-bit packed stream parameters, an
+    * optional VORBIS_COMMENT block — little-endian lengths inside the
+    * big-endian container, the classic FLAC trap —, an optional padding
+    * block, and an opaque frame span), then REALLY walk it
+    * ([[graft.operators.FlacProbe.probe]]: block headers with the
+    * last-block flag, the bit unpacking, the endianness flip, exact
+    * vorbis tiling) and emit the stream metadata. Audio frames are
+    * counted, never decoded — the [[graft.operators.MpegFrames]] PCM
+    * contract applied to FLAC. The oracle recomputes every number and
+    * string in closed form — the packed-field decode as integer
+    * arithmetic, durations as exact samples x 1000 / rate, byte totals
+    * over the variable block set — so a bit-offset slip, an endianness
+    * mixup, or a block-walk error lands in the hash.
+    */
+  val q238FlacProbe: QueryDef = QueryDef(
+    "q238_flac_probe",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.FlacProbe
+        val rate = Seq(44100, 48000, 96000, 22050)(r.v % 4)
+        val channels = 1 + r.n % 4
+        val bps = Seq(16, 24, 8)(r.v % 3)
+        val totalSamples = r.n.toLong * 1000 + r.v
+        val withComment = r.n % 6 != 5
+        val vendor = "gf" + ('a' + r.v % 26).toChar
+        val comments = Seq(
+          ("TITLE", "t" + ('a' + r.v % 26).toChar.toString * (1 + r.n % 6)),
+          ("ARTIST", "a" + ('a' + (r.n + r.v) % 26).toChar),
+          ("ALBUM", "b" + ('a' + r.n % 26).toChar.toString * (1 + r.v % 4))) ++
+          (if (r.v % 5 == 0)
+            Seq(("GENRE", "g" + ('a' + (2 * r.v + r.n) % 26).toChar)) else Nil)
+        val paddingLen = if (r.v % 3 == 0) r.n % 200 else -1
+        val frameLen = 50 + (r.n * 3 + r.v) % 500
+        val bytes = FlacProbe.synth(1152, 4096 + r.n % 100, 200 + r.v % 50,
+          2000 + r.n % 500, rate, channels, bps, totalSamples, vendor,
+          comments, withComment, paddingLen, frameLen,
+          i => i * 19 + r.v)
+        val info = FlacProbe.probe(bytes)
+          .getOrElse(sys.error(s"synthesized flac failed to probe: doc ${r.doc_id}"))
+        (r.doc_id, info.info.sampleRate, info.info.channels,
+          info.info.bitsPerSample, info.info.totalSamples, info.durationMs,
+          info.info.minBlock, info.info.maxBlock, info.info.minFrame,
+          info.info.maxFrame, info.vendor, info.comments.length,
+          info.tag("TITLE").orNull, info.tag("ARTIST").orNull,
+          info.nBlocks, info.paddingBytes, info.frameBytes,
+          bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "sample_rate", "channels", "bps",
+          "total_samples", "duration_ms", "min_block", "max_block",
+          "min_frame", "max_frame", "vendor", "n_comments", "title",
+          "artist", "n_blocks", "padding_bytes", "frame_bytes",
+          "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   [44100, 48000, 96000, 22050][v % 4 + 1] AS rate,
+                   CAST(n AS BIGINT) * 1000 + v AS ts,
+                   n % 6 != 5 AS wc,
+                   v % 5 = 0 AS genre,
+                   CASE WHEN v % 3 = 0 THEN n % 200 ELSE -1 END AS padlen,
+                   50 + (n * 3 + v) % 500 AS flen
+            FROM d),
+      t AS (SELECT *,
+                   CASE WHEN wc THEN
+                     4 + (4 + 3) + 4
+                       + (4 + 6 + 2 + n % 6)
+                       + (4 + 7 + 2)
+                       + (4 + 6 + 2 + v % 4)
+                       + (CASE WHEN genre THEN 4 + 6 + 2 ELSE 0 END)
+                   ELSE 0 END AS cblock,
+                   CASE WHEN padlen >= 0 THEN 4 + padlen ELSE 0 END AS pblock
+            FROM g)
+      SELECT doc_id,
+             CAST(rate AS INTEGER) AS sample_rate,
+             CAST(1 + n % 4 AS INTEGER) AS channels,
+             [16, 24, 8][v % 3 + 1] AS bps,
+             ts AS total_samples,
+             CAST(ts * 1000 // rate AS BIGINT) AS duration_ms,
+             1152 AS min_block,
+             CAST(4096 + n % 100 AS INTEGER) AS max_block,
+             CAST(200 + v % 50 AS INTEGER) AS min_frame,
+             CAST(2000 + n % 500 AS INTEGER) AS max_frame,
+             CASE WHEN wc THEN 'gf' || chr(CAST(97 + v % 26 AS INTEGER))
+                  ELSE '' END AS vendor,
+             CAST(CASE WHEN wc THEN 3 + (CASE WHEN genre THEN 1 ELSE 0 END)
+                  ELSE 0 END AS INTEGER) AS n_comments,
+             CASE WHEN wc THEN 't' ||
+               repeat(chr(CAST(97 + v % 26 AS INTEGER)), 1 + n % 6)
+               ELSE NULL END AS title,
+             CASE WHEN wc THEN 'a' || chr(CAST(97 + (n + v) % 26 AS INTEGER))
+                  ELSE NULL END AS artist,
+             CAST(1 + (CASE WHEN wc THEN 1 ELSE 0 END)
+               + (CASE WHEN padlen >= 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_blocks,
+             CAST(greatest(padlen, 0) AS BIGINT) AS padding_bytes,
+             CAST(flen AS BIGINT) AS frame_bytes,
+             CAST(4 + 38 + cblock + pblock + flen AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe, q237ZipProbe)
+    Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe, q237ZipProbe, q238FlacProbe)
 }
