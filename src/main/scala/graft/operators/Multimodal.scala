@@ -224,6 +224,21 @@ object Multimodal {
             ("wav", Some(frames.toLong * 1000L / a.sampleRate), 1, codec)
           }).orElse(TiffProbe.probe(p).map { t =>
             ("tiff", None, t.nPages, "tiff")
+          }).orElse(MkvProbe.probe(p).map { m =>
+            ("mkv", Some(m.durationMs), m.nTracks,
+              m.tracks.headOption.map(_.codecId).getOrElse(""))
+          }).orElse(FlacProbe.probe(p).map { f =>
+            ("flac", Some(f.durationMs), 1, "flac")
+          }).orElse(OggProbe.probe(p).map { o =>
+            ("ogg", Some(o.durationMs), 1, o.codec.name)
+          }).orElse(ZipProbe.probe(p).map { z =>
+            // zip last: its magic is not anchored at offset 0, so it is
+            // the most false-positive-prone dispatch in the chain
+            val codec =
+              if (z.entries.isEmpty) "empty"
+              else if (z.entries.exists(_.method == 8)) "deflate"
+              else "stored"
+            ("zip", None, z.nEntries, codec)
           })
         probed match {
           case Some((c, d, n, cod)) =>

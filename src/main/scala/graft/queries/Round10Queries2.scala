@@ -635,6 +635,241 @@ object Round10Queries2 {
              CAST(4 + 38 + cblock + pblock + flen AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** OGG PAGE WALK + CRC VERIFICATION under the oracle gate — the
+    * .ogg/.opus story: per document, synthesize a VALID single-stream
+    * Ogg file (a BOS page carrying the real OpusHead or Vorbis ID
+    * header, data pages with 255-lacing packet segmentation, EOS on the
+    * last, TRUE Ogg CRC-32s — the 0x04c11db7 unreflected variant, not
+    * zlib's), then REALLY walk it ([[graft.operators.OggProbe.probe]]:
+    * capture pattern, sequence continuity, continuation-flag truth,
+    * per-page checksum verification, lacing packet counting, ID-header
+    * decode) and emit the stream metadata. Audio packets are counted,
+    * never decoded. The oracle recomputes everything in closed form —
+    * page overhead as 27 + segments, Opus duration as the exact
+    * (granule - preSkip) x 1000 / 48000, Vorbis duration at its own
+    * granule rate — so a lacing slip, a CRC-table error, or a
+    * granule-rate mixup lands in the hash.
+    */
+  val q239OggProbe: QueryDef = QueryDef(
+    "q239_ogg_probe",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.OggProbe
+        val serial = 0x10000L + r.v * 7 + r.n % 13
+        val opus = r.v % 2 == 0
+        val channels = 1 + r.n % 2
+        val preSkip = 312 + r.v % 100
+        val vorbisRate = Seq(44100L, 48000L, 22050L)(r.v % 3)
+        val idPacket =
+          if (opus) OggProbe.opusHead(channels, preSkip, 48000L)
+          else OggProbe.vorbisHead(channels, vorbisRate)
+        val np = 1 + r.n % 4
+        val step = 960L * (2 + r.v % 5)
+        val pages = (0 until np).map { i =>
+          OggProbe.SynthPage((i + 1) * step,
+            (0 until 1 + (r.n + i) % 3).map(j => 40 + (r.v + i * 11 + j * 7) % 200))
+        }
+        val bytes = OggProbe.synth(serial, idPacket, pages,
+          (pi, k) => pi * 17 + k * 3 + r.v)
+        val info = OggProbe.probe(bytes)
+          .getOrElse(sys.error(s"synthesized ogg failed to probe: doc ${r.doc_id}"))
+        (r.doc_id, info.serial, info.codec.name, info.codec.channels,
+          info.codec.sampleRate, info.codec.preSkip, info.nPages,
+          info.finalGranule, info.durationMs, info.nPackets,
+          info.bodyBytes, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "serial", "codec", "channels", "sample_rate",
+          "pre_skip", "n_pages", "final_granule", "duration_ms",
+          "n_packets", "body_bytes", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   65536 + v * 7 + n % 13 AS serial,
+                   v % 2 = 0 AS opus,
+                   1 + n % 2 AS channels,
+                   312 + v % 100 AS pre_skip,
+                   [44100, 48000, 22050][v % 3 + 1] AS vrate,
+                   1 + n % 4 AS np,
+                   960 * (2 + v % 5) AS step
+            FROM d),
+      t AS (SELECT *,
+                   CASE WHEN opus THEN 19 ELSE 30 END AS idlen,
+                   list_transform(range(np), i -> 1 + (n + i) % 3) AS kps,
+                   list_transform(range(np), i ->
+                     list_sum(list_transform(range(1 + (n + i) % 3), j ->
+                       40 + (v + i * 11 + j * 7) % 200))) AS page_bodies
+            FROM g)
+      SELECT doc_id,
+             CAST(serial AS BIGINT) AS serial,
+             CASE WHEN opus THEN 'opus' ELSE 'vorbis' END AS codec,
+             CAST(channels AS INTEGER) AS channels,
+             CAST(CASE WHEN opus THEN 48000 ELSE vrate END AS BIGINT)
+               AS sample_rate,
+             CAST(CASE WHEN opus THEN pre_skip ELSE 0 END AS INTEGER)
+               AS pre_skip,
+             CAST(1 + np AS INTEGER) AS n_pages,
+             CAST(np * step AS BIGINT) AS final_granule,
+             CAST(CASE WHEN opus
+                  THEN (np * step - pre_skip) * 1000 // 48000
+                  ELSE CAST(np AS BIGINT) * step * 1000 // vrate END
+               AS BIGINT) AS duration_ms,
+             CAST(1 + list_sum(kps) AS BIGINT) AS n_packets,
+             CAST(idlen + list_sum(page_bodies) AS BIGINT) AS body_bytes,
+             CAST((27 + 1 + idlen)
+               + list_sum(list_transform(range(np), i ->
+                   27 + kps[i + 1] + page_bodies[i + 1]))
+               AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
+  /** UNIFIED CONTAINER PROBE, WIDENED — q232's ffprobe front door over
+    * the FULL round-10 container surface: per document the payload is
+    * (by doc_id mod 9) a real MP4, MPEG-1 audio, PCM16 WAV, TIFF,
+    * Matroska/WebM, FLAC, Ogg/Opus, ZIP, or RAW TEXT, and
+    * [[graft.operators.Multimodal.probeContainers]] dispatches all
+    * eight families in false-positive-safe order (ZIP last — its magic
+    * is not anchored at offset 0), with text surfacing as EXPLICIT
+    * all-null reject rows. The oracle recomputes every family's
+    * metadata and exact payload size closed-form, so a misdispatch, a
+    * false positive, or a regression in ANY prober lands in this one
+    * hash.
+    */
+  val q240UnifiedProbe: QueryDef = QueryDef(
+    "q240_unified_probe",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"),
+          col("text"))
+      val media = src.map { r =>
+        val docId = r.getLong(0); val n = r.getInt(1); val v = r.getInt(2)
+        val text = r.getString(3)
+        import graft.operators._
+        val payload: Array[Byte] = (docId % 9) match {
+          case 0 =>
+            Mp4Boxes.synthMp4("isom", v.toLong, Seq("mp41"),
+              600L * (1 + v % 5), n.toLong * 1000 + v * 17,
+              Seq(Mp4Boxes.SynthTrack(1, "vide", "avc1",
+                320, 240, 30000L, 90000L, "und")),
+              mdatLen = n % 32, i => i * 11 + v)
+          case 1 =>
+            MpegFrames.synthStream(1 + v % 3, n % 3,
+              (0 until 2 + n % 4).map(j => (1 + (v + j) % 14, (n + j) % 2 == 0)),
+              (fi, j) => fi * 7 + j * 13)
+          case 2 =>
+            MediaCodecs.encodeWavPcm16(8000,
+              Array.tabulate(10 + n % 20)(i => ((v * 31 + i * 97) % 8192).toShort))
+          case 3 =>
+            TiffProbe.synthTiff(v % 2 == 0, (0 until 1 + n % 3).map(p =>
+              TiffProbe.SynthPage(100 + p, 80 + p, 8, 1, 1, 1)))
+          case 4 =>
+            MkvProbe.synth("webm", 2, 1000000L, (n.toLong * 20 + v).toDouble,
+              "m", "w", Seq(MkvProbe.SynthMkvTrack(1, 1, 1, "V_VP9",
+                width = 320, height = 240)), Nil, (_, _) => 0)
+          case 5 =>
+            FlacProbe.synth(1152, 4096, 0, 0, 48000, 2, 16,
+              n.toLong * 100 + v, "v", Nil, withComment = false,
+              paddingLen = -1, frameLen = n % 50, i => i)
+          case 6 =>
+            OggProbe.synth(1234L, OggProbe.opusHead(2, 312, 48000L),
+              Seq(OggProbe.SynthPage(1920L * (1 + n % 3), Seq(30 + v % 50))),
+              (_, _) => 0)
+          case 7 =>
+            ZipProbe.synth(Seq(ZipProbe.SynthMember("doc/entry.txt",
+              Array.fill(10 + n % 20)(('a' + v % 26).toByte), 0)), "")
+          case _ => text.getBytes("UTF-8")
+        }
+        graft.operators.Multimodal.MediaRow(docId, payload,
+          graft.operators.Multimodal.MediaMeta("mixed", payload.length, 0L))
+      }
+      graft.operators.Multimodal.probeContainers(media).toDF()
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      mpeg AS (SELECT doc_id, n, v,
+                      CAST(1 + v % 3 AS INTEGER) AS layer,
+                      [44100, 48000, 32000][n % 3 + 1] AS sr,
+                      2 + n % 4 AS k
+               FROM d WHERE doc_id % 9 = 1),
+      mpeg2 AS (SELECT doc_id, layer, sr, k,
+                       CASE WHEN layer = 1 THEN 384 ELSE 1152 END AS spf,
+                       list_sum(list_transform(range(k), j ->
+                         CASE WHEN layer = 1
+                           THEN (12000 * [[32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+                                 [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+                                 [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                                ][layer][(v + j) % 14 + 1] // sr
+                                 + CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END) * 4
+                           ELSE 144000 * [[32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+                                 [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+                                 [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                                ][layer][(v + j) % 14 + 1] // sr
+                                 + CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END
+                         END)) AS stream_bytes
+                FROM mpeg)
+      SELECT d.doc_id,
+             CASE d.doc_id % 9 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mpeg'
+                               WHEN 2 THEN 'wav' WHEN 3 THEN 'tiff'
+                               WHEN 4 THEN 'mkv' WHEN 5 THEN 'flac'
+                               WHEN 6 THEN 'ogg' WHEN 7 THEN 'zip'
+             END AS container,
+             CASE d.doc_id % 9
+               WHEN 0 THEN (CAST(d.n AS BIGINT) * 1000 + d.v * 17) * 1000
+                             // (600 * (1 + d.v % 5))
+               WHEN 1 THEN CAST(m.k AS BIGINT) * m.spf * 1000 // m.sr
+               WHEN 2 THEN CAST(10 + d.n % 20 AS BIGINT) * 1000 // 8000
+               WHEN 4 THEN CAST(d.n AS BIGINT) * 20 + d.v
+               WHEN 5 THEN (CAST(d.n AS BIGINT) * 100 + d.v) * 1000 // 48000
+               WHEN 6 THEN (1920 * (1 + CAST(d.n AS BIGINT) % 3) - 312)
+                             * 1000 // 48000
+             END AS duration_ms,
+             CASE d.doc_id % 9
+               WHEN 3 THEN 1 + d.n % 3
+               WHEN 8 THEN NULL
+               ELSE 1
+             END AS n_streams,
+             CASE d.doc_id % 9 WHEN 0 THEN 'avc1'
+                               WHEN 1 THEN 'mp' || CAST(1 + d.v % 3 AS VARCHAR)
+                               WHEN 2 THEN 'pcm16'
+                               WHEN 3 THEN 'tiff'
+                               WHEN 4 THEN 'V_VP9'
+                               WHEN 5 THEN 'flac'
+                               WHEN 6 THEN 'opus'
+                               WHEN 7 THEN 'stored'
+             END AS codec,
+             CAST(CASE d.doc_id % 9
+               WHEN 0 THEN 20 + 8 + 108 + 221 + 8 + d.n % 32
+               WHEN 1 THEN m.stream_bytes
+               WHEN 2 THEN 44 + 2 * (10 + d.n % 20)
+               WHEN 3 THEN 8 + 78 * (1 + d.n % 3)
+               WHEN 4 THEN 109
+               WHEN 5 THEN 42 + d.n % 50
+               WHEN 6 THEN 105 + d.v % 50
+               WHEN 7 THEN 134 + d.n % 20
+               ELSE d.n
+             END AS BIGINT) AS payload_bytes
+      FROM d LEFT JOIN mpeg2 m ON d.doc_id = m.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe, q237ZipProbe, q238FlacProbe)
+    Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe, q237ZipProbe, q238FlacProbe,
+      q239OggProbe, q240UnifiedProbe)
 }

