@@ -869,7 +869,213 @@ object Round10Queries2 {
       FROM d LEFT JOIN mpeg2 m ON d.doc_id = m.doc_id
       ORDER BY d.doc_id"""))
 
+  /** WARC RECORD WALK under the oracle gate — the Common-Crawl-shaped
+    * container a 100 TB web-text lake actually arrives in: per
+    * document, synthesize a VALID WARC file (a warcinfo record then
+    * request/response pairs, each response block a real HTTP/1.1
+    * message), then REALLY walk it
+    * ([[graft.operators.WarcProbe.probe]]: version line, named-field
+    * headers, Content-Length-driven block extraction with the exact
+    * CRLF CRLF trailer, HTTP status-line + body split inside response
+    * blocks) and emit the crawl summary a curation pipeline starts
+    * from — record counts by type, status tallies, and the FIRST
+    * response body text straight into the hash. The oracle rebuilds
+    * every count, string, and byte total in closed form (header-line
+    * lengths as template arithmetic incl. the variable-width record
+    * ids and Content-Length digit counts).
+    */
+  val q241WarcWalk: QueryDef = QueryDef(
+    "q241_warc_walk",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.WarcProbe
+        val date = "2020-01-01T00:00:00Z"
+        val np = 1 + r.n % 3
+        val info = WarcProbe.SynthRecord("warcinfo", (r.v * 1000).toString,
+          date, None, "software: graft\r\n".getBytes("ISO-8859-1"))
+        val pairs = (0 until np).flatMap { i =>
+          val uri = s"http://ex.com/p$i"
+          val status = if ((r.v + i) % 5 == 0) 404 else 200
+          val body = Array.fill(20 + (r.n + i) % 40)(
+            ('a' + (r.v + i) % 26).toByte)
+          Seq(
+            WarcProbe.SynthRecord("request", (r.v * 1000 + 2 * i + 1).toString,
+              date, Some(uri),
+              s"GET /p$i HTTP/1.1\r\nHost: ex.com\r\n\r\n".getBytes("ISO-8859-1")),
+            WarcProbe.SynthRecord("response", (r.v * 1000 + 2 * i + 2).toString,
+              date, Some(uri), WarcProbe.httpResponse(status, body)))
+        }
+        val bytes = WarcProbe.synth(info +: pairs)
+        val parsed = WarcProbe.probe(bytes)
+          .getOrElse(sys.error(s"synthesized warc failed to probe: doc ${r.doc_id}"))
+        val responses = parsed.ofType("response")
+        val statuses = responses.flatMap(_.status)
+        val first = responses.head
+        (r.doc_id, parsed.nRecords, parsed.ofType("warcinfo").length,
+          parsed.ofType("request").length, responses.length,
+          parsed.totalBlockBytes,
+          statuses.count(_ == 200), statuses.count(_ == 404),
+          statuses.map(_.toLong).sum,
+          first.uri.orNull, first.status.get,
+          new String(first.httpBody.get, "ISO-8859-1"),
+          bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_records", "n_info", "n_requests",
+          "n_responses", "total_block_bytes", "n_ok", "n_notfound",
+          "sum_status", "first_uri", "first_status", "first_body",
+          "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 1 + n % 3 AS np FROM d),
+      t AS (SELECT *,
+                   list_transform(range(np), i -> 20 + (n + i) % 40) AS blens,
+                   list_transform(range(np), i ->
+                     CASE WHEN (v + i) % 5 = 0 THEN 404 ELSE 200 END) AS sts,
+                   len(CAST(v * 1000 AS VARCHAR)) AS id0
+            FROM g),
+      u AS (SELECT *,
+                   -- per-record byte accounting: 109 + len(type) +
+                   -- len(<id>) + len(str(blockLen)) + block
+                   -- (+ 19 + len(uri) when a target URI is present)
+                   136 + id0 AS info_bytes,
+                   list_transform(range(np), i ->
+                     187 + len(CAST(v * 1000 + 2 * i + 1 AS VARCHAR)))
+                     AS req_bytes,
+                   list_transform(range(np), i ->
+                     197 + len(CAST(v * 1000 + 2 * i + 2 AS VARCHAR))
+                         + len(CAST(45 + blens[i + 1] AS VARCHAR))
+                         + blens[i + 1]) AS resp_bytes
+            FROM t)
+      SELECT doc_id,
+             CAST(1 + 2 * np AS INTEGER) AS n_records,
+             1 AS n_info,
+             CAST(np AS INTEGER) AS n_requests,
+             CAST(np AS INTEGER) AS n_responses,
+             CAST(17 + np * (34 + 45) + list_sum(blens) AS BIGINT)
+               AS total_block_bytes,
+             CAST(len(list_filter(sts, x -> x = 200)) AS INTEGER) AS n_ok,
+             CAST(len(list_filter(sts, x -> x = 404)) AS INTEGER)
+               AS n_notfound,
+             CAST(list_sum(sts) AS BIGINT) AS sum_status,
+             'http://ex.com/p0' AS first_uri,
+             CAST(sts[1] AS INTEGER) AS first_status,
+             repeat(chr(CAST(97 + v % 26 AS INTEGER)), 20 + n % 40)
+               AS first_body,
+             CAST(info_bytes + list_sum(req_bytes) + list_sum(resp_bytes)
+               AS BIGINT) AS file_bytes
+      FROM u ORDER BY doc_id"""))
+
+  /** WARC.GZ MEMBER WALK under the oracle gate — the layout crawl
+    * archives actually ship in: ONE GZIP MEMBER PER RECORD, so readers
+    * can seek to a member and decompress just that record; building
+    * that member index IS this walk. Per document, q241's records are
+    * INDIVIDUALLY gzipped ([[graft.operators.GzipMembers.synth]]:
+    * real headers with FNAME on alternating members, stored-block
+    * deflate for closed-form sizes, TRUE CRC-32/ISIZE trailers), the
+    * member chain is walked ([[graft.operators.GzipMembers.walk]]:
+    * header-field skip rules, real JDK inflation to find each member
+    * boundary, trailer verification — one corrupt byte anywhere
+    * rejects), and the reassembled bytes are re-probed as a WARC
+    * ([[graft.operators.WarcProbe.probe]]) — the decompress→parse
+    * chain a crawl reader really runs, with the first response body
+    * landing in the hash. The oracle rebuilds member sizes as
+    * 23 + record + FNAME bytes and the record sizes by q241's template
+    * arithmetic.
+    */
+  val q242WarcGz: QueryDef = QueryDef(
+    "q242_warc_gz",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.{GzipMembers, WarcProbe}
+        val date = "2020-01-01T00:00:00Z"
+        val uri = "http://ex.com/p0"
+        val status = if (r.v % 5 == 0) 404 else 200
+        val body = Array.fill(20 + r.n % 40)(('a' + r.v % 26).toByte)
+        val records = Seq(
+          WarcProbe.SynthRecord("warcinfo", (r.v * 1000).toString, date,
+            None, "software: graft\r\n".getBytes("ISO-8859-1")),
+          WarcProbe.SynthRecord("request", (r.v * 1000 + 1).toString, date,
+            Some(uri),
+            "GET /p0 HTTP/1.1\r\nHost: ex.com\r\n\r\n".getBytes("ISO-8859-1")),
+          WarcProbe.SynthRecord("response", (r.v * 1000 + 2).toString, date,
+            Some(uri), WarcProbe.httpResponse(status, body)))
+        val recordBytes = records.map(rec => WarcProbe.synth(Seq(rec)))
+        val members = recordBytes.zipWithIndex.map { case (bs, i) =>
+          (bs, if (i % 2 == 0) Some(s"r$i") else None)
+        }
+        val gz = GzipMembers.synth(members)
+        val walked = GzipMembers.walk(gz)
+          .getOrElse(sys.error(s"gz member walk failed: doc ${r.doc_id}"))
+        val reassembled = walked.toArray.flatMap(_.content)
+        val warc = WarcProbe.probe(reassembled)
+          .getOrElse(sys.error(s"reassembled warc failed: doc ${r.doc_id}"))
+        val resp = warc.ofType("response").head
+        (r.doc_id, walked.length,
+          walked.flatMap(_.name).mkString(","),
+          walked.map(_.compressedLength.toLong).sum,
+          walked.map(_.content.length.toLong).sum,
+          walked.head.compressedLength.toLong,
+          warc.nRecords, resp.status.get,
+          new String(resp.httpBody.get, "ISO-8859-1"),
+          gz.length.toLong)
+      }
+      probed.toDF("doc_id", "n_members", "member_names", "sum_compressed",
+          "sum_decompressed", "member0_bytes", "n_records", "first_status",
+          "first_body", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   20 + n % 40 AS blen,
+                   len(CAST(v * 1000 AS VARCHAR)) AS id0,
+                   len(CAST(v * 1000 + 1 AS VARCHAR)) AS id1,
+                   len(CAST(v * 1000 + 2 AS VARCHAR)) AS id2
+            FROM d),
+      t AS (SELECT *,
+                   136 + id0 AS rec0,
+                   187 + id1 AS rec1,
+                   197 + id2 + len(CAST(45 + blen AS VARCHAR)) + blen AS rec2
+            FROM g)
+      SELECT doc_id,
+             3 AS n_members,
+             'r0,r2' AS member_names,
+             CAST((23 + rec0 + 3) + (23 + rec1) + (23 + rec2 + 3) AS BIGINT)
+               AS sum_compressed,
+             CAST(rec0 + rec1 + rec2 AS BIGINT) AS sum_decompressed,
+             CAST(23 + rec0 + 3 AS BIGINT) AS member0_bytes,
+             3 AS n_records,
+             CAST(CASE WHEN v % 5 = 0 THEN 404 ELSE 200 END AS INTEGER)
+               AS first_status,
+             repeat(chr(CAST(97 + v % 26 AS INTEGER)), 20 + n % 40)
+               AS first_body,
+             CAST((23 + rec0 + 3) + (23 + rec1) + (23 + rec2 + 3) AS BIGINT)
+               AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe, q237ZipProbe, q238FlacProbe,
-      q239OggProbe, q240UnifiedProbe)
+      q239OggProbe, q240UnifiedProbe, q241WarcWalk, q242WarcGz)
 }
