@@ -1075,7 +1075,176 @@ object Round10Queries2 {
                AS file_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** TAR / WEBDATASET SHARD WALK under the oracle gate — the container
+    * large-scale ML training samples actually ship in: tar shards whose
+    * members group into samples by name stem (s0.txt + s0.cls + ...),
+    * streamed sequentially because tar needs no central directory. Per
+    * document, synthesize a VALID ustar shard
+    * ([[graft.operators.TarProbe.synth]]: real 512-byte headers with
+    * TRUE checksums, octal fields, zero-padded data blocks, the
+    * two-zero-block terminator, an optional leading directory entry),
+    * then REALLY walk it ([[graft.operators.TarProbe.probe]]: checksum
+    * verification per header, octal decode, prefix rule, pad-byte
+    * validation) and emit the shard summary — member/sample counts via
+    * the WebDataset stem grouping, and the first sample's text and
+    * label straight into the hash. The oracle rebuilds every count,
+    * string, and the exact 512-block file geometry in closed form.
+    */
+  val q243TarShard: QueryDef = QueryDef(
+    "q243_tar_shard",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.TarProbe
+        val ns = 1 + r.n % 4
+        val members = (0 until ns).flatMap { j =>
+          val text = Array.fill(15 + (r.n + j) % 30)(
+            ('a' + (r.v + j) % 26).toByte)
+          val cls = ((r.v + j) % 10).toString.getBytes("ISO-8859-1")
+          Seq((s"shard/s$j.txt", text), (s"shard/s$j.cls", cls))
+        }
+        val dirs = if (r.n % 3 == 0) Seq("shard/") else Nil
+        val bytes = TarProbe.synth(members, dirs = dirs)
+        val info = TarProbe.probe(bytes)
+          .getOrElse(sys.error(s"synthesized tar failed to probe: doc ${r.doc_id}"))
+        val files = info.members.filter(_.typeflag == '0')
+        val firstTxt = files.find(_.name.endsWith(".txt")).get
+        val firstCls = files.find(_.name.endsWith(".cls")).get
+        (r.doc_id, info.nMembers, files.length,
+          info.members.count(_.typeflag == '5'), info.nSamples,
+          info.totalSize, info.members.map(_.name).mkString(","),
+          new String(TarProbe.content(bytes, firstTxt), "ISO-8859-1"),
+          new String(TarProbe.content(bytes, firstCls), "ISO-8859-1"),
+          info.members.map(_.mtime).max, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_members", "n_files", "n_dirs", "n_samples",
+          "total_size", "names", "first_text", "first_cls", "mtime",
+          "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   1 + n % 4 AS ns,
+                   CASE WHEN n % 3 = 0 THEN 1 ELSE 0 END AS hasdir
+            FROM d),
+      t AS (SELECT *,
+                   list_transform(range(ns), j -> 15 + (n + j) % 30) AS tlens,
+                   list_transform(range(ns), j ->
+                     'shard/s' || CAST(j AS VARCHAR) || '.txt,' ||
+                     'shard/s' || CAST(j AS VARCHAR) || '.cls') AS name_pairs
+            FROM g)
+      SELECT doc_id,
+             CAST(2 * ns + hasdir AS INTEGER) AS n_members,
+             CAST(2 * ns AS INTEGER) AS n_files,
+             CAST(hasdir AS INTEGER) AS n_dirs,
+             CAST(ns AS INTEGER) AS n_samples,
+             CAST(list_sum(tlens) + ns AS BIGINT) AS total_size,
+             CASE WHEN hasdir = 1 THEN 'shard/,' ELSE '' END ||
+               array_to_string(name_pairs, ',') AS names,
+             repeat(chr(CAST(97 + v % 26 AS INTEGER)), 15 + n % 30)
+               AS first_text,
+             CAST(v % 10 AS VARCHAR) AS first_cls,
+             CAST(1577836800 AS BIGINT) AS mtime,
+             CAST(hasdir * 512 + ns * 2048 + 1024 AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
+  /** SRT + WEBVTT SUBTITLE PARSE under the oracle gate — the transcript
+    * layer that pairs a video lake's payloads with text: per document,
+    * deterministic cues are rendered to REAL SubRip text and REAL
+    * WebVTT text (comma vs dot milliseconds, VTT identifier lines),
+    * both parsed back ([[graft.operators.Subtitles]]: strict timestamp
+    * decode, monotonic SRT indices, end > start), cross-checked cue
+    * for cue, and reduced to the timing summary — cue counts, total
+    * caption time, span, the largest inter-cue gap, first/last cue
+    * text (multi-line cues keep their embedded newline). The oracle
+    * rebuilds every number and string in closed form.
+    */
+  val q244Subtitles: QueryDef = QueryDef(
+    "q244_subtitles",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.Subtitles
+        val k = 2 + r.n % 4
+        val cues = (0 until k).map { i =>
+          val start = i * 3000L + r.v % 500
+          val end = start + 1000 + (r.n + i) % 2000
+          val lines = Vector(s"line ${('a' + (r.v + i) % 26).toChar}") ++
+            (if (i % 2 == 0) Vector(s"and ${('a' + (r.n + i) % 26).toChar}")
+            else Vector.empty)
+          Subtitles.Cue(i + 1, start, end, lines)
+        }
+        val srt = Subtitles.parseSrt(Subtitles.renderSrt(cues))
+          .getOrElse(sys.error(s"srt failed to parse: doc ${r.doc_id}"))
+        val vtt = Subtitles.parseVtt(Subtitles.renderVtt(cues))
+          .getOrElse(sys.error(s"vtt failed to parse: doc ${r.doc_id}"))
+        require(srt.map(c => (c.startMs, c.endMs, c.text)) ==
+          vtt.map(c => (c.startMs, c.endMs, c.text)),
+          s"srt/vtt cue disagreement: doc ${r.doc_id}")
+        val gaps = srt.sliding(2).collect {
+          case Seq(a, b) => b.startMs - a.endMs
+        }.toVector
+        (r.doc_id, srt.length, srt.map(_.durationMs).sum,
+          srt.last.endMs - srt.head.startMs,
+          if (gaps.isEmpty) 0L else gaps.max,
+          srt.map(_.durationMs).min, srt.map(_.durationMs).max,
+          srt.head.text, srt.last.text,
+          srt.count(_.lines.length == 2))
+      }
+      probed.toDF("doc_id", "n_cues", "total_cue_ms", "span_ms",
+          "max_gap_ms", "min_dur_ms", "max_dur_ms", "first_text",
+          "last_text", "n_two_line")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 2 + n % 4 AS k FROM d),
+      t AS (SELECT *,
+                   list_transform(range(k), i ->
+                     1000 + (n + i) % 2000) AS durs,
+                   list_transform(range(k - 1), i ->
+                     2000 - (n + i) % 2000) AS gaps
+            FROM g)
+      SELECT doc_id,
+             CAST(k AS INTEGER) AS n_cues,
+             CAST(list_sum(durs) AS BIGINT) AS total_cue_ms,
+             CAST((k - 1) * 3000 + 1000 + (n + k - 1) % 2000 AS BIGINT)
+               AS span_ms,
+             CAST(list_max(gaps) AS BIGINT) AS max_gap_ms,
+             CAST(list_min(durs) AS BIGINT) AS min_dur_ms,
+             CAST(list_max(durs) AS BIGINT) AS max_dur_ms,
+             'line ' || chr(CAST(97 + v % 26 AS INTEGER)) || chr(10) ||
+               'and ' || chr(CAST(97 + n % 26 AS INTEGER)) AS first_text,
+             CASE WHEN (k - 1) % 2 = 0
+                  THEN 'line ' || chr(CAST(97 + (v + k - 1) % 26 AS INTEGER))
+                       || chr(10) ||
+                       'and ' || chr(CAST(97 + (n + k - 1) % 26 AS INTEGER))
+                  ELSE 'line ' || chr(CAST(97 + (v + k - 1) % 26 AS INTEGER))
+             END AS last_text,
+             CAST((k + 1) // 2 AS INTEGER) AS n_two_line
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe, q237ZipProbe, q238FlacProbe,
-      q239OggProbe, q240UnifiedProbe, q241WarcWalk, q242WarcGz)
+      q239OggProbe, q240UnifiedProbe, q241WarcWalk, q242WarcGz, q243TarShard,
+      q244Subtitles)
 }
