@@ -1243,8 +1243,100 @@ object Round10Queries2 {
              CAST((k + 1) // 2 AS INTEGER) AS n_two_line
       FROM t ORDER BY doc_id"""))
 
+  /** WEBDATASET INGEST CHAIN under the oracle gate — the full path a
+    * multimodal training pipeline runs, composed from the engine's own
+    * operators: per document a REAL tar shard of (s{j}.wav, s{j}.txt)
+    * sample pairs is walked ([[graft.operators.TarProbe]], checksums
+    * verified), each member's bytes are EXTRACTED, the wav payloads go
+    * through the REAL decode chain
+    * ([[graft.operators.Multimodal.realDecode]]: RIFF walk, PCM16
+    * samples) and the captions through UTF-8 — shard → members →
+    * samples → features in one pass, exactly the
+    * shard-read-decode-pair step a WebDataset loader performs. The
+    * oracle recomputes the PCM statistics from the same closed-form
+    * sample schedule (q216/q219 protocol) plus the caption strings and
+    * the 512-block shard geometry — a slip anywhere in the chain
+    * (tar offsets, RIFF parse, sample order) lands in the hash.
+    */
+  val q245WebdatasetIngest: QueryDef = QueryDef(
+    "q245_webdataset_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.{MediaCodecs, Multimodal, TarProbe}
+        val ns = 1 + r.n % 3
+        val members = (0 until ns).flatMap { j =>
+          val samples = Array.tabulate(17)(i =>
+            ((r.v * 31 + j * 53 + i * 97) % 8192 - 4096).toShort)
+          val caption = ('a' + (r.v + j) % 26).toChar.toString * (12 + (r.n + j) % 20)
+          Seq((s"s$j.wav", MediaCodecs.encodeWavPcm16(8000, samples)),
+            (s"s$j.txt", caption.getBytes("ISO-8859-1")))
+        }
+        val shard = TarProbe.synth(members)
+        val info = TarProbe.probe(shard)
+          .getOrElse(sys.error(s"shard failed to probe: doc ${r.doc_id}"))
+        val wavs = info.members.filter(_.name.endsWith(".wav"))
+        val txts = info.members.filter(_.name.endsWith(".txt"))
+        val decoded = wavs.map { m =>
+          Multimodal.realDecode(TarProbe.content(shard, m))
+            .getOrElse(sys.error(s"wav member failed decode: doc ${r.doc_id}"))
+        }
+        require(decoded.forall { case (w, h, c, f) =>
+          w == 17 && h == 1 && c == 1 && f(0) == 8000f
+        }, s"unexpected wav shape: doc ${r.doc_id}")
+        val captions = txts.map(m =>
+          new String(TarProbe.content(shard, m), "ISO-8859-1"))
+        (r.doc_id, info.nMembers, info.nSamples,
+          decoded.map(_._4(1).toLong).sum, // sum of first samples
+          decoded.map(_._4(2).toLong).sum, // sum of sample sums
+          decoded.map(_._4(3).toLong).sum, // sum of weighted sums
+          captions.head, captions.map(_.length.toLong).sum,
+          info.totalSize, shard.length.toLong)
+      }
+      probed.toDF("doc_id", "n_members", "n_samples", "sum_first",
+          "sum_samples", "sum_weighted", "first_caption", "caption_chars",
+          "total_size", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 1 + n % 3 AS ns FROM d),
+      t AS (SELECT *,
+                   list_transform(range(ns), j ->
+                     (v * 31 + j * 53) % 8192 - 4096) AS firsts,
+                   list_transform(range(ns), j ->
+                     list_sum(list_transform(range(17), i ->
+                       (v * 31 + j * 53 + i * 97) % 8192 - 4096))) AS sums,
+                   list_transform(range(ns), j ->
+                     list_sum(list_transform(range(17), i ->
+                       (i + 1) * ((v * 31 + j * 53 + i * 97) % 8192 - 4096))))
+                     AS wsums,
+                   list_transform(range(ns), j -> 12 + (n + j) % 20) AS clens
+            FROM g)
+      SELECT doc_id,
+             CAST(2 * ns AS INTEGER) AS n_members,
+             CAST(ns AS INTEGER) AS n_samples,
+             CAST(list_sum(firsts) AS BIGINT) AS sum_first,
+             CAST(list_sum(sums) AS BIGINT) AS sum_samples,
+             CAST(list_sum(wsums) AS BIGINT) AS sum_weighted,
+             repeat(chr(CAST(97 + v % 26 AS INTEGER)), 12 + n % 20)
+               AS first_caption,
+             CAST(list_sum(clens) AS BIGINT) AS caption_chars,
+             CAST(ns * 78 + list_sum(clens) AS BIGINT) AS total_size,
+             CAST(ns * 2048 + 1024 AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q234Id3Tags, q235Mp4Edits, q236MkvProbe, q237ZipProbe, q238FlacProbe,
       q239OggProbe, q240UnifiedProbe, q241WarcWalk, q242WarcGz, q243TarShard,
-      q244Subtitles)
+      q244Subtitles, q245WebdatasetIngest)
 }
