@@ -1,20 +1,23 @@
 package graft.operators
 
-/** ID3v2 TAG walk (v2.3 / v2.4, the public informal standard at id3.org —
-  * id3v2.3.0 §3, id3v2.4.0-structure §3-4): the metadata layer an audio
-  * lake's prober reads off the front of nearly every MP3 payload — title,
-  * artist, album, year, track — and the exact frame walk any tag editor
-  * must run. [[MpegFrames.probe]] measures and skips this tag wholesale;
-  * this operator decodes it.
+/** ID3v2 TAG walk (v2.2 / v2.3 / v2.4, the public informal standard at
+  * id3.org — id3v2-00 §3, id3v2.3.0 §3, id3v2.4.0-structure §3-4): the
+  * metadata layer an audio lake's prober reads off the front of nearly
+  * every MP3 payload — title, artist, album, year, track — and the exact
+  * frame walk any tag editor must run. [[MpegFrames.probe]] measures and
+  * skips this tag wholesale; this operator decodes it.
   *
   * Scope, mirroring the other probers: the declared-size arithmetic and
-  * the TEXT frame family (`T???` except `TXXX`) are decoded; every other
-  * frame (APIC pictures, PRIV blobs, COMM...) is walked structurally —
-  * its id and size validated, its body untouched — and surfaced with a
-  * null text. The two version-specific layouts are both real: v2.3 frame
-  * sizes are plain big-endian 32-bit, v2.4 sizes are 7-bit syncsafe; text
-  * encodings 00 (ISO-8859-1) and 01 (UTF-16 with BOM) exist in both
-  * versions, 02 (UTF-16BE) and 03 (UTF-8) in v2.4 only.
+  * the TEXT frame family (`T??`/`T???` except `TXX`/`TXXX`) are decoded;
+  * every other frame (APIC/PIC pictures, PRIV blobs, COM...) is walked
+  * structurally — its id and size validated, its body untouched — and
+  * surfaced with a null text. All three version-specific layouts are
+  * real: v2.2 frames carry 3-character ids with 3-byte big-endian sizes
+  * and NO flags bytes (a 6-byte header — the old iTunes-era form), v2.3
+  * frame sizes are plain big-endian 32-bit, v2.4 sizes are 7-bit
+  * syncsafe; text encodings 00 (ISO-8859-1) and 01 (UCS-2/UTF-16 with
+  * BOM) exist in all versions, 02 (UTF-16BE) and 03 (UTF-8) in v2.4
+  * only.
   *
   * Hostile-byte posture: [[parse]] never throws. Truncated headers,
   * unsupported flag bits (unsynchronisation, extended header, footer),
@@ -53,18 +56,22 @@ object Id3 {
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 
-  /** Parse an ID3v2.3/2.4 tag at the start of `b` (trailing bytes beyond
-    * the declared tag size are the audio stream and are ignored here).
+  /** Parse an ID3v2.2/2.3/2.4 tag at the start of `b` (trailing bytes
+    * beyond the declared tag size are the audio stream and are ignored
+    * here).
     */
   def parse(b: Array[Byte]): Option[Id3Tag] = {
     if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return None
     val major = b(3) & 0xff
-    if (major != 3 && major != 4) return None
+    if (major != 2 && major != 3 && major != 4) return None
     if ((b(4) & 0xff) == 0xff) return None // revision 0xff is forbidden
-    if ((b(5) & 0xff) != 0) return None // no unsync/ext-header/footer support
+    if ((b(5) & 0xff) != 0) return None // no unsync/compression/ext/footer
     val size = syncsafe(b, 6).getOrElse(return None)
     val end = 10 + size
     if (end > b.length) return None
+    val idLen = if (major == 2) 3 else 4
+    val hdrLen = if (major == 2) 6 else 10
+    val txx = if (major == 2) "TXX" else "TXXX"
     var pos = 10
     val frames = Vector.newBuilder[Id3Frame]
     var padding = 0
@@ -75,22 +82,26 @@ object Id3 {
         while (i < end) { if (b(i) != 0) return None; i += 1 }
         padding = end - pos
       } else {
-        if (pos + 10 > end) return None
-        val id = new String(b, pos, 4, "US-ASCII")
+        if (pos + hdrLen > end) return None
+        val id = new String(b, pos, idLen, "US-ASCII")
         if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
           return None
-        val fsz: Int =
-          if (major == 4) syncsafe(b, pos + 4).getOrElse(return None)
-          else {
+        val fsz: Int = major match {
+          case 2 =>
+            ((b(pos + 3) & 0xff) << 16) | ((b(pos + 4) & 0xff) << 8) |
+              (b(pos + 5) & 0xff)
+          case 4 => syncsafe(b, pos + 4).getOrElse(return None)
+          case _ =>
             val v = be32(b, pos + 4)
             if (v > Int.MaxValue) return None
             v.toInt
-          }
+        }
         if (fsz < 1) return None // "a frame must be at least 1 byte big"
-        if (b(pos + 8) != 0 || b(pos + 9) != 0) return None // no frame flags
-        val bodyStart = pos + 10
+        if (major != 2 && (b(pos + 8) != 0 || b(pos + 9) != 0))
+          return None // no frame flags (v2.2 frames have none at all)
+        val bodyStart = pos + hdrLen
         if (fsz > end - bodyStart) return None
-        if (id.startsWith("T") && id != "TXXX") {
+        if (id.startsWith("T") && id != txx) {
           val enc = b(bodyStart) & 0xff
           if (enc > (if (major == 4) 3 else 1)) return None
           val raw = java.util.Arrays.copyOfRange(b, bodyStart + 1, bodyStart + fsz)
@@ -132,17 +143,23 @@ object Id3 {
     */
   def synthTag(major: Int, textFrames: Seq[(String, String, Int)],
       padding: Int, binFrames: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
-    require(major == 3 || major == 4, s"unsupported ID3v2 major $major")
+    require(major == 2 || major == 3 || major == 4,
+      s"unsupported ID3v2 major $major")
     require(padding >= 0)
+    val idLen = if (major == 2) 3 else 4
     val body = new java.io.ByteArrayOutputStream()
     def frameHeader(id: String, fsz: Int): Unit = {
-      require(id.length == 4, s"frame id must be 4 chars: '$id'")
-      body.write(id.getBytes("US-ASCII"), 0, 4)
-      if (major == 4) {
+      require(id.length == idLen,
+        s"frame id must be $idLen chars for v2.$major: '$id'")
+      body.write(id.getBytes("US-ASCII"), 0, idLen)
+      if (major == 2) {
+        require(fsz < (1 << 24))
+        Seq(16, 8, 0).foreach(sh => body.write((fsz >> sh) & 0xff))
+      } else if (major == 4) {
         require(fsz < (1 << 28))
         Seq(21, 14, 7, 0).foreach(sh => body.write((fsz >> sh) & 0x7f))
       } else Seq(24, 16, 8, 0).foreach(sh => body.write((fsz >> sh) & 0xff))
-      body.write(0); body.write(0) // frame flags
+      if (major != 2) { body.write(0); body.write(0) } // frame flags
     }
     textFrames.foreach { case (id, text, enc) =>
       require(enc >= 0 && enc <= (if (major == 4) 3 else 1),

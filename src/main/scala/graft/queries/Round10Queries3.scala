@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 surface, third tranche: the long-form container corners a
+  * petabyte shard lake actually hits — PAX/GNU tar names past 100
+  * bytes, the remaining ID3 generation, MP4 sync-sample/64-bit chunk
+  * tables — each under the q218 synth→probe→closed-form-oracle
+  * protocol.
+  */
+object Round10Queries3 {
+
+  /** TAR LONG-FORM NAMES under the oracle gate — the two mechanisms
+    * real archives use once paths pass the ustar 100-byte field:
+    * per document, synthesize a VALID archive mixing one plain member,
+    * one PAX member ([[graft.operators.TarProbe.synthLongForm]]: a
+    * typeflag-'x' header whose data is self-sized `"LEN key=value\n"`
+    * records where LEN counts its OWN digits — `path` + 10-digit
+    * `mtime` + on even hashes a `size` record with the member's octal
+    * field zeroed, the >8 GiB wire form), and one GNU long-name member
+    * (typeflag 'L', NUL-terminated name data), then REALLY walk it
+    * ([[graft.operators.TarProbe.probe]]: checksums, record tiling,
+    * override application) and emit the summary. The ~500-byte PAX
+    * paths are sized so the record total straddles the 512-byte block
+    * boundary — the oracle recomputes every self-referential LEN in
+    * closed form, so an off-by-one in the length arithmetic moves the
+    * block count and lands in `file_bytes`.
+    */
+  val q246TarLongNames: QueryDef = QueryDef(
+    "q246_tar_long_names",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.TarProbe
+        import graft.operators.TarProbe.SynthEntry
+        val c0 = 10 + r.n % 15
+        val c1 = 5 + r.v % 9
+        val c2 = 20 + (r.n + r.v) % 25
+        val paxLen = 480 + r.n % 40
+        val gnuLen = 90 + r.v % 30
+        val sizeRec = r.v % 2 == 0
+        val paxName = "d" * paxLen
+        val gnuName = "g" * gnuLen
+        val bytes = TarProbe.synthLongForm(Seq(
+          SynthEntry("plain.txt",
+            Array.fill(c0)(('a' + r.n % 26).toByte)),
+          SynthEntry(paxName,
+            Array.fill(c1)(('a' + r.v % 26).toByte), mech = 'x',
+            paxMtime = 1700000000L + r.v, paxSizeRecord = sizeRec),
+          SynthEntry(gnuName,
+            Array.fill(c2)(('a' + (r.n + r.v) % 26).toByte), mech = 'L')))
+        val info = TarProbe.probe(bytes)
+          .getOrElse(sys.error(s"long-form tar failed to probe: doc ${r.doc_id}"))
+        require(info.members.map(_.via) == Vector("ustar", "pax", "gnuL"),
+          s"mechanism order broke: doc ${r.doc_id}")
+        val pax = info.members(1)
+        val gnu = info.members(2)
+        require(pax.name == paxName && gnu.name == gnuName,
+          s"override name mismatch: doc ${r.doc_id}")
+        (r.doc_id, info.nMembers, pax.name.length, pax.mtime,
+          new String(TarProbe.content(bytes, pax), "ISO-8859-1"),
+          gnu.name, pax.nPaxRecords, info.totalSize,
+          bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_members", "pax_name_len", "pax_mtime",
+          "pax_text", "gnu_name", "n_pax_records", "total_size",
+          "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   10 + n % 15 AS c0,
+                   5 + v % 9 AS c1,
+                   20 + (n + v) % 25 AS c2,
+                   480 + n % 40 AS pax_len,
+                   90 + v % 30 AS gnu_len,
+                   CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END AS sizerec
+            FROM d),
+      -- self-referential record lengths: path LEN = (len+7)+3 digits,
+      -- mtime LEN = 18+2, size LEN = 9 for 1-digit sizes else 11
+      t AS (SELECT *,
+                   (pax_len + 10) + 20 +
+                     sizerec * (CASE WHEN c1 < 10 THEN 9 ELSE 11 END)
+                     AS paxdata
+            FROM g)
+      SELECT doc_id,
+             CAST(3 AS INTEGER) AS n_members,
+             CAST(pax_len AS INTEGER) AS pax_name_len,
+             CAST(1700000000 + v AS BIGINT) AS pax_mtime,
+             repeat(chr(CAST(97 + v % 26 AS INTEGER)), c1) AS pax_text,
+             repeat('g', gnu_len) AS gnu_name,
+             CAST(2 + sizerec AS INTEGER) AS n_pax_records,
+             CAST(c0 + c1 + c2 AS BIGINT) AS total_size,
+             CAST(5632 + ((paxdata + 511) // 512) * 512 AS BIGINT)
+               AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
+  /** ID3v2.2 TAG DECODE under the oracle gate — the remaining ID3
+    * generation after q234's v2.3/v2.4 (the old iTunes-era form a
+    * legacy MP3 corpus is full of): per document, synthesize a VALID
+    * v2.2 tag ([[graft.operators.Id3.synthTag]]: 3-character frame ids
+    * TT2/TP1/TAL/TYE/TRK, 3-byte big-endian frame sizes, NO flags
+    * bytes — a 6-byte frame header — ISO-8859-1 or BOM'd UCS-2 text,
+    * an occasional PIC binary frame, zero padding) followed by a VALID
+    * multi-frame MPEG-1 stream, then REALLY parse both layers
+    * ([[graft.operators.Id3.parse]] dispatching on the major version,
+    * [[graft.operators.MpegFrames.probe]] skipping the tag via its
+    * syncsafe size) with the two parsers' tag spans cross-checked row
+    * by row. The oracle recomputes every string and size in closed
+    * form — frame = 7 bytes + payload (UCS-2 = BOM + 2/char), so a
+    * parser still charging v2.3's 10-byte header drifts 3 bytes per
+    * frame and lands in the hash.
+    */
+  val q247Id3v22: QueryDef = QueryDef(
+    "q247_id3v22_tags",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.{Id3, MpegFrames}
+        val enc = r.v % 2
+        val title = "t" + ('a' + r.v % 26).toChar.toString * (1 + r.v % 7)
+        val artist = "a" + ('a' + (r.n + r.v) % 26).toChar.toString
+        val album = "b" + ('a' + r.n % 26).toChar.toString * (1 + r.n % 5)
+        val year = (1950 + r.n % 70).toString
+        val track = (1 + r.v % 20).toString
+        val bin =
+          if (r.v % 5 == 0)
+            Seq(("PIC", Array.tabulate(1 + (r.n + r.v) % 8)(i =>
+              ((i * 37 + r.n) % 251).toByte)))
+          else Nil
+        val tagBytes = Id3.synthTag(2,
+          Seq(("TT2", title, enc), ("TP1", artist, enc),
+            ("TAL", album, enc), ("TYE", year, enc), ("TRK", track, enc)),
+          padding = r.n % 29, binFrames = bin)
+        val layer = 1 + r.n % 3
+        val srIdx = r.v % 3
+        val k = 2 + r.n % 3
+        val frames = (0 until k).map(j => (1 + (r.n + j) % 14, (r.v + j) % 2 == 0))
+        val bytes = tagBytes ++ MpegFrames.synthStream(
+          layer, srIdx, frames, (fi, j) => (fi * 13 + j * 5) % 251)
+        val info = MpegFrames.probe(bytes)
+          .getOrElse(sys.error(s"stream failed to probe: doc ${r.doc_id}"))
+        val tag = Id3.parse(bytes)
+          .getOrElse(sys.error(s"tag failed to parse: doc ${r.doc_id}"))
+        require(info.id3v2Bytes == tag.tagBytes,
+          s"tag-span disagreement on doc ${r.doc_id}: " +
+            s"${info.id3v2Bytes} vs ${tag.tagBytes}")
+        (r.doc_id, tag.major, tag.tagBytes.toLong, tag.nFrames,
+          tag.frames.head.encoding, tag.text("TT2").orNull,
+          tag.text("TP1").orNull, tag.text("TAL").orNull,
+          tag.text("TYE").orNull, tag.text("TRK").orNull,
+          tag.frames.exists(_.id == "PIC"), tag.paddingBytes,
+          info.nFrames, info.durationMs, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "major", "tag_bytes", "n_id3_frames", "enc",
+          "title", "artist", "album", "year_txt", "track_txt", "has_pic",
+          "padding", "n_mpeg_frames", "duration_ms", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   v % 2 AS enc,
+                   2 + v % 7 AS len_t,
+                   2 AS len_a,
+                   2 + n % 5 AS len_b,
+                   4 AS len_y,
+                   CAST(len(CAST(1 + v % 20 AS VARCHAR)) AS INTEGER) AS len_k,
+                   CASE WHEN v % 5 = 0 THEN 6 + 1 + (n + v) % 8 ELSE 0 END AS pic,
+                   n % 29 AS pad,
+                   CAST(1 + n % 3 AS INTEGER) AS layer,
+                   [44100, 48000, 32000][v % 3 + 1] AS sr,
+                   2 + n % 3 AS k
+            FROM d),
+      t AS (SELECT *,
+                   7 + (CASE WHEN enc = 1 THEN 2 + 2 * len_t ELSE len_t END)
+                 + 7 + (CASE WHEN enc = 1 THEN 2 + 2 * len_a ELSE len_a END)
+                 + 7 + (CASE WHEN enc = 1 THEN 2 + 2 * len_b ELSE len_b END)
+                 + 7 + (CASE WHEN enc = 1 THEN 2 + 2 * len_y ELSE len_y END)
+                 + 7 + (CASE WHEN enc = 1 THEN 2 + 2 * len_k ELSE len_k END)
+                 + pic + pad AS tag_body,
+                   CASE WHEN layer = 1 THEN 384 ELSE 1152 END AS spf,
+                   list_transform(range(k), j ->
+                     [[32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+                      [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+                      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                     ][layer][(n + j) % 14 + 1]) AS kbps,
+                   list_transform(range(k), j ->
+                     CASE WHEN (v + j) % 2 = 0 THEN 1 ELSE 0 END) AS pads
+            FROM g)
+      SELECT doc_id,
+             CAST(2 AS INTEGER) AS major,
+             CAST(10 + tag_body AS BIGINT) AS tag_bytes,
+             CAST(5 + (CASE WHEN v % 5 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_id3_frames,
+             CAST(enc AS INTEGER) AS enc,
+             't' || repeat(chr(CAST(97 + v % 26 AS INTEGER)), 1 + v % 7) AS title,
+             'a' || chr(CAST(97 + (n + v) % 26 AS INTEGER)) AS artist,
+             'b' || repeat(chr(CAST(97 + n % 26 AS INTEGER)), 1 + n % 5) AS album,
+             CAST(1950 + n % 70 AS VARCHAR) AS year_txt,
+             CAST(1 + v % 20 AS VARCHAR) AS track_txt,
+             v % 5 = 0 AS has_pic,
+             CAST(pad AS INTEGER) AS padding,
+             CAST(k AS INTEGER) AS n_mpeg_frames,
+             CAST(CAST(k AS BIGINT) * spf * 1000 // sr AS BIGINT) AS duration_ms,
+             CAST(10 + tag_body + list_sum(list_transform(range(k), j ->
+               CASE WHEN layer = 1
+                    THEN (12000 * kbps[j + 1] // sr + pads[j + 1]) * 4
+                    ELSE 144000 * kbps[j + 1] // sr + pads[j + 1] END))
+               AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q246TarLongNames, q247Id3v22)
+}

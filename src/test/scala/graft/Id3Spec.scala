@@ -26,6 +26,35 @@ class Id3Spec extends AnyFunSuite {
     assert(t.tagBytes == b.length)
   }
 
+  test("v2.2 round trip: 3-char ids, 3-byte sizes, no flags bytes") {
+    val v22 = Seq(("TT2", "hello", 0), ("TP1", "worlds", 1))
+    val b = Id3.synthTag(2, v22, padding = 7)
+    val t = Id3.parse(b).get
+    assert(t.major == 2)
+    assert(t.nFrames == 2)
+    assert(t.text("TT2").contains("hello"))
+    assert(t.text("TP1").contains("worlds"))
+    assert(t.paddingBytes == 7)
+    // frame = 6-byte header + 1 encoding byte + payload
+    // (UCS-2 "worlds" = BOM 2 + 12 bytes)
+    assert(t.frames.map(_.size) == Vector(6, 15))
+    assert(t.tagBytes == 10 + (7 + 5) + (7 + 14) + 7)
+    assert(t.tagBytes == b.length)
+    // TXX is the v2.2 user-text frame: walked, not decoded
+    val tb = Id3.synthTag(2, Seq(("TT2", "a", 0), ("TXX", "k", 0)), 0)
+    val tt = Id3.parse(tb).get
+    assert(tt.frames(1).id == "TXX" && tt.frames(1).text.isEmpty)
+    // 4-char ids cannot synth under v2.2; 3-char cannot under v2.3
+    intercept[IllegalArgumentException](Id3.synthTag(2, basic, 0))
+    intercept[IllegalArgumentException](Id3.synthTag(3, v22, 0))
+    // v2.2 has no UTF-8 encoding
+    intercept[IllegalArgumentException](Id3.synthTag(2, Seq(("TT2", "a", 3)), 0))
+    // a v2.2 frame body with encoding 2 must reject at parse
+    val b2 = Id3.synthTag(2, Seq(("TT2", "ab", 0)), padding = 0)
+    b2(16) = 2 // the encoding byte of the first frame body
+    assert(Id3.parse(b2).isEmpty)
+  }
+
   test("v2.3 uses plain 32-bit frame sizes") {
     val b = Id3.synthTag(3, basic, padding = 0)
     val t = Id3.parse(b).get
