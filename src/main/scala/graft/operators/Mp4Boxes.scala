@@ -90,13 +90,23 @@ object Mp4Boxes {
     */
   final case class SampleTables(sampleCount: Long, sttsDuration: Long,
       totalSampleBytes: Long, uniformSize: Option[Long], chunkCount: Long,
-      ctts: Option[CttsSummary] = None)
+      ctts: Option[CttsSummary] = None, chunkOffsetSum: Long = 0L,
+      co64: Boolean = false, sync: Option[SyncSummary] = None)
 
   /** ctts summary: run-length entry count, max per-sample composition
     * offset, and the sum of offsets over all samples (exact, signed).
     */
   final case class CttsSummary(entryCount: Long, maxOffset: Long,
       sumOffsets: Long)
+
+  /** stss (sync-sample) summary: how many keyframes, where the first
+    * and last sit, and the largest spacing between consecutive ones —
+    * the keyframe-interval statistic a video pipeline splits GOPs by.
+    * An absent stss means every sample is sync (spec default) and is
+    * surfaced as None, not as a fabricated all-samples table.
+    */
+  final case class SyncSummary(count: Long, first: Long, last: Long,
+      maxGap: Long)
 
   /** One elst edit: `segmentDuration` ticks in the MOVIE timescale,
     * `mediaTime` in the MEDIA timescale (-1 = empty edit: nothing is
@@ -371,12 +381,18 @@ object Mp4Boxes {
       stblKids: Vector[Box]): Option[Option[SampleTables]] = {
     val stts = stblKids.find(_.typ == "stts")
     val stsz = stblKids.find(_.typ == "stsz")
-    val stco = stblKids.find(_.typ == "stco")
-    if (stts.isEmpty && stsz.isEmpty && stco.isEmpty) {
-      // a composition-offset table with no timing table to cover rejects
-      return if (stblKids.exists(_.typ == "ctts")) None else Some(None)
+    val stcoBox = stblKids.find(_.typ == "stco")
+    val co64Box = stblKids.find(_.typ == "co64")
+    if (stts.isEmpty && stsz.isEmpty && stcoBox.isEmpty && co64Box.isEmpty) {
+      // offset-dependent tables with no timing table to cover reject
+      return if (stblKids.exists(k => k.typ == "ctts" || k.typ == "stss"))
+        None
+      else Some(None)
     }
-    if (stts.isEmpty || stsz.isEmpty || stco.isEmpty) return None
+    // exactly one chunk-offset form: stco (32-bit) or co64 (64-bit)
+    if (stcoBox.nonEmpty && co64Box.nonEmpty) return None
+    if (stts.isEmpty || stsz.isEmpty || (stcoBox.isEmpty && co64Box.isEmpty))
+      return None
     val t = stts.get
     if (fullVer(b, t).getOrElse(return None) != 0 || t.len < 8) return None
     val nT = be32(b, t.start + 4)
@@ -404,10 +420,41 @@ object Mp4Boxes {
         s
       }
     if (nZ != sttsCount) return None // timing and size tables must agree
-    val c = stco.get
+    val c = stcoBox.orElse(co64Box).get
+    val isCo64 = co64Box.nonEmpty
+    val offW = if (isCo64) 8 else 4
     if (fullVer(b, c).getOrElse(return None) != 0 || c.len < 8) return None
     val nC = be32(b, c.start + 4)
-    if (c.len.toLong != 8 + 4 * nC) return None
+    if (c.len.toLong != 8 + offW * nC) return None
+    var offSum = 0L
+    var ci = 0L
+    while (ci < nC) {
+      val o = c.start + 8 + offW * ci.toInt
+      offSum += (if (isCo64) be64(b, o) else be32(b, o))
+      ci += 1
+    }
+    // stss: optional; sample numbers 1-based, strictly increasing, and
+    // bounded by the stts sample count (absent = every sample is sync)
+    val sync: Option[SyncSummary] = stblKids.find(_.typ == "stss") match {
+      case None => None
+      case Some(ss) =>
+        if (fullVer(b, ss).getOrElse(return None) != 0 || ss.len < 8)
+          return None
+        val nS = be32(b, ss.start + 4)
+        if (ss.len.toLong != 8 + 4 * nS) return None
+        var prev = 0L
+        var maxGap = 0L
+        var j = 0L
+        while (j < nS) {
+          val s = be32(b, ss.start + 8 + 4 * j.toInt)
+          if (s <= prev || s > sttsCount) return None
+          if (prev > 0 && s - prev > maxGap) maxGap = s - prev
+          prev = s
+          j += 1
+        }
+        val first = if (nS == 0) 0L else be32(b, ss.start + 8)
+        Some(SyncSummary(nS, first, prev, maxGap))
+    }
     // ctts: optional; its run lengths must cover exactly the stts sample
     // count; version 0 offsets are unsigned, version 1 signed (B-frames)
     val ctts: Option[CttsSummary] = stblKids.find(_.typ == "ctts") match {
@@ -432,7 +479,8 @@ object Mp4Boxes {
         Some(CttsSummary(nCt, if (nCt == 0) 0L else maxOff, sumOff))
     }
     Some(Some(SampleTables(sttsCount, sttsDur, totalBytes,
-      if (uniform != 0) Some(uniform) else None, nC, ctts)))
+      if (uniform != 0) Some(uniform) else None, nC, ctts, offSum,
+      isCo64, sync)))
   }
 
   // ------------------------------------------------------------------
@@ -453,7 +501,9 @@ object Mp4Boxes {
       sizes: Option[Either[Long, Seq[Long]]] = None,
       chunks: Int = 0,
       edits: Seq[(Long, Long, Int)] = Nil,
-      cttsRuns: Seq[(Long, Long)] = Nil)
+      cttsRuns: Seq[(Long, Long)] = Nil,
+      useCo64: Boolean = false,
+      syncSamples: Seq[Long] = Nil)
 
   /** One synthetic movie fragment for [[synthFragmented]]: per-sample
     * duration/size lists when present (trun flags 0x100/0x200), otherwise
@@ -546,10 +596,23 @@ object Mp4Boxes {
               fullBox("stsz", 0,
                 (u32(0L) +: u32(total) +: szs.map(u32)): _*)
           }
-          val stco = fullBox("stco", 0,
-            (u32(t.chunks.toLong) +:
-              (0 until t.chunks).map(i => u32(1000L + 16L * i))): _*)
-          Seq(stts, stsz, stco)
+          // co64 offsets sit above 2^32 so a 32-bit misread is caught
+          val chunkBox =
+            if (t.useCo64)
+              fullBox("co64", 0,
+                (u32(t.chunks.toLong) +:
+                  (0 until t.chunks).map(i =>
+                    u64((5L << 32) + 1000L + 16L * i))): _*)
+            else
+              fullBox("stco", 0,
+                (u32(t.chunks.toLong) +:
+                  (0 until t.chunks).map(i => u32(1000L + 16L * i))): _*)
+          val stssBox: Seq[Array[Byte]] =
+            if (t.syncSamples.isEmpty) Nil
+            else Seq(fullBox("stss", 0,
+              (u32(t.syncSamples.size.toLong) +:
+                t.syncSamples.map(u32)): _*))
+          Seq(stts, stsz, chunkBox) ++ stssBox
         }
       val cttsBox: Seq[Array[Byte]] =
         if (t.cttsRuns.isEmpty) Nil

@@ -230,5 +230,109 @@ object Round10Queries3 {
                AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q246TarLongNames, q247Id3v22)
+  /** MP4 SYNC-SAMPLE + 64-BIT CHUNK-OFFSET TABLES under the oracle
+    * gate — the two stbl members q229 left out: per document,
+    * synthesize a VALID MP4 whose video track carries an stss
+    * keyframe table (every g-th sample plus a final stray, the GOP
+    * structure a video pipeline splits on) and — on even hashes — a
+    * co64 64-bit chunk-offset table whose offsets sit ABOVE 2^32
+    * (the >4 GiB file form; stco below it), then REALLY parse it
+    * ([[graft.operators.Mp4Boxes.probe]]: exact entry tiling, strict
+    * monotonicity and sample-count bounds on sync numbers, stco/co64
+    * mutual exclusion) and emit the keyframe statistics and the exact
+    * offset sum — a parser reading co64 entries as 32-bit drops
+    * 5·2^32 per chunk and lands in the hash. The oracle recomputes
+    * every count, gap, offset sum, and the full file byte layout in
+    * closed form.
+    */
+  val q248Mp4SyncCo64: QueryDef = QueryDef(
+    "q248_mp4_sync_co64",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.Mp4Boxes
+        import graft.operators.Mp4Boxes.SynthTrack
+        val ns = 20 + r.n % 30
+        val delta = 100 + r.v % 50
+        val usz = 50 + r.v % 100
+        val c = 2 + r.n % 5
+        val co64 = r.v % 2 == 0
+        val g = 2 + r.v % 5
+        val m = (ns - 1) / g
+        val lastReg = 1 + m * g
+        val syncs = (0 to m).map(i => 1L + i * g) ++
+          (if (lastReg != ns) Seq(ns.toLong) else Nil)
+        val mdatLen = 16 + r.n % 17
+        val vt = SynthTrack(1, "vide", "avc1", 640, 360, 600,
+          ns.toLong * delta, "eng",
+          sttsEntries = Seq((ns.toLong, delta.toLong)),
+          sizes = Some(Left(usz.toLong)), chunks = c,
+          useCo64 = co64, syncSamples = syncs)
+        val bytes = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600,
+          ns.toLong * delta, Seq(vt), mdatLen, i => (i * 11 + 3) % 251)
+        val info = Mp4Boxes.probe(bytes)
+          .getOrElse(sys.error(s"mp4 failed to probe: doc ${r.doc_id}"))
+        val st = info.tracks.head.samples
+          .getOrElse(sys.error(s"no sample tables: doc ${r.doc_id}"))
+        val sy = st.sync
+          .getOrElse(sys.error(s"no sync table: doc ${r.doc_id}"))
+        (r.doc_id, st.sampleCount, st.chunkCount, st.co64,
+          st.chunkOffsetSum, sy.count, sy.first, sy.last, sy.maxGap,
+          st.sttsDuration, st.totalSampleBytes, info.mdatBytes,
+          bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_samples", "n_chunks", "is_co64",
+          "chunk_off_sum", "n_sync", "first_sync", "last_sync", "max_gap",
+          "stts_ticks", "sample_bytes", "mdat_bytes", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   20 + n % 30 AS ns,
+                   100 + v % 50 AS delta,
+                   50 + v % 100 AS usz,
+                   2 + n % 5 AS c,
+                   CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END AS co64,
+                   2 + v % 5 AS gap,
+                   16 + n % 17 AS mdatlen
+            FROM d),
+      t AS (SELECT *,
+                   (ns - 1) // gap AS m,
+                   CASE WHEN 1 + ((ns - 1) // gap) * gap <> ns
+                        THEN 1 ELSE 0 END AS extra
+            FROM g),
+      u AS (SELECT *,
+                   m + 1 + extra AS nsync,
+                   CASE WHEN co64 = 1 THEN 8 ELSE 4 END AS offw
+            FROM t)
+      SELECT doc_id,
+             CAST(ns AS BIGINT) AS n_samples,
+             CAST(c AS BIGINT) AS n_chunks,
+             co64 = 1 AS is_co64,
+             CAST(c * 1000 + 16 * c * (c - 1) // 2
+                  + co64 * c * 21474836480 AS BIGINT) AS chunk_off_sum,
+             CAST(nsync AS BIGINT) AS n_sync,
+             CAST(1 AS BIGINT) AS first_sync,
+             CAST(CASE WHEN extra = 1 THEN ns ELSE 1 + m * gap END AS BIGINT)
+               AS last_sync,
+             CAST(gap AS BIGINT) AS max_gap,
+             CAST(CAST(ns AS BIGINT) * delta AS BIGINT) AS stts_ticks,
+             CAST(CAST(ns AS BIGINT) * usz AS BIGINT) AS sample_bytes,
+             CAST(mdatlen AS BIGINT) AS mdat_bytes,
+             CAST(20 + 8 + 108
+                  + 221 + 24 + 20 + (16 + offw * c) + (16 + 4 * nsync)
+                  + 8 + mdatlen AS BIGINT) AS file_bytes
+      FROM u ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64)
 }

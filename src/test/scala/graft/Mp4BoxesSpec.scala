@@ -164,6 +164,46 @@ class Mp4BoxesSpec extends AnyFunSuite {
     assert(Mp4Boxes.probe(partial).isEmpty)
   }
 
+  test("stss sync samples and co64 64-bit chunk offsets round trip") {
+    val vt = vTrack.copy(
+      sttsEntries = Seq((9L, 100L)), // 9 samples
+      sizes = Some(Left(64L)),
+      chunks = 3, useCo64 = true,
+      syncSamples = Seq(1L, 4L, 9L))
+    val b = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 900,
+      Seq(vt), 8, _ => 3)
+    val info = Mp4Boxes.probe(b).get
+    val Some(s) = info.tracks(0).samples
+    assert(s.co64 && s.chunkCount == 3)
+    // offsets (5<<32)+1000+16i: the high word must survive the decode
+    assert(s.chunkOffsetSum == 3 * (5L << 32) + 3 * 1000 + 16 * (0 + 1 + 2))
+    val Some(sync) = s.sync
+    assert(sync == Mp4Boxes.SyncSummary(3, 1, 9, 5)) // gaps 3 and 5
+    // stco keeps 32-bit sums and reports co64=false
+    val b2 = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 900,
+      Seq(vt.copy(useCo64 = false, syncSamples = Nil)), 8, _ => 3)
+    val Some(s2) = Mp4Boxes.probe(b2).get.tracks(0).samples
+    assert(!s2.co64 && s2.sync.isEmpty)
+    assert(s2.chunkOffsetSum == 3 * 1000 + 16 * 3)
+    // entries sit at sOff+16 (1), +20 (4), +24 (9)
+    val stssMagic = "stss".getBytes("US-ASCII")
+    val sOff = b.indices.find(i => i + 4 <= b.length &&
+      b.slice(i, i + 4).sameElements(stssMagic)).get - 4
+    // non-increasing sync numbers reject (entry 1: 4 -> 1)
+    val bad = b.clone(); bad(sOff + 20 + 3) = 1
+    assert(Mp4Boxes.probe(bad).isEmpty)
+    // a sync number beyond the sample count rejects (entry 2: 9 -> 10)
+    val over = b.clone(); over(sOff + 24 + 3) = 10
+    assert(Mp4Boxes.probe(over).isEmpty)
+    // stco AND co64 together reject: retype the co64 to stco is not
+    // enough (sizes differ) — instead append a second minimal stco by
+    // retagging stss (same 8+4n shape) to stco
+    val both = b.clone()
+    "stco".getBytes("US-ASCII").zipWithIndex.foreach { case (ch, i) =>
+      both(sOff + 4 + i) = ch }
+    assert(Mp4Boxes.probe(both).isEmpty)
+  }
+
   test("fragmented (CMAF) files: trun accounting across all three " +
     "default-resolution levels") {
     val t = vTrack // no stbl tables
