@@ -334,5 +334,116 @@ object Round10Queries3 {
                   + 8 + mdatlen AS BIGINT) AS file_bytes
       FROM u ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64)
+  /** FLAC SEEKTABLE + PICTURE DECODE under the oracle gate — the two
+    * metadata blocks q238 walked structurally: per document, synthesize
+    * a VALID FLAC whose seektable carries real 18-byte points with
+    * 64-bit offsets ABOVE 2^32 plus trailing all-ones placeholder
+    * points, and (on even hashes) a PICTURE block whose every length
+    * is BIG-endian — next to the little-endian vorbis comment, the
+    * exact endianness trap — then REALLY parse it
+    * ([[graft.operators.FlacProbe.probe]]: strict point ascent,
+    * placeholder ordering, exact block tiling) and emit the seek
+    * statistics and cover-art metadata. The oracle recomputes the
+    * offset sum (a 32-bit misread drops i·2^32 per point), every
+    * string, and the full block-by-block byte layout in closed form.
+    */
+  val q249FlacSeekPicture: QueryDef = QueryDef(
+    "q249_flac_seek_picture",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.FlacProbe
+        val k = 2 + r.n % 5
+        val ph = r.v % 3
+        val stride = 44100L * (1 + r.v % 3)
+        val pts = (0 until k).map(i =>
+          (i * stride, (i.toLong << 32) + i * 1000L + r.v, 4096))
+        val hasPic = r.v % 2 == 0
+        val mime = if (r.n % 2 == 0) "image/png" else "image/jpeg"
+        val desc = "c" * (1 + r.n % 10)
+        val dataLen = 30 + (r.n + r.v) % 60
+        val pic =
+          if (hasPic)
+            Some((r.v % 21, mime, desc, 100L + r.n, 50L + r.v, 24L, 0L, dataLen))
+          else None
+        val wc = r.n % 3 != 2
+        val title = "t" * (1 + r.v % 6)
+        val frameLen = 40 + r.n % 100
+        val bytes = FlacProbe.synth(1152, 4096, 200, 2000, 44100, 2, 16,
+          441000L, "gv", Seq(("TITLE", title)), wc, -1, frameLen,
+          i => i * 7 + r.n, seekPoints = pts, seekPlaceholders = ph,
+          picture = pic)
+        val info = FlacProbe.probe(bytes)
+          .getOrElse(sys.error(s"flac failed to probe: doc ${r.doc_id}"))
+        val sk = info.seek
+          .getOrElse(sys.error(s"no seektable: doc ${r.doc_id}"))
+        (r.doc_id, sk.nPoints, sk.nPlaceholders, sk.firstSample,
+          sk.lastSample, sk.offsetSum,
+          info.picture.map(_.picType), info.picture.map(_.mime).orNull,
+          info.picture.map(_.description).orNull,
+          info.picture.map(_.width), info.picture.map(_.height),
+          info.picture.map(_.dataBytes), info.nPictures,
+          if (wc) info.tag("TITLE").orNull else null,
+          info.nBlocks, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_seek", "n_placeholders", "first_sample",
+          "last_sample", "offset_sum", "pic_type", "pic_mime", "pic_desc",
+          "pic_w", "pic_h", "pic_data_bytes", "n_pictures", "title",
+          "n_blocks", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   2 + n % 5 AS k,
+                   v % 3 AS ph,
+                   44100 * (1 + v % 3) AS stride,
+                   CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END AS haspic,
+                   CASE WHEN n % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+                   1 + n % 10 AS dlen,
+                   30 + (n + v) % 60 AS datalen,
+                   CASE WHEN n % 3 != 2 THEN 1 ELSE 0 END AS wc,
+                   1 + v % 6 AS tlen,
+                   40 + n % 100 AS flen
+            FROM d),
+      t AS (SELECT *,
+                   CASE WHEN haspic = 1 THEN
+                     4 + 4 + 4 + (CASE WHEN n % 2 = 0 THEN 9 ELSE 10 END)
+                       + 4 + dlen + 16 + 4 + datalen
+                   ELSE 0 END AS picblock,
+                   CASE WHEN wc = 1 THEN 4 + 4 + 2 + 4 + (4 + 6 + tlen)
+                        ELSE 0 END AS cblock
+            FROM g)
+      SELECT doc_id,
+             CAST(k AS INTEGER) AS n_seek,
+             CAST(ph AS INTEGER) AS n_placeholders,
+             CAST(0 AS BIGINT) AS first_sample,
+             CAST(CAST(k - 1 AS BIGINT) * stride AS BIGINT) AS last_sample,
+             CAST((4294967296 + 1000) * (CAST(k AS BIGINT) * (k - 1) // 2)
+                  + CAST(k AS BIGINT) * v AS BIGINT) AS offset_sum,
+             CAST(CASE WHEN haspic = 1 THEN v % 21 END AS INTEGER) AS pic_type,
+             CASE WHEN haspic = 1 THEN mime END AS pic_mime,
+             CASE WHEN haspic = 1 THEN repeat('c', dlen) END AS pic_desc,
+             CAST(CASE WHEN haspic = 1 THEN 100 + n END AS BIGINT) AS pic_w,
+             CAST(CASE WHEN haspic = 1 THEN 50 + v END AS BIGINT) AS pic_h,
+             CAST(CASE WHEN haspic = 1 THEN datalen END AS BIGINT)
+               AS pic_data_bytes,
+             CAST(haspic AS INTEGER) AS n_pictures,
+             CASE WHEN wc = 1 THEN repeat('t', tlen) END AS title,
+             CAST(2 + haspic + wc AS INTEGER) AS n_blocks,
+             CAST(4 + 38 + (4 + 18 * (k + ph)) + picblock + cblock + flen
+               AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture)
 }

@@ -31,6 +31,58 @@ class FlacProbeSpec extends AnyFunSuite {
     assert(b.length == 4 + 38 + (4 + 8 + 4 + 14 + 15) + 68 + 300)
   }
 
+  test("seektable decodes: real points, placeholders, 64-bit offsets") {
+    val pts = Seq((0L, 0L, 4096), (88200L, (3L << 33) + 7777L, 4096),
+      (441000L, (9L << 32) + 123L, 2048))
+    val b = FlacProbe.synth(1152, 4608, 210, 4410, 44100, 2, 16, 441000L,
+      "v", Nil, withComment = false, paddingLen = -1, frameLen = 50,
+      i => i, seekPoints = pts, seekPlaceholders = 2)
+    val f = FlacProbe.probe(b).get
+    val s = f.seek.get
+    assert(s.nPoints == 3 && s.nPlaceholders == 2)
+    assert(s.firstSample == 0L && s.lastSample == 441000L)
+    // the high words must survive: a 32-bit misread loses 3*2^33 + 9*2^32
+    assert(s.offsetSum == (3L << 33) + 7777L + (9L << 32) + 123L)
+    assert(f.nBlocks == 2)
+    // non-ascending real points reject: swap point 1's sample down
+    val tableAt = 4 + 38 + 4 // marker + streaminfo + seektable header
+    val bad = b.clone()
+    bad(tableAt + 18 + 7) = 0 // 88200 -> high-byte-zeroed smaller value
+    (0 until 7).foreach(i => bad(tableAt + 18 + i) = 0)
+    assert(FlacProbe.probe(bad).isEmpty) // 0 after 0: not ascending
+    // a real point after a placeholder rejects: make point 0 a placeholder
+    val ph = b.clone()
+    (0 until 8).foreach(i => ph(tableAt + i) = 0xff.toByte)
+    assert(FlacProbe.probe(ph).isEmpty)
+    // a length not tiling into 18-byte points rejects
+    val mistiled = b.clone()
+    mistiled(4 + 38 + 3) = (18 * 5 - 1).toByte // header len low byte
+    assert(FlacProbe.probe(mistiled).isEmpty)
+  }
+
+  test("picture block decodes big-endian; vorbis comment stays little") {
+    val pic = Some((3, "image/png", "cover art", 640L, 480L, 24L, 0L, 77))
+    val b = FlacProbe.synth(1152, 4608, 210, 4410, 44100, 2, 16, 441000L,
+      "vend", Seq(("TITLE", "t")), withComment = true, paddingLen = 8,
+      frameLen = 60, i => i * 5 + 2, picture = pic)
+    val f = FlacProbe.probe(b).get
+    val p = f.picture.get
+    assert(p.picType == 3 && p.mime == "image/png")
+    assert(p.description == "cover art")
+    assert(p.width == 640L && p.height == 480L && p.depth == 24L)
+    assert(p.colors == 0L && p.dataBytes == 77L)
+    assert(f.nPictures == 1)
+    assert(f.tag("TITLE").contains("t")) // LE comment coexists
+    assert(f.nBlocks == 4)
+    // picture type above the spec's 20 rejects
+    val picAt = 4 + 38 + 4 // marker + streaminfo + picture header
+    val bad = b.clone(); bad(picAt + 3) = 21
+    assert(FlacProbe.probe(bad).isEmpty)
+    // a mime length overrunning the block rejects
+    val over = b.clone(); over(picAt + 4 + 2) = 0x7f.toByte
+    assert(FlacProbe.probe(over).isEmpty)
+  }
+
   test("bit-field extremes: 20-bit rate, 8 channels, 32 bps, 36-bit samples") {
     val b = FlacProbe.synth(16, 16, 0, 0, (1 << 20) - 1, 8, 32,
       (1L << 36) - 1, "v", Nil, withComment = false, paddingLen = -1,
