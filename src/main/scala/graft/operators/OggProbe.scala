@@ -16,10 +16,10 @@ package graft.operators
   * Scope mirrors the other probers: the CONTAINER is decoded, not the
   * audio. Codec packets beyond the ID header (Opus/Vorbis frames) are
   * reassembled by lacing arithmetic and counted, never decoded.
-  * Multiplexed (multi-serial) physical streams are out of scope: this
-  * prober handles the single-logical-stream files that dominate
+  * [[probe]] handles the single-logical-stream files that dominate
   * speech/music corpora and rejects interleaved serials rather than
-  * mis-attributing pages.
+  * mis-attributing pages; [[probeMux]] demuxes concurrently-multiplexed
+  * (multi-serial) physical streams per RFC 3533 §4.
   *
   * Hostile-byte posture: [[probe]] never throws. A missing capture
   * pattern, a nonzero version, a CRC mismatch, sequence gaps, a
@@ -81,6 +81,100 @@ object OggProbe {
       case _ if codec.sampleRate > 0 => finalGranule * 1000 / codec.sampleRate
       case _ => 0L
     }
+  }
+
+  /** One multiplexed logical stream's summary (see [[probeMux]]). */
+  final case class MuxStream(serial: Long, nPages: Int, codec: OggCodec,
+      finalGranule: Long, nPackets: Long, bodyBytes: Long) {
+    def durationMs: Long = codec.name match {
+      case "opus" => (finalGranule - codec.preSkip).max(0L) * 1000 / 48000
+      case _ if codec.sampleRate > 0 => finalGranule * 1000 / codec.sampleRate
+      case _ => 0L
+    }
+  }
+
+  /** Walk a CONCURRENTLY-MULTIPLEXED physical stream (RFC 3533 §4: all
+    * BOS pages first, then the logical streams' pages interleaved in
+    * any order, each serial keeping its own consecutive sequence
+    * numbering and exactly one EOS). [[probe]] deliberately rejects
+    * these; this walk demuxes them — per-page CRC verification, lacing
+    * packet accounting, and ID-header codec identification per serial.
+    * Streams return in BOS order. None on any malformation (a BOS
+    * after the BOS phase ended, a repeated serial, a sequence gap
+    * within a serial, pages after that serial's EOS, a stream left
+    * without EOS, or a packet left open at its stream's end); never
+    * throws.
+    */
+  def probeMux(b: Array[Byte]): Option[Vector[MuxStream]] = {
+    final class St(var seq: Long, var nPages: Int, var codec: OggCodec,
+        var granule: Long, var nPackets: Long, var bodyBytes: Long,
+        var continued: Boolean, var eos: Boolean)
+    val order = Vector.newBuilder[Long]
+    val states = scala.collection.mutable.LinkedHashMap.empty[Long, St]
+    var bosPhase = true
+    var p = 0
+    while (p < b.length) {
+      if (p + 27 > b.length) return None
+      if (b(p) != 'O' || b(p + 1) != 'g' || b(p + 2) != 'g' || b(p + 3) != 'S')
+        return None
+      if (b(p + 4) != 0) return None
+      val hType = b(p + 5) & 0xff
+      if ((hType & 0xf8) != 0) return None
+      val pGranule = le64(b, p + 6)
+      val pSerial = le32(b, p + 14)
+      val pSeq = le32(b, p + 18)
+      val nSegs = b(p + 26) & 0xff
+      val segTable = p + 27
+      if (segTable + nSegs > b.length) return None
+      var bodyLen = 0
+      var i = 0
+      while (i < nSegs) { bodyLen += b(segTable + i) & 0xff; i += 1 }
+      val body = segTable + nSegs
+      val end = body + bodyLen
+      if (end > b.length) return None
+      if (pageCrc(b, p, end, p + 22) != le32(b, p + 22).toInt) return None
+      if ((hType & 0x02) != 0) {
+        // BOS: only during the opening phase, each serial once
+        if (!bosPhase || states.contains(pSerial) || pSeq != 0) return None
+        if (nSegs < 1 || (b(segTable + nSegs - 1) & 0xff) == 255) return None
+        var j = 0
+        while (j < nSegs - 1) {
+          if ((b(segTable + j) & 0xff) != 255) return None
+          j += 1
+        }
+        val codec = parseIdHeader(b, body, bodyLen).getOrElse(return None)
+        val st = new St(0L, 0, codec, pGranule, 0L, 0L, false, false)
+        states(pSerial) = st
+        order += pSerial
+      } else {
+        bosPhase = false
+        val st = states.getOrElse(pSerial, return None)
+        if (st.eos) return None // pages after this serial's EOS
+        if (pSeq != st.seq + 1) return None // per-serial sequence gap
+        if (((hType & 0x01) != 0) != st.continued) return None
+        st.seq = pSeq
+      }
+      val st = states(pSerial)
+      i = 0
+      while (i < nSegs) {
+        if ((b(segTable + i) & 0xff) < 255) st.nPackets += 1
+        i += 1
+      }
+      st.continued = nSegs > 0 && (b(segTable + nSegs - 1) & 0xff) == 255
+      if ((hType & 0x04) != 0) st.eos = true
+      st.granule = pGranule
+      st.nPages += 1
+      st.bodyBytes += bodyLen
+      p = end
+    }
+    val serials = order.result()
+    if (serials.isEmpty) return None
+    val out = serials.map { s =>
+      val st = states(s)
+      if (!st.eos || st.continued) return None
+      MuxStream(s, st.nPages, st.codec, st.granule, st.nPackets, st.bodyBytes)
+    }
+    Some(out)
   }
 
   /** Walk a whole stream: consecutive pages of one serial, BOS on the
@@ -232,35 +326,43 @@ object OggProbe {
     * segmentation, deterministic payload filler. Real wire format —
     * [[probe]] is not told anything the bytes don't say.
     */
+  /** One complete page as bytes: header, lacing table, packet bodies,
+    * true CRC.
+    */
+  private def buildPage(serial: Long, seq: Long, granule: Long, hType: Int,
+      packets: Seq[Array[Byte]]): Array[Byte] = {
+    val lacings = packets.flatMap { pk =>
+      val full = pk.length / 255
+      Seq.fill(full)(255) :+ (pk.length % 255)
+    }
+    require(lacings.size <= 255, "too many segments for one page")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("ISO-8859-1"), 0, 4)
+    out.write(0); out.write(hType)
+    (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(i => out.write(((serial >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(i => out.write(((seq >> (8 * i)) & 0xff).toInt))
+    val crcAt = out.size()
+    (0 until 4).foreach(_ => out.write(0))
+    out.write(lacings.size)
+    lacings.foreach(out.write)
+    packets.foreach(pk => out.write(pk, 0, pk.length))
+    val page = out.toByteArray
+    val crc = pageCrc(page, 0, page.length, crcAt)
+    page(crcAt) = (crc & 0xff).toByte
+    page(crcAt + 1) = ((crc >> 8) & 0xff).toByte
+    page(crcAt + 2) = ((crc >> 16) & 0xff).toByte
+    page(crcAt + 3) = ((crc >> 24) & 0xff).toByte
+    page
+  }
+
   def synth(serial: Long, idPacket: Array[Byte], pages: Seq[SynthPage],
       fill: (Int, Int) => Int): Array[Byte] = {
     require(idPacket.length < 255 * 255, "id packet too large")
     val out = new java.io.ByteArrayOutputStream()
     def writePage(seq: Long, granule: Long, hType: Int,
         packets: Seq[Array[Byte]]): Unit = {
-      val lacings = packets.flatMap { pk =>
-        val full = pk.length / 255
-        Seq.fill(full)(255) :+ (pk.length % 255)
-      }
-      require(lacings.size <= 255, "too many segments for one page")
-      val start = out.size()
-      out.write("OggS".getBytes("ISO-8859-1"), 0, 4)
-      out.write(0); out.write(hType)
-      (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => out.write(((serial >> (8 * i)) & 0xff).toInt))
-      (0 until 4).foreach(i => out.write(((seq >> (8 * i)) & 0xff).toInt))
-      val crcAt = out.size()
-      (0 until 4).foreach(_ => out.write(0))
-      out.write(lacings.size)
-      lacings.foreach(out.write)
-      packets.foreach(pk => out.write(pk, 0, pk.length))
-      val page = out.toByteArray
-      val crc = pageCrc(page, start, page.length, crcAt)
-      page(crcAt) = (crc & 0xff).toByte
-      page(crcAt + 1) = ((crc >> 8) & 0xff).toByte
-      page(crcAt + 2) = ((crc >> 16) & 0xff).toByte
-      page(crcAt + 3) = ((crc >> 24) & 0xff).toByte
-      out.reset()
+      val page = buildPage(serial, seq, granule, hType, packets)
       out.write(page, 0, page.length)
     }
     writePage(0, 0, 0x02, Seq(idPacket))
@@ -285,6 +387,42 @@ object OggProbe {
       patched(24) = ((crc >> 16) & 0xff).toByte
       patched(25) = ((crc >> 24) & 0xff).toByte
       out.write(patched, 0, patched.length)
+    }
+    out.toByteArray
+  }
+
+  /** Synthesize a VALID concurrently-multiplexed physical stream (RFC
+    * 3533 §4): every logical stream's BOS page first (in list order),
+    * then the data pages interleaved round-robin, EOS on each stream's
+    * last page, per-serial sequence numbers, true CRCs. Real wire
+    * format — [[probeMux]] is not told anything the bytes don't say.
+    */
+  def synthMux(streams: Seq[(Long, Array[Byte], Seq[SynthPage])],
+      fill: (Int, Int) => Int): Array[Byte] = {
+    require(streams.nonEmpty, "at least one logical stream")
+    require(streams.map(_._1).distinct.size == streams.size,
+      "serials must be distinct")
+    require(streams.forall(_._3.nonEmpty),
+      "each stream needs at least one data page (EOS rides the last)")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+    streams.foreach { case (serial, idPacket, _) =>
+      w(buildPage(serial, 0, 0, 0x02, Seq(idPacket)))
+    }
+    // round-robin interleave: one page from each stream with pages left
+    val maxPages = streams.map(_._3.size).max
+    (0 until maxPages).foreach { i =>
+      streams.zipWithIndex.foreach { case ((serial, _, pages), si) =>
+        if (i < pages.size) {
+          val pg = pages(i)
+          val packets = pg.packetSizes.zipWithIndex.map { case (sz, j) =>
+            Array.tabulate(sz)(k =>
+              (fill(si * 97 + i * 31 + j, k) & 0xff).toByte)
+          }
+          val hType = if (i == pages.size - 1) 0x04 else 0
+          w(buildPage(serial, i + 1L, pg.granule, hType, packets))
+        }
+      }
     }
     out.toByteArray
   }

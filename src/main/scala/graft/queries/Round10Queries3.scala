@@ -444,6 +444,102 @@ object Round10Queries3 {
                AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** OGG CONCURRENT MULTIPLEXING under the oracle gate — the
+    * multi-serial physical streams q239's single-stream prober
+    * deliberately rejects (an A/V .ogv is exactly this shape): per
+    * document, synthesize a VALID RFC 3533 §4 multiplexed file
+    * ([[graft.operators.OggProbe.synthMux]]: both BOS pages first, the
+    * two logical streams' data pages round-robin interleaved,
+    * per-serial sequence numbers, EOS per stream, true Ogg CRCs), then
+    * REALLY demux it ([[graft.operators.OggProbe.probeMux]]: per-page
+    * CRC verification, per-serial sequencing, codec identification)
+    * and emit both streams' accounts — an opus stream at the fixed
+    * 48 kHz granule rate beside a vorbis stream at its own sample
+    * rate, so granule attribution errors between the interleaved
+    * serials land in either duration. The oracle recomputes every
+    * count, byte total, granule, and the interleaved page-by-page file
+    * size in closed form.
+    */
+  val q250OggMux: QueryDef = QueryDef(
+    "q250_ogg_mux",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.OggProbe
+        import graft.operators.OggProbe.SynthPage
+        val ka = 2 + r.n % 3
+        val kb = 2 + r.v % 3
+        val aSerial = 100L + r.v
+        val bSerial = 500L + r.n
+        val aPages = (0 until ka).map(i =>
+          SynthPage((i + 1) * 960L, Seq(40 + (r.n + i) % 20)))
+        val bPages = (0 until kb).map(i =>
+          SynthPage((i + 1) * 44100L, Seq(60 + (r.v + i) % 25)))
+        val bytes = OggProbe.synthMux(Seq(
+          (aSerial, OggProbe.opusHead(1 + r.n % 2, 312, 48000L), aPages),
+          (bSerial, OggProbe.vorbisHead(1 + r.v % 2, 44100L), bPages)),
+          (p, k) => p * 7 + k + r.v)
+        require(OggProbe.probe(bytes).isEmpty,
+          s"single-stream probe must reject mux: doc ${r.doc_id}")
+        val streams = OggProbe.probeMux(bytes)
+          .getOrElse(sys.error(s"mux failed to demux: doc ${r.doc_id}"))
+        require(streams.size == 2, s"expected 2 streams: doc ${r.doc_id}")
+        val a = streams(0); val b = streams(1)
+        (r.doc_id, streams.size, a.serial, a.codec.name, a.codec.channels,
+          a.nPages, a.nPackets, a.bodyBytes, a.finalGranule, a.durationMs,
+          b.serial, b.codec.name, b.codec.channels, b.nPages, b.nPackets,
+          b.bodyBytes, b.finalGranule, b.durationMs, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_streams", "a_serial", "a_codec", "a_chan",
+          "a_pages", "a_packets", "a_body", "a_granule", "a_dur_ms",
+          "b_serial", "b_codec", "b_chan", "b_pages", "b_packets",
+          "b_body", "b_granule", "b_dur_ms", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   2 + n % 3 AS ka,
+                   2 + v % 3 AS kb
+            FROM d),
+      t AS (SELECT *,
+                   list_sum(list_transform(range(ka), i ->
+                     40 + (n + i) % 20)) AS abody,
+                   list_sum(list_transform(range(kb), i ->
+                     60 + (v + i) % 25)) AS bbody
+            FROM g)
+      SELECT doc_id,
+             CAST(2 AS INTEGER) AS n_streams,
+             CAST(100 + v AS BIGINT) AS a_serial,
+             'opus' AS a_codec,
+             CAST(1 + n % 2 AS INTEGER) AS a_chan,
+             CAST(1 + ka AS INTEGER) AS a_pages,
+             CAST(1 + ka AS BIGINT) AS a_packets,
+             CAST(19 + abody AS BIGINT) AS a_body,
+             CAST(ka * 960 AS BIGINT) AS a_granule,
+             CAST((ka * 960 - 312) * 1000 // 48000 AS BIGINT) AS a_dur_ms,
+             CAST(500 + n AS BIGINT) AS b_serial,
+             'vorbis' AS b_codec,
+             CAST(1 + v % 2 AS INTEGER) AS b_chan,
+             CAST(1 + kb AS INTEGER) AS b_pages,
+             CAST(1 + kb AS BIGINT) AS b_packets,
+             CAST(30 + bbody AS BIGINT) AS b_body,
+             CAST(kb * 44100 AS BIGINT) AS b_granule,
+             CAST(kb * 1000 AS BIGINT) AS b_dur_ms,
+             CAST((28 + 19) + (28 + 30)
+                  + 28 * ka + abody + 28 * kb + bbody AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture)
+    Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
+      q250OggMux)
 }
