@@ -539,7 +539,112 @@ object Round10Queries3 {
                   + 28 * ka + abody + 28 * kb + bbody AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** WEBVTT DOCUMENT MODEL under the oracle gate — the non-cue surface
+    * q244's cue walk skipped: per document, render a VALID rich WebVTT
+    * file ([[graft.operators.Subtitles.renderVttRich]]: an optional
+    * REGION block, an optional STYLE block with real CSS lines, NOTE
+    * comments before and between cues, per-cue settings after the end
+    * timestamp), then REALLY parse it
+    * ([[graft.operators.Subtitles.parseVttDoc]]: the spec's placement
+    * rule — STYLE/REGION only before the first cue — and the
+    * no-arrow-in-comments rule enforced) and emit the document
+    * accounting: block counts, the reassembled CSS text, which cues
+    * carry settings, and the timing summary. The oracle rebuilds every
+    * count and string in closed form.
+    */
+  val q251VttDocModel: QueryDef = QueryDef(
+    "q251_vtt_doc_model",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.Subtitles
+        val k = 2 + r.n % 4
+        val cues = (0 until k).map { i =>
+          val start = i * 3000L + r.v % 500
+          val end = start + 1000 + (r.n + i) % 2000
+          val settings =
+            if (i % 2 == 0)
+              "align:" + Seq("start", "center", "end")((r.v + i) % 3)
+            else ""
+          Subtitles.Cue(i + 1, start, end,
+            Vector("line " + ('a' + (r.v + i) % 26).toChar), settings)
+        }
+        val styleLines =
+          if (r.n % 2 == 0)
+            Seq("::cue {", s"  size: ${10 + r.v % 80}%;", "}")
+          else Nil
+        val regionLines =
+          if (r.v % 4 == 0) Seq("id:r1", s"width:${30 + r.n % 70}%")
+          else Nil
+        val midNotes =
+          if (r.n % 3 == 0) Map(0 -> "speaker change") else Map.empty[Int, String]
+        val txt = Subtitles.renderVttRich(cues, regionLines, styleLines,
+          Seq("machine transcript"), midNotes)
+        val doc = Subtitles.parseVttDoc(txt)
+          .getOrElse(sys.error(s"vtt failed to parse: doc ${r.doc_id}"))
+        require(doc.cues.map(c => (c.startMs, c.endMs)) ==
+          cues.map(c => (c.startMs, c.endMs)).toVector,
+          s"cue timing drift: doc ${r.doc_id}")
+        (r.doc_id, doc.cues.length, doc.nNotes, doc.nStyles, doc.nRegions,
+          doc.styleText, doc.cues.head.settings,
+          doc.cues.count(_.settings.nonEmpty),
+          doc.cues.map(_.durationMs).sum, doc.cues.last.text,
+          txt.length.toLong)
+      }
+      probed.toDF("doc_id", "n_cues", "n_notes", "n_styles", "n_regions",
+          "style_text", "first_settings", "n_with_settings",
+          "total_cue_ms", "last_text", "text_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   2 + n % 4 AS k,
+                   CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END AS hasstyle,
+                   CASE WHEN v % 4 = 0 THEN 1 ELSE 0 END AS hasregion,
+                   CASE WHEN n % 3 = 0 THEN 1 ELSE 0 END AS hasmid
+            FROM d),
+      t AS (SELECT *,
+                   list_sum(list_transform(range(k), i ->
+                     1000 + (n + i) % 2000)) AS durs,
+                   -- per-cue block: '\\ncN\\n' + time line + '\\n' + text + '\\n'
+                   list_sum(list_transform(range(k), i ->
+                     1 + 2 + 1 + 29 +
+                     (CASE WHEN i % 2 = 0
+                           THEN 1 + 6 + [5, 6, 3][(v + i) % 3 + 1]
+                           ELSE 0 END) + 1 + 6 + 1)) AS cueblocks
+            FROM g)
+      SELECT doc_id,
+             CAST(k AS INTEGER) AS n_cues,
+             CAST(1 + hasmid AS INTEGER) AS n_notes,
+             CAST(hasstyle AS INTEGER) AS n_styles,
+             CAST(hasregion AS INTEGER) AS n_regions,
+             CASE WHEN hasstyle = 1
+                  THEN '::cue {' || chr(10) || '  size: '
+                       || CAST(10 + v % 80 AS VARCHAR) || '%;' || chr(10) || '}'
+                  ELSE '' END AS style_text,
+             'align:' || ['start', 'center', 'end'][v % 3 + 1] AS first_settings,
+             CAST((k + 1) // 2 AS INTEGER) AS n_with_settings,
+             CAST(durs AS BIGINT) AS total_cue_ms,
+             'line ' || chr(CAST(97 + (v + k - 1) % 26 AS INTEGER)) AS last_text,
+             CAST(7 +
+                  hasregion * (1 + 6 + 1 + 5 + 1 + 6 + 3 + 1) +
+                  hasstyle * (1 + 5 + 1 + 7 + 1 + 12 + 1 + 1 + 1) +
+                  (1 + 5 + 18 + 1) +
+                  hasmid * (1 + 5 + 14 + 1) +
+                  cueblocks AS BIGINT) AS text_chars
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
-      q250OggMux)
+      q250OggMux, q251VttDocModel)
 }

@@ -67,4 +67,42 @@ class SubtitlesSpec extends AnyFunSuite {
     // narrow field widths (single-digit hour)
     assert(Subtitles.parseSrt(good.replace("00:00:00,500", "0:00:00,500")).isEmpty)
   }
+
+  test("vtt document model: NOTE/STYLE/REGION blocks and cue settings") {
+    import Subtitles.Cue
+    val cues = Seq(
+      Cue(1, 500, 2000, Vector("first"), "align:center line:10%"),
+      Cue(2, 3000, 4500, Vector("second")),
+      Cue(3, 5000, 6000, Vector("third"), "align:end"))
+    val txt = Subtitles.renderVttRich(cues,
+      regionLines = Seq("id:r1", "width:50%"),
+      styleLines = Seq("::cue {", "  color: peru;", "}"),
+      notesBefore = Seq("machine transcript"),
+      midNotes = Map(1 -> "speaker change"))
+    val doc = Subtitles.parseVttDoc(txt).get
+    assert(doc.cues.map(_.text) == Vector("first", "second", "third"))
+    assert(doc.cues.map(_.settings) ==
+      Vector("align:center line:10%", "", "align:end"))
+    assert(doc.nNotes == 2 && doc.nStyles == 1 && doc.nRegions == 1)
+    assert(doc.styleText == "::cue {\n  color: peru;\n}")
+    // parseVtt (cues-only) accepts the same document
+    assert(Subtitles.parseVtt(txt).get.map(_.startMs) ==
+      Vector(500L, 3000L, 5000L))
+    // a STYLE block after the first cue rejects (spec placement rule)
+    val lateStyle = txt + "\nSTYLE\n::cue { color: red; }\n"
+    assert(Subtitles.parseVttDoc(lateStyle).isEmpty)
+    // a REGION block after a cue rejects too
+    assert(Subtitles.parseVttDoc(txt + "\nREGION\nid:r2\n").isEmpty)
+    // a NOTE containing the cue arrow rejects
+    val badNote = txt.replace("NOTE speaker change",
+      "NOTE speaker --> change")
+    assert(Subtitles.parseVttDoc(badNote).isEmpty)
+    // NOTE after cues is fine (comments are legal anywhere)
+    assert(Subtitles.parseVttDoc(txt + "\nNOTE trailing\n").get.nNotes == 3)
+    // settings survive the q244-style round trip untouched
+    val again = Subtitles.parseVttDoc(
+      Subtitles.renderVttRich(doc.cues, Nil, Nil, Nil, Map.empty)).get
+    assert(again.cues.map(c => (c.startMs, c.endMs, c.settings)) ==
+      cues.map(c => (c.startMs, c.endMs, c.settings)).toVector)
+  }
 }
