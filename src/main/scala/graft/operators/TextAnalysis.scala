@@ -327,4 +327,54 @@ object TextAnalysis {
       regexp_replace(regexp_replace(noUtm, "/\\?", "?"), "/$", ""), "\\?$", "")
     concat(scheme, lit("://"), hostNorm, noSlash)
   }
+
+  /** GOPHER-STYLE REPETITION SIGNALS — the excess-repetition filters
+    * web-scale curation pipelines (Gopher rules, RefinedWeb, Dolma) cut
+    * boilerplate and spam with: per document, the most-frequent word /
+    * adjacent-bigram / adjacent-trigram concentration, the fraction of
+    * tokens inside repeated words, and the distinct-token ratio, all as
+    * exact ×10⁶ integer parts-per-million plus a pass/fail gate at the
+    * given thresholds. Scale shape: three explode→(doc, gram)
+    * hash-aggregates re-aggregated to doc grain and joined on doc_id —
+    * partial aggregation map-side, no window, no self-join, never a
+    * corpus² anywhere; the n-gram comprehension is a per-row projection
+    * (the q173 shape). All compared outputs are integers/booleans.
+    */
+  def repetitionSignals(docs: DataFrame,
+      maxTopWordPpm: Long = 300000L, maxTopBigramPpm: Long = 200000L,
+      maxTopTrigramPpm: Long = 150000L, maxDupWordPpm: Long = 600000L)
+      : DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val words = base.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        max("c").as("top_word_c"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_word_c"),
+        count(lit(1)).as("distinct_words"))
+    def topGram(k: Int, outCol: String): DataFrame = {
+      val parts = (0 until k).map(j => s"t[i-${k - 1 - j}]").mkString(", ' ', ")
+      base.select(col("doc_id"), explode(expr(
+        s"transform(sequence(${k - 1}, size(t) - 1), i -> concat($parts))"))
+        .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as(outCol))
+    }
+    words
+      .join(topGram(2, "top_bigram_c"), "doc_id")
+      .join(topGram(3, "top_trigram_c"), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("distinct_words"),
+        col("top_word_c"), col("top_bigram_c"), col("top_trigram_c"),
+        col("dup_word_c"),
+        expr("top_word_c * 1000000 div n_words").as("top_word_ppm"),
+        expr("top_bigram_c * 1000000 div (n_words - 1)").as("top_bigram_ppm"),
+        expr("top_trigram_c * 1000000 div (n_words - 2)").as("top_trigram_ppm"),
+        expr("dup_word_c * 1000000 div n_words").as("dup_word_ppm"),
+        expr("distinct_words * 1000000 div n_words").as("distinct_ppm"))
+      .withColumn("gopher_pass",
+        col("top_word_ppm") <= maxTopWordPpm &&
+          col("top_bigram_ppm") <= maxTopBigramPpm &&
+          col("top_trigram_ppm") <= maxTopTrigramPpm &&
+          col("dup_word_ppm") <= maxDupWordPpm)
+  }
 }

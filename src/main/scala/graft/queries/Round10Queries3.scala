@@ -644,7 +644,61 @@ object Round10Queries3 {
                   cueblocks AS BIGINT) AS text_chars
       FROM t ORDER BY doc_id"""))
 
+  /** GOPHER-STYLE REPETITION FILTERS under the oracle gate — the
+    * excess-repetition quality signals (most-frequent word/bigram/
+    * trigram concentration, repeated-word fraction, distinct-token
+    * ratio, all exact ×10⁶ ppm integers) that web-curation pipelines
+    * cut boilerplate with, plus the pass/fail gate at fixed
+    * thresholds. [[graft.operators.TextAnalysis.repetitionSignals]]
+    * runs three explode→hash-aggregate passes re-joined on doc_id —
+    * map-side partial aggregation, no window, no self-join. The oracle
+    * recomputes every count and floor-division ratio from the same
+    * tokenization.
+    */
+  val q252RepetitionSignals: QueryDef = QueryDef(
+    "q252_repetition_signals",
+    (s, dir) => {
+      graft.operators.TextAnalysis
+        .repetitionSignals(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS t FROM w0),
+      wc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1, 2),
+      wagg AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_words,
+                      MAX(c) AS top_word_c,
+                      CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                        AS dup_word_c,
+                      CAST(COUNT(*) AS BIGINT) AS distinct_words
+               FROM wc GROUP BY 1),
+      bg AS (SELECT doc_id, w[k] || ' ' || w[k + 1] AS g
+             FROM w0, unnest(range(1, len(w))) u(k)),
+      bagg AS (SELECT doc_id, MAX(c) AS top_bigram_c
+               FROM (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                     FROM bg GROUP BY 1, 2) GROUP BY 1),
+      tg AS (SELECT doc_id, w[k] || ' ' || w[k + 1] || ' ' || w[k + 2] AS g
+             FROM w0, unnest(range(1, len(w) - 1)) u(k)),
+      tagg AS (SELECT doc_id, MAX(c) AS top_trigram_c
+               FROM (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                     FROM tg GROUP BY 1, 2) GROUP BY 1)
+      SELECT doc_id, n_words, distinct_words, top_word_c, top_bigram_c,
+             top_trigram_c, dup_word_c,
+             top_word_c * 1000000 // n_words AS top_word_ppm,
+             top_bigram_c * 1000000 // (n_words - 1) AS top_bigram_ppm,
+             top_trigram_c * 1000000 // (n_words - 2) AS top_trigram_ppm,
+             dup_word_c * 1000000 // n_words AS dup_word_ppm,
+             distinct_words * 1000000 // n_words AS distinct_ppm,
+             (top_word_c * 1000000 // n_words <= 300000
+              AND top_bigram_c * 1000000 // (n_words - 1) <= 200000
+              AND top_trigram_c * 1000000 // (n_words - 2) <= 150000
+              AND dup_word_c * 1000000 // n_words <= 600000) AS gopher_pass
+      FROM wagg JOIN bagg USING (doc_id) JOIN tagg USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
-      q250OggMux, q251VttDocModel)
+      q250OggMux, q251VttDocModel, q252RepetitionSignals)
 }

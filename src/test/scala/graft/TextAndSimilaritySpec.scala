@@ -108,6 +108,31 @@ class TextAndSimilaritySpec extends SparkTestBase {
     assert(q(0) > q(1))
   }
 
+  test("repetition signals: hand-computed ppm and the gopher gate") {
+    // doc 1: "spam spam spam spam buy" — 5 words, top word 4
+    // doc 2: 10 distinct words, no repeats
+    val d = docs(
+      1L -> "spam spam spam spam buy",
+      2L -> "one two three four five six seven eight nine ten")
+    val out = TextAnalysis.repetitionSignals(d).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_words") == 5)
+    assert(r1.getAs[Long]("top_word_c") == 4)
+    assert(r1.getAs[Long]("top_word_ppm") == 800000L) // 4e6/5
+    assert(r1.getAs[Long]("top_bigram_c") == 3) // "spam spam" x3
+    assert(r1.getAs[Long]("top_bigram_ppm") == 750000L) // 3e6/4
+    assert(r1.getAs[Long]("top_trigram_c") == 2) // "spam spam spam" x2
+    assert(r1.getAs[Long]("top_trigram_ppm") == 666666L) // floor(2e6/3)
+    assert(r1.getAs[Long]("dup_word_c") == 4)
+    assert(r1.getAs[Long]("distinct_words") == 2)
+    assert(!r1.getAs[Boolean]("gopher_pass"))
+    val r2 = out(1)
+    assert(r2.getAs[Long]("top_word_ppm") == 100000L)
+    assert(r2.getAs[Long]("dup_word_c") == 0)
+    assert(r2.getAs[Long]("distinct_ppm") == 1000000L)
+    assert(r2.getAs[Boolean]("gopher_pass"))
+  }
+
   test("token counts: whitespace and BPE-ish bound") {
     val d = docs(1L -> "short and muchlongerword here")
     val r = TextAnalysis.tokenCounts(d).head()
