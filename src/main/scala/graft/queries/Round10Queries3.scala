@@ -698,7 +698,101 @@ object Round10Queries3 {
       FROM wagg JOIN bagg USING (doc_id) JOIN tagg USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** PARQUET FOOTER PROBE over the REAL lake files under the oracle
+    * gate — unlike the synth-probe queries, this one walks the actual
+    * testdata parquet files: [[graft.operators.ParquetFooter.probe]]
+    * (a pure-JVM Thrift compact-protocol FileMetaData decode) runs
+    * distributed over `binaryFile`-loaded table files and reports row
+    * counts, row-group geometry, schema, codecs, and the key column's
+    * min/max statistics — and every emitted number is independently
+    * derivable by the oracle FROM THE DATA ITSELF (`count(*)`, the
+    * key's `min`/`max`, the fixed schema), so the thrift walk, the
+    * stat-byte endianness, and the INT32-vs-INT64 stat widths are all
+    * checked against ground truth produced by a different writer
+    * stack. Row-group count is the writer's 1 Mi-row default policy,
+    * derived as `1 + (rows-1) // 1048576`.
+    */
+  val q253ParquetFooterProbe: QueryDef = QueryDef(
+    "q253_parquet_footer",
+    (s, dir) => {
+      import s.implicits._
+      val tables = Seq("customer", "documents", "nation", "region", "supplier")
+      val files = tables.map { t =>
+        s.read.format("binaryFile").load(s"$dir/$t.parquet")
+          .select(lit(t).as("tbl"), col("content"))
+      }.reduce(_ unionAll _).as[(String, Array[Byte])]
+      val probed = files.map { case (t, bytes) =>
+        import graft.operators.ParquetFooter
+        val f = ParquetFooter.probe(bytes)
+          .getOrElse(sys.error(s"footer probe failed: $t"))
+        val key = f.firstGroupChunks.head
+        (t, f.numRows, f.nRowGroups, f.columnNames.length,
+          f.columnNames.mkString(","), f.codecName(key.codec),
+          key.numValues,
+          ParquetFooter.intStat(key.statMin
+            .getOrElse(sys.error(s"no min stat: $t")))
+            .getOrElse(sys.error(s"non-int key stat: $t")),
+          ParquetFooter.intStat(key.statMax
+            .getOrElse(sys.error(s"no max stat: $t")))
+            .getOrElse(sys.error(s"non-int key stat: $t")),
+          f.firstGroupChunks.map(_.nullCount).sum)
+      }
+      probed.toDF("tbl", "n_rows", "n_row_groups", "n_columns", "cols",
+          "codec", "key_values", "key_min", "key_max", "null_sum")
+        .orderBy("tbl")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(1 + (count(*) - 1) // 1048576 AS INTEGER) AS n_row_groups,
+               CAST(5 AS INTEGER) AS n_columns,
+               'c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment' AS cols,
+               'SNAPPY' AS codec,
+               CAST(count(*) AS BIGINT) AS key_values,
+               CAST(min(c_custkey) AS BIGINT) AS key_min,
+               CAST(max(c_custkey) AS BIGINT) AS key_max,
+               CAST(0 AS BIGINT) AS null_sum
+        FROM customer
+        UNION ALL
+        SELECT 'documents', CAST(count(*) AS BIGINT),
+               CAST(1 + (count(*) - 1) // 1048576 AS INTEGER),
+               CAST(5 AS INTEGER),
+               'doc_id,text,lang,source,n_chars', 'SNAPPY',
+               CAST(count(*) AS BIGINT),
+               CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'nation', CAST(count(*) AS BIGINT),
+               CAST(1 + (count(*) - 1) // 1048576 AS INTEGER),
+               CAST(3 AS INTEGER),
+               'n_nationkey,n_name,n_regionkey', 'SNAPPY',
+               CAST(count(*) AS BIGINT),
+               CAST(min(n_nationkey) AS BIGINT), CAST(max(n_nationkey) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 'region', CAST(count(*) AS BIGINT),
+               CAST(1 + (count(*) - 1) // 1048576 AS INTEGER),
+               CAST(2 AS INTEGER),
+               'r_regionkey,r_name', 'SNAPPY',
+               CAST(count(*) AS BIGINT),
+               CAST(min(r_regionkey) AS BIGINT), CAST(max(r_regionkey) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM region
+        UNION ALL
+        SELECT 'supplier', CAST(count(*) AS BIGINT),
+               CAST(1 + (count(*) - 1) // 1048576 AS INTEGER),
+               CAST(4 AS INTEGER),
+               's_suppkey,s_name,s_nationkey,s_acctbal', 'SNAPPY',
+               CAST(count(*) AS BIGINT),
+               CAST(min(s_suppkey) AS BIGINT), CAST(max(s_suppkey) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM supplier
+      ) ORDER BY tbl"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
-      q250OggMux, q251VttDocModel, q252RepetitionSignals)
+      q250OggMux, q251VttDocModel, q252RepetitionSignals,
+      q253ParquetFooterProbe)
 }

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ParquetFooter
+
+/** Parquet footer probe: the Thrift compact decode cross-checked
+  * against Spark's own parquet writer (parquet-mr — a DIFFERENT
+  * writer than the pyarrow files the oracle gate covers), plus the
+  * hostile-byte sweep.
+  */
+class ParquetFooterSpec extends SparkTestBase {
+
+  private def writeOne(df: org.apache.spark.sql.DataFrame): Array[Byte] = {
+    val dir = Files.createTempDirectory("pqfooter").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    Files.readAllBytes(Paths.get(part.getPath))
+  }
+
+  test("round trip against Spark's writer: rows, schema, codec, stats") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong * 3, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+    val b = writeOne(df)
+    val f = ParquetFooter.probe(b).get
+    assert(f.numRows == 1000)
+    assert(f.columnNames == Vector("id", "name", "grp"))
+    assert(f.nRowGroups == 1)
+    val chunks = f.firstGroupChunks
+    assert(chunks.map(_.pathInSchema) == Vector("id", "name", "grp"))
+    // Spark's default codec for this repo's sessions
+    assert(chunks.forall(c => f.codecName(c.codec) == "SNAPPY"))
+    assert(chunks.forall(_.numValues == 1000))
+    assert(chunks.forall(_.nullCount == 0))
+    // id stats: INT64 little-endian plain encoding
+    val idChunk = chunks(0)
+    assert(ParquetFooter.intStat(idChunk.statMin.get).contains(0L))
+    assert(ParquetFooter.intStat(idChunk.statMax.get).contains(2997L))
+    // grp is INT32: 4-byte stats decode via the same helper
+    val grpChunk = chunks(2)
+    assert(ParquetFooter.intStat(grpChunk.statMin.get).contains(0L))
+    assert(ParquetFooter.intStat(grpChunk.statMax.get).contains(6L))
+    assert(f.createdBy.contains("parquet-mr"))
+  }
+
+  test("multiple row groups are counted; first group's chunks returned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pqfooter_rg").toString
+    (0 until 5000).map(i => (i.toLong, i.toString)).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "4096") // tiny groups force several
+      .parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    val f = ParquetFooter.probe(Files.readAllBytes(Paths.get(part.getPath))).get
+    assert(f.numRows == 5000)
+    assert(f.nRowGroups > 1)
+    assert(f.firstGroupChunks.map(_.pathInSchema) == Vector("k", "s"))
+    assert(f.firstGroupChunks.head.numValues < 5000)
+  }
+
+  test("nulls land in the statistics null counts") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, null))
+      .toDF("x", "y")
+    val f = ParquetFooter.probe(writeOne(df)).get
+    assert(f.numRows == 3)
+    assert(f.firstGroupChunks(0).nullCount == 1)
+    assert(f.firstGroupChunks(1).nullCount == 1)
+  }
+
+  test("hostile bytes: every malformation rejects, never throws") {
+    import spark.implicits._
+    val b = writeOne(Seq((1L, "z")).toDF("a", "b"))
+    assert(ParquetFooter.probe(Array.emptyByteArray).isEmpty)
+    assert(ParquetFooter.probe(b.take(11)).isEmpty)
+    def mut(f: Array[Byte] => Unit) = { val c = b.clone(); f(c); ParquetFooter.probe(c) }
+    assert(mut(_(0) = 'Q'.toByte).isEmpty) // leading magic
+    assert(mut(c => c(c.length - 1) = 'Q'.toByte).isEmpty) // trailing magic
+    // footer length overrunning the file
+    assert(mut(c => c(c.length - 5) = 0x7f.toByte).isEmpty)
+    // zero footer length
+    assert(mut { c =>
+      (1 to 8).take(4).foreach(i => c(c.length - 4 - i) = 0)
+    }.isEmpty)
+    // corrupt the thrift stream wholesale: every byte of the footer
+    // region xored, probe must stay a clean None each time
+    val n = b.length
+    val flen = (b(n - 8) & 0xff) | ((b(n - 7) & 0xff) << 8) |
+      ((b(n - 6) & 0xff) << 16) | ((b(n - 5) & 0xff) << 24)
+    val start = n - 8 - flen
+    (start until n - 8 by 7).foreach { i =>
+      val c = b.clone(); c(i) = (c(i) ^ 0x55).toByte
+      ParquetFooter.probe(c) // any result, but never a throw
+    }
+  }
+}
