@@ -791,8 +791,92 @@ object Round10Queries3 {
         FROM supplier
       ) ORDER BY tbl"""))
 
+  /** AVRO OBJECT CONTAINER FILES under the oracle gate — the event/
+    * Kafka-archive lake format beside parquet and ORC: per document,
+    * synthesize a VALID `.avro` container
+    * ([[graft.operators.AvroOcf.synth]]: real schema JSON in the
+    * avro-binary metadata map, two data blocks, REAL raw-deflate
+    * compression on even hashes — JDK Deflater/Inflater both ways),
+    * then REALLY walk and decode it
+    * ([[graft.operators.AvroOcf.probe]]: Jackson schema parse, sync
+    * markers required equal on every block, zigzag-varint /
+    * length-prefixed / single-byte record decode with exact per-block
+    * payload tiling) and emit the container summary plus record-level
+    * aggregates. The oracle recomputes every field — incl. the exact
+    * UNCOMPRESSED payload byte count from the binary-encoding
+    * arithmetic (1-byte zigzag ids below 64, 1-byte string lengths) —
+    * so both the walk and the codec round-trip land in the hash.
+    */
+  val q254AvroOcf: QueryDef = QueryDef(
+    "q254_avro_ocf",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.AvroOcf
+        import graft.operators.AvroOcf._
+        val k = 5 + r.n % 10
+        val codec = if (r.v % 2 == 0) "deflate" else "null"
+        val fields = Seq(AvroField("id", "long"), AvroField("name", "string"),
+          AvroField("ok", "boolean"))
+        val rows = (0 until k).map(i => Seq[Cell](
+          LongCell((r.v + i) % 60),
+          StrCell(('a' + (r.n + i) % 26).toChar.toString * (1 + (r.v + i) % 6)),
+          BoolCell((r.n + i) % 3 == 0)))
+        val bytes = AvroOcf.synth("ev", fields, rows, Seq(k / 2, k - k / 2),
+          codec, r.v)
+        val f = AvroOcf.probe(bytes)
+          .getOrElse(sys.error(s"avro failed to probe: doc ${r.doc_id}"))
+        require(f.rows == rows.map(_.toVector).toVector,
+          s"record decode drift: doc ${r.doc_id}")
+        val ids = f.rows.map { case Vector(LongCell(v), _, _) => v }
+        val names = f.rows.map { case Vector(_, StrCell(s), _) => s }
+        val oks = f.rows.map { case Vector(_, _, BoolCell(b)) => b }
+        (r.doc_id, f.codec, f.recordName, f.fields.length,
+          f.fields.map(_.name).mkString(","), f.nBlocks, f.nRecords,
+          ids.sum, names.head, names.last, oks.count(identity),
+          f.payloadBytes)
+      }
+      probed.toDF("doc_id", "codec", "rec_name", "n_fields", "field_names",
+          "n_blocks", "n_records", "sum_ids", "first_name", "last_name",
+          "n_ok", "payload_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 5 + n % 10 AS k FROM d),
+      t AS (SELECT *,
+                   list_sum(list_transform(range(k), i -> (v + i) % 60)) AS sumids,
+                   list_sum(list_transform(range(k), i ->
+                     4 + (v + i) % 6)) AS payload,
+                   list_sum(list_transform(range(k), i ->
+                     CASE WHEN (n + i) % 3 = 0 THEN 1 ELSE 0 END)) AS nok
+            FROM g)
+      SELECT doc_id,
+             CASE WHEN v % 2 = 0 THEN 'deflate' ELSE 'null' END AS codec,
+             'ev' AS rec_name,
+             CAST(3 AS INTEGER) AS n_fields,
+             'id,name,ok' AS field_names,
+             CAST(2 AS INTEGER) AS n_blocks,
+             CAST(k AS INTEGER) AS n_records,
+             CAST(sumids AS BIGINT) AS sum_ids,
+             repeat(chr(CAST(97 + n % 26 AS INTEGER)), 1 + v % 6) AS first_name,
+             repeat(chr(CAST(97 + (n + k - 1) % 26 AS INTEGER)),
+               1 + (v + k - 1) % 6) AS last_name,
+             CAST(nok AS INTEGER) AS n_ok,
+             CAST(payload AS BIGINT) AS payload_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
-      q253ParquetFooterProbe)
+      q253ParquetFooterProbe, q254AvroOcf)
 }
