@@ -48,9 +48,9 @@ object ParquetFooter {
       fields.get(id).collect { case s: TStruct => s }
   }
 
-  private final class Malformed extends RuntimeException
+  private[operators] final class Malformed extends RuntimeException
 
-  private final class Reader(b: Array[Byte], var p: Int, end: Int) {
+  private[operators] final class Reader(b: Array[Byte], var p: Int, end: Int) {
     private def fail(): Nothing = throw new Malformed
     def u8(): Int = {
       if (p >= end) fail()
@@ -130,7 +130,9 @@ object ParquetFooter {
     */
   final case class ChunkInfo(pathInSchema: String, codec: Int,
       numValues: Long, nullCount: Long, statMin: Option[Array[Byte]],
-      statMax: Option[Array[Byte]])
+      statMax: Option[Array[Byte]], ptype: Int = -1,
+      dataPageOffset: Long = -1L, dictPageOffset: Option[Long] = None,
+      compressedBytes: Long = -1L, required: Boolean = false)
 
   /** Parsed footer: file row count, schema column names (leaf order),
     * row-group count, and the first row group's chunk details.
@@ -183,10 +185,13 @@ object ParquetFooter {
       // leaf columns: every SchemaElement after the root that declares
       // no children (the flat-table case; nested groups keep their
       // leaves, which is still the chunk path grain)
-      val cols = schema.drop(1).collect {
+      val leaves = schema.drop(1).collect {
         case s: TStruct if s.i(5).forall(_ == 0) =>
-          s.str(4).getOrElse(return None)
+          // (name, repetition_type): 0 = REQUIRED, 1 = OPTIONAL
+          (s.str(4).getOrElse(return None), s.i(3).getOrElse(1L))
       }
+      val cols = leaves.map(_._1)
+      val requiredByName = leaves.map { case (n, rep) => n -> (rep == 0L) }.toMap
       val groups = md.list(4).getOrElse(return None)
       val first = groups.headOption match {
         case Some(g: TStruct) =>
@@ -194,15 +199,21 @@ object ParquetFooter {
             case c: TStruct =>
               val meta = c.struct(3).getOrElse(return None)
               val stats = meta.struct(12)
+              val path = meta.list(3).getOrElse(return None)
+                .collect { case TBin(v) => new String(v, "UTF-8") }
+                .mkString(".")
               ChunkInfo(
-                meta.list(3).getOrElse(return None)
-                  .collect { case TBin(v) => new String(v, "UTF-8") }
-                  .mkString("."),
+                path,
                 meta.i(4).getOrElse(return None).toInt,
                 meta.i(5).getOrElse(return None),
                 stats.flatMap(_.i(3)).getOrElse(-1L),
                 stats.flatMap(s => s.bin(6).orElse(s.bin(2))),
-                stats.flatMap(s => s.bin(5).orElse(s.bin(1))))
+                stats.flatMap(s => s.bin(5).orElse(s.bin(1))),
+                meta.i(1).getOrElse(-1L).toInt,
+                meta.i(9).getOrElse(-1L),
+                meta.i(11),
+                meta.i(7).getOrElse(-1L),
+                requiredByName.getOrElse(path, false))
             case _ => return None
           }
         case _ => Vector.empty

@@ -875,8 +875,82 @@ object Round10Queries3 {
              CAST(payload AS BIGINT) AS payload_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** PARQUET DATA-PAGE DECODE of the REAL lake files under the oracle
+    * gate — the value-level half after q253's footer walk:
+    * [[graft.operators.ParquetPages.readColumn]] decodes the actual
+    * testdata columns end to end — Thrift page headers, SNAPPY page
+    * decompression, RLE/bit-packed definition levels, PLAIN
+    * dictionary pages + RLE_DICTIONARY index runs (and the writer's
+    * mid-chunk PLAIN fallback when a dictionary overflows, which the
+    * sf0.1 text column actually triggers) — and the per-column
+    * aggregates of the DECODED values face the oracle's plain SQL
+    * over the same tables. A slip anywhere (bit-packing order,
+    * dictionary indexing, def-level accounting, snappy framing) lands
+    * in the hash against ground truth read by a different stack.
+    */
+  val q255ParquetPages: QueryDef = QueryDef(
+    "q255_parquet_pages",
+    (s, dir) => {
+      import s.implicits._
+      val files = Seq("documents", "supplier").map { t =>
+        s.read.format("binaryFile").load(s"$dir/$t.parquet")
+          .select(lit(t).as("tbl"), col("content"))
+      }.reduce(_ unionAll _).as[(String, Array[Byte])]
+      val probed = files.map { case (t, bytes) =>
+        import graft.operators.{ParquetFooter, ParquetPages}
+        import graft.operators.ParquetPages.{PBin, PLong}
+        val f = ParquetFooter.probe(bytes)
+          .getOrElse(sys.error(s"footer probe failed: $t"))
+        def col(name: String) = ParquetPages.readColumn(bytes,
+          f.firstGroupChunks.find(_.pathInSchema == name)
+            .getOrElse(sys.error(s"no chunk $name: $t")))
+          .getOrElse(sys.error(s"page decode failed: $t.$name"))
+        val (keyCol, auxCol, strCol, bytesCol) = t match {
+          case "documents" => ("doc_id", "n_chars", "lang", "text")
+          case _ => ("s_suppkey", "s_nationkey", "s_name", "s_name")
+        }
+        val keys = col(keyCol).flatten.collect { case PLong(v) => v }
+        val aux = col(auxCol).flatten.collect { case PLong(v) => v }
+        val strs = col(strCol).flatten.collect { case p: PBin => p.str }
+        val byteLens = col(bytesCol).flatten
+          .collect { case p: PBin => p.v.length.toLong }
+        require(keys.length.toLong == f.numRows,
+          s"decoded row count drift: $t")
+        (t, keys.length.toLong, keys.sum, keys.min, keys.max, aux.sum,
+          strs.distinct.length.toLong, strs.min, strs.max, byteLens.sum)
+      }
+      probed.toDF("tbl", "n_rows", "key_sum", "key_min", "key_max",
+          "aux_sum", "n_distinct", "s_min", "s_max", "bytes_sum")
+        .orderBy("tbl")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'documents' AS tbl,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS key_sum,
+               CAST(min(doc_id) AS BIGINT) AS key_min,
+               CAST(max(doc_id) AS BIGINT) AS key_max,
+               CAST(sum(n_chars) AS BIGINT) AS aux_sum,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+               min(lang) AS s_min,
+               max(lang) AS s_max,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_sum
+        FROM documents
+        UNION ALL
+        SELECT 'supplier',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(s_suppkey) AS BIGINT),
+               CAST(min(s_suppkey) AS BIGINT),
+               CAST(max(s_suppkey) AS BIGINT),
+               CAST(sum(s_nationkey) AS BIGINT),
+               CAST(count(DISTINCT s_name) AS BIGINT),
+               min(s_name), max(s_name),
+               CAST(sum(octet_length(encode(s_name))) AS BIGINT)
+        FROM supplier
+      ) ORDER BY tbl"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
-      q253ParquetFooterProbe, q254AvroOcf)
+      q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages)
 }

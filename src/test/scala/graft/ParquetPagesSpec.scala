@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.{ParquetFooter, ParquetPages}
+import graft.operators.ParquetPages.{PBin, PLong}
+
+/** Parquet data-page decode: the pure-JVM value read path checked
+  * against TWO real writers — the pyarrow-written testdata lake files
+  * and Spark's parquet-mr output — across snappy/uncompressed codecs
+  * and dictionary/plain encodings, plus the hostile sweep.
+  */
+class ParquetPagesSpec extends SparkTestBase {
+
+  private def chunk(b: Array[Byte], col: String) =
+    ParquetFooter.probe(b).get.firstGroupChunks.find(_.pathInSchema == col).get
+
+  test("decodes the real pyarrow lake file value for value") {
+    val b = Files.readAllBytes(
+      Paths.get("/root/testdata/sf0.001/documents.parquet"))
+    val ids = ParquetPages.readColumn(b, chunk(b, "doc_id")).get
+    assert(ids.length == 500)
+    assert(ids.flatten.collect { case PLong(v) => v } == (0L until 500L).toVector)
+    val langs = ParquetPages.readColumn(b, chunk(b, "lang")).get
+      .flatten.collect { case p: PBin => p.str }
+    // cross-check against the engine's own scan of the same file
+    val want = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("lang").collect().map(_.getString(0)).toVector
+    assert(langs == want)
+    val nchars = ParquetPages.readColumn(b, chunk(b, "n_chars")).get
+      .flatten.collect { case PLong(v) => v }
+    val wantN = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0)).toVector
+    assert(nchars == wantN)
+  }
+
+  private def writeOne(df: org.apache.spark.sql.DataFrame,
+      opts: Map[String, String] = Map.empty): Array[Byte] = {
+    val dir = Files.createTempDirectory("pqpages").toString
+    var w = df.coalesce(1).write.mode("overwrite")
+    opts.foreach { case (k, v) => w = w.option(k, v) }
+    w.parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    Files.readAllBytes(Paths.get(part.getPath))
+  }
+
+  test("decodes Spark's writer: dictionary pages, snappy, nulls") {
+    import spark.implicits._
+    val df = (0 until 300).map(i =>
+      (if (i % 7 == 0) None else Some(i.toLong * 3), s"w${i % 5}"))
+      .toDF("x", "w")
+    val b = writeOne(df)
+    val xs = ParquetPages.readColumn(b, chunk(b, "x")).get
+    assert(xs.length == 300)
+    (0 until 300).foreach { i =>
+      if (i % 7 == 0) assert(xs(i).isEmpty)
+      else assert(xs(i).contains(PLong(i.toLong * 3)))
+    }
+    // the low-cardinality string column is dictionary-encoded: 5 values
+    val ws = ParquetPages.readColumn(b, chunk(b, "w")).get
+      .flatten.collect { case p: PBin => p.str }
+    assert(ws == (0 until 300).map(i => s"w${i % 5}").toVector)
+  }
+
+  test("decodes PLAIN uncompressed pages (dictionary disabled)") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"str_$i")).toDF("a", "s")
+    val b = writeOne(df, Map(
+      "compression" -> "none", "parquet.enable.dictionary" -> "false"))
+    val f = ParquetFooter.probe(b).get
+    assert(f.firstGroupChunks.forall(c => f.codecName(c.codec) == "UNCOMPRESSED"))
+    val as = ParquetPages.readColumn(b, chunk(b, "a")).get
+      .flatten.collect { case PLong(v) => v }
+    assert(as == (0L until 100L).toVector)
+    val ss = ParquetPages.readColumn(b, chunk(b, "s")).get
+      .flatten.collect { case p: PBin => p.str }
+    assert(ss == (0 until 100).map(i => s"str_$i").toVector)
+  }
+
+  test("hostile bytes: page-region corruption rejects or decodes, never throws") {
+    import spark.implicits._
+    val b = writeOne(Seq((1L, "x"), (2L, "y")).toDF("a", "s"))
+    val c = chunk(b, "a")
+    // walk the whole chunk span, flipping bytes
+    val from = c.dictPageOffset.getOrElse(c.dataPageOffset).toInt
+    val until = (c.dataPageOffset + c.compressedBytes).toInt min b.length
+    (from until until).foreach { i =>
+      val m = b.clone(); m(i) = (m(i) ^ 0x5a).toByte
+      ParquetPages.readColumn(m, c) // any Option, never a throw
+    }
+    // a chunk pointing past the file rejects cleanly
+    assert(ParquetPages.readColumn(b,
+      c.copy(dataPageOffset = b.length.toLong + 10)).isEmpty)
+    assert(ParquetPages.readColumn(Array.emptyByteArray, c).isEmpty)
+  }
+}
