@@ -949,8 +949,77 @@ object Round10Queries3 {
         FROM supplier
       ) ORDER BY tbl"""))
 
+  /** UTF-8 VALIDATION + REPAIR under the oracle gate — the ingest
+    * step that runs before any tokenizer sees crawl bytes: per
+    * document, build a raw byte payload with a doc-selected
+    * malformation injected between valid ASCII and multi-byte spans
+    * (truncated 2/3-byte leads, the overlong NUL C0 80, a UTF-16
+    * surrogate ED A0 80, the beyond-U+10FFFF F4 90 80 80), then run
+    * the codegen'd [[graft.plans.Utf8Scrub]] expression IN THE PLAN
+    * (binary → struct, Unicode maximal-subpart replacement). The
+    * oracle rebuilds the repaired string — replacement characters
+    * included, `chr(65533)` per subpart — and every count in closed
+    * form, so a decoder that merges or splits subparts differently
+    * (each malformation class yields a DIFFERENT replacement count)
+    * lands in the hash.
+    */
+  val q256Utf8Scrub: QueryDef = QueryDef(
+    "q256_utf8_scrub",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val payloads = src.map { r =>
+        val la = 5 + r.n % 10
+        val lb = 3 + r.v % 7
+        val m = 1 + r.n % 4
+        val bad: Array[Byte] = (r.v % 5 match {
+          case 0 => Array(0xC3)
+          case 1 => Array(0xE1, 0x80)
+          case 2 => Array(0xC0, 0x80)
+          case 3 => Array(0xED, 0xA0, 0x80)
+          case _ => Array(0xF4, 0x90, 0x80, 0x80)
+        }).map(_.toByte)
+        val bytes = Array.fill(la)(('a' + r.n % 26).toByte) ++ bad ++
+          Array.fill(m)(Array(0xC3.toByte, 0xA9.toByte)).flatten ++
+          Array.fill(lb)(('a' + r.v % 26).toByte)
+        (r.doc_id, bytes)
+      }.toDF("doc_id", "payload")
+      payloads
+        .select(col("doc_id"), graft.plans.Utf8Scrub(col("payload")).as("r"),
+          octet_length(col("payload")).cast("long").as("raw_bytes"))
+        .select(col("doc_id"), col("r.repaired").as("repaired"),
+          col("r.n_invalid").as("n_invalid"), col("r.n_chars").as("n_chars"),
+          col("raw_bytes"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   5 + n % 10 AS la,
+                   3 + v % 7 AS lb,
+                   1 + n % 4 AS m,
+                   [1, 1, 2, 3, 4][v % 5 + 1] AS nrep,
+                   [1, 2, 2, 3, 4][v % 5 + 1] AS badlen
+            FROM d)
+      SELECT doc_id,
+             repeat(chr(97 + n % 26), la) || repeat(chr(65533), nrep)
+               || repeat(chr(233), m) || repeat(chr(97 + v % 26), lb)
+               AS repaired,
+             CAST(nrep AS INTEGER) AS n_invalid,
+             CAST(la + nrep + m + lb AS INTEGER) AS n_chars,
+             CAST(la + badlen + 2 * m + lb AS BIGINT) AS raw_bytes
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
-      q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages)
+      q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub)
 }

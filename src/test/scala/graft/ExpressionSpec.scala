@@ -130,6 +130,59 @@ class ExpressionSpec extends SparkTestBase {
     }
   }
 
+  test("utf8_scrub: valid text passes through, JDK-replacement cross-check") {
+    val samples = Seq("plain ascii", "caf\u00e9 \u20ac", "\u65e5\u672c\u8a9e",
+      new String(Character.toChars(0x1F600)), "")
+    val rows = samples.map(_.getBytes("UTF-8"))
+    val got = rows.toDF("b")
+      .select(graft.plans.Utf8Scrub(col("b")).as("r"))
+      .select("r.repaired", "r.n_invalid", "r.n_chars").collect()
+    samples.zip(got).foreach { case (s, r) =>
+      assert(r.getString(0) == s)
+      assert(r.getInt(1) == 0)
+      assert(r.getInt(2) == s.codePointCount(0, s.length))
+    }
+  }
+
+  test("utf8_scrub: maximal-subpart replacement matches Unicode table 3-8") {
+    // 61 F1 80 80 E1 80 C2 62 -> a FFFD FFFD FFFD b (TUS 3.9 example)
+    def scrub(bytes: Array[Byte]) = {
+      val r = Seq(bytes).toDF("b")
+        .select(graft.plans.Utf8Scrub(col("b")).as("r"))
+        .select("r.repaired", "r.n_invalid", "r.n_chars").head()
+      (r.getString(0), r.getInt(1), r.getInt(2))
+    }
+    val tus = Array(0x61, 0xF1, 0x80, 0x80, 0xE1, 0x80, 0xC2, 0x62)
+      .map(_.toByte)
+    assert(scrub(tus) == ("a\uFFFD\uFFFD\uFFFDb", 3, 5))
+    // overlong NUL C0 80: two invalid singles
+    assert(scrub(Array(0xC0, 0x80).map(_.toByte)) == ("\uFFFD\uFFFD", 2, 2))
+    // surrogate ED A0 80: ED's window excludes A0 -> three singles
+    assert(scrub(Array(0xED, 0xA0, 0x80).map(_.toByte)) ==
+      ("\uFFFD\uFFFD\uFFFD", 3, 3))
+    // beyond U+10FFFF F4 90 80 80 -> four singles
+    assert(scrub(Array(0xF4, 0x90, 0x80, 0x80).map(_.toByte)) ==
+      ("\uFFFD" * 4, 4, 4))
+    // truncated 3-byte lead at end of input: one subpart
+    assert(scrub(Array(0x61, 0xE1, 0x80).map(_.toByte)) == ("a\uFFFD", 1, 2))
+    // E0 9F 80 is an overlong 3-byte form: E0's window starts at A0
+    assert(scrub(Array(0xE0, 0x9F, 0x80).map(_.toByte)) ==
+      ("\uFFFD\uFFFD\uFFFD", 3, 3))
+    // interpreted path agrees
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    import s2.implicits._
+    val r2 = Seq(tus).toDF("b")
+      .select(graft.plans.Utf8Scrub(col("b")).as("r"))
+      .select("r.repaired", "r.n_invalid").head()
+    assert(r2.getString(0) == "a\uFFFD\uFFFD\uFFFDb" && r2.getInt(1) == 3)
+    // null propagates
+    val rn = Seq(Option.empty[Array[Byte]]).toDF("b")
+      .select(graft.plans.Utf8Scrub(col("b")).as("r")).head()
+    assert(rn.isNullAt(0))
+  }
+
   test("rolling-hash substring dedup finds the collision-free route's shared windows") {
     // the scale path (q121's bench variant) must mark the same per-doc
     // duplicated-window counts as a collision-free reference keyed by the
