@@ -1018,8 +1018,68 @@ object Round10Queries3 {
              CAST(la + badlen + 2 * m + lb AS BIGINT) AS raw_bytes
       FROM g ORDER BY doc_id"""))
 
+  /** UNICODE NFC NORMALIZATION under the oracle gate — the canonical-
+    * composition pass that makes `e`+U+0301 and the precomposed `é`
+    * the same text for hashing/dedup/joins: per document, build a
+    * string mixing plain ASCII with decomposed combining sequences
+    * (e+combining-acute, A+combining-ring on even hashes), then run
+    * the codegen'd [[graft.plans.NfcNormalize]] expression in the
+    * plan. The oracle applies DuckDB's own `nfc_normalize` to the
+    * same constructed string — two INDEPENDENT normalization
+    * implementations (JDK vs ICU-derived) must agree character for
+    * character, and the before/after length delta pins exactly how
+    * many sequences composed.
+    */
+  val q257NfcNormalize: QueryDef = QueryDef(
+    "q257_nfc_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val payloads = src.map { r =>
+        val m = 1 + r.v % 4
+        val raw = ("a" + ('a' + r.n % 26).toChar).take(1 + r.n % 2) +
+          ('a' + r.n % 26).toChar.toString * (1 + r.n % 5) +
+          "e\u0301" * m +
+          (if (r.v % 2 == 0) "A\u030A" else "") +
+          ('a' + r.v % 26).toChar.toString * (2 + r.v % 3)
+        (r.doc_id, raw)
+      }.toDF("doc_id", "raw")
+      payloads
+        .select(col("doc_id"), col("raw"),
+          graft.plans.NfcNormalize(col("raw")).as("normalized"))
+        .select(col("doc_id"), col("normalized"),
+          (col("normalized") =!= col("raw")).as("changed"),
+          length(col("raw")).cast("int").as("raw_chars"),
+          length(col("normalized")).cast("int").as("norm_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   substr('a' || chr(97 + n % 26), 1, 1 + n % 2)
+                     || repeat(chr(97 + n % 26), 1 + n % 5)
+                     || repeat('e' || chr(769), 1 + v % 4)
+                     || (CASE WHEN v % 2 = 0 THEN 'A' || chr(778) ELSE '' END)
+                     || repeat(chr(97 + v % 26), 2 + v % 3) AS raw
+            FROM d)
+      SELECT doc_id,
+             nfc_normalize(raw) AS normalized,
+             nfc_normalize(raw) != raw AS changed,
+             CAST(length(raw) AS INTEGER) AS raw_chars,
+             CAST(length(nfc_normalize(raw)) AS INTEGER) AS norm_chars
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
-      q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub)
+      q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
+      q257NfcNormalize)
 }

@@ -183,6 +183,27 @@ class ExpressionSpec extends SparkTestBase {
     assert(rn.isNullAt(0))
   }
 
+  test("nfc_normalize composes combining sequences; normalized text passes through") {
+    val decomposed = "Cafe\u0301 A\u030A \u1E0B\u0323" // é, Å, d-dot-below+above
+    val composed = java.text.Normalizer
+      .normalize(decomposed, java.text.Normalizer.Form.NFC)
+    assert(composed != decomposed) // the fixture genuinely decomposes
+    val rows = Seq(decomposed, composed, "plain", "")
+    val got = rows.toDF("s")
+      .select(graft.plans.NfcNormalize(col("s")).as("n")).as[String].collect()
+    assert(got(0) == composed)
+    assert(got(1) == composed) // idempotent
+    assert(got(2) == "plain" && got(3) == "")
+    // interpreted path agrees; null propagates
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    import s2.implicits._
+    val r2 = Seq(Some(decomposed), None).toDF("s")
+      .select(graft.plans.NfcNormalize(col("s")).as("n")).collect()
+    assert(r2(0).getString(0) == composed && r2(1).isNullAt(0))
+  }
+
   test("rolling-hash substring dedup finds the collision-free route's shared windows") {
     // the scale path (q121's bench variant) must mark the same per-doc
     // duplicated-window counts as a collision-free reference keyed by the
