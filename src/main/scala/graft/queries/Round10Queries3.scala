@@ -1077,9 +1077,75 @@ object Round10Queries3 {
              CAST(length(nfc_normalize(raw)) AS INTEGER) AS norm_chars
       FROM g ORDER BY doc_id"""))
 
+  /** ORC FILE-TAIL PROBE under the oracle gate — the third lake
+    * format's metadata read beside q253 (parquet/Thrift) and q254
+    * (avro): the documents table is round-tripped through Spark's ORC
+    * writer under BOTH `none` and `snappy` (the memoized
+    * [[graft.sources.CompressedIngest.documentsOrc]] dump), and every
+    * written file's tail is decoded by
+    * [[graft.operators.OrcFooter.probe]] — a generic protobuf reader
+    * over the public orc_proto layout, the ORC 3-byte-header block
+    * deframing REALLY decompressing the snappy footer, sint64 zigzag
+    * statistics — then the per-file numbers aggregate back to totals
+    * the oracle derives straight from the data: row counts, the key
+    * column's min/max/SUM (the sum rides the stats, not the data),
+    * and the text column's min/max strings. The type-tree shape and
+    * stripe-row consistency are require()d per file.
+    */
+  val q258OrcFooter: QueryDef = QueryDef(
+    "q258_orc_footer",
+    (s, dir) => {
+      import s.implicits._
+      val files = Seq("none", "snappy").map { codec =>
+        // the memoized call materializes the dump before the probe scan
+        graft.sources.CompressedIngest.documentsOrc(s, dir, codec)
+        val path = graft.sources.CompressedIngest.dumpPath(dir, s"orc_$codec")
+        s.read.format("binaryFile").option("pathGlobFilter", "*.orc")
+          .load(path)
+          .select(lit(codec).as("codec"), col("content"))
+      }.reduce(_ unionAll _).as[(String, Array[Byte])]
+      val perFile = files.map { case (codec, bytes) =>
+        import graft.operators.OrcFooter
+        val f = OrcFooter.probe(bytes)
+          .getOrElse(sys.error(s"orc tail probe failed: $codec"))
+        require(f.typeKinds == Vector(12, 4, 7),
+          s"unexpected type tree: ${f.typeKinds}")
+        require(f.stats.head.numValues == f.numRows,
+          s"root stats disagree with footer rows: $codec")
+        val ks = f.stats(1)
+        val ts = f.stats(2)
+        (codec, f.compression, f.numRows,
+          ks.intMin.getOrElse(Long.MaxValue), ks.intMax.getOrElse(Long.MinValue),
+          ks.intSum.getOrElse(0L), ts.strMin.orNull, ts.strMax.orNull)
+      }.toDF("codec", "compression", "rows", "kmin", "kmax", "ksum",
+        "smin", "smax")
+      perFile.groupBy("codec", "compression")
+        .agg(sum("rows").as("n_rows"), min("kmin").as("key_min"),
+          max("kmax").as("key_max"), sum("ksum").as("key_sum"),
+          min("smin").as("s_min"), max("smax").as("s_max"))
+        .orderBy("codec")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'none' AS codec, 'NONE' AS compression,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(doc_id) AS BIGINT) AS key_min,
+               CAST(max(doc_id) AS BIGINT) AS key_max,
+               CAST(sum(doc_id) AS BIGINT) AS key_sum,
+               min(text) AS s_min, max(text) AS s_max
+        FROM documents
+        UNION ALL
+        SELECT 'snappy', 'SNAPPY',
+               CAST(count(*) AS BIGINT),
+               CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT),
+               min(text), max(text)
+        FROM documents
+      ) ORDER BY codec"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
-      q257NfcNormalize)
+      q257NfcNormalize, q258OrcFooter)
 }
