@@ -1143,9 +1143,92 @@ object Round10Queries3 {
         FROM documents
       ) ORDER BY codec"""))
 
+  /** TFRECORD / tf.Example SHARDS under the oracle gate — the
+    * TensorFlow training-data container itself: per document,
+    * synthesize a VALID shard ([[graft.operators.TfRecord.synth]]:
+    * length-framed records with TRUE masked CRC32C pairs — the JDK's
+    * Castagnoli CRC under TensorFlow's rotate-and-add mask — and real
+    * tf.Example protobuf payloads with PACKED int64/float lists),
+    * then REALLY walk and decode it
+    * ([[graft.operators.TfRecord.probe]]: both checksums verified per
+    * record — the spec proves EVERY single-byte flip anywhere in a
+    * shard rejects — and the packed-encoding blobs re-split into
+    * values). The oracle recomputes the feature aggregates, exact
+    * ×4-integer float sums, and the byte-exact framing arithmetic
+    * (varint widths included) in closed form.
+    */
+  val q259TfRecord: QueryDef = QueryDef(
+    "q259_tfrecord",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.TfRecord
+        import graft.operators.TfRecord._
+        val k = 2 + r.n % 4
+        val examples = (0 until k).map { j =>
+          val cap = ('a' + (r.v + j) % 26).toChar.toString * (5 + (r.n + j) % 10)
+          Seq(
+            "caption" -> BytesFeature(Vector(cap.getBytes("UTF-8"))),
+            "labels" -> Int64Feature(Vector(
+              ((r.v + j) % 60).toLong, 300L + r.n, (1L << 35) + r.v)),
+            "scores" -> FloatFeature(Vector(
+              (r.v % 8) * 0.25f - 1f, j * 0.5f)))
+        }
+        val bytes = TfRecord.synth(examples)
+        val t = TfRecord.probe(bytes)
+          .getOrElse(sys.error(s"shard failed to probe: doc ${r.doc_id}"))
+        require(t.nRecords == k, s"record count drift: doc ${r.doc_id}")
+        val labels = t.examples.flatMap(
+          _.features("labels").asInstanceOf[Int64Feature].vs)
+        val captions = t.examples.map(
+          _.features("caption").asInstanceOf[BytesFeature].strs.head)
+        val scoreX4 = t.examples.flatMap(
+          _.features("scores").asInstanceOf[FloatFeature].vs)
+          .map(f => (f * 4).toLong).sum
+        (r.doc_id, t.nRecords, labels.length, labels.sum,
+          captions.map(_.length.toLong).sum, captions.head, scoreX4,
+          t.payloadBytes, bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_records", "n_labels", "label_sum",
+          "caption_chars", "first_caption", "score_sum_x4",
+          "payload_bytes", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 2 + n % 4 AS k FROM d),
+      t AS (SELECT *,
+                   list_sum(list_transform(range(k), j ->
+                     (v + j) % 60 + 300 + n + 34359738368 + v)) AS lsum,
+                   list_sum(list_transform(range(k), j ->
+                     5 + (n + j) % 10)) AS capchars,
+                   list_sum(list_transform(range(k), j ->
+                     (v % 8) - 4 + 2 * j)) AS sx4
+            FROM g)
+      SELECT doc_id,
+             CAST(k AS INTEGER) AS n_records,
+             CAST(3 * k AS INTEGER) AS n_labels,
+             CAST(lsum AS BIGINT) AS label_sum,
+             CAST(capchars AS BIGINT) AS caption_chars,
+             repeat(chr(CAST(97 + v % 26 AS INTEGER)), 5 + n % 10)
+               AS first_caption,
+             CAST(sx4 AS BIGINT) AS score_sum_x4,
+             CAST(68 * k + capchars AS BIGINT) AS payload_bytes,
+             CAST(84 * k + capchars AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
-      q257NfcNormalize, q258OrcFooter)
+      q257NfcNormalize, q258OrcFooter, q259TfRecord)
 }
