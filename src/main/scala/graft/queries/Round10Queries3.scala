@@ -1226,9 +1226,90 @@ object Round10Queries3 {
              CAST(84 * k + capchars AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** ZSTD FRAME WALK under the oracle gate — the byte-level
+    * introspection of the codec this engine otherwise reads only
+    * through Spark's scans: per document, synthesize a VALID .zst
+    * image ([[graft.operators.ZstdFrames.synthFrame]]: RFC 8878 frame
+    * header with the narrowest content-size form, an RLE block + raw
+    * blocks, a TRUE XXH64 content checksum; on every third hash a
+    * skippable frame in front — the spec proves these bytes are real
+    * zstd by decoding them with the reference zstd library), then
+    * REALLY walk it ([[graft.operators.ZstdFrames.probe]]: descriptor
+    * flags, block tiling, raw/RLE decode, checksum VERIFIED). The
+    * oracle rebuilds the decoded text, every count, and the exact
+    * block-by-block file geometry in closed form.
+    */
+  val q260ZstdFrames: QueryDef = QueryDef(
+    "q260_zstd_frames",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.ZstdFrames
+        val rleRun = r.v % 6
+        val clen = 20 + r.v % 40
+        val rawBlock = 7 + r.n % 5
+        val content = ('a' + r.n % 26).toChar.toString * clen
+        val frame = ZstdFrames.synthFrame(content.getBytes("UTF-8"),
+          rleRun, 'r'.toByte, rawBlock, withChecksum = true)
+        val skip =
+          if (r.v % 3 == 0)
+            ZstdFrames.synthSkippable(10 + r.n % 20, i => i * 7 + r.v,
+              nibble = r.v % 16)
+          else Array.emptyByteArray
+        val bytes = skip ++ frame
+        val info = ZstdFrames.probe(bytes)
+          .getOrElse(sys.error(s"zstd walk failed: doc ${r.doc_id}"))
+        require(info.nFrames == 1, s"frame count drift: doc ${r.doc_id}")
+        val f = info.frames.head
+        (r.doc_id, info.nSkippable, info.skippableBytes,
+          f.contentSizeDeclared.getOrElse(-1L), f.nBlocks, f.hasChecksum,
+          f.decodedBytes.getOrElse(-1L), f.decodedText.orNull,
+          bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_skippable", "skippable_bytes",
+          "content_size", "n_blocks", "has_checksum", "decoded_bytes",
+          "decoded_text", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   v % 6 AS rle,
+                   20 + v % 40 AS clen,
+                   7 + n % 5 AS rawblk,
+                   CASE WHEN v % 3 = 0 THEN 1 ELSE 0 END AS hasskip,
+                   10 + n % 20 AS skiplen
+            FROM d),
+      t AS (SELECT *,
+                   (clen + rawblk - 1) // rawblk AS nraw
+            FROM g)
+      SELECT doc_id,
+             CAST(hasskip AS INTEGER) AS n_skippable,
+             CAST(hasskip * skiplen AS BIGINT) AS skippable_bytes,
+             CAST(rle + clen AS BIGINT) AS content_size,
+             CAST((CASE WHEN rle > 0 THEN 1 ELSE 0 END) + nraw AS INTEGER)
+               AS n_blocks,
+             TRUE AS has_checksum,
+             CAST(rle + clen AS BIGINT) AS decoded_bytes,
+             repeat('r', rle) || repeat(chr(CAST(97 + n % 26 AS INTEGER)), clen)
+               AS decoded_text,
+             CAST(hasskip * (8 + skiplen)
+                  + 6 + (CASE WHEN rle > 0 THEN 4 ELSE 0 END)
+                  + 3 * nraw + clen + 4 AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
-      q257NfcNormalize, q258OrcFooter, q259TfRecord)
+      q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames)
 }
