@@ -1307,9 +1307,122 @@ object Round10Queries3 {
                   + 3 * nraw + clen + 4 AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** ARROW IPC FILES under the oracle gate — the interchange format
+    * Spark ships the jars for but cannot scan: per document, a REAL
+    * Arrow file is written by the ARROW JAVA LIBRARY itself (two
+    * record batches of nullable int64/utf8/int32 columns with planted
+    * nulls), then decoded by [[graft.operators.ArrowIpc.probe]] — the
+    * hand-rolled flatbuffers reader (vtables, inline struct vectors,
+    * union tags) walking footer → blocks → record batches → validity
+    * bitmaps → values. The oracle recomputes every aggregate of the
+    * decoded values in closed form, so a slip in the bitmap bit
+    * order, the offsets buffer, or the batch concatenation lands in
+    * the hash; the reference-library round trip proves the reader
+    * against the format's own implementation at every row.
+    */
+  val q261ArrowIpc: QueryDef = QueryDef(
+    "q261_arrow_ipc",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import org.apache.arrow.memory.RootAllocator
+        import org.apache.arrow.vector.{BigIntVector, IntVector, VarCharVector, VectorSchemaRoot}
+        import org.apache.arrow.vector.ipc.ArrowFileWriter
+        import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+        import graft.operators.ArrowIpc
+        import graft.operators.ArrowIpc.{ALong, AStr}
+        val k1 = 3 + r.n % 5
+        val k2 = 2 + r.v % 4
+        def nameAt(j: Int): String =
+          ('a' + (r.n + j) % 26).toChar.toString * (1 + (r.v + j) % 5)
+        val alloc = new RootAllocator()
+        val bytes =
+          try {
+            val schema = new Schema(java.util.Arrays.asList(
+              new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+              new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
+              new Field("grp", FieldType.nullable(new ArrowType.Int(32, true)), null)))
+            val root = VectorSchemaRoot.create(schema, alloc)
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              val w = new ArrowFileWriter(root, null,
+                java.nio.channels.Channels.newChannel(out))
+              w.start()
+              var j = 0
+              Seq(k1, k2).foreach { k =>
+                root.allocateNew()
+                val idv = root.getVector("id").asInstanceOf[BigIntVector]
+                val nv = root.getVector("name").asInstanceOf[VarCharVector]
+                val gv = root.getVector("grp").asInstanceOf[IntVector]
+                (0 until k).foreach { i =>
+                  if (j == 1) idv.setNull(i)
+                  else idv.setSafe(i, ((r.v + j) % 100).toLong)
+                  if (j == 2) nv.setNull(i)
+                  else nv.setSafe(i, nameAt(j).getBytes("UTF-8"))
+                  gv.setSafe(i, (r.n + j) % 50)
+                  j += 1
+                }
+                root.setRowCount(k)
+                w.writeBatch()
+              }
+              w.end(); w.close()
+              out.toByteArray
+            } finally root.close()
+          } finally alloc.close()
+        val info = ArrowIpc.probe(bytes)
+          .getOrElse(sys.error(s"arrow decode failed: doc ${r.doc_id}"))
+        require(info.batchRows == Vector(k1.toLong, k2.toLong),
+          s"batch shape drift: doc ${r.doc_id}")
+        val ids = info.columns(0)
+        val names = info.columns(1)
+        val grps = info.columns(2)
+        (r.doc_id, info.nBatches, info.nRows,
+          info.fields.map(f => s"${f.name}:${f.ftype}").mkString(","),
+          ids.flatten.map { case ALong(x) => x }.sum,
+          ids.count(_.isEmpty),
+          names.flatten.collect { case AStr(x) => x }.headOption.orNull,
+          names.count(_.isEmpty),
+          grps.flatten.map { case ALong(x) => x }.sum)
+      }
+      probed.toDF("doc_id", "n_batches", "n_rows", "schema_sig", "id_sum",
+          "id_nulls", "first_name", "name_nulls", "grp_sum")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   (3 + n % 5) + (2 + v % 4) AS total
+            FROM d),
+      t AS (SELECT *,
+                   list_sum(list_transform(range(total), j ->
+                     CASE WHEN j = 1 THEN 0 ELSE (v + j) % 100 END)) AS idsum,
+                   list_sum(list_transform(range(total), j ->
+                     (n + j) % 50)) AS grpsum
+            FROM g)
+      SELECT doc_id,
+             CAST(2 AS INTEGER) AS n_batches,
+             CAST(total AS BIGINT) AS n_rows,
+             'id:int64,name:utf8,grp:int32' AS schema_sig,
+             CAST(idsum AS BIGINT) AS id_sum,
+             CAST(1 AS INTEGER) AS id_nulls,
+             repeat(chr(CAST(97 + n % 26 AS INTEGER)), 1 + v % 5) AS first_name,
+             CAST(1 AS INTEGER) AS name_nulls,
+             CAST(grpsum AS BIGINT) AS grp_sum
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
-      q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames)
+      q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
+      q261ArrowIpc)
 }

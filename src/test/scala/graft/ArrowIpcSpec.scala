@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ArrowIpc
+import graft.operators.ArrowIpc.{ALong, AStr}
+
+/** Arrow IPC file reader: the hand-rolled flatbuffers decode proven
+  * against real files written by the Arrow Java library itself —
+  * multiple batches, nulls, both int widths — plus the hostile sweep.
+  */
+class ArrowIpcSpec extends AnyFunSuite {
+
+  import org.apache.arrow.memory.RootAllocator
+  import org.apache.arrow.vector.{BigIntVector, IntVector, VarCharVector, VectorSchemaRoot}
+  import org.apache.arrow.vector.ipc.ArrowFileWriter
+  import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+
+  private def writeFile(batches: Seq[Seq[(Option[Long], Option[String], Option[Int])]]): Array[Byte] = {
+    val alloc = new RootAllocator()
+    val schema = new Schema(java.util.Arrays.asList(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
+      new Field("grp", FieldType.nullable(new ArrowType.Int(32, true)), null)))
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, null,
+      java.nio.channels.Channels.newChannel(out))
+    w.start()
+    batches.foreach { rows =>
+      root.allocateNew()
+      val idv = root.getVector("id").asInstanceOf[BigIntVector]
+      val nv = root.getVector("name").asInstanceOf[VarCharVector]
+      val gv = root.getVector("grp").asInstanceOf[IntVector]
+      rows.zipWithIndex.foreach { case ((id, nm, g), i) =>
+        id.fold(idv.setNull(i))(v => idv.setSafe(i, v))
+        nm.fold(nv.setNull(i))(s => nv.setSafe(i, s.getBytes("UTF-8")))
+        g.fold(gv.setNull(i))(v => gv.setSafe(i, v))
+      }
+      root.setRowCount(rows.length)
+      w.writeBatch()
+    }
+    w.end(); w.close(); root.close(); alloc.close()
+    out.toByteArray
+  }
+
+  test("decodes real Arrow Java files: batches, nulls, both int widths") {
+    val b = writeFile(Seq(
+      (0 until 50).map(i => (Some(i.toLong * 3), Some(s"s$i"), Some(i % 7))),
+      Seq((None, Some("x"), Some(1)), (Some(99L), None, None))))
+    val info = ArrowIpc.probe(b).get
+    assert(info.fields.map(f => (f.name, f.ftype)) ==
+      Vector(("id", "int64"), ("name", "utf8"), ("grp", "int32")))
+    assert(info.nBatches == 2 && info.batchRows == Vector(50L, 2L))
+    assert(info.nRows == 52)
+    val ids = info.columns(0)
+    assert(ids.take(50).flatten == (0 until 50).map(i => ALong(i.toLong * 3)))
+    assert(ids(50).isEmpty && ids(51).contains(ALong(99L)))
+    val names = info.columns(1)
+    assert(names(0).contains(AStr("s0")) && names(49).contains(AStr("s49")))
+    assert(names(50).contains(AStr("x")) && names(51).isEmpty)
+    val grps = info.columns(2)
+    assert(grps(3).contains(ALong(3L)) && grps(51).isEmpty)
+  }
+
+  test("an empty batch list and non-arrow bytes reject") {
+    assert(ArrowIpc.probe(Array.emptyByteArray).isEmpty)
+    assert(ArrowIpc.probe("PAR1not arrow at all PAR1".getBytes).isEmpty)
+  }
+
+  test("hostile bytes: corruption rejects or decodes cleanly, never throws") {
+    val b = writeFile(Seq(Seq((Some(1L), Some("a"), Some(2)))))
+    assert(ArrowIpc.probe(b).isDefined)
+    assert(ArrowIpc.probe(b.dropRight(3)).isEmpty) // truncated magic
+    def mut(i: Int, x: Int): Option[ArrowIpc.ArrowInfo] = {
+      val c = b.clone(); c(i) = (c(i) ^ x).toByte; ArrowIpc.probe(c)
+    }
+    assert(mut(0, 0x01).isEmpty) // leading magic
+    // footer length overrun
+    assert(mut(b.length - 9, 0x7f).isEmpty)
+    // sweep the whole footer + tail region
+    ((b.length - 200).max(0) until b.length).foreach { i =>
+      mut(i, 0x2a) // any Option, never a throw
+    }
+    // sweep the header/message region too
+    (0 until 120.min(b.length)).foreach { i =>
+      mut(i, 0x15)
+    }
+  }
+}
