@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DELTA-STYLE TRANSACTION-LOG REPLAY — the lakehouse table-format
+  * primitive (the public Delta Lake PROTOCOL.md action model): a
+  * table's state is the FOLD of its JSON action log — `add` actions
+  * contribute files, `remove` actions tombstone them, a later re-`add`
+  * resurrects the path — and every reader reconstructs "which files
+  * are live" by replaying the log in version order with LAST-WRITER-
+  * WINS per path.
+  *
+  * Spark-first shape: the JSON lines parse with `from_json` (codegen'd,
+  * no UDF), and the replay is ONE hash aggregation — `max_by(action,
+  * version)` per path — not a window, not a self-join, not an
+  * iterative fold: at 100 TB the log fits in a fraction of the data it
+  * describes and the per-path aggregate shuffles log-sized rows once.
+  * Ties inside one version are broken add-wins (a transaction that
+  * both removes and re-adds a path leaves it live), matching the
+  * protocol's checkpoint semantics.
+  */
+object DeltaReplay {
+
+  private val ActionSchema =
+    "add STRUCT<path: STRING, size: BIGINT, dataChange: BOOLEAN>, " +
+      "remove STRUCT<path: STRING, deletionTimestamp: BIGINT>"
+
+  /** Reconstruct live-file state from an action log of
+    * `(version long, line string)` rows. Returns one row per path
+    * ever referenced: `(path, is_live, size, last_version)` — `size`
+    * is null for tombstoned paths. Non-file actions (commitInfo,
+    * metaData, protocol) are ignored, as a reader must.
+    */
+  def replay(log: DataFrame): DataFrame = {
+    val parsed = log.select(col("version"),
+      from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(ActionSchema),
+        Map.empty[String, String]).as("j"))
+    val acts = parsed.select(col("version"),
+      coalesce(col("j.add.path"), col("j.remove.path")).as("path"),
+      col("j.add.size").as("size"),
+      col("j.add.path").isNotNull.as("is_add"))
+      .filter(col("path").isNotNull)
+    acts.groupBy("path")
+      .agg(max_by(
+        struct(col("is_add"), col("size"), col("version")),
+        // add-wins inside a version: (version, is_add) orders the tie
+        struct(col("version"), col("is_add"))).as("last"))
+      .select(col("path"), col("last.is_add").as("is_live"),
+        when(col("last.is_add"), col("last.size")).as("size"),
+        col("last.version").as("last_version"))
+  }
+}

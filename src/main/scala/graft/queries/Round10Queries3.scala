@@ -1419,10 +1419,85 @@ object Round10Queries3 {
              CAST(grpsum AS BIGINT) AS grp_sum
       FROM t ORDER BY doc_id"""))
 
+  /** DELTA-STYLE LOG REPLAY under the oracle gate — the lakehouse
+    * table-format primitive: a REAL JSON action log (one `add` per
+    * document, `remove` tombstones on every third hash, re-`add`
+    * resurrections on every ninth, `commitInfo` noise lines a reader
+    * must ignore) is built with `format_string`, parsed back with
+    * `from_json`, and folded to table state by
+    * [[graft.operators.DeltaReplay.replay]] — ONE `max_by(action,
+    * version)` hash aggregation per path, no window, no self-join,
+    * no driver fold. The oracle recomputes the live set, its byte
+    * total, the tombstone count, and the newest version per the same
+    * last-writer-wins rules in closed form.
+    */
+  val q262DeltaReplay: QueryDef = QueryDef(
+    "q262_delta_replay",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+      val adds = d.select(
+        (col("doc_id") % 50).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n")).as("line"))
+      val commits = d.select(
+        (col("doc_id") % 50).as("version"),
+        lit("""{"commitInfo":{"operation":"WRITE"}}""").as("line"))
+      val removes = d.filter(col("v") % 3 === 0).select(
+        (lit(50L) + col("v") % 10).as("version"),
+        format_string(
+          """{"remove":{"path":"part-%d","deletionTimestamp":%d}}""",
+          col("doc_id"), col("n") * 1000L).as("line"))
+      val readds = d.filter(col("v") % 9 === 0).select(
+        (lit(65L) + col("v") % 5).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n") * 2L).as("line"))
+      val log = adds.unionAll(commits).unionAll(removes).unionAll(readds)
+      val state = graft.operators.DeltaReplay.replay(log)
+      val nActions = log.count()
+      state.agg(
+        count(lit(1)).as("n_paths"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("n_live"),
+        sum(when(!col("is_live"), 1L).otherwise(0L)).as("n_tombstones"),
+        coalesce(sum(col("size")), lit(0L)).as("live_bytes"),
+        max(col("last_version")).as("max_version"))
+        .select(lit(nActions).as("n_actions"), col("n_paths"),
+          col("n_live"), col("n_tombstones"), col("live_bytes"),
+          col("max_version"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CASE WHEN v % 3 = 0 THEN 1 ELSE 0 END AS removed,
+                   CASE WHEN v % 9 = 0 THEN 1 ELSE 0 END AS readded
+            FROM d)
+      SELECT CAST(SUM(2 + removed + readded) AS BIGINT) AS n_actions,
+             CAST(COUNT(*) AS BIGINT) AS n_paths,
+             CAST(SUM(CASE WHEN removed = 0 OR readded = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_live,
+             CAST(SUM(CASE WHEN removed = 1 AND readded = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tombstones,
+             CAST(SUM(CASE WHEN readded = 1 THEN 2 * n
+                           WHEN removed = 0 THEN n ELSE 0 END)
+               AS BIGINT) AS live_bytes,
+             CAST(MAX(CASE WHEN readded = 1 THEN 65 + v % 5
+                           WHEN removed = 1 THEN 50 + v % 10
+                           ELSE doc_id % 50 END) AS BIGINT) AS max_version
+      FROM g"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
-      q261ArrowIpc)
+      q261ArrowIpc, q262DeltaReplay)
 }
