@@ -51,4 +51,51 @@ object DeltaReplay {
         when(col("last.is_add"), col("last.size")).as("size"),
         col("last.version").as("last_version"))
   }
+
+  /** STREAMING twin of [[replay]] — continuous table-state maintenance
+    * as log batches arrive (the tailing-reader / CDC shape): per-path
+    * `mapGroupsWithState` holding `(is_live, size, last_version)`;
+    * each micro-batch folds its group's actions in (version, is_add)
+    * order and an action applies only when it is not older than the
+    * held state, so late-arriving stale actions cannot regress the
+    * fold. State is O(1) per path forever. Equals [[replay]] on the
+    * same log prefix at every micro-batch (StreamingSpec pins it;
+    * mapGroupsWithState also runs in batch mode, so the same function
+    * is oracle-checkable).
+    */
+  def replayStream(log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import log.sparkSession.implicits._
+    val parsed = log.select(col("version"),
+      from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(ActionSchema),
+        Map.empty[String, String]).as("j"))
+    val acts = parsed.select(
+      coalesce(col("j.add.path"), col("j.remove.path")).as("path"),
+      col("version"),
+      col("j.add.path").isNotNull.as("is_add"),
+      coalesce(col("j.add.size"), lit(-1L)).as("size"))
+      .filter(col("path").isNotNull)
+      .as[(String, Long, Boolean, Long)]
+    acts.groupByKey(_._1)
+      .mapGroupsWithState[(Boolean, Long, Long), (String, Boolean, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (path, rows, state: GroupState[(Boolean, Long, Long)]) =>
+          var (live, size, ver) =
+            state.getOption.getOrElse((false, -1L, Long.MinValue))
+          def rank(isAdd: Boolean): Int = if (isAdd) 1 else 0
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val newer = r._2 > ver ||
+              (r._2 == ver && rank(r._3) >= rank(live))
+            if (newer) { live = r._3; size = r._4; ver = r._2 }
+          }
+          state.update((live, size, ver))
+          (path, live, size, ver)
+      }
+      .toDF("path", "is_live", "raw_size", "last_version")
+      .select(col("path"), col("is_live"),
+        when(col("is_live") && col("raw_size") >= 0, col("raw_size"))
+          .as("size"),
+        col("last_version"))
+  }
 }

@@ -1494,10 +1494,76 @@ object Round10Queries3 {
                            ELSE doc_id % 50 END) AS BIGINT) AS max_version
       FROM g"""))
 
+  /** STREAMING delta-replay STATE under the oracle gate — the q208/
+    * q209 protocol applied to table-state maintenance: the EXACT
+    * `mapGroupsWithState` function the continuous
+    * [[graft.operators.DeltaReplay.replayStream]] twin executes (per-
+    * path fold with the newer-than-held guard, so stale late actions
+    * cannot regress state) runs here in BATCH mode over the same
+    * synthesized action log as q262, and its aggregated table state
+    * must hash-match the closed-form oracle. StreamingSpec separately
+    * proves stream == batch at every micro-batch prefix; this query
+    * puts the state transition itself on the DuckDB gate.
+    */
+  val q263DeltaReplayStream: QueryDef = QueryDef(
+    "q263_delta_replay_stream",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+      val adds = d.select(
+        (col("doc_id") % 50).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n")).as("line"))
+      val removes = d.filter(col("v") % 3 === 0).select(
+        (lit(50L) + col("v") % 10).as("version"),
+        format_string(
+          """{"remove":{"path":"part-%d","deletionTimestamp":%d}}""",
+          col("doc_id"), col("n") * 1000L).as("line"))
+      val readds = d.filter(col("v") % 9 === 0).select(
+        (lit(65L) + col("v") % 5).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n") * 2L).as("line"))
+      val log = adds.unionAll(removes).unionAll(readds)
+      graft.operators.DeltaReplay.replayStream(log)
+        .agg(
+          count(lit(1)).as("n_paths"),
+          sum(when(col("is_live"), 1L).otherwise(0L)).as("n_live"),
+          sum(when(!col("is_live"), 1L).otherwise(0L)).as("n_tombstones"),
+          coalesce(sum(col("size")), lit(0L)).as("live_bytes"),
+          max(col("last_version")).as("max_version"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CASE WHEN v % 3 = 0 THEN 1 ELSE 0 END AS removed,
+                   CASE WHEN v % 9 = 0 THEN 1 ELSE 0 END AS readded
+            FROM d)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_paths,
+             CAST(SUM(CASE WHEN removed = 0 OR readded = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_live,
+             CAST(SUM(CASE WHEN removed = 1 AND readded = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tombstones,
+             CAST(SUM(CASE WHEN readded = 1 THEN 2 * n
+                           WHEN removed = 0 THEN n ELSE 0 END)
+               AS BIGINT) AS live_bytes,
+             CAST(MAX(CASE WHEN readded = 1 THEN 65 + v % 5
+                           WHEN removed = 1 THEN 50 + v % 10
+                           ELSE doc_id % 50 END) AS BIGINT) AS max_version
+      FROM g"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
-      q261ArrowIpc, q262DeltaReplay)
+      q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream)
 }

@@ -684,4 +684,52 @@ class StreamingSpec extends SparkTestBase {
         .map(_.getLong(0)).toSet == Set(1L, 3L, 10L, 20L))
     } finally q.stop()
   }
+  test("streaming delta replay equals batch replay at every log prefix") {
+    import graft.operators.DeltaReplay
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DeltaReplay.replayStream(mem.toDS().toDF("version", "line"))
+      .writeStream.format("memory").queryName("delta_replay_test")
+      .outputMode("update").start()
+    try {
+      def add(p: String, size: Long, v: Long) =
+        (v, s"""{"add":{"path":"$p","size":$size,"dataChange":true}}""")
+      def remove(p: String, v: Long) =
+        (v, s"""{"remove":{"path":"$p","deletionTimestamp":1}}""")
+      val noise = (0L, """{"commitInfo":{"operation":"WRITE"}}""")
+      val batch1 = Seq(add("a", 10, 0), add("b", 20, 0), noise,
+        remove("a", 1))
+      val batch2 = Seq(add("a", 30, 2), remove("b", 3), add("c", 5, 3),
+        // a LATE, stale action: must not regress c's state
+        add("c", 999, 1))
+      var seen = Vector.empty[(Long, String)]
+      Seq(batch1, batch2).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        // latest streamed state per path: (last_version, is_live) only
+        // grows, so the max emission IS this prefix's state
+        val streamed = spark.table("delta_replay_test").collect()
+          .map(r => (r.getString(0),
+            (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+              r.getLong(3))))
+          .groupBy(_._1)
+          .map { case (p, es) =>
+            p -> es.map(_._2).maxBy(e => (e._3, e._1)) }
+        val batchState = DeltaReplay.replay(
+          seen.toDF("version", "line")).collect()
+          .map(r => r.getString(0) ->
+            ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+              r.getLong(3)))).toMap
+        assert(streamed == batchState, s"prefix ${seen.size}")
+      }
+      // final semantic check: a resurrected, b tombstoned, c live with
+      // the NEWER version's size despite the stale late add
+      val fin = DeltaReplay.replay(seen.toDF("version", "line")).collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      assert(fin("a") == ((true, 30L)))
+      assert(fin("b") == ((false, -1L)))
+      assert(fin("c") == ((true, 5L)))
+    } finally q.stop()
+  }
 }
