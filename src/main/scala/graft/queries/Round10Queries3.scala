@@ -1560,10 +1560,110 @@ object Round10Queries3 {
                            ELSE doc_id % 50 END) AS BIGINT) AS max_version
       FROM g"""))
 
+  /** SFT CHAT-TEMPLATE RENDERING under the oracle gate — the step
+    * that turns conversations into training strings: per document, a
+    * synthetic conversation (optional system turn, alternating
+    * user/assistant turns of varying token widths) renders through
+    * [[graft.operators.SftFormat]] — the ChatML-style template, the
+    * greedy keep-the-newest-whole-turns TOKEN-BUDGET truncation with
+    * the system turn always surviving, and the LOSS-MASK accounting
+    * (assistant-content characters, the only spans SFT trains on).
+    * The oracle rebuilds the suffix selection (a list_filter over
+    * suffix sums), the kept-token totals, the per-role rendered
+    * length arithmetic, and the mask totals in closed form — an
+    * off-by-one in the greedy boundary moves every downstream number.
+    */
+  val q264SftFormat: QueryDef = QueryDef(
+    "q264_sft_format",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.SftFormat
+        import graft.operators.SftFormat.Turn
+        val hasSys = r.v % 4 == 0
+        val k = 3 + r.n % 6
+        def word(len: Int, ch: Int): String =
+          ('a' + ch % 26).toChar.toString * len
+        val sysTurn =
+          if (hasSys) {
+            val w = word(1 + r.v % 3, r.v)
+            Seq(Turn("system", s"$w $w"))
+          } else Nil
+        val rest = (0 until k).map { j =>
+          val w = word(1 + (r.v + j) % 4, r.n + j)
+          val t = 2 + (r.n + j) % 8
+          Turn(if (j % 2 == 0) "user" else "assistant",
+            Seq.fill(t)(w).mkString(" "))
+        }
+        val budget = 10 + r.n % 30
+        val out = SftFormat.render(sysTurn ++ rest, budget)
+        require(out.keptTokens <= budget,
+          s"budget exceeded: doc ${r.doc_id}")
+        (r.doc_id, sysTurn.length + k, out.keptTurns, out.keptTokens,
+          out.assistantTurns, out.assistantChars,
+          out.text.length.toLong, out.firstKeptRole)
+      }
+      probed.toDF("doc_id", "n_turns_in", "kept_turns", "kept_tokens",
+          "assistant_turns", "assistant_chars", "rendered_chars",
+          "first_kept_role")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CASE WHEN v % 4 = 0 THEN 1 ELSE 0 END AS hassys,
+                   3 + n % 6 AS k,
+                   10 + n % 30 AS b,
+                   1 + v % 3 AS wls
+            FROM d),
+      t AS (SELECT *,
+                   list_transform(range(k), j -> 2 + (n + j) % 8) AS toks,
+                   list_transform(range(k), j ->
+                     (2 + (n + j) % 8) * (1 + (v + j) % 4 + 1) - 1) AS chs,
+                   b - hassys * 2 AS avail
+            FROM g),
+      u AS (SELECT *,
+                   len(list_filter(range(k), j ->
+                     list_sum(list_slice(toks, j + 1, k)) > avail)) AS m
+            FROM t)
+      SELECT doc_id,
+             CAST(hassys + k AS INTEGER) AS n_turns_in,
+             CAST(hassys + k - m AS INTEGER) AS kept_turns,
+             CAST(hassys * 2
+                  + coalesce(list_sum(list_slice(toks, m + 1, k)), 0)
+               AS INTEGER) AS kept_tokens,
+             CAST(len(list_filter(range(k), j ->
+               j >= m AND j % 2 = 1)) AS INTEGER) AS assistant_turns,
+             CAST(coalesce(list_sum(list_transform(range(k), j ->
+               CASE WHEN j >= m AND j % 2 = 1 THEN chs[j + 1] ELSE 0 END)), 0)
+               AS BIGINT) AS assistant_chars,
+             CAST(hassys * (24 + 6 + 2 * (wls + 1) - 1)
+                  + coalesce(list_sum(list_transform(range(k), j ->
+                      CASE WHEN j >= m
+                           THEN 24 + (CASE WHEN j % 2 = 0 THEN 4 ELSE 9 END)
+                                + chs[j + 1]
+                           ELSE 0 END)), 0)
+               AS BIGINT) AS rendered_chars,
+             CASE WHEN hassys = 1 THEN 'system'
+                  WHEN m = k THEN ''
+                  WHEN m % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS first_kept_role
+      FROM u ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
-      q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream)
+      q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
+      q264SftFormat)
 }
