@@ -19,8 +19,14 @@ package graft.operators
   * BOM) exist in all versions, 02 (UTF-16BE) and 03 (UTF-8) in v2.4
   * only.
   *
+  * The v2.2/v2.3 whole-tag UNSYNCHRONISATION scheme is decoded for
+  * real: when flag bit 7 is set, every FF 00 pair in the tag body
+  * collapses back to FF before the frame walk (sizes and offsets per
+  * the spec describe the decoded stream); v2.4's per-frame unsync
+  * remains a decline.
+  *
   * Hostile-byte posture: [[parse]] never throws. Truncated headers,
-  * unsupported flag bits (unsynchronisation, extended header, footer),
+  * unsupported flag bits (extended header, footer, v2.4 unsync),
   * non-[A-Z0-9] frame ids, frame flag bits set (compression, encryption),
   * a frame overrunning the tag, an encoding code invalid for the version,
   * a BOM-less encoding-01 body, odd-length UTF-16, non-zero padding
@@ -39,7 +45,8 @@ object Id3 {
     * span [[MpegFrames.probe]] reports as `id3v2Bytes`.
     */
   final case class Id3Tag(major: Int, tagBytes: Int,
-      frames: Vector[Id3Frame], paddingBytes: Int) {
+      frames: Vector[Id3Frame], paddingBytes: Int,
+      unsync: Boolean = false) {
     def nFrames: Int = frames.length
     /** First decoded text for a frame id (tags may repeat ids). */
     def text(id: String): Option[String] =
@@ -65,46 +72,69 @@ object Id3 {
     val major = b(3) & 0xff
     if (major != 2 && major != 3 && major != 4) return None
     if ((b(4) & 0xff) == 0xff) return None // revision 0xff is forbidden
-    if ((b(5) & 0xff) != 0) return None // no unsync/compression/ext/footer
+    val flags = b(5) & 0xff
+    // bit 7 = unsynchronisation (whole-tag form, v2.2/v2.3); the other
+    // flag bits (compression/ext-header/footer, per-frame v2.4 unsync)
+    // stay declines
+    val unsync = (flags & 0x80) != 0
+    if ((flags & 0x7f) != 0) return None
+    if (unsync && major == 4) return None // v2.4 unsync is per-frame
     val size = syncsafe(b, 6).getOrElse(return None)
-    val end = 10 + size
-    if (end > b.length) return None
+    if (10 + size > b.length) return None
+    // de-unsynchronisation: every FF 00 pair in the tag body collapses
+    // back to FF (the scheme that keeps false MPEG sync words out of
+    // the tag); frame offsets below are relative to the DECODED body
+    val body: Array[Byte] =
+      if (!unsync) java.util.Arrays.copyOfRange(b, 10, 10 + size)
+      else {
+        val out = new java.io.ByteArrayOutputStream(size)
+        var i = 10
+        while (i < 10 + size) {
+          out.write(b(i))
+          if ((b(i) & 0xff) == 0xff && i + 1 < 10 + size && b(i + 1) == 0)
+            i += 2
+          else i += 1
+        }
+        out.toByteArray
+      }
+    val end = body.length
+    val tagSpan = 10 + size
     val idLen = if (major == 2) 3 else 4
     val hdrLen = if (major == 2) 6 else 10
     val txx = if (major == 2) "TXX" else "TXXX"
-    var pos = 10
+    var pos = 0
     val frames = Vector.newBuilder[Id3Frame]
     var padding = 0
     while (pos < end && padding == 0) {
-      if (b(pos) == 0) {
+      if (body(pos) == 0) {
         // padding runs to the end of the tag and must be all zeros
         var i = pos
-        while (i < end) { if (b(i) != 0) return None; i += 1 }
+        while (i < end) { if (body(i) != 0) return None; i += 1 }
         padding = end - pos
       } else {
         if (pos + hdrLen > end) return None
-        val id = new String(b, pos, idLen, "US-ASCII")
+        val id = new String(body, pos, idLen, "US-ASCII")
         if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
           return None
         val fsz: Int = major match {
           case 2 =>
-            ((b(pos + 3) & 0xff) << 16) | ((b(pos + 4) & 0xff) << 8) |
-              (b(pos + 5) & 0xff)
-          case 4 => syncsafe(b, pos + 4).getOrElse(return None)
+            ((body(pos + 3) & 0xff) << 16) | ((body(pos + 4) & 0xff) << 8) |
+              (body(pos + 5) & 0xff)
+          case 4 => syncsafe(body, pos + 4).getOrElse(return None)
           case _ =>
-            val v = be32(b, pos + 4)
+            val v = be32(body, pos + 4)
             if (v > Int.MaxValue) return None
             v.toInt
         }
         if (fsz < 1) return None // "a frame must be at least 1 byte big"
-        if (major != 2 && (b(pos + 8) != 0 || b(pos + 9) != 0))
+        if (major != 2 && (body(pos + 8) != 0 || body(pos + 9) != 0))
           return None // no frame flags (v2.2 frames have none at all)
         val bodyStart = pos + hdrLen
         if (fsz > end - bodyStart) return None
         if (id.startsWith("T") && id != txx) {
-          val enc = b(bodyStart) & 0xff
+          val enc = body(bodyStart) & 0xff
           if (enc > (if (major == 4) 3 else 1)) return None
-          val raw = java.util.Arrays.copyOfRange(b, bodyStart + 1, bodyStart + fsz)
+          val raw = java.util.Arrays.copyOfRange(body, bodyStart + 1, bodyStart + fsz)
           val decoded: String = enc match {
             case 0 => new String(raw, "ISO-8859-1")
             case 1 =>
@@ -131,7 +161,7 @@ object Id3 {
     }
     val fs = frames.result()
     if (fs.isEmpty) return None // spec: a tag MUST contain at least one frame
-    Some(Id3Tag(major, end, fs, padding))
+    Some(Id3Tag(major, tagSpan, fs, padding, unsync))
   }
 
   /** Synthesize a VALID ID3v2 tag: text frames as (id, text, encoding)
@@ -142,9 +172,11 @@ object Id3 {
     * bytes don't say.
     */
   def synthTag(major: Int, textFrames: Seq[(String, String, Int)],
-      padding: Int, binFrames: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+      padding: Int, binFrames: Seq[(String, Array[Byte])] = Nil,
+      unsync: Boolean = false): Array[Byte] = {
     require(major == 2 || major == 3 || major == 4,
       s"unsupported ID3v2 major $major")
+    require(!(unsync && major == 4), "v2.4 unsync is per-frame: not synthesized")
     require(padding >= 0)
     val idLen = if (major == 2) 3 else 4
     val body = new java.io.ByteArrayOutputStream()
@@ -180,11 +212,24 @@ object Id3 {
       body.write(bytes, 0, bytes.length)
     }
     (0 until padding).foreach(_ => body.write(0))
-    val bb = body.toByteArray
+    val plain = body.toByteArray
+    // unsynchronisation: every FF byte gains a 00 successor so no false
+    // MPEG sync word survives inside the tag (the declared size counts
+    // the ENCODED form)
+    val bb =
+      if (!unsync) plain
+      else {
+        val o = new java.io.ByteArrayOutputStream(plain.length)
+        plain.foreach { x =>
+          o.write(x)
+          if ((x & 0xff) == 0xff) o.write(0)
+        }
+        o.toByteArray
+      }
     require(bb.length < (1 << 28), "tag body exceeds the syncsafe size form")
     val out = new java.io.ByteArrayOutputStream()
     out.write('I'); out.write('D'); out.write('3')
-    out.write(major); out.write(0); out.write(0)
+    out.write(major); out.write(0); out.write(if (unsync) 0x80 else 0)
     Seq(21, 14, 7, 0).foreach(sh => out.write((bb.length >> sh) & 0x7f))
     out.write(bb, 0, bb.length)
     out.toByteArray

@@ -1659,11 +1659,115 @@ object Round10Queries3 {
                AS first_kept_role
       FROM u ORDER BY doc_id"""))
 
+  /** ID3v2 UNSYNCHRONISATION under the oracle gate — the last ID3
+    * decline turned real: per document, a v2.2 or v2.3 tag whose
+    * UCS-2 text frames guarantee 0xFF bytes (the BOM's second half)
+    * is synthesized WITH the whole-tag unsynchronisation scheme on
+    * even hashes — every FF gains a 00 successor and the declared
+    * size counts the ENCODED form — then [[graft.operators.Id3.parse]]
+    * collapses the FF 00 pairs back before the frame walk and
+    * [[graft.operators.MpegFrames.probe]] skips the same tag by its
+    * declared size, cross-checked row by row over a real MPEG stream.
+    * The oracle counts the FF bytes in closed form (exactly one per
+    * UCS-2 frame here), so an encoder or decoder that misses one pair
+    * shifts `tag_bytes` and `file_bytes` into the hash.
+    */
+  val q265Id3Unsync: QueryDef = QueryDef(
+    "q265_id3_unsync",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.{Id3, MpegFrames}
+        val major = 2 + r.n % 2
+        val unsync = r.v % 2 == 0
+        val (tTitle, tArtist, tAlbum) =
+          if (major == 2) ("TT2", "TP1", "TAL") else ("TIT2", "TPE1", "TALB")
+        val title = "t" + ('a' + r.v % 26).toChar.toString * (1 + r.n % 6)
+        val artist = "a" + ('a' + (r.n + r.v) % 26).toChar.toString * (1 + r.v % 4)
+        val album = "b" + ('a' + r.n % 26).toChar.toString * (1 + (r.n + r.v) % 5)
+        val tagBytes = Id3.synthTag(major,
+          Seq((tTitle, title, 1), (tArtist, artist, 1), (tAlbum, album, 1)),
+          padding = 0, unsync = unsync)
+        val layer = 1 + r.v % 3
+        val srIdx = r.n % 3
+        val k = 2 + r.v % 3
+        val frames = (0 until k).map(j => (1 + (r.v + j) % 14, (r.n + j) % 2 == 0))
+        val bytes = tagBytes ++ MpegFrames.synthStream(
+          layer, srIdx, frames, (fi, j) => (fi * 17 + j * 3) % 251)
+        val info = MpegFrames.probe(bytes)
+          .getOrElse(sys.error(s"stream failed to probe: doc ${r.doc_id}"))
+        val tag = Id3.parse(bytes)
+          .getOrElse(sys.error(s"tag failed to parse: doc ${r.doc_id}"))
+        require(info.id3v2Bytes == tag.tagBytes,
+          s"tag-span disagreement on doc ${r.doc_id}")
+        (r.doc_id, tag.major, tag.unsync, tag.tagBytes.toLong, tag.nFrames,
+          tag.text(tTitle).orNull, tag.text(tArtist).orNull,
+          tag.text(tAlbum).orNull, info.nFrames, info.durationMs,
+          bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "major", "unsync", "tag_bytes", "n_id3_frames",
+          "title", "artist", "album", "n_mpeg_frames", "duration_ms",
+          "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   2 + n % 2 AS major,
+                   CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END AS uns,
+                   CASE WHEN n % 2 = 0 THEN 6 ELSE 10 END AS hdr,
+                   2 + n % 6 AS len_t,
+                   2 + v % 4 AS len_a,
+                   2 + (n + v) % 5 AS len_b,
+                   CAST(1 + v % 3 AS INTEGER) AS layer,
+                   [44100, 48000, 32000][n % 3 + 1] AS sr,
+                   2 + v % 3 AS k
+            FROM d),
+      t AS (SELECT *,
+                   (hdr + 1 + 2 + 2 * len_t)
+                 + (hdr + 1 + 2 + 2 * len_a)
+                 + (hdr + 1 + 2 + 2 * len_b)
+                 + uns * 3 AS tag_body,
+                   CASE WHEN layer = 1 THEN 384 ELSE 1152 END AS spf,
+                   list_transform(range(k), j ->
+                     [[32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+                      [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+                      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+                     ][layer][(v + j) % 14 + 1]) AS kbps,
+                   list_transform(range(k), j ->
+                     CASE WHEN (n + j) % 2 = 0 THEN 1 ELSE 0 END) AS pads
+            FROM g)
+      SELECT doc_id,
+             CAST(major AS INTEGER) AS major,
+             uns = 1 AS unsync,
+             CAST(10 + tag_body AS BIGINT) AS tag_bytes,
+             CAST(3 AS INTEGER) AS n_id3_frames,
+             't' || repeat(chr(CAST(97 + v % 26 AS INTEGER)), 1 + n % 6) AS title,
+             'a' || repeat(chr(CAST(97 + (n + v) % 26 AS INTEGER)), 1 + v % 4) AS artist,
+             'b' || repeat(chr(CAST(97 + n % 26 AS INTEGER)), 1 + (n + v) % 5) AS album,
+             CAST(k AS INTEGER) AS n_mpeg_frames,
+             CAST(CAST(k AS BIGINT) * spf * 1000 // sr AS BIGINT) AS duration_ms,
+             CAST(10 + tag_body + list_sum(list_transform(range(k), j ->
+               CASE WHEN layer = 1
+                    THEN (12000 * kbps[j + 1] // sr + pads[j + 1]) * 4
+                    ELSE 144000 * kbps[j + 1] // sr + pads[j + 1] END))
+               AS BIGINT) AS file_bytes
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
-      q264SftFormat)
+      q264SftFormat, q265Id3Unsync)
 }

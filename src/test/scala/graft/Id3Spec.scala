@@ -55,6 +55,32 @@ class Id3Spec extends AnyFunSuite {
     assert(Id3.parse(b2).isEmpty)
   }
 
+  test("unsynchronisation round trip: FF 00 pairs collapse before the walk") {
+    // UCS-2 text carries a guaranteed 0xFF byte (the BOM's second half)
+    val frames = Seq(("TIT2", "hi", 1), ("TPE1", "y\u00ff", 0))
+    val plain = Id3.synthTag(3, frames, padding = 4)
+    val uns = Id3.synthTag(3, frames, padding = 4, unsync = true)
+    assert(uns.length > plain.length) // FF bytes really gained successors
+    assert((uns(5) & 0x80) != 0)
+    val t = Id3.parse(uns).get
+    assert(t.unsync && !Id3.parse(plain).get.unsync)
+    assert(t.text("TIT2").contains("hi"))
+    assert(t.text("TPE1").contains("y\u00ff"))
+    assert(t.paddingBytes == 4)
+    assert(t.tagBytes == uns.length) // the ENCODED span is the tag span
+    // decoded content identical to the plain form's
+    val p = Id3.parse(plain).get
+    assert(t.frames == p.frames)
+    // v2.2 unsync works too; v2.4 whole-tag unsync declines
+    val u22 = Id3.synthTag(2, Seq(("TT2", "a\u00ff", 0)), 0, unsync = true)
+    assert(Id3.parse(u22).get.text("TT2").contains("a\u00ff"))
+    intercept[IllegalArgumentException](
+      Id3.synthTag(4, Seq(("TIT2", "a", 0)), 0, unsync = true))
+    val v24 = Id3.synthTag(4, Seq(("TIT2", "a", 0)), 0)
+    val flagged = v24.clone(); flagged(5) = 0x80.toByte
+    assert(Id3.parse(flagged).isEmpty)
+  }
+
   test("v2.3 uses plain 32-bit frame sizes") {
     val b = Id3.synthTag(3, basic, padding = 0)
     val t = Id3.parse(b).get
@@ -120,8 +146,8 @@ class Id3Spec extends AnyFunSuite {
     }
     assert(Id3.parse(Array.empty[Byte]).isEmpty)
     assert(Id3.parse("ID3".getBytes).isEmpty) // truncated header
-    assert(mut(_(3) = 2).isEmpty) // v2.2 unsupported
-    assert(mut(_(5) = 0x80.toByte).isEmpty) // unsynchronisation flag
+    assert(mut(_(3) = 2).isEmpty) // v2.4 frames misparse as v2.2 layout
+    assert(mut(_(5) = 0x80.toByte).isEmpty) // v2.4 whole-tag unsync declines
     assert(mut(_(5) = 0x40.toByte).isEmpty) // extended header flag
     assert(mut(_(9) = (good(9) + 40).toByte).isEmpty) // tag overruns input
     assert(mut(_(6) = 0x80.toByte).isEmpty) // non-syncsafe tag size
