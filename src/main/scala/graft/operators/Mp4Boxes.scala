@@ -91,7 +91,8 @@ object Mp4Boxes {
   final case class SampleTables(sampleCount: Long, sttsDuration: Long,
       totalSampleBytes: Long, uniformSize: Option[Long], chunkCount: Long,
       ctts: Option[CttsSummary] = None, chunkOffsetSum: Long = 0L,
-      co64: Boolean = false, sync: Option[SyncSummary] = None)
+      co64: Boolean = false, sync: Option[SyncSummary] = None,
+      stsc: Option[StscSummary] = None)
 
   /** ctts summary: run-length entry count, max per-sample composition
     * offset, and the sum of offsets over all samples (exact, signed).
@@ -107,6 +108,15 @@ object Mp4Boxes {
     */
   final case class SyncSummary(count: Long, first: Long, last: Long,
       maxGap: Long)
+
+  /** stsc (sample-to-chunk) summary: run-length entry count, the
+    * largest samples-per-chunk value, and the total sample count the
+    * runs IMPLY over the chunk table — which must equal the stts
+    * sample count (enforced; the strongest cross-table invariant in
+    * the stbl).
+    */
+  final case class StscSummary(entryCount: Long, maxPerChunk: Long,
+      impliedSamples: Long)
 
   /** One elst edit: `segmentDuration` ticks in the MOVIE timescale,
     * `mediaTime` in the MEDIA timescale (-1 = empty edit: nothing is
@@ -478,9 +488,45 @@ object Mp4Boxes {
         if (covered != sttsCount) return None
         Some(CttsSummary(nCt, if (nCt == 0) 0L else maxOff, sumOff))
     }
+    // stsc: optional; first_chunk strictly increasing from 1, and the
+    // implied sample total over the chunk table must equal sttsCount
+    val stsc: Option[StscSummary] = stblKids.find(_.typ == "stsc") match {
+      case None => None
+      case Some(sc) =>
+        if (fullVer(b, sc).getOrElse(return None) != 0 || sc.len < 8)
+          return None
+        val nE = be32(b, sc.start + 4)
+        if (sc.len.toLong != 8 + 12 * nE || nE < 1) return None
+        var implied = 0L
+        var maxSpc = 0L
+        var prevFirst = 0L
+        var prevSpc = 0L
+        var j = 0L
+        while (j < nE) {
+          val o = sc.start + 8 + 12 * j.toInt
+          val first = be32(b, o)
+          val spc = be32(b, o + 4)
+          val sdi = be32(b, o + 8)
+          if (sdi != 1) return None // one stsd entry in this scope
+          if (spc < 1) return None
+          if (j == 0) { if (first != 1) return None }
+          else {
+            if (first <= prevFirst) return None
+            implied += (first - prevFirst) * prevSpc
+          }
+          if (spc > maxSpc) maxSpc = spc
+          prevFirst = first
+          prevSpc = spc
+          j += 1
+        }
+        if (prevFirst > nC) return None // a run starting past the chunks
+        implied += (nC - prevFirst + 1) * prevSpc
+        if (implied != sttsCount) return None // cross-table invariant
+        Some(StscSummary(nE, maxSpc, implied))
+    }
     Some(Some(SampleTables(sttsCount, sttsDur, totalBytes,
       if (uniform != 0) Some(uniform) else None, nC, ctts, offSum,
-      isCo64, sync)))
+      isCo64, sync, stsc)))
   }
 
   // ------------------------------------------------------------------
@@ -503,7 +549,8 @@ object Mp4Boxes {
       edits: Seq[(Long, Long, Int)] = Nil,
       cttsRuns: Seq[(Long, Long)] = Nil,
       useCo64: Boolean = false,
-      syncSamples: Seq[Long] = Nil)
+      syncSamples: Seq[Long] = Nil,
+      stscRuns: Seq[(Long, Long)] = Nil)
 
   /** One synthetic movie fragment for [[synthFragmented]]: per-sample
     * duration/size lists when present (trun flags 0x100/0x200), otherwise
@@ -612,7 +659,14 @@ object Mp4Boxes {
             else Seq(fullBox("stss", 0,
               (u32(t.syncSamples.size.toLong) +:
                 t.syncSamples.map(u32)): _*))
-          Seq(stts, stsz, chunkBox) ++ stssBox
+          val stscBox: Seq[Array[Byte]] =
+            if (t.stscRuns.isEmpty) Nil
+            else Seq(fullBox("stsc", 0,
+              (u32(t.stscRuns.size.toLong) +:
+                t.stscRuns.flatMap { case (first, spc) =>
+                  Seq(u32(first), u32(spc), u32(1L))
+                }): _*))
+          Seq(stts, stsz, chunkBox) ++ stssBox ++ stscBox
         }
       val cttsBox: Seq[Array[Byte]] =
         if (t.cttsRuns.isEmpty) Nil

@@ -1763,11 +1763,91 @@ object Round10Queries3 {
                AS BIGINT) AS file_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** MP4 SAMPLE-TO-CHUNK TABLES under the oracle gate — the last stbl
+    * member (stts/stsz/stco q229, ctts q235, stss/co64 q248, stsc
+    * HERE): per document, a two-run chunking schedule — the first
+    * chunks carry `a` samples each, the tail chunks `b` — whose
+    * IMPLIED sample total over the chunk table must equal the stts
+    * count ([[graft.operators.Mp4Boxes.probe]] enforces the
+    * cross-table invariant; the spec proves a lying run schedule,
+    * non-increasing first_chunk, a first run not at chunk 1, and a
+    * run past the chunk count all reject). The oracle recomputes the
+    * schedule arithmetic and the file geometry in closed form.
+    */
+  val q266Mp4Stsc: QueryDef = QueryDef(
+    "q266_mp4_stsc",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.Mp4Boxes
+        import graft.operators.Mp4Boxes.SynthTrack
+        val c = 3 + r.n % 6
+        val a = 2 + r.v % 4
+        val b2 = 1 + r.n % 3
+        val m = 2 + r.v % (c - 1)
+        val ns = (m - 1) * a + (c - m + 1) * b2
+        val mdatLen = 10 + r.v % 9
+        val vt = SynthTrack(1, "vide", "avc1", 640, 360, 600,
+          ns.toLong * 100, "eng",
+          sttsEntries = Seq((ns.toLong, 100L)),
+          sizes = Some(Left(40L)), chunks = c,
+          stscRuns = Seq((1L, a.toLong), (m.toLong, b2.toLong)))
+        val bytes = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600,
+          ns.toLong * 100, Seq(vt), mdatLen, i => (i * 13 + 1) % 251)
+        val info = Mp4Boxes.probe(bytes)
+          .getOrElse(sys.error(s"mp4 failed to probe: doc ${r.doc_id}"))
+        val st = info.tracks.head.samples
+          .getOrElse(sys.error(s"no sample tables: doc ${r.doc_id}"))
+        val sc = st.stsc
+          .getOrElse(sys.error(s"no stsc: doc ${r.doc_id}"))
+        require(sc.impliedSamples == st.sampleCount,
+          s"invariant broke: doc ${r.doc_id}")
+        (r.doc_id, st.sampleCount, st.chunkCount, sc.entryCount,
+          sc.maxPerChunk, sc.impliedSamples, st.totalSampleBytes,
+          bytes.length.toLong)
+      }
+      probed.toDF("doc_id", "n_samples", "n_chunks", "stsc_entries",
+          "max_per_chunk", "implied_samples", "sample_bytes", "file_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   3 + n % 6 AS c,
+                   2 + v % 4 AS a,
+                   1 + n % 3 AS b2,
+                   10 + v % 9 AS mdatlen
+            FROM d),
+      t AS (SELECT *,
+                   2 + v % (c - 1) AS m
+            FROM g),
+      u AS (SELECT *,
+                   (m - 1) * a + (c - m + 1) * b2 AS ns
+            FROM t)
+      SELECT doc_id,
+             CAST(ns AS BIGINT) AS n_samples,
+             CAST(c AS BIGINT) AS n_chunks,
+             CAST(2 AS BIGINT) AS stsc_entries,
+             CAST(greatest(a, b2) AS BIGINT) AS max_per_chunk,
+             CAST(ns AS BIGINT) AS implied_samples,
+             CAST(CAST(ns AS BIGINT) * 40 AS BIGINT) AS sample_bytes,
+             CAST(465 + 4 * c + mdatlen AS BIGINT) AS file_bytes
+      FROM u ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
-      q264SftFormat, q265Id3Unsync)
+      q264SftFormat, q265Id3Unsync, q266Mp4Stsc)
 }

@@ -204,6 +204,37 @@ class Mp4BoxesSpec extends AnyFunSuite {
     assert(Mp4Boxes.probe(both).isEmpty)
   }
 
+  test("stsc sample-to-chunk runs: implied total must match stts") {
+    // 10 samples over 4 chunks: chunks 1-2 carry 3 each, chunks 3-4 carry 2
+    val vt = vTrack.copy(
+      sttsEntries = Seq((10L, 100L)),
+      sizes = Some(Left(32L)),
+      chunks = 4,
+      stscRuns = Seq((1L, 3L), (3L, 2L)))
+    val b = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 1000,
+      Seq(vt), 8, _ => 5)
+    val st = Mp4Boxes.probe(b).get.tracks.head.samples.get
+    val sc = st.stsc.get
+    assert(sc == Mp4Boxes.StscSummary(2, 3, 10))
+    // a run schedule implying the WRONG total rejects: flip samples-per-
+    // chunk of run 2 from 2 to 3 (implies 12 != 10)
+    val stscMagic = "stsc".getBytes("US-ASCII")
+    val sOff = b.indices.find(i => i + 4 <= b.length &&
+      b.slice(i, i + 4).sameElements(stscMagic)).get - 4
+    // entries at sOff+16: (first,spc,sdi) x2 -> run2 spc at +16+12+4
+    val bad = b.clone(); bad(sOff + 16 + 12 + 4 + 3) = 3
+    assert(Mp4Boxes.probe(bad).isEmpty)
+    // non-increasing first_chunk rejects (run2 first: 3 -> 1)
+    val nonInc = b.clone(); nonInc(sOff + 16 + 12 + 3) = 1
+    assert(Mp4Boxes.probe(nonInc).isEmpty)
+    // first run not starting at chunk 1 rejects
+    val late = b.clone(); late(sOff + 16 + 3) = 2
+    assert(Mp4Boxes.probe(late).isEmpty)
+    // a run starting past the chunk count rejects (run2 first: 3 -> 9)
+    val past = b.clone(); past(sOff + 16 + 12 + 3) = 9
+    assert(Mp4Boxes.probe(past).isEmpty)
+  }
+
   test("fragmented (CMAF) files: trun accounting across all three " +
     "default-resolution levels") {
     val t = vTrack // no stbl tables
