@@ -29,7 +29,11 @@ object ProtoLite {
     def msg(id: Int): Option[PMsg] = bytes(id).flatMap(b => parse(b))
     def msgs(id: Int): Vector[PMsg] =
       fields.getOrElse(id, Vector.empty).collect { case PBytes(b) => b }
-        .map(b => parse(b).getOrElse(return Vector.empty))
+        .map(b => parse(b).getOrElse(
+          // fail loudly: a malformed nested message must reject the whole
+          // probe (the callers' NonFatal catch turns this into None), not
+          // silently shrink a repeated field
+          throw new RuntimeException("malformed nested message")))
   }
 
   /** sint64 decode: protobuf zigzag over a raw varint. */
