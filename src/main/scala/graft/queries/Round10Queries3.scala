@@ -1843,11 +1843,91 @@ object Round10Queries3 {
              CAST(465 + 4 * c + mdatlen AS BIGINT) AS file_bytes
       FROM u ORDER BY doc_id"""))
 
+  /** CSV DIALECT INFERENCE under the oracle gate — the
+    * delimiter-ambiguity step real ingest piles force: per document,
+    * REAL RFC 4180 text is rendered under a doc-chosen delimiter with
+    * every trap planted — a DIFFERENT candidate delimiter embedded
+    * inside an UNQUOTED field (that candidate then parses every record
+    * consistently at a LOWER arity, so only the max-arity rule, not
+    * mere consistency, lands on the truth), an escaped quote — then
+    * [[graft.operators.CsvDialect.infer]] scores candidates with the
+    * quote-aware parse and [[graft.operators.CsvDialect.parse]]
+    * round-trips the records. The oracle rebuilds the inferred
+    * dialect, the record/field counts, the trap-bearing first data
+    * cell, and the exact rendered character count (quoting overhead
+    * included) in closed form.
+    */
+  val q267CsvDialect: QueryDef = QueryDef(
+    "q267_csv_dialect",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.CsvDialect
+        val cands = Seq(',', ';', '\t', '|')
+        val delim = cands(r.v % 4)
+        val trap = cands((r.v + 1) % 4)
+        val k = 3 + r.n % 5
+        val rows = (0 until k).map { j =>
+          val f1 = "x" + trap +
+            ('a' + (r.v + j) % 26).toChar.toString * (1 + (r.n + j) % 4)
+          val f2 =
+            if (j == 1) "q\"z"
+            else ('a' + (r.n + j) % 26).toChar.toString * (1 + (r.v + j) % 5)
+          Seq(s"r$j", f1, f2)
+        }
+        val text = CsvDialect.render(rows, delim)
+        val d = CsvDialect.infer(text)
+          .getOrElse(sys.error(s"inference failed: doc ${r.doc_id}"))
+        require(d.delimiter == delim, s"wrong dialect: doc ${r.doc_id}")
+        val parsed = CsvDialect.parse(text, d.delimiter)
+          .getOrElse(sys.error(s"parse failed: doc ${r.doc_id}"))
+        require(parsed == rows.map(_.toVector).toVector,
+          s"round trip drift: doc ${r.doc_id}")
+        val name = Seq("comma", "semi", "tab", "pipe")(r.v % 4)
+        (r.doc_id, name, d.nFields, d.nRecords, d.anyQuoted,
+          parsed.head(1), parsed(1)(2), text.length.toLong)
+      }
+      probed.toDF("doc_id", "dialect", "n_fields", "n_records",
+          "any_quoted", "first_f1", "quoted_cell", "text_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 3 + n % 5 AS k FROM d),
+      t AS (SELECT *,
+                   -- row j: "rj"(2) + d + f1 UNQUOTED (the trap char is a
+                   -- DIFFERENT delimiter: 2 + 1+(n+j)%4) + d + f2 (6 quoted
+                   -- when j=1, else 1+(v+j)%5)
+                   list_sum(list_transform(range(k), j ->
+                     2 + 1 + (3 + (n + j) % 4) + 1 +
+                     (CASE WHEN j = 1 THEN 6 ELSE 1 + (v + j) % 5 END)))
+                   + (k - 1) AS chars
+            FROM g)
+      SELECT doc_id,
+             ['comma', 'semi', 'tab', 'pipe'][v % 4 + 1] AS dialect,
+             CAST(3 AS INTEGER) AS n_fields,
+             CAST(k AS INTEGER) AS n_records,
+             TRUE AS any_quoted,
+             'x' || [',', ';', chr(9), '|'][(v + 1) % 4 + 1]
+               || repeat(chr(97 + v % 26), 1 + n % 4) AS first_f1,
+             'q"z' AS quoted_cell,
+             CAST(chars AS BIGINT) AS text_chars
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
-      q264SftFormat, q265Id3Unsync, q266Mp4Stsc)
+      q264SftFormat, q265Id3Unsync, q266Mp4Stsc, q267CsvDialect)
 }
