@@ -1923,11 +1923,90 @@ object Round10Queries3 {
              CAST(chars AS BIGINT) AS text_chars
       FROM t ORDER BY doc_id"""))
 
+  /** ROBOTS.TXT EVALUATION under the oracle gate — the politeness
+    * gate a web corpus applies before fetching: per document, a real
+    * robots.txt (a `*` group with prefix/wildcard rules and a
+    * crawl-delay, a specific allow-all bot group on even hashes,
+    * sitemap lines, comments) is parsed by
+    * [[graft.operators.RobotsTxt.parse]] and a four-path battery is
+    * evaluated for both a named bot and an anonymous crawler —
+    * longest-match precedence, the Allow override inside a disallowed
+    * prefix, the `*` wildcard rule, and group fallback all land in
+    * the hash. The oracle replays every decision in closed form.
+    */
+  val q268RobotsTxt: QueryDef = QueryDef(
+    "q268_robots_txt",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.RobotsTxt
+        val c = ('a' + r.v % 26).toChar
+        val hasBot = r.v % 2 == 0
+        val delay = 1 + r.v % 9
+        val txt = new StringBuilder()
+          .append("# policy\n")
+          .append("User-agent: *\n")
+          .append("Disallow: /tmp/\n")
+          .append("Allow: /tmp/pub\n")
+          .append(s"Disallow: /$c*$c.bin\n")
+          .append(s"Crawl-delay: $delay\n\n")
+        if (hasBot) txt.append("User-agent: graftbot\nDisallow:\n\n")
+        (0 until 1 + r.n % 2).foreach(i =>
+          txt.append(s"Sitemap: https://ex.org/s$i.xml\n"))
+        val robots = RobotsTxt.parse(txt.toString)
+        val paths = Seq(s"/tmp/data${r.n % 10}", "/tmp/pub/x",
+          s"/${c}dir/file$c.bin", "/open")
+        def allowed(agent: String) =
+          paths.map(p => RobotsTxt.isAllowed(robots, agent, p))
+        val bot = allowed("graftbot")
+        val rand = allowed("randombot")
+        (r.doc_id, robots.groups.length, robots.nRules,
+          RobotsTxt.groupFor(robots, "randombot")
+            .flatMap(_.crawlDelay).getOrElse(-1L),
+          robots.sitemaps.length,
+          bot(0), rand(0), rand(1), bot(2), rand(2),
+          bot.count(identity), rand.count(identity))
+      }
+      probed.toDF("doc_id", "n_groups", "n_rules", "crawl_delay",
+          "n_sitemaps", "p1_bot", "p1_rand", "p2_rand", "p3_bot",
+          "p3_rand", "n_allowed_bot", "n_allowed_rand")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END AS hasbot
+            FROM d)
+      SELECT doc_id,
+             CAST(1 + hasbot AS INTEGER) AS n_groups,
+             CAST(3 AS INTEGER) AS n_rules,
+             CAST(1 + v % 9 AS BIGINT) AS crawl_delay,
+             CAST(1 + n % 2 AS INTEGER) AS n_sitemaps,
+             hasbot = 1 AS p1_bot,
+             FALSE AS p1_rand,
+             TRUE AS p2_rand,
+             hasbot = 1 AS p3_bot,
+             FALSE AS p3_rand,
+             CAST(CASE WHEN hasbot = 1 THEN 4 ELSE 2 END AS INTEGER)
+               AS n_allowed_bot,
+             CAST(2 AS INTEGER) AS n_allowed_rand
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
       q253ParquetFooterProbe, q254AvroOcf, q255ParquetPages, q256Utf8Scrub,
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
-      q264SftFormat, q265Id3Unsync, q266Mp4Stsc, q267CsvDialect)
+      q264SftFormat, q265Id3Unsync, q266Mp4Stsc, q267CsvDialect,
+      q268RobotsTxt)
 }
