@@ -2001,6 +2001,99 @@ object Round10Queries3 {
              CAST(2 AS INTEGER) AS n_allowed_rand
       FROM g ORDER BY doc_id"""))
 
+  /** SITEMAP XML under the oracle gate — the crawl frontier's seed
+    * list, completing the q268 politeness pair: per document, a REAL
+    * sitemaps.org file (a urlset of page entries, or a sitemapindex
+    * on every fifth hash) with `&amp;` entities inside the loc URLs —
+    * the classic trap: the query string `a=1&amp;b=2` must decode
+    * before the URL is fetched or deduped — is rendered and parsed
+    * back by [[graft.operators.Sitemap]]'s strict narrow-XML scanner.
+    * The oracle rebuilds the DECODED URLs, the per-field presence
+    * counts, and the exact rendered character count (entity encoding
+    * overhead included) in closed form.
+    */
+  val q269Sitemap: QueryDef = QueryDef(
+    "q269_sitemap",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.Sitemap
+        import graft.operators.Sitemap.Entry
+        val isIndex = r.v % 5 == 0
+        val k = 2 + r.n % 5
+        val entries = (0 until k).map { j =>
+          val host = ('a' + (r.v + j) % 26).toChar
+          val loc = s"https://$host.org/p$j?a=${r.n % 10}&b=$j"
+          Entry(loc,
+            if (j % 2 == 0) Some(f"2024-${1 + (r.v + j) % 12}%02d-01") else None,
+            None,
+            if (!isIndex && j == 0) Some("0." + (1 + r.v % 9)) else None)
+        }
+        val xml = Sitemap.render(isIndex, entries)
+        val info = Sitemap.parse(xml)
+          .getOrElse(sys.error(s"sitemap failed to parse: doc ${r.doc_id}"))
+        require(info.entries.map(_.loc) == entries.map(_.loc).toVector,
+          s"entity decode drift: doc ${r.doc_id}")
+        (r.doc_id, info.isIndex, info.nEntries,
+          info.entries.head.loc, info.entries.last.loc,
+          info.entries.count(_.lastmod.nonEmpty),
+          info.entries.flatMap(_.lastmod).headOption.orNull,
+          info.entries.count(_.priority.nonEmpty),
+          xml.length.toLong)
+      }
+      probed.toDF("doc_id", "is_index", "n_entries", "first_loc",
+          "last_loc", "n_lastmod", "first_lastmod", "n_priority",
+          "xml_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CASE WHEN v % 5 = 0 THEN 1 ELSE 0 END AS idx,
+                   2 + n % 5 AS k
+            FROM d),
+      -- rendered char arithmetic (all incl. the newline): decl 39;
+      -- root open 61 (urlset) / 67 (sitemapindex); root close 10/16;
+      -- per entry: open+close lines 11 + 2*len(tag); loc line 16 +
+      -- encoded loc (the one &amp; adds 4); lastmod line 34;
+      -- priority line 29
+      t AS (SELECT *,
+                   CASE WHEN idx = 1 THEN 7 ELSE 3 END AS taglen,
+                   list_sum(list_transform(range(k), j ->
+                     -- loc raw: https:// 8 + host 1 + .org/p 6 + len(j)
+                     -- + ?a= 3 + digit 1 + &b= 3 + len(j)
+                     22 + 2 * len(CAST(j AS VARCHAR)))) AS locraw,
+                   list_sum(list_transform(range(k), j ->
+                     CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END)) AS nlm
+            FROM g)
+      SELECT doc_id,
+             idx = 1 AS is_index,
+             CAST(k AS INTEGER) AS n_entries,
+             'https://' || chr(97 + v % 26) || '.org/p0?a='
+               || CAST(n % 10 AS VARCHAR) || '&b=0' AS first_loc,
+             'https://' || chr(97 + (v + k - 1) % 26) || '.org/p'
+               || CAST(k - 1 AS VARCHAR) || '?a=' || CAST(n % 10 AS VARCHAR)
+               || '&b=' || CAST(k - 1 AS VARCHAR) AS last_loc,
+             CAST((k + 1) // 2 AS INTEGER) AS n_lastmod,
+             '2024-' || CASE WHEN (v % 12) + 1 < 10 THEN '0' ELSE '' END
+               || CAST((v % 12) + 1 AS VARCHAR) || '-01' AS first_lastmod,
+             CAST(1 - idx AS INTEGER) AS n_priority,
+             CAST(39 + (CASE WHEN idx = 1 THEN 67 + 16 ELSE 61 + 10 END)
+                  + k * (11 + 2 * taglen)
+                  + k * 16 + locraw + 4 * k
+                  + nlm * 34
+                  + (1 - idx) * 29 AS BIGINT) AS xml_chars
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
@@ -2008,5 +2101,5 @@ object Round10Queries3 {
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
       q264SftFormat, q265Id3Unsync, q266Mp4Stsc, q267CsvDialect,
-      q268RobotsTxt)
+      q268RobotsTxt, q269Sitemap)
 }
