@@ -2094,6 +2094,61 @@ object Round10Queries3 {
                   + (1 - idx) * 29 AS BIGINT) AS xml_chars
       FROM t ORDER BY doc_id"""))
 
+  /** PERCENT-ENCODING NORMALIZATION under the oracle gate — the RFC
+    * 3986 §6.2.2 step that makes `%7Euser`, `%7euser`, and `~user`
+    * dedupe as one URL: per document, a URL carrying an unreserved
+    * escape in both hex cases, an ALPHA escape, a reserved escape in
+    * the wrong case, and an INVALID escape runs through the codegen'd
+    * [[graft.plans.PercentNormalize]] expression in the plan. The
+    * oracle rebuilds the normalized string in closed form — unreserved
+    * escapes decoded, the reserved escape's hex uppercased, the
+    * invalid escape untouched — so each rule's boundary lands in the
+    * hash.
+    */
+  val q270PercentNormalize: QueryDef = QueryDef(
+    "q270_percent_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val urls = src.map { r =>
+        val h = ('a' + r.v % 26).toChar
+        val e = if (r.n % 2 == 0) 'E' else 'e'
+        val hd = ('1' + r.v % 9).toChar
+        val f = if (r.v % 2 == 0) 'f' else 'F'
+        (r.doc_id, s"https://$h.org/%7${e}dir/p%4$hd?q=%2$f&bad=%G1")
+      }.toDF("doc_id", "url")
+      urls
+        .select(col("doc_id"), col("url"),
+          graft.plans.PercentNormalize(col("url")).as("normalized"))
+        .select(col("doc_id"), col("normalized"),
+          (col("normalized") =!= col("url")).as("changed"),
+          length(col("url")).cast("int").as("raw_chars"),
+          length(col("normalized")).cast("int").as("norm_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   'https://' || chr(97 + v % 26) || '.org/~dir/p'
+                     || chr(65 + v % 9) || '?q=%2F&bad=%G1' AS norm,
+                   -- raw: the two decoded escapes add 2 chars each back
+                   26 + 14 + 4 AS rawlen
+            FROM d)
+      SELECT doc_id,
+             norm AS normalized,
+             TRUE AS changed,
+             CAST(length(norm) + 4 AS INTEGER) AS raw_chars,
+             CAST(length(norm) AS INTEGER) AS norm_chars
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
@@ -2101,5 +2156,5 @@ object Round10Queries3 {
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
       q264SftFormat, q265Id3Unsync, q266Mp4Stsc, q267CsvDialect,
-      q268RobotsTxt, q269Sitemap)
+      q268RobotsTxt, q269Sitemap, q270PercentNormalize)
 }

@@ -204,6 +204,28 @@ class ExpressionSpec extends SparkTestBase {
     assert(r2(0).getString(0) == composed && r2(1).isNullAt(0))
   }
 
+  test("percent_normalize: unreserved escapes decode, reserved uppercase") {
+    val cases = Seq(
+      ("http://ex.org/%7Euser", "http://ex.org/~user"),
+      ("http://ex.org/%7euser", "http://ex.org/~user"),
+      ("/a%41%2d%5F.", "/aA-_."), // ALPHA, '-', '_' decode
+      ("/q%3fx%3D1%2fz", "/q%3Fx%3D1%2Fz"), // reserved: uppercase only
+      ("/ok%G1%4", "/ok%G1%4"), // invalid escapes pass through
+      ("/plain", "/plain"), ("", ""))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.plans.PercentNormalize(col("u")).as("n"))
+      .as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+    // interpreted path + null
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    import s2.implicits._
+    val r2 = Seq(Some("/x%2f%61"), None).toDF("u")
+      .select(graft.plans.PercentNormalize(col("u")).as("n")).collect()
+    assert(r2(0).getString(0) == "/x%2Fa" && r2(1).isNullAt(0))
+  }
+
   test("rolling-hash substring dedup finds the collision-free route's shared windows") {
     // the scale path (q121's bench variant) must mark the same per-doc
     // duplicated-window counts as a collision-free reference keyed by the
