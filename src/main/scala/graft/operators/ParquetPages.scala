@@ -15,11 +15,17 @@ import scala.util.control.NonFatal
   * the dictionary overflows). All layouts are from the public
   * parquet-format spec.
   *
+  * Both data-page generations decode: v1 (length-prefixed RLE
+  * definition levels inside the compressed span) and V2 (levels
+  * OUTSIDE the compressed span, no length prefix) including the v2
+  * writers' DELTA encodings — DELTA_BINARY_PACKED ints (block/
+  * miniblock bit-packed deltas), DELTA_LENGTH_BYTE_ARRAY, and
+  * DELTA_BYTE_ARRAY front coding.
+  *
   * Scope: flat optional columns (max definition level 1, no
   * repetition levels) of physical types INT32, INT64, and BYTE_ARRAY
-  * — the shape every column of a flat table has. Nested columns,
-  * v2 data pages, and other codecs (GZIP/ZSTD/LZ4) reject rather
-  * than mis-decode.
+  * — the shape every column of a flat table has. Nested columns and
+  * other codecs (GZIP/ZSTD/LZ4) reject rather than mis-decode.
   *
   * Hostile-byte posture: [[readColumn]] never throws — a malformed
   * page header, an unknown codec/encoding, a dictionary index out of
@@ -141,6 +147,158 @@ object ParquetPages {
     out.result()
   }
 
+  /** DELTA_BINARY_PACKED decode (the parquet-format encodings spec):
+    * header = block size, miniblocks per block, total count, zigzag
+    * first value; then per block a zigzag min-delta, one bit width
+    * per miniblock, and LSB-first bit-packed deltas — a miniblock's
+    * data is full-size when it holds ANY needed value and absent when
+    * it holds none. Returns (values, end position).
+    */
+  private def deltaBinaryPacked(b: Array[Byte], from: Int, to: Int,
+      want: Int): (Array[Long], Int) = {
+    var p = from
+    def u8(): Int = { if (p >= to) fail(); val v = b(p) & 0xff; p += 1; v }
+    def varint(): Long = {
+      var v = 0L; var sh = 0
+      while (true) {
+        val c = u8()
+        v |= (c & 0x7fL) << sh
+        if ((c & 0x80) == 0) return v
+        sh += 7
+        if (sh > 63) fail()
+      }
+      0L
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    val blockSize = varint().toInt
+    val minis = varint().toInt
+    if (blockSize <= 0 || minis <= 0 || blockSize % minis != 0) fail()
+    val perMini = blockSize / minis
+    if (perMini % 8 != 0) fail()
+    val total = varint().toInt
+    if (total < want) fail()
+    val out = new Array[Long](want)
+    var n = 0
+    var cur = zigzag()
+    if (want > 0) { out(0) = cur; n = 1 }
+    var remaining = total - 1 // values still encoded after the first
+    while (remaining > 0) {
+      val minDelta = zigzag()
+      val widths = Array.fill(minis)(u8())
+      var mi = 0
+      while (mi < minis) {
+        val inThis = math.min(perMini, remaining)
+        if (inThis > 0) {
+          val bw = widths(mi)
+          if (bw > 64) fail()
+          val bytes = perMini * bw / 8
+          if (p + bytes > to) fail()
+          var acc = 0L
+          var accBits = 0
+          var bp = p
+          var i = 0
+          while (i < perMini) {
+            var delta = 0L
+            if (bw > 0) {
+              var got = 0
+              while (got < bw) {
+                if (accBits == 0) { acc = b(bp) & 0xffL; accBits = 8; bp += 1 }
+                val take = math.min(bw - got, accBits)
+                delta |= ((acc & ((1L << take) - 1)) << got)
+                acc >>>= take
+                accBits -= take
+                got += take
+              }
+            }
+            if (i < inThis) {
+              cur += minDelta + delta
+              if (n < want) { out(n) = cur; n += 1 }
+            }
+            i += 1
+          }
+          p += bytes
+          remaining -= inThis
+        }
+        mi += 1
+      }
+    }
+    if (n != want) fail()
+    (out, p)
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: a DELTA_BINARY_PACKED length sequence
+    * followed by the concatenated bytes.
+    */
+  private def deltaLengthByteArray(b: Array[Byte], from: Int, to: Int,
+      want: Int): Vector[PValue] = {
+    val (lens, dp) = deltaBinaryPacked(b, from, to, want)
+    var p = dp
+    lens.toVector.map { len =>
+      if (len < 0 || p + len > to) fail()
+      val v = PBin(java.util.Arrays.copyOfRange(b, p, p + len.toInt))
+      p += len.toInt
+      v
+    }
+  }
+
+  /** DELTA_BYTE_ARRAY (incremental/front coding): prefix lengths and
+    * suffix lengths as two DELTA_BINARY_PACKED runs, then suffix data;
+    * value i = value[i-1].take(prefix(i)) ++ suffix(i).
+    */
+  private def deltaByteArray(b: Array[Byte], from: Int, to: Int,
+      want: Int): Vector[PValue] = {
+    val (prefixes, p1) = deltaBinaryPacked(b, from, to, want)
+    val (suffixes, p2) = deltaBinaryPacked(b, p1, to, want)
+    var p = p2
+    var prev = Array.emptyByteArray
+    (0 until want).toVector.map { i =>
+      val pl = prefixes(i).toInt
+      val sl = suffixes(i).toInt
+      if (pl < 0 || sl < 0 || pl > prev.length || p + sl > to) fail()
+      val v = new Array[Byte](pl + sl)
+      System.arraycopy(prev, 0, v, 0, pl)
+      System.arraycopy(b, p, v, pl, sl)
+      p += sl
+      prev = v
+      PBin(v)
+    }
+  }
+
+  /** Value-section decode shared by v1 and v2 data pages. */
+  private def decodeValues(chunk: ParquetFooter.ChunkInfo,
+      dict: Vector[PValue], data: Array[Byte], vFrom: Int,
+      nPresent: Int, enc: Int): Option[Vector[PValue]] =
+    try {
+      enc match {
+        case 0 => // PLAIN
+          Some(plainValues(chunk.ptype, data, vFrom, data.length, nPresent))
+        case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
+          if (dict == null) return None
+          if (vFrom >= data.length) {
+            if (nPresent > 0) None else Some(Vector.empty)
+          } else {
+            val bw = data(vFrom) & 0xff
+            if (bw > 32) return None
+            val idx = rleHybrid(data, vFrom + 1, data.length, bw, nPresent)
+            Some(idx.toVector.map { i =>
+              if (i < 0 || i >= dict.length) return None
+              dict(i)
+            })
+          }
+        case 5 => // DELTA_BINARY_PACKED (INT32/INT64)
+          if (chunk.ptype != 1 && chunk.ptype != 2) return None
+          Some(deltaBinaryPacked(data, vFrom, data.length, nPresent)
+            ._1.toVector.map(PLong(_)))
+        case 6 => // DELTA_LENGTH_BYTE_ARRAY
+          if (chunk.ptype != 6) return None
+          Some(deltaLengthByteArray(data, vFrom, data.length, nPresent))
+        case 7 => // DELTA_BYTE_ARRAY
+          if (chunk.ptype != 6) return None
+          Some(deltaByteArray(data, vFrom, data.length, nPresent))
+        case _ => None // BYTE_STREAM_SPLIT etc: out of scope
+      }
+    } catch { case NonFatal(_) => None }
+
   /** Decode one flat optional column chunk of `file` described by
     * `chunk` (from [[ParquetFooter.probe]]'s first row group).
     * Returns the column's values in row order, None slots for nulls.
@@ -195,33 +353,46 @@ object ParquetPages {
                 (rleHybrid(data, 4, 4 + dlLen, 1, n), 4 + dlLen)
               }
             val nPresent = defs.count(_ == 1)
-            val values: Vector[PValue] = enc match {
-              case 0 => // PLAIN
-                plainValues(chunk.ptype, data, vFrom, data.length, nPresent)
-              case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
-                if (dict == null) return None
-                if (vFrom >= data.length) {
-                  if (nPresent > 0) return None
-                  Vector.empty
-                } else {
-                  val bw = data(vFrom) & 0xff
-                  if (bw > 32) return None
-                  val idx = rleHybrid(data, vFrom + 1, data.length, bw,
-                    nPresent)
-                  idx.toVector.map { i =>
-                    if (i < 0 || i >= dict.length) return None
-                    dict(i)
-                  }
-                }
-              case _ => return None // DELTA_* etc: out of scope
-            }
+            val values = decodeValues(chunk, dict, data, vFrom, nPresent, enc)
+              .getOrElse(return None)
             var vi = 0
             defs.foreach { d =>
               if (d == 1) { out += Some(values(vi)); vi += 1 }
               else out += None
             }
             produced += n
-          case _ => return None // v2 data pages / index pages: declines
+          case 3 => // DATA_PAGE_V2: levels live OUTSIDE the compressed span
+            val dph = hdr.struct(8).getOrElse(return None)
+            val n = dph.i(1).getOrElse(return None).toInt
+            if (n < 0) return None
+            val enc = dph.i(4).getOrElse(return None).toInt
+            val dlLen = dph.i(5).getOrElse(return None).toInt
+            val rlLen = dph.i(6).getOrElse(return None).toInt
+            val isCompressed = dph.fields.get(7)
+              .collect { case ParquetFooter.TBool(v) => v }.getOrElse(true)
+            if (rlLen != 0) return None // flat columns carry no rep levels
+            if (dlLen < 0 || dlLen > raw.length) return None
+            // def levels: plain RLE (no 4-byte prefix), never compressed
+            val defs =
+              if (chunk.required) {
+                if (dlLen != 0) return None
+                Array.fill(n)(1)
+              } else rleHybrid(raw, 0, dlLen, 1, n)
+            val nPresent = defs.count(_ == 1)
+            val valuesRaw = java.util.Arrays.copyOfRange(raw, dlLen, raw.length)
+            val data =
+              if (isCompressed)
+                decompress(chunk.codec, valuesRaw, uncompressed - dlLen)
+              else valuesRaw
+            val values = decodeValues(chunk, dict, data, 0, nPresent, enc)
+              .getOrElse(return None)
+            var vi = 0
+            defs.foreach { d =>
+              if (d == 1) { out += Some(values(vi)); vi += 1 }
+              else out += None
+            }
+            produced += n
+          case _ => return None // index pages etc: declines
         }
       }
       if (produced != chunk.numValues) return None

@@ -2149,6 +2149,56 @@ object Round10Queries3 {
              CAST(length(norm) AS INTEGER) AS norm_chars
       FROM g ORDER BY doc_id"""))
 
+  /** PARQUET V2 DATA PAGES under the oracle gate — the other page
+    * generation after q255's v1: the documents table is written by
+    * Spark's parquet-mr under `parquet.writer.version=v2` with
+    * dictionaries OFF (the memoized
+    * [[graft.sources.CompressedIngest.documentsParquetV2]] dump), so
+    * the data pages carry the DELTA encodings — DELTA_BINARY_PACKED
+    * block/miniblock bit-packed ints and DELTA_BYTE_ARRAY front-coded
+    * strings — with definition levels OUTSIDE the snappy-compressed
+    * span (the v2 layout change). Every written file's columns decode
+    * through [[graft.operators.ParquetPages.readColumn]] and the
+    * decoded values' aggregates face plain SQL over the same table.
+    */
+  val q271ParquetV2: QueryDef = QueryDef(
+    "q271_parquet_v2_pages",
+    (s, dir) => {
+      import s.implicits._
+      graft.sources.CompressedIngest.documentsParquetV2(s, dir)
+      val path = graft.sources.CompressedIngest.dumpPath(dir, "parquet_v2")
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet").load(path)
+        .select(col("content")).as[Array[Byte]]
+      val perFile = files.map { bytes =>
+        import graft.operators.{ParquetFooter, ParquetPages}
+        import graft.operators.ParquetPages.{PBin, PLong}
+        val f = ParquetFooter.probe(bytes)
+          .getOrElse(sys.error("v2 footer probe failed"))
+        def col(name: String) = ParquetPages.readColumn(bytes,
+          f.firstGroupChunks.find(_.pathInSchema == name)
+            .getOrElse(sys.error(s"no chunk $name")))
+          .getOrElse(sys.error(s"v2 page decode failed: $name"))
+        val ids = col("doc_id").flatten.collect { case PLong(v) => v }
+        val texts = col("text").flatten.collect { case p: PBin => p.v }
+        require(ids.length.toLong == f.numRows, "v2 row count drift")
+        (ids.length.toLong, ids.sum,
+          if (ids.isEmpty) Long.MaxValue else ids.min,
+          if (ids.isEmpty) Long.MinValue else ids.max,
+          texts.map(_.length.toLong).sum)
+      }.toDF("rows", "idsum", "idmin", "idmax", "textbytes")
+      perFile.agg(sum("rows").as("n_rows"), sum("idsum").as("id_sum"),
+        min("idmin").as("id_min"), max("idmax").as("id_max"),
+        sum("textbytes").as("text_bytes"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             CAST(min(doc_id) AS BIGINT) AS id_min,
+             CAST(max(doc_id) AS BIGINT) AS id_max,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes
+      FROM documents"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
@@ -2156,5 +2206,6 @@ object Round10Queries3 {
       q257NfcNormalize, q258OrcFooter, q259TfRecord, q260ZstdFrames,
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
       q264SftFormat, q265Id3Unsync, q266Mp4Stsc, q267CsvDialect,
-      q268RobotsTxt, q269Sitemap, q270PercentNormalize)
+      q268RobotsTxt, q269Sitemap, q270PercentNormalize,
+      q271ParquetV2)
 }

@@ -75,6 +75,19 @@ object CompressedIngest {
       (src, p) => src.write.mode("overwrite")
         .option("compression", codec).parquet(p))
 
+  /** Parquet V2-writer dump (parquet.writer.version=v2, dictionary
+    * off): the file generation whose data pages carry the DELTA
+    * encodings — written once per (JVM, sf) for the pure-JVM page
+    * reader's gate query. Same memoization and locking.
+    */
+  def documentsParquetV2(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "parquet_v2",
+      p => spark.read.parquet(p),
+      (src, p) => src.write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.enable.dictionary", "false")
+        .option("compression", "snappy").parquet(p))
+
   /** ORC sibling — the OTHER columnar container Spark ships natively
     * (same memoization and locking; codec e.g. "zstd" or "zlib").
     */

@@ -81,6 +81,43 @@ class ParquetPagesSpec extends SparkTestBase {
     assert(ss == (0 until 100).map(i => s"str_$i").toVector)
   }
 
+  test("v2 data pages decode: DELTA_BINARY_PACKED ints, DELTA_BYTE_ARRAY strings") {
+    import spark.implicits._
+    // dictionary off forces the v2 writer onto the DELTA encodings
+    val df = (0 until 700).map(i =>
+      (if (i % 11 == 3) None else Some(i.toLong * 7 - 2000),
+        s"prefix_shared_$i", i % 13)).toDF("x", "s", "g")
+    val b = writeOne(df, Map(
+      "parquet.writer.version" -> "v2",
+      "parquet.enable.dictionary" -> "false"))
+    val xs = ParquetPages.readColumn(b, chunk(b, "x")).get
+    assert(xs.length == 700)
+    (0 until 700).foreach { i =>
+      if (i % 11 == 3) assert(xs(i).isEmpty, s"row $i")
+      else assert(xs(i).contains(PLong(i.toLong * 7 - 2000)), s"row $i")
+    }
+    // front-coded strings share the long prefix
+    val ss = ParquetPages.readColumn(b, chunk(b, "s")).get
+      .flatten.collect { case p: PBin => p.str }
+    assert(ss == (0 until 700).map(i => s"prefix_shared_$i").toVector)
+    // int32 column under DELTA too
+    val gs = ParquetPages.readColumn(b, chunk(b, "g")).get
+      .flatten.collect { case PLong(v) => v }
+    assert(gs == (0 until 700).map(i => (i % 13).toLong).toVector)
+  }
+
+  test("v2 pages with dictionaries still decode (RLE_DICTIONARY under v2)") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong, s"w${i % 6}")).toDF("a", "w")
+    val b = writeOne(df, Map("parquet.writer.version" -> "v2"))
+    val ws = ParquetPages.readColumn(b, chunk(b, "w")).get
+      .flatten.collect { case p: PBin => p.str }
+    assert(ws == (0 until 400).map(i => s"w${i % 6}").toVector)
+    val as = ParquetPages.readColumn(b, chunk(b, "a")).get
+      .flatten.collect { case PLong(v) => v }
+    assert(as == (0L until 400L).toVector)
+  }
+
   test("hostile bytes: page-region corruption rejects or decodes, never throws") {
     import spark.implicits._
     val b = writeOne(Seq((1L, "x"), (2L, "y")).toDF("a", "s"))
