@@ -29,6 +29,29 @@ object SftFormat {
   def renderTurn(t: Turn): String =
     s"<|im_start|>${t.role}\n${t.content}<|im_end|>\n"
 
+  /** One DPO/RLHF preference pair: the same prompt rendered with each
+    * completion as the assistant turn, ordered so `chosen` carries the
+    * HIGHER score (ties keep A — deterministic). `commonPrefix` is the
+    * shared character prefix of the two rendered strings — the span a
+    * trainer's KV cache can reuse across the pair, the packing
+    * statistic DPO batching optimizes for.
+    */
+  final case class PreferencePair(chosen: String, rejected: String,
+      swapped: Boolean, margin: Long, commonPrefix: Int)
+
+  def preferencePair(prompt: Seq[Turn], respA: String, scoreA: Long,
+      respB: String, scoreB: Long): PreferencePair = {
+    val swapped = scoreB > scoreA
+    val (cTxt, rTxt) = if (swapped) (respB, respA) else (respA, respB)
+    val chosen = (prompt :+ Turn("assistant", cTxt)).map(renderTurn).mkString
+    val rejected = (prompt :+ Turn("assistant", rTxt)).map(renderTurn).mkString
+    var i = 0
+    val lim = math.min(chosen.length, rejected.length)
+    while (i < lim && chosen.charAt(i) == rejected.charAt(i)) i += 1
+    PreferencePair(chosen, rejected, swapped,
+      math.abs(scoreA - scoreB), i)
+  }
+
   /** Greedy-from-the-end truncation: the system turn (position 0 when
     * its role is "system") always survives; of the remaining turns the
     * LARGEST SUFFIX whose token total (plus the system's) fits

@@ -2199,6 +2199,81 @@ object Round10Queries3 {
              CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes
       FROM documents"""))
 
+  /** DPO PREFERENCE PAIRS under the oracle gate — the RLHF data-prep
+    * step after q264's SFT: per document, two completions sharing a
+    * common prefix score against each other, the pair orders so
+    * `chosen` carries the higher score (ties keep the first —
+    * deterministic), both render through the q264 template, and the
+    * SHARED RENDERED PREFIX — the span a trainer's KV cache reuses
+    * across the pair — is measured character-exactly
+    * ([[graft.operators.SftFormat.preferencePair]]). The oracle
+    * rebuilds the swap decision, the margin, both rendered lengths,
+    * and the common-prefix arithmetic (prompt turn + assistant header
+    * + the constructed shared span) in closed form.
+    */
+  val q272PreferencePairs: QueryDef = QueryDef(
+    "q272_preference_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.SftFormat
+        import graft.operators.SftFormat.Turn
+        val promptTxt = "ask " +
+          ('a' + r.n % 26).toChar.toString * (2 + r.v % 6)
+        val shared = ('a' + r.v % 26).toChar.toString * (3 + r.n % 5)
+        val respA = shared + "a" * (1 + r.v % 4)
+        val respB = shared + "b" * (1 + r.n % 4)
+        val sa = (r.v % 100).toLong
+        val sb = ((r.v * 7 + r.n) % 100).toLong
+        val pair = SftFormat.preferencePair(
+          Seq(Turn("user", promptTxt)), respA, sa, respB, sb)
+        (r.doc_id, pair.swapped, pair.margin,
+          pair.chosen.length.toLong, pair.rejected.length.toLong,
+          pair.commonPrefix,
+          pair.chosen.endsWith("a<|im_end|>\n"))
+      }
+      probed.toDF("doc_id", "swapped", "margin", "chosen_chars",
+          "rejected_chars", "common_prefix", "chose_a")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   4 + (2 + v % 6) AS plen,
+                   3 + n % 5 AS sh,
+                   1 + v % 4 AS ta,
+                   1 + n % 4 AS tb,
+                   v % 100 AS sa,
+                   (v * 7 + n) % 100 AS sb
+            FROM d),
+      -- rendered turn = 12 + role + 1 + content + 10 + 1;
+      -- prompt turn (user) = 28 + plen; assistant turn = 33 + resp
+      t AS (SELECT *,
+                   CASE WHEN sb > sa THEN 1 ELSE 0 END AS sw,
+                   28 + plen AS prompt_chars
+            FROM g)
+      SELECT doc_id,
+             sw = 1 AS swapped,
+             CAST(abs(sa - sb) AS BIGINT) AS margin,
+             CAST(prompt_chars + 33 + sh +
+               (CASE WHEN sw = 1 THEN tb ELSE ta END) AS BIGINT)
+               AS chosen_chars,
+             CAST(prompt_chars + 33 + sh +
+               (CASE WHEN sw = 1 THEN ta ELSE tb END) AS BIGINT)
+               AS rejected_chars,
+             CAST(prompt_chars + 22 + sh AS INTEGER) AS common_prefix,
+             sw = 0 AS chose_a
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
@@ -2207,5 +2282,5 @@ object Round10Queries3 {
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
       q264SftFormat, q265Id3Unsync, q266Mp4Stsc, q267CsvDialect,
       q268RobotsTxt, q269Sitemap, q270PercentNormalize,
-      q271ParquetV2)
+      q271ParquetV2, q272PreferencePairs)
 }
