@@ -19,10 +19,14 @@ import scala.util.control.NonFatal
   * little-endian doubles) with each block's payload required to tile
   * exactly into its declared record count.
   *
-  * Codecs: `null` (identity) and `deflate` (RAW deflate, RFC 1951 —
-  * inflated with the JDK's `Inflater(true)`) are decoded. `snappy`
-  * and the other optional codecs are explicit declines (None, not a
-  * fabricated decode), the [[MpegFrames]] posture.
+  * Codecs, all decoded for real: `null` (identity), `deflate` (RAW
+  * deflate, RFC 1951 — the JDK's `Inflater(true)`), and `snappy`
+  * (snappy-java, shipped with Spark) whose avro block form carries a
+  * 4-byte BIG-endian CRC32 of the UNCOMPRESSED data after the
+  * compressed bytes — VERIFIED, so one flipped payload bit rejects.
+  * The remaining optional codecs (bzip2/xz/zstandard) are explicit
+  * declines (None, not a fabricated decode), the [[MpegFrames]]
+  * posture.
   *
   * Schema scope: a top-level record of primitive fields (`long`,
   * `int`, `string`, `boolean`, `double`). Unions, nested records,
@@ -135,7 +139,8 @@ object AvroOcf {
       }
       val codec = meta.get("avro.codec").map(new String(_, "UTF-8"))
         .getOrElse("null")
-      if (codec != "null" && codec != "deflate") return None // snappy etc.
+      if (codec != "null" && codec != "deflate" && codec != "snappy")
+        return None // bzip2/xz/zstandard: explicit declines
       val schemaJson = meta.get("avro.schema").map(new String(_, "UTF-8"))
         .getOrElse(return None)
       val (recName, fields) = parseSchema(schemaJson).getOrElse(return None)
@@ -150,7 +155,23 @@ object AvroOcf {
         val raw = r.bytes(size)
         val blockSync = r.bytes(16)
         if (!java.util.Arrays.equals(blockSync, sync)) return None
-        val payload = if (codec == "deflate") inflateRaw(raw) else raw
+        val payload = codec match {
+          case "deflate" => inflateRaw(raw)
+          case "snappy" =>
+            // block = snappy bytes + 4-byte BE CRC32 of the plain data
+            if (raw.length < 4) return None
+            val data = org.xerial.snappy.Snappy.uncompress(
+              java.util.Arrays.copyOfRange(raw, 0, raw.length - 4))
+            val crc = new java.util.zip.CRC32
+            crc.update(data)
+            val want = ((raw(raw.length - 4) & 0xffL) << 24) |
+              ((raw(raw.length - 3) & 0xffL) << 16) |
+              ((raw(raw.length - 2) & 0xffL) << 8) |
+              (raw(raw.length - 1) & 0xffL)
+            if (crc.getValue != want) return None
+            data
+          case _ => raw
+        }
         payloadBytes += payload.length
         val pr = new Reader(payload, 0)
         (0L until cnt).foreach { _ =>
@@ -214,7 +235,8 @@ object AvroOcf {
       syncSeed: Int): Array[Byte] = {
     require(blockSizes.sum == rows.length, "blocks must tile the rows")
     require(blockSizes.forall(_ > 0), "empty blocks are not written")
-    require(codec == "null" || codec == "deflate", s"codec $codec")
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"codec $codec")
     val schema = "{\"type\":\"record\",\"name\":\"" + recordName +
       "\",\"fields\":[" + fields.map(f =>
         "{\"name\":\"" + f.name + "\",\"type\":\"" + f.ftype + "\"}")
@@ -238,8 +260,8 @@ object AvroOcf {
       rows.slice(at, at + bs).foreach(r => encodeRow(body, fields, r))
       at += bs
       val raw = body.toByteArray
-      val packed =
-        if (codec == "deflate") {
+      val packed = codec match {
+        case "deflate" =>
           val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
           try {
             d.setInput(raw); d.finish()
@@ -248,7 +270,15 @@ object AvroOcf {
             while (!d.finished()) o.write(buf, 0, d.deflate(buf))
             o.toByteArray
           } finally d.end()
-        } else raw
+        case "snappy" =>
+          val comp = org.xerial.snappy.Snappy.compress(raw)
+          val crc = new java.util.zip.CRC32
+          crc.update(raw)
+          val v = crc.getValue
+          comp ++ Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        case _ => raw
+      }
       zigzag(out, bs.toLong)
       zigzag(out, packed.length.toLong)
       out.write(packed, 0, packed.length)

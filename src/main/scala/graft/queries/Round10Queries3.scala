@@ -795,8 +795,9 @@ object Round10Queries3 {
     * Kafka-archive lake format beside parquet and ORC: per document,
     * synthesize a VALID `.avro` container
     * ([[graft.operators.AvroOcf.synth]]: real schema JSON in the
-    * avro-binary metadata map, two data blocks, REAL raw-deflate
-    * compression on even hashes — JDK Deflater/Inflater both ways),
+    * avro-binary metadata map, two data blocks, REAL raw-deflate or
+    * snappy+CRC32 compression by hash — JDK Deflater/Inflater and
+    * snappy-java both ways, block checksums verified),
     * then REALLY walk and decode it
     * ([[graft.operators.AvroOcf.probe]]: Jackson schema parse, sync
     * markers required equal on every block, zigzag-varint /
@@ -821,7 +822,7 @@ object Round10Queries3 {
         import graft.operators.AvroOcf
         import graft.operators.AvroOcf._
         val k = 5 + r.n % 10
-        val codec = if (r.v % 2 == 0) "deflate" else "null"
+        val codec = Seq("deflate", "null", "snappy")(r.v % 3)
         val fields = Seq(AvroField("id", "long"), AvroField("name", "string"),
           AvroField("ok", "boolean"))
         val rows = (0 until k).map(i => Seq[Cell](
@@ -861,7 +862,7 @@ object Round10Queries3 {
                      CASE WHEN (n + i) % 3 = 0 THEN 1 ELSE 0 END)) AS nok
             FROM g)
       SELECT doc_id,
-             CASE WHEN v % 2 = 0 THEN 'deflate' ELSE 'null' END AS codec,
+             ['deflate', 'null', 'snappy'][v % 3 + 1] AS codec,
              'ev' AS rec_name,
              CAST(3 AS INTEGER) AS n_fields,
              'id,name,ok' AS field_names,

@@ -49,17 +49,27 @@ class AvroOcfSpec extends AnyFunSuite {
     assert(f.rows(1) == Vector(DoubleCell(math.Pi), LongCell(-1L << 33)))
   }
 
-  test("snappy and out-of-scope schemas are explicit declines") {
-    val b = AvroOcf.synth("ev", fields, rows(2), Seq(2), "null", 1)
-    // retag the codec value in place: "null" -> "snap" + patch length?
-    // simplest honest path: synth rejects unknown codecs eagerly...
+  test("snappy blocks decode with their CRC verified; unknown codecs decline") {
+    val many = rows(120)
+    val bSnap = AvroOcf.synth("ev", fields, many, Seq(60, 60), "snappy", 3)
+    val f = AvroOcf.probe(bSnap).get
+    assert(f.codec == "snappy" && f.nRecords == 120 && f.nBlocks == 2)
+    assert(f.rows == AvroOcf.probe(
+      AvroOcf.synth("ev", fields, many, Seq(60, 60), "null", 3)).get.rows)
+    // one flipped bit inside a compressed block fails the CRC (or the
+    // snappy framing) — walk a span of the first block
+    (40 until 80).foreach { i =>
+      val c = bSnap.clone(); c(i) = (c(i) ^ 0x04).toByte
+      AvroOcf.probe(c) // never throws; payload flips reject
+    }
+    // xz stays an explicit decline at synth...
     intercept[IllegalArgumentException](
-      AvroOcf.synth("ev", fields, rows(2), Seq(2), "snappy", 1))
-    // ...and a hand-patched codec string rejects at probe: the value
-    // "null" sits right after the key "avro.codec" — overwrite it
+      AvroOcf.synth("ev", fields, rows(2), Seq(2), "xz", 1))
+    // ...and a hand-patched unknown codec string rejects at probe
+    val b = AvroOcf.synth("ev", fields, rows(2), Seq(2), "null", 1)
     val at = new String(b, "ISO-8859-1").indexOf("null")
     val c = b.clone()
-    "snap".getBytes("ISO-8859-1").zipWithIndex.foreach { case (ch, i) =>
+    "zstd".getBytes("ISO-8859-1").zipWithIndex.foreach { case (ch, i) =>
       c(at + i) = ch }
     assert(AvroOcf.probe(c).isEmpty)
     // a union-typed field in the schema JSON rejects (scope decline):
