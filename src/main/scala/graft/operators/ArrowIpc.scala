@@ -21,9 +21,11 @@ import scala.util.control.NonFatal
   * and Utf8 columns — validity bitmaps (LSB bit order) honored per
   * FieldNode null counts, utf8 via the i32 offsets buffer.
   *
-  * Scope: flat schemas of signed Int and Utf8 fields, uncompressed
-  * bodies; nested types, dictionaries, and compressed bodies are
-  * explicit declines. Hostile-byte posture: [[probe]] never throws —
+  * Scope: flat schemas of signed Int and Utf8 fields; record-batch
+  * bodies decode UNCOMPRESSED and under both spec codecs — LZ4_FRAME
+  * (commons-compress) and ZSTD (zstd-jni), each buffer's 8-byte
+  * uncompressed-length prefix honored incl. the -1 stored-raw escape;
+  * nested types and dictionaries are explicit declines. Hostile-byte posture: [[probe]] never throws —
   * bad magic, a footer overrunning the file, vtable/offset
   * malformations, a non-RecordBatch block, or buffers overrunning
   * the body all yield None.
@@ -172,54 +174,106 @@ object ArrowIpc {
         val bodyAligned = ((bodyStart + 7) / 8) * 8
         if (bodyAligned + bodyLen > b.length) return None
         // RecordBatch: length(0), nodes(1), buffers(2), compression(3)
-        if (rb.table(3).nonEmpty) return None // compressed body: decline
+        // BodyCompression: codec(0) i8 (0 = LZ4_FRAME, 1 = ZSTD),
+        // method(1) must be BUFFER — each non-empty buffer then carries
+        // an 8-byte LE uncompressed length (-1 = stored raw)
+        val compression: Option[Int] = rb.table(3).map { bc =>
+          if (bc.i8f(1, 0) != 0) return None // non-BUFFER method
+          bc.i8f(0, 0)
+        }
         val nRows = rb.i64f(0, -1L)
         if (nRows < 0) return None
         val nodes = rb.vector(1).getOrElse(return None)
         val buffers = rb.vector(2).getOrElse(return None)
         if (nodes._1 != fields.length) return None
         var bufIdx = 0
-        def nextBuf(): (Long, Long) = {
+        def nextBuf(): Array[Byte] = {
           if (bufIdx >= buffers._1) fail()
-          val p = buffers._2 + 16 * bufIdx
+          val bp = buffers._2 + 16 * bufIdx
           bufIdx += 1
-          (f.i64(p), f.i64(p + 8))
+          val bOff = f.i64(bp)
+          val bLen = f.i64(bp + 8)
+          if (bLen == 0) return Array.emptyByteArray
+          val from = bodyAligned + bOff
+          if (bOff < 0 || bLen < 0 || from + bLen > b.length) fail()
+          compression match {
+            case None =>
+              java.util.Arrays.copyOfRange(b, from.toInt, (from + bLen).toInt)
+            case Some(codec) =>
+              if (bLen < 8) fail()
+              var ulen = 0L
+              (0 until 8).foreach(i =>
+                ulen |= (b(from.toInt + i) & 0xffL) << (8 * i))
+              val body = java.util.Arrays.copyOfRange(b, from.toInt + 8,
+                (from + bLen).toInt)
+              if (ulen == -1L) body
+              else if (ulen < 0 || ulen > (64L << 20)) fail() // bomb guard
+              else codec match {
+                case 0 => // LZ4 frame (commons-compress, shipped w/ Spark)
+                  val in = new org.apache.commons.compress.compressors.lz4
+                    .FramedLZ4CompressorInputStream(
+                      new java.io.ByteArrayInputStream(body))
+                  try {
+                    val out = new java.io.ByteArrayOutputStream(ulen.toInt)
+                    val tmp = new Array[Byte](8192)
+                    var n2 = in.read(tmp)
+                    while (n2 >= 0) {
+                      out.write(tmp, 0, n2)
+                      if (out.size() > ulen) fail()
+                      n2 = in.read(tmp)
+                    }
+                    if (out.size() != ulen) fail()
+                    out.toByteArray
+                  } finally in.close()
+                case 1 => // ZSTD (zstd-jni, shipped w/ Spark)
+                  val out = com.github.luben.zstd.Zstd.decompress(body,
+                    ulen.toInt)
+                  if (out.length != ulen) fail()
+                  out
+                case _ => fail() // unknown codec
+              }
+          }
         }
         fields.zipWithIndex.foreach { case (fd, ci) =>
           val np = nodes._2 + 16 * ci
           val nodeLen = f.i64(np)
           val nullCount = f.i64(np + 8)
           if (nodeLen != nRows) return None
-          val (vOff, vLen) = nextBuf()
+          val validity = nextBuf()
           def bit(i: Int): Boolean = {
-            val p = bodyAligned + vOff + i / 8
-            if (p >= b.length) fail()
-            ((b(p.toInt) >> (i % 8)) & 1) == 1
+            if (i / 8 >= validity.length) fail()
+            ((validity(i / 8) >> (i % 8)) & 1) == 1
           }
           def isSet(i: Int): Boolean =
-            nullCount == 0 || vLen == 0 || bit(i)
+            nullCount == 0 || validity.isEmpty || bit(i)
+          def le32(a: Array[Byte], o: Int): Int = {
+            if (o < 0 || o + 4 > a.length) fail()
+            (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) |
+              ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24)
+          }
           fd.ftype match {
             case "utf8" =>
-              val (oOff, oLen) = nextBuf()
-              val (dOff, _) = nextBuf()
-              if (oLen < 4L * (nRows + 1) && nRows > 0) return None
+              val offsets = nextBuf()
+              val data = nextBuf()
+              if (offsets.length < 4 * (nRows + 1) && nRows > 0) return None
               (0 until nRows.toInt).foreach { i =>
                 if (isSet(i)) {
-                  val s = f.i32((bodyAligned + oOff + 4L * i).toInt)
-                  val e = f.i32((bodyAligned + oOff + 4L * (i + 1)).toInt)
-                  if (s < 0 || e < s) return None
-                  val from = (bodyAligned + dOff + s).toInt
-                  if (from + (e - s) > b.length) return None
-                  cols(ci) += Some(AStr(new String(b, from, e - s, "UTF-8")))
+                  val s = le32(offsets, 4 * i)
+                  val e = le32(offsets, 4 * (i + 1))
+                  if (s < 0 || e < s || e > data.length) return None
+                  cols(ci) += Some(AStr(new String(data, s, e - s, "UTF-8")))
                 } else cols(ci) += None
               }
             case t =>
-              val (dOff, _) = nextBuf()
+              val data = nextBuf()
               val w = if (t == "int64") 8 else 4
               (0 until nRows.toInt).foreach { i =>
                 if (isSet(i)) {
-                  val p = (bodyAligned + dOff + w.toLong * i).toInt
-                  val v = if (w == 8) f.i64(p) else f.i32(p).toLong
+                  val o = w * i
+                  if (o + w > data.length) return None
+                  var v = 0L
+                  (0 until w).foreach(k => v |= (data(o + k) & 0xffL) << (8 * k))
+                  if (w == 4) v = v.toInt.toLong // sign-extend int32
                   cols(ci) += Some(ALong(v))
                 } else cols(ci) += None
               }

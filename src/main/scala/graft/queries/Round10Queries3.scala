@@ -2275,6 +2275,110 @@ object Round10Queries3 {
              sw = 0 AS chose_a
       FROM t ORDER BY doc_id"""))
 
+  /** COMPRESSED ARROW BODIES under the oracle gate — q261's reader
+    * against the two spec codecs: per document, the Arrow Java
+    * library writes the record batch with LZ4_FRAME, ZSTD, or no
+    * compression (doc-chosen), and
+    * [[graft.operators.ArrowIpc.probe]] decodes the per-buffer
+    * 8-byte-length-prefixed compressed form (commons-compress LZ4
+    * frames / zstd-jni, both shipped with Spark). The oracle is
+    * codec-blind by construction — identical decoded values must come
+    * out of all three forms — which is exactly the invariant that
+    * catches a buffer mis-sliced against its uncompressed length.
+    */
+  val q273ArrowCompressed: QueryDef = QueryDef(
+    "q273_arrow_compressed",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import org.apache.arrow.memory.RootAllocator
+        import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+        import org.apache.arrow.vector.compression.CompressionUtil
+        import org.apache.arrow.vector.ipc.ArrowFileWriter
+        import org.apache.arrow.vector.ipc.message.IpcOption
+        import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+        import graft.operators.ArrowIpc
+        import graft.operators.ArrowIpc.{ALong, AStr}
+        val k = 10 + r.n % 20
+        val codecName = Seq("lz4", "zstd", "none")(r.v % 3)
+        val alloc = new RootAllocator()
+        val bytes =
+          try {
+            val schema = new Schema(java.util.Arrays.asList(
+              new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+              new Field("txt", FieldType.nullable(new ArrowType.Utf8()), null)))
+            val root = VectorSchemaRoot.create(schema, alloc)
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              val w = codecName match {
+                case "none" =>
+                  new ArrowFileWriter(root, null,
+                    java.nio.channels.Channels.newChannel(out))
+                case c =>
+                  new ArrowFileWriter(root, null,
+                    java.nio.channels.Channels.newChannel(out),
+                    new java.util.HashMap[String, String](), IpcOption.DEFAULT,
+                    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+                    if (c == "lz4") CompressionUtil.CodecType.LZ4_FRAME
+                    else CompressionUtil.CodecType.ZSTD)
+              }
+              w.start()
+              root.allocateNew()
+              val idv = root.getVector("id").asInstanceOf[BigIntVector]
+              val tv = root.getVector("txt").asInstanceOf[VarCharVector]
+              (0 until k).foreach { j =>
+                if (j == 1) idv.setNull(j)
+                else idv.setSafe(j, ((r.v + j) % 90).toLong)
+                tv.setSafe(j,
+                  (('a' + (r.n + j) % 26).toChar.toString * (2 + (r.v + j) % 6))
+                    .getBytes("UTF-8"))
+              }
+              root.setRowCount(k)
+              w.writeBatch()
+              w.end(); w.close()
+              out.toByteArray
+            } finally root.close()
+          } finally alloc.close()
+        val info = ArrowIpc.probe(bytes)
+          .getOrElse(sys.error(s"arrow $codecName decode failed: doc ${r.doc_id}"))
+        val ids = info.columns(0)
+        val txts = info.columns(1).flatten.collect { case AStr(s2) => s2 }
+        require(ids(1).isEmpty, s"null slot drift: doc ${r.doc_id}")
+        (r.doc_id, codecName, info.nRows,
+          ids.flatten.collect { case ALong(x) => x }.sum,
+          txts.map(_.length.toLong).sum, txts.head, txts.last)
+      }
+      probed.toDF("doc_id", "codec", "n_rows", "id_sum", "txt_chars",
+          "first_txt", "last_txt")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 10 + n % 20 AS k FROM d),
+      t AS (SELECT *,
+                   list_sum(list_transform(range(k), j ->
+                     CASE WHEN j = 1 THEN 0 ELSE (v + j) % 90 END)) AS idsum,
+                   list_sum(list_transform(range(k), j ->
+                     2 + (v + j) % 6)) AS tchars
+            FROM g)
+      SELECT doc_id,
+             ['lz4', 'zstd', 'none'][v % 3 + 1] AS codec,
+             CAST(k AS BIGINT) AS n_rows,
+             CAST(idsum AS BIGINT) AS id_sum,
+             CAST(tchars AS BIGINT) AS txt_chars,
+             repeat(chr(97 + n % 26), 2 + v % 6) AS first_txt,
+             repeat(chr(97 + (n + k - 1) % 26), 2 + (v + k - 1) % 6) AS last_txt
+      FROM t ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q246TarLongNames, q247Id3v22, q248Mp4SyncCo64, q249FlacSeekPicture,
       q250OggMux, q251VttDocModel, q252RepetitionSignals,
@@ -2283,5 +2387,5 @@ object Round10Queries3 {
       q261ArrowIpc, q262DeltaReplay, q263DeltaReplayStream,
       q264SftFormat, q265Id3Unsync, q266Mp4Stsc, q267CsvDialect,
       q268RobotsTxt, q269Sitemap, q270PercentNormalize,
-      q271ParquetV2, q272PreferencePairs)
+      q271ParquetV2, q272PreferencePairs, q273ArrowCompressed)
 }

@@ -63,6 +63,52 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(grps(3).contains(ALong(3L)) && grps(51).isEmpty)
   }
 
+  test("compressed bodies decode: LZ4_FRAME and ZSTD, real-library written") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.ipc.message.IpcOption
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    def writeCompressed(codec: CompressionUtil.CodecType): Array[Byte] = {
+      val alloc = new RootAllocator()
+      val schema = new Schema(java.util.Arrays.asList(
+        new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+        new Field("txt", FieldType.nullable(new ArrowType.Utf8()), null)))
+      val root = VectorSchemaRoot.create(schema, alloc)
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new ArrowFileWriter(root, null,
+        java.nio.channels.Channels.newChannel(out),
+        new java.util.HashMap[String, String](), IpcOption.DEFAULT,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+        codec)
+      w.start()
+      root.allocateNew()
+      val idv = root.getVector("id").asInstanceOf[BigIntVector]
+      val tv = root.getVector("txt").asInstanceOf[VarCharVector]
+      (0 until 500).foreach { i =>
+        if (i == 7) idv.setNull(i) else idv.setSafe(i, i.toLong * 11)
+        tv.setSafe(i, s"repetitive text $i".getBytes("UTF-8"))
+      }
+      root.setRowCount(500)
+      w.writeBatch()
+      w.end(); w.close(); root.close(); alloc.close()
+      out.toByteArray
+    }
+    for (codec <- Seq(CompressionUtil.CodecType.LZ4_FRAME,
+      CompressionUtil.CodecType.ZSTD)) {
+      val b = writeCompressed(codec)
+      val info = ArrowIpc.probe(b).get
+      assert(info.nRows == 500, codec.toString)
+      val ids = info.columns(0)
+      assert(ids(7).isEmpty)
+      assert(ids(499).contains(ALong(499L * 11)))
+      val txts = info.columns(1).flatten.collect { case AStr(s) => s }
+      assert(txts == (0 until 500).map(i => s"repetitive text $i").toVector,
+        codec.toString)
+    }
+  }
+
   test("an empty batch list and non-arrow bytes reject") {
     assert(ArrowIpc.probe(Array.emptyByteArray).isEmpty)
     assert(ArrowIpc.probe("PAR1not arrow at all PAR1".getBytes).isEmpty)
