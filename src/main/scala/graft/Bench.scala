@@ -134,15 +134,23 @@ object Bench {
     // driver-captured BENCH_rN alone distinguishes noise from regression
     // without a judge session. Slowest-first, capped so a mass-mover round
     // cannot blow the char budget (the count is always in "movers").
+    // The rerun is itself a MEDIAN OF 3: round 10 shipped a one-shot rerun
+    // and its own snapshot showed a single warm run can be wilder than the
+    // sweep (q273: 2.14 s sweep median vs 27.89 s one-shot rerun) — an
+    // adjudication signal that noisy points the wrong way. Three runs cost
+    // at most ~12 queries x 2 extra runs and make the verdict stable.
     val movedPairs = ok.filter { case (k, _) => movers(k) }
       .sortBy(-_._2).take(12).map { case (k, v) =>
-        val t0 = System.nanoTime()
-        val rerun =
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
           try {
             SparkEntry.queries(k)(spark, sfDir)
               .write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           } catch { case _: Throwable => -1.0 }
+        }
+        val rerun =
+          if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1)
         (k, v, rerun)
       }
     val movedJson = movedPairs.map { case (k, v, r) =>

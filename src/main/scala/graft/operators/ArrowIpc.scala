@@ -240,6 +240,11 @@ object ArrowIpc {
           val nullCount = f.i64(np + 8)
           if (nodeLen != nRows) return None
           val validity = nextBuf()
+          // a batch DECLARING nulls must carry a full validity bitmap:
+          // an empty/short buffer with nullCount > 0 is malformed, and
+          // treating it as all-present would fabricate values where the
+          // writer planted nulls — hostile bytes decline, never invent
+          if (nullCount > 0 && validity.length < (nRows + 7) / 8) return None
           def bit(i: Int): Boolean = {
             if (i / 8 >= validity.length) fail()
             ((validity(i / 8) >> (i % 8)) & 1) == 1

@@ -65,9 +65,12 @@ object GzipMembers {
         if (z < 0) return None
         p = z + 1
       }
-      if ((flg & 0x02) != 0) { // FHCRC
+      if ((flg & 0x02) != 0) { // FHCRC: CRC-16 = low 16 bits of the CRC-32
+        if (p + 2 > b.length) return None
+        val hc = new java.util.zip.CRC32() // over the header bytes [start, p)
+        hc.update(b, start, p - start)
+        if ((hc.getValue & 0xffffL) != le16(b, p)) return None
         p += 2
-        if (p > b.length) return None
       }
       // raw-deflate to the member end; bytesRead gives the boundary
       val inf = new java.util.zip.Inflater(true)

@@ -134,7 +134,10 @@ object OggProbe {
       if (end > b.length) return None
       if (pageCrc(b, p, end, p + 22) != le32(b, p + 22).toInt) return None
       if ((hType & 0x02) != 0) {
-        // BOS: only during the opening phase, each serial once
+        // BOS: only during the opening phase, each serial once; RFC 3533
+        // forbids the first page of a logical bitstream from carrying the
+        // continued-packet flag (there is no prior page to continue from)
+        if ((hType & 0x01) != 0) return None
         if (!bosPhase || states.contains(pSerial) || pSeq != 0) return None
         if (nSegs < 1 || (b(segTable + nSegs - 1) & 0xff) == 255) return None
         var j = 0
@@ -216,6 +219,7 @@ object OggProbe {
       if (pageCrc(b, p, end, p + 22) != le32(b, p + 22).toInt) return None
       if (nPages == 0) {
         if ((hType & 0x02) == 0) return None // first page must be BOS
+        if ((hType & 0x01) != 0) return None // RFC 3533: BOS is never a continuation
         if (pSeq != 0) return None
         serial = pSerial
         // the ID header: exactly one packet, terminated on this page

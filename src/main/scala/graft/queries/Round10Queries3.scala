@@ -1331,65 +1331,62 @@ object Round10Queries3 {
           pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
             .cast("int").as("v"))
         .as[Round5Queries6.MediaSrc]
-      val probed = src.map { r =>
-        import org.apache.arrow.memory.RootAllocator
-        import org.apache.arrow.vector.{BigIntVector, IntVector, VarCharVector, VectorSchemaRoot}
+      val probed = src.mapPartitions { rows =>
+        import org.apache.arrow.vector.{BigIntVector, IntVector, VarCharVector}
         import org.apache.arrow.vector.ipc.ArrowFileWriter
         import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
-        import graft.operators.ArrowIpc
+        import graft.operators.{ArrowIpc, ArrowSynth}
         import graft.operators.ArrowIpc.{ALong, AStr}
-        val k1 = 3 + r.n % 5
-        val k2 = 2 + r.v % 4
-        def nameAt(j: Int): String =
-          ('a' + (r.n + j) % 26).toChar.toString * (1 + (r.v + j) % 5)
-        val alloc = new RootAllocator()
-        val bytes =
-          try {
-            val schema = new Schema(java.util.Arrays.asList(
-              new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
-              new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
-              new Field("grp", FieldType.nullable(new ArrowType.Int(32, true)), null)))
-            val root = VectorSchemaRoot.create(schema, alloc)
-            try {
-              val out = new java.io.ByteArrayOutputStream()
-              val w = new ArrowFileWriter(root, null,
-                java.nio.channels.Channels.newChannel(out))
-              w.start()
-              var j = 0
-              Seq(k1, k2).foreach { k =>
-                root.allocateNew()
-                val idv = root.getVector("id").asInstanceOf[BigIntVector]
-                val nv = root.getVector("name").asInstanceOf[VarCharVector]
-                val gv = root.getVector("grp").asInstanceOf[IntVector]
-                (0 until k).foreach { i =>
-                  if (j == 1) idv.setNull(i)
-                  else idv.setSafe(i, ((r.v + j) % 100).toLong)
-                  if (j == 2) nv.setNull(i)
-                  else nv.setSafe(i, nameAt(j).getBytes("UTF-8"))
-                  gv.setSafe(i, (r.n + j) % 50)
-                  j += 1
-                }
-                root.setRowCount(k)
-                w.writeBatch()
-              }
-              w.end(); w.close()
-              out.toByteArray
-            } finally root.close()
-          } finally alloc.close()
-        val info = ArrowIpc.probe(bytes)
-          .getOrElse(sys.error(s"arrow decode failed: doc ${r.doc_id}"))
-        require(info.batchRows == Vector(k1.toLong, k2.toLong),
-          s"batch shape drift: doc ${r.doc_id}")
-        val ids = info.columns(0)
-        val names = info.columns(1)
-        val grps = info.columns(2)
-        (r.doc_id, info.nBatches, info.nRows,
-          info.fields.map(f => s"${f.name}:${f.ftype}").mkString(","),
-          ids.flatten.map { case ALong(x) => x }.sum,
-          ids.count(_.isEmpty),
-          names.flatten.collect { case AStr(x) => x }.headOption.orNull,
-          names.count(_.isEmpty),
-          grps.flatten.map { case ALong(x) => x }.sum)
+        // ONE allocator + root per PARTITION (ArrowSynth), not per row: a
+        // per-row RootAllocator is ledger-build/teardown churn that the
+        // round-10 driver bench measured as a 13x-slower warm re-run
+        val schema = new Schema(java.util.Arrays.asList(
+          new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+          new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
+          new Field("grp", FieldType.nullable(new ArrowType.Int(32, true)), null)))
+        ArrowSynth.mapWithRoot(rows, schema) { (r, root) =>
+          val k1 = 3 + r.n % 5
+          val k2 = 2 + r.v % 4
+          def nameAt(j: Int): String =
+            ('a' + (r.n + j) % 26).toChar.toString * (1 + (r.v + j) % 5)
+          val out = new java.io.ByteArrayOutputStream()
+          val w = new ArrowFileWriter(root, null,
+            java.nio.channels.Channels.newChannel(out))
+          w.start()
+          var j = 0
+          Seq(k1, k2).foreach { k =>
+            root.allocateNew()
+            val idv = root.getVector("id").asInstanceOf[BigIntVector]
+            val nv = root.getVector("name").asInstanceOf[VarCharVector]
+            val gv = root.getVector("grp").asInstanceOf[IntVector]
+            (0 until k).foreach { i =>
+              if (j == 1) idv.setNull(i)
+              else idv.setSafe(i, ((r.v + j) % 100).toLong)
+              if (j == 2) nv.setNull(i)
+              else nv.setSafe(i, nameAt(j).getBytes("UTF-8"))
+              gv.setSafe(i, (r.n + j) % 50)
+              j += 1
+            }
+            root.setRowCount(k)
+            w.writeBatch()
+          }
+          w.end(); w.close()
+          val bytes = out.toByteArray
+          val info = ArrowIpc.probe(bytes)
+            .getOrElse(sys.error(s"arrow decode failed: doc ${r.doc_id}"))
+          require(info.batchRows == Vector(k1.toLong, k2.toLong),
+            s"batch shape drift: doc ${r.doc_id}")
+          val ids = info.columns(0)
+          val names = info.columns(1)
+          val grps = info.columns(2)
+          (r.doc_id, info.nBatches, info.nRows,
+            info.fields.map(f => s"${f.name}:${f.ftype}").mkString(","),
+            ids.flatten.map { case ALong(x) => x }.sum,
+            ids.count(_.isEmpty),
+            names.flatten.collect { case AStr(x) => x }.headOption.orNull,
+            names.count(_.isEmpty),
+            grps.flatten.map { case ALong(x) => x }.sum)
+        }
       }
       probed.toDF("doc_id", "n_batches", "n_rows", "schema_sig", "id_sum",
           "id_nulls", "first_name", "name_nulls", "grp_sum")
@@ -2296,63 +2293,59 @@ object Round10Queries3 {
           pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
             .cast("int").as("v"))
         .as[Round5Queries6.MediaSrc]
-      val probed = src.map { r =>
-        import org.apache.arrow.memory.RootAllocator
-        import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+      val probed = src.mapPartitions { rows =>
+        import org.apache.arrow.vector.{BigIntVector, VarCharVector}
         import org.apache.arrow.vector.compression.CompressionUtil
         import org.apache.arrow.vector.ipc.ArrowFileWriter
         import org.apache.arrow.vector.ipc.message.IpcOption
         import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
-        import graft.operators.ArrowIpc
+        import graft.operators.{ArrowIpc, ArrowSynth}
         import graft.operators.ArrowIpc.{ALong, AStr}
-        val k = 10 + r.n % 20
-        val codecName = Seq("lz4", "zstd", "none")(r.v % 3)
-        val alloc = new RootAllocator()
-        val bytes =
-          try {
-            val schema = new Schema(java.util.Arrays.asList(
-              new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
-              new Field("txt", FieldType.nullable(new ArrowType.Utf8()), null)))
-            val root = VectorSchemaRoot.create(schema, alloc)
-            try {
-              val out = new java.io.ByteArrayOutputStream()
-              val w = codecName match {
-                case "none" =>
-                  new ArrowFileWriter(root, null,
-                    java.nio.channels.Channels.newChannel(out))
-                case c =>
-                  new ArrowFileWriter(root, null,
-                    java.nio.channels.Channels.newChannel(out),
-                    new java.util.HashMap[String, String](), IpcOption.DEFAULT,
-                    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
-                    if (c == "lz4") CompressionUtil.CodecType.LZ4_FRAME
-                    else CompressionUtil.CodecType.ZSTD)
-              }
-              w.start()
-              root.allocateNew()
-              val idv = root.getVector("id").asInstanceOf[BigIntVector]
-              val tv = root.getVector("txt").asInstanceOf[VarCharVector]
-              (0 until k).foreach { j =>
-                if (j == 1) idv.setNull(j)
-                else idv.setSafe(j, ((r.v + j) % 90).toLong)
-                tv.setSafe(j,
-                  (('a' + (r.n + j) % 26).toChar.toString * (2 + (r.v + j) % 6))
-                    .getBytes("UTF-8"))
-              }
-              root.setRowCount(k)
-              w.writeBatch()
-              w.end(); w.close()
-              out.toByteArray
-            } finally root.close()
-          } finally alloc.close()
-        val info = ArrowIpc.probe(bytes)
-          .getOrElse(sys.error(s"arrow $codecName decode failed: doc ${r.doc_id}"))
-        val ids = info.columns(0)
-        val txts = info.columns(1).flatten.collect { case AStr(s2) => s2 }
-        require(ids(1).isEmpty, s"null slot drift: doc ${r.doc_id}")
-        (r.doc_id, codecName, info.nRows,
-          ids.flatten.collect { case ALong(x) => x }.sum,
-          txts.map(_.length.toLong).sum, txts.head, txts.last)
+        // ONE allocator + root per PARTITION (ArrowSynth) — the per-row
+        // codec choice only swaps the (cheap) writer, never the allocator
+        val schema = new Schema(java.util.Arrays.asList(
+          new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+          new Field("txt", FieldType.nullable(new ArrowType.Utf8()), null)))
+        ArrowSynth.mapWithRoot(rows, schema) { (r, root) =>
+          val k = 10 + r.n % 20
+          val codecName = Seq("lz4", "zstd", "none")(r.v % 3)
+          val out = new java.io.ByteArrayOutputStream()
+          val w = codecName match {
+            case "none" =>
+              new ArrowFileWriter(root, null,
+                java.nio.channels.Channels.newChannel(out))
+            case c =>
+              new ArrowFileWriter(root, null,
+                java.nio.channels.Channels.newChannel(out),
+                new java.util.HashMap[String, String](), IpcOption.DEFAULT,
+                org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+                if (c == "lz4") CompressionUtil.CodecType.LZ4_FRAME
+                else CompressionUtil.CodecType.ZSTD)
+          }
+          w.start()
+          root.allocateNew()
+          val idv = root.getVector("id").asInstanceOf[BigIntVector]
+          val tv = root.getVector("txt").asInstanceOf[VarCharVector]
+          (0 until k).foreach { j =>
+            if (j == 1) idv.setNull(j)
+            else idv.setSafe(j, ((r.v + j) % 90).toLong)
+            tv.setSafe(j,
+              (('a' + (r.n + j) % 26).toChar.toString * (2 + (r.v + j) % 6))
+                .getBytes("UTF-8"))
+          }
+          root.setRowCount(k)
+          w.writeBatch()
+          w.end(); w.close()
+          val bytes = out.toByteArray
+          val info = ArrowIpc.probe(bytes)
+            .getOrElse(sys.error(s"arrow $codecName decode failed: doc ${r.doc_id}"))
+          val ids = info.columns(0)
+          val txts = info.columns(1).flatten.collect { case AStr(s2) => s2 }
+          require(ids(1).isEmpty, s"null slot drift: doc ${r.doc_id}")
+          (r.doc_id, codecName, info.nRows,
+            ids.flatten.collect { case ALong(x) => x }.sum,
+            txts.map(_.length.toLong).sum, txts.head, txts.last)
+        }
       }
       probed.toDF("doc_id", "codec", "n_rows", "id_sum", "txt_chars",
           "first_txt", "last_txt")

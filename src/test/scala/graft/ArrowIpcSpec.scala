@@ -109,6 +109,42 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("a batch declaring nulls without a validity bitmap rejects") {
+    // byte surgery on a real-library file: zero the id column's validity
+    // BUFFER LENGTH while its FieldNode still declares nullCount=1 — a
+    // malformed batch that must reject, not decode with fabricated
+    // non-null values where the writer planted a null
+    val b = writeFile(Seq(Seq(
+      (Some(10L), Some("a"), Some(1)),
+      (None, Some("b"), Some(2)),
+      (Some(30L), Some("c"), Some(3)),
+      (Some(40L), Some("d"), Some(4)),
+      (Some(50L), Some("e"), Some(5)))))
+    assert(ArrowIpc.probe(b).isDefined)
+    def le32(a: Array[Byte], o: Int): Long =
+      (a(o) & 0xffL) | ((a(o + 1) & 0xffL) << 8) |
+        ((a(o + 2) & 0xffL) << 16) | ((a(o + 3) & 0xffL) << 24)
+    def le64(a: Array[Byte], o: Int): Long =
+      le32(a, o) | (le32(a, o + 4) << 32)
+    // locate the record batch's Buffers flatbuffer vector: element count 7
+    // (id 2 + name 3 + grp 2), first entry = id validity (offset 0, a
+    // small unpadded length)
+    var at = -1
+    var i = 0
+    while (at < 0 && i + 20 <= b.length) {
+      if (le32(b, i) == 7 && le64(b, i + 4) == 0L) {
+        val len = le64(b, i + 12)
+        if (len >= 1 && len <= 8) at = i
+      }
+      i += 1
+    }
+    assert(at > 0, "buffers vector not located in the message metadata")
+    val c = b.clone()
+    (0 until 8).foreach(j => c(at + 12 + j) = 0)
+    assert(ArrowIpc.probe(c).isEmpty,
+      "declared nulls with an empty validity buffer must reject")
+  }
+
   test("an empty batch list and non-arrow bytes reject") {
     assert(ArrowIpc.probe(Array.emptyByteArray).isEmpty)
     assert(ArrowIpc.probe("PAR1not arrow at all PAR1".getBytes).isEmpty)

@@ -52,6 +52,31 @@ class GzipMembersSpec extends AnyFunSuite {
     assert(GzipMembers.walk(badBody).isEmpty)
   }
 
+  test("FHCRC: a valid header CRC16 walks; a corrupted one rejects") {
+    val base = GzipMembers.synth(Seq((bytes("crc16 guarded"), None)))
+    // graft an FHCRC field onto the 10-byte header: set FLG.FHCRC and
+    // insert the CRC-16 (low 16 bits of CRC-32 over the header bytes)
+    val hdr = base.take(10)
+    hdr(3) = (hdr(3) | 0x02).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(hdr)
+    val c16 = (crc.getValue & 0xffffL).toInt
+    val withCrc = hdr ++
+      Array[Byte]((c16 & 0xff).toByte, ((c16 >> 8) & 0xff).toByte) ++
+      base.drop(10)
+    val ms = GzipMembers.walk(withCrc).get
+    assert(new String(ms.head.content, "ISO-8859-1") == "crc16 guarded")
+    // a corrupted header (here: the stored CRC16 itself) must reject —
+    // the scaladoc's corruption-yields-None claim covers the header too
+    val bad = withCrc.clone()
+    bad(10) = (bad(10) ^ 0x55).toByte
+    assert(GzipMembers.walk(bad).isEmpty)
+    // and a corrupted header byte COVERED by the CRC16 rejects too
+    val badHdr = withCrc.clone()
+    badHdr(9) = (badHdr(9) ^ 0x01).toByte // OS field, carried not parsed
+    assert(GzipMembers.walk(badHdr).isEmpty)
+  }
+
   test("hostile bytes: headers, truncation, trailing garbage") {
     val b = GzipMembers.synth(Seq((bytes("payload"), None)))
     assert(GzipMembers.walk(Array.emptyByteArray).isEmpty)

@@ -165,6 +165,24 @@ class OggProbeSpec extends AnyFunSuite {
     assert(dataPage > 0) // geometry sanity for the offsets above
   }
 
+  test("RFC 3533: a BOS page carrying the continued-packet flag rejects") {
+    val b = opusFile()
+    val mut = b.clone()
+    mut(5) = (mut(5) | 0x01).toByte // BOS | continued — forbidden
+    // recompute the first page's CRC so the sequencing rule itself fires
+    // (not the CRC check): first page spans 27 + 1 lacing + 19 body bytes
+    val firstEnd = 27 + 1 + 19
+    val crc = OggProbe.pageCrc(mut, 0, firstEnd, 22)
+    mut(22) = (crc & 0xff).toByte
+    mut(23) = ((crc >> 8) & 0xff).toByte
+    mut(24) = ((crc >> 16) & 0xff).toByte
+    mut(25) = ((crc >> 24) & 0xff).toByte
+    assert(OggProbe.probe(mut).isEmpty,
+      "probe must reject a BOS page flagged as a continuation")
+    assert(OggProbe.probeMux(mut).isEmpty,
+      "probeMux must reject a BOS page flagged as a continuation")
+  }
+
   test("a single-page BOS+EOS stream is valid") {
     val b = OggProbe.synth(42, OggProbe.opusHead(1, 0, 48000L), Nil,
       (_, _) => 0)

@@ -6,7 +6,9 @@ import graft.operators.ScopedCache
 
 /** Pins the workload-scoped cache policy the lazy-returning dedup operators
   * rely on: warm across same-plan repeats, evicted once the session's
-  * workload moves on, never evicted before first use.
+  * workload moves on (after [[ScopedCache.GraceMisses]] CONSECUTIVE foreign
+  * actions — one interleaved neighbor must not sweep a repeat's warm
+  * cache), never evicted before first use.
   */
 class ScopedCacheSpec extends SparkTestBase {
 
@@ -28,8 +30,12 @@ class ScopedCacheSpec extends SparkTestBase {
   /** For MUST-NOT-happen assertions: give the bus a moment to drain. */
   private def settle(): Unit = Thread.sleep(400)
 
+  /** Runs enough unrelated actions to exhaust the grace budget. */
+  private def foreignActions(n: Int = ScopedCache.GraceMisses): Unit =
+    (1 to n).foreach { i => ((1 to 3).toDF(s"f$i").count()); settle() }
+
   test("cache survives repeated consumption of the same plan, then is " +
-    "evicted by the first unrelated action") {
+    "evicted once the grace budget of unrelated actions is spent") {
     val base = (1 to 100).toDF("x").filter(col("x") % 2 === 0)
     val c = ScopedCache.cache(base.select(col("x"), (col("x") * col("x")).as("y")))
     // two consuming actions: both must see the cache (warm repeats)
@@ -39,24 +45,35 @@ class ScopedCacheSpec extends SparkTestBase {
     assert(c.agg(sum("y")).head().getLong(0) > 0)
     settle()
     assert(isCached(c), "still warm: the consuming actions reference it")
-    // an UNRELATED action completes -> the workload moved on -> evicted
+    // ONE unrelated action is within the grace budget: an interleaved
+    // neighbor in a multi-query sweep must NOT sweep the warm cache
     (1 to 10).toDF("z").count()
+    settle()
+    assert(isCached(c), "one foreign action is absorbed by the grace counter")
+    // a referencing action in between RESETS the counter
+    assert(c.count() == 50)
+    settle()
+    (1 to 10).toDF("z2").count()
+    settle()
+    assert(isCached(c), "a hit must reset the miss counter")
+    // spending the full grace budget confirms the workload moved on
+    (1 to 10).toDF("z3").count()
     assert(eventually()(!isCached(c)),
-      "unrelated action must sweep the consumed cache")
+      "consecutive foreign actions past the grace budget must evict")
   }
 
   test("a never-consumed cache is not evicted by unrelated actions") {
     val c = ScopedCache.cache(
       (1 to 10).toDF("a").select((col("a") + 7).as("b")))
-    (1 to 5).toDF("w").count() // unrelated, completes first
+    foreignActions() // unrelated, complete first — full grace budget spent
     settle()
     // the entry was never consumed: it must survive (its owner has not
     // run yet — CacheManager keeps a lazy entry, so presence == survival)
     assert(isCached(c), "unconsumed entry must survive unrelated actions")
     assert(c.count() == 10) // first consumption
-    (1 to 5).toDF("w2").count()
+    foreignActions()
     assert(eventually()(!isCached(c)),
-      "after consumption, the next unrelated action evicts")
+      "after consumption, foreign actions past the grace budget evict")
   }
 
   test("re-registration resets protection for a new consumer") {
@@ -67,13 +84,13 @@ class ScopedCacheSpec extends SparkTestBase {
     settle()
     // new run re-registers the same canonical plan (fresh DataFrame)
     val r2 = make()
-    // an unrelated PRELIMINARY action of the new run must NOT evict the
-    // warm entry before r2 has used it
-    (1 to 3).toDF("p").count()
+    // unrelated PRELIMINARY actions of the new run must NOT evict the
+    // warm entry before r2 has used it — even past the grace budget
+    foreignActions()
     settle()
     assert(isCached(r2), "re-registration must protect the warm entry")
     assert(r2.count() == 20)
-    (1 to 3).toDF("p2").count()
+    foreignActions()
     assert(eventually()(!isCached(r2)))
   }
 }
