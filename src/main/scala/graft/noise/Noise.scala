@@ -114,48 +114,63 @@ object Noise {
   }
 
   /** Scale-path variant of [[groundNoise]] for source cardinalities beyond
-    * broadcast range (SURVEY.md §7.5): coarse geo-cell bucketing turns the
-    * cross join into an equi-join. Cell size = R_MAX so any (grid, source)
-    * pair within 20 km shares a cell or touches a neighbor; sources are
-    * exploded into their 3x3 neighborhood, the join runs on the cell key
-    * (shuffle hash join, partial aggregation map-side), and the exact
-    * haversine filter runs within buckets. Same semantics, no cross join.
+    * broadcast range (SURVEY.md §7.5): geo-cell bucketing turns the cross
+    * join into an equi-join, valid at EVERY latitude and across the
+    * antimeridian (round 11; the earlier flat floor(lon/c) scheme enforced
+    * |lat| <= 60 with a raise).
     *
-    * Domain: |lat| <= 60 and |lon| <= 180 - cell on BOTH sides — enforced
-    * with a distributed raise_error (see the guard below), not assumed.
+    * Scheme: latitude BANDS of height cellDeg (>= the 20 km latitude
+    * reach), and per band a longitude RING of `nLon(band)` equal cells
+    * whose width is proven >= the longitude reach of any within-radius
+    * pair touching the band:
+    *
+    *   haversine: sin²(d/2) >= cosφ₁·cosφ₂·sin²(Δλ/2), both |φ| <= φmax
+    *   (the band's |lat| ceiling extended one band for cross-band pairs)
+    *   => |Δλ| <= 2·asin(min(1, sin(r/2R)/cos(φmax))) = the band's reach;
+    *   nLon = max(1, floor(2π / reach)) so each ring cell covers it.
+    *
+    * Ring indices wrap modulo nLon, so antimeridian pairs land in adjacent
+    * cells by construction; near the poles cos(φmax) collapses and the
+    * ring degenerates to ONE cell (the cap joins as a single bucket, which
+    * is also the correct physics — everything there is within a few cells).
+    * Sources explode into the 3 touching bands and, per band, their
+    * `array_distinct` ring-neighbor cells (distinct, so a 1-cell ring
+    * cannot duplicate pairs into the power sum). The join runs on
+    * (band, ring cell) — shuffle hash join, partial aggregation map-side —
+    * and the exact haversine predicate filters within buckets. Same
+    * semantics as [[groundNoise]] on any input with valid coordinates
+    * (|lat| <= 90, |lon| <= 180); no cross join, no raise.
     */
   def groundNoiseBucketed(gridDf: DataFrame, sources: DataFrame): DataFrame = {
-    // Cell size in degrees, conservatively >= R_MAX in both axes at |lat|<=60.
+    // band height in degrees, conservatively >= the latitude reach r/R
     val cellDeg = RMaxM / EarthRadiusM * (180.0 / math.Pi) * 2.0
-    // ENFORCED domain contract (not just a documented caveat): the flat 2x
-    // cell margin only guarantees longitude recall while cos(lat) >= 1/2,
-    // and plain floor(lon/c) cells cannot pair across the antimeridian —
-    // outside |lat| <= 60 or |lon| <= 180 - cellDeg this operator would
-    // silently DROP within-radius pairs. The guard raises distributed, at
-    // row evaluation time (no driver-side action added); callers with
-    // polar or seam data use groundNoise or the BucketedRangeJoinRule
-    // rewrite, whose runtime guard unions an exact path for those rows.
-    def guarded(lat: Column, lon: Column): Column =
-      when(abs(lat) > 60.0d || abs(lon) > 180.0d - cellDeg,
-        raise_error(concat(
-          lit("groundNoiseBucketed: (lat, lon) = ("), lat.cast("string"),
-          lit(", "), lon.cast("string"),
-          lit(") outside the proven cell-margin domain |lat| <= 60, " +
-            "|lon| <= 180 - cell; use groundNoise or the " +
-            "BucketedRangeJoinRule rewrite for polar/antimeridian data"))))
-        .otherwise(lat)
+    val sinHalf = math.sin(RMaxM / (2.0 * EarthRadiusM))
+    def band(lat: Column): Column = floor(lat / cellDeg).cast("long")
+    // ring resolution for a band: covers the longitude reach of any pair
+    // whose partner sits in this band or a neighboring one
+    def nLon(b: Column): Column = {
+      val phiMax = least(lit(90.0d),
+        greatest(abs(b * cellDeg), abs((b + lit(1L)) * cellDeg)) + cellDeg)
+      val cosMin = cos(radians(phiMax))
+      val reach = when(cosMin <= sinHalf, lit(2.0 * math.Pi))
+        .otherwise(asin(lit(sinHalf) / cosMin) * 2.0d)
+      greatest(lit(1L), floor(lit(2.0 * math.Pi) / reach).cast("long"))
+    }
+    // ring index of a longitude at resolution n (lon = 180 clamps into the
+    // last cell; indices are 0..n-1 and wrap modulo n)
+    def ringCell(lon: Column, n: Column): Column =
+      least(n - 1L, floor((lon + 180.0d) / 360.0d * n).cast("long"))
     val g = gridDf
-      .withColumn("cell_i",
-        floor(guarded(col("g_lat"), col("g_lon")) / cellDeg).cast("long"))
-      .withColumn("cell_j", floor(col("g_lon") / cellDeg).cast("long"))
-    val neighbor = explode(sequence(lit(-1), lit(1)))
+      .withColumn("cell_i", band(col("g_lat")))
+      .withColumn("cell_j", ringCell(col("g_lon"), nLon(col("cell_i"))))
     val s = sources
-      .withColumn("di", neighbor)
-      .withColumn("dj", explode(sequence(lit(-1), lit(1))))
-      .withColumn("cell_i",
-        floor(guarded(col("s_lat"), col("s_lon")) / cellDeg).cast("long") + col("di"))
-      .withColumn("cell_j", floor(col("s_lon") / cellDeg).cast("long") + col("dj"))
-      .drop("di", "dj")
+      .withColumn("di", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("cell_i", band(col("s_lat")) + col("di"))
+      .withColumn("nl", nLon(col("cell_i")))
+      .withColumn("cell_j", explode(array_distinct(
+        transform(sequence(lit(-1L), lit(1L)),
+          dj => pmod(ringCell(col("s_lon"), col("nl")) + dj, col("nl"))))))
+      .drop("di", "nl")
     g.join(s, Seq("cell_i", "cell_j"))
       .withColumn("dist_m",
         haversineMeters(col("g_lat"), col("g_lon"), col("s_lat"), col("s_lon")))

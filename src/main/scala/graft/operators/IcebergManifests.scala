@@ -1,0 +1,248 @@
+package graft.operators
+
+import scala.util.control.NonFatal
+
+import graft.operators.AvroOcf._
+
+/** ICEBERG MANIFEST decode — the other dominant lakehouse table format
+  * beside the delta-style JSON log ([[DeltaReplay]]). Per the public
+  * Apache Iceberg table spec (iceberg.apache.org/spec), a snapshot
+  * points at a MANIFEST LIST (an Avro OCF whose records describe
+  * manifest files: path, length, spec id, the added/existing/deleted
+  * file and row counts, optional per-field partition summaries) and
+  * each MANIFEST (another Avro OCF) holds `manifest_entry` records:
+  * a status (0 = existing, 1 = added, 2 = deleted), an optional
+  * snapshot id, and the nested `data_file` record (content kind, file
+  * path, format, the partition tuple, record count, size in bytes).
+  * Both layers are decoded by [[AvroOcf.probeNested]] — the nested
+  * records / arrays / `["null", X]` unions are exactly the widening
+  * that reader grew for this.
+  *
+  * Beyond shape-decoding, [[replay]] enforces the MANIFEST ARITHMETIC
+  * the spec makes redundant on purpose (so a reader can catch a
+  * corrupted or hand-edited manifest):
+  *   - each list entry's `manifest_length` must equal the actual
+  *     manifest byte length;
+  *   - the added/existing/deleted FILE counts must equal the number of
+  *     entries carrying that status;
+  *   - the added/existing/deleted ROW counts must equal the sum of
+  *     `record_count` over entries with that status.
+  * Any mismatch — or a manifest the resolver cannot supply — yields
+  * None (decline, never a fabricated table state).
+  *
+  * Live state of the snapshot = entries with status EXISTING or ADDED
+  * across all manifests; DELETED entries record files removed by this
+  * snapshot and are reported separately, never counted live.
+  *
+  * Scale posture: manifest lists and manifests are METADATA — kilobytes
+  * per snapshot even for petabyte tables — so decoding them per-row in
+  * a distributed map is the correct shape; the 100 TB of data files
+  * they point at are never touched here.
+  */
+object IcebergManifests {
+
+  /** `field_summary` (spec: partitions array element). Bounds are kept
+    * as strings — the spec types them `bytes` with a per-type encoding;
+    * the string transcription keeps the oracle closed-form without
+    * embedding the binary single-value spec table.
+    */
+  val FieldSummaryType: TRecord = TRecord("r508", Vector(
+    "contains_null" -> TBool,
+    "lower_bound" -> TOpt(TString),
+    "upper_bound" -> TOpt(TString)))
+
+  /** `manifest_file` (the manifest-list record), core v1 fields. */
+  val ManifestFileType: TRecord = TRecord("manifest_file", Vector(
+    "manifest_path" -> TString,
+    "manifest_length" -> TLong,
+    "partition_spec_id" -> TInt,
+    "added_snapshot_id" -> TLong,
+    "added_files_count" -> TInt,
+    "existing_files_count" -> TInt,
+    "deleted_files_count" -> TInt,
+    "added_rows_count" -> TLong,
+    "existing_rows_count" -> TLong,
+    "deleted_rows_count" -> TLong,
+    "partitions" -> TOpt(TArray(FieldSummaryType))))
+
+  /** `manifest_entry` with a caller-chosen partition record type. */
+  def manifestEntryType(partition: TRecord): TRecord =
+    TRecord("manifest_entry", Vector(
+      "status" -> TInt,
+      "snapshot_id" -> TOpt(TLong),
+      "data_file" -> TRecord("r2", Vector(
+        "content" -> TInt,
+        "file_path" -> TString,
+        "file_format" -> TString,
+        "partition" -> partition,
+        "record_count" -> TLong,
+        "file_size_in_bytes" -> TLong))))
+
+  final case class FieldSummary(containsNull: Boolean,
+      lower: Option[String], upper: Option[String])
+
+  final case class ManifestFile(path: String, length: Long, specId: Int,
+      addedSnapshotId: Long, addedFiles: Int, existingFiles: Int,
+      deletedFiles: Int, addedRows: Long, existingRows: Long,
+      deletedRows: Long, partitions: Option[Vector[FieldSummary]])
+
+  final case class DataFile(content: Int, path: String, format: String,
+      partition: Vector[(String, Long)], recordCount: Long,
+      fileSizeBytes: Long)
+
+  final case class ManifestEntry(status: Int, snapshotId: Option[Long],
+      dataFile: DataFile)
+
+  /** Replayed snapshot state (see class doc for the live rule). */
+  final case class TableState(nManifests: Int, live: Vector[DataFile],
+      deleted: Vector[DataFile]) {
+    def liveRows: Long = live.map(_.recordCount).sum
+    def liveBytes: Long = live.map(_.fileSizeBytes).sum
+  }
+
+  private def str(c: Cell): String = c match {
+    case StrCell(s) => s
+    case _ => throw new IllegalArgumentException("string cell expected")
+  }
+  private def lng(c: Cell): Long = c match {
+    case LongCell(v) => v
+    case _ => throw new IllegalArgumentException("long cell expected")
+  }
+  private def optStr(c: Cell): Option[String] = c match {
+    case NullCell => None
+    case StrCell(s) => Some(s)
+    case _ => throw new IllegalArgumentException("opt string cell expected")
+  }
+
+  /** Decode a manifest list. The file's own embedded schema must BE the
+    * spec's `manifest_file` shape — a different record is a decline, not
+    * a best-effort reinterpretation.
+    */
+  def readManifestList(b: Array[Byte]): Option[Vector[ManifestFile]] =
+    try {
+      val info = AvroOcf.probeNested(b).getOrElse(return None)
+      if (info.root != ManifestFileType) return None
+      Some(info.rows.map { r =>
+        val parts = r(10) match {
+          case NullCell => None
+          case ArrCell(items) => Some(items.map {
+            case RecCell(Vector(BoolCell(cn), lo, hi)) =>
+              FieldSummary(cn, optStr(lo), optStr(hi))
+            case _ => return None
+          })
+          case _ => return None
+        }
+        ManifestFile(str(r(0)), lng(r(1)), lng(r(2)).toInt, lng(r(3)),
+          lng(r(4)).toInt, lng(r(5)).toInt, lng(r(6)).toInt,
+          lng(r(7)), lng(r(8)), lng(r(9)), parts)
+      })
+    } catch { case NonFatal(_) => None }
+
+  /** Decode one manifest. The partition record may be any flat record of
+    * int/long fields (the table's partition spec decides it); everything
+    * else must match `manifest_entry` exactly.
+    */
+  def readManifest(b: Array[Byte]): Option[Vector[ManifestEntry]] =
+    try {
+      val info = AvroOcf.probeNested(b).getOrElse(return None)
+      val partType = info.root match {
+        case TRecord("manifest_entry", Vector(
+            ("status", TInt), ("snapshot_id", TOpt(TLong)),
+            ("data_file", TRecord("r2", Vector(
+              ("content", TInt), ("file_path", TString),
+              ("file_format", TString), ("partition", p: TRecord),
+              ("record_count", TLong), ("file_size_in_bytes", TLong))))))
+          if p.fields.forall(f => f._2 == TInt || f._2 == TLong) => p
+        case _ => return None
+      }
+      Some(info.rows.map { r =>
+        val status = lng(r(0)).toInt
+        if (status < 0 || status > 2) return None
+        val snap = r(1) match {
+          case NullCell => None
+          case LongCell(v) => Some(v)
+          case _ => return None
+        }
+        val df = r(2) match {
+          case RecCell(Vector(content, path, fmt, RecCell(pcells), rc, fs)) =>
+            DataFile(lng(content).toInt, str(path), str(fmt),
+              partType.fields.map(_._1).zip(pcells.map(lng)), lng(rc),
+              lng(fs))
+          case _ => return None
+        }
+        ManifestEntry(status, snap, df)
+      })
+    } catch { case NonFatal(_) => None }
+
+  /** Replay a snapshot: decode the manifest list, resolve and decode each
+    * manifest, enforce the manifest arithmetic (class doc), and fold the
+    * live/deleted file sets.
+    */
+  def replay(manifestList: Array[Byte],
+      resolve: String => Option[Array[Byte]]): Option[TableState] = {
+    val mfs = readManifestList(manifestList).getOrElse(return None)
+    val live = Vector.newBuilder[DataFile]
+    val dead = Vector.newBuilder[DataFile]
+    mfs.foreach { mf =>
+      val bytes = resolve(mf.path).getOrElse(return None)
+      if (bytes.length.toLong != mf.length) return None
+      val entries = readManifest(bytes).getOrElse(return None)
+      def ofStatus(s: Int) = entries.filter(_.status == s)
+      if (mf.existingFiles != ofStatus(0).size ||
+        mf.addedFiles != ofStatus(1).size ||
+        mf.deletedFiles != ofStatus(2).size) return None
+      if (mf.existingRows != ofStatus(0).map(_.dataFile.recordCount).sum ||
+        mf.addedRows != ofStatus(1).map(_.dataFile.recordCount).sum ||
+        mf.deletedRows != ofStatus(2).map(_.dataFile.recordCount).sum)
+        return None
+      entries.foreach { e =>
+        if (e.status == 2) dead += e.dataFile else live += e.dataFile
+      }
+    }
+    Some(TableState(mfs.size, live.result(), dead.result()))
+  }
+
+  // ------------------------------------------------------------------
+  // Synthesis (test/oracle side): real manifest wire format via
+  // AvroOcf.synthNested.
+  // ------------------------------------------------------------------
+
+  /** Encode manifest entries into a real manifest Avro OCF. */
+  def synthManifest(entries: Seq[ManifestEntry], partition: TRecord,
+      codec: String, syncSeed: Int): Array[Byte] = {
+    val rows = entries.map { e =>
+      Vector[Cell](
+        LongCell(e.status.toLong),
+        e.snapshotId.map(LongCell.apply).getOrElse(NullCell),
+        RecCell(Vector(
+          LongCell(e.dataFile.content.toLong),
+          StrCell(e.dataFile.path),
+          StrCell(e.dataFile.format),
+          RecCell(e.dataFile.partition.map(p => LongCell(p._2))),
+          LongCell(e.dataFile.recordCount),
+          LongCell(e.dataFile.fileSizeBytes))))
+    }
+    AvroOcf.synthNested(manifestEntryType(partition), rows,
+      Seq(entries.size), codec, syncSeed)
+  }
+
+  /** Encode manifest-file records into a real manifest-list Avro OCF. */
+  def synthManifestList(mfs: Seq[ManifestFile], codec: String,
+      syncSeed: Int): Array[Byte] = {
+    val rows = mfs.map { m =>
+      Vector[Cell](
+        StrCell(m.path), LongCell(m.length), LongCell(m.specId.toLong),
+        LongCell(m.addedSnapshotId), LongCell(m.addedFiles.toLong),
+        LongCell(m.existingFiles.toLong), LongCell(m.deletedFiles.toLong),
+        LongCell(m.addedRows), LongCell(m.existingRows),
+        LongCell(m.deletedRows),
+        m.partitions.map(ps => ArrCell(ps.map(p => RecCell(Vector(
+          BoolCell(p.containsNull),
+          p.lower.map(StrCell.apply).getOrElse(NullCell),
+          p.upper.map(StrCell.apply).getOrElse(NullCell))))))
+          .getOrElse(NullCell))
+    }
+    AvroOcf.synthNested(ManifestFileType, rows, Seq(mfs.size), codec,
+      syncSeed)
+  }
+}

@@ -132,7 +132,8 @@ object ParquetFooter {
       numValues: Long, nullCount: Long, statMin: Option[Array[Byte]],
       statMax: Option[Array[Byte]], ptype: Int = -1,
       dataPageOffset: Long = -1L, dictPageOffset: Option[Long] = None,
-      compressedBytes: Long = -1L, required: Boolean = false)
+      compressedBytes: Long = -1L, required: Boolean = false,
+      encodings: Vector[Int] = Vector.empty)
 
   /** Parsed footer: file row count, schema column names (leaf order),
     * row-group count, and the first row group's chunk details.
@@ -213,7 +214,9 @@ object ParquetFooter {
                 meta.i(9).getOrElse(-1L),
                 meta.i(11),
                 meta.i(7).getOrElse(-1L),
-                requiredByName.getOrElse(path, false))
+                requiredByName.getOrElse(path, false),
+                meta.list(2).getOrElse(Vector.empty)
+                  .collect { case TI(v) => v.toInt })
             case _ => return None
           }
         case _ => Vector.empty

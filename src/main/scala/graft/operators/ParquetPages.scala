@@ -23,9 +23,13 @@ import scala.util.control.NonFatal
   * DELTA_BYTE_ARRAY front coding.
   *
   * Scope: flat optional columns (max definition level 1, no
-  * repetition levels) of physical types INT32, INT64, and BYTE_ARRAY
-  * — the shape every column of a flat table has. Nested columns and
-  * other codecs (GZIP/ZSTD/LZ4) reject rather than mis-decode.
+  * repetition levels) of physical types INT32, INT64, BYTE_ARRAY,
+  * FLOAT, and DOUBLE — the shape every column of a flat table has;
+  * floating-point columns also decode BYTE_STREAM_SPLIT (round 11:
+  * the byte-transpose encoding parquet-format 2.8 added for float
+  * compressibility — stream j holds every value's j-th byte). Nested
+  * columns, the 2.11 int/FLBA BYTE_STREAM_SPLIT extension, and other
+  * codecs (GZIP/ZSTD/LZ4) reject rather than mis-decode.
   *
   * Hostile-byte posture: [[readColumn]] never throws — a malformed
   * page header, an unknown codec/encoding, a dictionary index out of
@@ -36,6 +40,7 @@ object ParquetPages {
 
   sealed trait PValue
   final case class PLong(v: Long) extends PValue
+  final case class PDouble(v: Double) extends PValue
   final case class PBin(v: Array[Byte]) extends PValue {
     def str: String = new String(v, "UTF-8")
   }
@@ -131,6 +136,18 @@ object ParquetPages {
           (0 until 8).foreach(i => v |= (b(p + i) & 0xffL) << (8 * i))
           out += PLong(v)
           p += 8
+        case 4 => // FLOAT little-endian (widened to double)
+          need(4)
+          var bits = 0
+          (0 until 4).foreach(i => bits |= (b(p + i) & 0xff) << (8 * i))
+          out += PDouble(java.lang.Float.intBitsToFloat(bits).toDouble)
+          p += 4
+        case 5 => // DOUBLE little-endian
+          need(8)
+          var bits = 0L
+          (0 until 8).foreach(i => bits |= (b(p + i) & 0xffL) << (8 * i))
+          out += PDouble(java.lang.Double.longBitsToDouble(bits))
+          p += 8
         case 6 => // BYTE_ARRAY: u32 LE length + bytes
           need(4)
           var len = 0
@@ -140,7 +157,7 @@ object ParquetPages {
           need(len)
           out += PBin(java.util.Arrays.copyOfRange(b, p, p + len))
           p += len
-        case _ => fail() // BOOLEAN/FLOAT/FA: out of scope here
+        case _ => fail() // BOOLEAN/INT96/FLBA: out of scope here
       }
     }
     if (p > to) fail()
@@ -295,7 +312,23 @@ object ParquetPages {
         case 7 => // DELTA_BYTE_ARRAY
           if (chunk.ptype != 6) return None
           Some(deltaByteArray(data, vFrom, data.length, nPresent))
-        case _ => None // BYTE_STREAM_SPLIT etc: out of scope
+        case 9 => // BYTE_STREAM_SPLIT (FLOAT/DOUBLE; format 2.8+)
+          val w = chunk.ptype match {
+            case 4 => 4
+            case 5 => 8
+            case _ => return None // the 2.11 int/FLBA extension: decline
+          }
+          // value i's byte j lives in stream j: data[vFrom + j*n + i] —
+          // the transpose that makes float columns compress
+          if (data.length - vFrom != w * nPresent) return None
+          Some((0 until nPresent).toVector.map { i =>
+            var bits = 0L
+            (0 until w).foreach(j =>
+              bits |= (data(vFrom + j * nPresent + i) & 0xffL) << (8 * j))
+            if (w == 4) PDouble(java.lang.Float.intBitsToFloat(bits.toInt).toDouble)
+            else PDouble(java.lang.Double.longBitsToDouble(bits))
+          })
+        case _ => None // unknown encodings: out of scope
       }
     } catch { case NonFatal(_) => None }
 

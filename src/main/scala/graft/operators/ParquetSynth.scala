@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.parquet.column.ParquetProperties
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.{OutputFile, PositionOutputStream}
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+/** In-memory parquet synthesis via the REAL parquet-mr writer (the
+  * library Spark itself writes with) — the q261 protocol applied to
+  * parquet: the reference implementation produces the bytes, the
+  * hand-rolled reader ([[ParquetFooter]] + [[ParquetPages]]) decodes
+  * them, and a closed-form oracle checks the values. Exists because
+  * Spark's DataFrame writer exposes no BYTE_STREAM_SPLIT switch
+  * (parquet-mr 1.16 has only the builder API
+  * `withByteStreamSplitEncoding`), so exercising that encoding needs a
+  * direct writer — and an in-memory [[OutputFile]] keeps the per-doc
+  * synthesis off the filesystem.
+  */
+object ParquetSynth {
+
+  /** A parquet OutputFile over a byte array — no filesystem. */
+  private final class MemOutputFile extends OutputFile {
+    val bos = new java.io.ByteArrayOutputStream()
+    private def stream: PositionOutputStream = new PositionOutputStream {
+      override def getPos: Long = bos.size().toLong
+      override def write(b: Int): Unit = bos.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        bos.write(b, off, len)
+    }
+    override def create(blockSizeHint: Long): PositionOutputStream = stream
+    override def createOrOverwrite(blockSizeHint: Long): PositionOutputStream = stream
+    override def supportsBlockSize(): Boolean = false
+    override def defaultBlockSize(): Long = 0L
+  }
+
+  /** One row of the BYTE_STREAM_SPLIT probe schema. */
+  final case class BssRow(id: Long, d: Option[Double], f: Option[Float])
+
+  private val BssSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message doc {
+      |  required int64 id;
+      |  optional double d;
+      |  optional float f;
+      |}""".stripMargin)
+
+  /** Write `rows` as a real parquet file with BYTE_STREAM_SPLIT enabled
+    * for the floating-point columns (dictionaries off so the encoding
+    * actually engages; v1 pages; uncompressed or snappy).
+    */
+  def synthBss(rows: Seq[BssRow], snappy: Boolean): Array[Byte] = {
+    val out = new MemOutputFile
+    val w = ExampleParquetWriter.builder(out)
+      .withType(BssSchema)
+      .withDictionaryEncoding(false)
+      .withByteStreamSplitEncoding(true)
+      .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_1_0)
+      .withCompressionCodec(
+        if (snappy) CompressionCodecName.SNAPPY
+        else CompressionCodecName.UNCOMPRESSED)
+      .build()
+    try rows.foreach { r =>
+      val g = new SimpleGroup(BssSchema)
+      g.add("id", r.id)
+      r.d.foreach(g.add("d", _))
+      r.f.foreach(g.add("f", _))
+      w.write(g)
+    } finally w.close()
+    out.bos.toByteArray
+  }
+}

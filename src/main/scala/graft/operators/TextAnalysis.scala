@@ -130,12 +130,45 @@ object TextAnalysis {
 
   /** Token counting: whitespace tokens plus a BPE-ish bound (runs of up to 4
     * letters / digit runs / single non-alphanumerics — an upper estimate of
-    * subword pieces without a vocabulary).
+    * subword pieces without a vocabulary). For counts under a TRAINED
+    * vocabulary — the numbers a tokenizer actually produces — use
+    * [[bpeTokenCounts]] with [[bpeTrain]]'s induced merges.
     */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
       regexp_count(col("text"), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe_tokens"))
+
+  /** Per-WORD token counts under a trained merge list: the corpus's
+    * distinct words, each segmented by replaying `merges` (the pairs
+    * [[bpeTrain]] induced, in training order) through the
+    * [[bpeApplyMerge]] greedy fold. Returns (w, nt). The fold runs over
+    * the VOCABULARY only — per-occurrence rows never see it; corpus-scale
+    * consumers equi-join this table back ([[bpeTokenCounts]], q275's
+    * budget path).
+    */
+  def bpeWordTokens(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    merges.foldLeft(
+      words.select(col("w"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))) {
+      (df, mp) => df.select(col("w"), bpeApplyMerge(col("s"), lit(mp)).as("s"))
+    }.select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("nt"))
+  }
+
+  /** Per-DOCUMENT token counts under a trained merge list — the real
+    * replacement for [[tokenCounts]]' regex proxy once a vocabulary
+    * exists: (doc_id, n_words, n_bpe_tokens) where n_bpe_tokens sums the
+    * trained segmentation over every word occurrence. One explode, one
+    * vocabulary equi-join, one per-doc aggregate.
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[String]): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(bpeWordTokens(docs, merges), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe_tokens"))
 
   /** Document fingerprints: full-text rolling polynomial hash plus the
     * minimum 5-char-gram polynomial hash (a 1-fingerprint winnowing

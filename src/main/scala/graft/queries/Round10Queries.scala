@@ -507,40 +507,19 @@ object Round10Queries {
       .orderBy("round"),
     Some {
       val K = 6
-      def pairs(i: Int): String =
-        s"""p$i AS (SELECT t[i] || ' ' || t[i+1] AS p, SUM(cnt) AS pc
-           |  FROM (SELECT cnt, string_split(trim(s), ' ') AS t FROM sym${i - 1}),
-           |       unnest(range(1, len(t))) AS u(i)
-           |  GROUP BY 1),
-           |top$i AS (SELECT p, pc FROM p$i ORDER BY pc DESC, p LIMIT 1)"""
-          .stripMargin
-      def fold(i: Int): String =
-        s"""sym$i AS (SELECT w, cnt,
-           |  ' ' || list_reduce(string_split(trim(s), ' '), (acc, x) ->
-           |    CASE WHEN (acc = str_split(top$i.p, ' ')[1]
-           |               OR ends_with(acc, ' ' || str_split(top$i.p, ' ')[1]))
-           |              AND x = str_split(top$i.p, ' ')[2]
-           |      THEN substr(acc, 1,
-           |             length(acc) - length(str_split(top$i.p, ' ')[1]))
-           |           || replace(top$i.p, ' ', '')
-           |      ELSE acc || ' ' || x END) || ' ' AS s
-           |  FROM sym${i - 1} CROSS JOIN top$i),
-           |n$i AS (SELECT CAST(SUM(cnt * len(string_split(trim(s), ' ')))
+      def tokCount(i: Int): String =
+        s"""n$i AS (SELECT CAST(SUM(cnt * len(string_split(trim(s), ' ')))
            |  AS BIGINT) AS t FROM sym$i)""".stripMargin
-      val ctes = (1 to K).map(i => pairs(i) + ",\n" + fold(i)).mkString(",\n")
+      val ctes = (1 to K).map(i =>
+        BpeSql.pairs(i) + ",\n" + BpeSql.fold(i) + ",\n" + tokCount(i))
+        .mkString(",\n")
       val rows = (1 to K).map(i =>
         s"""SELECT CAST($i AS BIGINT) AS round, p AS pair,
            |  replace(p, ' ', '') AS merged, CAST(pc AS BIGINT) AS pc,
            |  (SELECT t FROM n$i) AS corpus_tokens FROM top$i"""
           .stripMargin).mkString("\nUNION ALL\n")
       s"""
-      WITH words AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt
-                     FROM (SELECT unnest(string_split(text, ' ')) AS word
-                           FROM documents)
-                     WHERE word != '' GROUP BY 1),
-      sym0 AS (SELECT w, cnt,
-                      ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
-               FROM words),
+      WITH ${BpeSql.words},
       $ctes
       $rows
       ORDER BY round"""
@@ -565,52 +544,13 @@ object Round10Queries {
       val docs = Tables.load(s, dir, "documents")
       val merges = TextAnalysis.bpeTrain(docs, rounds = 6)
         .orderBy("round").collect().map(_.getString(1)) // the pair per round
-      val words = docs
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "").distinct()
-      val sym = merges.foldLeft(
-        words.select(col("w"),
-          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))) {
-        (df, mp) =>
-          df.select(col("w"), TextAnalysis.bpeApplyMerge(col("s"), lit(mp)).as("s"))
-      }.select(col("w"), size(split(trim(col("s")), " ")).as("nt"))
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .join(sym, "w")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe_tokens"))
-        .orderBy("doc_id")
+      TextAnalysis.bpeTokenCounts(docs, merges.toSeq).orderBy("doc_id")
     },
     Some {
       val K = 6
-      def pairs(i: Int): String =
-        s"""p$i AS (SELECT t[i] || ' ' || t[i+1] AS p, SUM(cnt) AS pc
-           |  FROM (SELECT cnt, string_split(trim(s), ' ') AS t FROM sym${i - 1}),
-           |       unnest(range(1, len(t))) AS u(i)
-           |  GROUP BY 1),
-           |top$i AS (SELECT p, pc FROM p$i ORDER BY pc DESC, p LIMIT 1)"""
-          .stripMargin
-      def fold(i: Int): String =
-        s"""sym$i AS (SELECT w, cnt,
-           |  ' ' || list_reduce(string_split(trim(s), ' '), (acc, x) ->
-           |    CASE WHEN (acc = str_split(top$i.p, ' ')[1]
-           |               OR ends_with(acc, ' ' || str_split(top$i.p, ' ')[1]))
-           |              AND x = str_split(top$i.p, ' ')[2]
-           |      THEN substr(acc, 1,
-           |             length(acc) - length(str_split(top$i.p, ' ')[1]))
-           |           || replace(top$i.p, ' ', '')
-           |      ELSE acc || ' ' || x END) || ' ' AS s
-           |  FROM sym${i - 1} CROSS JOIN top$i)""".stripMargin
-      val ctes = (1 to K).map(i => pairs(i) + ",\n" + fold(i)).mkString(",\n")
       s"""
-      WITH words AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt
-                     FROM (SELECT unnest(string_split(text, ' ')) AS word
-                           FROM documents)
-                     WHERE word != '' GROUP BY 1),
-      sym0 AS (SELECT w, cnt,
-                      ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
-               FROM words),
-      $ctes
+      WITH ${BpeSql.words},
+      ${BpeSql.chain(K)}
       SELECT d.doc_id,
              CAST(count(*) AS BIGINT) AS n_words,
              CAST(SUM(len(string_split(trim(sym$K.s), ' '))) AS BIGINT)

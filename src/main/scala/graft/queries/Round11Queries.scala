@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-11 surface: the Iceberg metadata layer (manifest-list →
+  * manifest → data-file replay over the nested Avro reader) and the
+  * trained-BPE token accounting, each under the synth → probe →
+  * closed-form-oracle protocol.
+  */
+object Round11Queries {
+
+  /** ICEBERG MANIFEST REPLAY under the oracle gate — the second
+    * dominant lakehouse table format beside the delta-style JSON log
+    * (q262): per document, a REAL two-layer snapshot is synthesized —
+    * two manifest Avro OCFs (nested `manifest_entry` records: status,
+    * optional snapshot id, the `data_file` record with a partition
+    * tuple) and the manifest-list OCF pointing at them (true byte
+    * lengths, true added/existing/deleted file+row counts, partition
+    * bound summaries) — then replayed by
+    * [[graft.operators.IcebergManifests.replay]]: the nested Avro
+    * decode ([[graft.operators.AvroOcf.probeNested]]), the spec's
+    * redundant MANIFEST ARITHMETIC enforced (lengths, per-status file
+    * counts, per-status row sums — any drift declines), and the
+    * live/deleted fold (live = EXISTING + ADDED; DELETED reported,
+    * never counted). Codec rotates per document across all three
+    * (`null`/`deflate`/`snappy`), so the oracle is codec-blind by
+    * construction. The oracle recomputes every aggregate of the live
+    * set in closed form, so a status misread, a skipped manifest, or a
+    * count that silently "fixed itself" lands in the hash.
+    */
+  val q274IcebergManifests: QueryDef = QueryDef(
+    "q274_iceberg_manifests",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests._
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val codec = Seq("null", "deflate", "snappy")(r.v % 3)
+          val k0 = 3 + r.n % 4
+          val k1 = 2 + r.v % 4
+          // manifest 0: the snapshot's fresh files, all ADDED
+          val m0e = (0 until k0).map { i =>
+            ManifestEntry(1, if (i % 2 == 0) Some(9000L + i) else None,
+              DataFile(0, s"data/m0/f$i.parquet", "PARQUET",
+                Vector("bucket" -> ((r.v + i) % 4).toLong),
+                100L + (r.n + i) % 50,
+                1000L + (r.v * 7 + i * 13) % 500))
+          }
+          // manifest 1: carried-over history — existing/added/deleted mix
+          val m1e = (0 until k1).map { j =>
+            ManifestEntry(Seq(2, 1, 0)(j % 3), None,
+              DataFile(0, s"data/m1/f$j.parquet", "PARQUET",
+                Vector("bucket" -> ((r.n + j) % 4).toLong),
+                100L + (r.v + j) % 50,
+                1000L + (r.n * 5 + j * 11) % 500))
+          }
+          val m0 = synthManifest(m0e, partType, codec, (r.v % 100) + 1)
+          val m1 = synthManifest(m1e, partType, codec, (r.n % 100) + 2)
+          def mf(path: String, bytes: Array[Byte],
+              es: Seq[ManifestEntry]): ManifestFile = {
+            def c(st: Int) = es.count(_.status == st)
+            def rc(st: Int) =
+              es.filter(_.status == st).map(_.dataFile.recordCount).sum
+            val buckets = es.map(_.dataFile.partition.head._2)
+            ManifestFile(path, bytes.length.toLong, 0, 9001L,
+              c(1), c(0), c(2), rc(1), rc(0), rc(2),
+              Some(Vector(FieldSummary(containsNull = false,
+                Some(buckets.min.toString), Some(buckets.max.toString)))))
+          }
+          val list = synthManifestList(
+            Seq(mf("meta/m0.avro", m0, m0e), mf("meta/m1.avro", m1, m1e)),
+            codec, (r.v % 50) + 3)
+          val lookup = Map("meta/m0.avro" -> m0, "meta/m1.avro" -> m1)
+          val st = IcebergManifests.replay(list, lookup.get)
+            .getOrElse(sys.error(s"iceberg replay failed: doc ${r.doc_id}"))
+          val livePaths = st.live.map(_.path)
+          (r.doc_id, codec, st.nManifests, st.live.size, st.deleted.size,
+            st.liveRows, st.liveBytes,
+            st.live.map(_.partition.head._2).distinct.size,
+            livePaths.max,
+            st.deleted.map(_.recordCount).sum)
+        }
+      }
+      probed.toDF("doc_id", "codec", "n_manifests", "live_files",
+          "deleted_files", "live_rows", "live_bytes", "live_buckets",
+          "last_live_path", "deleted_rows")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   3 + n % 4 AS k0,
+                   2 + v % 4 AS k1
+            FROM d),
+      t AS (SELECT *,
+                   list_transform(range(k1), j ->
+                     ([2, 1, 0])[j % 3 + 1]) AS m1status,
+                   list_transform(range(k1), j -> 100 + (v + j) % 50)
+                     AS m1rows,
+                   list_transform(range(k1), j ->
+                     1000 + (n * 5 + j * 11) % 500) AS m1bytes,
+                   list_transform(range(k1), j -> (n + j) % 4) AS m1bkt
+            FROM g),
+      u AS (SELECT *,
+                   list_sum(list_transform(range(k0), i ->
+                     100 + (n + i) % 50)) AS m0rows,
+                   list_sum(list_transform(range(k0), i ->
+                     1000 + (v * 7 + i * 13) % 500)) AS m0bytes,
+                   list_transform(range(k0), i -> (v + i) % 4) AS m0bkt,
+                   list_sum(list_transform(range(k1), j -> CASE WHEN
+                     m1status[j + 1] <> 2 THEN m1rows[j + 1] ELSE 0 END))
+                     AS m1liverows,
+                   list_sum(list_transform(range(k1), j -> CASE WHEN
+                     m1status[j + 1] <> 2 THEN m1bytes[j + 1] ELSE 0 END))
+                     AS m1livebytes,
+                   len(list_filter(range(k1), j -> m1status[j + 1] <> 2))
+                     AS m1live,
+                   list_sum(list_transform(range(k1), j -> CASE WHEN
+                     m1status[j + 1] = 2 THEN m1rows[j + 1] ELSE 0 END))
+                     AS m1deadrows
+            FROM t)
+      SELECT doc_id,
+             (['null', 'deflate', 'snappy'])[v % 3 + 1] AS codec,
+             CAST(2 AS INTEGER) AS n_manifests,
+             CAST(k0 + m1live AS INTEGER) AS live_files,
+             CAST(k1 - m1live AS INTEGER) AS deleted_files,
+             CAST(m0rows + m1liverows AS BIGINT) AS live_rows,
+             CAST(m0bytes + m1livebytes AS BIGINT) AS live_bytes,
+             CAST(len(list_distinct(list_concat(m0bkt,
+               list_transform(list_filter(range(k1), j ->
+                 m1status[j + 1] <> 2), j -> m1bkt[j + 1]))))
+               AS INTEGER) AS live_buckets,
+             list_max(list_transform(list_filter(range(k1), j ->
+               m1status[j + 1] <> 2), j ->
+               'data/m1/f' || j || '.parquet')) AS last_live_path,
+             CAST(m1deadrows AS BIGINT) AS deleted_rows
+      FROM u ORDER BY doc_id"""))
+
+  /** SFT TOKEN BUDGET UNDER THE TRAINED VOCABULARY — q264's truncation
+    * rule re-based on REAL token counts: the budget currency there (and in
+    * [[graft.operators.CorpusOps.sequencePack]]) was a whitespace/regex
+    * proxy; here the corpus first trains six BPE merges
+    * ([[graft.operators.TextAnalysis.bpeTrain]]), every word is segmented
+    * under the induced vocabulary
+    * ([[graft.operators.TextAnalysis.bpeWordTokens]] — a vocabulary-sized
+    * fold, equi-joined back to occurrences), and each document becomes a
+    * k-turn conversation (words dealt round-robin into turns, user and
+    * assistant alternating) whose greedy keep-the-newest-whole-turns
+    * truncation counts TRAINED tokens. Because token counts now require a
+    * corpus join, the suffix selection runs DISTRIBUTED — a per-doc
+    * descending-j running sum (partitioned window, never unpartitioned) —
+    * instead of q264's per-row fold. The oracle replays the six merge
+    * rounds (the shared [[BpeSql]] chain), rebuilds the same turns, and
+    * recomputes the suffix-sum cut in closed form, so a drift in the
+    * trained segmentation OR the budget arithmetic lands in the hash.
+    */
+  val q275SftBpeBudget: QueryDef = QueryDef(
+    "q275_sft_bpe_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, rounds = 6)
+        .orderBy("round").collect().map(_.getString(1)).toSeq
+      val wordTok = TextAnalysis.bpeWordTokens(docs, merges) // (w, nt)
+      val g = docs.select(col("doc_id"), col("text"),
+        (lit(3) + pmod(graft.functions.HashFunctions.hash32(col("text")),
+          lit(200)).cast("int") % 4).as("k"),
+        // budget ~half the typical doc's trained-token total, so the cut
+        // lands mid-conversation (a budget far below any turn degenerates
+        // to kept=0 everywhere and the oracle stops discriminating)
+        (lit(40L) + floor(octet_length(col("text")).cast("int") / 2)
+          + octet_length(col("text")).cast("int") % 25)
+          .cast("long").as("b"))
+      val occ = g.select(col("doc_id"), col("k"),
+          posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("j", pmod(col("i"), col("k")))
+      val tt = occ.join(wordTok, "w")
+        .groupBy("doc_id", "j").agg(sum("nt").as("ttok"))
+      val turns = g.select(col("doc_id"), col("b"), col("k"),
+          explode(sequence(lit(0), col("k") - 1)).as("j"))
+        .join(tt, Seq("doc_id", "j"), "left")
+        .na.fill(0L, Seq("ttok"))
+      val wSfx = Window.partitionBy("doc_id").orderBy(col("j").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = col("sfx") <= col("b")
+      turns.withColumn("sfx", sum("ttok").over(wSfx))
+        .groupBy("doc_id")
+        .agg(
+          max("k").cast("int").as("n_turns"),
+          max("b").as("budget"),
+          count(when(kept, 1)).cast("int").as("kept_turns"),
+          coalesce(sum(when(kept, col("ttok"))), lit(0L))
+            .as("kept_bpe_tokens"),
+          count(when(kept && col("j") % 2 === 1, 1)).cast("int")
+            .as("kept_assistant_turns"),
+          coalesce(sum(when(kept && col("j") % 2 === 1, col("ttok"))),
+            lit(0L)).as("kept_assistant_tokens"))
+        .withColumn("first_kept_role",
+          when(col("kept_turns") === 0, "")
+            .when((col("n_turns") - col("kept_turns")) % 2 === 0, "user")
+            .otherwise("assistant"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val K = 6
+      s"""
+      WITH ${BpeSql.words},
+      ${BpeSql.chain(K)},
+      nt AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS nt
+             FROM sym$K),
+      d AS (SELECT doc_id, text,
+                   3 + CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                     AS INTEGER) % 4 AS k,
+                   CAST(40 + octet_length(encode(text)) // 2
+                        + octet_length(encode(text)) % 25 AS BIGINT) AS b
+            FROM documents),
+      occ AS (SELECT doc_id, k, (u.i - 1) % k AS j, ws[u.i] AS w
+              FROM (SELECT doc_id, k, string_split(text, ' ') AS ws FROM d),
+                   unnest(range(1, len(ws) + 1)) AS u(i)
+              WHERE ws[u.i] != ''),
+      tt AS (SELECT doc_id, j, SUM(nt.nt) AS ttok
+             FROM occ JOIN nt ON occ.w = nt.w GROUP BY 1, 2),
+      tgrid AS (SELECT doc_id, b, k, unnest(range(k)) AS j FROM d),
+      turns AS (SELECT tg.doc_id, tg.b, tg.k, tg.j,
+                       coalesce(tt.ttok, 0) AS ttok
+                FROM tgrid tg
+                LEFT JOIN tt ON tt.doc_id = tg.doc_id AND tt.j = tg.j),
+      sfx AS (SELECT *, SUM(ttok) OVER (PARTITION BY doc_id ORDER BY j DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+              FROM turns),
+      a AS (SELECT doc_id,
+                   CAST(max(k) AS INTEGER) AS n_turns,
+                   max(b) AS budget,
+                   CAST(count(*) FILTER (WHERE sfx <= b) AS INTEGER)
+                     AS kept_turns,
+                   CAST(coalesce(SUM(ttok) FILTER (WHERE sfx <= b), 0)
+                     AS BIGINT) AS kept_bpe_tokens,
+                   CAST(count(*) FILTER (WHERE sfx <= b AND j % 2 = 1)
+                     AS INTEGER) AS kept_assistant_turns,
+                   CAST(coalesce(SUM(ttok) FILTER
+                     (WHERE sfx <= b AND j % 2 = 1), 0) AS BIGINT)
+                     AS kept_assistant_tokens
+            FROM sfx GROUP BY doc_id)
+      SELECT *,
+             CASE WHEN kept_turns = 0 THEN ''
+                  WHEN (n_turns - kept_turns) % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS first_kept_role
+      FROM a ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q274IcebergManifests, q275SftBpeBudget)
+}

@@ -116,35 +116,44 @@ class BucketedRangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
-  test("groundNoiseBucketed ENFORCES its |lat| <= 60 domain (polar grid " +
-    "raises instead of silently dropping pairs)") {
+  test("groundNoiseBucketed matches groundNoise at the poles, across the " +
+    "antimeridian, and at mid latitudes (per-band ring bucketing)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // a polar grid: latitudes beyond the proven cell-margin bound
-    val polarGrid = Seq((75.0, 10.0), (75.01, 10.0))
-      .toDF("g_lat", "g_lon")
-    val src = Seq((75.0, 10.0, 110.0, 300.0))
-      .toDF("s_lat", "s_lon", "s_db", "s_alt")
-    val e = intercept[Exception] {
-      Noise.groundNoiseBucketed(polarGrid, src).collect()
+    def check(grid: org.apache.spark.sql.DataFrame,
+        src: org.apache.spark.sql.DataFrame): Unit = {
+      val a = Noise.groundNoise(grid, src).orderBy("g_lat", "g_lon").collect()
+      val b = Noise.groundNoiseBucketed(grid, src)
+        .orderBy("g_lat", "g_lon").collect()
+      assert(a.nonEmpty, "probe must produce within-radius pairs")
+      assert(a.sameElements(b),
+        s"bucketed diverged: exact=${a.toSeq} bucketed=${b.toSeq}")
     }
-    def rootMsg(t: Throwable): String =
-      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
-    assert(rootMsg(e).contains("groundNoiseBucketed"), rootMsg(e))
-    // the antimeridian seam is part of the contract too
-    val seamGrid = Seq((10.0, 179.95)).toDF("g_lat", "g_lon")
-    val e2 = intercept[Exception] {
-      Noise.groundNoiseBucketed(seamGrid, src).collect()
-    }
-    assert(rootMsg(e2).contains("groundNoiseBucketed"), rootMsg(e2))
-    // in-domain data is untouched by the guard: same rows as groundNoise
-    val okGrid = Seq((59.0, 10.0), (59.01, 10.0)).toDF("g_lat", "g_lon")
-    val okSrc = Seq((59.0, 10.0, 110.0, 300.0))
-      .toDF("s_lat", "s_lon", "s_db", "s_alt")
-    val a = Noise.groundNoise(okGrid, okSrc).orderBy("g_lat").collect()
-    val b = Noise.groundNoiseBucketed(okGrid, okSrc).orderBy("g_lat").collect()
-    assert(a.sameElements(b))
+    // polar: at lat 78° the 20 km longitude reach (~0.86°) exceeds the flat
+    // 0.36° cell that used to force the raise; the per-band ring covers it
+    check(
+      Seq((78.0, 16.0), (78.01, 16.8), (78.0, 100.0)).toDF("g_lat", "g_lon"),
+      Seq((78.005, 16.4, 110.0, 300.0), (78.0, 99.9, 90.0, 300.0))
+        .toDF("s_lat", "s_lon", "s_db", "s_alt"))
+    // pole cap: the ring degenerates to one cell; pairs must still match
+    check(
+      Seq((89.95, 0.0), (89.95, 179.0)).toDF("g_lat", "g_lon"),
+      Seq((89.99, -90.0, 130.0, 300.0)).toDF("s_lat", "s_lon", "s_db", "s_alt"))
+    // antimeridian: ring indices wrap, so the seam pair shares a bucket
+    check(
+      Seq((10.0, 179.95), (10.0, 179.0)).toDF("g_lat", "g_lon"),
+      Seq((10.0, -179.95, 110.0, 300.0)).toDF("s_lat", "s_lon", "s_db", "s_alt"))
+    // mid-latitude control (the q19/q20 regime)
+    check(
+      Seq((59.0, 10.0), (59.01, 10.0)).toDF("g_lat", "g_lon"),
+      Seq((59.0, 10.0, 110.0, 300.0)).toDF("s_lat", "s_lon", "s_db", "s_alt"))
+    // a 1-cell ring must not DUPLICATE pairs into the power sum: one
+    // source near the pole contributes once (array_distinct neighbors) —
+    // sameElements above already proves it, since duplication would
+    // inflate db; probe the south cap too for the negative-band arithmetic
+    check(
+      Seq((-89.9, 10.0)).toDF("g_lat", "g_lon"),
+      Seq((-89.95, -170.0, 110.0, 300.0)).toDF("s_lat", "s_lon", "s_db", "s_alt"))
   }
 
   test("does not fire on joins without a haversine range predicate") {

@@ -118,6 +118,39 @@ class ParquetPagesSpec extends SparkTestBase {
     assert(as == (0L until 400L).toVector)
   }
 
+  test("BYTE_STREAM_SPLIT float/double pages decode value for value " +
+    "(real parquet-mr writer, both codecs)") {
+    import graft.operators.ParquetSynth
+    import graft.operators.ParquetSynth.BssRow
+    import graft.operators.ParquetPages.PDouble
+    val rows = (0 until 200).map { i =>
+      BssRow(i.toLong * 7,
+        if (i % 5 == 0) None else Some(i * 0.25),
+        if (i % 6 == 0) None else Some(i * 0.5f))
+    }
+    Seq(false, true).foreach { snappy =>
+      val b = ParquetSynth.synthBss(rows, snappy)
+      val f = ParquetFooter.probe(b).get
+      // the encoding must actually be BYTE_STREAM_SPLIT (enum 9) on the
+      // float columns — a silent PLAIN fallback would void the test
+      assert(chunk(b, "d").encodings.contains(9), chunk(b, "d").encodings)
+      assert(chunk(b, "f").encodings.contains(9))
+      assert(!chunk(b, "id").encodings.contains(9))
+      assert(f.numRows == 200)
+      val ids = ParquetPages.readColumn(b, chunk(b, "id")).get
+        .flatten.collect { case PLong(v) => v }
+      assert(ids == (0 until 200).map(_.toLong * 7).toVector)
+      val ds = ParquetPages.readColumn(b, chunk(b, "d")).get
+      val fs = ParquetPages.readColumn(b, chunk(b, "f")).get
+      (0 until 200).foreach { i =>
+        if (i % 5 == 0) assert(ds(i).isEmpty)
+        else assert(ds(i).contains(PDouble(i * 0.25)), s"d at $i: ${ds(i)}")
+        if (i % 6 == 0) assert(fs(i).isEmpty)
+        else assert(fs(i).contains(PDouble((i * 0.5f).toDouble)))
+      }
+    }
+  }
+
   test("hostile bytes: page-region corruption rejects or decodes, never throws") {
     import spark.implicits._
     val b = writeOne(Seq((1L, "x"), (2L, "y")).toDF("a", "s"))
