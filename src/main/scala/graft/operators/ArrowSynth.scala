@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.VectorSchemaRoot
-import org.apache.arrow.vector.types.pojo.Schema
+import org.apache.arrow.memory.{BufferAllocator, RootAllocator}
+import org.apache.arrow.vector.{BigIntVector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema}
 import org.apache.spark.TaskContext
 
 /** Partition-scoped Arrow write machinery for queries that synthesize a
@@ -25,22 +27,23 @@ import org.apache.spark.TaskContext
   */
 object ArrowSynth {
 
-  /** Maps `rows` with one `RootAllocator` + `VectorSchemaRoot(schema)` for
-    * the whole partition. `f` must fully consume the root within the call
-    * (serialize it to bytes) — the root is refilled for the next row.
+  /** Maps `rows` with one `RootAllocator` for the whole partition plus an
+    * extra caller-supplied resource built from it (closed in reverse
+    * order at task completion / iterator exhaustion).
     */
-  def mapWithRoot[A, B](rows: Iterator[A], schema: Schema)(
-      f: (A, VectorSchemaRoot) => B): Iterator[B] = {
+  def mapWithResource[A, B, R](rows: Iterator[A],
+      mk: BufferAllocator => R, closeR: R => Unit)(
+      f: (A, R) => B): Iterator[B] = {
     val alloc = new RootAllocator()
-    val root = VectorSchemaRoot.create(schema, alloc)
+    val res = mk(alloc)
     def closeAll(): Unit = {
-      try root.close()
+      try closeR(res)
       finally alloc.close()
     }
     val ctx = TaskContext.get()
     if (ctx != null) {
       ctx.addTaskCompletionListener[Unit](_ => closeAll())
-      rows.map(r => f(r, root))
+      rows.map(r => f(r, res))
     } else {
       new Iterator[B] {
         private var closed = false
@@ -49,8 +52,74 @@ object ArrowSynth {
           if (!h && !closed) { closed = true; closeAll() }
           h
         }
-        def next(): B = f(rows.next(), root)
+        def next(): B = f(rows.next(), res)
       }
     }
+  }
+
+  /** Maps `rows` with one `RootAllocator` + `VectorSchemaRoot(schema)` for
+    * the whole partition. `f` must fully consume the root within the call
+    * (serialize it to bytes) — the root is refilled for the next row.
+    */
+  def mapWithRoot[A, B](rows: Iterator[A], schema: Schema)(
+      f: (A, VectorSchemaRoot) => B): Iterator[B] =
+    mapWithResource[A, B, VectorSchemaRoot](rows,
+      alloc => VectorSchemaRoot.create(schema, alloc), _.close())(f)
+
+  /** Maps `rows` with one partition-wide allocator only (for per-row
+    * vector shapes the fixed-schema root cannot host, e.g. dictionary
+    * synthesis where the dictionary is per-row).
+    */
+  def mapWithAllocator[A, B](rows: Iterator[A])(
+      f: (A, BufferAllocator) => B): Iterator[B] =
+    mapWithResource[A, B, BufferAllocator](rows, identity, _ => ())(f)
+
+  /** One DICTIONARY-encoded Arrow file, written by the Arrow Java
+    * library itself: a utf8 dictionary under `dictId` with int32
+    * indices (None = null slot) beside a plain int64 `id` column. The
+    * vectors are per-call (they must be — the dictionary varies per
+    * row); only the ALLOCATOR is shared via [[mapWithResource]].
+    */
+  def synthDictFile(alloc: BufferAllocator, dictId: Long,
+      dictValues: Seq[String], ids: Seq[Long],
+      indices: Seq[Option[Int]]): Array[Byte] = {
+    require(ids.length == indices.length, "column length mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    val dictVec = new VarCharVector("dictvals", alloc)
+    try {
+      dictVec.allocateNew()
+      dictValues.zipWithIndex.foreach { case (s, i) =>
+        dictVec.setSafe(i, s.getBytes("UTF-8"))
+      }
+      dictVec.setValueCount(dictValues.length)
+      val encoding = new DictionaryEncoding(dictId, false,
+        new ArrowType.Int(32, true))
+      val provider = new DictionaryProvider.MapDictionaryProvider(
+        new Dictionary(dictVec, encoding))
+      // the ENCODED vector: physically int32 indices, its Field carrying
+      // the encoding (the writer emits the value type + dictionary into
+      // the schema message per the IPC spec)
+      val colorField = new Field("color",
+        new FieldType(true, new ArrowType.Int(32, true), encoding), null)
+      val cv = colorField.createVector(alloc).asInstanceOf[IntVector]
+      val idv = new BigIntVector("id", alloc)
+      val root = new VectorSchemaRoot(
+        java.util.Arrays.asList(idv.getField, cv.getField),
+        java.util.Arrays.asList(idv,
+          cv.asInstanceOf[org.apache.arrow.vector.FieldVector]))
+      try {
+        root.allocateNew()
+        ids.zipWithIndex.foreach { case (v, i) => idv.setSafe(i, v) }
+        indices.zipWithIndex.foreach {
+          case (Some(ix), i) => cv.setSafe(i, ix)
+          case (None, i) => cv.setNull(i)
+        }
+        root.setRowCount(ids.length)
+        val w = new ArrowFileWriter(root, provider,
+          java.nio.channels.Channels.newChannel(out))
+        w.start(); w.writeBatch(); w.end(); w.close()
+      } finally root.close()
+    } finally dictVec.close()
+    out.toByteArray
   }
 }

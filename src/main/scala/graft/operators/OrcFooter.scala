@@ -96,23 +96,31 @@ object OrcFooter {
       Some(out.toByteArray)
     } catch { case NonFatal(_) => None }
 
+  /** Parse the tail shared by [[probe]] and [[probeStripes]]:
+    * (compression kind, Footer message).
+    */
+  private def tail(b: Array[Byte]): Option[(Long, ProtoLite.PMsg)] = {
+    if (b.length < 4) return None
+    if (b(0) != 'O' || b(1) != 'R' || b(2) != 'C') return None
+    val psLen = b(b.length - 1) & 0xff
+    if (psLen <= 0 || psLen + 1 > b.length - 3) return None
+    val psStart = b.length - 1 - psLen
+    val ps = parse(b, psStart, b.length - 1).getOrElse(return None)
+    if (!ps.str(8000).contains("ORC")) return None
+    val footerLen = ps.varint(1).getOrElse(return None)
+    val kind = ps.varint(2).getOrElse(0L)
+    if (compressionName(kind).isEmpty) return None
+    if (footerLen <= 0 || footerLen > psStart - 3) return None
+    val fStart = psStart - footerLen.toInt
+    val raw = deframe(b, fStart, footerLen.toInt, kind).getOrElse(return None)
+    parse(raw).map((kind, _))
+  }
+
   /** Probe a whole ORC file image per the scaladoc rules. */
   def probe(b: Array[Byte]): Option[OrcInfo] =
     try {
-      if (b.length < 4) return None
-      if (b(0) != 'O' || b(1) != 'R' || b(2) != 'C') return None
-      val psLen = b(b.length - 1) & 0xff
-      if (psLen <= 0 || psLen + 1 > b.length - 3) return None
-      val psStart = b.length - 1 - psLen
-      val ps = parse(b, psStart, b.length - 1).getOrElse(return None)
-      if (!ps.str(8000).contains("ORC")) return None
-      val footerLen = ps.varint(1).getOrElse(return None)
-      val kind = ps.varint(2).getOrElse(0L)
+      val (kind, footer) = tail(b).getOrElse(return None)
       val comp = compressionName(kind).getOrElse(return None)
-      if (footerLen <= 0 || footerLen > psStart - 3) return None
-      val fStart = psStart - footerLen.toInt
-      val raw = deframe(b, fStart, footerLen.toInt, kind).getOrElse(return None)
-      val footer = parse(raw).getOrElse(return None)
       val numRows = footer.varint(6).getOrElse(return None)
       val stripes = footer.msgs(3)
       val stripeRows = stripes.map(_.varint(5).getOrElse(return None))
@@ -130,5 +138,80 @@ object OrcFooter {
           ss.flatMap(_.str(1)), ss.flatMap(_.str(2)))
       }
       Some(OrcInfo(comp, numRows, stripes.length, kinds, stats))
+    } catch { case NonFatal(_) => None }
+
+  // ---------------- stripe-footer stream walk (round 11) ----------------
+
+  /** One stream of a stripe footer: kind (orc_proto Stream.Kind —
+    * PRESENT=0, DATA=1, LENGTH=2, DICTIONARY_DATA=3, SECONDARY=5,
+    * ROW_INDEX=6, BLOOM_FILTER=7/8), owning column, byte length.
+    */
+  final case class OrcStream(kind: Int, column: Int, length: Long) {
+    /** Index-region stream? (row indexes + bloom filters live in the
+      * stripe's index section; everything else is data.)
+      */
+    def isIndex: Boolean = kind >= 6 && kind <= 8
+  }
+
+  /** Per-column encoding of one stripe (ColumnEncoding.Kind —
+    * DIRECT=0, DICTIONARY=1, DIRECT_V2=2, DICTIONARY_V2=3).
+    */
+  final case class OrcEncoding(kind: Int, dictionarySize: Long)
+
+  final case class OrcStripe(rows: Long, indexLength: Long,
+      dataLength: Long, streams: Vector[OrcStream],
+      encodings: Vector[OrcEncoding])
+
+  /** Walk every stripe's FOOTER — the per-stripe message naming the
+    * physical streams (what a column reader actually seeks to) and the
+    * per-column encodings incl. dictionary sizes. Spec cross-checks
+    * enforced, not assumed: the encodings list must match the type
+    * tree's length, and the streams must TILE the stripe exactly —
+    * index-kind stream lengths summing to `indexLength` and the rest
+    * to `dataLength` (the redundancy orc_proto carries so a reader can
+    * catch a corrupted stripe directory). Same hostile-byte posture as
+    * [[probe]].
+    */
+  def probeStripes(b: Array[Byte]): Option[Vector[OrcStripe]] =
+    try {
+      val (kind, footer) = tail(b).getOrElse(return None)
+      val nTypes = footer.msgs(4).length
+      if (nTypes == 0) return None
+      val numRows = footer.varint(6).getOrElse(return None)
+      val stripes = footer.msgs(3).map { st =>
+        // StripeInformation: offset=1, indexLength=2, dataLength=3,
+        // footerLength=4, numberOfRows=5
+        val off = st.varint(1).getOrElse(return None)
+        val idxLen = st.varint(2).getOrElse(0L)
+        val dataLen = st.varint(3).getOrElse(return None)
+        val ftrLen = st.varint(4).getOrElse(return None)
+        val rows = st.varint(5).getOrElse(return None)
+        val sfStart = off + idxLen + dataLen
+        if (off < 3 || ftrLen <= 0 || sfStart < 0 ||
+          sfStart + ftrLen > b.length) return None
+        val raw = deframe(b, sfStart.toInt, ftrLen.toInt, kind)
+          .getOrElse(return None)
+        val sf = parse(raw).getOrElse(return None)
+        // StripeFooter: streams=1{kind=1, column=2, length=3},
+        // columns=2{kind=1, dictionarySize=2}
+        val streams = sf.msgs(1).map { s =>
+          OrcStream(s.varint(1).getOrElse(0L).toInt,
+            s.varint(2).getOrElse(0L).toInt,
+            s.varint(3).getOrElse(return None))
+        }
+        val encs = sf.msgs(2).map { e =>
+          OrcEncoding(e.varint(1).getOrElse(0L).toInt,
+            e.varint(2).getOrElse(0L))
+        }
+        if (encs.length != nTypes) return None
+        if (streams.exists(s => s.length < 0 || s.column < 0 ||
+          s.column >= nTypes)) return None
+        val (idx, data) = streams.partition(_.isIndex)
+        if (idx.map(_.length).sum != idxLen) return None
+        if (data.map(_.length).sum != dataLen) return None
+        OrcStripe(rows, idxLen, dataLen, streams, encs)
+      }
+      if (stripes.isEmpty || stripes.map(_.rows).sum != numRows) return None
+      Some(stripes)
     } catch { case NonFatal(_) => None }
 }

@@ -264,5 +264,254 @@ object Round11Queries {
       FROM a ORDER BY doc_id"""
     })
 
-  val all: Seq[QueryDef] = Seq(q274IcebergManifests, q275SftBpeBudget)
+  /** PARQUET BYTE_STREAM_SPLIT under the oracle gate — the encoding
+    * parquet-format 2.8 added for floating-point compressibility
+    * (value i's byte j lands in stream j; the transpose makes float
+    * columns squeeze), which Spark's DataFrame writer cannot even
+    * switch on: per document, a REAL parquet file is written by
+    * PARQUET-MR ITSELF ([[graft.operators.ParquetSynth.synthBss]] —
+    * the builder-only `withByteStreamSplitEncoding`, dictionaries off,
+    * snappy on even hashes) with planted nulls in both float columns,
+    * the footer is REQUIRED to declare encoding 9 on them (a silent
+    * PLAIN fallback would void the probe), and
+    * [[graft.operators.ParquetPages.readColumn]] decodes the streams
+    * back. Values are exact binary fractions (k/4, k/2), so the
+    * oracle's closed-form sums are bit-exact doubles.
+    */
+  val q276ParquetBss: QueryDef = QueryDef(
+    "q276_parquet_bss",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.{ParquetFooter, ParquetPages, ParquetSynth}
+        import graft.operators.ParquetPages.{PDouble, PLong}
+        import graft.operators.ParquetSynth.BssRow
+        rows.map { r =>
+          val k = 5 + r.n % 10
+          val snappy = r.v % 2 == 0
+          val bssRows = (0 until k).map { i =>
+            BssRow(((r.v + i) % 50).toLong,
+              if (i == 2) None else Some((r.v + i) * 0.25),
+              if (i == 3) None else Some((r.n + i) * 0.5f))
+          }
+          val bytes = ParquetSynth.synthBss(bssRows, snappy)
+          val f = ParquetFooter.probe(bytes)
+            .getOrElse(sys.error(s"bss footer probe failed: doc ${r.doc_id}"))
+          def chunk(name: String) = f.firstGroupChunks
+            .find(_.pathInSchema == name)
+            .getOrElse(sys.error(s"no chunk $name: doc ${r.doc_id}"))
+          require(chunk("d").encodings.contains(9) &&
+            chunk("f").encodings.contains(9),
+            s"BYTE_STREAM_SPLIT not engaged: doc ${r.doc_id}")
+          def read(name: String) = ParquetPages.readColumn(bytes, chunk(name))
+            .getOrElse(sys.error(s"bss decode failed: $name, doc ${r.doc_id}"))
+          val ids = read("id").flatten.collect { case PLong(x) => x }
+          val ds = read("d")
+          val fs = read("f")
+          (r.doc_id, if (snappy) "snappy" else "none", f.numRows,
+            ids.sum,
+            ds.flatten.collect { case PDouble(x) => x }.sum,
+            ds.count(_.isEmpty).toLong,
+            fs.flatten.collect { case PDouble(x) => x }.sum,
+            fs.count(_.isEmpty).toLong)
+        }
+      }
+      probed.toDF("doc_id", "codec", "n_rows", "id_sum", "d_sum",
+          "d_nulls", "f_sum", "f_nulls")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 5 + n % 10 AS k FROM d),
+      t AS (SELECT *,
+                   list_sum(list_transform(range(k), i -> (v + i) % 50))
+                     AS idsum,
+                   list_sum(list_transform(range(k), i ->
+                     CASE WHEN i = 2 THEN 0 ELSE v + i END)) AS dsum4,
+                   list_sum(list_transform(range(k), i ->
+                     CASE WHEN i = 3 THEN 0 ELSE n + i END)) AS fsum2
+            FROM g)
+      SELECT doc_id,
+             CASE WHEN v % 2 = 0 THEN 'snappy' ELSE 'none' END AS codec,
+             CAST(k AS BIGINT) AS n_rows,
+             CAST(idsum AS BIGINT) AS id_sum,
+             CAST(0.25e0 * dsum4 AS DOUBLE) AS d_sum,
+             CAST(1 AS BIGINT) AS d_nulls,
+             CAST(0.5e0 * fsum2 AS DOUBLE) AS f_sum,
+             CAST(1 AS BIGINT) AS f_nulls
+      FROM t ORDER BY doc_id"""))
+
+  /** ARROW DICTIONARY BATCHES under the oracle gate — the remaining
+    * common encoding after q261/q273's plain and compressed bodies:
+    * per document, the ARROW JAVA LIBRARY writes a file whose utf8
+    * column is DICTIONARY-ENCODED (a per-doc dictionary under its own
+    * id, int32 indices with a planted null, delivered as a
+    * DictionaryBatch the footer's dictionaries vector points at), and
+    * [[graft.operators.ArrowIpc.probe]] decodes it — the dictionary
+    * block walk, the value-type batch decode, and the index
+    * resolution with range checks. The oracle rebuilds every resolved
+    * string and aggregate in closed form, so an off-by-one in the
+    * index mapping, a mis-walked dictionary block, or a dropped null
+    * slot lands in the hash.
+    */
+  val q277ArrowDict: QueryDef = QueryDef(
+    "q277_arrow_dict",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.{ArrowIpc, ArrowSynth}
+        import graft.operators.ArrowIpc.{ALong, AStr}
+        ArrowSynth.mapWithAllocator(rows) { (r, alloc) =>
+          val d = 3 + r.v % 4
+          val k = 6 + r.n % 8
+          val dictValues = (0 until d).map(i =>
+            ('a' + (r.v + i) % 26).toChar.toString * (2 + (r.n + i) % 5))
+          val ids = (0 until k).map(j => ((r.v + j) % 70).toLong)
+          val indices = (0 until k).map(j =>
+            if (j == 1) None else Some((r.n + j) % d))
+          val bytes = ArrowSynth.synthDictFile(alloc, 5L + r.v % 3,
+            dictValues, ids, indices)
+          val info = ArrowIpc.probe(bytes)
+            .getOrElse(sys.error(s"arrow dict decode failed: doc ${r.doc_id}"))
+          require(info.fields(1).dict && info.fields(1).ftype == "utf8",
+            s"dict field drift: doc ${r.doc_id}")
+          val colors = info.columns(1)
+          require(colors(1).isEmpty, s"null slot drift: doc ${r.doc_id}")
+          val resolved = colors.flatten.collect { case AStr(x) => x }
+          (r.doc_id, info.nRows, d.toLong,
+            info.columns(0).flatten.collect { case ALong(x) => x }.sum,
+            resolved.map(_.length.toLong).sum,
+            resolved.distinct.size,
+            resolved.head, resolved.last)
+        }
+      }
+      probed.toDF("doc_id", "n_rows", "dict_size", "id_sum", "color_chars",
+          "distinct_colors", "first_color", "last_color")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 3 + v % 4 AS d, 6 + n % 8 AS k FROM d),
+      t AS (SELECT *,
+                   list_transform(list_filter(range(k), j -> j != 1),
+                     j -> (n + j) % d) AS idx
+            FROM g)
+      SELECT doc_id,
+             CAST(k AS BIGINT) AS n_rows,
+             CAST(d AS BIGINT) AS dict_size,
+             CAST(list_sum(list_transform(range(k), j -> (v + j) % 70))
+               AS BIGINT) AS id_sum,
+             CAST(list_sum(list_transform(idx, i -> 2 + (n + i) % 5))
+               AS BIGINT) AS color_chars,
+             CAST(len(list_distinct(idx)) AS INTEGER) AS distinct_colors,
+             repeat(chr(97 + (v + (n % d)) % 26), 2 + (n + (n % d)) % 5)
+               AS first_color,
+             repeat(chr(97 + (v + ((n + k - 1) % d)) % 26),
+               2 + (n + ((n + k - 1) % d)) % 5) AS last_color
+      FROM t ORDER BY doc_id"""))
+
+  /** ORC STRIPE-FOOTER STREAM WALK under the oracle gate — the layer
+    * below q258's file tail: the per-stripe directory of physical
+    * streams a column reader actually seeks to, plus the per-column
+    * encodings. The documents table (with a derived 3-value `lang`
+    * column, so the writer's dictionary decision deterministically
+    * engages for one string column and not the near-unique `text`) is
+    * written by SPARK'S OWN ORC WRITER, then
+    * [[graft.operators.OrcFooter.probeStripes]] walks every stripe:
+    * protobuf StripeFooter decode under the file codec's block
+    * framing, streams REQUIRED to tile the stripe (index kinds sum to
+    * indexLength, the rest to dataLength), encodings aligned with the
+    * type tree. The oracle derives the dictionary sizes and the
+    * stream census from the DATA — ndv per string column against the
+    * writer's documented 0.8 `orc.dictionary.key.threshold`, DATA /
+    * +LENGTH / +DICTIONARY_DATA per encoding family — so a mis-walked
+    * stripe directory or a wrong encoding read lands in the hash.
+    */
+  val q278OrcStripes: QueryDef = QueryDef(
+    "q278_orc_stripes",
+    (s, dir) => {
+      import s.implicits._
+      graft.sources.CompressedIngest.documentsOrcLang(s, dir)
+      val path = graft.sources.CompressedIngest.dumpPath(dir, "orc_lang")
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.orc").load(path)
+        .select(col("content")).as[Array[Byte]]
+      val perFile = files.map { bytes =>
+        import graft.operators.OrcFooter
+        val stripes = OrcFooter.probeStripes(bytes)
+          .getOrElse(sys.error("orc stripe walk failed"))
+        // schema written as (doc_id, text, lang): type-tree columns
+        // 1 (long), 2 (string), 3 (string) under the root struct 0
+        require(stripes.forall(_.encodings.length == 4),
+          "type-tree drift")
+        require(stripes.forall(st => !st.streams.exists(_.kind == 0)),
+          "no nulls were written -> no PRESENT streams")
+        val langDict = stripes.map(_.encodings(3))
+        val textEnc = stripes.map(_.encodings(2))
+        require(textEnc.forall(_.dictionarySize == 0L),
+          "near-unique text must not dictionary-encode")
+        val dictCols = Seq(1, 2, 3).count(c =>
+          stripes.forall(st => st.encodings(c).kind == 1 ||
+            st.encodings(c).kind == 3))
+        val dataStreams = stripes.map(_.streams.count(!_.isIndex))
+        (stripes.map(_.rows).sum,
+          langDict.map(_.dictionarySize).min,
+          langDict.map(_.dictionarySize).max,
+          dictCols.toLong,
+          dataStreams.min.toLong, dataStreams.max.toLong)
+      }.toDF("rows", "ldmin", "ldmax", "dictcols", "dsmin", "dsmax")
+      perFile.agg(
+        sum("rows").as("n_rows"),
+        min("ldmin").cast("int").as("lang_dict_min"),
+        max("ldmax").cast("int").as("lang_dict_max"),
+        max("dictcols").cast("int").as("dict_string_cols"),
+        min("dsmin").cast("int").as("data_streams_min"),
+        max("dsmax").cast("int").as("data_streams_max"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+                        'l' || CAST(doc_id % 3 AS VARCHAR) AS lang
+                 FROM documents),
+      a AS (SELECT count(*) AS n,
+                   count(DISTINCT lang) AS ndl,
+                   count(DISTINCT text) AS ndt
+            FROM d),
+      -- the writer's documented dictionary rule: ndv/rows <= 0.8
+      e AS (SELECT *,
+                   CASE WHEN ndt <= 0.8e0 * n THEN 1 ELSE 0 END AS dict_text,
+                   CASE WHEN ndl <= 0.8e0 * n THEN 1 ELSE 0 END AS dict_lang
+            FROM a)
+      SELECT CAST(n AS BIGINT) AS n_rows,
+             CAST(ndl AS INTEGER) AS lang_dict_min,
+             CAST(ndl AS INTEGER) AS lang_dict_max,
+             CAST(dict_text + dict_lang AS INTEGER) AS dict_string_cols,
+             -- per stripe: long = DATA; string = DATA + LENGTH
+             -- (+ DICTIONARY_DATA when dictionary-encoded)
+             CAST(1 + 2 + dict_text + 2 + dict_lang AS INTEGER)
+               AS data_streams_min,
+             CAST(1 + 2 + dict_text + 2 + dict_lang AS INTEGER)
+               AS data_streams_max
+      FROM e"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q274IcebergManifests, q275SftBpeBudget, q276ParquetBss,
+      q277ArrowDict, q278OrcStripes)
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, crc32, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, crc32, lit, pmod, sum}
 
 import graft.Tables
 
@@ -97,6 +97,27 @@ object CompressedIngest {
       p => spark.read.orc(p),
       (src, p) => src.write.mode("overwrite")
         .option("compression", codec).orc(p))
+
+  /** ORC dump with a LOW-CARDINALITY derived string column
+    * (`lang = 'l' || doc_id % 3`, 3 distinct values) beside the
+    * near-unique `text`, so the ORC writer's dictionary decision
+    * (`orc.dictionary.key.threshold`, default ndv/rows <= 0.8)
+    * deterministically engages for one string column and not the
+    * other — q278's stripe stream walk needs both encoding families
+    * on the wire.
+    */
+  def documentsOrcLang(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "orc_lang",
+      p => spark.read.orc(p),
+      (src, p) => src
+        .withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(3)).cast("string")))
+        // one file: every stripe then sees all 3 lang values, so the
+        // per-stripe dictionary size equals the table-level ndv the
+        // oracle can derive (a skewed multi-file layout could strand a
+        // tiny file with fewer)
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zlib").orc(p))
 
   /** The dump path a (sfDir, flavor) pair resolves to — exposed so specs
     * can assert properties of the written files (e.g. the parquet

@@ -109,6 +109,64 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary-encoded columns decode: real Arrow Java provider, " +
+    "indices resolve through the delivered dictionary") {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    val alloc = new RootAllocator()
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      // dictionary: 3 distinct strings under id 7, int32 indices
+      val dictVec = new VarCharVector("dictvals", alloc)
+      dictVec.allocateNew()
+      Seq("red", "green", "blue").zipWithIndex.foreach { case (s, i) =>
+        dictVec.setSafe(i, s.getBytes("UTF-8"))
+      }
+      dictVec.setValueCount(3)
+      val encoding = new DictionaryEncoding(7L, false,
+        new ArrowType.Int(32, true))
+      val dict = new Dictionary(dictVec, encoding)
+      val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+      // raw column with a null, then dictionary-encode it
+      val raw = new VarCharVector("color", alloc)
+      raw.allocateNew()
+      val colors = Seq(Some("blue"), Some("red"), None, Some("red"),
+        Some("green"), Some("blue"))
+      colors.zipWithIndex.foreach {
+        case (Some(s), i) => raw.setSafe(i, s.getBytes("UTF-8"))
+        case (None, i) => raw.setNull(i)
+      }
+      raw.setValueCount(colors.length)
+      val encoded = DictionaryEncoder.encode(raw, dict)
+      val idv = new BigIntVector("id", alloc)
+      idv.allocateNew()
+      colors.indices.foreach(i => idv.setSafe(i, i.toLong * 11))
+      idv.setValueCount(colors.length)
+      val root = new VectorSchemaRoot(
+        java.util.Arrays.asList(idv.getField, encoded.getField),
+        java.util.Arrays.asList(idv,
+          encoded.asInstanceOf[org.apache.arrow.vector.FieldVector]))
+      root.setRowCount(colors.length)
+      val w = new ArrowFileWriter(root, provider,
+        java.nio.channels.Channels.newChannel(out))
+      w.start(); w.writeBatch(); w.end(); w.close()
+      root.close(); raw.close(); dictVec.close()
+    } finally alloc.close()
+    val b = out.toByteArray
+    val info = ArrowIpc.probe(b).get
+    assert(info.fields.map(f => (f.name, f.ftype, f.dict)) ==
+      Vector(("id", "int64", false), ("color", "utf8", true)))
+    assert(info.nRows == 6)
+    assert(info.columns(0).flatten == (0 until 6).map(i => ALong(i.toLong * 11)))
+    assert(info.columns(1) == Vector(Some(AStr("blue")), Some(AStr("red")),
+      None, Some(AStr("red")), Some(AStr("green")), Some(AStr("blue"))))
+    // hostile sweep over the dictionary region too: never a throw
+    b.indices.by(7).foreach { i =>
+      val c = b.clone(); c(i) = (c(i) ^ 0x2a).toByte
+      ArrowIpc.probe(c)
+    }
+  }
+
   test("a batch declaring nulls without a validity bitmap rejects") {
     // byte surgery on a real-library file: zero the id column's validity
     // BUFFER LENGTH while its FieldNode still declares nullCount=1 — a

@@ -44,6 +44,44 @@ class OrcFooterSpec extends SparkTestBase {
     }
   }
 
+  test("stripe stream walk: streams tile the stripe, dictionary vs " +
+    "direct encodings land as the data's cardinality dictates") {
+    for (codec <- Seq("none", "snappy", "zlib")) {
+      val b = writeOne(codec)
+      val stripes = OrcFooter.probeStripes(b).get
+      assert(stripes.length == 1, codec)
+      val st = stripes.head
+      assert(st.rows == 400)
+      // encodings align with the type tree: root STRUCT, k LONG, s STRING;
+      // s has 9 distinct values over 400 rows (ratio 0.0225 <= the 0.8
+      // dictionary threshold) -> DICTIONARY_V2 with the exact ndv;
+      // k is an int column -> DIRECT_V2, no dictionary
+      assert(st.encodings.length == 3)
+      assert(st.encodings(1).kind == 2 && st.encodings(1).dictionarySize == 0)
+      assert(st.encodings(2).kind == 3 && st.encodings(2).dictionarySize == 9)
+      // streams: the tiling invariants are enforced inside probeStripes
+      // (index kinds sum to indexLength, the rest to dataLength); here pin
+      // the per-column stream shapes — no PRESENT streams (no nulls), one
+      // ROW_INDEX per column, DATA for k, DATA+LENGTH+DICTIONARY_DATA for s
+      assert(!st.streams.exists(_.kind == 0), "no nulls -> no PRESENT")
+      assert(st.streams.count(_.kind == 6) == 3, "one ROW_INDEX per column")
+      def kinds(colId: Int) =
+        st.streams.filter(s => s.column == colId && !s.isIndex)
+          .map(_.kind).sorted
+      assert(kinds(1) == Vector(1), codec) // k: DATA
+      assert(kinds(2) == Vector(1, 2, 3), codec) // s: DATA, LENGTH, DICT
+      assert(st.streams.filter(!_.isIndex).forall(_.length > 0))
+    }
+    // hostile bytes: stripe-footer region corruption rejects or walks,
+    // never throws; truncation mid-stripe rejects
+    val b = writeOne("zlib")
+    assert(OrcFooter.probeStripes(b.dropRight(12)).isEmpty)
+    (0 until b.length by 11).foreach { i =>
+      val c = b.clone(); c(i) = (c(i) ^ 0x5c).toByte
+      OrcFooter.probeStripes(c)
+    }
+  }
+
   test("negative int stats decode via zigzag (a plain-varint reader is wrong)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("orcfooter_neg").toString
