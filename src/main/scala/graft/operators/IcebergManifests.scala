@@ -51,7 +51,10 @@ object IcebergManifests {
     "lower_bound" -> TOpt(TString),
     "upper_bound" -> TOpt(TString)))
 
-  /** `manifest_file` (the manifest-list record), core v1 fields. */
+  /** `manifest_file` (the manifest-list record), core v1 fields plus
+    * v2's `content` discriminator (0 = DATA manifest, 1 = DELETES
+    * manifest — the merge-on-read split).
+    */
   val ManifestFileType: TRecord = TRecord("manifest_file", Vector(
     "manifest_path" -> TString,
     "manifest_length" -> TLong,
@@ -63,7 +66,8 @@ object IcebergManifests {
     "added_rows_count" -> TLong,
     "existing_rows_count" -> TLong,
     "deleted_rows_count" -> TLong,
-    "partitions" -> TOpt(TArray(FieldSummaryType))))
+    "partitions" -> TOpt(TArray(FieldSummaryType)),
+    "content" -> TInt))
 
   /** `manifest_entry` with a caller-chosen partition record type. */
   def manifestEntryType(partition: TRecord): TRecord =
@@ -84,7 +88,8 @@ object IcebergManifests {
   final case class ManifestFile(path: String, length: Long, specId: Int,
       addedSnapshotId: Long, addedFiles: Int, existingFiles: Int,
       deletedFiles: Int, addedRows: Long, existingRows: Long,
-      deletedRows: Long, partitions: Option[Vector[FieldSummary]])
+      deletedRows: Long, partitions: Option[Vector[FieldSummary]],
+      content: Int = 0)
 
   final case class DataFile(content: Int, path: String, format: String,
       partition: Vector[(String, Long)], recordCount: Long,
@@ -134,7 +139,7 @@ object IcebergManifests {
         }
         ManifestFile(str(r(0)), lng(r(1)), lng(r(2)).toInt, lng(r(3)),
           lng(r(4)).toInt, lng(r(5)).toInt, lng(r(6)).toInt,
-          lng(r(7)), lng(r(8)), lng(r(9)), parts)
+          lng(r(7)), lng(r(8)), lng(r(9)), parts, lng(r(11)).toInt)
       })
     } catch { case NonFatal(_) => None }
 
@@ -184,6 +189,7 @@ object IcebergManifests {
     val live = Vector.newBuilder[DataFile]
     val dead = Vector.newBuilder[DataFile]
     mfs.foreach { mf =>
+      if (mf.content != 0) return None // v2 delete manifests: use replayV2
       val bytes = resolve(mf.path).getOrElse(return None)
       if (bytes.length.toLong != mf.length) return None
       val entries = readManifest(bytes).getOrElse(return None)
@@ -201,6 +207,105 @@ object IcebergManifests {
     }
     Some(TableState(mfs.size, live.result(), dead.result()))
   }
+
+  // ------------------------------------------------------------------
+  // v2 merge-on-read: positional deletes
+  // ------------------------------------------------------------------
+
+  /** The spec's position-delete file schema (`file_path`, `pos`). */
+  val PosDeleteType: TRecord = TRecord("pos_delete", Vector(
+    "file_path" -> TString,
+    "pos" -> TLong))
+
+  /** Decode one position-delete file (an Avro OCF of PosDeleteType). */
+  def readPosDeletes(b: Array[Byte]): Option[Vector[(String, Long)]] =
+    try {
+      val info = AvroOcf.probeNested(b).getOrElse(return None)
+      if (info.root != PosDeleteType) return None
+      Some(info.rows.map(r => (str(r(0)), lng(r(1)))))
+    } catch { case NonFatal(_) => None }
+
+  /** v2 snapshot state: the data-file live set plus per-file DISTINCT
+    * deleted positions folded from the delete manifests' position
+    * files. `effectiveRows` is the merge-on-read row count a scan
+    * actually returns.
+    */
+  final case class TableStateV2(base: TableState,
+      deletedPositions: Map[String, Long]) {
+    def effectiveRows: Long =
+      base.liveRows - deletedPositions.values.sum
+  }
+
+  /** [[replay]] widened to v2: DATA manifests (`content = 0`) fold the
+    * live/deleted file sets exactly as v1; DELETES manifests
+    * (`content = 1`) carry entries whose `data_file.content` must be 1
+    * (position deletes) — each live delete file resolves through the
+    * same `resolve` and decodes as [[PosDeleteType]]. Enforced, not
+    * assumed: the delete manifest's row arithmetic counts DELETE rows
+    * (each file's `record_count` must equal its decoded position
+    * count), every target path must be a LIVE data file, every
+    * position must be inside the target's `record_count`, and a data
+    * manifest may not smuggle delete-content files (or vice versa).
+    * Positions deduplicate per target (the spec allows the same
+    * position in multiple delete files). Any violation yields None.
+    */
+  def replayV2(manifestList: Array[Byte],
+      resolve: String => Option[Array[Byte]]): Option[TableStateV2] = {
+    val mfs = readManifestList(manifestList).getOrElse(return None)
+    val live = Vector.newBuilder[DataFile]
+    val dead = Vector.newBuilder[DataFile]
+    val delFiles = Vector.newBuilder[DataFile]
+    mfs.foreach { mf =>
+      if (mf.content < 0 || mf.content > 1) return None
+      val bytes = resolve(mf.path).getOrElse(return None)
+      if (bytes.length.toLong != mf.length) return None
+      val entries = readManifest(bytes).getOrElse(return None)
+      def ofStatus(s: Int) = entries.filter(_.status == s)
+      if (mf.existingFiles != ofStatus(0).size ||
+        mf.addedFiles != ofStatus(1).size ||
+        mf.deletedFiles != ofStatus(2).size) return None
+      if (mf.existingRows != ofStatus(0).map(_.dataFile.recordCount).sum ||
+        mf.addedRows != ofStatus(1).map(_.dataFile.recordCount).sum ||
+        mf.deletedRows != ofStatus(2).map(_.dataFile.recordCount).sum)
+        return None
+      val wantContent = mf.content // data files in data manifests only
+      if (entries.exists(_.dataFile.content != wantContent)) return None
+      entries.foreach { e =>
+        if (mf.content == 0) {
+          if (e.status == 2) dead += e.dataFile else live += e.dataFile
+        } else {
+          if (e.status != 2) delFiles += e.dataFile
+        }
+      }
+    }
+    val liveFiles = live.result()
+    val rcByPath = liveFiles.groupBy(_.path).map {
+      case (p, fs) =>
+        if (fs.length != 1) return None // duplicate live path
+        p -> fs.head.recordCount
+    }
+    val positions = scala.collection.mutable.Map.empty[String, Set[Long]]
+    delFiles.result().foreach { df =>
+      val bytes = resolve(df.path).getOrElse(return None)
+      if (bytes.length.toLong != df.fileSizeBytes) return None
+      val dels = readPosDeletes(bytes).getOrElse(return None)
+      if (dels.length.toLong != df.recordCount) return None
+      dels.foreach { case (path, pos) =>
+        val rc = rcByPath.getOrElse(path, return None) // unknown target
+        if (pos < 0 || pos >= rc) return None // position out of range
+        positions(path) = positions.getOrElse(path, Set.empty) + pos
+      }
+    }
+    Some(TableStateV2(TableState(mfs.size, liveFiles, dead.result()),
+      positions.map { case (p, s) => p -> s.size.toLong }.toMap))
+  }
+
+  /** Encode a position-delete file (real Avro OCF wire format). */
+  def synthPosDeletes(dels: Seq[(String, Long)], codec: String,
+      syncSeed: Int): Array[Byte] =
+    AvroOcf.synthNested(PosDeleteType,
+      dels.map(d => Vector[Cell](StrCell(d._1), LongCell(d._2))),
+      Seq(dels.size), codec, syncSeed)
 
   // ------------------------------------------------------------------
   // Synthesis (test/oracle side): real manifest wire format via
@@ -240,7 +345,8 @@ object IcebergManifests {
           BoolCell(p.containsNull),
           p.lower.map(StrCell.apply).getOrElse(NullCell),
           p.upper.map(StrCell.apply).getOrElse(NullCell))))))
-          .getOrElse(NullCell))
+          .getOrElse(NullCell),
+        LongCell(m.content.toLong))
     }
     AvroOcf.synthNested(ManifestFileType, rows, Seq(mfs.size), codec,
       syncSeed)

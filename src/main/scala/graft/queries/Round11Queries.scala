@@ -268,15 +268,16 @@ object Round11Queries {
     * parquet-format 2.8 added for floating-point compressibility
     * (value i's byte j lands in stream j; the transpose makes float
     * columns squeeze), which Spark's DataFrame writer cannot even
-    * switch on: per document, a REAL parquet file is written by
-    * PARQUET-MR ITSELF ([[graft.operators.ParquetSynth.synthBss]] —
-    * the builder-only `withByteStreamSplitEncoding`, dictionaries off,
-    * snappy on even hashes) with planted nulls in both float columns,
-    * the footer is REQUIRED to declare encoding 9 on them (a silent
-    * PLAIN fallback would void the probe), and
-    * [[graft.operators.ParquetPages.readColumn]] decodes the streams
-    * back. Values are exact binary fractions (k/4, k/2), so the
-    * oracle's closed-form sums are bit-exact doubles.
+    * switch on: each PARTITION's documents become row spans of one
+    * REAL parquet file written by PARQUET-MR ITSELF
+    * ([[graft.operators.ParquetSynth.synthBss]] — the builder-only
+    * `withByteStreamSplitEncoding`, dictionaries off, snappy) with
+    * planted nulls in both float columns, the footer is REQUIRED to
+    * declare encoding 9 on them (a silent PLAIN fallback would void
+    * the probe), and [[graft.operators.ParquetPages.readColumn]]
+    * decodes the streams back, sliced per doc. Values are exact
+    * binary fractions (k/4, k/2), so the oracle's closed-form sums
+    * are bit-exact doubles.
     */
   val q276ParquetBss: QueryDef = QueryDef(
     "q276_parquet_bss",
@@ -287,42 +288,70 @@ object Round11Queries {
           octet_length(col("text")).cast("int").as("n"),
           pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
             .cast("int").as("v"))
+        // parquet-mr writer init is ~7 ms/file — 5000 docs on the scan's
+        // 1-2 input partitions would serialize ~35 s of work; one narrow
+        // shuffle of 3 ints/doc unlocks full-core synthesis
+        .repartition(col("doc_id"))
         .as[Round5Queries6.MediaSrc]
       val probed = src.mapPartitions { rows =>
         import graft.operators.{ParquetFooter, ParquetPages, ParquetSynth}
         import graft.operators.ParquetPages.{PDouble, PLong}
         import graft.operators.ParquetSynth.BssRow
-        rows.map { r =>
-          val k = 5 + r.n % 10
-          val snappy = r.v % 2 == 0
-          val bssRows = (0 until k).map { i =>
-            BssRow(((r.v + i) % 50).toLong,
-              if (i == 2) None else Some((r.v + i) * 0.25),
-              if (i == 3) None else Some((r.n + i) * 0.5f))
+        // ONE file per PARTITION, not per doc: parquet-mr writer init
+        // serializes on global codec-pool/conf locks (a per-doc writer
+        // measured 63 s across 32 threads vs 7 s single-threaded — the
+        // contention INVERTED the parallelism), so all the partition's
+        // docs become row spans of one real file, decoded once and
+        // sliced back per doc. Partition-bounded memory: a few ints per
+        // row, thousands of rows.
+        val docs = rows.toVector
+        if (docs.isEmpty) Iterator.empty
+        else {
+          val perDoc = docs.map { r =>
+            val k = 5 + r.n % 10
+            val bss = (0 until k).map { i =>
+              BssRow(((r.v + i) % 50).toLong,
+                if (i == 2) None else Some((r.v + i) * 0.25),
+                if (i == 3) None else Some((r.n + i) * 0.5f))
+            }
+            (r, bss)
           }
-          val bytes = ParquetSynth.synthBss(bssRows, snappy)
+          val bytes = ParquetSynth.synthBss(perDoc.flatMap(_._2), snappy = true)
           val f = ParquetFooter.probe(bytes)
-            .getOrElse(sys.error(s"bss footer probe failed: doc ${r.doc_id}"))
+            .getOrElse(sys.error("bss footer probe failed"))
+          require(f.nRowGroups == 1, "partition file must be one row group")
           def chunk(name: String) = f.firstGroupChunks
             .find(_.pathInSchema == name)
-            .getOrElse(sys.error(s"no chunk $name: doc ${r.doc_id}"))
+            .getOrElse(sys.error(s"no chunk $name"))
           require(chunk("d").encodings.contains(9) &&
             chunk("f").encodings.contains(9),
-            s"BYTE_STREAM_SPLIT not engaged: doc ${r.doc_id}")
+            "BYTE_STREAM_SPLIT not engaged")
+          require(!chunk("id").encodings.contains(9),
+            "int column must stay outside the float-only BSS scope")
           def read(name: String) = ParquetPages.readColumn(bytes, chunk(name))
-            .getOrElse(sys.error(s"bss decode failed: $name, doc ${r.doc_id}"))
-          val ids = read("id").flatten.collect { case PLong(x) => x }
+            .getOrElse(sys.error(s"bss decode failed: $name"))
+          val ids = read("id")
           val ds = read("d")
           val fs = read("f")
-          (r.doc_id, if (snappy) "snappy" else "none", f.numRows,
-            ids.sum,
-            ds.flatten.collect { case PDouble(x) => x }.sum,
-            ds.count(_.isEmpty).toLong,
-            fs.flatten.collect { case PDouble(x) => x }.sum,
-            fs.count(_.isEmpty).toLong)
+          require(f.numRows == perDoc.map(_._2.length).sum.toLong,
+            "row count drift")
+          var off = 0
+          perDoc.iterator.map { case (r, bss) =>
+            val k = bss.length
+            val dSlice = ds.slice(off, off + k)
+            val fSlice = fs.slice(off, off + k)
+            val idSlice = ids.slice(off, off + k)
+            off += k
+            (r.doc_id, k.toLong,
+              idSlice.flatten.collect { case PLong(x) => x }.sum,
+              dSlice.flatten.collect { case PDouble(x) => x }.sum,
+              dSlice.count(_.isEmpty).toLong,
+              fSlice.flatten.collect { case PDouble(x) => x }.sum,
+              fSlice.count(_.isEmpty).toLong)
+          }
         }
       }
-      probed.toDF("doc_id", "codec", "n_rows", "id_sum", "d_sum",
+      probed.toDF("doc_id", "n_rows", "id_sum", "d_sum",
           "d_nulls", "f_sum", "f_nulls")
         .orderBy("doc_id")
     },
@@ -341,7 +370,6 @@ object Round11Queries {
                      CASE WHEN i = 3 THEN 0 ELSE n + i END)) AS fsum2
             FROM g)
       SELECT doc_id,
-             CASE WHEN v % 2 = 0 THEN 'snappy' ELSE 'none' END AS codec,
              CAST(k AS BIGINT) AS n_rows,
              CAST(idsum AS BIGINT) AS id_sum,
              CAST(0.25e0 * dsum4 AS DOUBLE) AS d_sum,
@@ -511,7 +539,212 @@ object Round11Queries {
                AS data_streams_max
       FROM e"""))
 
+  /** ICEBERG V2 POSITIONAL DELETES under the oracle gate — the
+    * merge-on-read layer above q274's v1 replay: per document, the
+    * snapshot carries a DATA manifest (content 0) and a DELETES
+    * manifest (content 1) whose entry is a real position-delete Avro
+    * file (`file_path`, `pos` records, possibly listing the same
+    * position more than once). [[graft.operators.IcebergManifests
+    * .replayV2]] folds the live set, decodes the delete file, and
+    * enforces the v2 rules: the delete manifest's row arithmetic
+    * counts DELETE rows, every target must be a live data file, every
+    * position inside its target's `record_count`, content kinds may
+    * not cross manifests, and positions DEDUPLICATE per target. The
+    * oracle rebuilds the distinct-position sets and the effective
+    * (post-delete) row count in closed form.
+    */
+  val q279IcebergDeletes: QueryDef = QueryDef(
+    "q279_iceberg_deletes",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests._
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val codec = Seq("null", "deflate", "snappy")(r.v % 3)
+          val k = 3 + r.n % 4
+          def rc(i: Int): Long = 20L + (r.n + i) % 30
+          val dataE = (0 until k).map { i =>
+            ManifestEntry(1, None,
+              DataFile(0, s"data/f$i.parquet", "PARQUET",
+                Vector("bucket" -> ((r.v + i) % 4).toLong), rc(i),
+                1000L + (r.v * 7 + i * 13) % 500))
+          }
+          val dm = synthManifest(dataE, partType, codec, (r.v % 90) + 1)
+          // raw delete rows (duplicates allowed — replay deduplicates)
+          val dels = (0 until k).filter(_ % 2 == 0).flatMap { i =>
+            val dc = 1 + (r.v + i) % 3
+            (0 until dc).map(t =>
+              (s"data/f$i.parquet", (r.v + i + t * 7).toLong % rc(i)))
+          }
+          val delFile = synthPosDeletes(dels, codec, (r.n % 90) + 2)
+          val delE = Seq(ManifestEntry(1, None,
+            DataFile(1, "del/d0.avro", "AVRO", Vector("bucket" -> 0L),
+              dels.length.toLong, delFile.length.toLong)))
+          val delM = synthManifest(delE, partType, codec, (r.v % 50) + 3)
+          def mf(path: String, bytes: Array[Byte],
+              es: Seq[ManifestEntry], content: Int): ManifestFile =
+            ManifestFile(path, bytes.length.toLong, 0, 9001L,
+              es.count(_.status == 1), 0, 0,
+              es.map(_.dataFile.recordCount).sum, 0L, 0L, None, content)
+          val list = synthManifestList(
+            Seq(mf("meta/dm.avro", dm, dataE, 0),
+              mf("meta/delm.avro", delM, delE, 1)),
+            codec, (r.n % 50) + 4)
+          val lookup = Map("meta/dm.avro" -> dm, "meta/delm.avro" -> delM,
+            "del/d0.avro" -> delFile)
+          val st = IcebergManifests.replayV2(list, lookup.get)
+            .getOrElse(sys.error(s"v2 replay failed: doc ${r.doc_id}"))
+          val delCounts = st.deletedPositions
+          (r.doc_id, codec, st.base.live.size, st.base.liveRows,
+            dels.length.toLong, delCounts.values.sum, st.effectiveRows,
+            delCounts.size, if (delCounts.isEmpty) 0L else delCounts.values.max)
+        }
+      }
+      probed.toDF("doc_id", "codec", "live_files", "base_rows",
+          "del_rows_raw", "deleted_positions", "effective_rows",
+          "files_touched", "max_del_one_file")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 3 + n % 4 AS k FROM d),
+      t AS (SELECT *,
+                   list_sum(list_transform(range(k), i -> 20 + (n + i) % 30))
+                     AS baserows,
+                   list_filter(range(k), i -> i % 2 = 0) AS touched
+            FROM g),
+      u AS (SELECT *,
+                   list_transform(touched, i -> 1 + (v + i) % 3) AS dcs,
+                   list_transform(touched, i ->
+                     len(list_distinct(list_transform(
+                       range(1 + (v + i) % 3), t ->
+                         (v + i + t * 7) % (20 + (n + i) % 30)))))
+                     AS dels
+            FROM t)
+      SELECT doc_id,
+             (['null', 'deflate', 'snappy'])[v % 3 + 1] AS codec,
+             CAST(k AS INTEGER) AS live_files,
+             CAST(baserows AS BIGINT) AS base_rows,
+             CAST(list_sum(dcs) AS BIGINT) AS del_rows_raw,
+             CAST(list_sum(dels) AS BIGINT) AS deleted_positions,
+             CAST(baserows - list_sum(dels) AS BIGINT) AS effective_rows,
+             CAST(len(touched) AS INTEGER) AS files_touched,
+             CAST(list_max(dels) AS BIGINT) AS max_del_one_file
+      FROM u ORDER BY doc_id"""))
+
+  /** ICEBERG TABLE-METADATA RESOLUTION under the oracle gate — the
+    * JSON layer that completes the chain (q274 manifests, q279 v2
+    * deletes): per document, a real `vN.metadata.json` document
+    * (Jackson-built — escaping is the library's, not string splicing)
+    * lists 2–4 snapshots with ascending sequence numbers; the CURRENT
+    * snapshot resolves through
+    * [[graft.operators.IcebergMetadata.replayCurrent]] — metadata
+    * parse (strictness: unique snapshot ids, current must exist,
+    * non-decreasing sequence numbers), manifest-list decode, and the
+    * full v2 fold with every manifest-arithmetic rule enforced
+    * down-chain. The oracle recomputes the current snapshot's
+    * parameters and live set in closed form, so resolving the WRONG
+    * snapshot — or skipping the chain — lands in the hash.
+    */
+  val q280IcebergMetadata: QueryDef = QueryDef(
+    "q280_iceberg_metadata",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.{IcebergManifests, IcebergMetadata}
+        import graft.operators.IcebergManifests._
+        import graft.operators.IcebergMetadata.SnapshotRef
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val nSnaps = 2 + r.v % 3
+          val cur = nSnaps - 1
+          // only the CURRENT snapshot's manifest chain is materialized;
+          // older snapshots are listed (the reader must not touch them)
+          val k = 3 + (r.n + cur) % 4
+          val entries = (0 until k).map { i =>
+            ManifestEntry(1, None,
+              DataFile(0, s"s$cur/f$i.parquet", "PARQUET",
+                Vector("bucket" -> ((r.v + i) % 4).toLong),
+                30L + (r.v + cur + i) % 40,
+                1000L + (r.n * 3 + cur * 17 + i * 7) % 400))
+          }
+          val dm = synthManifest(entries, partType, "deflate",
+            (r.v % 80) + 1)
+          val list = synthManifestList(Seq(
+            ManifestFile(s"meta/m$cur.avro", dm.length.toLong, 0,
+              1000L + cur, k, 0, 0,
+              entries.map(_.dataFile.recordCount).sum, 0L, 0L, None, 0)),
+            "deflate", (r.n % 80) + 2)
+          val snaps = (0 until nSnaps).map(si =>
+            SnapshotRef(1000L + si, si + 1L, 1700000000000L + si * 1000L,
+              s"meta/list$si.avro", if (si == 0) "append" else "overwrite"))
+          val json = IcebergMetadata.synthMetadata(
+            s"tbl-${r.v}", s"warehouse/t${r.doc_id}", snaps, 1000L + cur)
+          val lookup = Map(s"meta/list$cur.avro" -> list,
+            s"meta/m$cur.avro" -> dm)
+          val (meta, st) = IcebergMetadata.replayCurrent(json, lookup.get)
+            .getOrElse(sys.error(s"metadata replay failed: doc ${r.doc_id}"))
+          val c = meta.current.get
+          (r.doc_id, meta.formatVersion, meta.uuid, meta.snapshots.size,
+            c.id, c.sequenceNumber, c.operation,
+            st.base.live.size, st.base.liveRows, st.effectiveRows,
+            st.base.live.map(_.path).max)
+        }
+      }
+      probed.toDF("doc_id", "format_version", "uuid", "n_snapshots",
+          "current_id", "current_seq", "current_op", "live_files",
+          "live_rows", "effective_rows", "last_path")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   2 + v % 3 AS ns,
+                   (2 + v % 3) - 1 AS cur
+            FROM d),
+      t AS (SELECT *, 3 + (n + cur) % 4 AS k FROM g),
+      u AS (SELECT *,
+                   list_sum(list_transform(range(k), i ->
+                     30 + (v + cur + i) % 40)) AS liverows
+            FROM t)
+      SELECT doc_id,
+             CAST(2 AS INTEGER) AS format_version,
+             'tbl-' || v AS uuid,
+             CAST(ns AS INTEGER) AS n_snapshots,
+             CAST(1000 + cur AS BIGINT) AS current_id,
+             CAST(cur + 1 AS BIGINT) AS current_seq,
+             CASE WHEN cur = 0 THEN 'append' ELSE 'overwrite' END
+               AS current_op,
+             CAST(k AS INTEGER) AS live_files,
+             CAST(liverows AS BIGINT) AS live_rows,
+             CAST(liverows AS BIGINT) AS effective_rows,
+             's' || cur || '/f' || (k - 1) || '.parquet' AS last_path
+      FROM u ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q274IcebergManifests, q275SftBpeBudget, q276ParquetBss,
-      q277ArrowDict, q278OrcStripes)
+      q277ArrowDict, q278OrcStripes, q279IcebergDeletes,
+      q280IcebergMetadata)
 }

@@ -103,6 +103,121 @@ class IcebergManifestsSpec extends AnyFunSuite {
       listWith(_.copy(path = "meta/nope.avro")), manifests.get).isEmpty)
   }
 
+  test("v2 positional deletes: merge-on-read fold, dedup across delete " +
+    "files, and every enforcement rule") {
+    // data manifest: 3 files of 10/20/30 rows
+    val dataEntries = Seq(entry(1, 0, 10), entry(1, 1, 20), entry(1, 2, 30))
+    val dm = synthManifest(dataEntries, partType, "null", 21)
+    // two delete files: overlapping positions on f0, one on f2
+    val del0 = synthPosDeletes(
+      Seq(("data/f0.parquet", 1L), ("data/f0.parquet", 3L),
+        ("data/f2.parquet", 29L)), "deflate", 22)
+    val del1 = synthPosDeletes(
+      Seq(("data/f0.parquet", 3L), ("data/f0.parquet", 5L)), "null", 23)
+    def delEntry(path: String, bytes: Array[Byte], nRows: Long) =
+      ManifestEntry(1, None, DataFile(1, path, "AVRO",
+        Vector("bucket" -> 0L), nRows, bytes.length.toLong))
+    val delEntries = Seq(delEntry("del/d0.avro", del0, 3L),
+      delEntry("del/d1.avro", del1, 2L))
+    val dmDel = synthManifest(delEntries, partType, "null", 24)
+    def mf(path: String, bytes: Array[Byte], es: Seq[ManifestEntry],
+        content: Int) = {
+      def c(st: Int) = es.count(_.status == st)
+      def rc(st: Int) =
+        es.filter(_.status == st).map(_.dataFile.recordCount).sum
+      ManifestFile(path, bytes.length.toLong, 0, 9001L, c(1), c(0), c(2),
+        rc(1), rc(0), rc(2), None, content)
+    }
+    val resolve = Map("meta/dm.avro" -> dm, "meta/dmdel.avro" -> dmDel,
+      "del/d0.avro" -> del0, "del/d1.avro" -> del1)
+    def list(f: Seq[ManifestFile] => Seq[ManifestFile] = identity) =
+      synthManifestList(f(Seq(mf("meta/dm.avro", dm, dataEntries, 0),
+        mf("meta/dmdel.avro", dmDel, delEntries, 1))), "null", 25)
+    val st = IcebergManifests.replayV2(list(), resolve.get).get
+    assert(st.base.live.map(_.recordCount).sum == 60)
+    // f0 loses distinct {1,3,5} (3 appears in BOTH delete files — once),
+    // f2 loses {29}
+    assert(st.deletedPositions == Map("data/f0.parquet" -> 3L,
+      "data/f2.parquet" -> 1L))
+    assert(st.effectiveRows == 60 - 4)
+    // v1 replay refuses a list carrying a delete manifest
+    assert(IcebergManifests.replay(list(), resolve.get).isEmpty)
+    // enforcement: position beyond the target's record_count
+    val badPos = synthPosDeletes(Seq(("data/f1.parquet", 20L)), "null", 26)
+    val badPosEntries = Seq(delEntry("del/bad.avro", badPos, 1L))
+    val badPosM = synthManifest(badPosEntries, partType, "null", 27)
+    val r2 = resolve ++ Map("del/bad.avro" -> badPos,
+      "meta/bad.avro" -> badPosM)
+    assert(IcebergManifests.replayV2(
+      synthManifestList(Seq(mf("meta/dm.avro", dm, dataEntries, 0),
+        mf("meta/bad.avro", badPosM, badPosEntries, 1)), "null", 28),
+      r2.get).isEmpty)
+    // enforcement: delete targeting an unknown file
+    val unk = synthPosDeletes(Seq(("data/nope.parquet", 0L)), "null", 29)
+    val unkEntries = Seq(delEntry("del/unk.avro", unk, 1L))
+    val unkM = synthManifest(unkEntries, partType, "null", 30)
+    val r3 = resolve ++ Map("del/unk.avro" -> unk, "meta/unk.avro" -> unkM)
+    assert(IcebergManifests.replayV2(
+      synthManifestList(Seq(mf("meta/dm.avro", dm, dataEntries, 0),
+        mf("meta/unk.avro", unkM, unkEntries, 1)), "null", 31),
+      r3.get).isEmpty)
+    // enforcement: record_count lying about the decoded position count
+    val lieEntries = Seq(delEntry("del/d0.avro", del0, 99L))
+    val lieM = synthManifest(lieEntries, partType, "null", 32)
+    val r4 = resolve ++ Map("meta/lie.avro" -> lieM)
+    assert(IcebergManifests.replayV2(
+      synthManifestList(Seq(mf("meta/dm.avro", dm, dataEntries, 0),
+        mf("meta/lie.avro", lieM, lieEntries, 1)), "null", 33),
+      r4.get).isEmpty)
+    // enforcement: a data manifest smuggling delete-content files
+    assert(IcebergManifests.replayV2(
+      synthManifestList(Seq(mf("meta/dm.avro", dm, dataEntries, 0),
+        mf("meta/dmdel.avro", dmDel, delEntries, 0)), "null", 34),
+      resolve.get).isEmpty)
+  }
+
+  test("table metadata: current-snapshot resolution, strictness rules, " +
+    "full-chain replay, and real JSON escaping") {
+    import graft.operators.IcebergMetadata
+    import graft.operators.IcebergMetadata.SnapshotRef
+    val (list, manifests) = table()
+    val snaps = Seq(
+      SnapshotRef(10L, 1L, 1700000000000L, "meta/old.avro", "append"),
+      SnapshotRef(11L, 2L, 1700000001000L, "meta/list.avro", "overwrite"))
+    // a location with JSON-hostile characters must round-trip (Jackson
+    // escaping on both sides, not string splicing)
+    val loc = "warehouse/\"quoted\"\\path\nnewline"
+    val json = IcebergMetadata.synthMetadata("tbl-1", loc, snaps, 11L)
+    val meta = IcebergMetadata.parseMetadata(json).get
+    assert(meta.formatVersion == 2 && meta.uuid == "tbl-1")
+    assert(meta.location == loc)
+    assert(meta.current.get.manifestList == "meta/list.avro")
+    assert(meta.current.get.operation == "overwrite")
+    // full chain: metadata -> manifest list -> manifests
+    val resolve = manifests + ("meta/list.avro" -> list)
+    val (m2, st) = IcebergMetadata.replayCurrent(json, resolve.get).get
+    assert(m2.currentSnapshotId == 11L)
+    assert(st.base.live.size == 6 && st.effectiveRows == st.base.liveRows)
+    // strictness: duplicate snapshot ids
+    assert(IcebergMetadata.parseMetadata(IcebergMetadata.synthMetadata(
+      "t", "w", Seq(snaps.head, snaps.head), 10L)).isEmpty)
+    // current-snapshot-id naming no listed snapshot
+    assert(IcebergMetadata.parseMetadata(IcebergMetadata.synthMetadata(
+      "t", "w", snaps, 99L)).isEmpty)
+    // DECREASING sequence numbers violate commit order
+    assert(IcebergMetadata.parseMetadata(IcebergMetadata.synthMetadata(
+      "t", "w", Seq(snaps(1), snaps(0)), 10L)).isEmpty)
+    // unknown format version, junk JSON, empty snapshot list
+    assert(IcebergMetadata.parseMetadata(
+      json.replace("\"format-version\":2", "\"format-version\":3")).isEmpty)
+    assert(IcebergMetadata.parseMetadata("not json at all").isEmpty)
+    assert(IcebergMetadata.parseMetadata(
+      """{"format-version":2,"table-uuid":"t","current-snapshot-id":1,
+        |"snapshots":[]}""".stripMargin).isEmpty)
+    // an unresolvable current manifest list declines the chain
+    assert(IcebergMetadata.replayCurrent(json, manifests.get).isEmpty)
+  }
+
   test("schema pinning: a non-manifest nested file declines cleanly") {
     // a valid nested container that is NOT a manifest list / manifest
     val other = TRecord("thing", Vector("a" -> TLong,
