@@ -32,16 +32,26 @@ object DeltaReplay {
     * is null for tombstoned paths. Non-file actions (commitInfo,
     * metaData, protocol) are ignored, as a reader must.
     */
-  def replay(log: DataFrame): DataFrame = {
+  def replay(log: DataFrame): DataFrame =
+    foldActions(parseActions(log))
+
+  /** JSON action lines → normalized `(version, path, size, is_add)`. */
+  private def parseActions(log: DataFrame): DataFrame = {
     val parsed = log.select(col("version"),
       from_json(col("line"),
         org.apache.spark.sql.types.StructType.fromDDL(ActionSchema),
         Map.empty[String, String]).as("j"))
-    val acts = parsed.select(col("version"),
+    parsed.select(col("version"),
       coalesce(col("j.add.path"), col("j.remove.path")).as("path"),
       col("j.add.size").as("size"),
       col("j.add.path").isNotNull.as("is_add"))
       .filter(col("path").isNotNull)
+  }
+
+  /** The last-writer-wins fold shared by [[replay]] and
+    * [[replayFromCheckpoint]]: one `max_by` hash aggregation per path.
+    */
+  private def foldActions(acts: DataFrame): DataFrame =
     acts.groupBy("path")
       .agg(max_by(
         struct(col("is_add"), col("size"), col("version")),
@@ -50,6 +60,24 @@ object DeltaReplay {
       .select(col("path"), col("last.is_add").as("is_live"),
         when(col("last.is_add"), col("last.size")).as("size"),
         col("last.version").as("last_version"))
+
+  /** The REAL delta read path: a reader never replays the whole log —
+    * it loads the newest CHECKPOINT (the per-path state fold
+    * materialized as parquet at some version V) and overlays only the
+    * JSON commits after V. `ckpt` carries one state row per path
+    * (`path, is_add, size, version` — a tombstone row has `is_add`
+    * false and null size, exactly what the protocol's checkpoint
+    * retains so later readers still see the remove); `tailLog` is the
+    * `(version, line)` JSON tail. Checkpoint state rows ARE the fold
+    * of everything ≤ V, so unioning them with the tail's parsed
+    * actions and re-folding yields the same last-writer-wins state a
+    * full replay would — one union, one hash aggregation, and at
+    * 100 TB the checkpoint read replaces an unbounded log walk.
+    */
+  def replayFromCheckpoint(ckpt: DataFrame, tailLog: DataFrame): DataFrame = {
+    val base = ckpt.select(col("version"), col("path"),
+      col("size").cast("long").as("size"), col("is_add"))
+    foldActions(base.unionByName(parseActions(tailLog)))
   }
 
   /** STREAMING twin of [[replay]] — continuous table-state maintenance

@@ -69,4 +69,53 @@ object ParquetSynth {
     } finally w.close()
     out.bos.toByteArray
   }
+
+  /** One row of a delta-style CHECKPOINT-STATE file: the per-path
+    * last-writer-wins fold at the checkpoint version — a live add
+    * (`isAdd = true`, size present) or a remove tombstone (`isAdd =
+    * false`, size absent). The real Delta checkpoint nests these under
+    * `add`/`remove` structs; this flattened single-row-per-path form
+    * carries the same state (PROTOCOL.md's checkpoint is exactly the
+    * replay fold materialized).
+    */
+  final case class CkptRow(path: String, isAdd: Boolean,
+      size: Option[Long], version: Long)
+
+  private val CkptSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message ckpt {
+      |  required binary path (UTF8);
+      |  required int64 is_add;
+      |  optional int64 size;
+      |  required int64 version;
+      |}""".stripMargin)
+
+  /** Write a checkpoint-state slice as a real parquet-mr file
+    * (dictionaries off so the byte-level reader sees PLAIN pages; v1
+    * pages; snappy optional). One call per PARTITION, never per row —
+    * the q276 lesson: parquet-mr writer construction serializes on
+    * global codec-pool/conf locks, so per-row writers invert
+    * parallelism at 32 threads. Multi-part checkpoints are themselves
+    * spec-real (`V.checkpoint.<part>.<of>.parquet`), so
+    * partition-sliced checkpoint files mirror the wire layout.
+    */
+  def synthCheckpoint(rows: Seq[CkptRow], snappy: Boolean): Array[Byte] = {
+    val out = new MemOutputFile
+    val w = ExampleParquetWriter.builder(out)
+      .withType(CkptSchema)
+      .withDictionaryEncoding(false)
+      .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_1_0)
+      .withCompressionCodec(
+        if (snappy) CompressionCodecName.SNAPPY
+        else CompressionCodecName.UNCOMPRESSED)
+      .build()
+    try rows.foreach { r =>
+      val g = new SimpleGroup(CkptSchema)
+      g.add("path", r.path)
+      g.add("is_add", if (r.isAdd) 1L else 0L)
+      r.size.foreach(g.add("size", _))
+      g.add("version", r.version)
+      w.write(g)
+    } finally w.close()
+    out.bos.toByteArray
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeltaReplay, ParquetFooter, ParquetPages, ParquetSynth}
+import graft.operators.ParquetPages.{PBin, PLong}
+import graft.operators.ParquetSynth.CkptRow
+
+/** The delta checkpoint read path (q281): the parquet checkpoint-state
+  * writer/reader round trip, and the algebraic identity the whole path
+  * rests on — checkpoint(prefix ≤ V) + tail(> V) re-folded equals the
+  * full-log replay.
+  */
+class DeltaCheckpointSpec extends SparkTestBase {
+
+  private def addLine(path: String, size: Long) =
+    s"""{"add":{"path":"$path","size":$size,"dataChange":true}}"""
+  private def removeLine(path: String) =
+    s"""{"remove":{"path":"$path","deletionTimestamp":1}}"""
+
+  test("synthCheckpoint bytes decode back to the exact state rows") {
+    val rows = Seq(
+      CkptRow("part-0", isAdd = true, Some(100L), 3L),
+      CkptRow("part-1", isAdd = false, None, 7L),
+      CkptRow("part-2", isAdd = true, Some(2L), 49L))
+    for (snappy <- Seq(false, true)) {
+      val bytes = ParquetSynth.synthCheckpoint(rows, snappy)
+      val f = ParquetFooter.probe(bytes).getOrElse(fail("footer probe"))
+      assert(f.numRows === 3L && f.nRowGroups === 1)
+      def read(name: String) = ParquetPages.readColumn(bytes,
+        f.firstGroupChunks.find(_.pathInSchema == name).get).get
+      assert(read("path").map(_.collect { case b: PBin => b.str }) ===
+        Vector(Some("part-0"), Some("part-1"), Some("part-2")))
+      assert(read("is_add").map(_.collect { case PLong(x) => x }) ===
+        Vector(Some(1L), Some(0L), Some(1L)))
+      assert(read("size").map(_.collect { case PLong(x) => x }) ===
+        Vector(Some(100L), None, Some(2L)))
+      assert(read("version").map(_.collect { case PLong(x) => x }) ===
+        Vector(Some(3L), Some(7L), Some(49L)))
+    }
+  }
+
+  test("checkpoint + tail re-fold equals the full-log replay") {
+    import spark.implicits._
+    // a log with adds, removes, resurrections, and same-version ties
+    val full = Seq(
+      (1L, addLine("a", 10L)), (1L, addLine("b", 20L)),
+      (2L, removeLine("a")),
+      (3L, addLine("c", 30L)),
+      (4L, removeLine("b")), (4L, addLine("b", 25L)), // add-wins tie
+      // ---- checkpoint boundary V = 4 ----
+      (5L, removeLine("c")),
+      (6L, addLine("a", 11L)),
+      (7L, addLine("d", 40L)))
+    val fullDf = full.toDF("version", "line")
+    val want = DeltaReplay.replay(fullDf)
+      .orderBy("path").collect().map(_.toSeq)
+    // the checkpoint IS the fold of the prefix; tombstones retained
+    val ckpt = DeltaReplay.replay(fullDf.filter(col("version") <= 4))
+      .select(col("path"), col("is_live").as("is_add"),
+        col("size"), col("last_version").as("version"))
+    val tail = fullDf.filter(col("version") > 4)
+    val got = DeltaReplay.replayFromCheckpoint(ckpt, tail)
+      .orderBy("path").collect().map(_.toSeq)
+    assert(got === want)
+  }
+
+  test("a stale tail action older than the checkpoint state cannot regress it") {
+    import spark.implicits._
+    val ckpt = Seq(("a", true, Some(10L), 9L)).toDF(
+      "path", "is_add", "size", "version")
+    val tail = Seq((5L, removeLine("a"))).toDF("version", "line")
+    val st = DeltaReplay.replayFromCheckpoint(ckpt, tail).collect()
+    assert(st.length === 1)
+    assert(st(0).getBoolean(1) === true) // still live
+    assert(st(0).getLong(3) === 9L)
+  }
+
+  test("a checkpoint-only tombstone stays dead through an empty-effect tail") {
+    import spark.implicits._
+    val ckpt = Seq(
+      ("gone", false, None: Option[Long], 4L),
+      ("kept", true, Some(7L): Option[Long], 3L)).toDF(
+      "path", "is_add", "size", "version")
+    val tail = Seq((6L, """{"commitInfo":{"operation":"WRITE"}}"""))
+      .toDF("version", "line")
+    val st = DeltaReplay.replayFromCheckpoint(ckpt, tail)
+      .orderBy("path").collect()
+    assert(st.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+      Seq(("gone", false), ("kept", true)))
+  }
+}
