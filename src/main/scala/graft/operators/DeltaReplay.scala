@@ -80,6 +80,88 @@ object DeltaReplay {
     foldActions(base.unionByName(parseActions(tailLog)))
   }
 
+  /** CDC BETWEEN VERSIONS — the incremental-processing primitive: what
+    * changed in the table between version `vLow` and version `vHigh`?
+    * One hash aggregation computes BOTH endpoint states per path (two
+    * conditional `max_by`s over the same shuffle — never two replays,
+    * never a self-join) and classifies:
+    *
+    *   - `added`      — absent at vLow, live at vHigh
+    *   - `transient`  — absent at vLow, appeared and died before vHigh
+    *   - `removed`    — live at vLow, tombstoned at vHigh
+    *   - `restored`   — tombstoned at vLow, live at vHigh
+    *   - `resized`    — live at both with different sizes (an overwrite)
+    *   - `unchanged`  — live at both, same size
+    *   - `still_dead` — tombstoned at both
+    *
+    * Returns `(path, change, lo_size, hi_size)` with sizes null when
+    * the endpoint is not live. At 100 TB the log rows shuffle once on
+    * path, exactly like [[replay]].
+    */
+  def diff(log: DataFrame, vLow: Long, vHigh: Long): DataFrame = {
+    require(vLow <= vHigh, "diff expects vLow <= vHigh")
+    val acts = parseActions(log).filter(col("version") <= vHigh)
+    def lastAtMost(v: Long) = max_by(
+      struct(col("is_add"), col("size"), col("version")),
+      when(col("version") <= v, struct(col("version"), col("is_add"))))
+    val both = acts.groupBy("path").agg(
+      lastAtMost(vLow).as("lo"), lastAtMost(vHigh).as("hi"))
+    both.select(col("path"),
+      when(col("lo").isNull && col("hi.is_add"), "added")
+        .when(col("lo").isNull && !col("hi.is_add"), "transient")
+        .when(col("lo.is_add") && !col("hi.is_add"), "removed")
+        .when(!col("lo.is_add") && col("hi.is_add"), "restored")
+        .when(col("lo.is_add") && col("hi.is_add") &&
+          col("lo.size") =!= col("hi.size"), "resized")
+        .when(col("lo.is_add") && col("hi.is_add"), "unchanged")
+        .otherwise("still_dead").as("change"),
+      when(col("lo.is_add"), col("lo.size")).as("lo_size"),
+      when(col("hi.is_add"), col("hi.size")).as("hi_size"))
+  }
+
+  /** STREAMING twin of [[replayFromCheckpoint]] — the checkpoint SEEDS
+    * the per-path state (`mapGroupsWithState` initial state, so paths
+    * the tail never touches still surface), and tail batches fold in
+    * with the same newer-than-held guard as [[replayStream]]. Equals
+    * the batch checkpoint overlay on the same prefix at every
+    * micro-batch; runs in batch mode too, so it is oracle-checkable.
+    */
+  def replayStreamFromCheckpoint(ckpt: DataFrame,
+      tailLog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import tailLog.sparkSession.implicits._
+    val init = ckpt.select(col("path"), col("is_add"),
+      coalesce(col("size").cast("long"), lit(-1L)).as("size"),
+      col("version"))
+      .as[(String, Boolean, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+    val acts = parseActions(tailLog).select(
+      col("path"), col("version"), col("is_add"),
+      coalesce(col("size"), lit(-1L)).as("size"))
+      .as[(String, Long, Boolean, Long)]
+    acts.groupByKey(_._1)
+      .mapGroupsWithState[(Boolean, Long, Long), (String, Boolean, Long, Long)](
+        GroupStateTimeout.NoTimeout, init) {
+        case (path, rows, state: GroupState[(Boolean, Long, Long)]) =>
+          var (live, size, ver) =
+            state.getOption.getOrElse((false, -1L, Long.MinValue))
+          def rank(isAdd: Boolean): Int = if (isAdd) 1 else 0
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val newer = r._2 > ver ||
+              (r._2 == ver && rank(r._3) >= rank(live))
+            if (newer) { live = r._3; size = r._4; ver = r._2 }
+          }
+          state.update((live, size, ver))
+          (path, live, size, ver)
+      }
+      .toDF("path", "is_live", "raw_size", "last_version")
+      .select(col("path"), col("is_live"),
+        when(col("is_live") && col("raw_size") >= 0, col("raw_size"))
+          .as("size"),
+        col("last_version"))
+  }
+
   /** STREAMING twin of [[replay]] — continuous table-state maintenance
     * as log batches arrive (the tailing-reader / CDC shape): per-path
     * `mapGroupsWithState` holding `(is_live, size, last_version)`;

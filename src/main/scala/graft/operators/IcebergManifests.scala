@@ -179,6 +179,28 @@ object IcebergManifests {
       })
     } catch { case NonFatal(_) => None }
 
+  /** Resolve, length-check, decode, and arithmetic-check one manifest —
+    * the spec-redundant enforcement shared by [[replay]], [[replayV2]]
+    * and [[planScan]]: the list entry's byte length must match, and the
+    * per-status file counts and row sums must equal the decoded
+    * entries'. Any drift is a decline.
+    */
+  private def checkedEntries(mf: ManifestFile,
+      resolve: String => Option[Array[Byte]]): Option[Vector[ManifestEntry]] = {
+    val bytes = resolve(mf.path).getOrElse(return None)
+    if (bytes.length.toLong != mf.length) return None
+    val entries = readManifest(bytes).getOrElse(return None)
+    def ofStatus(s: Int) = entries.filter(_.status == s)
+    if (mf.existingFiles != ofStatus(0).size ||
+      mf.addedFiles != ofStatus(1).size ||
+      mf.deletedFiles != ofStatus(2).size) return None
+    if (mf.existingRows != ofStatus(0).map(_.dataFile.recordCount).sum ||
+      mf.addedRows != ofStatus(1).map(_.dataFile.recordCount).sum ||
+      mf.deletedRows != ofStatus(2).map(_.dataFile.recordCount).sum)
+      return None
+    Some(entries)
+  }
+
   /** Replay a snapshot: decode the manifest list, resolve and decode each
     * manifest, enforce the manifest arithmetic (class doc), and fold the
     * live/deleted file sets.
@@ -190,22 +212,78 @@ object IcebergManifests {
     val dead = Vector.newBuilder[DataFile]
     mfs.foreach { mf =>
       if (mf.content != 0) return None // v2 delete manifests: use replayV2
-      val bytes = resolve(mf.path).getOrElse(return None)
-      if (bytes.length.toLong != mf.length) return None
-      val entries = readManifest(bytes).getOrElse(return None)
-      def ofStatus(s: Int) = entries.filter(_.status == s)
-      if (mf.existingFiles != ofStatus(0).size ||
-        mf.addedFiles != ofStatus(1).size ||
-        mf.deletedFiles != ofStatus(2).size) return None
-      if (mf.existingRows != ofStatus(0).map(_.dataFile.recordCount).sum ||
-        mf.addedRows != ofStatus(1).map(_.dataFile.recordCount).sum ||
-        mf.deletedRows != ofStatus(2).map(_.dataFile.recordCount).sum)
-        return None
+      val entries = checkedEntries(mf, resolve).getOrElse(return None)
       entries.foreach { e =>
         if (e.status == 2) dead += e.dataFile else live += e.dataFile
       }
     }
     Some(TableState(mfs.size, live.result(), dead.result()))
+  }
+
+  /** A planned scan: how much metadata pruning saved and what survives
+    * the predicate. `manifestsPruned` manifests were skipped on their
+    * manifest-list partition summaries alone — never resolved, never
+    * decoded (the caller can enforce that via a counting resolver).
+    */
+  final case class ScanPlan(nManifests: Int, manifestsPruned: Int,
+      filesScanned: Int, filesMatched: Int, rowsMatched: Long,
+      bytesMatched: Long)
+
+  /** SCAN PLANNING with manifest-level pruning — the reason Iceberg's
+    * metadata tree exists: for a predicate `partition[field] ∈ [lo, hi]`
+    * a planner consults each manifest-list entry's `field_summary`
+    * FIRST and skips whole manifests whose [lower, upper] range cannot
+    * intersect — on a petabyte table that's the difference between
+    * reading kilobytes and reading every manifest. A manifest without a
+    * summary (or with an open bound) must be opened. Opened manifests
+    * pass the same arithmetic enforcement as [[replay]], plus one more:
+    * a live entry whose field value lies OUTSIDE the declared summary
+    * bounds proves the summary lied, and a planner that trusted it
+    * would have produced wrong results — decline. Bounds are the
+    * string-transcribed form ([[FieldSummary]]); non-numeric bounds on
+    * a numeric predicate decline. DELETED entries never scan.
+    */
+  def planScan(manifestList: Array[Byte],
+      resolve: String => Option[Array[Byte]],
+      field: Int, lo: Long, hi: Long): Option[ScanPlan] = {
+    if (lo > hi) return None
+    val mfs = readManifestList(manifestList).getOrElse(return None)
+    var pruned = 0
+    var scanned = 0
+    var matched = 0
+    var rows = 0L
+    var bytes = 0L
+    mfs.foreach { mf =>
+      if (mf.content != 0) return None
+      val bounds: Option[(Long, Long)] = mf.partitions.flatMap(ps =>
+        ps.lift(field).flatMap { s =>
+          (s.lower, s.upper) match {
+            case (Some(l), Some(u)) =>
+              Some((l.toLongOption.getOrElse(return None),
+                u.toLongOption.getOrElse(return None)))
+            case _ => None
+          }
+        })
+      val skip = bounds.exists { case (ln, un) => hi < ln || lo > un }
+      if (skip) pruned += 1
+      else {
+        val entries = checkedEntries(mf, resolve).getOrElse(return None)
+        entries.filter(_.status != 2).foreach { e =>
+          val v = e.dataFile.partition.lift(field).map(_._2)
+            .getOrElse(return None)
+          bounds.foreach { case (ln, un) =>
+            if (v < ln || v > un) return None // the summary lied
+          }
+          scanned += 1
+          if (v >= lo && v <= hi) {
+            matched += 1
+            rows += e.dataFile.recordCount
+            bytes += e.dataFile.fileSizeBytes
+          }
+        }
+      }
+    }
+    Some(ScanPlan(mfs.size, pruned, scanned, matched, rows, bytes))
   }
 
   // ------------------------------------------------------------------
@@ -257,17 +335,7 @@ object IcebergManifests {
     val delFiles = Vector.newBuilder[DataFile]
     mfs.foreach { mf =>
       if (mf.content < 0 || mf.content > 1) return None
-      val bytes = resolve(mf.path).getOrElse(return None)
-      if (bytes.length.toLong != mf.length) return None
-      val entries = readManifest(bytes).getOrElse(return None)
-      def ofStatus(s: Int) = entries.filter(_.status == s)
-      if (mf.existingFiles != ofStatus(0).size ||
-        mf.addedFiles != ofStatus(1).size ||
-        mf.deletedFiles != ofStatus(2).size) return None
-      if (mf.existingRows != ofStatus(0).map(_.dataFile.recordCount).sum ||
-        mf.addedRows != ofStatus(1).map(_.dataFile.recordCount).sum ||
-        mf.deletedRows != ofStatus(2).map(_.dataFile.recordCount).sum)
-        return None
+      val entries = checkedEntries(mf, resolve).getOrElse(return None)
       val wantContent = mf.content // data files in data manifests only
       if (entries.exists(_.dataFile.content != wantContent)) return None
       entries.foreach { e =>

@@ -419,6 +419,384 @@ object Round11Queries2 {
                   THEN 1 ELSE 0 END AS selected
       FROM terms ORDER BY doc_id"""))
 
+  /** ICEBERG SCAN PLANNING under the oracle gate — the pruning the
+    * metadata tree exists for: per document, a three-manifest snapshot
+    * is synthesized whose manifests occupy distinct bucket ranges
+    * (manifest m holds buckets 4m..4m+3) with TRUTHFUL manifest-list
+    * `field_summary` bounds, and
+    * [[graft.operators.IcebergManifests.planScan]] plans a
+    * `bucket ∈ [lo, hi]` scan: manifests whose bounds exclude the
+    * range are skipped WITHOUT BEING RESOLVED — a counting resolver
+    * enforces `resolve calls = manifests − pruned` per document, so a
+    * planner that "pruned" but peeked (or opened what it claimed to
+    * skip) fails loudly. Opened manifests pass the replay arithmetic
+    * plus the summary-truthfulness check. The oracle recomputes every
+    * bound, prune decision, and surviving file/row/byte count in
+    * closed form.
+    */
+  val q285IcebergPruning: QueryDef = QueryDef(
+    "q285_iceberg_pruning",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests._
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val codec = Seq("null", "deflate", "snappy")(r.v % 3)
+          // manifest m holds buckets 4m..4m+3; summaries are truthful
+          val manifests = (0 until 3).map { m =>
+            val k = 2 + (r.n + m) % 3
+            val entries = (0 until k).map { i =>
+              ManifestEntry(if (i == 0) 0 else 1,
+                if (i == 0) None else Some(9000L + m),
+                DataFile(0, s"data/m$m/f$i.parquet", "PARQUET",
+                  Vector("bucket" -> (4L * m + (r.v + i) % 4)),
+                  100L + (r.n + 7 * i + m) % 50,
+                  1000L + (r.v * 3 + i * 11 + m * 17) % 500))
+            }
+            val bytes = IcebergManifests.synthManifest(entries, partType,
+              codec, r.v + m)
+            val buckets = entries.map(_.dataFile.partition.head._2)
+            val mf = ManifestFile(s"meta/m$m.avro", bytes.length.toLong, 0,
+              9000L + m,
+              addedFiles = entries.count(_.status == 1),
+              existingFiles = entries.count(_.status == 0),
+              deletedFiles = 0,
+              addedRows = entries.filter(_.status == 1)
+                .map(_.dataFile.recordCount).sum,
+              existingRows = entries.filter(_.status == 0)
+                .map(_.dataFile.recordCount).sum,
+              deletedRows = 0L,
+              partitions = Some(Vector(FieldSummary(containsNull = false,
+                Some(buckets.min.toString), Some(buckets.max.toString)))))
+            (mf, bytes)
+          }
+          val list = IcebergManifests.synthManifestList(manifests.map(_._1),
+            codec, r.v + 7)
+          val byPath = manifests.map(m => m._1.path -> m._2).toMap
+          var resolves = 0
+          val resolve = (p: String) => { resolves += 1; byPath.get(p) }
+          val lo = (r.v % 10).toLong
+          val hi = lo + 2L
+          val plan = IcebergManifests.planScan(list, resolve, 0, lo, hi)
+            .getOrElse(sys.error(s"scan planning failed: doc ${r.doc_id}"))
+          require(resolves == plan.nManifests - plan.manifestsPruned,
+            s"planner resolved a pruned manifest: doc ${r.doc_id}")
+          (r.doc_id, plan.nManifests, plan.manifestsPruned,
+            plan.filesScanned, plan.filesMatched, plan.rowsMatched,
+            plan.bytesMatched)
+        }
+      }
+      probed.toDF("doc_id", "n_manifests", "n_pruned", "files_scanned",
+          "files_matched", "rows_matched", "bytes_matched")
+        .select(col("doc_id"), col("n_manifests").cast("int"),
+          col("n_pruned").cast("int"), col("files_scanned").cast("int"),
+          col("files_matched").cast("int"), col("rows_matched"),
+          col("bytes_matched"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS BIGINT) AS v
+                 FROM documents),
+      m AS (SELECT doc_id, n, v, v % 10 AS lo, v % 10 + 2 AS hi, u.m
+            FROM d, unnest(range(3)) AS u(m)),
+      e AS (SELECT *,
+                   2 + (n + m) % 3 AS k,
+                   list_transform(range(2 + (n + m) % 3),
+                     i -> 4 * m + (v + i) % 4) AS buckets
+            FROM m),
+      p AS (SELECT *,
+                   CASE WHEN hi < list_min(buckets) OR lo > list_max(buckets)
+                        THEN 1 ELSE 0 END AS pruned
+            FROM e),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS INTEGER) AS n_manifests,
+                     CAST(SUM(pruned) AS INTEGER) AS n_pruned,
+                     CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE k END)
+                       AS INTEGER) AS files_scanned,
+                     CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE
+                       list_sum(list_transform(range(k), i ->
+                         CASE WHEN 4 * m + (v + i) % 4 BETWEEN lo AND hi
+                              THEN 1 ELSE 0 END)) END) AS INTEGER)
+                       AS files_matched,
+                     CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE
+                       list_sum(list_transform(range(k), i ->
+                         CASE WHEN 4 * m + (v + i) % 4 BETWEEN lo AND hi
+                              THEN 100 + (n + 7 * i + m) % 50
+                              ELSE 0 END)) END) AS BIGINT) AS rows_matched,
+                     CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE
+                       list_sum(list_transform(range(k), i ->
+                         CASE WHEN 4 * m + (v + i) % 4 BETWEEN lo AND hi
+                              THEN 1000 + (v * 3 + i * 11 + m * 17) % 500
+                              ELSE 0 END)) END) AS BIGINT) AS bytes_matched
+              FROM p GROUP BY doc_id)
+      SELECT * FROM agg ORDER BY doc_id"""))
+
+  /** DELTA CDC BETWEEN VERSIONS under the oracle gate — the
+    * incremental-processing question ("what changed between v49 and
+    * v70?") answered by [[graft.operators.DeltaReplay.diff]] in ONE
+    * hash aggregation (two conditional `max_by` endpoint states per
+    * path over one shuffle — never two replays, never a self-join).
+    * The synthesized log exercises five of the seven change classes:
+    * late adds (absent at the low version), tail removes, size-doubling
+    * resurrections (`resized`), remove-then-nothing (`removed`), and
+    * late adds that die again (`transient`). The oracle recomputes the
+    * class of every path and the per-class byte totals in closed form,
+    * so a misordered tie-break or an endpoint that leaked past its
+    * version bound lands in the hash.
+    */
+  val q286DeltaCdc: QueryDef = QueryDef(
+    "q286_delta_cdc",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+      val adds = d.select(
+        when(col("v") % 7 === 0, lit(55L))
+          .otherwise(col("doc_id") % 50).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n")).as("line"))
+      val removes = d.filter(col("v") % 3 === 0).select(
+        (lit(58L) + col("v") % 5).as("version"),
+        format_string(
+          """{"remove":{"path":"part-%d","deletionTimestamp":%d}}""",
+          col("doc_id"), col("n") * 1000L).as("line"))
+      val readds = d.filter(col("v") % 9 === 0).select(
+        (lit(65L) + col("v") % 5).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n") * 2L).as("line"))
+      val log = adds.unionAll(removes).unionAll(readds)
+      graft.operators.DeltaReplay.diff(log, vLow = 49L, vHigh = 70L)
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_paths"),
+          coalesce(sum(col("lo_size")), lit(0L)).as("lo_bytes"),
+          coalesce(sum(col("hi_size")), lit(0L)).as("hi_bytes"))
+        .orderBy("change")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n,
+                   CASE WHEN v % 7 = 0 THEN 1 ELSE 0 END AS la,
+                   CASE WHEN v % 3 = 0 THEN 1 ELSE 0 END AS rem,
+                   CASE WHEN v % 9 = 0 THEN 1 ELSE 0 END AS rd
+            FROM d),
+      c AS (SELECT doc_id, n,
+                   CASE WHEN la = 1 AND (rd = 1 OR rem = 0) THEN 'added'
+                        WHEN la = 1 THEN 'transient'
+                        WHEN rd = 1 THEN 'resized'
+                        WHEN rem = 1 THEN 'removed'
+                        ELSE 'unchanged' END AS change,
+                   CASE WHEN la = 1 THEN NULL ELSE n END AS lo_size,
+                   CASE WHEN rd = 1 THEN 2 * n
+                        WHEN rem = 1 THEN NULL
+                        ELSE n END AS hi_size
+            FROM g)
+      SELECT change,
+             CAST(count(*) AS BIGINT) AS n_paths,
+             CAST(coalesce(SUM(lo_size), 0) AS BIGINT) AS lo_bytes,
+             CAST(coalesce(SUM(hi_size), 0) AS BIGINT) AS hi_bytes
+      FROM c GROUP BY change ORDER BY change"""))
+
+  /** ICEBERG INCREMENTAL SNAPSHOT DIFF under the oracle gate — the
+    * changelog-scan primitive: two snapshots of the same table (B
+    * keeps manifest a0 byte-identical, rewrites a1 with its first file
+    * flipped to DELETED, and appends a fresh manifest b2), both
+    * replayed through the arithmetic-enforcing
+    * [[graft.operators.IcebergManifests.replay]], and the live-set
+    * diff — files appended since A, files removed since A — reported
+    * with row and byte sums. The oracle recomputes both live sets and
+    * the diff in closed form, so a status misread in EITHER snapshot
+    * or a diff that confused path identity lands in the hash.
+    */
+  val q287IcebergIncremental: QueryDef = QueryDef(
+    "q287_iceberg_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests._
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val codec = Seq("null", "deflate", "snappy")(r.v % 3)
+          def df(tag: String, i: Int, rc: Long, fs: Long) =
+            DataFile(0, s"data/$tag/f$i.parquet", "PARQUET",
+              Vector("bucket" -> (i % 4).toLong), rc, fs)
+          def mf(path: String, bytes: Array[Byte],
+              es: Seq[ManifestEntry]) = {
+            def c(st: Int) = (es.count(_.status == st),
+              es.filter(_.status == st).map(_.dataFile.recordCount).sum)
+            val (af, ar) = c(1); val (ef, er) = c(0); val (dn, dr) = c(2)
+            ManifestFile(path, bytes.length.toLong, 0, 9001L,
+              af, ef, dn, ar, er, dr, None)
+          }
+          // snapshot A: a0 + a1, all live
+          val a0e = (0 until 2 + r.n % 3).map(i =>
+            ManifestEntry(if (i == 0) 0 else 1,
+              if (i == 0) None else Some(9001L),
+              df("a0", i, 100L + (r.n + i) % 40, 500L + (r.v + 3 * i) % 100)))
+          val a1e = (0 until 2 + r.v % 3).map(i =>
+            ManifestEntry(1, Some(9001L),
+              df("a1", i, 80L + (r.v + 2 * i) % 30, 400L + (r.n + 5 * i) % 90)))
+          val a0 = IcebergManifests.synthManifest(a0e, partType, codec, r.v)
+          val a1 = IcebergManifests.synthManifest(a1e, partType, codec, r.v + 1)
+          val listA = IcebergManifests.synthManifestList(
+            Seq(mf("meta/a0.avro", a0, a0e), mf("meta/a1.avro", a1, a1e)),
+            codec, r.v + 2)
+          // snapshot B: a0 kept byte-identical; a1's f0 flips DELETED;
+          // fresh b2 appended
+          val b1e = a1e.zipWithIndex.map { case (e, i) =>
+            if (i == 0) e.copy(status = 2) else e.copy(status = 0)
+          }
+          val b2e = (0 until 1 + (r.n + r.v) % 3).map(i =>
+            ManifestEntry(1, Some(9002L),
+              df("b2", i, 60L + (r.n + 3 * i) % 25, 300L + (r.v + 7 * i) % 80)))
+          val b1 = IcebergManifests.synthManifest(b1e, partType, codec, r.v + 3)
+          val b2 = IcebergManifests.synthManifest(b2e, partType, codec, r.v + 4)
+          val listB = IcebergManifests.synthManifestList(
+            Seq(mf("meta/a0.avro", a0, a0e), mf("meta/b1.avro", b1, b1e),
+              mf("meta/b2.avro", b2, b2e)), codec, r.v + 5)
+          val byPath = Map("meta/a0.avro" -> a0, "meta/a1.avro" -> a1,
+            "meta/b1.avro" -> b1, "meta/b2.avro" -> b2)
+          val stA = IcebergManifests.replay(listA, byPath.get)
+            .getOrElse(sys.error(s"snapshot A replay failed: doc ${r.doc_id}"))
+          val stB = IcebergManifests.replay(listB, byPath.get)
+            .getOrElse(sys.error(s"snapshot B replay failed: doc ${r.doc_id}"))
+          val liveA = stA.live.map(f => f.path -> f).toMap
+          val liveB = stB.live.map(f => f.path -> f).toMap
+          val appended = stB.live.filterNot(f => liveA.contains(f.path))
+          val removed = stA.live.filterNot(f => liveB.contains(f.path))
+          (r.doc_id, stA.live.size, stB.live.size,
+            appended.size, appended.map(_.recordCount).sum,
+            appended.map(_.fileSizeBytes).sum,
+            removed.size, removed.map(_.recordCount).sum,
+            removed.map(_.fileSizeBytes).sum)
+        }
+      }
+      probed.toDF("doc_id", "n_live_a", "n_live_b", "n_appended",
+          "appended_rows", "appended_bytes", "n_removed", "removed_rows",
+          "removed_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   2 + n % 3 AS k0,
+                   2 + v % 3 AS k1,
+                   1 + (n + v) % 3 AS k2
+            FROM d)
+      SELECT doc_id,
+             CAST(k0 + k1 AS INTEGER) AS n_live_a,
+             CAST(k0 + k1 - 1 + k2 AS INTEGER) AS n_live_b,
+             CAST(k2 AS INTEGER) AS n_appended,
+             CAST(list_sum(list_transform(range(k2), i ->
+               60 + (n + 3 * i) % 25)) AS BIGINT) AS appended_rows,
+             CAST(list_sum(list_transform(range(k2), i ->
+               300 + (v + 7 * i) % 80)) AS BIGINT) AS appended_bytes,
+             CAST(1 AS INTEGER) AS n_removed,
+             CAST(80 + v % 30 AS BIGINT) AS removed_rows,
+             CAST(400 + n % 90 AS BIGINT) AS removed_bytes
+      FROM g ORDER BY doc_id"""))
+
+  /** CHECKPOINT-SEEDED STREAMING STATE under the oracle gate — the
+    * q263 protocol applied to the checkpoint read path: the EXACT
+    * `mapGroupsWithState` function the continuous
+    * [[graft.operators.DeltaReplay.replayStreamFromCheckpoint]] twin
+    * executes (checkpoint rows seed the per-path INITIAL STATE —
+    * tombstones included — and tail actions fold in under the
+    * newer-than-held guard) runs here in BATCH mode over q281's
+    * checkpoint/tail synthesis, and its aggregated table state must
+    * hash-match the same closed-form oracle. A seed the tail never
+    * touches must still surface; a stale tail action must lose to the
+    * seeded version.
+    */
+  val q288DeltaCheckpointStream: QueryDef = QueryDef(
+    "q288_delta_checkpoint_stream",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+      // the q281 checkpoint state at V=50, as a frame (q281 proves the
+      // parquet wire path; this query puts the SEEDED state transition
+      // on the gate)
+      val ckpt = d.select(
+        format_string("part-%d", col("doc_id")).as("path"),
+        (col("v") % 5 =!= 0).as("is_add"),
+        when(col("v") % 5 =!= 0, col("n")).as("size"),
+        when(col("v") % 5 === 0, lit(50L))
+          .otherwise(col("doc_id") % 50).as("version"))
+      val removes = d.filter(col("v") % 3 === 0).select(
+        (lit(51L) + col("v") % 7).as("version"),
+        format_string(
+          """{"remove":{"path":"part-%d","deletionTimestamp":%d}}""",
+          col("doc_id"), col("n") * 1000L).as("line"))
+      val readds = d.filter(col("v") % 4 === 0).select(
+        (lit(60L) + col("v") % 5).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n") * 3L).as("line"))
+      val tail = removes.unionAll(readds)
+      graft.operators.DeltaReplay.replayStreamFromCheckpoint(ckpt, tail)
+        .agg(
+          count(lit(1)).as("n_paths"),
+          sum(when(col("is_live"), 1L).otherwise(0L)).as("n_live"),
+          sum(when(!col("is_live"), 1L).otherwise(0L)).as("n_tombstones"),
+          coalesce(sum(col("size")), lit(0L)).as("live_bytes"),
+          max(col("last_version")).as("max_version"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   CASE WHEN v % 4 = 0 THEN 1 ELSE 0 END AS readd,
+                   CASE WHEN v % 3 = 0 THEN 1 ELSE 0 END AS trem,
+                   CASE WHEN v % 5 = 0 THEN 1 ELSE 0 END AS ctomb
+            FROM d)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_paths,
+             CAST(SUM(CASE WHEN readd = 1 OR (trem = 0 AND ctomb = 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+             CAST(SUM(CASE WHEN readd = 1 OR (trem = 0 AND ctomb = 0)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_tombstones,
+             CAST(SUM(CASE WHEN readd = 1 THEN 3 * n
+                           WHEN trem = 0 AND ctomb = 0 THEN n
+                           ELSE 0 END) AS BIGINT) AS live_bytes,
+             CAST(MAX(CASE WHEN readd = 1 THEN 60 + v % 5
+                           WHEN trem = 1 THEN 51 + v % 7
+                           WHEN ctomb = 1 THEN 50
+                           ELSE doc_id % 50 END) AS BIGINT) AS max_version
+      FROM g"""))
+
   val all: Seq[QueryDef] = Seq(q281DeltaCheckpoint, q282BradleyTerry,
-    q283KneserNey, q284DsirImportance)
+    q283KneserNey, q284DsirImportance, q285IcebergPruning, q286DeltaCdc,
+    q287IcebergIncremental, q288DeltaCheckpointStream)
 }

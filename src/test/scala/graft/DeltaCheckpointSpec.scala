@@ -76,6 +76,40 @@ class DeltaCheckpointSpec extends SparkTestBase {
     assert(st(0).getLong(3) === 9L)
   }
 
+  test("diff classifies all seven change kinds from one log") {
+    import spark.implicits._
+    val log = Seq(
+      // unchanged: add before vLow, nothing after
+      (1L, addLine("same", 5L)),
+      // resized: live at both endpoints, size changed
+      (1L, addLine("grew", 10L)), (6L, addLine("grew", 20L)),
+      // removed: live at vLow, tombstoned by vHigh
+      (2L, addLine("dead", 7L)), (5L, removeLine("dead")),
+      // added: absent at vLow, live at vHigh
+      (6L, addLine("new", 3L)),
+      // transient: appeared and died inside the window
+      (5L, addLine("blip", 9L)), (7L, removeLine("blip")),
+      // restored: tombstoned at vLow, live at vHigh
+      (1L, addLine("back", 4L)), (2L, removeLine("back")),
+      (8L, addLine("back", 6L)),
+      // still_dead: tombstoned at both endpoints
+      (1L, addLine("rip", 2L)), (3L, removeLine("rip")),
+      // beyond vHigh: must be invisible to the diff
+      (99L, removeLine("same"))).toDF("version", "line")
+    val got = graft.operators.DeltaReplay.diff(log, vLow = 4L, vHigh = 10L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got("same") == (("unchanged", 5L, 5L)))
+    assert(got("grew") == (("resized", 10L, 20L)))
+    assert(got("dead") == (("removed", 7L, -1L)))
+    assert(got("new") == (("added", -1L, 3L)))
+    assert(got("blip") == (("transient", -1L, -1L)))
+    assert(got("back") == (("restored", -1L, 6L)))
+    assert(got("rip") == (("still_dead", -1L, -1L)))
+  }
+
   test("a checkpoint-only tombstone stays dead through an empty-effect tail") {
     import spark.implicits._
     val ckpt = Seq(

@@ -259,4 +259,80 @@ class IcebergManifestsSpec extends AnyFunSuite {
     }
     assert(AvroOcf.probeNested(b.dropRight(5)).isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // planScan (q285): manifest-level partition pruning
+  // ------------------------------------------------------------------
+
+  test("planScan skips excluded manifests WITHOUT resolving them") {
+    // m0 buckets 0..3 (from entry()), m1 buckets 0..3 too — rebuild m1
+    // with shifted buckets so the ranges are disjoint
+    val m0entries = (0 until 3).map(entry(1, _)) // buckets 0,1,2
+    val m1entries = (0 until 3).map { i =>
+      val e = entry(1, 10 + i)
+      e.copy(dataFile = e.dataFile.copy(
+        partition = Vector("bucket" -> (8L + i))))
+    }
+    val m0 = synthManifest(m0entries, partType, "null", 3)
+    val m1 = synthManifest(m1entries, partType, "null", 4)
+    def mf(path: String, bytes: Array[Byte], es: Seq[ManifestEntry]) =
+      ManifestFile(path, bytes.length.toLong, 0, 9001L,
+        es.count(_.status == 1), 0, 0,
+        es.map(_.dataFile.recordCount).sum, 0L, 0L,
+        Some(Vector(FieldSummary(containsNull = false,
+          Some(es.map(_.dataFile.partition.head._2).min.toString),
+          Some(es.map(_.dataFile.partition.head._2).max.toString)))))
+    val list = synthManifestList(
+      Seq(mf("meta/m0.avro", m0, m0entries),
+        mf("meta/m1.avro", m1, m1entries)), "null", 5)
+    // a resolver that THROWS on the manifest the planner must prune
+    val resolve = (p: String) =>
+      if (p == "meta/m1.avro") sys.error("pruned manifest was resolved")
+      else Some(m0)
+    val plan = IcebergManifests.planScan(list, resolve, 0, 1L, 2L).get
+    assert(plan == ScanPlan(2, 1, 3, 2, m0entries.tail.map(
+      _.dataFile.recordCount).sum,
+      m0entries.tail.map(_.dataFile.fileSizeBytes).sum))
+  }
+
+  test("planScan opens a manifest with no summary; a lying summary declines") {
+    val es = (0 until 3).map(entry(1, _)) // buckets 0,1,2
+    val m0 = synthManifest(es, partType, "null", 3)
+    def mf(summary: Option[Vector[FieldSummary]]) =
+      ManifestFile("meta/m0.avro", m0.length.toLong, 0, 9001L,
+        3, 0, 0, es.map(_.dataFile.recordCount).sum, 0L, 0L, summary)
+    // no summary: cannot prune even for a non-intersecting predicate
+    var resolved = 0
+    val list1 = synthManifestList(Seq(mf(None)), "null", 5)
+    val p1 = IcebergManifests.planScan(list1,
+      p => { resolved += 1; Some(m0) }, 0, 50L, 60L).get
+    assert(resolved == 1 && p1.manifestsPruned == 0 &&
+      p1.filesScanned == 3 && p1.filesMatched == 0)
+    // lying summary (declares 1..1 but entries hold 0 and 2): decline
+    val list2 = synthManifestList(Seq(mf(Some(Vector(FieldSummary(
+      containsNull = false, Some("1"), Some("1")))))), "null", 5)
+    assert(IcebergManifests.planScan(list2, _ => Some(m0), 0, 0L, 9L).isEmpty)
+    // non-numeric bound on a numeric predicate: decline
+    val list3 = synthManifestList(Seq(mf(Some(Vector(FieldSummary(
+      containsNull = false, Some("aa"), Some("zz")))))), "null", 5)
+    assert(IcebergManifests.planScan(list3, _ => Some(m0), 0, 0L, 9L).isEmpty)
+    // inverted predicate: decline
+    assert(IcebergManifests.planScan(list1, _ => Some(m0), 0, 9L, 0L).isEmpty)
+  }
+
+  test("planScan never scans DELETED entries; arithmetic still enforced") {
+    val es = Seq(entry(1, 0), entry(1, 1), entry(2, 12)) // f12 deleted
+    val m0 = synthManifest(es, partType, "null", 3)
+    val mf0 = ManifestFile("meta/m0.avro", m0.length.toLong, 0, 9001L,
+      2, 0, 1, es.filter(_.status == 1).map(_.dataFile.recordCount).sum,
+      0L, es.filter(_.status == 2).map(_.dataFile.recordCount).sum,
+      None)
+    val list = synthManifestList(Seq(mf0), "null", 5)
+    val p = IcebergManifests.planScan(list, _ => Some(m0), 0, 0L, 9L).get
+    assert(p.filesScanned == 2 && p.filesMatched == 2)
+    // tampered row arithmetic declines in planScan too
+    val bad = mf0.copy(addedRows = mf0.addedRows + 1)
+    val list2 = synthManifestList(Seq(bad), "null", 5)
+    assert(IcebergManifests.planScan(list2, _ => Some(m0), 0, 0L, 9L).isEmpty)
+  }
 }

@@ -732,4 +732,75 @@ class StreamingSpec extends SparkTestBase {
       assert(fin("c") == ((true, 5L)))
     } finally q.stop()
   }
+
+  test("checkpoint-seeded streaming replay equals the batch checkpoint " +
+    "overlay at every tail prefix") {
+    import graft.operators.DeltaReplay
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // checkpoint at V=4: one live add, one tombstone, one live the tail
+    // never touches (must still surface), one live a STALE tail action
+    // attacks (must not regress)
+    val ckpt = Seq(
+      ("a", true, Some(10L), 3L),
+      ("gone", false, None: Option[Long], 4L),
+      ("untouched", true, Some(7L), 2L),
+      ("stale-target", true, Some(50L), 4L)).toDF(
+      "path", "is_add", "size", "version")
+    val mem = MemoryStream[(Long, String)]
+    val q = DeltaReplay.replayStreamFromCheckpoint(
+      ckpt, mem.toDS().toDF("version", "line"))
+      .writeStream.format("memory").queryName("ckpt_replay_test")
+      .outputMode("update").start()
+    try {
+      def add(p: String, size: Long, v: Long) =
+        (v, s"""{"add":{"path":"$p","size":$size,"dataChange":true}}""")
+      def remove(p: String, v: Long) =
+        (v, s"""{"remove":{"path":"$p","deletionTimestamp":1}}""")
+      val batch1 = Seq(remove("a", 5), add("gone", 9, 6),
+        remove("stale-target", 1)) // stale: version 1 < seeded 4
+      val batch2 = Seq(add("a", 11, 7), add("fresh", 3, 8))
+      var seen = Vector.empty[(Long, String)]
+      Seq(batch1, batch2).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val streamed = spark.table("ckpt_replay_test").collect()
+          .map(r => (r.getString(0),
+            (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+              r.getLong(3))))
+          .groupBy(_._1)
+          .map { case (p, es) =>
+            p -> es.map(_._2).maxBy(e => (e._3, e._1)) }
+        val batchState = DeltaReplay.replayFromCheckpoint(
+          ckpt, seen.toDF("version", "line")).collect()
+          .map(r => r.getString(0) ->
+            ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+              r.getLong(3)))).toMap
+        // untouched seeds surface in the BATCH overlay always; in the
+        // stream they surface once any batch ran (initial state is
+        // emitted by the batch-mode run; the streaming query emits a
+        // path when first touched) — compare on the streamed key set
+        // for prefix parity, then check the full set in batch
+        streamed.foreach { case (p, st) =>
+          assert(batchState(p) == st, s"path $p at prefix ${seen.size}")
+        }
+      }
+      val fin = DeltaReplay.replayFromCheckpoint(
+        ckpt, seen.toDF("version", "line")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(fin("a") == ((true, 11L)))
+      assert(fin("gone") == ((true, 9L)))
+      assert(fin("untouched") == ((true, 7L)))
+      assert(fin("stale-target") == ((true, 50L))) // stale remove lost
+      assert(fin("fresh") == ((true, 3L)))
+      // the batch-mode run of the SAME function surfaces untouched seeds
+      val batchMode = DeltaReplay.replayStreamFromCheckpoint(
+        ckpt, seen.toDF("version", "line")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(batchMode == fin)
+    } finally q.stop()
+  }
 }
