@@ -93,6 +93,9 @@ object Round11Queries2 {
           }
         }
       }.toDF("path", "is_add", "size", "version")
+        // counted below AND folded into the state — without the cache the
+        // per-partition parquet synth+decode would run once per action
+        .transform(graft.operators.ScopedCache.cache)
       // ---- the JSON tail: versions 51+ ----
       val removes = d.filter(col("v") % 3 === 0).select(
         (lit(51L) + col("v") % 7).as("version"),
@@ -107,6 +110,8 @@ object Round11Queries2 {
           """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
           col("doc_id"), col("n").cast("long") * 3L).as("line"))
       val tail = removes.unionAll(commits).unionAll(readds)
+        // counted AND folded — same two-action shape as ckpt above
+        .transform(graft.operators.ScopedCache.cache)
       val nCkptRows = ckpt.count()
       val nTailActions = tail.count()
       val state = graft.operators.DeltaReplay.replayFromCheckpoint(ckpt, tail)
