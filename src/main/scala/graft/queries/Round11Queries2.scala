@@ -801,7 +801,199 @@ object Round11Queries2 {
                            ELSE doc_id % 50 END) AS BIGINT) AS max_version
       FROM g"""))
 
+  /** EXIF GPS PII under the oracle gate — the image-side counterpart of
+    * q113's text redaction: camera photos leak location through the
+    * EXIF GPS IFD, so per document a REAL baseline JPEG
+    * ([[graft.operators.JpegCodec.encodeJpegFlat]]) is tagged with a
+    * spec-layout APP1 EXIF segment (both byte orders rotating; IFD0
+    * Make/Model/DateTime + GPS pointer; RATIONAL deg/min/sec triplets),
+    * probed back by [[graft.operators.Exif.probeJpeg]], and then
+    * STRIPPED ([[graft.operators.Exif.stripExif]] — the
+    * `exiftool -all=` privacy operation). Enforced in-query: the strip
+    * removes the segment byte-exactly, the re-probe shows no GPS, and
+    * the stripped image still DECODES to the identical pixels (a strip
+    * that corrupts the scan fails loudly). The oracle recomputes every
+    * probed field and the removed-byte arithmetic (the deterministic
+    * IFD/value-area layout) in closed form.
+    */
+  val q289ExifGpsStrip: QueryDef = QueryDef(
+    "q289_exif_gps_strip",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.{Exif, JpegCodec}
+        val le = r.v % 2 == 0
+        val make = "maker" + ('a' + r.v % 26).toChar
+        val model = ('a' + r.n % 26).toChar.toString * (4 + r.v % 3)
+        val dt = s"2023:0${1 + r.v % 9}:1${r.n % 10}" +
+          s" 0${r.v % 6}:${10 + r.v % 50}:${10 + r.n % 50}"
+        val latRef = if (r.v % 2 == 0) "N" else "S"
+        val lonRef = if (r.n % 2 == 0) "E" else "W"
+        val lat = Vector((r.v % 90).toLong, (r.n % 60).toLong,
+          ((r.v + r.n) % 60).toLong)
+        val lon = Vector((r.n % 180).toLong, (r.v % 60).toLong,
+          (r.v * 3 % 60).toLong)
+        val base = JpegCodec.encodeJpegFlat(16 + r.n % 16, 16 + r.v % 8,
+          subsample420 = r.v % 2 == 1,
+          (bx, by) => (r.v + bx * 7 + by * 13) % 256)
+        val jpeg = Exif.insertApp1(base,
+          Exif.synthApp1(le, make, model, dt, latRef, lat, lonRef, lon))
+        val info = Exif.probeJpeg(jpeg)
+          .getOrElse(sys.error(s"exif probe failed: doc ${r.doc_id}"))
+        val g = info.gps.getOrElse(sys.error(s"gps missing: doc ${r.doc_id}"))
+        require((g.lat ++ g.lon).forall(_._2 == 1L),
+          s"rational denominator drift: doc ${r.doc_id}")
+        val stripped = Exif.stripExif(jpeg)
+          .getOrElse(sys.error(s"strip failed: doc ${r.doc_id}"))
+        val after = Exif.probeJpeg(stripped)
+          .getOrElse(sys.error(s"stripped re-probe failed: doc ${r.doc_id}"))
+        require(after.gps.isEmpty && after.make.isEmpty,
+          s"strip left EXIF behind: doc ${r.doc_id}")
+        val px0 = JpegCodec.decodeJpeg(jpeg)
+          .getOrElse(sys.error(s"tagged decode failed: doc ${r.doc_id}"))
+        val px1 = JpegCodec.decodeJpeg(stripped)
+          .getOrElse(sys.error(s"stripped decode failed: doc ${r.doc_id}"))
+        require(px0.pixels.toSeq == px1.pixels.toSeq,
+          s"strip perturbed pixels: doc ${r.doc_id}")
+        (r.doc_id, if (info.littleEndian) 1 else 0,
+          info.make.orNull, info.model.orNull, info.dateTime.orNull,
+          g.latRef, g.lat(0)._1, g.lat(1)._1, g.lat(2)._1,
+          g.lonRef, g.lon(0)._1, g.lon(1)._1, g.lon(2)._1,
+          (jpeg.length - stripped.length).toLong)
+      }
+      probed.toDF("doc_id", "little_endian", "make", "model", "date_time",
+          "lat_ref", "lat_deg", "lat_min", "lat_sec",
+          "lon_ref", "lon_deg", "lon_min", "lon_sec", "removed_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS BIGINT) AS v
+                 FROM documents)
+      SELECT doc_id,
+             CAST(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS little_endian,
+             'maker' || chr(CAST(97 + v % 26 AS INTEGER)) AS make,
+             repeat(chr(CAST(97 + n % 26 AS INTEGER)), CAST(4 + v % 3 AS INTEGER))
+               AS model,
+             '2023:0' || (1 + v % 9) || ':1' || (n % 10) ||
+               ' 0' || (v % 6) || ':' || (10 + v % 50) || ':' || (10 + n % 50)
+               AS date_time,
+             CASE WHEN v % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+             CAST(v % 90 AS BIGINT) AS lat_deg,
+             CAST(n % 60 AS BIGINT) AS lat_min,
+             CAST((v + n) % 60 AS BIGINT) AS lat_sec,
+             CASE WHEN n % 2 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+             CAST(n % 180 AS BIGINT) AS lon_deg,
+             CAST(v % 60 AS BIGINT) AS lon_min,
+             CAST(v * 3 % 60 AS BIGINT) AS lon_sec,
+             -- 4 marker+len, 6 Exif id, 8 tiff header, 54+54 IFDs,
+             -- 48 rationals, make 6+1, model (4+v%3)+1, datetime 19+1
+             CAST(4 + 6 + 8 + 54 + 54 + 48 + 7 + (5 + v % 3) + 20 AS BIGINT)
+               AS removed_bytes
+      FROM d ORDER BY doc_id"""))
+
+  /** RANKING-AWARE RETRIEVAL EVAL under the oracle gate — nDCG@5 and
+    * MRR of the label-probed IVF search against brute-force ground
+    * truth, completing q157's set-recall gauge with the metrics that
+    * see ORDER: ground-truth relevance grades are 6 − brute_rank
+    * (rank 1 ⇒ grade 5), DCG folds grade/log2(rank+1) in rank order
+    * (the order-pinned-fold protocol), the ideal DCG is derived by the
+    * SAME fold over ranks 1..5 in both engines, and MRR is the
+    * reciprocal of the first relevant probed rank (an exact MIN + one
+    * shared IEEE division). Both searches are the existing operators —
+    * queries broadcast, the corpus never shuffles; the eval is a join
+    * over 2·(nQueries·k) rows.
+    */
+  val q290RetrievalNdcg: QueryDef = QueryDef(
+    "q290_retrieval_ndcg",
+    (s, dir) => {
+      import graft.functions.Det
+      import graft.operators.Similarity
+      val e = Tables.load(s, dir, "embeddings")
+      val brute = Similarity.topKBrute(e, nQueries = 10, k = 5)
+        .select(col("q_id"), col("vec_id"),
+          (lit(6) - col("rk")).cast("double").as("rel"))
+      val probed = Similarity.topKByLabel(e, nQueries = 10, k = 5)
+        .select(col("q_id"), col("vec_id"), col("rk"))
+      val idcg = aggregate(sequence(lit(1), lit(5)), lit(0.0d),
+        (acc, i) => acc + (lit(6.0d) - i.cast("double")) /
+          log2(i.cast("double") + 1.0d))
+      probed.join(brute, Seq("q_id", "vec_id"), "left")
+        .select(col("q_id"), col("rk"),
+          coalesce(col("rel"), lit(0.0d)).as("rel"))
+        .groupBy("q_id")
+        .agg(
+          array_sort(collect_list(struct(col("rk"), col("rel")))).as("terms"),
+          min(when(col("rel") > 0.0d, col("rk"))).as("frk"))
+        .select(col("q_id"),
+          Det.rdetLong(
+            aggregate(col("terms"), lit(0.0d),
+              (acc, x) => acc + x("rel") /
+                log2(x("rk").cast("double") + 1.0d)) / idcg, 6)
+            .as("ndcg_e6"),
+          Det.rdetLong(
+            when(col("frk").isNull, lit(0.0d))
+              .otherwise(lit(1.0d) / col("frk").cast("double")), 6)
+            .as("mrr_e6"))
+        .orderBy("q_id")
+    },
+    Some {
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(generate_series(1, 64),
+           |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+      val cos = (a: String, b: String) =>
+        s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+      def rdet6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+      s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+                 FROM embeddings WHERE vec_id < 10),
+      bsc AS (SELECT q_id, vec_id, ${rdet6(cos("embedding", "q_emb"))} AS cos
+              FROM embeddings, q WHERE vec_id <> q_id),
+      brute AS (SELECT q_id, vec_id, CAST(6 - rk AS DOUBLE) AS rel FROM (
+                  SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+                  FROM bsc) WHERE rk <= 5),
+      lsc AS (SELECT q_id, vec_id, ${rdet6(cos("embedding", "q_emb"))} AS cos
+              FROM embeddings, q WHERE label = q_label AND vec_id <> q_id),
+      probed AS (SELECT q_id, vec_id, rk FROM (
+                   SELECT q_id, vec_id,
+                          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+                   FROM lsc) WHERE rk <= 5),
+      j AS (SELECT probed.q_id, probed.rk,
+                   coalesce(brute.rel, 0.0e0) AS rel
+            FROM probed LEFT JOIN brute
+              ON brute.q_id = probed.q_id AND brute.vec_id = probed.vec_id),
+      per AS (SELECT q_id,
+                     list([CAST(rk AS DOUBLE), rel] ORDER BY rk) AS ts,
+                     MIN(CASE WHEN rel > 0 THEN rk END) AS frk
+              FROM j GROUP BY q_id),
+      idcg AS (SELECT list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 6), i ->
+                     (6.0e0 - CAST(i AS DOUBLE)) / log2(CAST(i AS DOUBLE) + 1.0e0))),
+                 (a, v) -> a + v) AS ideal)
+      SELECT q_id,
+             CAST(floor((list_reduce(
+                    list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(ts, x -> x[2] / log2(x[1] + 1.0e0))),
+                    (a, v) -> a + v) / idcg.ideal) * 1e6 + 0.5) AS BIGINT)
+               AS ndcg_e6,
+             CAST(floor((CASE WHEN frk IS NULL THEN 0.0e0
+                              ELSE 1.0e0 / CAST(frk AS DOUBLE) END) * 1e6 + 0.5)
+               AS BIGINT) AS mrr_e6
+      FROM per CROSS JOIN idcg ORDER BY q_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(q281DeltaCheckpoint, q282BradleyTerry,
     q283KneserNey, q284DsirImportance, q285IcebergPruning, q286DeltaCdc,
-    q287IcebergIncremental, q288DeltaCheckpointStream)
+    q287IcebergIncremental, q288DeltaCheckpointStream, q289ExifGpsStrip,
+    q290RetrievalNdcg)
 }
