@@ -992,8 +992,112 @@ object Round11Queries2 {
       FROM per CROSS JOIN idcg ORDER BY q_id"""
     })
 
+  /** LAYOUT-PRUNING EFFECTIVENESS under the oracle gate — the
+    * measurement behind SCALE.md's clustering claims: the same rows
+    * written under three layouts (single-column sort, Morton/Z-order,
+    * Hilbert — [[graft.functions.Layout]]), sliced into 32
+    * equal-population "files" by the DISTRIBUTED rank
+    * ([[graft.operators.Ranks.globalRowNumber]] — no single-partition
+    * window), per-file min/max stats collected, and 8 two-dimensional
+    * probe boxes evaluated against them: a file scans iff its stats
+    * rectangle intersects the box, exactly the parquet min/max pruning
+    * a 100 TB reader performs. Expected physics (and the point of the
+    * audit): Hilbert ≤ Morton < single-column for 2-D predicates. The
+    * oracle replays all three rank orders, the file slicing, and the
+    * intersection counts — the Hilbert side through the shared
+    * [[graft.functions.Layout.hilbertCtesSql]] bit walk.
+    */
+  val q291LayoutPruning: QueryDef = QueryDef(
+    "q291_layout_pruning",
+    (s, dir) => {
+      import graft.functions.Layout
+      import graft.operators.Ranks
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("long").as("x"),
+          (octet_length(col("text")) % 256).cast("long").as("y"))
+      val withKeys = Layout.withHilbert(
+        base.withColumn("zkey", Layout.zorder16(col("x"), col("y"))),
+        order = 8, "x", "y", "hkey")
+        .transform(graft.operators.ScopedCache.cache)
+      val total = withKeys.agg(count(lit(1)).as("total"))
+      val probes = s.range(8).select(col("id").as("probe_id"),
+        (col("id") * 24).as("xlo"), (col("id") * 24 + 30).as("xhi"),
+        (col("id") * 28).as("ylo"), (col("id") * 28 + 40).as("yhi"))
+      def files(name: String, key: org.apache.spark.sql.Column) =
+        Ranks.globalRowNumber(withKeys, Seq(key, col("doc_id")), "rnk")
+          .crossJoin(broadcast(total))
+          .withColumn("file_id",
+            expr("(rnk - 1) div ((total + 31) div 32)"))
+          .groupBy("file_id")
+          .agg(min(col("x")).as("minx"), max(col("x")).as("maxx"),
+            min(col("y")).as("miny"), max(col("y")).as("maxy"))
+          .withColumn("layout", lit(name))
+      val f = files("linear", col("x"))
+        .unionByName(files("zorder", col("zkey")))
+        .unionByName(files("hilbert", col("hkey")))
+        .transform(graft.operators.ScopedCache.cache)
+      val nFiles = f.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"))
+      val scanned = f.crossJoin(broadcast(probes))
+        .filter(col("minx") <= col("xhi") && col("maxx") >= col("xlo") &&
+          col("miny") <= col("yhi") && col("maxy") >= col("ylo"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("files_scanned"))
+      nFiles.join(scanned, Seq("layout"), "left")
+        .select(col("layout"), col("n_files"),
+          coalesce(col("files_scanned"), lit(0L)).as("files_scanned"))
+        .orderBy("layout")
+    },
+    Some {
+      val (hilCtes, hilFinal) = graft.functions.Layout.hilbertCtesSql(
+        8, "(SELECT DISTINCT x, y FROM d)")
+      val zSql = graft.functions.Layout.zorder16Sql("x", "y")
+      def layoutSql(name: String, rankedFrom: String) =
+        s"""files_$name AS (
+           |  SELECT (rn - 1) // ((cnt.total + 31) // 32) AS file_id,
+           |         MIN(x) AS minx, MAX(x) AS maxx,
+           |         MIN(y) AS miny, MAX(y) AS maxy
+           |  FROM $rankedFrom CROSS JOIN cnt
+           |  GROUP BY 1),
+           |agg_$name AS (
+           |  SELECT '$name' AS layout,
+           |         (SELECT CAST(count(*) AS BIGINT) FROM files_$name)
+           |           AS n_files,
+           |         (SELECT CAST(count(*) AS BIGINT)
+           |          FROM files_$name f, probes p
+           |          WHERE f.minx <= p.xhi AND f.maxx >= p.xlo
+           |            AND f.miny <= p.yhi AND f.maxy >= p.ylo)
+           |           AS files_scanned)""".stripMargin.replace("\n", " ")
+      s"""
+      WITH d AS (SELECT doc_id,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS BIGINT) AS x,
+                        CAST(octet_length(encode(text)) % 256 AS BIGINT) AS y
+                 FROM documents),
+      cnt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+      $hilCtes,
+      rl AS (SELECT doc_id, x, y,
+                    row_number() OVER (ORDER BY x, doc_id) AS rn FROM d),
+      rz AS (SELECT doc_id, x, y,
+                    row_number() OVER (ORDER BY $zSql, doc_id) AS rn FROM d),
+      rh AS (SELECT d.doc_id, d.x, d.y,
+                    row_number() OVER (ORDER BY h.hd, d.doc_id) AS rn
+             FROM d JOIN $hilFinal h ON h.x0 = d.x AND h.y0 = d.y),
+      probes AS (SELECT q AS probe_id, 24 * q AS xlo, 24 * q + 30 AS xhi,
+                        28 * q AS ylo, 28 * q + 40 AS yhi
+                 FROM unnest(range(8)) AS u(q)),
+      ${layoutSql("linear", "rl")},
+      ${layoutSql("zorder", "rz")},
+      ${layoutSql("hilbert", "rh")}
+      SELECT * FROM agg_linear
+      UNION ALL SELECT * FROM agg_zorder
+      UNION ALL SELECT * FROM agg_hilbert
+      ORDER BY layout"""
+    })
+
   val all: Seq[QueryDef] = Seq(q281DeltaCheckpoint, q282BradleyTerry,
     q283KneserNey, q284DsirImportance, q285IcebergPruning, q286DeltaCdc,
     q287IcebergIncremental, q288DeltaCheckpointStream, q289ExifGpsStrip,
-    q290RetrievalNdcg)
+    q290RetrievalNdcg, q291LayoutPruning)
 }
