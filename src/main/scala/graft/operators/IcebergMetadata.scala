@@ -22,13 +22,65 @@ import scala.util.control.NonFatal
 object IcebergMetadata {
 
   final case class SnapshotRef(id: Long, sequenceNumber: Long,
-      timestampMs: Long, manifestList: String, operation: String)
+      timestampMs: Long, manifestList: String, operation: String,
+      schemaId: Option[Int] = None)
+
+  /** One schema field. Field IDs are the spec's stable identity —
+    * renames keep the id, adds mint a new one — which is what makes
+    * column evolution resolvable without rewriting data files.
+    */
+  final case class Field(id: Int, name: String, ftype: String,
+      required: Boolean)
+
+  final case class Schema(schemaId: Int, fields: Vector[Field])
 
   final case class TableMeta(formatVersion: Int, uuid: String,
       location: String, currentSnapshotId: Long,
-      snapshots: Vector[SnapshotRef]) {
+      snapshots: Vector[SnapshotRef],
+      schemas: Vector[Schema] = Vector.empty,
+      currentSchemaId: Option[Int] = None) {
     def current: Option[SnapshotRef] =
       snapshots.find(_.id == currentSnapshotId)
+    def schemaOf(id: Int): Option[Schema] =
+      schemas.find(_.schemaId == id)
+    def currentSchema: Option[Schema] =
+      currentSchemaId.flatMap(schemaOf)
+  }
+
+  /** Field-level diff between two schema versions, keyed by the STABLE
+    * field id (the only correct join key under renames). Legal type
+    * changes are the spec's promotions (int → long, float → double);
+    * any other same-id type change means the document describes an
+    * evolution Iceberg forbids — decline, never report it as a widen.
+    */
+  final case class SchemaDiff(added: Vector[Field], dropped: Vector[Field],
+      renamed: Vector[(Field, Field)], widened: Vector[(Field, Field)],
+      unchanged: Vector[Field])
+
+  def schemaDiff(from: Schema, to: Schema): Option[SchemaDiff] = {
+    val a = from.fields.map(f => f.id -> f).toMap
+    val b = to.fields.map(f => f.id -> f).toMap
+    if (a.size != from.fields.size || b.size != to.fields.size) return None
+    val added = to.fields.filterNot(f => a.contains(f.id))
+    val dropped = from.fields.filterNot(f => b.contains(f.id))
+    val renamed = Vector.newBuilder[(Field, Field)]
+    val widened = Vector.newBuilder[(Field, Field)]
+    val unchanged = Vector.newBuilder[Field]
+    def promotes(x: String, y: String): Boolean =
+      (x == "int" && y == "long") || (x == "float" && y == "double")
+    from.fields.foreach { f =>
+      b.get(f.id).foreach { g =>
+        val typeOk = f.ftype == g.ftype || promotes(f.ftype, g.ftype)
+        if (!typeOk) return None // illegal narrowing/retype
+        val isRename = f.name != g.name
+        val isWiden = f.ftype != g.ftype
+        if (isWiden) widened += ((f, g))
+        if (isRename) renamed += ((f, g))
+        if (!isRename && !isWiden) unchanged += f
+      }
+    }
+    Some(SchemaDiff(added, dropped, renamed.result(), widened.result(),
+      unchanged.result()))
   }
 
   def parseMetadata(json: String): Option[TableMeta] =
@@ -50,16 +102,58 @@ object IcebergMetadata {
         val id = s.path("snapshot-id")
         val ml = s.path("manifest-list").asText("")
         if (!id.isNumber || ml.isEmpty) return None
+        val sidNode = s.path("schema-id")
+        val sid =
+          if (sidNode.isMissingNode || sidNode.isNull) None
+          else if (sidNode.isNumber) Some(sidNode.asInt())
+          else return None
         SnapshotRef(id.asLong(), s.path("sequence-number").asLong(0L),
           s.path("timestamp-ms").asLong(0L), ml,
-          s.path("summary").path("operation").asText(""))
+          s.path("summary").path("operation").asText(""), sid)
       }.toVector
       if (snaps.map(_.id).distinct.length != snaps.length) return None
       if (snaps.sliding(2).exists {
         case Vector(a, b) => b.sequenceNumber < a.sequenceNumber
         case _ => false
       }) return None
-      val meta = TableMeta(fv, uuid, loc, curId.asLong(), snaps)
+      // schema layer (optional — a metadata doc may omit it; if present
+      // it must be coherent)
+      val schemasNode = root.path("schemas")
+      val schemas =
+        if (schemasNode.isMissingNode || schemasNode.isNull) Vector.empty[Schema]
+        else {
+          if (!schemasNode.isArray) return None
+          (0 until schemasNode.size()).map { i =>
+            val sc = schemasNode.get(i)
+            val sid = sc.path("schema-id")
+            val fieldsNode = sc.path("fields")
+            if (!sid.isNumber || !fieldsNode.isArray) return None
+            val fields = (0 until fieldsNode.size()).map { j =>
+              val f = fieldsNode.get(j)
+              val fid = f.path("id")
+              val name = f.path("name").asText("")
+              val tpe = f.path("type").asText("")
+              if (!fid.isNumber || name.isEmpty || tpe.isEmpty) return None
+              Field(fid.asInt(), name, tpe, f.path("required").asBoolean(false))
+            }.toVector
+            if (fields.map(_.id).distinct.length != fields.length) return None
+            Schema(sid.asInt(), fields)
+          }.toVector
+        }
+      if (schemas.map(_.schemaId).distinct.length != schemas.length) return None
+      val curSchemaNode = root.path("current-schema-id")
+      val curSchemaId =
+        if (curSchemaNode.isMissingNode || curSchemaNode.isNull) None
+        else if (curSchemaNode.isNumber) Some(curSchemaNode.asInt())
+        else return None
+      curSchemaId.foreach { cs =>
+        if (!schemas.exists(_.schemaId == cs)) return None
+      }
+      snaps.foreach(_.schemaId.foreach { sid =>
+        if (!schemas.exists(_.schemaId == sid)) return None
+      })
+      val meta = TableMeta(fv, uuid, loc, curId.asLong(), snaps, schemas,
+        curSchemaId)
       if (meta.current.isEmpty) return None
       Some(meta)
     } catch { case NonFatal(_) => None }
@@ -82,7 +176,9 @@ object IcebergMetadata {
     * is the real thing, not string splicing).
     */
   def synthMetadata(uuid: String, location: String,
-      snapshots: Seq[SnapshotRef], currentId: Long): String = {
+      snapshots: Seq[SnapshotRef], currentId: Long,
+      schemas: Seq[Schema] = Nil,
+      currentSchemaId: Option[Int] = None): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper
     val root = om.createObjectNode()
     root.put("format-version", 2)
@@ -96,8 +192,26 @@ object IcebergMetadata {
       n.put("sequence-number", s.sequenceNumber)
       n.put("timestamp-ms", s.timestampMs)
       n.put("manifest-list", s.manifestList)
+      s.schemaId.foreach(n.put("schema-id", _))
       n.putObject("summary").put("operation", s.operation)
     }
+    if (schemas.nonEmpty) {
+      val sarr = root.putArray("schemas")
+      schemas.foreach { sc =>
+        val n = sarr.addObject()
+        n.put("schema-id", sc.schemaId)
+        n.put("type", "struct")
+        val farr = n.putArray("fields")
+        sc.fields.foreach { f =>
+          val fn = farr.addObject()
+          fn.put("id", f.id)
+          fn.put("name", f.name)
+          fn.put("type", f.ftype)
+          fn.put("required", f.required)
+        }
+      }
+    }
+    currentSchemaId.foreach(root.put("current-schema-id", _))
     om.writeValueAsString(root)
   }
 }

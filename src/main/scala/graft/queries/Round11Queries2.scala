@@ -1096,8 +1096,100 @@ object Round11Queries2 {
       ORDER BY layout"""
     })
 
+  /** ICEBERG SCHEMA EVOLUTION under the oracle gate — the metadata
+    * layer's other job beside snapshot resolution: schemas are
+    * versioned documents, field IDs are the STABLE identity (renames
+    * keep the id, adds mint new ones), and a reader reconstructs "what
+    * changed between the schema snapshot A wrote under and the current
+    * one" by diffing on field id —
+    * [[graft.operators.IcebergMetadata.schemaDiff]], which also
+    * enforces the spec's promotion rules (int→long, float→double; any
+    * other same-id retype declines). Per document a two-schema
+    * metadata JSON is synthesized (rename on even hashes, widen on
+    * every third, a drop on every fifth, 1–2 adds), parsed back
+    * through the strict [[graft.operators.IcebergMetadata.parseMetadata]]
+    * (schema-id coherence enforced), and diffed; the oracle recomputes
+    * every class count in closed form.
+    */
+  val q292IcebergSchemaEvolution: QueryDef = QueryDef(
+    "q292_iceberg_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.map { r =>
+        import graft.operators.IcebergMetadata
+        import graft.operators.IcebergMetadata._
+        val k = r.n % 3
+        val extras = (0 until k).map(i =>
+          Field(10 + i, s"x$i", Seq("string", "long", "double")(i % 3),
+            required = false))
+        val s0 = Schema(0, Vector(
+          Field(1, "a", "long", required = true),
+          Field(2, "b", "string", required = false),
+          Field(3, "c", "int", required = false)) ++ extras)
+        val drop = k > 0 && r.v % 5 == 0
+        val nAdd = 1 + r.v % 2
+        val s1 = Schema(1, Vector(
+          Field(1, "a", "long", required = true),
+          Field(2, if (r.v % 2 == 0) "b_renamed" else "b", "string",
+            required = false),
+          Field(3, "c", if (r.v % 3 == 0) "long" else "int",
+            required = false)) ++
+          (if (drop) extras.dropRight(1) else extras) ++
+          (0 until nAdd).map(j =>
+            Field(20 + j, s"new$j", "double", required = false)))
+        val json = IcebergMetadata.synthMetadata(
+          s"uuid-${r.doc_id}", s"s3://t/${r.doc_id}",
+          Seq(
+            SnapshotRef(9001L, 1L, 1000L, "ml/a.avro", "append", Some(0)),
+            SnapshotRef(9002L, 2L, 2000L, "ml/b.avro", "append", Some(1))),
+          currentId = 9002L, schemas = Seq(s0, s1),
+          currentSchemaId = Some(1))
+        val meta = IcebergMetadata.parseMetadata(json)
+          .getOrElse(sys.error(s"metadata parse failed: doc ${r.doc_id}"))
+        val wroteUnder = meta.snapshots.head.schemaId
+          .flatMap(meta.schemaOf)
+          .getOrElse(sys.error(s"schema 0 unresolved: doc ${r.doc_id}"))
+        val cur = meta.currentSchema
+          .getOrElse(sys.error(s"current schema unresolved: doc ${r.doc_id}"))
+        val diff = IcebergMetadata.schemaDiff(wroteUnder, cur)
+          .getOrElse(sys.error(s"schema diff declined: doc ${r.doc_id}"))
+        (r.doc_id, cur.fields.length, diff.added.length,
+          diff.dropped.length, diff.renamed.length, diff.widened.length,
+          diff.unchanged.length)
+      }
+      probed.toDF("doc_id", "n_fields_current", "n_added", "n_dropped",
+          "n_renamed", "n_widened", "n_unchanged")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200 AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   n % 3 AS k,
+                   CASE WHEN n % 3 > 0 AND v % 5 = 0 THEN 1 ELSE 0 END AS dropped,
+                   1 + v % 2 AS n_add,
+                   CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END AS renamed,
+                   CASE WHEN v % 3 = 0 THEN 1 ELSE 0 END AS widened
+            FROM d)
+      SELECT doc_id,
+             CAST(3 + k - dropped + n_add AS INTEGER) AS n_fields_current,
+             CAST(n_add AS INTEGER) AS n_added,
+             CAST(dropped AS INTEGER) AS n_dropped,
+             CAST(renamed AS INTEGER) AS n_renamed,
+             CAST(widened AS INTEGER) AS n_widened,
+             CAST(3 + k - dropped - renamed - widened AS INTEGER) AS n_unchanged
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q281DeltaCheckpoint, q282BradleyTerry,
     q283KneserNey, q284DsirImportance, q285IcebergPruning, q286DeltaCdc,
     q287IcebergIncremental, q288DeltaCheckpointStream, q289ExifGpsStrip,
-    q290RetrievalNdcg, q291LayoutPruning)
+    q290RetrievalNdcg, q291LayoutPruning, q292IcebergSchemaEvolution)
 }

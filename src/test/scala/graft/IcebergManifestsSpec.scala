@@ -320,6 +320,56 @@ class IcebergManifestsSpec extends AnyFunSuite {
     assert(IcebergManifests.planScan(list1, _ => Some(m0), 0, 9L, 0L).isEmpty)
   }
 
+  test("schema evolution: id-keyed diff, promotion rules, coherence") {
+    import graft.operators.IcebergMetadata
+    import graft.operators.IcebergMetadata.{Field, Schema, SnapshotRef}
+    val s0 = Schema(0, Vector(
+      Field(1, "a", "int", required = true),
+      Field(2, "b", "string", required = false),
+      Field(3, "c", "float", required = false)))
+    // rename AND widen the same field: counts in both vectors, not in
+    // unchanged
+    val s1 = Schema(1, Vector(
+      Field(1, "a_wide", "long", required = true),
+      Field(2, "b", "string", required = false),
+      Field(9, "fresh", "double", required = false)))
+    val d = IcebergMetadata.schemaDiff(s0, s1).get
+    assert(d.added.map(_.id) == Vector(9))
+    assert(d.dropped.map(_.id) == Vector(3))
+    assert(d.renamed.map(_._1.id) == Vector(1))
+    assert(d.widened.map(_._1.id) == Vector(1))
+    assert(d.unchanged.map(_.id) == Vector(2))
+    // illegal narrowing declines
+    val narrow = Schema(2, Vector(Field(1, "a", "int", required = true)))
+    assert(IcebergMetadata.schemaDiff(
+      Schema(0, Vector(Field(1, "a", "long", required = true))),
+      narrow).isEmpty)
+    // illegal retype declines
+    assert(IcebergMetadata.schemaDiff(
+      Schema(0, Vector(Field(1, "a", "string", required = true))),
+      Schema(1, Vector(Field(1, "a", "double", required = true)))).isEmpty)
+    // duplicate field ids decline
+    assert(IcebergMetadata.schemaDiff(
+      Schema(0, Vector(Field(1, "a", "int", required = true),
+        Field(1, "b", "int", required = false))), s1).isEmpty)
+    // metadata coherence: current-schema-id and snapshot schema-id must
+    // name listed schemas; duplicate schema ids reject
+    def meta(schemas: Seq[Schema], cur: Option[Int],
+        snapSid: Option[Int]) =
+      IcebergMetadata.parseMetadata(IcebergMetadata.synthMetadata(
+        "u", "s3://t",
+        Seq(SnapshotRef(1L, 1L, 0L, "ml/a.avro", "append", snapSid)),
+        1L, schemas, cur))
+    assert(meta(Seq(s0, s1), Some(1), Some(0)).isDefined)
+    assert(meta(Seq(s0), Some(7), None).isEmpty)
+    assert(meta(Seq(s0), None, Some(7)).isEmpty)
+    assert(meta(Seq(s0, s0), Some(0), None).isEmpty)
+    // round trip carries the schema layer
+    val m = meta(Seq(s0, s1), Some(1), Some(0)).get
+    assert(m.currentSchema.get == s1)
+    assert(m.snapshots.head.schemaId.contains(0))
+  }
+
   test("planScan never scans DELETED entries; arithmetic still enforced") {
     val es = Seq(entry(1, 0), entry(1, 1), entry(2, 12)) // f12 deleted
     val m0 = synthManifest(es, partType, "null", 3)
