@@ -1188,8 +1188,70 @@ object Round11Queries2 {
              CAST(3 + k - dropped - renamed - widened AS INTEGER) AS n_unchanged
       FROM g ORDER BY doc_id"""))
 
+  /** TOKENIZER FERTILITY PER LANGUAGE under the oracle gate — the
+    * multilingual pretraining audit: a tokenizer trained on a
+    * mixed-language corpus segments some languages into more pieces
+    * per word than others (fertility), which skews effective compute
+    * per language. The q230-trained vocabulary
+    * ([[graft.operators.TextAnalysis.bpeTrain]], memoized per corpus)
+    * segments the distinct-word table once
+    * ([[graft.operators.TextAnalysis.bpeWordTokens]] — the fold runs
+    * over the VOCABULARY, never per occurrence), occurrences equi-join
+    * back, and per language the audit reports tokens-per-word and
+    * chars-per-token as exact-integer ratios rounded by the shared
+    * floor rule. The oracle replays the merges via the shared
+    * [[BpeSql]] chain, so trainer and counter cannot drift.
+    */
+  val q293TokenizerFertility: QueryDef = QueryDef(
+    "q293_tokenizer_fertility",
+    (s, dir) => {
+      import graft.functions.Det
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, rounds = 6)
+        .orderBy("round").collect().map(_.getString(1))
+      val wt = TextAnalysis.bpeWordTokens(docs, merges.toSeq)
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(wt, "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nt")).as("n_tokens"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          Det.rdetLong(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility_e6"),
+          Det.rdetLong(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6).as("chars_per_token_e6"))
+        .orderBy("lang")
+    },
+    Some {
+      val K = 6
+      s"""
+      WITH ${BpeSql.words},
+      ${BpeSql.chain(K)},
+      occ AS (SELECT lang, w FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS w
+                FROM documents) WHERE w != ''),
+      j AS (SELECT occ.lang, occ.w, length(occ.w) AS chars,
+                   len(string_split(trim(sym$K.s), ' ')) AS nt
+            FROM occ JOIN sym$K ON occ.w = sym$K.w),
+      a AS (SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(chars) AS BIGINT) AS n_chars
+            FROM j GROUP BY lang)
+      SELECT lang, n_words, n_tokens, n_chars,
+             CAST(floor((CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS fertility_e6,
+             CAST(floor((CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS chars_per_token_e6
+      FROM a ORDER BY lang"""
+    })
+
   val all: Seq[QueryDef] = Seq(q281DeltaCheckpoint, q282BradleyTerry,
     q283KneserNey, q284DsirImportance, q285IcebergPruning, q286DeltaCdc,
     q287IcebergIncremental, q288DeltaCheckpointStream, q289ExifGpsStrip,
-    q290RetrievalNdcg, q291LayoutPruning, q292IcebergSchemaEvolution)
+    q290RetrievalNdcg, q291LayoutPruning, q292IcebergSchemaEvolution,
+    q293TokenizerFertility)
 }
