@@ -14,17 +14,17 @@ import graft.operators.Dedup
 object DedupQueries {
 
   /** DuckDB fragment: hash32 of a string expression. */
-  private def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+  private[queries] def h32(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
 
   /** DuckDB CTEs: w = tokens (+n_chars), s = distinct 3-gram shingles. */
-  private val shingleCtes = """
+  private[queries] val shingleCtes = """
     w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
     s AS (SELECT doc_id, n_chars,
             list_distinct(list_transform(generate_series(1, len(w)-2),
               i -> array_to_string(list_slice(w, i, i+2), ' '))) AS sh
           FROM w WHERE len(w) >= 3)"""
 
-  private def sigExpr(i: Int): String = {
+  private[queries] def sigExpr(i: Int): String = {
     val (a, b) = MinhashParams(i)
     s"list_min(list_transform(sh, t -> ($a * ${h32("t")} + $b) % 2147483647))"
   }

@@ -1249,9 +1249,147 @@ object Round11Queries2 {
       FROM a ORDER BY lang"""
     })
 
+  /** END-TO-END CURATION FUNNEL under the oracle gate — the composed
+    * pipeline a pretraining corpus actually runs (the FineWeb shape),
+    * with per-stage survivor AND token accounting so every filter's
+    * cost in data is visible: ingest → language keep → quality
+    * threshold ([[graft.operators.TextAnalysis.qualityScore]], the q30
+    * formula bit-identical cross-engine) → repetition gate
+    * (repeated-word ratio) → exact dedup (min-id per content hash) →
+    * near-dup dedup (word-minhash banded buckets, keep the lowest id
+    * any shared bucket has seen — bucket-level, not transitive
+    * closure; q26 carries the closure). ONE enriched pass computes
+    * every per-doc feature (flags, hash, 8 minhash signatures, the
+    * token proxy); stages are chained filters plus two id-min
+    * aggregations — no self-joins, no windows. The oracle replays the
+    * whole funnel as a CTE chain, so a threshold slip, a tie-break
+    * drift, or a bucket-key mismatch at ANY stage lands in the hash.
+    */
+  val q294CurationFunnel: QueryDef = QueryDef(
+    "q294_curation_funnel",
+    (s, dir) => {
+      import graft.functions.HashFunctions
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality"))
+      val enriched = docs
+        .select(col("doc_id"), col("lang"), col("text"),
+          expr("filter(split(text, ' '), t -> t != '')").as("w"),
+          md5(col("text")).as("h"),
+          regexp_count(col("text"), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"))
+            .cast("long").as("nbpe"))
+        .withColumn("dup_ratio",
+          (size(col("w")) - size(array_distinct(col("w")))).cast("double") /
+            size(col("w")).cast("double"))
+        .join(quality, "doc_id")
+        .select(col("doc_id"), col("lang"), col("w"), col("h"),
+          col("nbpe"), col("dup_ratio"), col("quality"))
+        .transform(graft.operators.ScopedCache.cache)
+      val s1 = enriched.filter(col("lang") === "en" && size(col("w")) > 0)
+      val s2 = s1.filter(col("quality") >= 0.27d)
+      val s3 = s2.filter(col("dup_ratio") <= 0.6d)
+      val exactMin = s3.groupBy("h").agg(min(col("doc_id")).as("keep"))
+      val s4 = s3.join(exactMin, "h")
+        .filter(col("doc_id") === col("keep")).drop("keep")
+        .transform(graft.operators.ScopedCache.cache)
+      // 3-WORD-shingle minhash (the q25/q26 machinery, 4 bands x 2
+      // rows ~ 0.5-Jaccard): word-set signatures are too coarse on a
+      // small shared vocabulary (measured: they collapsed the stage to
+      // 1-3 survivors), while ordered shingles discriminate. Docs too
+      // short to shingle (<3 words) have no signature and cannot be
+      // near-duplicates — they KEEP (left join, null-safe).
+      val sigs = graft.operators.Dedup.minhashSignatures(docs, shingleK = 3)
+      val bandArr = array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+            .as("key"))): _*)
+      val bands = s4.join(sigs, "doc_id")
+        .select(col("doc_id"), explode(bandArr).as("bk"))
+        .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+      val keyMin = bands.groupBy("b", "key").agg(min(col("doc_id")).as("m"))
+      val docMin = bands.join(keyMin, Seq("b", "key"))
+        .groupBy("doc_id").agg(min(col("m")).as("mm"))
+      val s5 = s4.join(docMin, Seq("doc_id"), "left")
+        .filter(col("mm").isNull || col("mm") === col("doc_id"))
+      def stage(i: Int, name: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("survivors"),
+          coalesce(sum(col("nbpe")), lit(0L)).as("proxy_tokens"))
+          .select(lit(i).as("stage_id"), lit(name).as("stage"),
+            col("survivors"), col("proxy_tokens"))
+      stage(0, "ingest", enriched)
+        .unionAll(stage(1, "lang_en", s1))
+        .unionAll(stage(2, "quality", s2))
+        .unionAll(stage(3, "repetition", s3))
+        .unionAll(stage(4, "exact_dedup", s4))
+        .unionAll(stage(5, "near_dedup", s5))
+        .orderBy("stage_id")
+    },
+    Some {
+      val markers = graft.operators.TextAnalysis.LangMarkers.head._2
+        .map(m => s"'$m'").mkString("(", ", ", ")")
+      def st(i: Int, name: String, from: String) =
+        s"""SELECT CAST($i AS INTEGER) AS stage_id, '$name' AS stage,
+           |CAST(count(*) AS BIGINT) AS survivors,
+           |CAST(coalesce(SUM(nbpe), 0) AS BIGINT) AS proxy_tokens
+           |FROM $from""".stripMargin.replace("\n", " ")
+      s"""
+      WITH ${DedupQueries.shingleCtes},
+      d0 AS (SELECT doc_id, lang, text,
+                         list_filter(string_split(text, ' '), t -> t != '') AS w,
+                         md5(text) AS h,
+                         CAST(len(regexp_extract_all(text,
+                           '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS nbpe
+                  FROM documents),
+      q AS (SELECT doc_id,
+                   0.5e0 * stopword_ratio
+                     + 0.3e0 * least(avg_token_len / 10.0e0, 1.0e0)
+                     + 0.2e0 * least(CAST(n_tokens AS DOUBLE) / 100.0e0, 1.0e0)
+                     AS quality
+            FROM (SELECT doc_id,
+                         CAST(len(ws) AS BIGINT) AS n_tokens,
+                         (CAST(length(text) AS DOUBLE) - CAST(len(ws) AS BIGINT)
+                           + 1.0e0) / CAST(len(ws) AS BIGINT) AS avg_token_len,
+                         CAST(CAST(len(list_filter(ws, t -> t IN $markers))
+                           AS BIGINT) AS DOUBLE) / CAST(len(ws) AS BIGINT)
+                           AS stopword_ratio
+                  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                        FROM documents))),
+      s1 AS (SELECT d0.*, q.quality FROM d0 JOIN q USING (doc_id)
+             WHERE lang = 'en' AND len(w) > 0),
+      s2 AS (SELECT * FROM s1 WHERE quality >= 0.27e0),
+      s3 AS (SELECT * FROM s2
+             WHERE CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) <= 0.6e0),
+      em AS (SELECT h, min(doc_id) AS keep FROM s3 GROUP BY 1),
+      s4 AS (SELECT s3.* FROM s3
+             JOIN em ON s3.h = em.h AND s3.doc_id = em.keep),
+      sg AS (SELECT s.doc_id,
+                    [${(0 until 8).map(DedupQueries.sigExpr).mkString(", ")}] AS sg
+             FROM s JOIN s4 ON s4.doc_id = s.doc_id),
+      bands AS (SELECT doc_id, b,
+                       sg[2 * b + 1]::VARCHAR || '_' || sg[2 * b + 2]::VARCHAR
+                         AS key
+                FROM sg, generate_series(0, 3) g(b)),
+      km AS (SELECT b, key, min(doc_id) AS m FROM bands GROUP BY 1, 2),
+      dm AS (SELECT bands.doc_id, min(km.m) AS mm
+             FROM bands JOIN km USING (b, key) GROUP BY 1),
+      s5 AS (SELECT s4.* FROM s4 LEFT JOIN dm ON dm.doc_id = s4.doc_id
+             WHERE dm.mm IS NULL OR dm.mm = s4.doc_id)
+      SELECT * FROM (
+        ${st(0, "ingest", "d0")}
+        UNION ALL ${st(1, "lang_en", "s1")}
+        UNION ALL ${st(2, "quality", "s2")}
+        UNION ALL ${st(3, "repetition", "s3")}
+        UNION ALL ${st(4, "exact_dedup", "s4")}
+        UNION ALL ${st(5, "near_dedup", "s5")})
+      ORDER BY stage_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(q281DeltaCheckpoint, q282BradleyTerry,
     q283KneserNey, q284DsirImportance, q285IcebergPruning, q286DeltaCdc,
     q287IcebergIncremental, q288DeltaCheckpointStream, q289ExifGpsStrip,
     q290RetrievalNdcg, q291LayoutPruning, q292IcebergSchemaEvolution,
-    q293TokenizerFertility)
+    q293TokenizerFertility, q294CurationFunnel)
 }
