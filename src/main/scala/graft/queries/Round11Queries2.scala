@@ -181,23 +181,6 @@ object Round11Queries2 {
         .orderBy("item")
     },
     Some {
-      val S = "1000000000"
-      // one MM round: d{k} = per-item integer denominator under w{k-1};
-      // w{k} = clamped update — the exact arithmetic Preference runs
-      def round(k: Int): String = {
-        val p = s"w${k - 1}"
-        s"""
-      d$k AS (SELECT sym.a AS item,
-                     SUM(CAST(sym.n AS HUGEINT) * $S * $S // (wa.s + wb.s))
-                       AS den
-              FROM sym JOIN $p wa ON wa.item = sym.a
-                       JOIN $p wb ON wb.item = sym.b
-              GROUP BY 1),
-      w$k AS (SELECT d$k.item,
-                     GREATEST(CAST(CAST(coalesce(wins.w, 0) AS HUGEINT)
-                       * $S * $S // d$k.den AS BIGINT), 1) AS s
-              FROM d$k LEFT JOIN wins ON wins.item = d$k.item),"""
-      }
       s"""
       WITH d AS (SELECT doc_id, source,
                         doc_id // 2 AS pid,
@@ -216,17 +199,7 @@ object Round11Queries2 {
               GROUP BY 1, 2),
       wins AS (SELECT winner AS item, CAST(SUM(cnt) AS BIGINT) AS w
                FROM pw GROUP BY 1),
-      w0 AS (SELECT DISTINCT a AS item, CAST($S AS BIGINT) AS s FROM sym),
-      ${(1 to 5).map(round).mkString}
-      nc AS (SELECT a AS item, CAST(SUM(n) AS BIGINT) AS n_comparisons
-             FROM sym GROUP BY 1)
-      SELECT w5.item,
-             CAST(coalesce(wins.w, 0) AS BIGINT) AS wins,
-             nc.n_comparisons,
-             w5.s AS strength
-      FROM w5 LEFT JOIN wins ON wins.item = w5.item
-              JOIN nc ON nc.item = w5.item
-      ORDER BY 1"""
+      ${btChainSql(5)}"""
     })
 
   /** KNESER–NEY SMOOTHED LM SCORING under the oracle gate — the
@@ -1387,9 +1360,212 @@ object Round11Queries2 {
       ORDER BY stage_id"""
     })
 
+
+  /** Shared oracle tail for the Bradley–Terry fits (q282/q295): w0 init,
+    * the K unrolled MM rounds in HUGEINT (the exact arithmetic
+    * [[graft.operators.Preference.bradleyTerry]] runs), and the final
+    * select. Expects CTEs `sym(a, b, n)` and `wins(item, w)` upstream.
+    */
+  private def btChainSql(k: Int): String = {
+    val S = "1000000000"
+    def round(i: Int): String = {
+      val p = s"w${i - 1}"
+      s"""
+      d$i AS (SELECT sym.a AS item,
+                     SUM(CAST(sym.n AS HUGEINT) * $S * $S // (wa.s + wb.s))
+                       AS den
+              FROM sym JOIN $p wa ON wa.item = sym.a
+                       JOIN $p wb ON wb.item = sym.b
+              GROUP BY 1),
+      w$i AS (SELECT d$i.item,
+                     GREATEST(CAST(CAST(coalesce(wins.w, 0) AS HUGEINT)
+                       * $S * $S // d$i.den AS BIGINT), 1) AS s
+              FROM d$i LEFT JOIN wins ON wins.item = d$i.item),"""
+    }
+    s"""w0 AS (SELECT DISTINCT a AS item, CAST($S AS BIGINT) AS s FROM sym),
+      ${(1 to k).map(round).mkString}
+      nc AS (SELECT a AS item, CAST(SUM(n) AS BIGINT) AS n_comparisons
+             FROM sym GROUP BY 1)
+      SELECT w$k.item,
+             CAST(coalesce(wins.w, 0) AS BIGINT) AS wins,
+             nc.n_comparisons,
+             w$k.s AS strength
+      FROM w$k LEFT JOIN wins ON wins.item = w$k.item
+              JOIN nc ON nc.item = w$k.item
+      ORDER BY 1"""
+  }
+
+  /** GROUPED BRADLEY–TERRY under the oracle gate — per-language
+    * strength tables from WITHIN-LANGUAGE comparisons only (a
+    * cross-language "win" is meaningless when the judge is text
+    * length): the q282 pairing keeps only pairs whose documents share
+    * a language, and the item identity becomes `lang/source`, so one
+    * [[graft.operators.Preference.bradleyTerry]] fit solves every
+    * language's table at once — grouping by KEY ENCODING, zero
+    * operator changes, still ITEM²-bounded. The oracle reuses the
+    * exact q282 HUGEINT round chain over the composite items.
+    */
+  val q295GroupedBradleyTerry: QueryDef = QueryDef(
+    "q295_grouped_bradley_terry",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("doc_id div 2").as("pid"),
+          (col("n_chars") * lit(1000000000000L) - col("doc_id")).as("key"))
+      val pr = d.groupBy("pid").agg(
+        max_by(struct(col("lang"), col("source")), col("key")).as("w"),
+        min_by(struct(col("lang"), col("source")), col("key")).as("l"),
+        count(lit(1)).as("m"))
+      val pw = pr.filter(col("m") === 2 &&
+          col("w.lang") === col("l.lang") &&
+          col("w.source") =!= col("l.source"))
+        .select(concat_ws("/", col("w.lang"), col("w.source")).as("winner"),
+          concat_ws("/", col("l.lang"), col("l.source")).as("loser"))
+        .groupBy("winner", "loser").agg(count(lit(1)).cast("long").as("cnt"))
+      graft.operators.Preference.bradleyTerry(pw, iters = 5)
+        .orderBy("item")
+    },
+    Some {
+      s"""
+      WITH d AS (SELECT doc_id, lang, source,
+                        doc_id // 2 AS pid,
+                        n_chars * 1000000000000 - doc_id AS key
+                 FROM documents),
+      pr AS (SELECT pid,
+                    max_by(lang, key) AS wl, max_by(source, key) AS ws,
+                    min_by(lang, key) AS ll, min_by(source, key) AS ls,
+                    count(*) AS m
+             FROM d GROUP BY pid),
+      pw AS (SELECT wl || '/' || ws AS winner, ll || '/' || ls AS loser,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM pr WHERE m = 2 AND wl = ll AND ws <> ls GROUP BY 1, 2),
+      sym AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+                SELECT winner AS a, loser AS b, cnt FROM pw
+                UNION ALL SELECT loser AS a, winner AS b, cnt FROM pw) u
+              GROUP BY 1, 2),
+      wins AS (SELECT winner AS item, CAST(SUM(cnt) AS BIGINT) AS w
+               FROM pw GROUP BY 1),
+      ${btChainSql(5)}"""
+    })
+
+  /** LSH PARAMETER AUDIT under the oracle gate — the tuning table an
+    * LSH deployment reads before picking its banding: the SAME 8
+    * minhash signatures banded three ways (8×1, 4×2, 2×4 — S-curve
+    * thresholds ≈ 0.06 / 0.5 / 0.84 Jaccard), candidate counts per
+    * config, and precision/recall against exact shingle Jaccard ≥ 0.5
+    * evaluated over the 8×1 candidate set — which SUPERSETS every
+    * multi-row config's candidates (a band match at r rows implies
+    * each of its sigs matches alone), so within the audit the truth
+    * restriction is exact; the unmeasured remainder is pairs with NO
+    * matching signature, P ≈ (1−j)^8 (documented envelope, <0.4% at
+    * j = 0.5). Ratios are exact integer arithmetic.
+    */
+  val q296LshParamAudit: QueryDef = QueryDef(
+    "q296_lsh_param_audit",
+    (s, dir) => {
+      import graft.operators.{Dedup, ScopedCache}
+      val docs = Tables.load(s, dir, "documents")
+      val sigs = ScopedCache.cache(Dedup.minhashSignatures(docs, shingleK = 3))
+      def cands(rowsPerBand: Int) = {
+        val nBands = 8 / rowsPerBand
+        val banded = sigs.select(col("doc_id"),
+          explode(array((0 until nBands).map { b =>
+            struct(lit(b).as("band"),
+              concat_ws("_", (0 until rowsPerBand).map(r =>
+                col(s"sig_${b * rowsPerBand + r}")): _*).as("key"))
+          }: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.key").as("key"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      }
+      val sh = ScopedCache.cache(
+        docs.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), Dedup.hashedShingles(col("text"), 3).as("sh")))
+      val inter = graft.plans.SortedLongArrayIntersectCount(
+        col("sh_a"), col("sh_b"))
+      val truth = ScopedCache.cache(cands(1)
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter) >= 0.5d)
+        .select("doc_a", "doc_b"))
+      def audit(rowsPerBand: Int) = {
+        val c = ScopedCache.cache(cands(rowsPerBand))
+        val hits = c.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        c.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(hits)
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .select(lit(rowsPerBand).as("rows_per_band"),
+            lit(8 / rowsPerBand).as("n_bands"),
+            col("n_candidates"), col("n_true"), col("n_hits"),
+            when(col("n_candidates") === 0L, 0L)
+              .otherwise(expr("(n_hits * 1000000) div n_candidates"))
+              .as("precision_e6"),
+            when(col("n_true") === 0L, 0L)
+              .otherwise(expr("(n_hits * 1000000) div n_true"))
+              .as("recall_e6"))
+      }
+      audit(1).unionAll(audit(2)).unionAll(audit(4))
+        .orderBy("rows_per_band")
+    },
+    Some {
+      val sigList = (0 until 8).map(DedupQueries.sigExpr).mkString(", ")
+      def candCte(r: Int): String = {
+        val nb = 8 / r
+        val key = (0 until r).map(i => s"sg[$r * b + ${i + 1}]::VARCHAR")
+          .mkString(" || '_' || ")
+        s"""bands_$r AS (SELECT doc_id, b, $key AS key
+           |  FROM sg, generate_series(0, ${nb - 1}) g(b)),
+           |cand_$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands_$r a JOIN bands_$r b
+           |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)"""
+          .stripMargin.replace("\n", " ")
+      }
+      def auditRow(r: Int): String =
+        s"""SELECT CAST($r AS INTEGER) AS rows_per_band,
+           |  CAST(${8 / r} AS INTEGER) AS n_bands,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand_$r) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand_$r c
+           |     JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+           |    AS n_hits""".stripMargin.replace("\n", " ")
+      s"""
+      WITH ${DedupQueries.shingleCtes},
+      sg AS (SELECT doc_id,
+                    [$sigList] AS sg,
+                    list_distinct(list_transform(sh,
+                      t -> ${DedupQueries.h32("t")})) AS hs
+             FROM s),
+      ${candCte(1)},
+      ${candCte(2)},
+      ${candCte(4)},
+      truth AS (SELECT doc_a, doc_b FROM (
+                  SELECT c.doc_a, c.doc_b,
+                         CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                           / (len(sa.hs) + len(sb.hs)
+                              - len(list_intersect(sa.hs, sb.hs))) AS j
+                  FROM cand_1 c JOIN sg sa ON sa.doc_id = c.doc_a
+                                JOIN sg sb ON sb.doc_id = c.doc_b)
+                WHERE j >= 0.5e0)
+      SELECT rows_per_band, n_bands, n_candidates, n_true, n_hits,
+             CASE WHEN n_candidates = 0 THEN 0
+                  ELSE n_hits * 1000000 // n_candidates END AS precision_e6,
+             CASE WHEN n_true = 0 THEN 0
+                  ELSE n_hits * 1000000 // n_true END AS recall_e6
+      FROM (${auditRow(1)} UNION ALL ${auditRow(2)} UNION ALL ${auditRow(4)})
+      ORDER BY rows_per_band"""
+    })
+
   val all: Seq[QueryDef] = Seq(q281DeltaCheckpoint, q282BradleyTerry,
     q283KneserNey, q284DsirImportance, q285IcebergPruning, q286DeltaCdc,
     q287IcebergIncremental, q288DeltaCheckpointStream, q289ExifGpsStrip,
     q290RetrievalNdcg, q291LayoutPruning, q292IcebergSchemaEvolution,
-    q293TokenizerFertility, q294CurationFunnel)
+    q293TokenizerFertility, q294CurationFunnel, q295GroupedBradleyTerry,
+    q296LshParamAudit)
 }
