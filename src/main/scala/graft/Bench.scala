@@ -10,6 +10,25 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the output projections and under-measure expression-heavy
   * queries; noop forces full evaluation of every output column without any
   * I/O cost.
+  *
+  * TIERS (SPARK_GRAFT_BENCH_TIER): at ~300 queries a full median-of-3
+  * sweep holds the JVM under load for 15+ minutes, and the round-11 driver
+  * sweep showed sustained mid-sweep contention windows (36 movers whose
+  * sweep medians ran 3-30x their own warm reruns minutes later) that a
+  * shorter sweep shrinks. The default tier `mixed` measures EVERY query
+  * (the full map stays real) but spends the repeat budget where it buys
+  * signal: a pinned subset — the previous round's movers plus the
+  * slowest-by-previous-medians — gets the median of `repeats` runs, the
+  * rest get one run each, and the end-of-sweep mover self-adjudication
+  * (itself a median of 3) still catches any 1-run outlier. `full` restores
+  * median-of-3 everywhere (cross-round judge baselines).
+  *
+  * DIAGNOSTICS: each query appends [heapMB, gcSec, storageMB, loadavg,
+  * scopedPending] to the side-channel file — the round-11 verdict's ask:
+  * if a slow window correlates with heap/cache residency the code owns it;
+  * if it correlates with loadavg alone it is co-tenant contention. After
+  * each query's repeats, [[graft.operators.ScopedCache.drain]] zeroes
+  * cross-query cache residency (within-query warmth is already spent).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,6 +54,7 @@ object Bench {
     // one-off JIT/GC/IO spikes. The median of 3 does that at +2 runs per
     // query; the reported total is the sum of medians.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "full")
     // A failing query must be VISIBLE in the output, not a near-zero "fast
     // pass": failures are reported in an errors list and excluded from the
     // per-query map and the total.
@@ -42,13 +62,83 @@ object Bench {
     // dev loop only (mirrors Verify's SPARK_GRAFT_ONLY); driver unaffected.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+    // Previous medians, loaded BEFORE the sweep (they pick the pinned
+    // subset AND feed mover detection afterwards). Two sources, in order:
+    // this JVM tree's own last side-channel file, then the COMMITTED
+    // per-round snapshot (bench_prev.json, refreshed at each round close)
+    // — so the driver's fresh-target round run still sees the previous
+    // round's medians. A source only counts when it covers at least half
+    // the current surface: a dev-loop SPARK_GRAFT_BENCH_ONLY run leaves a
+    // few-query side-channel behind, and comparing the full sweep against
+    // it would blind the mover detection for every query the restricted
+    // run skipped. The same-sf check compares the DIRECTORY string, so a
+    // sf0.001 dev side-channel never seeds a sf0.1 driver sweep.
+    val prevSources = Seq(
+      java.nio.file.Paths.get("target", "bench_full.json"),
+      java.nio.file.Paths.get("bench_prev.json")).view.map { p =>
+      try {
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == sfDir)
+          if (sfOk) {
+            val qs = """"(q[0-9][^"]*)"\s*:\s*([0-9.]+)""".r
+              .findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            // compressed names from the prior "moved" pairs — these keep
+            // their repeat budget this round so a flagged query's next
+            // number is a median again, not a one-shot
+            val mv = """"moved"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+              .map(_.group(1)).getOrElse("")
+            val movedNames = """"(q[0-9]+)"""".r.findAllMatchIn(mv)
+              .map(_.group(1)).toSet
+            (qs, movedNames)
+          } else (Map.empty[String, Double], Set.empty[String])
+        } else (Map.empty[String, Double], Set.empty[String])
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          (Map.empty[String, Double], Set.empty[String])
+      }
+    }.find(_._1.size * 2 >= allQueries.size.max(1))
+      .getOrElse((Map.empty[String, Double], Set.empty[String]))
+    val (prev, prevMoved) = prevSources
+    // Pinned subset for the mixed tier: previous movers + the 24 slowest
+    // by previous medians + the flagship. Deterministic given the
+    // committed snapshot, so the subset is stable across a round.
+    val pinned: Set[String] =
+      if (tier == "full") allQueries.map(_._1).toSet
+      else {
+        val slowest = prev.toSeq.sortBy(-_._2).take(24).map(_._1)
+        val fromMoved = allQueries.map(_._1)
+          .filter(n => prevMoved.contains(n.takeWhile(_ != '_')))
+        (slowest ++ fromMoved).toSet + "q19_noise_flagship"
+      }
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) t += v }
+      t
+    }
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    def storageMb(): Long =
+      try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    // name -> [heapMB, gcSec, storageMB, loadavg, scopedPending]
+    val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = allQueries.map { case (name, fn) =>
       var err: Option[String] = None
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val reps = if (pinned(name)) repeats else 1
+      val gc0 = gcMillis()
       var i = 0
-      while (i < repeats && err.isEmpty) { // a failed run fails the query; don't re-run it
+      while (i < reps && err.isEmpty) { // a failed run fails the query; don't re-run it
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
@@ -65,6 +155,17 @@ object Bench {
           val n = s.size // true median: average the two middle runs when even
           if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
         }
+      // diagnostics SNAPSHOT before the drain (residency as the query left
+      // it), drain AFTER (the next query starts from a clean cache slate)
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+      val gcSec = (gcMillis() - gc0) / 1000.0
+      diag += name -> ("[" + heapMb + "," +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(gcSec)) + "," +
+        storageMb() + "," +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(loadAvg())) +
+        "," + graft.operators.ScopedCache.pendingCount + "]")
+      graft.operators.ScopedCache.drain()
       (name, median, err)
     }
     val ok = results.collect { case (k, v, None) => k -> v }
@@ -90,38 +191,11 @@ object Bench {
     // of `head`, so its (capped) length is inside the budget too.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // MOVERS from the previous run's side-channel file (same sf only):
-    // any query whose median shifted >2x either way is forced into the
-    // compact stdout line ahead of the slowest-first fill, so the driver-
-    // captured BENCH_rN alone surfaces every cross-round mover even when
-    // the char budget drops fast entries. Sub-50ms medians are exempt
-    // (pure timer noise at that magnitude).
-    // Two sources, in order: this JVM tree's own last side-channel file,
-    // then the COMMITTED per-round snapshot (bench_prev.json, refreshed
-    // at each round close) — so the driver's fresh-target round run still
-    // sees the previous round's medians. A source only counts when it
-    // covers at least half the current surface: a dev-loop
-    // SPARK_GRAFT_BENCH_ONLY run leaves a few-query side-channel behind,
-    // and comparing the full sweep against it would blind the mover
-    // detection for every query the restricted run skipped.
-    val prev: Map[String, Double] =
-      Seq(java.nio.file.Paths.get("target", "bench_full.json"),
-        java.nio.file.Paths.get("bench_prev.json")).view.map { p =>
-        try {
-          if (java.nio.file.Files.exists(p)) {
-            val txt = new String(java.nio.file.Files.readAllBytes(p),
-              java.nio.charset.StandardCharsets.UTF_8)
-            val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
-              .exists(_.group(1) == sfDir)
-            if (sfOk)
-              """"(q[0-9][^"]*)":([0-9.]+)""".r.findAllMatchIn(txt)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            else Map.empty[String, Double]
-          } else Map.empty[String, Double]
-        } catch {
-          case scala.util.control.NonFatal(_) => Map.empty[String, Double]
-        }
-      }.find(_.size * 2 >= ok.size.max(1)).getOrElse(Map.empty)
+    // MOVERS: any query whose median shifted >2x either way vs the previous
+    // run is forced into the compact stdout line ahead of the slowest-first
+    // fill, so the driver-captured BENCH_rN alone surfaces every
+    // cross-round mover even when the char budget drops fast entries.
+    // Sub-50ms medians are exempt (pure timer noise at that magnitude).
     val movers = ok.filter { case (k, v) =>
       prev.get(k).exists(p0 => p0 > 0.05 && v > 0.05 &&
         (v / p0 > 2.0 || p0 / v > 2.0))
@@ -149,6 +223,7 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           } catch { case _: Throwable => -1.0 }
         }
+        graft.operators.ScopedCache.drain()
         val rerun =
           if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1)
         (k, v, rerun)
@@ -158,7 +233,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
-      s""""repeats":$repeats,"errors":$errs,"movers":${movers.size},""" +
+      s""""repeats":$repeats,"tier":"$tier","pinned":${pinned.size},""" +
+      s""""errors":$errs,"movers":${movers.size},""" +
       s""""moved":$movedJson,""" +
       s""""sf":"$sfDir","queries":{"""
     val budget = 1800 - head.length - 40 // room for closing + omitted count
@@ -180,7 +256,9 @@ object Bench {
     // drops the fastest entries once the surface outgrows its ~2000-char
     // budget (60 entries omitted in round 6), which killed query-by-query
     // cross-round diffing. This file restores it without touching the
-    // driver's contract.
+    // driver's contract. "diag" carries the per-query
+    // [heapMB, gcSec, storageMB, loadavg, scopedPending] snapshots taken
+    // at each query's completion (before its drain).
     val fullJson = {
       def fmt3(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -188,10 +266,14 @@ object Bench {
         case (k, v, None)    => s""""$k":${fmt3(v)}"""
         case (k, _, Some(e)) => s""""$k":"ERR:$e""""
       }
+      val diagEntries = diag.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
-        s""""repeats":$repeats,"sf":"$sfDir","moved":$movedJson,"queries":{""" +
-        entries.mkString(",") + "}}"
+        s""""repeats":$repeats,"tier":"$tier","pinned":${pinned.size},""" +
+        s""""sf":"$sfDir","moved":$movedJson,"queries":{""" +
+        entries.mkString(",") + """},"diag":{""" +
+        diagEntries.mkString(",") + "}}"
     }
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")

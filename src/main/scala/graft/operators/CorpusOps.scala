@@ -70,6 +70,32 @@ object CorpusOps {
       .orderBy("source", "pack_id")
   }
 
+  /** [[sequencePack]] under CALLER-SUPPLIED token counts — the
+    * trained-tokenizer packing currency (q297): `tokens` is any
+    * (doc_id, tok) frame, e.g.
+    * [[TextAnalysis.bpeTokenCounts]]' `n_bpe_tokens` renamed, so packing
+    * budgets count what the training run will actually consume instead of
+    * [[sequencePack]]'s whitespace proxy. Docs absent from `tokens` (no
+    * words) pack at zero cost. Same per-source streaming-cumsum shape —
+    * the window is partitioned by source, never global, so packing scales
+    * with the largest source, not the corpus.
+    */
+  def sequencePackBy(docs: DataFrame, tokens: DataFrame,
+      capacity: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("source"), col("doc_id"))
+      .join(tokens.select(col("doc_id"), col("tok").cast("long").as("tok")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("tok"))
+      .withColumn("cum_before", coalesce(sum("tok").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $capacity"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
   /** All word n-gram shingle hashes of each document: (doc_id, carry...,
     * gh) with gh the 32-bit hash of the space-joined n-gram. Documents
     * shorter than n tokens contribute nothing. `carry` columns ride along

@@ -128,6 +128,26 @@ object ScopedCache {
   /** Tracked-but-not-yet-evicted frame count — spec hook. */
   private[graft] def pendingCount: Int = pending.size()
 
+  /** Unpersist and drop every tracked entry NOW. Bench-mode hygiene: a
+    * 296-query sweep in one JVM otherwise carries each query's cached
+    * intermediates across the grace window into its alphabetical
+    * neighbors, and the accumulated residency was the prime suspect for
+    * the round-11 driver sweep's contiguous slow windows. Draining after
+    * a query's repeats complete keeps within-query warmth (the repeats
+    * already ran) while zeroing cross-query heap pressure. A concurrent
+    * action mid-scan just recomputes — correctness never depends on a
+    * cache being present.
+    */
+  private[graft] def drain(): Unit = {
+    val it = pending.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next().getValue
+      it.remove()
+      try e.df.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   private def ensureListener(spark: SparkSession): Unit =
     installed.synchronized {
       if (installed.get(spark) == null) {

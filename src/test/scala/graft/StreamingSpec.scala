@@ -338,6 +338,72 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("near-dup arrivals survive a kill-and-restart from checkpoint: " +
+    "no duplicate pair, no lost pair vs the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val baseText = "the quick brown fox jumps over the lazy dog again and again today"
+    val otherText = "completely different words about spark query engines and big data systems"
+    val history = Seq((1L, baseText + " dup"), (2L, otherText))
+      .toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-ckpt").toString
+    // the memory sink refuses checkpoint recovery, so the sink is the
+    // idempotent foreachBatch pattern (each micro-batch overwrites its own
+    // batch_id=N directory — a replayed batch lands exactly once)
+    val outDir = java.nio.file.Files.createTempDirectory("neardup-out").toString
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDS().toDF("doc_id", "arrival_ts", "text")
+    def start() =
+      EventsStreaming.nearDupArrivals(stream, history)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        .start()
+    def emitted(): Seq[(Long, Long)] =
+      spark.read.option("basePath", outDir).parquet(outDir)
+        .select("new_doc", "old_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // Phase 1: one near-dup (10~1) and one unrelated doc, fully committed.
+    val q1 = start()
+    val phase1 =
+      try {
+        mem.addData(
+          (10L, ts(0), baseText),
+          (11L, ts(1), "nothing in common with anything at all here truly"))
+        q1.processAllAvailable()
+        emitted()
+      } finally q1.stop() // the kill: query gone, checkpoint + state remain
+    assert(phase1 == Seq((10L, 1L)), s"phase 1 unexpected: $phase1")
+    // Phase 2 data lands WHILE the query is down: doc 10 is RE-SENT (its
+    // pair must NOT re-emit — only the checkpointed dropDuplicates state
+    // can know that) and doc 12 is a fresh near-dup (must emit — a restart
+    // that lost source offsets or skipped the batch would drop it).
+    mem.addData(
+      (10L, ts(2), baseText),
+      (12L, ts(3), baseText + " extra"))
+    val q2 = start()
+    val all =
+      try { q2.processAllAvailable(); emitted() } finally q2.stop()
+    // exactly-once across the restart: no pair ever emitted twice
+    assert(all.distinct == all, s"duplicate emission across restart: $all")
+    val phase2 = all.diff(phase1)
+    assert(phase2 == Seq((12L, 1L)),
+      s"phase 2 must emit exactly the fresh pair (12,1): $phase2")
+    // Union across the restart equals the batch twin over ALL distinct docs
+    val batch = graft.operators.Dedup.deltaDedupPairs(
+        Seq((10L, baseText), (11L, "nothing in common with anything at all here truly"),
+          (12L, baseText + " extra")).toDF("doc_id", "text"),
+        history, shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.toSet == batch,
+      s"restart union ${all.toSet} != batch twin $batch")
+  }
+
   test("streaming count-min state equals the batch sketch counter-for-counter") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
