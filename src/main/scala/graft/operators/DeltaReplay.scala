@@ -44,8 +44,36 @@ object DeltaReplay {
     parsed.select(col("version"),
       coalesce(col("j.add.path"), col("j.remove.path")).as("path"),
       col("j.add.size").as("size"),
-      col("j.add.path").isNotNull.as("is_add"))
+      col("j.add.path").isNotNull.as("is_add"),
+      col("j.remove.deletionTimestamp").as("del_ts"))
       .filter(col("path").isNotNull)
+  }
+
+  /** VACUUM planning — the physical-cleanup audit behind `VACUUM
+    * RETAIN`: a data file is reclaimable at `asOf` exactly when its LAST
+    * action at or before `asOf` is a remove (a later re-add resurrects
+    * the path, so add-wins folding already protects it) AND its tombstone
+    * timestamp predates `horizonTs` (the retention window that keeps
+    * time-travel readers safe). One hash aggregation per path carrying
+    * both the last state and the last add's size (the bytes the vacuum
+    * reclaims — a tombstone itself has no size); never a log self-join,
+    * and at 100 TB this runs off the checkpoint-state fold exactly like
+    * [[replayFromCheckpoint]].
+    */
+  def vacuumCandidates(log: DataFrame, asOf: Long,
+      horizonTs: Long): DataFrame = {
+    val acts = parseActions(log).filter(col("version") <= asOf)
+    acts.groupBy("path")
+      .agg(
+        max_by(struct(col("is_add"), col("version"), col("del_ts")),
+          struct(col("version"), col("is_add"))).as("last"),
+        max_by(col("size"), when(col("is_add"), col("version"))).as("add_size"))
+      .filter(!col("last.is_add"))
+      .select(col("path"),
+        col("last.version").as("removed_version"),
+        col("last.del_ts").as("del_ts"),
+        coalesce(col("add_size"), lit(0L)).as("size"),
+        (col("last.del_ts") < horizonTs).as("eligible"))
   }
 
   /** The last-writer-wins fold shared by [[replay]] and

@@ -173,6 +173,49 @@ object Similarity {
         slice(emb, s * 8 + 1, 8), typedLit(PqPlanes(s)(b).toSeq)) > 0.0d,
       1 << (2 * s + b)).otherwise(0)).reduce(_ + _)
 
+  /** PQ-HAMMING SHORTLIST + EXACT RE-RANK — the two-stage ANN every
+    * production deployment runs: stage 1 keeps only corpus vectors whose
+    * 16-bit [[pqCode]] lies within Hamming `radius` of the query's code
+    * (a codes-only scan — at 100 TB the code column is 2 bytes/vector and
+    * the full-precision vectors are touched ONLY for the shortlist);
+    * stage 2 re-ranks the shortlist by exact rounded cosine. Same output
+    * shape as [[topKBrute]]. The query side broadcasts; the corpus never
+    * shuffles.
+    */
+  def topKPqRerank(emb: DataFrame, nQueries: Int, k: Int,
+      radius: Int): DataFrame = {
+    val c = withNorm(emb).withColumn("pq_code", pqCode(col("embedding")))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("pq_code").as("q_code"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("q_id") &&
+          expr("bit_count(pq_code ^ q_code)") <= radius)
+      .select(col("q_id"), col("vec_id"),
+        Det.rdet(dot(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("q_nrm")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "cos")
+  }
+
+  /** Stage-1 shortlist size per query for [[topKPqRerank]] — zero-candidate
+    * queries surface as 0, not as a missing row.
+    */
+  def pqCandidateCounts(emb: DataFrame, nQueries: Int,
+      radius: Int): DataFrame = {
+    val coded = emb.select(col("vec_id"), pqCode(col("embedding")).as("pq_code"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("pq_code").as("q_code"))
+    val hits = coded.join(broadcast(q),
+        col("vec_id") =!= col("q_id") &&
+          expr("bit_count(pq_code ^ q_code)") <= radius)
+      .groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+    q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+  }
+
   /** Quantize a corpus: (vec_id, label, pq_code, n_same_code). */
   def pqQuantize(emb: DataFrame): DataFrame = {
     val coded = emb.select(col("vec_id"), col("label"), pqCode(col("embedding")).as("pq_code"))

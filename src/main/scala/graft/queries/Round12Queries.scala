@@ -339,7 +339,243 @@ object Round12Queries {
                AS INTEGER) AS rk
       FROM d ORDER BY doc_id"""))
 
+  /** ICEBERG SNAPSHOT-EXPIRY ORPHAN AUDIT — the table-maintenance
+    * question `expireSnapshots` must answer before deleting anything:
+    * with snapshot B current and snapshot A expiring, which data files
+    * are reachable ONLY from A (live in A's manifests, but deleted or
+    * absent in B's) and which manifests only A's list references? Per
+    * document a two-snapshot table is SYNTHESIZED as real Avro manifest
+    * chains under all three codecs (the q287 shape: B keeps a0
+    * byte-identical, rewrites a1 with its first 1+v%2 files flipped
+    * DELETED, appends a fresh b2), both snapshots replay through the
+    * arithmetic-enforcing [[graft.operators.IcebergManifests.replay]],
+    * and the orphan set is liveA − liveB. The oracle recomputes every
+    * count and byte total from the synthesis rules in closed form.
+    */
+  val q300IcebergExpiry: QueryDef = QueryDef(
+    "q300_iceberg_expiry_orphans",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests._
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val codec = Seq("null", "deflate", "snappy")(r.v % 3)
+          def df(tag: String, i: Int, rc: Long, fs: Long) =
+            DataFile(0, s"data/$tag/f$i.parquet", "PARQUET",
+              Vector("bucket" -> (i % 4).toLong), rc, fs)
+          def mf(path: String, bytes: Array[Byte],
+              es: Seq[ManifestEntry]) = {
+            def c(st: Int) = (es.count(_.status == st),
+              es.filter(_.status == st).map(_.dataFile.recordCount).sum)
+            val (af, ar) = c(1); val (ef, er) = c(0); val (dn, dr) = c(2)
+            ManifestFile(path, bytes.length.toLong, 0, 9001L,
+              af, ef, dn, ar, er, dr, None)
+          }
+          val a0e = (0 until 2 + r.n % 3).map(i =>
+            ManifestEntry(1, Some(9001L),
+              df("a0", i, 100L + (r.n + i) % 40, 500L + (r.v + 3 * i) % 100)))
+          val a1e = (0 until 2 + r.v % 3).map(i =>
+            ManifestEntry(1, Some(9001L),
+              df("a1", i, 80L + (r.v + 2 * i) % 30, 400L + (r.n + 5 * i) % 90)))
+          val a0 = IcebergManifests.synthManifest(a0e, partType, codec, r.v)
+          val a1 = IcebergManifests.synthManifest(a1e, partType, codec, r.v + 1)
+          val listA = IcebergManifests.synthManifestList(
+            Seq(mf("meta/a0.avro", a0, a0e), mf("meta/a1.avro", a1, a1e)),
+            codec, r.v + 2)
+          // expiring A with B retained: a1's first k files die in B
+          val k = 1 + r.v % 2
+          val b1e = a1e.zipWithIndex.map { case (e, i) =>
+            if (i < k) e.copy(status = 2) else e.copy(status = 0)
+          }
+          val b2e = (0 until 1 + (r.n + r.v) % 3).map(i =>
+            ManifestEntry(1, Some(9002L),
+              df("b2", i, 60L + (r.n + 3 * i) % 25, 300L + (r.v + 7 * i) % 80)))
+          val b1 = IcebergManifests.synthManifest(b1e, partType, codec, r.v + 3)
+          val b2 = IcebergManifests.synthManifest(b2e, partType, codec, r.v + 4)
+          val listB = IcebergManifests.synthManifestList(
+            Seq(mf("meta/a0.avro", a0, a0e), mf("meta/b1.avro", b1, b1e),
+              mf("meta/b2.avro", b2, b2e)), codec, r.v + 5)
+          val byPath = Map("meta/a0.avro" -> a0, "meta/a1.avro" -> a1,
+            "meta/b1.avro" -> b1, "meta/b2.avro" -> b2)
+          val stA = IcebergManifests.replay(listA, byPath.get)
+            .getOrElse(sys.error(s"snapshot A replay failed: doc ${r.doc_id}"))
+          val stB = IcebergManifests.replay(listB, byPath.get)
+            .getOrElse(sys.error(s"snapshot B replay failed: doc ${r.doc_id}"))
+          val liveB = stB.live.map(_.path).toSet
+          val orphans = stA.live.filterNot(f => liveB.contains(f.path))
+          val mlA = IcebergManifests.readManifestList(listA)
+            .getOrElse(sys.error("manifest list A unreadable"))
+          val mlB = IcebergManifests.readManifestList(listB)
+            .getOrElse(sys.error("manifest list B unreadable"))
+          val bPaths = mlB.map(_.path).toSet
+          (r.doc_id, codec, stA.live.size, stB.live.size,
+            orphans.size, orphans.map(_.recordCount).sum,
+            orphans.map(_.fileSizeBytes).sum,
+            mlA.count(m => !bPaths.contains(m.path)))
+        }
+      }
+      probed.toDF("doc_id", "codec", "n_live_a", "n_live_b",
+          "n_orphan_files", "orphan_rows", "orphan_bytes",
+          "n_orphan_manifests")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v,
+                   2 + n % 3 AS a0c, 2 + v % 3 AS a1c,
+                   1 + v % 2 AS k, 1 + (n + v) % 3 AS b2c
+            FROM d)
+      SELECT doc_id,
+             (['null', 'deflate', 'snappy'])[v % 3 + 1] AS codec,
+             CAST(a0c + a1c AS INTEGER) AS n_live_a,
+             CAST(a0c + (a1c - k) + b2c AS INTEGER) AS n_live_b,
+             CAST(k AS INTEGER) AS n_orphan_files,
+             CAST(list_sum(list_transform(range(k),
+               i -> 80 + (v + 2 * i) % 30)) AS BIGINT) AS orphan_rows,
+             CAST(list_sum(list_transform(range(k),
+               i -> 400 + (n + 5 * i) % 90)) AS BIGINT) AS orphan_bytes,
+             CAST(1 AS INTEGER) AS n_orphan_manifests
+      FROM g ORDER BY doc_id"""))
+
+  /** DELTA VACUUM AUDIT — the retention question behind `VACUUM RETAIN`:
+    * which tombstoned files are physically reclaimable at version 70
+    * under a 60 000 ms horizon, and how many bytes does each free? The
+    * same synthesized action log as q286 (adds, tail removes at
+    * timestamp n·1000, re-adds resurrecting every v%9==0 path) flows
+    * through [[graft.operators.DeltaReplay.vacuumCandidates]] — one
+    * hash aggregation per path carrying last state AND last-add size;
+    * a resurrected path must never surface. The oracle recomputes
+    * eligibility and sizes from the synthesis rules.
+    */
+  val q305DeltaVacuum: QueryDef = QueryDef(
+    "q305_delta_vacuum",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+      val adds = d.select(
+        when(col("v") % 7 === 0, lit(55L))
+          .otherwise(col("doc_id") % 50).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n")).as("line"))
+      val removes = d.filter(col("v") % 3 === 0).select(
+        (lit(58L) + col("v") % 5).as("version"),
+        format_string(
+          """{"remove":{"path":"part-%d","deletionTimestamp":%d}}""",
+          col("doc_id"), col("n") * 1000L).as("line"))
+      val readds = d.filter(col("v") % 9 === 0).select(
+        (lit(65L) + col("v") % 5).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n") * 2L + 7L).as("line"))
+      val log = adds.unionAll(removes).unionAll(readds)
+      graft.operators.DeltaReplay
+        .vacuumCandidates(log, asOf = 70L, horizonTs = 60000L)
+        .orderBy("path")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS INTEGER) AS v
+                 FROM documents)
+      SELECT 'part-' || doc_id AS path,
+             CAST(58 + v % 5 AS BIGINT) AS removed_version,
+             CAST(n * 1000 AS BIGINT) AS del_ts,
+             n AS size,
+             n * 1000 < 60000 AS eligible
+      FROM d WHERE v % 3 = 0 AND v % 9 <> 0 ORDER BY path"""))
+
+  /** PQ SHORTLIST RADIUS AUDIT — the q296 protocol applied to the
+    * two-stage ANN: at Hamming radii 2/4/6 over the 16-bit
+    * [[graft.operators.Similarity.pqCode]],
+    * [[graft.operators.Similarity.topKPqRerank]] shortlists by code
+    * distance and re-ranks exactly; per (radius, query) the audit
+    * reports shortlist size and recall@10 against the brute-force truth
+    * — the measured S-curve behind choosing the probe radius. Brute
+    * truth is computed once and ScopedCache'd across the three radii;
+    * the query side broadcasts everywhere; recall is exact integer
+    * (hits × 1000 at k = 10).
+    */
+  val q301PqRerankRecall: QueryDef = QueryDef(
+    "q301_pq_rerank_recall",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val e = Tables.load(s, dir, "embeddings")
+      val brute = Similarity.topKBrute(e, nQueries = 10, k = 10)
+        .select(col("q_id"), col("vec_id"))
+        .transform(graft.operators.ScopedCache.cache)
+      Seq(2, 4, 6).map { h =>
+        val rr = Similarity.topKPqRerank(e, nQueries = 10, k = 10, radius = h)
+          .select(col("q_id"), col("vec_id"))
+        val hits = brute.join(rr, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        Similarity.pqCandidateCounts(e, nQueries = 10, radius = h)
+          .join(hits, Seq("q_id"), "left")
+          .na.fill(0L, Seq("n_hits"))
+          .select(lit(h).as("radius"), col("q_id"), col("n_candidates"),
+            col("n_hits"), (col("n_hits") * 1000L).as("recall_e4"))
+      }.reduce(_ unionAll _).orderBy("radius", "q_id")
+    },
+    Some {
+      val code = SimilarityQueries.pqCodeSql
+      val cos = SimilarityQueries.rdet6(
+        SimilarityQueries.cosSql("c.embedding", "q.embedding"))
+      s"""
+      WITH coded AS (SELECT vec_id, embedding, ($code) AS pq_code
+                     FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding, pq_code AS q_code
+            FROM coded WHERE vec_id < 10),
+      radii AS (SELECT unnest([2, 4, 6]) AS radius),
+      cand AS (SELECT r.radius, q.q_id, c.vec_id, $cos AS cos
+               FROM radii r, q, coded c
+               WHERE c.vec_id <> q.q_id
+                 AND bit_count(xor(c.pq_code, q.q_code)) <= r.radius),
+      nc AS (SELECT radius, q_id, CAST(count(*) AS BIGINT) AS n_candidates
+             FROM cand GROUP BY 1, 2),
+      rr AS (SELECT radius, q_id, vec_id,
+                    row_number() OVER (PARTITION BY radius, q_id
+                      ORDER BY cos DESC, vec_id) AS rk
+             FROM cand),
+      brute AS (SELECT q_id, vec_id FROM (
+                  SELECT q.q_id, c.vec_id,
+                         row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY $cos DESC, c.vec_id) AS rk
+                  FROM q, embeddings c WHERE c.vec_id <> q.q_id)
+                WHERE rk <= 10),
+      hits AS (SELECT rr.radius, rr.q_id,
+                      CAST(count(*) AS BIGINT) AS n_hits
+               FROM rr JOIN brute
+                 ON rr.q_id = brute.q_id AND rr.vec_id = brute.vec_id
+               WHERE rr.rk <= 10 GROUP BY 1, 2)
+      SELECT r.radius, q.q_id,
+             COALESCE(nc.n_candidates, 0) AS n_candidates,
+             COALESCE(hits.n_hits, 0) AS n_hits,
+             COALESCE(hits.n_hits, 0) * 1000 AS recall_e4
+      FROM radii r CROSS JOIN q
+      LEFT JOIN nc ON nc.radius = r.radius AND nc.q_id = q.q_id
+      LEFT JOIN hits ON hits.radius = r.radius AND hits.q_id = q.q_id
+      ORDER BY r.radius, q.q_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
-    q299MemorizationGrams, q302BlockDedup, q303TemperatureMix,
-    q304KAnonymity, q306GroupAdvantage)
+    q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
+    q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
+    q306GroupAdvantage)
 }

@@ -15,14 +15,14 @@ object SimilarityQueries {
   /** DuckDB fragment: sequential-fold dot product of two FLOAT[] columns in
     * double precision — matches VectorFunctions' left fold bit-for-bit.
     */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
        |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  private def rdet6(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+  private[queries] def rdet6(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
 
   val q33KnnBrute: QueryDef = QueryDef(
     "q33_knn_brute",
@@ -187,27 +187,34 @@ object SimilarityQueries {
     * per-code population as a window count. The hyperplane literals come
     * from the same seed-fixed matrix as the Spark side.
     */
+  /** DuckDB expression computing [[Similarity.pqCode]] over a column named
+    * `embedding` — the seed-fixed hyperplane matrix rendered as literals so
+    * both engines quantize identically (shared by q62 and q301).
+    */
+  private[queries] lazy val pqCodeSql: String = {
+    def planeLit(h: Array[Double]): String =
+      h.map(v => if (v > 0) "1.0e0" else "-1.0e0").mkString("[", ", ", "]")
+    (for {
+      sub <- 0 until 8
+      b <- 0 until 2
+    } yield {
+      val dot = s"""list_reduce(list_transform(generate_series(1, 8),
+        | i -> (list_slice(embedding, ${sub * 8 + 1}, ${sub * 8 + 8}))[i]::DOUBLE
+        |      * (${planeLit(Similarity.PqPlanes(sub)(b))})[i]), (x, y) -> x + y)"""
+        .stripMargin.replace("\n", " ")
+      s"CASE WHEN $dot > 0.0e0 THEN ${1 << (2 * sub + b)} ELSE 0 END"
+    }).mkString(" + ")
+  }
+
   val q62PqCodes: QueryDef = QueryDef(
     "q62_pq_codes",
     (s, dir) => Similarity.pqQuantize(Tables.load(s, dir, "embeddings"))
       .orderBy("vec_id"),
     Some {
-      def planeLit(h: Array[Double]): String =
-        h.map(v => if (v > 0) "1.0e0" else "-1.0e0").mkString("[", ", ", "]")
-      val code = (for {
-        sub <- 0 until 8
-        b <- 0 until 2
-      } yield {
-        val dot = s"""list_reduce(list_transform(generate_series(1, 8),
-          | i -> (list_slice(embedding, ${sub * 8 + 1}, ${sub * 8 + 8}))[i]::DOUBLE
-          |      * (${planeLit(Similarity.PqPlanes(sub)(b))})[i]), (x, y) -> x + y)"""
-          .stripMargin.replace("\n", " ")
-        s"CASE WHEN $dot > 0.0e0 THEN ${1 << (2 * sub + b)} ELSE 0 END"
-      }).mkString(" + ")
       s"""
       SELECT vec_id, label, pq_code,
              count(*) OVER (PARTITION BY pq_code) AS n_same_code
-      FROM (SELECT vec_id, label, ($code) AS pq_code FROM embeddings)
+      FROM (SELECT vec_id, label, ($pqCodeSql) AS pq_code FROM embeddings)
       ORDER BY vec_id"""
     })
 
