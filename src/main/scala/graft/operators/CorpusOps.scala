@@ -49,6 +49,34 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** SLIDING-WINDOW CHUNKING — the RAG/retrieval ingest operator: each
+    * document is cut into word windows of `size` starting every `stride`
+    * words (overlap = size − stride preserves cross-boundary context), one
+    * output row per chunk with its 1-based start offset, actual length
+    * (the tail may be short), character count, and first word. Chunking is
+    * per-document expression work (explode over a sequence — no shuffle at
+    * all until a consumer aggregates), so it scales embarrassingly; a
+    * chunk never spans documents.
+    */
+  def slidingChunks(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      "slidingChunks expects 1 <= stride <= width")
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n"), col("ws"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("ws"),
+        explode(sequence(lit(0),
+          expr(s"CAST((n - 1) div $stride AS INT)"))).as("j"))
+      .select(col("doc_id"), col("j").cast("long").as("chunk_id"),
+        (col("j") * stride + 1).cast("long").as("start_word"),
+        least(lit(width.toLong), col("n") - col("j") * stride)
+          .as("chunk_len"),
+        length(concat_ws(" ",
+          slice(col("ws"), col("j") * stride + 1, lit(width))))
+          .cast("long").as("chunk_chars"),
+        expr(s"element_at(ws, j * $stride + 1)").as("first_word"))
+  }
+
   /** Contiguous sequence packing: documents are laid out in doc_id order
     * within each shard (`source`) and cut into fixed-capacity context
     * windows by their starting token offset — pack = cum_tokens_before DIV

@@ -105,7 +105,7 @@ object DeltaReplay {
   def replayFromCheckpoint(ckpt: DataFrame, tailLog: DataFrame): DataFrame = {
     val base = ckpt.select(col("version"), col("path"),
       col("size").cast("long").as("size"), col("is_add"))
-    foldActions(base.unionByName(parseActions(tailLog)))
+    foldActions(base.unionByName(parseActions(tailLog).drop("del_ts")))
   }
 
   /** CDC BETWEEN VERSIONS — the incremental-processing primitive: what

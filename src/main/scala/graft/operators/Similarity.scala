@@ -223,6 +223,42 @@ object Similarity {
     coded.withColumn("n_same_code", count(lit(1)).over(w))
   }
 
+  /** CONTRASTIVE PAIR MINING — the training-data operator behind
+    * embedding-model fine-tuning: per anchor vector, the best POSITIVE
+    * (highest cosine ≥ `threshold` among same-label candidates) and the
+    * HARDEST NEGATIVE (highest cosine strictly below the threshold — the
+    * near-miss that teaches the margin), with the resulting margin.
+    * Anchors lacking either side are dropped (no pair to train on).
+    * Label-blocked like [[embeddingDupPairs]] — candidate generation never
+    * goes corpus × corpus — and both extremes come out of ONE hash
+    * aggregation via conditional max_by (never two joins). Ties break to
+    * the smallest candidate id; cosines are Det.rdet-rounded before the
+    * threshold compare so both engines pick identical pairs.
+    */
+  def contrastiveMining(emb: DataFrame, threshold: Double): DataFrame = {
+    val c = withNorm(emb.select(col("vec_id"), col("label"), col("embedding")))
+      .transform(ScopedCache.cache)
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"),
+        Det.rdet(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    pairs.groupBy("anchor")
+      .agg(
+        max_by(struct(col("cand"), col("cos")),
+          when(col("cos") >= threshold, struct(col("cos"), -col("cand"))))
+          .as("pos"),
+        max_by(struct(col("cand"), col("cos")),
+          when(col("cos") < threshold, struct(col("cos"), -col("cand"))))
+          .as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("anchor"),
+        col("pos.cand").as("pos_id"), col("pos.cos").as("pos_cos"),
+        col("neg.cand").as("neg_id"), col("neg.cos").as("neg_cos"),
+        Det.rdet(col("pos.cos") - col("neg.cos"), 6).as("margin"))
+  }
+
   /** Embedding near-duplicate pairs within a coarse partition: label-blocked
     * pairwise cosine above `threshold`. doc pairs ordered (a < b). The
     * normed table is cached so per-vector work runs once, not per pair.

@@ -574,8 +574,249 @@ object Round12Queries {
       ORDER BY r.radius, q.q_id"""
     })
 
+  /** SLIDING-WINDOW RAG CHUNKING — the retrieval-ingest operator
+    * ([[graft.operators.CorpusOps.slidingChunks]]): 32-word windows every
+    * 24 words (8-word overlap), one row per chunk with offset, length,
+    * character count and first word. Pure per-document expression work —
+    * no shuffle anywhere in the chunker itself.
+    */
+  val q307SlidingChunks: QueryDef = QueryDef(
+    "q307_sliding_chunks",
+    (s, dir) => graft.operators.CorpusOps
+      .slidingChunks(Tables.load(s, dir, "documents"), width = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, ws, u.j
+            FROM d, unnest(range(0, (len(ws) - 1) // 24 + 1)) AS u(j)
+            WHERE len(ws) > 0)
+      SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+             CAST(j * 24 + 1 AS BIGINT) AS start_word,
+             least(32, n - j * 24) AS chunk_len,
+             CAST(length(array_to_string(
+               list_slice(ws, j * 24 + 1, j * 24 + 32), ' ')) AS BIGINT)
+               AS chunk_chars,
+             ws[j * 24 + 1] AS first_word
+      FROM c ORDER BY doc_id, chunk_id"""))
+
+  /** TOKEN-BUDGET MIXTURE SOLVER — given per-source token masses and the
+    * sqrt-smoothed target weights (q303's rule applied to token mass),
+    * how many epochs must each source repeat to fill a 200k-token budget
+    * slice, and what remains unserved under the 4-epoch repetition cap
+    * (the data-constrained-scaling guard)? The Σ√m normalizer folds
+    * order-pinned over the source-sorted list; everything after the
+    * rounded `need` is exact integer arithmetic.
+    */
+  val q308MixtureBudget: QueryDef = QueryDef(
+    "q308_mixture_budget",
+    (s, dir) => {
+      val m = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("source").agg(sum("tok").as("m"))
+      val tot = m.agg(
+          array_sort(collect_list(struct(col("source"), col("m")))).as("arr"))
+        .select(aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + sqrt(x("m").cast("double"))).as("z"))
+      m.crossJoin(broadcast(tot))
+        .withColumn("need",
+          floor(sqrt(col("m").cast("double")) * lit(200000d) / col("z") + 0.5)
+            .cast("long"))
+        .select(col("source"), col("m").as("m_tokens"),
+          col("need").as("need_tokens"),
+          expr("(need + m - 1) div m").as("epochs"),
+          least(expr("(need + m - 1) div m"), lit(4L)).as("capped_epochs"),
+          least(col("need"), col("m") * 4).as("served_tokens"),
+          greatest(col("need") - col("m") * 4, lit(0L)).as("deficit_tokens"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH s AS (SELECT source,
+                        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m
+                 FROM documents GROUP BY 1),
+      tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(list(CAST(m AS DOUBLE) ORDER BY source),
+                  x -> sqrt(x))),
+                (acc, v) -> acc + v) AS z FROM s),
+      q AS (SELECT source, m,
+                   CAST(floor(sqrt(CAST(m AS DOUBLE)) * 200000 / z + 0.5)
+                     AS BIGINT) AS need
+            FROM s CROSS JOIN tot)
+      SELECT source, m AS m_tokens, need AS need_tokens,
+             (need + m - 1) // m AS epochs,
+             least((need + m - 1) // m, 4) AS capped_epochs,
+             least(need, m * 4) AS served_tokens,
+             greatest(need - m * 4, 0) AS deficit_tokens
+      FROM q ORDER BY source"""))
+
+  /** CONTRASTIVE PAIR MINING
+    * ([[graft.operators.Similarity.contrastiveMining]]): per anchor, the
+    * best positive (cos ≥ 0.35) and the hardest negative (highest cos
+    * below it) from ONE conditional-max_by hash aggregation over the
+    * label-blocked candidate relation — the (anchor, positive, hard
+    * negative, margin) triplets an embedding fine-tune trains on.
+    */
+  val q309ContrastiveMining: QueryDef = QueryDef(
+    "q309_contrastive_mining",
+    (s, dir) => graft.operators.Similarity
+      .contrastiveMining(Tables.load(s, dir, "embeddings"), threshold = 0.35)
+      .orderBy("anchor"),
+    Some {
+      val cos = SimilarityQueries.rdet6(
+        SimilarityQueries.cosSql("a.embedding", "b.embedding"))
+      s"""
+      WITH pr AS (SELECT a.vec_id AS anchor, b.vec_id AS cand, $cos AS cos
+                  FROM embeddings a JOIN embeddings b
+                    ON a.label = b.label AND a.vec_id <> b.vec_id),
+      pos AS (SELECT anchor, cand, cos FROM (
+                SELECT anchor, cand, cos, row_number() OVER (
+                  PARTITION BY anchor ORDER BY cos DESC, cand) AS rn
+                FROM pr WHERE cos >= 0.35e0) WHERE rn = 1),
+      neg AS (SELECT anchor, cand, cos FROM (
+                SELECT anchor, cand, cos, row_number() OVER (
+                  PARTITION BY anchor ORDER BY cos DESC, cand) AS rn
+                FROM pr WHERE cos < 0.35e0) WHERE rn = 1)
+      SELECT p.anchor, p.cand AS pos_id, p.cos AS pos_cos,
+             g.cand AS neg_id, g.cos AS neg_cos,
+             floor((p.cos - g.cos) * 1e6 + 0.5) / 1e6 AS margin
+      FROM pos p JOIN neg g USING (anchor) ORDER BY p.anchor"""
+    })
+
+  /** PSI DISTRIBUTION DRIFT — the population-stability index the
+    * monitoring stack runs beside q192's KS test: events split into
+    * first/second half by event id, values bucketed into 10 fixed bins
+    * (clamped at the edges so no mass silently drops), Laplace-smoothed,
+    * and PSI = Σ (pA−pB)·ln(pA/pB) folds order-pinned over the
+    * bucket-sorted list per event type. The bucket-count relation is one
+    * hash aggregate; the grid join keeps empty buckets in the sum
+    * exactly as the smoothing requires.
+    */
+  val q310PsiDrift: QueryDef = QueryDef(
+    "q310_psi_drift",
+    (s, dir) => {
+      import graft.functions.Det
+      val ev = Tables.load(s, dir, "events")
+      val mid = ev.agg(expr("(min(event_id) + max(event_id) + 1) div 2")
+        .as("mid"))
+      val e = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"), (col("event_id") < col("mid")).as("isa"),
+          greatest(least(floor(col("value") / 50d), lit(9d)), lit(0d))
+            .cast("int").as("b"))
+      val cnt = e.groupBy("event_type", "b")
+        .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      val grid = e.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0), lit(9))).as("b"))
+      val full = grid.join(cnt, Seq("event_type", "b"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+      full.groupBy("event_type")
+        .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+          array_sort(collect_list(struct(col("b"), col("ca"), col("cb"))))
+            .as("terms"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          Det.rdet(aggregate(col("terms"), lit(0.0d), (acc, x) => {
+            val pa = (x("ca") + lit(1.0d)) / (col("n_a") + lit(10.0d))
+            val pb = (x("cb") + lit(1.0d)) / (col("n_b") + lit(10.0d))
+            acc + (pa - pb) * log(pa / pb)
+          }), 6).as("psi"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH m AS (SELECT (min(event_id) + max(event_id) + 1) // 2 AS mid
+                 FROM events),
+      e AS (SELECT event_type, event_id < mid AS isa,
+                   CAST(greatest(least(floor(value / 50e0), 9), 0)
+                     AS INTEGER) AS b
+            FROM events CROSS JOIN m),
+      cnt AS (SELECT event_type, b,
+                     CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ca,
+                     CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+                       AS cb
+              FROM e GROUP BY 1, 2),
+      grid AS (SELECT DISTINCT event_type, u.b
+               FROM e, unnest(range(0, 10)) AS u(b)),
+      f AS (SELECT g.event_type, g.b,
+                   COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+            FROM grid g LEFT JOIN cnt
+              ON cnt.event_type = g.event_type AND cnt.b = g.b),
+      t AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(cb) AS BIGINT) AS n_b,
+                   list([CAST(ca AS VARCHAR), CAST(cb AS VARCHAR)]
+                        ORDER BY b) AS ts
+            FROM f GROUP BY 1)
+      SELECT event_type, n_a, n_b,
+             floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(ts, x ->
+                 ((CAST(x[1] AS DOUBLE) + 1) / (n_a + 10)
+                   - (CAST(x[2] AS DOUBLE) + 1) / (n_b + 10))
+                 * ln(((CAST(x[1] AS DOUBLE) + 1) / (n_a + 10))
+                      / ((CAST(x[2] AS DOUBLE) + 1) / (n_b + 10))))),
+               (acc, v) -> acc + v) * 1e6 + 0.5) / 1e6 AS psi
+      FROM t ORDER BY event_type"""))
+
+  /** QUALITY-FILTER CALIBRATION — before a pipeline trusts q30's quality
+    * score as a filter, the calibration curve: documents ranked by the
+    * ROUNDED score (distributed global rank, never a single-partition
+    * window), cut into 10 equal-population deciles ascending, each
+    * reporting its population, English share (the proxy label the score
+    * is supposed to track), score bounds, and the integer-exact English
+    * rate. A score that doesn't trend with the label across deciles is
+    * not a filter.
+    */
+  val q311QualityCalibration: QueryDef = QueryDef(
+    "q311_quality_calibration",
+    (s, dir) => {
+      import graft.operators.{Ranks, TextAnalysis}
+      val docs = Tables.load(s, dir, "documents")
+      val base = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"),
+          floor(col("quality") * 1e6 + 0.5).cast("long").as("q_e6"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val nd = base.agg(count(lit(1)).as("nd"))
+      Ranks.globalRowNumber(base.crossJoin(broadcast(nd)),
+          Seq(col("q_e6"), col("doc_id")), "rn")
+        .withColumn("decile", expr("((rn - 1) * 10) div nd") + 1)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          min("q_e6").as("lo_e6"), max("q_e6").as("hi_e6"))
+        .withColumn("en_rate_e6", expr("n_en * 1000000 div n"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang,
+               CAST(floor((0.5e0 * stopword_ratio
+                 + 0.3e0 * least(avg_token_len / 10.0e0, 1.0e0)
+                 + 0.2e0 * least(CAST(n_tokens AS DOUBLE) / 100.0e0, 1.0e0))
+                 * 1e6 + 0.5) AS BIGINT) AS q_e6
+        FROM (SELECT doc_id, lang,
+                     CAST(len(w) AS BIGINT) AS n_tokens,
+                     (CAST(length(text) AS DOUBLE) - CAST(len(w) AS BIGINT)
+                       + 1.0e0) / CAST(len(w) AS BIGINT) AS avg_token_len,
+                     CAST(CAST(len(list_filter(w, t -> t IN
+                       ('the', 'a', 'of', 'and', 'is'))) AS BIGINT)
+                       AS DOUBLE) / CAST(len(w) AS BIGINT) AS stopword_ratio
+              FROM (SELECT doc_id, lang, text,
+                           string_split(text, ' ') AS w FROM documents))),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM base),
+      rk AS (SELECT doc_id, lang, q_e6, nd,
+                    row_number() OVER (ORDER BY q_e6, doc_id) AS rn
+             FROM base CROSS JOIN t)
+      SELECT ((rn - 1) * 10) // nd + 1 AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+             min(q_e6) AS lo_e6, max(q_e6) AS hi_e6,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000 // CAST(count(*) AS BIGINT) AS en_rate_e6
+      FROM rk GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
     q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
     q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
-    q306GroupAdvantage)
+    q306GroupAdvantage, q307SlidingChunks, q308MixtureBudget,
+    q309ContrastiveMining, q310PsiDrift, q311QualityCalibration)
 }
