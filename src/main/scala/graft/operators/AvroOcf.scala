@@ -307,7 +307,11 @@ object AvroOcf {
         val name = node.path("name").asText()
         if (name.isEmpty) return None
         val fs = node.path("fields")
-        if (!fs.isArray || fs.size() == 0) return None
+        // an EMPTY fields list is legal Avro (a record may have zero
+        // fields — e.g. an Iceberg unpartitioned partition tuple, spec
+        // v1 "partition" under the void spec); its rows decode as zero
+        // bytes, bounded by the block's own row count
+        if (!fs.isArray) return None
         val out = Vector.newBuilder[(String, AvroType)]
         (0 until fs.size()).foreach { i =>
           val f = fs.get(i)

@@ -269,16 +269,30 @@ object IcebergManifests {
       else {
         val entries = checkedEntries(mf, resolve).getOrElse(return None)
         entries.filter(_.status != 2).foreach { e =>
-          val v = e.dataFile.partition.lift(field).map(_._2)
-            .getOrElse(return None)
-          bounds.foreach { case (ln, un) =>
-            if (v < ln || v > un) return None // the summary lied
-          }
-          scanned += 1
-          if (v >= lo && v <= hi) {
-            matched += 1
-            rows += e.dataFile.recordCount
-            bytes += e.dataFile.fileSizeBytes
+          e.dataFile.partition.lift(field).map(_._2) match {
+            case None =>
+              // PARTITION-SPEC EVOLUTION: a file written under an older
+              // spec has no such partition field, so the planner cannot
+              // prune it — it is scanned and kept, and the residual
+              // predicate applies at read time (exactly Iceberg's
+              // unpartitioned->partitioned evolution contract). A
+              // manifest that PUBLISHED bounds for the field while
+              // holding field-less files is malformed: decline.
+              if (bounds.isDefined) return None
+              scanned += 1
+              matched += 1
+              rows += e.dataFile.recordCount
+              bytes += e.dataFile.fileSizeBytes
+            case Some(v) =>
+              bounds.foreach { case (ln, un) =>
+                if (v < ln || v > un) return None // the summary lied
+              }
+              scanned += 1
+              if (v >= lo && v <= hi) {
+                matched += 1
+                rows += e.dataFile.recordCount
+                bytes += e.dataFile.fileSizeBytes
+              }
           }
         }
       }

@@ -814,9 +814,278 @@ object Round12Queries {
                * 1000000 // CAST(count(*) AS BIGINT) AS en_rate_e6
       FROM rk GROUP BY 1 ORDER BY 1"""))
 
+  /** ICEBERG PARTITION-SPEC EVOLUTION SCAN — the planner question after
+    * an unpartitioned table evolves to bucketed: legacy spec-0 files
+    * carry NO partition tuple, so the planner must scan them all
+    * (residual filtering at read time) while still pruning the evolved
+    * bucketed manifests by their truthful summaries. Per document a
+    * three-manifest table is synthesized (m0 spec-0 with an EMPTY Avro
+    * partition record, m1/m2 bucketed as in q285), planned through
+    * [[graft.operators.IcebergManifests.planScan]] with the q285
+    * never-resolve-a-pruned-manifest enforcement, and the oracle
+    * recomputes the plan arithmetic — including that every legacy file
+    * survives — in closed form.
+    */
+  val q312IcebergSpecEvolution: QueryDef = QueryDef(
+    "q312_iceberg_spec_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests._
+        val bucketed = TRecord("r102", Vector("bucket" -> TInt))
+        val legacy = TRecord("r102", Vector())
+        rows.map { r =>
+          val codec = Seq("null", "deflate", "snappy")(r.v % 3)
+          val k0 = 1 + r.n % 3
+          val m0e = (0 until k0).map { i =>
+            ManifestEntry(1, Some(8999L),
+              DataFile(0, s"data/m0/f$i.parquet", "PARQUET",
+                Vector(), 90L + (r.n + 5 * i) % 40,
+                700L + (r.v + 9 * i) % 120))
+          }
+          val m0b = IcebergManifests.synthManifest(m0e, legacy, codec, r.v)
+          val m0 = ManifestFile("meta/m0.avro", m0b.length.toLong, 0, 8999L,
+            addedFiles = k0, existingFiles = 0, deletedFiles = 0,
+            addedRows = m0e.map(_.dataFile.recordCount).sum,
+            existingRows = 0L, deletedRows = 0L, partitions = None)
+          val ms = (1 until 3).map { m =>
+            val k = 2 + (r.n + m) % 3
+            val entries = (0 until k).map { i =>
+              ManifestEntry(1, Some(9000L + m),
+                DataFile(0, s"data/m$m/f$i.parquet", "PARQUET",
+                  Vector("bucket" -> (4L * m + (r.v + i) % 4)),
+                  100L + (r.n + 7 * i + m) % 50,
+                  1000L + (r.v * 3 + i * 11 + m * 17) % 500))
+            }
+            val bytes = IcebergManifests.synthManifest(entries, bucketed,
+              codec, r.v + m)
+            val buckets = entries.map(_.dataFile.partition.head._2)
+            val mf = ManifestFile(s"meta/m$m.avro", bytes.length.toLong, 1,
+              9000L + m,
+              addedFiles = k, existingFiles = 0, deletedFiles = 0,
+              addedRows = entries.map(_.dataFile.recordCount).sum,
+              existingRows = 0L, deletedRows = 0L,
+              partitions = Some(Vector(FieldSummary(containsNull = false,
+                Some(buckets.min.toString), Some(buckets.max.toString)))))
+            (mf, bytes)
+          }
+          val list = IcebergManifests.synthManifestList(
+            m0 +: ms.map(_._1), codec, r.v + 7)
+          val byPath = (("meta/m0.avro" -> m0b) +:
+            ms.map(m => m._1.path -> m._2)).toMap
+          var resolves = 0
+          val resolve = (p: String) => { resolves += 1; byPath.get(p) }
+          val lo = (r.v % 10).toLong
+          val hi = lo + 2L
+          val plan = IcebergManifests.planScan(list, resolve, 0, lo, hi)
+            .getOrElse(sys.error(s"scan planning failed: doc ${r.doc_id}"))
+          require(resolves == plan.nManifests - plan.manifestsPruned,
+            s"planner resolved a pruned manifest: doc ${r.doc_id}")
+          (r.doc_id, plan.nManifests, plan.manifestsPruned,
+            plan.filesScanned, plan.filesMatched, plan.rowsMatched,
+            plan.bytesMatched, k0,
+            m0e.map(_.dataFile.recordCount).sum)
+        }
+      }
+      probed.toDF("doc_id", "n_manifests", "manifests_pruned",
+          "files_scanned", "files_matched", "rows_matched", "bytes_matched",
+          "legacy_files", "legacy_rows")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, v % 10 AS lo, v % 10 + 2 AS hi,
+                   1 + n % 3 AS k0 FROM d),
+      pm AS (SELECT doc_id, lo, hi, u.m, 2 + (n + u.m) % 3 AS k, n, v
+             FROM g, unnest([1, 2]) AS u(m)),
+      pe AS (SELECT doc_id, m,
+                    CASE WHEN hi < list_min(bkts) OR lo > list_max(bkts)
+                         THEN 1 ELSE 0 END AS pruned,
+                    k,
+                    len(list_filter(range(k),
+                      i -> bkts[i + 1] BETWEEN lo AND hi)) AS matched,
+                    list_sum(list_transform(range(k), i ->
+                      CASE WHEN bkts[i + 1] BETWEEN lo AND hi
+                           THEN 100 + (n + 7 * i + m) % 50
+                           ELSE 0 END)) AS mrows,
+                    list_sum(list_transform(range(k), i ->
+                      CASE WHEN bkts[i + 1] BETWEEN lo AND hi
+                           THEN 1000 + (v * 3 + i * 11 + m * 17) % 500
+                           ELSE 0 END)) AS mbytes
+             FROM (SELECT *, list_transform(range(k),
+                     i -> 4 * m + (v + i) % 4) AS bkts FROM pm)),
+      pa AS (SELECT doc_id,
+                    CAST(SUM(pruned) AS INTEGER) AS mp,
+                    CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE k END)
+                      AS INTEGER) AS fs,
+                    CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE matched END)
+                      AS INTEGER) AS fm,
+                    CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE mrows END)
+                      AS BIGINT) AS rm,
+                    CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE mbytes END)
+                      AS BIGINT) AS bm
+             FROM pe GROUP BY 1),
+      m0 AS (SELECT doc_id, k0,
+                    CAST(list_sum(list_transform(range(k0),
+                      i -> 90 + (n + 5 * i) % 40)) AS BIGINT) AS r0,
+                    CAST(list_sum(list_transform(range(k0),
+                      i -> 700 + (v + 9 * i) % 120)) AS BIGINT) AS b0
+             FROM g)
+      SELECT g.doc_id,
+             CAST(3 AS INTEGER) AS n_manifests,
+             pa.mp AS manifests_pruned,
+             CAST(m0.k0 + pa.fs AS INTEGER) AS files_scanned,
+             CAST(m0.k0 + pa.fm AS INTEGER) AS files_matched,
+             m0.r0 + pa.rm AS rows_matched,
+             m0.b0 + pa.bm AS bytes_matched,
+             CAST(m0.k0 AS INTEGER) AS legacy_files,
+             m0.r0 AS legacy_rows
+      FROM g JOIN pa ON pa.doc_id = g.doc_id
+             JOIN m0 ON m0.doc_id = g.doc_id
+      ORDER BY g.doc_id"""))
+
+  /** LABEL-NOISE AUDIT BY NEIGHBORHOOD VOTE — the embedding-space check
+    * behind "are these labels trustworthy": for a deterministic query
+    * sample (vec_id < 50), the majority label of the 5 exact nearest
+    * neighbors versus the vector's own label; a consistent mismatch is
+    * either a mislabel or a boundary point. Reuses
+    * [[graft.operators.Similarity.topKBrute]] (queries broadcast; at
+    * 100 TB the neighbor stage swaps to the ANN path unchanged) and
+    * resolves the vote with one conditional max_by; ties break to the
+    * smaller label.
+    */
+  val q313LabelNoiseAudit: QueryDef = QueryDef(
+    "q313_label_noise_audit",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val e = Tables.load(s, dir, "embeddings")
+      val labels = e.select(col("vec_id"), col("label"))
+      val nn = Similarity.topKBrute(e, nQueries = 50, k = 5)
+        .join(labels, "vec_id")
+      val votes = nn.groupBy("q_id", "label")
+        .agg(count(lit(1)).as("cnt"))
+      votes.groupBy("q_id")
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label")))
+          .as("top_label"))
+        .join(labels.select(col("vec_id").as("q_id"),
+          col("label").as("own_label")), "q_id")
+        .select(col("q_id"), col("own_label"), col("top_label"),
+          (col("top_label") =!= col("own_label")).as("suspect"))
+        .orderBy("q_id")
+    },
+    Some {
+      val cos = SimilarityQueries.rdet6(
+        SimilarityQueries.cosSql("c.embedding", "q.embedding"))
+      s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding, label AS own_label
+                 FROM embeddings WHERE vec_id < 50),
+      nn AS (SELECT q_id, vec_id, lbl FROM (
+               SELECT q.q_id, c.vec_id, c.label AS lbl,
+                      row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY $cos DESC, c.vec_id) AS rk
+               FROM q, embeddings c WHERE c.vec_id <> q.q_id)
+             WHERE rk <= 5),
+      votes AS (SELECT q_id, lbl, count(*) AS cnt FROM nn GROUP BY 1, 2),
+      top AS (SELECT q_id, lbl AS top_label FROM (
+                SELECT q_id, lbl, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cnt DESC, lbl) AS rn FROM votes)
+              WHERE rn = 1)
+      SELECT q.q_id, q.own_label, top.top_label,
+             top.top_label <> q.own_label AS suspect
+      FROM q JOIN top ON top.q_id = q.q_id ORDER BY q.q_id"""
+    })
+
+  /** DELETION-REQUEST PROPAGATION — the right-to-be-forgotten
+    * accounting a pipeline owes its DSAR process: for every user in the
+    * deletion set (user_id ≡ 0 mod 7), the exact event footprint to
+    * purge (count, type spread, first/last activity). Pure semi-join +
+    * hash aggregate; the complementary anti-join is the actual purge
+    * and shares the same shuffle key.
+    */
+  val q314DeletionPropagation: QueryDef = QueryDef(
+    "q314_deletion_propagation",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") % 7 === 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("event_type")).as("n_types"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"),
+          graft.functions.Det.dsum(col("value")).as("value_sum"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             min(ts) AS first_ts, max(ts) AS last_ts,
+             CAST(floor(SUM(CAST((value) AS DECIMAL(30,8))) * 100)
+               AS BIGINT) / 100.0e0 AS value_sum
+      FROM events WHERE user_id % 7 = 0
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** LSH BUCKET SKEW AUDIT — the shuffle-key question behind every
+    * banded join at 100 TB: how skewed are the (band, key) buckets the
+    * candidate join shuffles on, and how many candidate pairs does the
+    * largest bucket alone contribute? Per band: bucket census, largest
+    * bucket, the exact pair mass Σ s(s−1)/2, and the top bucket's share
+    * — the measurement that decides whether the band join needs salting.
+    * One hash aggregate over the banded relation; never materializes a
+    * pair.
+    */
+  val q315LshSkewAudit: QueryDef = QueryDef(
+    "q315_lsh_skew_audit",
+    (s, dir) => {
+      val banded = graft.operators.Dedup.bandedSignatures(
+        Tables.load(s, dir, "documents"), shingleK = 3, rowsPerBand = 2)
+      banded.groupBy("band", "key").agg(count(lit(1)).as("s"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum("s").as("n_docs"),
+          max("s").as("max_bucket"),
+          sum(expr("s * (s - 1) div 2")).as("pair_mass"),
+          max(expr("s * (s - 1) div 2")).as("max_bucket_pairs"))
+        .withColumn("top_share_e6",
+          expr("max_bucket * 1000000 div n_docs"))
+        .orderBy("band")
+    },
+    Some {
+      val sigList = (0 until 8).map(DedupQueries.sigExpr).mkString(", ")
+      s"""
+      WITH ${DedupQueries.shingleCtes},
+      sg AS (SELECT doc_id, [$sigList] AS sgl FROM s),
+      bk AS (SELECT doc_id, b,
+                    sgl[2 * b + 1]::VARCHAR || '_' || sgl[2 * b + 2]::VARCHAR
+                      AS key
+             FROM sg, generate_series(0, 3) g(b)),
+      bu AS (SELECT b AS band, key, CAST(count(*) AS BIGINT) AS s
+             FROM bk GROUP BY 1, 2)
+      SELECT CAST(band AS INTEGER) AS band,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(s) AS BIGINT) AS n_docs,
+             CAST(max(s) AS BIGINT) AS max_bucket,
+             CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS pair_mass,
+             CAST(max(s * (s - 1) // 2) AS BIGINT) AS max_bucket_pairs,
+             CAST(max(s) * 1000000 // SUM(s) AS BIGINT) AS top_share_e6
+      FROM bu GROUP BY band ORDER BY band"""
+    })
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
     q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
     q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
     q306GroupAdvantage, q307SlidingChunks, q308MixtureBudget,
-    q309ContrastiveMining, q310PsiDrift, q311QualityCalibration)
+    q309ContrastiveMining, q310PsiDrift, q311QualityCalibration,
+    q312IcebergSpecEvolution, q313LabelNoiseAudit, q314DeletionPropagation,
+    q315LshSkewAudit)
 }

@@ -260,6 +260,41 @@ class IcebergManifestsSpec extends AnyFunSuite {
     assert(AvroOcf.probeNested(b.dropRight(5)).isEmpty)
   }
 
+  test("empty-field nested record (void partition spec) round-trips; " +
+    "planScan keeps legacy files unprunable") {
+    // legal Avro: a record with zero fields — the Iceberg unpartitioned
+    // partition tuple before a spec evolution (q312)
+    val t = TRecord("outer", Vector(
+      "id" -> TLong, "part" -> TRecord("r102", Vector())))
+    val rows = Seq(
+      Vector[Cell](LongCell(7L), RecCell(Vector.empty)),
+      Vector[Cell](LongCell(8L), RecCell(Vector.empty)))
+    val b = AvroOcf.synthNested(t, rows, Seq(2), "snappy", 5)
+    val info = AvroOcf.probeNested(b).get
+    assert(info.root == t && info.nRecords == 2)
+    assert(info.rows(0)(1) == RecCell(Vector.empty))
+    // a manifest of spec-0 entries (no partition field) plans as
+    // scanned-and-matched regardless of the predicate range
+    val es = (0 until 3).map(i => ManifestEntry(1, Some(1L),
+      DataFile(0, s"f$i", "PARQUET", Vector(), 10L + i, 100L + i)))
+    val mb = IcebergManifests.synthManifest(es, TRecord("r102", Vector()),
+      "null", 3)
+    val mf = ManifestFile("m.avro", mb.length.toLong, 0, 1L,
+      3, 0, 0, es.map(_.dataFile.recordCount).sum, 0L, 0L, None)
+    val list = IcebergManifests.synthManifestList(Seq(mf), "null", 4)
+    val plan = IcebergManifests.planScan(list, Map("m.avro" -> mb).get,
+      0, 1000L, 2000L).get
+    assert(plan.filesScanned == 3 && plan.filesMatched == 3)
+    assert(plan.rowsMatched == 33L && plan.bytesMatched == 303L)
+    // but a manifest that PUBLISHES bounds while holding field-less
+    // files is malformed: decline
+    val lying = IcebergManifests.synthManifestList(Seq(mf.copy(
+      partitions = Some(Vector(FieldSummary(containsNull = false,
+        Some("0"), Some("5")))))), "null", 4)
+    assert(IcebergManifests.planScan(lying, Map("m.avro" -> mb).get,
+      0, 0L, 5L).isEmpty)
+  }
+
   // ------------------------------------------------------------------
   // planScan (q285): manifest-level partition pruning
   // ------------------------------------------------------------------
