@@ -100,7 +100,11 @@ object Round12Queries {
           floor(aggregate(col("terms"), lit(0.0d),
             (acc, x) => acc + x("n") * log2(col("t").cast("double") / x("c"))) /
             col("n_words") * 1e6 + 0.5).cast("long").as("diff_e6"))
-      graft.operators.Ranks.globalRowNumber(diff,
+      // the rank references its input from three subtrees (extent agg,
+      // bucket offsets, the bucketed window) — cache the per-doc fold so
+      // the explode+join+fold pipeline above runs once, not three times
+      val diffC = graft.operators.ScopedCache.cache(diff)
+      graft.operators.Ranks.globalRowNumber(diffC,
           Seq(col("diff_e6"), col("doc_id")), "rn")
         .withColumn("stage", expr("((rn - 1) * 4) div nd") + 1)
         .groupBy("stage")
