@@ -1085,11 +1085,177 @@ object Round12Queries {
       FROM bu GROUP BY band ORDER BY band"""
     })
 
+  /** TRAIN/TEST SPLIT-LEAKAGE AUDIT — the contamination check at the
+    * SPLIT level: a 90/10 hash split is only honest if no near-duplicate
+    * pair straddles it (a test doc whose near-twin trains is leakage the
+    * doc-level dedup can't see). The verified near-dup pairs (banded
+    * minhash candidates, exact shingle-Jaccard ≥ 0.5 — the q296
+    * machinery) are classified by which sides of the split they touch;
+    * `train-test` rows are the leaks. Band-bucket equi-join only — the
+    * audit never compares docs across the split exhaustively.
+    */
+  val q316SplitLeakage: QueryDef = QueryDef(
+    "q316_split_leakage",
+    (s, dir) => {
+      import graft.operators.{Dedup, ScopedCache}
+      val docs = Tables.load(s, dir, "documents")
+      val sp = docs.select(col("doc_id"),
+          (pmod(graft.functions.HashFunctions.hash32(col("text")),
+            lit(10)) === 0).as("is_test"))
+        .transform(ScopedCache.cache)
+      val banded = Dedup.bandedSignatures(docs, shingleK = 3, rowsPerBand = 2)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = ScopedCache.cache(
+        docs.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), Dedup.hashedShingles(col("text"), 3).as("sh")))
+      val inter = graft.plans.SortedLongArrayIntersectCount(
+        col("sh_a"), col("sh_b"))
+      val jac = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (inter.cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - inter)).as("j"))
+        .filter(col("j") >= 0.5d)
+        .select(col("doc_a"), col("doc_b"),
+          floor(col("j") * 1e6 + 0.5).cast("long").as("j_e6"))
+      jac
+        .join(sp.select(col("doc_id").as("doc_a"), col("is_test").as("ta")),
+          "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"), col("is_test").as("tb")),
+          "doc_b")
+        .select(
+          when(col("ta") && col("tb"), "test-test")
+            .when(!col("ta") && !col("tb"), "train-train")
+            .otherwise("train-test").as("split_pair"),
+          col("doc_a"), col("doc_b"), col("j_e6"))
+        .groupBy("split_pair")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("doc_a").as("min_doc_a"), max("doc_b").as("max_doc_b"),
+          sum("j_e6").as("j_e6_sum"))
+        .orderBy("split_pair")
+    },
+    Some {
+      val sigList = (0 until 8).map(DedupQueries.sigExpr).mkString(", ")
+      s"""
+      WITH ${DedupQueries.shingleCtes},
+      sg AS (SELECT doc_id, [$sigList] AS sgl,
+                    list_distinct(list_transform(sh,
+                      t -> ${DedupQueries.h32("t")})) AS hs
+             FROM s),
+      bands AS (SELECT doc_id, b,
+                       sgl[2 * b + 1]::VARCHAR || '_' ||
+                         sgl[2 * b + 2]::VARCHAR AS key
+                FROM sg, generate_series(0, 3) g(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      jac AS (SELECT doc_a, doc_b,
+                     CAST(floor(j * 1e6 + 0.5) AS BIGINT) AS j_e6
+              FROM (SELECT c.doc_a, c.doc_b,
+                           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                             / (len(sa.hs) + len(sb.hs)
+                                - len(list_intersect(sa.hs, sb.hs))) AS j
+                    FROM cand c JOIN sg sa ON sa.doc_id = c.doc_a
+                                JOIN sg sb ON sb.doc_id = c.doc_b)
+              WHERE j >= 0.5e0),
+      sp AS (SELECT doc_id,
+                    ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0
+                      AS is_test
+             FROM documents)
+      SELECT CASE WHEN ta.is_test AND tb.is_test THEN 'test-test'
+                  WHEN NOT ta.is_test AND NOT tb.is_test THEN 'train-train'
+                  ELSE 'train-test' END AS split_pair,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             min(doc_a) AS min_doc_a, max(doc_b) AS max_doc_b,
+             CAST(SUM(j_e6) AS BIGINT) AS j_e6_sum
+      FROM jac JOIN sp ta ON ta.doc_id = jac.doc_a
+               JOIN sp tb ON tb.doc_id = jac.doc_b
+      GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** CRAWL-FRONTIER FUNNEL — the politeness + canonicalization
+    * composition a crawler runs before fetching: per document a real
+    * robots policy ([[graft.operators.RobotsTxt]], the q268 shape) and
+    * four synthetic URLs exercising the canonicalization traps (www +
+    * case host, utm params, default port, trailing slash, fragment);
+    * the frontier keeps robots-allowed URLs and dedups them by
+    * [[graft.operators.TextAnalysis.canonicalizeUrl]] — two URLs that
+    * differ only in tracking params must fetch once. The robots walk is
+    * per-row Scala over a Dataset; the canonical dedup is a codegen'd
+    * expression + hash aggregate.
+    */
+  val q317CrawlFrontier: QueryDef = QueryDef(
+    "q317_crawl_frontier",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val urls = src.flatMap { r =>
+        import graft.operators.RobotsTxt
+        val c = ('a' + r.v % 26).toChar
+        val hasBot = r.v % 2 == 0
+        val txt = "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/pub\n" +
+          (if (hasBot) "\nUser-agent: graftbot\nDisallow:\n" else "")
+        val robots = RobotsTxt.parse(txt)
+        val us = Seq(
+          s"https://WWW.Ex$c.org/a/${r.n % 10}/",
+          s"https://ex$c.org/a/${r.n % 10}?utm_source=x",
+          s"http://ex$c.org:80/tmp/data${r.n % 10}",
+          s"https://ex$c.org/tmp/pub/x#frag")
+        us.map { u =>
+          val path = u.replaceFirst("(?i)^[a-z]+://[^/]+", "") match {
+            case "" => "/"
+            case p => p
+          }
+          (r.doc_id, u, RobotsTxt.isAllowed(robots, "graftbot", path))
+        }
+      }.toDF("doc_id", "url", "allowed")
+      urls
+        .withColumn("cu",
+          graft.operators.TextAnalysis.canonicalizeUrl(col("url")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          count_distinct(when(col("allowed"), col("cu"))).as("n_canonical"),
+          min(when(col("allowed"), col("cu"))).as("first_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n % 10 AS p, chr(97 + v % 26) AS c,
+                   v % 2 = 0 AS hasbot
+            FROM d)
+      SELECT doc_id,
+             CAST(4 AS BIGINT) AS n_urls,
+             CAST(CASE WHEN hasbot THEN 4 ELSE 3 END AS BIGINT) AS n_allowed,
+             CAST(CASE WHEN hasbot THEN 3 ELSE 2 END AS BIGINT)
+               AS n_canonical,
+             CASE WHEN hasbot
+                  THEN 'http://ex' || c || '.org/tmp/data' || p
+                  ELSE 'https://ex' || c || '.org/a/' || p
+             END AS first_canonical
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
     q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
     q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
     q306GroupAdvantage, q307SlidingChunks, q308MixtureBudget,
     q309ContrastiveMining, q310PsiDrift, q311QualityCalibration,
     q312IcebergSpecEvolution, q313LabelNoiseAudit, q314DeletionPropagation,
-    q315LshSkewAudit)
+    q315LshSkewAudit, q316SplitLeakage, q317CrawlFrontier)
 }

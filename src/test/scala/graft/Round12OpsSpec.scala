@@ -30,6 +30,29 @@ class Round12OpsSpec extends SparkTestBase {
       (4L, 0L, 1L, 32L, "w1"), (4L, 1L, 25L, 8L, "w25")))
   }
 
+  test("slidingChunks is a stateless streaming transform: stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 40).map("a" + _).mkString(" ")),
+      (2L, (1 to 10).map("b" + _).mkString(" ")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CorpusOps.slidingChunks(
+        mem.toDS().toDF("doc_id", "text"), width = 32, stride = 24)
+      .writeStream.format("memory").queryName("chunks_stream_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunks_stream_test")
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      val batch = CorpusOps.slidingChunks(
+          docs.toDF("doc_id", "text"), width = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      assert(streamed == batch && batch.size == 3)
+    } finally q.stop()
+  }
+
   test("vacuumCandidates: resurrection protects; horizon splits; asOf bounds") {
     val log = Seq(
       // a: removed young tombstone (not yet past horizon)
