@@ -49,6 +49,51 @@ object DeltaReplay {
       .filter(col("path").isNotNull)
   }
 
+  private val TableSchema =
+    "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>, " +
+      "metaData STRUCT<id: STRING, schemaString: STRING, " +
+      "partitionColumns: ARRAY<STRING>>"
+
+  /** TABLE-LEVEL ACTIONS — the protocol/metaData layer [[replay]]
+    * deliberately skips: per the public Delta protocol, `protocol`
+    * carries the reader/writer version gate a client MUST check before
+    * trusting anything else in the log, and `metaData` carries the
+    * table id, the JSON-serialized schema, and the partition columns;
+    * both are last-writer-wins by version. One hash aggregation per
+    * group (two conditional max_by over the same shuffle — the
+    * [[diff]] shape); `reader_supported` reports whether THIS reader
+    * (protocol reader version 1 semantics: plain add/remove file
+    * actions) may proceed, instead of fabricating a read it cannot
+    * honor. `groupCols` lets a caller fold many per-document synthetic
+    * logs in one pass (empty = one global table).
+    */
+  def tableInfo(log: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+    val parsed = log.select(
+      (groupCols.map(col) :+ col("version") :+
+        from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(TableSchema),
+          Map.empty[String, String]).as("j")): _*)
+    val gb =
+      if (groupCols.isEmpty) parsed.groupBy()
+      else parsed.groupBy(groupCols.map(col): _*)
+    gb.agg(
+        max_by(col("j.protocol"),
+          when(col("j.protocol").isNotNull, col("version"))).as("pr"),
+        max_by(col("j.metaData"),
+          when(col("j.metaData").isNotNull, col("version"))).as("md"))
+      .select((groupCols.map(col) ++ Seq(
+        col("pr.minReaderVersion").as("min_reader"),
+        col("pr.minWriterVersion").as("min_writer"),
+        (col("pr.minReaderVersion") <= 1).as("reader_supported"),
+        col("md.id").as("meta_id"),
+        regexp_count(col("md.schemaString"), lit("\"name\":"))
+          .cast("int").as("n_schema_fields"),
+        size(col("md.partitionColumns")).as("n_part_cols"),
+        // get() (0-based) is out-of-bounds-null under ANSI, where
+        // element_at would throw on an empty partitionColumns
+        get(col("md.partitionColumns"), lit(0)).as("first_part_col"))): _*)
+  }
+
   /** VACUUM planning — the physical-cleanup audit behind `VACUUM
     * RETAIN`: a data file is reclaimable at `asOf` exactly when its LAST
     * action at or before `asOf` is a remove (a later re-add resurrects

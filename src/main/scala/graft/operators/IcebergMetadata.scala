@@ -34,17 +34,32 @@ object IcebergMetadata {
 
   final case class Schema(schemaId: Int, fields: Vector[Field])
 
+  /** A named ref per the v2 spec's `refs` map: a BRANCH (a mutable head
+    * `current-snapshot-id` tracks when named `main`) or a TAG (an
+    * immutable bookmark for time travel), each with its optional
+    * retention knobs. `min-snapshots-to-keep` is branch-only by spec.
+    */
+  final case class NamedRef(name: String, snapshotId: Long,
+      isBranch: Boolean, maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None)
+
   final case class TableMeta(formatVersion: Int, uuid: String,
       location: String, currentSnapshotId: Long,
       snapshots: Vector[SnapshotRef],
       schemas: Vector[Schema] = Vector.empty,
-      currentSchemaId: Option[Int] = None) {
+      currentSchemaId: Option[Int] = None,
+      refs: Vector[NamedRef] = Vector.empty) {
     def current: Option[SnapshotRef] =
       snapshots.find(_.id == currentSnapshotId)
     def schemaOf(id: Int): Option[Schema] =
       schemas.find(_.schemaId == id)
     def currentSchema: Option[Schema] =
       currentSchemaId.flatMap(schemaOf)
+    def ref(name: String): Option[NamedRef] = refs.find(_.name == name)
+    /** The snapshot a ref resolves to (refs are validated at parse). */
+    def snapshotFor(name: String): Option[SnapshotRef] =
+      ref(name).flatMap(r => snapshots.find(_.id == r.snapshotId))
   }
 
   /** Field-level diff between two schema versions, keyed by the STABLE
@@ -152,8 +167,55 @@ object IcebergMetadata {
       snaps.foreach(_.schemaId.foreach { sid =>
         if (!schemas.exists(_.schemaId == sid)) return None
       })
+      // refs layer (optional): every ref must name a listed snapshot
+      // with a legal type; `main` (if present) must agree with
+      // current-snapshot-id (the spec ties the main branch head to it);
+      // min-snapshots-to-keep is meaningless on a tag and declines
+      val refsNode = root.path("refs")
+      val refs =
+        if (refsNode.isMissingNode || refsNode.isNull)
+          Vector.empty[NamedRef]
+        else {
+          if (!refsNode.isObject) return None
+          val it = refsNode.fields()
+          val out = Vector.newBuilder[NamedRef]
+          while (it.hasNext) {
+            val e = it.next()
+            val r = e.getValue
+            val sid = r.path("snapshot-id")
+            if (!sid.isNumber) return None
+            val isBranch = r.path("type").asText("") match {
+              case "branch" => true
+              case "tag" => false
+              case _ => return None
+            }
+            def optLong(k: String): Option[Long] = {
+              val n = r.path(k)
+              if (n.isMissingNode || n.isNull) None
+              else if (n.isNumber) Some(n.asLong())
+              else return None
+            }
+            val minKeep = {
+              val n = r.path("min-snapshots-to-keep")
+              if (n.isMissingNode || n.isNull) None
+              else if (n.isNumber) Some(n.asInt())
+              else return None
+            }
+            if (minKeep.isDefined && !isBranch) return None
+            out += NamedRef(e.getKey, sid.asLong(), isBranch,
+              optLong("max-ref-age-ms"), minKeep,
+              optLong("max-snapshot-age-ms"))
+          }
+          out.result()
+        }
+      refs.foreach { r =>
+        if (!snaps.exists(_.id == r.snapshotId)) return None
+      }
+      refs.find(_.name == "main").foreach { m =>
+        if (!m.isBranch || m.snapshotId != curId.asLong()) return None
+      }
       val meta = TableMeta(fv, uuid, loc, curId.asLong(), snaps, schemas,
-        curSchemaId)
+        curSchemaId, refs)
       if (meta.current.isEmpty) return None
       Some(meta)
     } catch { case NonFatal(_) => None }
@@ -178,7 +240,8 @@ object IcebergMetadata {
   def synthMetadata(uuid: String, location: String,
       snapshots: Seq[SnapshotRef], currentId: Long,
       schemas: Seq[Schema] = Nil,
-      currentSchemaId: Option[Int] = None): String = {
+      currentSchemaId: Option[Int] = None,
+      refs: Seq[NamedRef] = Nil): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper
     val root = om.createObjectNode()
     root.put("format-version", 2)
@@ -212,6 +275,17 @@ object IcebergMetadata {
       }
     }
     currentSchemaId.foreach(root.put("current-schema-id", _))
+    if (refs.nonEmpty) {
+      val rn = root.putObject("refs")
+      refs.foreach { r =>
+        val n = rn.putObject(r.name)
+        n.put("snapshot-id", r.snapshotId)
+        n.put("type", if (r.isBranch) "branch" else "tag")
+        r.maxRefAgeMs.foreach(n.put("max-ref-age-ms", _))
+        r.minSnapshotsToKeep.foreach(n.put("min-snapshots-to-keep", _))
+        r.maxSnapshotAgeMs.foreach(n.put("max-snapshot-age-ms", _))
+      }
+    }
     om.writeValueAsString(root)
   }
 }

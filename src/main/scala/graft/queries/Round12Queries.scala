@@ -1251,11 +1251,254 @@ object Round12Queries {
              END AS first_canonical
       FROM g ORDER BY doc_id"""))
 
+  /** ICEBERG REFS: BRANCHES AND TAGS — the v2 `refs` map that makes
+    * time travel and WAP workflows addressable: per document a metadata
+    * doc carries `main` (tied by spec to current-snapshot-id), a `v1`
+    * TAG bookmarking the first snapshot, and (on even hashes) a `dev`
+    * branch mid-history with its retention knobs. ONLY the tag's
+    * manifest chain is materialized — resolving any other snapshot
+    * fails loudly, so the row proves the reader descended through the
+    * ref, not through current. Parse-level strictness (ref type legal,
+    * target listed, main agrees with current, min-snapshots-to-keep
+    * branch-only) is enforced in [[graft.operators.IcebergMetadata]].
+    */
+  val q318IcebergRefs: QueryDef = QueryDef(
+    "q318_iceberg_refs",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.{IcebergManifests, IcebergMetadata}
+        import graft.operators.IcebergManifests._
+        import graft.operators.IcebergMetadata.{NamedRef, SnapshotRef}
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val nSnaps = 2 + r.v % 3
+          val cur = nSnaps - 1
+          // the TAG snapshot (first in history) is the only one whose
+          // chain exists; main/dev lists resolve to nothing
+          val k = 2 + r.n % 4
+          val entries = (0 until k).map { i =>
+            ManifestEntry(1, None,
+              DataFile(0, s"s0/f$i.parquet", "PARQUET",
+                Vector("bucket" -> ((r.v + i) % 4).toLong),
+                30L + (r.v + i) % 40,
+                1000L + (r.n * 3 + i * 7) % 400))
+          }
+          val dm = synthManifest(entries, partType, "deflate",
+            (r.v % 80) + 1)
+          val list = synthManifestList(Seq(
+            ManifestFile("meta/m0.avro", dm.length.toLong, 0, 1000L,
+              k, 0, 0, entries.map(_.dataFile.recordCount).sum,
+              0L, 0L, None, 0)),
+            "deflate", (r.n % 80) + 2)
+          val snaps = (0 until nSnaps).map(si =>
+            SnapshotRef(1000L + si, si + 1L,
+              1700000000000L + si * 1000L, s"meta/list$si.avro",
+              if (si == 0) "append" else "overwrite"))
+          val hasDev = r.v % 2 == 0
+          val devAt = cur / 2
+          val refs = Seq(
+            NamedRef("main", 1000L + cur, isBranch = true),
+            NamedRef("v1", 1000L, isBranch = false,
+              maxRefAgeMs = Some(86400000L))) ++
+            (if (hasDev)
+              Seq(NamedRef("dev", 1000L + devAt, isBranch = true,
+                minSnapshotsToKeep = Some(3)))
+            else Nil)
+          val json = IcebergMetadata.synthMetadata(
+            s"tbl-${r.v}", s"warehouse/t${r.doc_id}", snaps,
+            1000L + cur, refs = refs)
+          val meta = IcebergMetadata.parseMetadata(json)
+            .getOrElse(sys.error(s"metadata parse failed: doc ${r.doc_id}"))
+          val tag = meta.snapshotFor("v1")
+            .getOrElse(sys.error(s"tag unresolvable: doc ${r.doc_id}"))
+          val lookup = Map("meta/list0.avro" -> list, "meta/m0.avro" -> dm)
+          val st = IcebergManifests.replayV2(
+              lookup.getOrElse(tag.manifestList,
+                sys.error(s"tag resolved wrong list: doc ${r.doc_id}")),
+              lookup.get)
+            .getOrElse(sys.error(s"tag replay failed: doc ${r.doc_id}"))
+          val devBehind = meta.ref("dev")
+            .map(d => (cur + 1L) - meta.snapshotFor("dev").get.sequenceNumber)
+            .getOrElse(-1L)
+          (r.doc_id, meta.refs.size, meta.refs.count(_.isBranch),
+            meta.refs.count(!_.isBranch), tag.id, tag.sequenceNumber,
+            meta.ref("v1").flatMap(_.maxRefAgeMs).getOrElse(-1L),
+            devBehind, st.base.live.size, st.base.liveRows)
+        }
+      }
+      probed.toDF("doc_id", "n_refs", "n_branches", "n_tags",
+          "tag_snapshot", "tag_seq", "tag_max_age_ms", "dev_behind",
+          "tag_live_files", "tag_live_rows")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS INTEGER) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, (2 + v % 3) - 1 AS cur,
+                   2 + n % 4 AS k, v % 2 = 0 AS hasdev
+            FROM d)
+      SELECT doc_id,
+             CAST(CASE WHEN hasdev THEN 3 ELSE 2 END AS INTEGER) AS n_refs,
+             CAST(CASE WHEN hasdev THEN 2 ELSE 1 END AS INTEGER)
+               AS n_branches,
+             CAST(1 AS INTEGER) AS n_tags,
+             CAST(1000 AS BIGINT) AS tag_snapshot,
+             CAST(1 AS BIGINT) AS tag_seq,
+             CAST(86400000 AS BIGINT) AS tag_max_age_ms,
+             CAST(CASE WHEN hasdev THEN (cur + 1) - (cur // 2 + 1)
+                  ELSE -1 END AS BIGINT) AS dev_behind,
+             CAST(k AS INTEGER) AS tag_live_files,
+             CAST(list_sum(list_transform(range(k),
+               i -> 30 + (v + i) % 40)) AS BIGINT) AS tag_live_rows
+      FROM g ORDER BY doc_id"""))
+
+  /** DELTA PROTOCOL + METADATA GATE
+    * ([[graft.operators.DeltaReplay.tableInfo]]): the version gate a
+    * client must check before trusting the log, and the table
+    * id/schema/partitioning, both last-writer-wins. Per document a
+    * synthetic log carries a protocol (reader 1 or 2 — the 2s report
+    * `reader_supported = false` rather than a fabricated read), an
+    * initial metaData, and on every fourth hash a LATER metaData that
+    * adds a schema field and renames the table id — the last-wins fold
+    * must surface the update. Schema field counts come from the
+    * JSON-serialized schemaString both engines count identically.
+    */
+  val q319DeltaProtocol: QueryDef = QueryDef(
+    "q319_delta_protocol",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+      def schemaJson(k: org.apache.spark.sql.Column) = concat(
+        lit("""{\"type\":\"struct\",\"fields\":["""),
+        array_join(transform(sequence(lit(0), k - 1),
+          i => concat(lit("""{\"name\":\"c"""), i, lit("""\"}"""))), ","),
+        lit("]}"))
+      val protocol = d.select(col("doc_id"), lit(0L).as("version"),
+        format_string(
+          """{"protocol":{"minReaderVersion":%d,"minWriterVersion":%d}}""",
+          lit(1) + col("v") % 2, lit(2) + col("v") % 3).as("line"))
+      val meta0 = d.select(col("doc_id"), lit(0L).as("version"),
+        format_string(
+          """{"metaData":{"id":"m-%d","schemaString":"%s","partitionColumns":%s}}""",
+          col("doc_id"), schemaJson((lit(2) + col("n") % 3).cast("int")),
+          when(col("v") % 3 === 0, """["lang","source"]""")
+            .when(col("v") % 3 === 1, """["lang"]""")
+            .otherwise("[]")).as("line"))
+      val meta1 = d.filter(col("v") % 4 === 0)
+        .select(col("doc_id"), lit(3L).as("version"),
+          format_string(
+            """{"metaData":{"id":"m2-%d","schemaString":"%s","partitionColumns":[]}}""",
+            col("doc_id"), schemaJson((lit(3) + col("n") % 3).cast("int")))
+            .as("line"))
+      val adds = d.select(col("doc_id"), lit(1L).as("version"),
+        format_string(
+          """{"add":{"path":"part-%d","size":%d,"dataChange":true}}""",
+          col("doc_id"), col("n")).as("line"))
+      val log = protocol.unionAll(meta0).unionAll(meta1).unionAll(adds)
+      graft.operators.DeltaReplay.tableInfo(log, groupCols = Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS INTEGER) AS v
+                 FROM documents)
+      SELECT doc_id,
+             CAST(1 + v % 2 AS INTEGER) AS min_reader,
+             CAST(2 + v % 3 AS INTEGER) AS min_writer,
+             v % 2 = 0 AS reader_supported,
+             CASE WHEN v % 4 = 0 THEN 'm2-' || doc_id
+                  ELSE 'm-' || doc_id END AS meta_id,
+             CAST(CASE WHEN v % 4 = 0 THEN 3 + n % 3
+                  ELSE 2 + n % 3 END AS INTEGER) AS n_schema_fields,
+             CAST(CASE WHEN v % 4 = 0 THEN 0
+                  WHEN v % 3 = 0 THEN 2
+                  WHEN v % 3 = 1 THEN 1
+                  ELSE 0 END AS INTEGER) AS n_part_cols,
+             CASE WHEN v % 4 = 0 THEN NULL
+                  WHEN v % 3 IN (0, 1) THEN 'lang'
+                  ELSE NULL END AS first_part_col
+      FROM d ORDER BY doc_id"""))
+
+  /** PADDING-WASTE BATCHING AUDIT — the inference/training-serving
+    * question behind length-bucketed dynamic batching: documents
+    * batched 32 at a time pay `max_len − len` padding per row, and the
+    * audit measures total padding under three bucketing grains (one
+    * global bucket, width-64, width-16 token buckets) — the measured
+    * S-curve behind choosing the bucket width. Within-bucket order and
+    * batch assignment use [[graft.operators.Ranks.groupedRowNumber]]
+    * (few giant groups — exactly the case a plain partitioned window
+    * degenerates on); everything else is hash aggregates.
+    */
+  val q320PaddingWaste: QueryDef = QueryDef(
+    "q320_padding_waste",
+    (s, dir) => {
+      import graft.operators.{Ranks, ScopedCache}
+      val toks = ScopedCache.cache(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok")))
+      Seq(100000, 64, 16).map { w =>
+        val b = toks.withColumn("bkt", expr(s"tok div $w"))
+        val ranked = Ranks.groupedRowNumber(b, Seq(col("bkt")),
+          Seq(col("tok"), col("doc_id")), "rn")
+        ranked.withColumn("batch", expr("(rn - 1) div 32"))
+          .groupBy("bkt", "batch")
+          .agg(count(lit(1)).as("bn"), max("tok").as("mx"),
+            sum("tok").as("ts"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum("bn").as("n_docs"),
+            sum("ts").as("token_sum"),
+            sum(col("mx") * col("bn") - col("ts")).as("padding_sum"))
+          .select(lit(w).as("bucket_w"), col("n_docs"), col("n_batches"),
+            col("token_sum"), col("padding_sum"),
+            expr("padding_sum * 1000000 div (padding_sum + token_sum)")
+              .as("waste_e6"))
+      }.reduce(_ unionAll _).orderBy("bucket_w")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                 FROM documents),
+      cfg AS (SELECT unnest([100000, 64, 16]) AS w),
+      r AS (SELECT w, doc_id, tok, tok // w AS bkt,
+                   row_number() OVER (PARTITION BY w, tok // w
+                     ORDER BY tok, doc_id) AS rn
+            FROM t CROSS JOIN cfg),
+      b AS (SELECT w, bkt, (rn - 1) // 32 AS batch,
+                   CAST(count(*) AS BIGINT) AS bn,
+                   max(tok) AS mx, CAST(SUM(tok) AS BIGINT) AS ts
+            FROM r GROUP BY 1, 2, 3)
+      SELECT CAST(w AS INTEGER) AS bucket_w,
+             CAST(SUM(bn) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(SUM(ts) AS BIGINT) AS token_sum,
+             CAST(SUM(mx * bn - ts) AS BIGINT) AS padding_sum,
+             CAST(SUM(mx * bn - ts) * 1000000
+               // (SUM(mx * bn - ts) + SUM(ts)) AS BIGINT) AS waste_e6
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
     q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
     q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
     q306GroupAdvantage, q307SlidingChunks, q308MixtureBudget,
     q309ContrastiveMining, q310PsiDrift, q311QualityCalibration,
     q312IcebergSpecEvolution, q313LabelNoiseAudit, q314DeletionPropagation,
-    q315LshSkewAudit, q316SplitLeakage, q317CrawlFrontier)
+    q315LshSkewAudit, q316SplitLeakage, q317CrawlFrontier,
+    q318IcebergRefs, q319DeltaProtocol, q320PaddingWaste)
 }

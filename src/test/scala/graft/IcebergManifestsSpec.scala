@@ -218,6 +218,40 @@ class IcebergManifestsSpec extends AnyFunSuite {
     assert(IcebergMetadata.replayCurrent(json, manifests.get).isEmpty)
   }
 
+  test("refs layer: branch/tag resolution and every strictness rule") {
+    import graft.operators.IcebergMetadata
+    import graft.operators.IcebergMetadata.{NamedRef, SnapshotRef}
+    val snaps = Seq(
+      SnapshotRef(10L, 1L, 1700000000000L, "meta/l0.avro", "append"),
+      SnapshotRef(11L, 2L, 1700000001000L, "meta/l1.avro", "overwrite"))
+    def mk(refs: Seq[NamedRef]) = IcebergMetadata.parseMetadata(
+      IcebergMetadata.synthMetadata("t", "w", snaps, 11L, refs = refs))
+    val good = mk(Seq(
+      NamedRef("main", 11L, isBranch = true),
+      NamedRef("v1", 10L, isBranch = false, maxRefAgeMs = Some(1000L)),
+      NamedRef("dev", 10L, isBranch = true,
+        minSnapshotsToKeep = Some(3)))).get
+    assert(good.refs.size == 3)
+    assert(good.snapshotFor("v1").get.sequenceNumber == 1L)
+    assert(good.snapshotFor("dev").get.id == 10L)
+    assert(good.ref("v1").get.maxRefAgeMs.contains(1000L))
+    // a ref naming an unlisted snapshot declines
+    assert(mk(Seq(NamedRef("x", 99L, isBranch = false))).isEmpty)
+    // main must be a BRANCH and must agree with current-snapshot-id
+    assert(mk(Seq(NamedRef("main", 10L, isBranch = true))).isEmpty)
+    assert(mk(Seq(NamedRef("main", 11L, isBranch = false))).isEmpty)
+    // min-snapshots-to-keep is branch-only
+    assert(mk(Seq(NamedRef("v1", 10L, isBranch = false,
+      minSnapshotsToKeep = Some(2)))).isEmpty)
+    // an illegal ref type string declines
+    val json = IcebergMetadata.synthMetadata("t", "w", snaps, 11L,
+      refs = Seq(NamedRef("v1", 10L, isBranch = false)))
+    assert(IcebergMetadata.parseMetadata(
+      json.replace("\"type\":\"tag\"", "\"type\":\"bookmark\"")).isEmpty)
+    // a refs-free document still parses (the layer is optional)
+    assert(mk(Nil).isDefined)
+  }
+
   test("schema pinning: a non-manifest nested file declines cleanly") {
     // a valid nested container that is NOT a manifest list / manifest
     val other = TRecord("thing", Vector("a" -> TLong,
