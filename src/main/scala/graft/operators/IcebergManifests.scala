@@ -69,7 +69,11 @@ object IcebergManifests {
     "partitions" -> TOpt(TArray(FieldSummaryType)),
     "content" -> TInt))
 
-  /** `manifest_entry` with a caller-chosen partition record type. */
+  /** `manifest_entry` with a caller-chosen partition record type.
+    * `equality_ids` (spec field 135) is optional on the wire: null for
+    * data and position-delete files, the equality column id list for
+    * equality-delete files (`content = 2`).
+    */
   def manifestEntryType(partition: TRecord): TRecord =
     TRecord("manifest_entry", Vector(
       "status" -> TInt,
@@ -80,7 +84,8 @@ object IcebergManifests {
         "file_format" -> TString,
         "partition" -> partition,
         "record_count" -> TLong,
-        "file_size_in_bytes" -> TLong))))
+        "file_size_in_bytes" -> TLong,
+        "equality_ids" -> TOpt(TArray(TInt))))))
 
   final case class FieldSummary(containsNull: Boolean,
       lower: Option[String], upper: Option[String])
@@ -93,7 +98,7 @@ object IcebergManifests {
 
   final case class DataFile(content: Int, path: String, format: String,
       partition: Vector[(String, Long)], recordCount: Long,
-      fileSizeBytes: Long)
+      fileSizeBytes: Long, equalityIds: Option[Vector[Int]] = None)
 
   final case class ManifestEntry(status: Int, snapshotId: Option[Long],
       dataFile: DataFile)
@@ -151,6 +156,16 @@ object IcebergManifests {
     try {
       val info = AvroOcf.probeNested(b).getOrElse(return None)
       val partType = info.root match {
+        // the spec-complete shape (with optional equality_ids) and the
+        // legacy 6-field shape both decode; anything else declines
+        case TRecord("manifest_entry", Vector(
+            ("status", TInt), ("snapshot_id", TOpt(TLong)),
+            ("data_file", TRecord("r2", Vector(
+              ("content", TInt), ("file_path", TString),
+              ("file_format", TString), ("partition", p: TRecord),
+              ("record_count", TLong), ("file_size_in_bytes", TLong),
+              ("equality_ids", TOpt(TArray(TInt))))))))
+          if p.fields.forall(f => f._2 == TInt || f._2 == TLong) => p
         case TRecord("manifest_entry", Vector(
             ("status", TInt), ("snapshot_id", TOpt(TLong)),
             ("data_file", TRecord("r2", Vector(
@@ -169,6 +184,16 @@ object IcebergManifests {
           case _ => return None
         }
         val df = r(2) match {
+          case RecCell(Vector(content, path, fmt, RecCell(pcells), rc, fs,
+              eq)) =>
+            val eqIds = eq match {
+              case NullCell => None
+              case ArrCell(cells) => Some(cells.map(c => lng(c).toInt))
+              case _ => return None
+            }
+            DataFile(lng(content).toInt, str(path), str(fmt),
+              partType.fields.map(_._1).zip(pcells.map(lng)), lng(rc),
+              lng(fs), eqIds)
           case RecCell(Vector(content, path, fmt, RecCell(pcells), rc, fs)) =>
             DataFile(lng(content).toInt, str(path), str(fmt),
               partType.fields.map(_._1).zip(pcells.map(lng)), lng(rc),
@@ -323,9 +348,23 @@ object IcebergManifests {
     * actually returns.
     */
   final case class TableStateV2(base: TableState,
-      deletedPositions: Map[String, Long]) {
+      deletedPositions: Map[String, Long],
+      eqDeletes: Vector[DataFile] = Vector.empty) {
+    /** Positional merge-on-read count. Equality deletes subtract an
+      * UNKNOWN number of matching data rows until the data is read, so
+      * they are reported separately, never guessed into this number.
+      */
     def effectiveRows: Long =
       base.liveRows - deletedPositions.values.sum
+    /** Rows carried by equality-delete files (each deletes AT MOST one
+      * matching data row per data row — the scan-time residual's upper
+      * bound on further loss).
+      */
+    def eqDeleteRows: Long = eqDeletes.map(_.recordCount).sum
+    /** Lower bound on the post-merge row count: every equality delete
+      * row matches (the planner's pessimistic floor).
+      */
+    def minEffectiveRows: Long = math.max(0L, effectiveRows - eqDeleteRows)
   }
 
   /** [[replay]] widened to v2: DATA manifests (`content = 0`) fold the
@@ -347,16 +386,29 @@ object IcebergManifests {
     val live = Vector.newBuilder[DataFile]
     val dead = Vector.newBuilder[DataFile]
     val delFiles = Vector.newBuilder[DataFile]
+    val eqFiles = Vector.newBuilder[DataFile]
     mfs.foreach { mf =>
       if (mf.content < 0 || mf.content > 1) return None
       val entries = checkedEntries(mf, resolve).getOrElse(return None)
-      val wantContent = mf.content // data files in data manifests only
-      if (entries.exists(_.dataFile.content != wantContent)) return None
       entries.foreach { e =>
+        val c = e.dataFile.content
         if (mf.content == 0) {
+          // a data manifest may not smuggle delete-content files
+          if (c != 0) return None
+          // equality_ids is meaningless on a data file
+          if (e.dataFile.equalityIds.isDefined) return None
           if (e.status == 2) dead += e.dataFile else live += e.dataFile
         } else {
-          if (e.status != 2) delFiles += e.dataFile
+          // DELETES manifest: position (1) or EQUALITY (2) delete files
+          if (c != 1 && c != 2) return None
+          // position deletes must NOT set equality_ids; equality
+          // deletes MUST (non-empty) — the spec's field-135 contract
+          if (c == 1 && e.dataFile.equalityIds.isDefined) return None
+          if (c == 2 && !e.dataFile.equalityIds.exists(_.nonEmpty))
+            return None
+          if (e.status != 2) {
+            if (c == 1) delFiles += e.dataFile else eqFiles += e.dataFile
+          }
         }
       }
     }
@@ -378,9 +430,30 @@ object IcebergManifests {
         positions(path) = positions.getOrElse(path, Set.empty) + pos
       }
     }
+    val eqs = eqFiles.result()
+    eqs.foreach { df =>
+      // an equality-delete file's CONTENT is domain rows (the equality
+      // columns' values) — decode generically and enforce the spec's
+      // redundant row count + the byte length, exactly as for
+      // positional files; the values themselves apply at scan time
+      val bytes = resolve(df.path).getOrElse(return None)
+      if (bytes.length.toLong != df.fileSizeBytes) return None
+      val info = AvroOcf.probeNested(bytes).getOrElse(return None)
+      if (info.nRecords.toLong != df.recordCount) return None
+    }
     Some(TableStateV2(TableState(mfs.size, liveFiles, dead.result()),
-      positions.map { case (p, s) => p -> s.size.toLong }.toMap))
+      positions.map { case (p, s) => p -> s.size.toLong }.toMap, eqs))
   }
+
+  /** Encode an equality-delete file: an Avro OCF whose rows carry the
+    * single equality column's values (the common one-column case; the
+    * field name echoes the table column).
+    */
+  def synthEqDeletes(field: String, values: Seq[Long], codec: String,
+      syncSeed: Int): Array[Byte] =
+    AvroOcf.synthNested(TRecord("eq_delete", Vector(field -> TLong)),
+      values.map(v => Vector[Cell](LongCell(v))),
+      Seq(values.size), codec, syncSeed)
 
   /** Encode a position-delete file (real Avro OCF wire format). */
   def synthPosDeletes(dels: Seq[(String, Long)], codec: String,
@@ -407,7 +480,10 @@ object IcebergManifests {
           StrCell(e.dataFile.format),
           RecCell(e.dataFile.partition.map(p => LongCell(p._2))),
           LongCell(e.dataFile.recordCount),
-          LongCell(e.dataFile.fileSizeBytes))))
+          LongCell(e.dataFile.fileSizeBytes),
+          e.dataFile.equalityIds
+            .map(ids => ArrCell(ids.map(i => LongCell(i.toLong))))
+            .getOrElse(NullCell))))
     }
     AvroOcf.synthNested(manifestEntryType(partition), rows,
       Seq(entries.size), codec, syncSeed)

@@ -1493,6 +1493,163 @@ object Round12Queries {
                // (SUM(mx * bn - ts) + SUM(ts)) AS BIGINT) AS waste_e6
       FROM b GROUP BY 1 ORDER BY 1"""))
 
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the mergeable-aggregate
+    * discipline behind every incremental pipeline: yesterday's view (the
+    * base partition) and today's delta are aggregated SEPARATELY and
+    * merged by re-aggregating the partials (count/sum add, min/max fold)
+    * — never by recomputing over the union of raw rows. The oracle
+    * computes the view directly from the full table, so the query IS the
+    * proof that merge(partials) == recompute(all): any non-mergeable
+    * aggregate smuggled into the view lands in the hash. At 100 TB the
+    * base partials are a tiny table and only the delta touches raw data.
+    */
+  val q321IncrementalView: QueryDef = QueryDef(
+    "q321_incremental_view",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          (pmod(graft.functions.HashFunctions.hash32(col("text")),
+            lit(5)) === 0).as("is_delta"))
+      def partial(part: org.apache.spark.sql.DataFrame) =
+        part.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
+            max("n_chars").as("max_chars"), min("doc_id").as("min_doc"))
+      val base = partial(docs.filter(!col("is_delta")))
+      val delta = partial(docs.filter(col("is_delta")))
+      base.unionAll(delta)
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("tok_sum").as("tok_sum"),
+          max("max_chars").as("max_chars"), min("min_doc").as("min_doc"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+             max(n_chars) AS max_chars, min(doc_id) AS min_doc
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** ICEBERG V2 EQUALITY DELETES — the second merge-on-read delete
+    * flavor beside q279's positional: an equality-delete file carries
+    * COLUMN VALUES (real Avro rows under the field-135 `equality_ids`
+    * contract), and matching data rows disappear at scan time. Per
+    * document a table with a data manifest, a positional delete file,
+    * and 1-2 equality-delete files replays through
+    * [[graft.operators.IcebergManifests.replayV2]], which enforces the
+    * new rules (equality entries must set non-empty equality_ids,
+    * positional must not, data files never carry it, equality files'
+    * row counts and byte lengths are verified against their Avro
+    * content) and reports the honest arithmetic: positional
+    * `effectiveRows` plus the equality residual's pessimistic
+    * `minEffectiveRows` floor — never a guessed match count.
+    */
+  val q322IcebergEqualityDeletes: QueryDef = QueryDef(
+    "q322_iceberg_equality_deletes",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(graft.functions.HashFunctions.hash32(col("text")), lit(200))
+            .cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests._
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val codec = Seq("null", "deflate", "snappy")(r.v % 3)
+          val k = 2 + r.n % 3
+          val dataEntries = (0 until k).map { i =>
+            ManifestEntry(1, Some(9001L),
+              DataFile(0, s"data/f$i.parquet", "PARQUET",
+                Vector("bucket" -> (i % 4).toLong),
+                20L + (r.n + 3 * i) % 30,
+                500L + (r.v + 5 * i) % 200))
+          }
+          val dm = IcebergManifests.synthManifest(dataEntries, partType,
+            codec, r.v)
+          // one positional file deleting p positions from f0
+          val p = 1 + r.v % 3 // < 20 <= f0's record_count
+          val pos = IcebergManifests.synthPosDeletes(
+            (0 until p).map(i => ("data/f0.parquet", i.toLong)),
+            codec, r.v + 1)
+          // 1-2 equality files on column id 2 (doc_id)
+          val ne = 1 + r.n % 2
+          val eqs = (0 until ne).map { e =>
+            val nv = 2 + (r.v + e) % 4
+            IcebergManifests.synthEqDeletes("doc_id",
+              (0 until nv).map(i => (r.doc_id * 10 + e * 100 + i)),
+              codec, r.v + 2 + e)
+          }
+          def delEntry(c: Int, path: String, b: Array[Byte], rc: Long,
+              ids: Option[Vector[Int]]) =
+            ManifestEntry(1, Some(9002L), DataFile(c, path, "AVRO",
+              Vector("bucket" -> 0L), rc, b.length.toLong, ids))
+          val delEntries = delEntry(1, "del/p0.avro", pos, p.toLong,
+            None) +: eqs.zipWithIndex.map { case (b, e) =>
+            delEntry(2, s"del/e$e.avro", b,
+              (2 + (r.v + e) % 4).toLong, Some(Vector(2)))
+          }
+          val em = IcebergManifests.synthManifest(delEntries, partType,
+            codec, r.v + 9)
+          def mf(path: String, bytes: Array[Byte],
+              es: Seq[ManifestEntry], content: Int) = {
+            def c(st: Int) = es.count(_.status == st)
+            def rc(st: Int) =
+              es.filter(_.status == st).map(_.dataFile.recordCount).sum
+            ManifestFile(path, bytes.length.toLong, 0, 9001L,
+              c(1), c(0), c(2), rc(1), rc(0), rc(2), None, content)
+          }
+          val list = IcebergManifests.synthManifestList(
+            Seq(mf("meta/dm.avro", dm, dataEntries, 0),
+              mf("meta/em.avro", em, delEntries, 1)), codec, r.v + 11)
+          val byPath = Map("meta/dm.avro" -> dm, "meta/em.avro" -> em,
+            "del/p0.avro" -> pos) ++
+            eqs.zipWithIndex.map { case (b, e) => s"del/e$e.avro" -> b }
+          val st = IcebergManifests.replayV2(list, byPath.get)
+            .getOrElse(sys.error(s"v2 replay failed: doc ${r.doc_id}"))
+          (r.doc_id, codec, st.base.live.size, st.base.liveRows,
+            st.deletedPositions.values.sum, st.effectiveRows,
+            st.eqDeletes.size, st.eqDeleteRows, st.minEffectiveRows,
+            st.eqDeletes.map(_.equalityIds.get.mkString(",")).distinct
+              .mkString(";"))
+        }
+      }
+      probed.toDF("doc_id", "codec", "n_live", "live_rows", "pos_deleted",
+          "effective_rows", "n_eq_files", "eq_delete_rows",
+          "min_effective_rows", "eq_ids")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 2 + n % 3 AS k, 1 + v % 3 AS p,
+                   1 + n % 2 AS ne
+            FROM d),
+      u AS (SELECT *,
+                   list_sum(list_transform(range(k),
+                     i -> 20 + (n + 3 * i) % 30)) AS liverows,
+                   list_sum(list_transform(range(ne),
+                     e -> 2 + (v + e) % 4)) AS eqrows
+            FROM g)
+      SELECT doc_id,
+             (['null', 'deflate', 'snappy'])[v % 3 + 1] AS codec,
+             CAST(k AS INTEGER) AS n_live,
+             CAST(liverows AS BIGINT) AS live_rows,
+             CAST(p AS BIGINT) AS pos_deleted,
+             CAST(liverows - p AS BIGINT) AS effective_rows,
+             CAST(ne AS INTEGER) AS n_eq_files,
+             CAST(eqrows AS BIGINT) AS eq_delete_rows,
+             CAST(greatest(liverows - p - eqrows, 0) AS BIGINT)
+               AS min_effective_rows,
+             '2' AS eq_ids
+      FROM u ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
     q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
     q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
@@ -1500,5 +1657,6 @@ object Round12Queries {
     q309ContrastiveMining, q310PsiDrift, q311QualityCalibration,
     q312IcebergSpecEvolution, q313LabelNoiseAudit, q314DeletionPropagation,
     q315LshSkewAudit, q316SplitLeakage, q317CrawlFrontier,
-    q318IcebergRefs, q319DeltaProtocol, q320PaddingWaste)
+    q318IcebergRefs, q319DeltaProtocol, q320PaddingWaste,
+    q321IncrementalView, q322IcebergEqualityDeletes)
 }

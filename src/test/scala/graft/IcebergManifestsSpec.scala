@@ -176,6 +176,68 @@ class IcebergManifestsSpec extends AnyFunSuite {
       resolve.get).isEmpty)
   }
 
+  test("v2 EQUALITY deletes: metadata fold, row-count/byte enforcement, " +
+    "and the field-135 contract") {
+    val dataEntries = Seq(entry(1, 0, 10), entry(1, 1, 20))
+    val dm = synthManifest(dataEntries, partType, "null", 41)
+    val eq0 = IcebergManifests.synthEqDeletes("doc_id",
+      Seq(3L, 7L, 11L), "deflate", 42)
+    val eq1 = IcebergManifests.synthEqDeletes("doc_id",
+      Seq(20L), "null", 43)
+    def eqEntry(path: String, bytes: Array[Byte], nRows: Long,
+        ids: Option[Vector[Int]] = Some(Vector(2))) =
+      ManifestEntry(1, None, DataFile(2, path, "AVRO",
+        Vector("bucket" -> 0L), nRows, bytes.length.toLong, ids))
+    val eqEntries = Seq(eqEntry("del/e0.avro", eq0, 3L),
+      eqEntry("del/e1.avro", eq1, 1L))
+    val em = synthManifest(eqEntries, partType, "null", 44)
+    def mf(path: String, bytes: Array[Byte], es: Seq[ManifestEntry],
+        content: Int) = {
+      def c(st: Int) = es.count(_.status == st)
+      def rc(st: Int) =
+        es.filter(_.status == st).map(_.dataFile.recordCount).sum
+      ManifestFile(path, bytes.length.toLong, 0, 9001L, c(1), c(0), c(2),
+        rc(1), rc(0), rc(2), None, content)
+    }
+    val resolve = Map("meta/dm.avro" -> dm, "meta/em.avro" -> em,
+      "del/e0.avro" -> eq0, "del/e1.avro" -> eq1)
+    def list(es: Seq[ManifestEntry], emBytes: Array[Byte],
+        rs: Map[String, Array[Byte]]) =
+      IcebergManifests.replayV2(
+        synthManifestList(Seq(mf("meta/dm.avro", dm, dataEntries, 0),
+          mf("meta/em.avro", emBytes, es, 1)), "null", 45),
+        rs.get)
+    val st = list(eqEntries, em, resolve).get
+    assert(st.base.liveRows == 30 && st.effectiveRows == 30)
+    assert(st.eqDeletes.size == 2 && st.eqDeleteRows == 4)
+    assert(st.minEffectiveRows == 26)
+    assert(st.eqDeletes.forall(_.equalityIds.contains(Vector(2))))
+    // an equality entry WITHOUT equality_ids declines (field 135)
+    val noIds = Seq(eqEntry("del/e0.avro", eq0, 3L, ids = None))
+    val noIdsM = synthManifest(noIds, partType, "null", 46)
+    assert(list(noIds, noIdsM,
+      resolve + ("meta/em.avro" -> noIdsM)).isEmpty)
+    // a POSITION entry WITH equality_ids declines
+    val posWithIds = Seq(ManifestEntry(1, None, DataFile(1, "del/e0.avro",
+      "AVRO", Vector("bucket" -> 0L), 3L, eq0.length.toLong,
+      Some(Vector(2)))))
+    val pwM = synthManifest(posWithIds, partType, "null", 47)
+    assert(list(posWithIds, pwM,
+      resolve + ("meta/em.avro" -> pwM)).isEmpty)
+    // record_count lying about the decoded row count declines
+    val lie = Seq(eqEntry("del/e0.avro", eq0, 99L))
+    val lieM = synthManifest(lie, partType, "null", 48)
+    assert(list(lie, lieM, resolve + ("meta/em.avro" -> lieM)).isEmpty)
+    // a data file carrying equality_ids declines
+    val badData = Seq(ManifestEntry(1, None, DataFile(0, "data/fx.parquet",
+      "PARQUET", Vector("bucket" -> 0L), 5L, 50L, Some(Vector(2)))))
+    val bdM = synthManifest(badData, partType, "null", 49)
+    assert(IcebergManifests.replayV2(
+      synthManifestList(Seq(mf("meta/bd.avro", bdM, badData, 0)),
+        "null", 50),
+      (resolve + ("meta/bd.avro" -> bdM)).get).isEmpty)
+  }
+
   test("table metadata: current-snapshot resolution, strictness rules, " +
     "full-chain replay, and real JSON escaping") {
     import graft.operators.IcebergMetadata
