@@ -1650,6 +1650,116 @@ object Round12Queries {
              '2' AS eq_ids
       FROM u ORDER BY doc_id"""))
 
+  /** CLICK ATTRIBUTION WITH MISSES — the batch twin of
+    * [[graft.streaming.EventsStreaming.clickPurchaseJoinOuter]] (the
+    * round's new LEFT OUTER stream-stream join), anchored in the hash
+    * gate: every click pairs with the same user's LATEST purchase in the
+    * preceding hour, or null-pads. The outer join blocks on user — never
+    * clicks × purchases — and the latest-in-window pick is one
+    * conditional max_by, not a window.
+    */
+  val q323ClickAttribution: QueryDef = QueryDef(
+    "q323_click_attribution",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event"), col("user_id"),
+          col("ts").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id"),
+          col("ts").as("p_ts"))
+      val inWindow =
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts")
+      c.join(p, Seq("user_id"), "left")
+        .groupBy("c_event", "user_id", "c_ts")
+        // lexicographic struct max = latest purchase, ties to the larger
+        // event id — deterministic in both engines (DuckDB's max_by
+        // rejects struct keys; plain max over a struct compares fine)
+        .agg(max(when(inWindow, struct(col("p_ts"), col("p_event"))))
+          .as("m"))
+        .select(col("c_event"), col("user_id"), col("c_ts"),
+          col("m.p_event").as("attributed"),
+          col("m.p_ts").as("attributed_ts"),
+          col("m").isNotNull.as("converted"))
+        .orderBy("c_event")
+    },
+    Some("""
+      WITH c AS (SELECT event_id AS c_event, user_id, ts AS c_ts
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id AS p_event, user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT c_event, user_id, c_ts,
+             (max(CASE WHEN p_ts >= c_ts - INTERVAL 1 HOUR
+                        AND p_ts <= c_ts
+                   THEN struct_pack(p_ts := p_ts, p_event := p_event)
+                   END)).p_event AS attributed,
+             (max(CASE WHEN p_ts >= c_ts - INTERVAL 1 HOUR
+                        AND p_ts <= c_ts
+                   THEN struct_pack(p_ts := p_ts, p_event := p_event)
+                   END)).p_ts AS attributed_ts,
+             max(CASE WHEN p_ts >= c_ts - INTERVAL 1 HOUR
+                       AND p_ts <= c_ts THEN p_ts END) IS NOT NULL
+               AS converted
+      FROM c LEFT JOIN p USING (user_id)
+      GROUP BY 1, 2, 3 ORDER BY c_event"""))
+
+  /** WATERMARK LATENESS BUDGET — the drop-rate question behind choosing
+    * a watermark delay: modeling each user's feed in arrival order
+    * (event id), an event is LATE at budget L when it lags the user's
+    * running event-time high-water mark by more than L. Measured at
+    * 1/10/60-minute budgets — the S-curve that prices lateness tolerance
+    * in state size. Running max is a per-user window (many small
+    * partitions); the rest is one aggregate per budget.
+    */
+  val q324LatenessBudget: QueryDef = QueryDef(
+    "q324_lateness_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lagged = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("tsec"))
+        .withColumn("hwm", max("tsec").over(w))
+        .withColumn("lag_s",
+          when(col("hwm").isNull, 0L)
+            .otherwise(greatest(col("hwm") - col("tsec"), lit(0L))))
+        .transform(graft.operators.ScopedCache.cache)
+      Seq(60L, 600L, 3600L).map { budget =>
+        lagged.agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("lag_s") > budget, 1L).otherwise(0L)).as("n_late"),
+          coalesce(max(when(col("lag_s") > budget, col("lag_s"))), lit(0L))
+            .as("max_late_s"))
+          .select(lit(budget).as("budget_s"), col("n_events"),
+            col("n_late"),
+            expr("n_late * 1000000 div n_events").as("late_e6"),
+            col("max_late_s"))
+      }.reduce(_ unionAll _).orderBy("budget_s")
+    },
+    Some("""
+      WITH l AS (SELECT user_id, event_id,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                        max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                          PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS hwm
+                 FROM events),
+      g AS (SELECT CASE WHEN hwm IS NULL THEN 0
+                        ELSE greatest(hwm - tsec, 0) END AS lag_s
+            FROM l),
+      cfg AS (SELECT unnest([60, 600, 3600]) AS budget_s)
+      SELECT CAST(budget_s AS BIGINT) AS budget_s,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN lag_s > budget_s THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late,
+             CAST(SUM(CASE WHEN lag_s > budget_s THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS late_e6,
+             CAST(COALESCE(max(CASE WHEN lag_s > budget_s THEN lag_s END),
+               0) AS BIGINT) AS max_late_s
+      FROM g CROSS JOIN cfg GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
     q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
     q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
@@ -1658,5 +1768,6 @@ object Round12Queries {
     q312IcebergSpecEvolution, q313LabelNoiseAudit, q314DeletionPropagation,
     q315LshSkewAudit, q316SplitLeakage, q317CrawlFrontier,
     q318IcebergRefs, q319DeltaProtocol, q320PaddingWaste,
-    q321IncrementalView, q322IcebergEqualityDeletes)
+    q321IncrementalView, q322IcebergEqualityDeletes, q323ClickAttribution,
+    q324LatenessBudget)
 }

@@ -434,6 +434,34 @@ object EventsStreaming {
         col("c_ts"), col("p_ts"))
   }
 
+  /** [[clickPurchaseJoin]] as a LEFT OUTER stream-stream join — the
+    * attribution-with-misses shape: every click emits, purchase columns
+    * null when no purchase landed in the preceding hour. The outer
+    * (null-padded) row for an unmatched click can only emit once BOTH
+    * watermarks have passed the click's interval — before that a
+    * matching purchase could still arrive — so unmatched results are
+    * delayed by exactly the lateness bound, never guessed early. Same
+    * bounded-state eviction as the inner form.
+    */
+  def clickPurchaseJoinOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"),
+        "leftOuter")
+      .select(col("c_event"), col("p_event"), col("c_user").as("user_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark window — the
     * streaming counterpart of Dedup.exactDedup for at-least-once feeds
     * (duplicate deliveries inside the lateness horizon are dropped with

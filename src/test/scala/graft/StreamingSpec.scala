@@ -192,6 +192,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("LEFT OUTER stream-stream join: matches emit eagerly, unmatched " +
+    "clicks null-pad only after both watermarks pass the interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, String, Double, String)]) =
+      m.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventsStreaming.clickPurchaseJoinOuter(df(clicks), df(purchases))
+      .writeStream.format("memory").queryName("ssjoin_outer_test")
+      .outputMode("append").start()
+    try {
+      purchases.addData((100L, ts(0), 10L, "purchase", 1.0, "{}"))
+      clicks.addData(
+        (1L, ts(30), 10L, "click", 1.0, "{}"),  // matched by 100
+        (2L, ts(30), 99L, "click", 1.0, "{}"))  // no purchase: outer row
+      q.processAllAvailable()
+      def got() = spark.table("ssjoin_outer_test")
+        .select("c_event", "p_event").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // before the watermark passes click 2's interval, the unmatched
+      // row MUST NOT have emitted (a purchase could still arrive)
+      assert(got() == Set((1L, 100L)), s"premature outer row: ${got()}")
+      // advance BOTH watermarks far past the interval
+      purchases.addData((900L, ts(300), 50L, "purchase", 1.0, "{}"))
+      clicks.addData((901L, ts(300), 50L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // one more micro-batch so the state store evicts + emits outers
+      purchases.addData((902L, ts(301), 51L, "purchase", 1.0, "{}"))
+      clicks.addData((903L, ts(301), 51L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val g = got()
+      assert(g.contains((1L, 100L)) && g.contains((2L, -1L)),
+        s"outer row missing after watermark: $g")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
