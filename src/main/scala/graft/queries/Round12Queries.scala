@@ -1760,6 +1760,101 @@ object Round12Queries {
                0) AS BIGINT) AS max_late_s
       FROM g CROSS JOIN cfg GROUP BY 1 ORDER BY 1"""))
 
+  /** HLL PRECISION S-CURVE — the state-vs-accuracy audit behind choosing
+    * a sketch precision (the q296/q301 protocol applied to q141's HLL):
+    * the SAME hash pass registers at p = 4/6/8 (16/64/256 registers),
+    * each estimating the lineitem part-key distinct count with the
+    * standard alpha constants and the LINEAR-COUNTING small-range branch
+    * (both engines take the identical branch — at small SFs the 256-
+    * register estimate IS in linear-counting range, so the branch is
+    * load-bearing, not decorative), and the measured relative error per
+    * precision is the audit. One hash pass, per-precision register
+    * tables of at most 256 rows.
+    */
+  val q325HllPrecisionAudit: QueryDef = QueryDef(
+    "q325_hll_precision_audit",
+    (s, dir) => {
+      import graft.functions.{Det, HashFunctions}
+      val li = Tables.load(s, dir, "lineitem")
+      val h = li.select(HashFunctions.hash32(
+          concat(lit("pk"), col("l_partkey").cast("string"))).as("hv"))
+        .transform(graft.operators.ScopedCache.cache)
+      val exact = li.agg(count_distinct(col("l_partkey")).as("n_exact"))
+      Seq(4, 6, 8).map { p =>
+        val m = 1 << p
+        val bits = 32 - p
+        val reg = h.select(pmod(col("hv"), lit(m.toLong)).as("idx"),
+            shiftright(col("hv"), p).as("w"))
+          .select(col("idx"),
+            when(col("w") === 0, lit(bits + 1))
+              .otherwise(lit(bits + 1) - length(bin(col("w"))))
+              .as("rho"))
+          .groupBy("idx").agg(max("rho").as("mreg"))
+        val alpha =
+          if (p == 4) 0.673d
+          else if (p == 6) 0.709d
+          else 0.7213d / (1d + 1.079d / 256d)
+        reg.agg(count(lit(1)).as("nreg"),
+            sum(lit(1.0d) /
+              call_function("shiftleft", lit(1L), col("mreg").cast("int"))
+                .cast("double")).as("sreg"))
+          .select(
+            (lit(alpha) * m * m /
+              (col("sreg") + (lit(m.toLong) - col("nreg")).cast("double")))
+              .as("raw"),
+            (lit(m.toLong) - col("nreg")).as("zeros"))
+          .select(when(
+              col("raw") <= lit(2.5d * m) && col("zeros") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) /
+                col("zeros").cast("double")))
+            .otherwise(col("raw")).as("estd"))
+          .crossJoin(broadcast(exact))
+          .select(lit(p).as("p"), lit(m).as("m"), col("n_exact"),
+            Det.rdet(col("estd"), 2).as("est_hll"),
+            floor(abs(Det.rdet(col("estd"), 2) - col("n_exact")) /
+              col("n_exact") * 1e6 + 0.5).cast("long").as("err_e6"))
+      }.reduce(_ unionAll _).orderBy("p")
+    },
+    Some {
+      def h32 = Round5Queries.h32Sql("('pk' || CAST(l_partkey AS VARCHAR))")
+      def cte(p: Int): String = {
+        val m = 1 << p
+        val bits = 32 - p
+        val alpha =
+          if (p == 4) "0.673e0"
+          else if (p == 6) "0.709e0"
+          else "(0.7213e0 / (1e0 + 1.079e0 / 256e0))"
+        s"""reg_$p AS (SELECT hv % $m AS idx,
+           |  max(CASE WHEN hv // $m = 0 THEN ${bits + 1}
+           |           ELSE ${bits + 1} - length(bin(hv // $m)) END) AS mreg
+           |  FROM h GROUP BY 1),
+           |e_$p AS (SELECT count(*) AS nreg,
+           |  SUM(1e0 / CAST(CAST(1 AS BIGINT) << mreg AS DOUBLE)) AS sreg
+           |  FROM reg_$p),
+           |r_$p AS (SELECT $alpha * $m * $m
+           |    / (sreg + CAST($m - nreg AS DOUBLE)) AS raw,
+           |    $m - nreg AS zeros FROM e_$p),
+           |v_$p AS (SELECT CASE WHEN raw <= ${2.5 * m}e0 AND zeros > 0
+           |    THEN ${m}e0 * ln(${m}e0 / CAST(zeros AS DOUBLE))
+           |    ELSE raw END AS estd FROM r_$p)"""
+          .stripMargin.replace("\n", " ")
+      }
+      def row(p: Int): String =
+        s"""SELECT CAST($p AS INTEGER) AS p, CAST(${1 << p} AS INTEGER) AS m,
+           |  n_exact,
+           |  floor(estd * 1e2 + 0.5) / 1e2 AS est_hll,
+           |  CAST(floor(abs(floor(estd * 1e2 + 0.5) / 1e2 - n_exact)
+           |    / n_exact * 1e6 + 0.5) AS BIGINT) AS err_e6
+           |FROM v_$p CROSS JOIN x""".stripMargin.replace("\n", " ")
+      s"""
+      WITH h AS (SELECT $h32 AS hv FROM lineitem),
+      x AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+            FROM lineitem),
+      ${cte(4)}, ${cte(6)}, ${cte(8)}
+      ${row(4)} UNION ALL ${row(6)} UNION ALL ${row(8)}
+      ORDER BY p"""
+    })
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
     q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
     q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
@@ -1769,5 +1864,5 @@ object Round12Queries {
     q315LshSkewAudit, q316SplitLeakage, q317CrawlFrontier,
     q318IcebergRefs, q319DeltaProtocol, q320PaddingWaste,
     q321IncrementalView, q322IcebergEqualityDeletes, q323ClickAttribution,
-    q324LatenessBudget)
+    q324LatenessBudget, q325HllPrecisionAudit)
 }
