@@ -166,6 +166,14 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(loadAvg())) +
         "," + graft.operators.ScopedCache.pendingCount + "]")
       graft.operators.ScopedCache.drain()
+      // NO System.gc() here — measured and rejected (PERF.md round 12):
+      // a forced collection per query did flatten the heap (median
+      // 903 MB vs 2.3-4 GB) and removed the one observed 7.5 s
+      // deferred-GC spike, but the sweep total ROSE (303 vs 238 s) and
+      // sweep-vs-rerun movers persisted — the residual window noise is
+      // ambient, and per-query full GCs just add wall time. The diag
+      // columns are the tool: a mover whose gcSec ~ its excess is GC
+      // debt; one with flat gc/heap and elevated loadavg is co-tenant.
       (name, median, err)
     }
     val ok = results.collect { case (k, v, None) => k -> v }
