@@ -123,4 +123,36 @@ class DeltaCheckpointSpec extends SparkTestBase {
     assert(st.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
       Seq(("gone", false), ("kept", true)))
   }
+
+  test("tableInfo: last-writer-wins, version gate, and the no-metadata log") {
+    import spark.implicits._
+    val log = Seq(
+      (0L, """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""),
+      (0L, """{"metaData":{"id":"m1","schemaString":"{\"fields\":[{\"name\":\"a\"}]}","partitionColumns":["lang"]}}"""),
+      (2L, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}"""),
+      (1L, """{"add":{"path":"p","size":1,"dataChange":true}}"""))
+      .toDF("version", "line")
+    val r = DeltaReplay.tableInfo(log).collect().head
+    // the LATER protocol wins and gates the reader out honestly
+    assert(r.getAs[Int]("min_reader") == 3)
+    assert(!r.getAs[Boolean]("reader_supported"))
+    assert(r.getAs[String]("meta_id") == "m1")
+    assert(r.getAs[Int]("n_schema_fields") == 1)
+    assert(r.getAs[Int]("n_part_cols") == 1)
+    assert(r.getAs[String]("first_part_col") == "lang")
+    // a log with neither action yields nulls, never a fabricated gate
+    val bare = Seq((0L, """{"add":{"path":"p","size":1,"dataChange":true}}"""))
+      .toDF("version", "line")
+    val b = DeltaReplay.tableInfo(bare).collect().head
+    assert(b.isNullAt(b.fieldIndex("min_reader")))
+    assert(b.isNullAt(b.fieldIndex("reader_supported")))
+    assert(b.isNullAt(b.fieldIndex("first_part_col")))
+    // empty partitionColumns: get() nulls instead of ANSI-throwing
+    val noPart = Seq(
+      (0L, """{"metaData":{"id":"m2","schemaString":"{\"fields\":[]}","partitionColumns":[]}}"""))
+      .toDF("version", "line")
+    val np = DeltaReplay.tableInfo(noPart).collect().head
+    assert(np.getAs[Int]("n_part_cols") == 0)
+    assert(np.isNullAt(np.fieldIndex("first_part_col")))
+  }
 }
