@@ -201,7 +201,17 @@ object DedupQueries {
       Tables.load(s, dir, "documents"), shingleK = 3, rowsPerBand = 2, threshold = 0.5)
       .orderBy("doc_id"),
     Some(s"""
-      WITH RECURSIVE $shingleCtes,
+      WITH RECURSIVE $clusterCtes
+      SELECT doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** The full connected-component chain (shingles → minhash bands →
+    * verified pairs → symmetric edges → recursive reach) as CTE text —
+    * shared by q58 (the labels) and q326 (the survivor policy over the
+    * same labels), so the two can never disagree about the clustering.
+    * Embed after `WITH RECURSIVE`; exposes `reach(doc_id, root)`.
+    */
+  private[queries] def clusterCtes: String = s"""$shingleCtes,
       sig AS (SELECT doc_id, sh, [${(0 until 8).map(sigExpr).mkString(", ")}] AS sg FROM s),
       bands AS (SELECT doc_id, b,
                   sg[2*b+1]::VARCHAR || '_' || sg[2*b+2]::VARCHAR AS key
@@ -222,9 +232,7 @@ object DedupQueries {
       reach AS (SELECT doc_id, doc_id AS root FROM documents
                 UNION
                 SELECT e.dst AS doc_id, r.root
-                FROM reach r JOIN edges e ON e.src = r.doc_id)
-      SELECT doc_id, CAST(min(root) AS BIGINT) AS cluster_id
-      FROM reach GROUP BY doc_id ORDER BY doc_id"""))
+                FROM reach r JOIN edges e ON e.src = r.doc_id)"""
 
   /** Banded 63-bit simhash pairs: pure equi-join candidate generation with
     * guaranteed recall at Hamming radius <= 3 (pigeonhole over four 16-bit

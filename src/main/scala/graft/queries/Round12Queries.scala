@@ -1855,6 +1855,55 @@ object Round12Queries {
       ORDER BY p"""
     })
 
+  /** DEDUP SURVIVOR POLICY WITH PROVENANCE — the final act of near-dup
+    * dedup: per connected-component cluster (q58's labels), WHICH copy
+    * survives and what got dropped. The standard longest-document-wins
+    * rule (ties to the smaller id) picks the survivor via one
+    * conditional max_by; the accounting (members, dropped docs/bytes)
+    * is the provenance record a curation pipeline keeps so deletions
+    * are auditable. The oracle shares q58's recursive-CTE clustering
+    * through one builder, so policy and clustering can never drift.
+    */
+  val q326DedupSurvivors: QueryDef = QueryDef(
+    "q326_dedup_survivors",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val clusters = graft.operators.Dedup.dedupClusters(
+        docs, shingleK = 3, rowsPerBand = 2, threshold = 0.5)
+      clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(struct(col("doc_id"), col("n_chars")),
+            struct(col("n_chars"), -col("doc_id"))).as("sv"),
+          sum("n_chars").as("total_chars"))
+        .select(col("cluster_id"), col("n_members"),
+          col("sv.doc_id").as("survivor_doc"),
+          col("sv.n_chars").as("survivor_chars"),
+          (col("n_members") - 1).as("n_dropped"),
+          (col("total_chars") - col("sv.n_chars")).as("dropped_chars"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.clusterCtes},
+      lab AS (SELECT doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY doc_id),
+      m AS (SELECT lab.cluster_id, lab.doc_id, d.n_chars
+            FROM lab JOIN documents d ON d.doc_id = lab.doc_id),
+      sv AS (SELECT cluster_id, doc_id AS survivor_doc,
+                    n_chars AS survivor_chars
+             FROM (SELECT cluster_id, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+                   FROM m) WHERE rn = 1)
+      SELECT m.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             min(sv.survivor_doc) AS survivor_doc,
+             min(sv.survivor_chars) AS survivor_chars,
+             CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+             CAST(SUM(m.n_chars) - min(sv.survivor_chars) AS BIGINT)
+               AS dropped_chars
+      FROM m JOIN sv ON sv.cluster_id = m.cluster_id
+      GROUP BY m.cluster_id ORDER BY m.cluster_id"""))
+
   val all: Seq[QueryDef] = Seq(q297PackBpeBudget, q298CurriculumStages,
     q299MemorizationGrams, q300IcebergExpiry, q301PqRerankRecall,
     q302BlockDedup, q303TemperatureMix, q304KAnonymity, q305DeltaVacuum,
@@ -1864,5 +1913,5 @@ object Round12Queries {
     q315LshSkewAudit, q316SplitLeakage, q317CrawlFrontier,
     q318IcebergRefs, q319DeltaProtocol, q320PaddingWaste,
     q321IncrementalView, q322IcebergEqualityDeletes, q323ClickAttribution,
-    q324LatenessBudget, q325HllPrecisionAudit)
+    q324LatenessBudget, q325HllPrecisionAudit, q326DedupSurvivors)
 }
