@@ -11,20 +11,25 @@ import org.apache.spark.sql.SparkSession
   * queries; noop forces full evaluation of every output column without any
   * I/O cost.
   *
-  * TIERS (SPARK_GRAFT_BENCH_TIER): at ~300 queries a full median-of-3
-  * sweep holds the JVM under load for 15+ minutes, and the round-11 driver
-  * sweep showed sustained mid-sweep contention windows (36 movers whose
-  * sweep medians ran 3-30x their own warm reruns minutes later) that a
-  * shorter sweep shrinks. The default tier `mixed` measures EVERY query
-  * (the full map stays real) but spends the repeat budget where it buys
-  * signal: a pinned subset — the previous round's movers plus the
-  * slowest-by-previous-medians — gets the median of `repeats` runs, the
-  * rest get one run each, and the end-of-sweep mover self-adjudication
-  * (itself a median of 3) still catches any 1-run outlier. `full` restores
-  * median-of-3 everywhere (cross-round judge baselines).
+  * TIERS (SPARK_GRAFT_BENCH_TIER): the DEFAULT tier `full` measures every
+  * query with the median of `repeats` runs, and (since round 13) takes
+  * those repeats INTERLEAVED — the whole surface runs in `repeats`
+  * round-robin passes and each query's median is taken ACROSS passes.
+  * Back-to-back repeats share whatever co-tenant slow window they land in,
+  * which is exactly why a median of 3 consecutive runs still shipped 24
+  * phantom movers in round 12 (all adjudicated ambient: flat gcSec,
+  * loadavg 7-29); with passes separated by the full surface (~4-5 min), a
+  * 10-minute contention window inflates at most ONE sample per query and
+  * the median sheds it. `mixed` is the opt-in dev tier: every query still
+  * runs (the map stays real) but only a pinned subset — the previous
+  * round's movers plus the slowest-by-previous-medians — gets back-to-back
+  * repeats, the rest get one run each. `sequential` restores the pre-r13
+  * full behavior (back-to-back median-of-3 everywhere) for A/B-ing the
+  * interleaving itself.
   *
-  * DIAGNOSTICS: each query appends [heapMB, gcSec, storageMB, loadavg,
-  * scopedPending] to the side-channel file — the round-11 verdict's ask:
+  * DIAGNOSTICS: each RUN appends [heapMB, gcSec, storageMB, loadavg,
+  * scopedPending] to the side-channel file (one snapshot per pass under
+  * the interleaved tier) — the round-11 verdict's ask:
   * if a slow window correlates with heap/cache residency the code owns it;
   * if it correlates with loadavg alone it is co-tenant contention. After
   * each query's repeats, [[graft.operators.ScopedCache.drain]] zeroes
@@ -109,9 +114,12 @@ object Bench {
     // by previous medians + the flagship. Deterministic given the
     // committed snapshot, so the subset is stable across a round.
     val pinned: Set[String] =
-      if (tier == "full") allQueries.map(_._1).toSet
+      if (tier != "mixed") allQueries.map(_._1).toSet
       else {
-        val slowest = prev.toSeq.sortBy(-_._2).take(24).map(_._1)
+        // ties broken by name so the subset is fully deterministic given
+        // the committed snapshot (hash-map iteration order is not)
+        val slowest = prev.toSeq.sortBy { case (n, m) => (-m, n) }
+          .take(24).map(_._1)
         val fromMoved = allQueries.map(_._1)
           .filter(n => prevMoved.contains(n.takeWhile(_ != '_')))
         (slowest ++ fromMoved).toSet + "q19_noise_flagship"
@@ -130,41 +138,37 @@ object Bench {
     def storageMb(): Long =
       try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
       catch { case scala.util.control.NonFatal(_) => -1L }
-    // name -> [heapMB, gcSec, storageMB, loadavg, scopedPending]
-    val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = allQueries.map { case (name, fn) =>
-      var err: Option[String] = None
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val reps = if (pinned(name)) repeats else 1
+    // name -> one "[heapMB, gcSec, storageMB, loadavg, scopedPending]"
+    // snapshot PER RUN (interleaved: per pass), so a slow sample is
+    // attributable to its own window, not smeared across repeats
+    val diag = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    val timesByName = scala.collection.mutable.LinkedHashMap(
+      allQueries.map(q => q._1 ->
+        scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    val errByName = scala.collection.mutable.Map.empty[String, String]
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val gc0 = gcMillis()
-      var i = 0
-      while (i < reps && err.isEmpty) { // a failed run fails the query; don't re-run it
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          err = Some(e.getClass.getSimpleName)
-        }
-        times += (System.nanoTime() - t0) / 1e9
-        i += 1
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        errByName(name) = e.getClass.getSimpleName
       }
-      val median =
-        if (times.isEmpty) 0.0
-        else {
-          val s = times.sorted
-          val n = s.size // true median: average the two middle runs when even
-          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-        }
+      timesByName(name) += (System.nanoTime() - t0) / 1e9
       // diagnostics SNAPSHOT before the drain (residency as the query left
       // it), drain AFTER (the next query starts from a clean cache slate)
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       val gcSec = (gcMillis() - gc0) / 1000.0
-      diag += name -> ("[" + heapMb + "," +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(gcSec)) + "," +
-        storageMb() + "," +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(loadAvg())) +
-        "," + graft.operators.ScopedCache.pendingCount + "]")
+      diag.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty[String]) +=
+        ("[" + heapMb + "," +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(gcSec)) + "," +
+          storageMb() + "," +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(loadAvg())) +
+          "," + graft.operators.ScopedCache.pendingCount + "]")
       graft.operators.ScopedCache.drain()
       // NO System.gc() here — measured and rejected (PERF.md round 12):
       // a forced collection per query did flatten the heap (median
@@ -174,7 +178,41 @@ object Bench {
       // ambient, and per-query full GCs just add wall time. The diag
       // columns are the tool: a mover whose gcSec ~ its excess is GC
       // debt; one with flat gc/heap and elevated loadavg is co-tenant.
-      (name, median, err)
+    }
+    if (tier == "mixed" || tier == "sequential") {
+      // back-to-back repeats per query; a failed run fails the query and
+      // is never re-run
+      allQueries.foreach { case (name, fn) =>
+        val reps = if (pinned(name)) repeats else 1
+        var i = 0
+        while (i < reps && !errByName.contains(name)) { runOnce(name, fn); i += 1 }
+      }
+    } else {
+      // INTERLEAVED (default, `full`): `repeats` round-robin passes over
+      // the whole surface. The samples a query's median sees are now
+      // separated by a full pass (~minutes), so one co-tenant contention
+      // window can inflate at most one of them. Pass 1 additionally
+      // absorbs all JIT warmup, leaving passes 2+ as clean steady-state
+      // samples — with repeats=3 the median lands on a warm sample
+      // whenever at least two passes are clean.
+      var pass = 0
+      while (pass < repeats) {
+        allQueries.foreach { case (name, fn) =>
+          if (!errByName.contains(name)) runOnce(name, fn)
+        }
+        pass += 1
+      }
+    }
+    val results = allQueries.map { case (name, _) =>
+      val times = timesByName(name)
+      val median =
+        if (times.isEmpty) 0.0
+        else {
+          val s = times.sorted
+          val n = s.size // true median: average the two middle runs when even
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+        }
+      (name, median, errByName.get(name))
     }
     val ok = results.collect { case (k, v, None) => k -> v }
     // qNN-compressed error names, capped: a mass failure (bad sfDir -> all
@@ -274,8 +312,9 @@ object Bench {
         case (k, v, None)    => s""""$k":${fmt3(v)}"""
         case (k, _, Some(e)) => s""""$k":"ERR:$e""""
       }
+      // per-run list-of-snapshots: "qNN":[[heap,gc,storage,load,pending],…]
       val diagEntries = diag.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":$v""" }
+        .map { case (k, v) => s""""$k":${v.mkString("[", ",", "]")}""" }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
         s""""repeats":$repeats,"tier":"$tier","pinned":${pinned.size},""" +

@@ -39,9 +39,14 @@ import org.apache.spark.sql.SparkSession
   * canonical-plan key means the same plan over changed underlying files
   * serves the memo, exactly as a session-cached DataFrame would.
   *
-  * `onEvict` runs for entries whose value finished computing (e.g. to
-  * `unpersist` a pinned centroid frame); failures are swallowed per entry
-  * (an entry whose session died has no block manager to talk to).
+  * `onEvict` runs exactly once per evicted value (e.g. to `unpersist` a
+  * pinned centroid frame): immediately when the value exists at eviction
+  * time, or from the computing thread itself when eviction raced a
+  * still-running compute (the holder is flagged and the lazy-val
+  * completion path releases its own result — otherwise a late-finishing
+  * fixpoint would pin a frame nobody can ever unpersist). Failures are
+  * swallowed per entry (an entry whose session died has no block manager
+  * to talk to).
   */
 private[graft] final class PlanMemo[K, V](max: Int = 64,
     onEvict: V => Unit = (_: V) => ()) {
@@ -49,11 +54,35 @@ private[graft] final class PlanMemo[K, V](max: Int = 64,
   private final class Holder(val session: WeakReference[SparkSession],
       compute: () => V) {
     @volatile private var done: Option[V] = None
-    lazy val value: V = { val v = compute(); done = Some(v); v }
+    @volatile private var evicted = false
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val value: V = {
+      val v = compute(); done = Some(v)
+      // EVICTED-WHILE-COMPUTING: the FIFO prune (or dead-session sweep)
+      // removed this holder before the fixpoint finished — its peek was
+      // None then, so onEvict never fired. Without this check the
+      // just-computed value (a pinned Graph/KMeans frame) would outlive
+      // the memo forever. The caller that raced the eviction still gets
+      // the value — merely un-memoized/unpersisted, a recompute cost for
+      // the NEXT caller, never a correctness issue.
+      if (evicted) releaseOnce(v)
+      v
+    }
     /** The value iff computation completed — eviction must never TRIGGER
       * a computation just to hand the result to `onEvict`.
       */
     def peek: Option[V] = done
+    /** Eviction entry point: flags the holder so a still-running compute
+      * releases its own result on completion, and releases immediately
+      * when the value already exists. `released` makes the two paths
+      * fire `onEvict` at most once between them.
+      */
+    def markEvicted(): Unit = { evicted = true; done.foreach(releaseOnce) }
+    private def releaseOnce(v: V): Unit =
+      if (released.compareAndSet(false, true)) {
+        try onEvict(v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
   }
 
   private val map = new ConcurrentHashMap[(Long, K), Holder]()
@@ -74,10 +103,7 @@ private[graft] final class PlanMemo[K, V](max: Int = 64,
 
   private def evict(k: (Long, K)): Unit = {
     val h = map.remove(k)
-    if (h != null) h.peek.foreach { v =>
-      try onEvict(v)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    if (h != null) h.markEvicted()
   }
 
   private def prune(): Unit = {
@@ -89,10 +115,7 @@ private[graft] final class PlanMemo[K, V](max: Int = 64,
       val e = it.next()
       val s = e.getValue.session.get()
       if (s == null || s.sparkContext.isStopped) {
-        e.getValue.peek.foreach { v =>
-          try onEvict(v)
-          catch { case scala.util.control.NonFatal(_) => () }
-        }
+        e.getValue.markEvicted()
         it.remove()
       }
     }

@@ -84,6 +84,35 @@ class PlanMemoSpec extends SparkTestBase {
     assert(memo.getOrCompute(spark, 101)("x") == "slow")
   }
 
+  test("eviction during an in-flight compute releases the late value once") {
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val memo = new PlanMemo[Int, String](max = 1,
+      onEvict = v => evicted.synchronized { evicted += v })
+    val slowStarted = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val slow = new Thread(() =>
+      memo.getOrCompute(spark, 1) {
+        slowStarted.countDown()
+        release.await(30, TimeUnit.SECONDS)
+        "late"
+      })
+    slow.start()
+    assert(slowStarted.await(10, TimeUnit.SECONDS), "slow compute never started")
+    // Two fresh keys push key 1 (oldest, still computing) out — its peek
+    // is None at eviction time, so before the r12 ADVICE fix onEvict
+    // never fired for it and the late value leaked pinned forever.
+    memo.getOrCompute(spark, 2)("b")
+    memo.getOrCompute(spark, 3)("c")
+    assert(evicted.synchronized(!evicted.contains("late")),
+      "eviction must not block on / trigger the in-flight compute")
+    release.countDown()
+    slow.join(30000)
+    assert(evicted.synchronized(evicted.count(_ == "late")) == 1,
+      "late-finishing evicted value must be released exactly once")
+    // the key was evicted, so the next call recomputes — no stale serve
+    assert(memo.getOrCompute(spark, 1)("recomputed") == "recomputed")
+  }
+
   test("same key concurrent callers compute once and share the result") {
     val memo = new PlanMemo[Int, String]()
     val n = new AtomicInteger
