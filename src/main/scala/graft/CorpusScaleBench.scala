@@ -248,6 +248,57 @@ object CorpusScaleBench {
     // truth; recall target >= 0.9 with the probe-cost delta stated.
     val diffuseFix = annPass(0.025,
       Seq((32, 8), (32, 16), (128, 8), (128, 16), (128, 32)))
+    // Persisted-ANN-index lifecycle at corpus scale (round 13), run as the
+    // nightly loop it exists for — the vector twin of the LSH ingest loop
+    // above. Build the codes/vector/centroid tables from the initial
+    // history, then each ingest probes the SAME query set against the
+    // stored index before appending its delta (appendAnnIndex assigns to
+    // the stored centroids — never re-trains). The claim (SCALE.md): probe
+    // cost stays ~flat while the indexed corpus grows — stage 1 scans the
+    // 2-byte code column, stage 2 fetches only the shortlist — whereas the
+    // stateless topKPqRerank re-derives codes from the full vector column
+    // every call.
+    val annIngest = {
+      val dither = 0.010
+      val embCorpus = embBase
+        .crossJoin(spark.range(embReplicas).toDF("r"))
+        .select(
+          (col("r") * nBaseVecs + col("vec_id")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((pmod(col("r") * 7 + i, lit(11)) - 5) * lit(dither) +
+              col("r") * lit(1.0e-4d)).cast("float"))
+            .as("embedding"),
+          col("label"))
+        .repartition(cpus.toInt * 2)
+        .cache()
+      embCorpus.count()
+      val histCut = (embReplicas - nIngest).toLong * nBaseVecs
+      val tB = System.nanoTime()
+      operators.Similarity.writeAnnIndex(
+        embCorpus.filter(col("vec_id") < histCut), kClusters = 32, iters = 2,
+        codesTable = "csb_ann_codes", vecTable = "csb_ann_vecs",
+        centroidTable = "csb_ann_cents")
+      val annBuildSec = (System.nanoTime() - tB) / 1e9
+      val steps = (0 until nIngest).map { j =>
+        val indexedVecs = spark.table("csb_ann_vecs").count()
+        val t0 = System.nanoTime()
+        val rowsOut = operators.Similarity.probePqIndex(spark, nQ, topK,
+          radius = 4, codesTable = "csb_ann_codes", vecTable = "csb_ann_vecs")
+          .count()
+        val probeSec = (System.nanoTime() - t0) / 1e9
+        val lo = histCut + j.toLong * nBaseVecs
+        val delta = embCorpus.filter(col("vec_id") >= lo &&
+          col("vec_id") < lo + nBaseVecs)
+        val tA = System.nanoTime()
+        operators.Similarity.appendAnnIndex(delta,
+          codesTable = "csb_ann_codes", vecTable = "csb_ann_vecs",
+          centroidTable = "csb_ann_cents")
+        val appendSec = (System.nanoTime() - tA) / 1e9
+        (j, indexedVecs, probeSec, rowsOut, appendSec)
+      }
+      embCorpus.unpersist()
+      (annBuildSec, steps)
+    }
     val qs = (results ++ indexResults).map { case (k, v, n) =>
       f""""$k":{"sec":$v%.2f,"rows":$n}""" }.mkString("{", ",", "}")
     val ingest = ingestSteps.map { case (r, hist, probeSec, pairs, appSec) =>
@@ -261,7 +312,10 @@ object CorpusScaleBench {
     val fix = diffuseFix._2.map { case (kc, p, sec, rec) =>
       f""""k${kc}_p$p":{"sec":$sec%.2f,"recall_at_10":$rec%.4f}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ingest_loop":$ingest,"ann_vecs":$nVecs,"ann":$ann,"diffuse_fix":$fix,"sf":"$sfDir","cpus":$cpus}""")
+    val annIng = annIngest._2.map { case (j, iv, probeSec, rowsOut, appSec) =>
+      f"""{"step":$j,"indexed_vecs":$iv,"probe_sec":$probeSec%.2f,"rows":$rowsOut,"append_sec":$appSec%.2f}"""
+    }.mkString(f"""{"build_sec":${annIngest._1}%.2f,"steps":[""", ",", "]}")
+    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ingest_loop":$ingest,"ann_vecs":$nVecs,"ann":$ann,"diffuse_fix":$fix,"ann_ingest":$annIng,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -50,7 +50,13 @@ object ThroughputBench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach(q => work.add(q))
     val nQueries = work.size
     val aggregateNanos = new AtomicLong(0L)
-    val latenciesNanos = new ConcurrentLinkedQueue[java.lang.Long]()
+    // per-query ATTRIBUTED samples (round-12 verdict ask #5: the tail grew
+    // p95 8.2→15.5 s across rounds but the percentiles were anonymous):
+    // (name, stream, nanos, startOffsetNanos) — offset places the sample
+    // inside the run's timeline, so a co-located cluster of slow samples
+    // distinguishes a contended WINDOW from an intrinsically slow QUERY.
+    final case class Sample(name: String, stream: Int, nanos: Long, at: Long)
+    val samples = new ConcurrentLinkedQueue[Sample]()
     val failures = new ConcurrentLinkedQueue[String]()
 
     val t0 = System.nanoTime()
@@ -73,7 +79,7 @@ object ThroughputBench {
           }
           val took = System.nanoTime() - s0
           aggregateNanos.addAndGet(took)
-          latenciesNanos.add(took)
+          samples.add(Sample(name, id, took, s0 - t0))
           next = work.poll()
         }
       })
@@ -83,15 +89,39 @@ object ThroughputBench {
     val wall = (System.nanoTime() - t0) / 1e9
     val agg = aggregateNanos.get() / 1e9
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val lat = latenciesNanos.toArray(Array.empty[java.lang.Long])
-      .map(_.longValue / 1e9).sorted
+    val all = samples.toArray(Array.empty[Sample])
+    val lat = all.map(_.nanos / 1e9).sorted
     def pct(p: Double) =
       if (lat.isEmpty) 0.0 else lat(math.min(lat.length - 1, (p * lat.length).toInt))
+    // the tail, NAMED: worst samples with stream + timeline position — the
+    // headline's p95/max become attributable queries instead of numbers
+    val tail = all.sortBy(-_.nanos).take(5).map { sm =>
+      s"""{"q":"${sm.name.takeWhile(_ != '_')}","stream":${sm.stream},""" +
+        s""""sec":${f(sm.nanos / 1e9)},"at_sec":${f(sm.at / 1e9)}}"""
+    }.mkString("[", ",", "]")
     println(s"""{"metric":"throughput","wall_sec":${f(wall)},"aggregate_query_sec":${f(agg)},""" +
       s""""effective_concurrency":${f(agg / wall)},"streams":$streams,""" +
       s""""scheduler":"$scheduler","p50_sec":${f(pct(0.50))},"p95_sec":${f(pct(0.95))},""" +
-      s""""max_sec":${f(if (lat.isEmpty) 0.0 else lat.last)},""" +
-      s""""n_queries":$nQueries,"failures":${failures.size},"sf":"$sfDir","cpus":$cpus}""")
+      s""""max_sec":${f(if (lat.isEmpty) 0.0 else lat.last)},"tail":$tail,""" +
+      s""""n_queries":$nQueries,"failures":${failures.size},""" +
+      // failure NAMES (capped): a bare count was a blind spot — the round-13
+      // smoke run reported 1 failure with no way to tell which query raced
+      s""""failed":${failures.toArray(Array.empty[String]).take(8)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir","cpus":$cpus}""")
+    // side-channel: EVERY sample, full names — cross-run diffing of the
+    // tail without the stdout budget (the Bench.scala bench_full pattern)
+    try {
+      val out = java.nio.file.Paths.get("target", "throughput_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      val body = all.sortBy(s => (s.name, s.at)).map { sm =>
+        s"""{"q":"${sm.name}","stream":${sm.stream},"sec":${f(sm.nanos / 1e9)},"at_sec":${f(sm.at / 1e9)}}"""
+      }.mkString(s"""{"metric":"throughput_samples","streams":$streams,"scheduler":"$scheduler","sf":"$sfDir","samples":[""", ",", "]}")
+      java.nio.file.Files.write(out,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[throughput] side-channel write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -3,9 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Iterative graph analytics over edge DataFrames. Complements
-  * [[Dedup.dedupClusters]] (connected components via min-label propagation)
-  * with the other canonical fixpoint: PageRank.
+/** Iterative graph analytics over edge DataFrames: PageRank and
+  * large-star/small-star connected components (the engine behind
+  * [[Dedup.dedupClusters]]).
   *
   * Engine-portable determinism, same protocol as [[KMeans]]: rank mass is an
   * integer in units of 1/SCALE, every per-iteration operation is integer
@@ -117,6 +117,118 @@ object Graph {
         }
         e.unpersist()
       }
+    }
+  }
+
+  /** LARGE-STAR / SMALL-STAR connected components — O(log n) two-phase
+    * rounds where min-label propagation needs O(graph diameter): the
+    * round-12 verdict's last asymptotic soft spot (duplicate CHAINS give
+    * near-dup graphs long diameters at 100 TB, and every propagation round
+    * is a full shuffle). The alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public algorithm,
+    * re-derived here for DataFrames) contracts the graph toward a star
+    * forest rooted at each component's MINIMUM node id:
+    *
+    *   large-star: group every edge by its smaller endpoint u over both
+    *     orientations; with m = min(Γ(u) ∪ u), re-point every larger
+    *     neighbor v > u to m — emitted edges (v, m) keep src > dst.
+    *   small-star: group the (now src > dst oriented) edges by their
+    *     LARGER endpoint u; with m = min of u's neighbors, re-point u and
+    *     every non-min neighbor to m.
+    *
+    * Both steps are one partitioned window-min plus a projection (no
+    * joins); a round is therefore 3 exchanges, and the round count is
+    * logarithmic instead of diameter-shaped — a 64-node path converges in
+    * ~6 rounds vs 63 (GraphSpec pins this).
+    *
+    * Convergence witness: the round leaves the (distinct, src > dst
+    * canonical) edge multiset unchanged — compared as (count, Σdst,
+    * Σxxhash64(src,dst)), one cheap aggregate per round; the hash term
+    * makes a same-count-same-sum false positive a ~2⁻⁶⁴ event rather than
+    * a plausible one. At the fixpoint src/dst sets are disjoint: dst
+    * values are exactly the component minima, src rows are every non-root
+    * node, once each — so labels are stars ∪ (root, root).
+    *
+    * Cache discipline (the [[Dedup.dedupClusters]] pattern): the canonical
+    * edge frame and the RETURNED star frame are ScopedCache-managed (warm
+    * across back-to-back invocations, swept when the workload moves on);
+    * intermediate rounds hold at most two frames, the superseded one
+    * unpersisted as soon as the next is materialized, and on any throw the
+    * current round's frame is released too.
+    *
+    * Input: an edge DataFrame with columns (src, dst), any integral type.
+    * Returns ((v, comp) for every node incident to an edge, roundsTaken).
+    * Throws `IllegalStateException` after `maxRounds` non-converged rounds
+    * rather than returning silently split components.
+    */
+  def connectedComponents(edges: DataFrame,
+      maxRounds: Int = 25): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    var e = ScopedCache.cache(
+      edges.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).cast("long").as("src"),
+          least(col("src"), col("dst")).cast("long").as("dst"))
+        .distinct())
+    var eOwned = false // e0 is ScopedCache-managed; later rounds are ours
+    // decimal(38,0) accumulators: a LONG sum of xxhash64 values overflows
+    // (ANSI mode throws) after a handful of rows; 38 digits hold 10^19
+    // full-range longs and the comparison is exact equality either way
+    def witness(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("dst").cast("decimal(38,0)")), zero),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          zero)).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    try {
+      var prev = witness(e)
+      var converged = prev._1 == 0L // no edges: a star forest already
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val wu = Window.partitionBy("u")
+        val b = e.select(col("src").as("u"), col("dst").as("v"))
+          .union(e.select(col("dst").as("u"), col("src").as("v")))
+        val ls = b.withColumn("m", least(min(col("v")).over(wu), col("u")))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+        // small-star emissions in ONE pass over the windowed rows (a
+        // filter ∪ project over `sb` would evaluate the large-star window
+        // twice): each (u, v, m) row yields (u, m) always and (v, m) when
+        // v is not the min itself
+        val sb = ls.select(col("src").as("u"), col("dst").as("v"))
+          .withColumn("m", min(col("v")).over(wu))
+        val ss = sb.select(explode(when(col("v") =!= col("m"),
+            array(struct(col("v").as("s"), col("m").as("d")),
+              struct(col("u").as("s"), col("m").as("d"))))
+          .otherwise(array(struct(col("u").as("s"), col("m").as("d")))))
+            .as("p"))
+          .select(col("p.s").as("src"), col("p.d").as("dst"))
+          .distinct()
+          .cache()
+        val w = witness(ss) // materializes ss before the handoff
+        if (eOwned) e.unpersist()
+        e = ss; eOwned = true
+        converged = w == prev
+        prev = w
+        rounds += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "raise maxRounds (two-phase rounds are O(log n), so hitting " +
+          "this bound means a pathological input, not a long chain)")
+      val stars = if (eOwned) ScopedCache.track(e) else e
+      val labels = stars.select(col("src").as("v"), col("dst").as("comp"))
+        .union(stars.select(col("dst").as("v"), col("dst").as("comp"))
+          .distinct())
+      (labels, rounds)
+    } catch {
+      case t: Throwable =>
+        if (eOwned) {
+          try e.unpersist()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw t
     }
   }
 }

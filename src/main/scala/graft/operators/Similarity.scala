@@ -259,6 +259,198 @@ object Similarity {
         Det.rdet(col("pos.cos") - col("neg.cos"), 6).as("margin"))
   }
 
+  // ------------------------------------------------------------------
+  // Persisted ANN index lifecycle (round 13) — the Dedup.writeLshIndex
+  // pattern applied to the vector family
+  // ------------------------------------------------------------------
+
+  /** PERSISTED ANN INDEX, build verb. Until round 13 [[topKPqRerank]]
+    * computed PQ codes INLINE from the full `embedding` column, so its
+    * stage-1 *IO* read the 256-byte vector for every corpus row even
+    * though its *compute* only needed the 2-byte code; likewise
+    * [[topKIvfMultiprobe]] re-trained its coarse quantizer per call. The
+    * stored layout separates the three concerns:
+    *
+    *   - `codesTable` (vec_id, cluster, pq_code): the 2-byte PQ code plus
+    *     the trained IVF cell per vector, bucketed + sorted by `cluster`
+    *     so an IVF probe's candidate join reads its cells off the buckets
+    *     exchange-free. The PQ Hamming stage scans ONLY this table — at
+    *     100 TB that is ~1/40th the bytes of the vector column (and the
+    *     parquet scan prunes to the two small columns it needs).
+    *   - `vecTable` (vec_id, embedding, nrm): full-precision vectors with
+    *     precomputed norms, bucketed + sorted by `vec_id` — the exact
+    *     re-rank fetches the SHORTLIST rows by key off the buckets; the
+    *     corpus-wide vector column is never scanned at probe time.
+    *   - `centroidTable` (cluster, centroid): the Lloyd-trained coarse
+    *     quantizer, kClusters rows — probes broadcast it; probing never
+    *     re-trains.
+    *
+    * Same catalog discipline as [[Dedup.writeLshIndex]]: EXTERNAL-with-path
+    * catalog tables (bucket metadata only persists on catalog tables;
+    * overwrite must survive a fresh session's empty in-memory catalog),
+    * and the build parameters are stamped as a table property so
+    * [[ensureAnnIndex]] refuses to serve an index built with different
+    * (kClusters, iters, buckets).
+    */
+  def writeAnnIndex(emb: DataFrame, kClusters: Int, iters: Int,
+      codesTable: String, vecTable: String, centroidTable: String,
+      buckets: Int = 8, basePath: Option[String] = None): Unit = {
+    val spark = emb.sparkSession
+    Seq(codesTable, vecTable, centroidTable).foreach(Dedup.requireValidTable)
+    val base = basePath.getOrElse(spark.sessionState.conf.warehousePath)
+    def save(df: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val w = df.write.format("parquet").mode("overwrite")
+        .option("path", s"$base/$table")
+      (if (bucketCols.isEmpty) w
+       else w.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+         .sortBy(bucketCols.head, bucketCols.tail: _*))
+        .saveAsTable(table)
+    }
+    val centroids = KMeans.fitCentroids(emb, kClusters, iters)
+    save(centroids, centroidTable, Nil) // kClusters rows: no bucketing
+    save(KMeans.assignments(emb, centroids)
+      .select(col("vec_id"), col("cluster"), pqCode(col("embedding")).as("pq_code")),
+      codesTable, Seq("cluster"))
+    save(withNorm(emb.select(col("vec_id"), col("embedding"))),
+      vecTable, Seq("vec_id"))
+    spark.sql(s"ALTER TABLE $codesTable SET TBLPROPERTIES(" +
+      s"'graft.ann.params' = '${annParamsKey(kClusters, iters, buckets)}')")
+  }
+
+  private def annParamsKey(kClusters: Int, iters: Int, buckets: Int): String =
+    s"k=$kClusters,it=$iters,buckets=$buckets"
+
+  private def storedAnnParams(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[String] = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .filter(col("key") === "graft.ann.params")
+      .select("value").collect() // catalog metadata: one tiny driver row
+    rows.headOption.map(_.getString(0))
+  }
+
+  /** Build-once guard, mirroring [[Dedup.ensureLshIndex]]: rebuild only
+    * when any of the three tables is absent, the stored build-parameter
+    * fingerprint differs, or the vector count changed (the append-only
+    * freshness key — an in-place embedding UPDATE needs a content
+    * fingerprint instead, exactly the LSH lifecycle's documented
+    * contract). Returns true when a build ran.
+    */
+  /** Serializes concurrent ensure/build races WITHIN this JVM: two
+    * sessions/threads ensuring the same tables at once (ThroughputBench
+    * runs the whole surface concurrently; q327 and q328 share one index)
+    * would otherwise interleave the check with the other's DROP+rebuild.
+    * Cross-JVM build coordination is the metastore's concern, not this
+    * operator's — same posture as the LSH lifecycle.
+    */
+  private val ensureLock = new Object
+
+  def ensureAnnIndex(emb: DataFrame, kClusters: Int, iters: Int,
+      codesTable: String, vecTable: String, centroidTable: String,
+      buckets: Int = 8, basePath: Option[String] = None): Boolean =
+    ensureLock.synchronized {
+      val spark = emb.sparkSession
+      Seq(codesTable, vecTable, centroidTable).foreach(Dedup.requireValidTable)
+      val fresh = Seq(codesTable, vecTable, centroidTable)
+        .forall(spark.catalog.tableExists) &&
+        storedAnnParams(spark, codesTable)
+          .contains(annParamsKey(kClusters, iters, buckets)) &&
+        spark.table(vecTable).count() == emb.count()
+      if (!fresh)
+        writeAnnIndex(emb, kClusters, iters, codesTable, vecTable,
+          centroidTable, buckets, basePath)
+      !fresh
+    }
+
+  /** Probe the stored index, PQ path: stage 1 scans `codesTable`'s 2-byte
+    * code column against the broadcast query codes (Hamming <= radius);
+    * stage 2 fetches ONLY the shortlist's vectors from the vec_id-bucketed
+    * `vecTable` and re-ranks by exact rounded cosine. Query set and output
+    * shape match [[topKPqRerank]] (vec_id < nQueries; (q_id, rk, vec_id,
+    * cos)) so the two paths share an oracle.
+    */
+  def probePqIndex(spark: org.apache.spark.sql.SparkSession, nQueries: Int,
+      k: Int, radius: Int, codesTable: String, vecTable: String): DataFrame = {
+    Seq(codesTable, vecTable).foreach(Dedup.requireValidTable)
+    val vecs = spark.table(vecTable)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), pqCode(col("embedding")).as("q_code"))
+    val shortlist = spark.table(codesTable).join(broadcast(q),
+        col("vec_id") =!= col("q_id") &&
+          expr("bit_count(pq_code ^ q_code)") <= radius)
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("q_nrm"))
+    val scored = shortlist.join(vecs.select(col("vec_id"), col("embedding"),
+        col("nrm")), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        Det.rdet(dot(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("q_nrm")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "cos")
+  }
+
+  /** Probe the stored index, IVF path: nearest `nprobe` STORED centroids
+    * per query (no re-train), candidates from the cluster-bucketed
+    * `codesTable`, exact re-rank off `vecTable`. Output shape matches
+    * [[topKIvfMultiprobe]]: (q_id, rk, vec_id, d2).
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, nQueries: Int,
+      k: Int, nprobe: Int, codesTable: String, vecTable: String,
+      centroidTable: String): DataFrame = {
+    Seq(codesTable, vecTable, centroidTable).foreach(Dedup.requireValidTable)
+    val vecs = spark.table(vecTable)
+    val centroids = spark.table(centroidTable)
+    val wq = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    val probes = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", KMeans.d2Col)
+      .withColumn("rkc", row_number().over(wq))
+      .filter(col("rkc") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cluster"))
+    val cands = spark.table(codesTable).join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"))
+    val pairD2 = dot(col("embedding"), col("embedding")) -
+      lit(2.0d) * dot(col("embedding"), col("q_emb")) +
+      dot(col("q_emb"), col("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+    cands.join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("d2", Det.rdet(pairD2, 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "vec_id", "d2")
+  }
+
+  /** Index lifecycle, commit verb ([[Dedup.appendLshIndex]]'s shape): a
+    * NEW vector batch is assigned to the EXISTING stored centroids (append
+    * never re-trains — quantizer drift is a periodic-rebuild concern, by
+    * contract) and appended bucket-aligned to both tables. Cost tracks the
+    * batch size only; history is never read.
+    */
+  def appendAnnIndex(newVecs: DataFrame, codesTable: String,
+      vecTable: String, centroidTable: String, buckets: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    Seq(codesTable, vecTable, centroidTable).foreach(Dedup.requireValidTable)
+    val centroids = spark.table(centroidTable)
+    val nv = newVecs.select(col("vec_id"), col("embedding")).persist()
+    try {
+      KMeans.assignments(nv, centroids)
+        .select(col("vec_id"), col("cluster"),
+          pqCode(col("embedding")).as("pq_code"))
+        .write.format("parquet").mode("append")
+        .bucketBy(buckets, "cluster").sortBy("cluster")
+        .saveAsTable(codesTable)
+      withNorm(nv)
+        .write.format("parquet").mode("append")
+        .bucketBy(buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(vecTable)
+    } finally nv.unpersist()
+  }
+
   /** Embedding near-duplicate pairs within a coarse partition: label-blocked
     * pairwise cosine above `threshold`. doc pairs ordered (a < b). The
     * normed table is cached so per-vector work runs once, not per pair.

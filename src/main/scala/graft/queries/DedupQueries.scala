@@ -192,8 +192,9 @@ object DedupQueries {
       FROM f ORDER BY doc_id"""))
 
   /** Connected-component dedup clusters over the LSH pair graph (Spark:
-    * iterative min-label propagation; oracle: recursive CTE over the same
-    * pairs). The q26 LSH CTEs are reused verbatim for the edge set.
+    * large-star/small-star contraction, [[graft.operators.Graph.connectedComponents]]
+    * — O(log n) rounds; oracle: recursive CTE over the same pairs). The
+    * q26 LSH CTEs are reused verbatim for the edge set.
     */
   val q58DedupClusters: QueryDef = QueryDef(
     "q58_dedup_clusters",

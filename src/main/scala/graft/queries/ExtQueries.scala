@@ -215,7 +215,7 @@ object ExtQueries {
   /** DuckDB squared-L2 via the dot-product identity — same sequential
     * double folds as the Spark-side VectorDotProduct expressions.
     */
-  private def d2Sql(e: String, c: String, dim: Int): String = {
+  private[queries] def d2Sql(e: String, c: String, dim: Int): String = {
     def dot(a: String, b: String): String =
       s"""list_reduce(list_transform(generate_series(1, $dim),
          |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
@@ -227,7 +227,7 @@ object ExtQueries {
     * assignment (vec_id, cluster, embedding, d2). Every fold is the same
     * sequential double list_reduce the Spark expressions use.
     */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private[queries] def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     def assignCte(cents: String, out: String): String =
       s"""$out AS (SELECT vec_id, cluster, embedding, d2 FROM (
          |  SELECT e.vec_id, $cents.cluster, e.embedding,
@@ -800,7 +800,7 @@ object ExtQueries {
     * frontier join), aggregated to per-depth occupancy. Integer-only, so
     * both engines agree exactly; recursion depth is log2(|customer|),
     * far under Spark's recursion level limit. The DataFrame dual of this
-    * machinery is Dedup.dedupClusters' iterative min-label propagation
+    * machinery is Dedup.dedupClusters' large-star/small-star contraction
     * (q58), which hash-matches a recursive-CTE oracle the same way.
     */
   val q111RecursiveDepth: QueryDef = QueryDef(

@@ -1344,12 +1344,11 @@ object Round10Queries3 {
           new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
           new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
           new Field("grp", FieldType.nullable(new ArrowType.Int(32, true)), null)))
-        ArrowSynth.mapWithRoot(rows, schema) { (r, root) =>
+        ArrowSynth.mapWithRootAndBuffer(rows, schema) { (r, root, out) =>
           val k1 = 3 + r.n % 5
           val k2 = 2 + r.v % 4
           def nameAt(j: Int): String =
             ('a' + (r.n + j) % 26).toChar.toString * (1 + (r.v + j) % 5)
-          val out = new java.io.ByteArrayOutputStream()
           val w = new ArrowFileWriter(root, null,
             java.nio.channels.Channels.newChannel(out))
           w.start()
@@ -2306,10 +2305,9 @@ object Round10Queries3 {
         val schema = new Schema(java.util.Arrays.asList(
           new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
           new Field("txt", FieldType.nullable(new ArrowType.Utf8()), null)))
-        ArrowSynth.mapWithRoot(rows, schema) { (r, root) =>
+        ArrowSynth.mapWithRootAndBuffer(rows, schema) { (r, root, out) =>
           val k = 10 + r.n % 20
           val codecName = Seq("lz4", "zstd", "none")(r.v % 3)
-          val out = new java.io.ByteArrayOutputStream()
           val w = codecName match {
             case "none" =>
               new ArrowFileWriter(root, null,

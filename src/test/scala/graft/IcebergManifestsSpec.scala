@@ -451,6 +451,115 @@ class IcebergManifestsSpec extends AnyFunSuite {
     assert(IcebergManifests.planScan(list1, _ => Some(m0), 0, 9L, 0L).isEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // planScanV2 (q329): equality deletes participating in plan-time pruning
+  // ------------------------------------------------------------------
+
+  private val emptyPart = TRecord("r103", Vector())
+
+  private def eqPruneFixture() = {
+    // 4 data files, partitions bucket=0..3, rows 10+i / bytes 100+i, seq 9001
+    val dataEntries = (0 until 4).map { i =>
+      ManifestEntry(1, Some(9001L),
+        DataFile(0, s"data/f$i.parquet", "PARQUET",
+          Vector("bucket" -> i.toLong), 10L + i, 100L + i))
+    }
+    val dm = synthManifest(dataEntries, partType, "null", 1)
+    def mfV2(path: String, bytes: Array[Byte], es: Seq[ManifestEntry],
+        content: Int) =
+      ManifestFile(path, bytes.length.toLong, 0, 9001L,
+        es.count(_.status == 1), 0, 0,
+        es.map(_.dataFile.recordCount).sum, 0L, 0L, None, content)
+    (dataEntries, dm, mfV2 _)
+  }
+
+  private def delEntry(path: String, b: Array[Byte], rc: Long, snap: Long,
+      part: Vector[(String, Long)], ids: Vector[Int]) =
+    ManifestEntry(1, Some(snap),
+      DataFile(2, path, "AVRO", part, rc, b.length.toLong, Some(ids)))
+
+  test("planScanV2: domain prune + partition scope + stale sequence compose") {
+    val (dataEntries, dm, mfV2) = eqPruneFixture()
+    // A: GLOBAL delete on the partition-source column (id 2), values {1,2},
+    //    seq 9002 — the value domain confines it to files 1 and 2
+    val aB = IcebergManifests.synthEqDeletes("bucket", Seq(1L, 2L), "null", 2)
+    // B: global, same column, FULL domain 0..3, but seq 9000 — STALE: an
+    //    equality delete only applies to strictly older data files
+    val bB = IcebergManifests.synthEqDeletes("bucket", 0L to 3L, "null", 3)
+    // C: scoped to partition bucket=3, a DIFFERENT column (id 7) — no
+    //    domain knowledge, so scope+sequence alone assign it to file 3
+    val cB = IcebergManifests.synthEqDeletes("other", Seq(99L), "null", 4)
+    val delA = delEntry("del/a.avro", aB, 2L, 9002L, Vector.empty, Vector(2))
+    val delB = delEntry("del/b.avro", bB, 4L, 9000L, Vector.empty, Vector(2))
+    val delC = delEntry("del/c.avro", cB, 1L, 9003L,
+      Vector("bucket" -> 3L), Vector(7))
+    val em1 = synthManifest(Seq(delA, delB), emptyPart, "null", 5)
+    val em2 = synthManifest(Seq(delC), partType, "null", 6)
+    val list = synthManifestList(Seq(
+      mfV2("meta/dm.avro", dm, dataEntries, 0),
+      mfV2("meta/e1.avro", em1, Seq(delA, delB), 1),
+      mfV2("meta/e2.avro", em2, Seq(delC), 1)), "null", 7)
+    val byPath = Map("meta/dm.avro" -> dm, "meta/e1.avro" -> em1,
+      "meta/e2.avro" -> em2, "del/a.avro" -> aB, "del/b.avro" -> bB,
+      "del/c.avro" -> cB)
+    val p = IcebergManifests.planScanV2(list, byPath.get, 0, 0L, 3L, 2).get
+    assert(p == IcebergManifests.ScanPlanV2(3, 0, 4, 4, 46L, 406L,
+      3, 3, 1, 10L), p)
+  }
+
+  test("planScanV2: a far domain prunes EVERYTHING; an other-column global delete prunes NOTHING") {
+    val (dataEntries, dm, mfV2) = eqPruneFixture()
+    // domain [50, 60] cannot intersect any partition: all files delete-free
+    val farB = IcebergManifests.synthEqDeletes("bucket", Seq(50L, 60L), "null", 2)
+    val far = delEntry("del/far.avro", farB, 2L, 9002L, Vector.empty, Vector(2))
+    val em = synthManifest(Seq(far), emptyPart, "null", 3)
+    val list = synthManifestList(Seq(
+      mfV2("meta/dm.avro", dm, dataEntries, 0),
+      mfV2("meta/em.avro", em, Seq(far), 1)), "null", 4)
+    val byPath = Map("meta/dm.avro" -> dm, "meta/em.avro" -> em,
+      "del/far.avro" -> farB)
+    val p = IcebergManifests.planScanV2(list, byPath.get, 0, 0L, 3L, 2).get
+    assert(p.filesAffected == 0 && p.filesDeleteFree == 4 &&
+      p.rowsDeleteFree == 46L, p)
+    // a global delete on ANOTHER column (no domain knowledge): every
+    // matched file must conservatively run merge-on-read
+    val othB = IcebergManifests.synthEqDeletes("x", Seq(1L), "null", 5)
+    val oth = delEntry("del/o.avro", othB, 1L, 9002L, Vector.empty, Vector(9))
+    val em2 = synthManifest(Seq(oth), emptyPart, "null", 6)
+    val list2 = synthManifestList(Seq(
+      mfV2("meta/dm.avro", dm, dataEntries, 0),
+      mfV2("meta/e2.avro", em2, Seq(oth), 1)), "null", 7)
+    val byPath2 = Map("meta/dm.avro" -> dm, "meta/e2.avro" -> em2,
+      "del/o.avro" -> othB)
+    val p2 = IcebergManifests.planScanV2(list2, byPath2.get, 0, 0L, 3L, 2).get
+    assert(p2.filesAffected == 4 && p2.filesDeleteFree == 0 &&
+      p2.rowsDeleteFree == 0L, p2)
+  }
+
+  test("planScanV2 enforcement: record-count drift and field-135 violations decline") {
+    val (dataEntries, dm, mfV2) = eqPruneFixture()
+    val aB = IcebergManifests.synthEqDeletes("bucket", Seq(1L, 2L), "null", 2)
+    // declared record_count 3, file holds 2 rows
+    val bad = delEntry("del/a.avro", aB, 3L, 9002L, Vector.empty, Vector(2))
+    val em = synthManifest(Seq(bad), emptyPart, "null", 3)
+    val list = synthManifestList(Seq(
+      mfV2("meta/dm.avro", dm, dataEntries, 0),
+      mfV2("meta/em.avro", em, Seq(bad), 1)), "null", 4)
+    val byPath = Map("meta/dm.avro" -> dm, "meta/em.avro" -> em,
+      "del/a.avro" -> aB)
+    assert(IcebergManifests.planScanV2(list, byPath.get, 0, 0L, 3L, 2).isEmpty)
+    // an equality-delete entry WITHOUT equality_ids
+    val noIds = ManifestEntry(1, Some(9002L),
+      DataFile(2, "del/a.avro", "AVRO", Vector.empty, 2L, aB.length.toLong))
+    val em2 = synthManifest(Seq(noIds), emptyPart, "null", 5)
+    val list2 = synthManifestList(Seq(
+      mfV2("meta/dm.avro", dm, dataEntries, 0),
+      mfV2("meta/e2.avro", em2, Seq(noIds), 1)), "null", 6)
+    val byPath2 = Map("meta/dm.avro" -> dm, "meta/e2.avro" -> em2,
+      "del/a.avro" -> aB)
+    assert(IcebergManifests.planScanV2(list2, byPath2.get, 0, 0L, 3L, 2).isEmpty)
+  }
+
   test("schema evolution: id-keyed diff, promotion rules, coherence") {
     import graft.operators.IcebergMetadata
     import graft.operators.IcebergMetadata.{Field, Schema, SnapshotRef}

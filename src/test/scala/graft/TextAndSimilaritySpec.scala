@@ -242,6 +242,77 @@ class TextAndSimilaritySpec extends SparkTestBase {
     assert(r.getInt(2) == 'a'.toInt + 'd'.toInt + 'g'.toInt + 'j'.toInt)
   }
 
+  // deterministic 64-dim fixture for the persisted-ANN-index lifecycle
+  // (pqCode slices assume dim 64); ids 0..n-1, three labels
+  private def embs64(ids: Seq[Long]) =
+    ids.map(i => (i,
+      Seq.tabulate(64)(d => (((i * 31 + d * 7) % 11) - 5) / 10f),
+      (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+
+  test("persisted ANN index: PQ and IVF probes match the inline plans; bucket metadata stored") {
+    val e = embs64(0L until 14L)
+    Similarity.writeAnnIndex(e, kClusters = 2, iters = 2,
+      codesTable = "spec_ann_codes", vecTable = "spec_ann_vecs",
+      centroidTable = "spec_ann_cents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pqStored = rows(Similarity.probePqIndex(spark, nQueries = 3, k = 4,
+      radius = 8, codesTable = "spec_ann_codes", vecTable = "spec_ann_vecs"))
+    val pqInline = rows(Similarity.topKPqRerank(e, nQueries = 3, k = 4, radius = 8))
+    assert(pqStored == pqInline && pqStored.nonEmpty)
+    val ivfStored = rows(Similarity.probeIvfIndex(spark, nQueries = 3, k = 4,
+      nprobe = 2, codesTable = "spec_ann_codes", vecTable = "spec_ann_vecs",
+      centroidTable = "spec_ann_cents"))
+    val ivfInline = rows(Similarity.topKIvfMultiprobe(e, nQueries = 3, k = 4,
+      kClusters = 2, iters = 2, nprobe = 2))
+    assert(ivfStored == ivfInline && ivfStored.nonEmpty)
+    // the layout claim: codes bucketed by cluster (IVF probes read cells
+    // exchange-free), vectors bucketed by vec_id (shortlist fetch by key)
+    def desc(t: String) = spark.sql(s"DESCRIBE FORMATTED $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dc = desc("spec_ann_codes")
+    assert(dc.get("Num Buckets").exists(_.trim == "8"), dc.get("Num Buckets"))
+    assert(dc.get("Bucket Columns").exists(_.contains("cluster")))
+    val dv = desc("spec_ann_vecs")
+    assert(dv.get("Bucket Columns").exists(_.contains("vec_id")))
+  }
+
+  test("ensureAnnIndex builds once, skips when fresh, rebuilds on growth or new params") {
+    val e = embs64(0L until 10L)
+    def ensure(d: org.apache.spark.sql.DataFrame, kc: Int = 2) =
+      Similarity.ensureAnnIndex(d, kClusters = kc, iters = 1,
+        codesTable = "spec_ann2_codes", vecTable = "spec_ann2_vecs",
+        centroidTable = "spec_ann2_cents")
+    spark.sql("DROP TABLE IF EXISTS spec_ann2_codes")
+    spark.sql("DROP TABLE IF EXISTS spec_ann2_vecs")
+    spark.sql("DROP TABLE IF EXISTS spec_ann2_cents")
+    assert(ensure(e), "first call must build")
+    assert(!ensure(e), "fresh index must be served, not rebuilt")
+    assert(ensure(embs64(0L until 12L)), "vector-count growth must rebuild")
+    assert(ensure(embs64(0L until 12L), kc = 3),
+      "a different quantizer parameterization must rebuild")
+  }
+
+  test("appendAnnIndex commits a batch: the next probe sees it, history unread") {
+    val e = embs64(0L until 10L)
+    Similarity.writeAnnIndex(e, kClusters = 2, iters = 1,
+      codesTable = "spec_ann3_codes", vecTable = "spec_ann3_vecs",
+      centroidTable = "spec_ann3_cents")
+    // the appended batch clones vector 0 under new ids — they must surface
+    // as its nearest stored neighbors on the next probe
+    val batch = embs64(Seq(0L)).selectExpr(
+      "vec_id + 100 AS vec_id", "embedding", "label")
+    Similarity.appendAnnIndex(batch, codesTable = "spec_ann3_codes",
+      vecTable = "spec_ann3_vecs", centroidTable = "spec_ann3_cents")
+    assert(spark.table("spec_ann3_vecs").count() == 11L)
+    val top = Similarity.probePqIndex(spark, nQueries = 1, k = 1, radius = 0,
+        codesTable = "spec_ann3_codes", vecTable = "spec_ann3_vecs")
+      .collect()
+    assert(top.nonEmpty && top.head.getLong(2) == 100L &&
+      top.head.getDouble(3) == 1.0, top.mkString(","))
+  }
+
   test("pq codes are stable and bucket identical vectors together") {
     val v = Seq.fill(64)(0.25f)
     val e = Seq((1L, v, 0), (2L, v, 1), (3L, v.map(-_), 0))
