@@ -187,8 +187,17 @@ object Graph {
       var rounds = 0
       while (!converged && rounds < maxRounds) {
         val wu = Window.partitionBy("u")
-        val b = e.select(col("src").as("u"), col("dst").as("v"))
-          .union(e.select(col("dst").as("u"), col("src").as("v")))
+        // Both orientations via ONE explode, NOT e.union(e.swapped): a
+        // union references the previous round's frame twice, so the
+        // logical plan DOUBLES per round — 2^rounds subtrees by round ~20,
+        // and AQE's explainString alone OOMs the driver on the plan
+        // string (execution would read the cache; the plan object tree
+        // doesn't know that). One reference per round keeps plan growth
+        // linear in rounds, like the PageRank loop.
+        val b = e.select(explode(array(
+            struct(col("src").as("u"), col("dst").as("v")),
+            struct(col("dst").as("u"), col("src").as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
         val ls = b.withColumn("m", least(min(col("v")).over(wu), col("u")))
           .filter(col("v") > col("u"))
           .select(col("v").as("src"), col("m").as("dst"))
