@@ -555,11 +555,20 @@ object Dedup {
     * heuristics, no quadratic stage — and the exact Hamming filter runs on
     * candidates only. The corpus-square never materializes at any scale.
     */
-  def simhash64BandedPairs(docs: DataFrame, shingleK: Int, maxHamming: Int = 3): DataFrame = {
+  def simhash64BandedPairs(docs: DataFrame, shingleK: Int, maxHamming: Int = 3): DataFrame =
+    banded64Pairs(simhash64Table(docs, shingleK), maxHamming)
+
+  /** The banded-Hamming join of [[simhash64BandedPairs]] over ANY 64-bit
+    * hash table `(doc_id, sim64)` — perceptual image hashes (dHash), audio
+    * fingerprints, and simhash all share this one candidate generator.
+    * Recall guarantee and plan shape as above: four 16-bit bands, equi-join
+    * on (band, key), exact popcount filter on candidates only.
+    */
+  def banded64Pairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to radius 3")
     // action-scoped: both self-join sides read the one materialization,
     // evicted when the consuming action completes
-    val sims = ScopedCache.cache(simhash64Table(docs, shingleK))
+    val sims = ScopedCache.cache(hashes)
     val banded = sims.select(col("doc_id"), col("sim64"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -135,6 +135,47 @@ object MediaCodecs {
     Some(BmpImage(width, height, px))
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image: the image tiles
+    * into a (width/blockW) × (height/blockH) grid, each cell's brightness
+    * is the SUM of its pixels' channel values (equal cell areas make the
+    * sum order-equivalent to the mean with zero division error), and bit
+    * (by·(gridW−1) + bx) is 1 iff cell (bx+1, by) is brighter than cell
+    * (bx, by) — the classic horizontal-gradient perceptual hash. A 9×8
+    * grid yields exactly 64 bits. Requires the dimensions to tile evenly
+    * and the bit count to fit a Long.
+    */
+  def dHash64(img: BmpImage, blockW: Int, blockH: Int): Long = {
+    require(blockW > 0 && blockH > 0 &&
+      img.width % blockW == 0 && img.height % blockH == 0,
+      s"grid ${blockW}x$blockH does not tile ${img.width}x${img.height}")
+    val gw = img.width / blockW
+    val gh = img.height / blockH
+    require(gw >= 2 && (gw - 1).toLong * gh <= 64,
+      s"grid ${gw}x$gh yields ${(gw - 1) * gh} bits (need 1..64)")
+    val sums = Array.ofDim[Long](gw, gh)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val (r, g, b) = img.pixels(y * img.width + x)
+        sums(x / blockW)(y / blockH) += r.toLong + g + b
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var by = 0
+    while (by < gh) {
+      var bx = 0
+      while (bx < gw - 1) {
+        if (sums(bx + 1)(by) > sums(bx)(by)) h |= 1L << (by * (gw - 1) + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    h
+  }
+
   /** Encode a binary PPM (P6, maxval 255). `pixel(x, y)` yields (r, g, b)
     * in 0..255, y = 0 the top row (PPM raster order is top-down,
     * left-to-right — no flip, no padding). A `# graft` comment line sits

@@ -224,4 +224,93 @@ object ParquetFooter {
       Some(FooterInfo(md.i(1).getOrElse(-1L), numRows,
         md.str(6).getOrElse(""), cols, groups.length, first))
     } catch { case NonFatal(_) => None }
+
+  // ---------------- page index (ColumnIndex + OffsetIndex) ----------------
+
+  /** One data page of a column chunk as described by the PAGE INDEX — the
+    * parquet-format structures (`ColumnIndex`: per-page min/max/null-page/
+    * null-count; `OffsetIndex`: per-page offset/size/first_row_index)
+    * written OUTSIDE the pages themselves so a reader can skip pages
+    * without touching one data byte. `min`/`max` decode the INT32/INT64
+    * plain stat bytes; `nRows` derives from consecutive first_row_index
+    * values (last page: row-group row count minus its first row).
+    */
+  final case class PageIndexEntry(page: Int, firstRow: Long, nRows: Long,
+      min: Option[Long], max: Option[Long], nullPage: Boolean,
+      nullCount: Long)
+
+  /** Parse the page index of column `path` in the FIRST row group:
+    * ColumnChunk.offset_index_offset(4)/length(5) →
+    * OffsetIndex{page_locations(1: list<PageLocation{offset(1),
+    * compressed_page_size(2), first_row_index(3)}>)}, and
+    * ColumnChunk.column_index_offset(6)/length(7) →
+    * ColumnIndex{null_pages(1), min_values(2), max_values(3),
+    * boundary_order(4), null_counts(5)}. Same hostile-byte posture as
+    * [[probe]]: any absent field, range overrun, or list-length mismatch
+    * yields None, never a throw.
+    */
+  def pageIndex(b: Array[Byte], path: String): Option[Vector[PageIndexEntry]] =
+    try {
+      if (b.length < 12) return None
+      if (b(0) != 'P' || b(1) != 'A' || b(2) != 'R' || b(3) != '1') return None
+      val n = b.length
+      if (b(n - 4) != 'P' || b(n - 3) != 'A' || b(n - 2) != 'R' ||
+        b(n - 1) != '1') return None
+      val flen = (b(n - 8) & 0xffL) | ((b(n - 7) & 0xffL) << 8) |
+        ((b(n - 6) & 0xffL) << 16) | ((b(n - 5) & 0xffL) << 24)
+      if (flen <= 0 || flen > n - 12) return None
+      val md = new Reader(b, n - 8 - flen.toInt, n - 8).readStruct(0)
+      val g = md.list(4).flatMap(_.headOption) match {
+        case Some(s: TStruct) => s
+        case _ => return None
+      }
+      val groupRows = g.i(3).getOrElse(return None)
+      val chunk = g.list(1).getOrElse(return None).collectFirst {
+        case c: TStruct if c.struct(3).exists(_.list(3).exists(
+          _.collect { case TBin(v) => new String(v, "UTF-8") }
+            .mkString(".") == path)) => c
+      }.getOrElse(return None)
+      def range(offId: Int, lenId: Int): Option[(Int, Int)] = for {
+        off <- chunk.i(offId)
+        len <- chunk.i(lenId)
+        if off >= 0 && len > 0 && off + len <= n
+      } yield (off.toInt, (off + len).toInt)
+      val (oiFrom, oiTo) = range(4, 5).getOrElse(return None)
+      val (ciFrom, ciTo) = range(6, 7).getOrElse(return None)
+      val oi = new Reader(b, oiFrom, oiTo).readStruct(0)
+      val ci = new Reader(b, ciFrom, ciTo).readStruct(0)
+      val locs = oi.list(1).getOrElse(return None).map {
+        case s: TStruct => s.i(3).getOrElse(return None)
+        case _ => return None
+      }
+      val nullPages = ci.list(1).getOrElse(return None).map {
+        case TBool(v) => v
+        case _ => return None
+      }
+      val mins = ci.list(2).getOrElse(return None).map {
+        case TBin(v) => v
+        case _ => return None
+      }
+      val maxs = ci.list(3).getOrElse(return None).map {
+        case TBin(v) => v
+        case _ => return None
+      }
+      val nullCounts = ci.list(5).map(_.map {
+        case TI(v) => v
+        case _ => return None
+      })
+      val np = locs.length
+      if (nullPages.length != np || mins.length != np || maxs.length != np)
+        return None
+      if (np == 0 || locs.head != 0L) return None
+      Some((0 until np).map { p =>
+        val next = if (p + 1 < np) locs(p + 1) else groupRows
+        if (next < locs(p)) return None
+        PageIndexEntry(p, locs(p), next - locs(p),
+          if (nullPages(p)) None else intStat(mins(p)),
+          if (nullPages(p)) None else intStat(maxs(p)),
+          nullPages(p),
+          nullCounts.map(_(p)).getOrElse(-1L))
+      }.toVector)
+    } catch { case NonFatal(_) => None }
 }

@@ -118,4 +118,41 @@ object ParquetSynth {
     } finally w.close()
     out.bos.toByteArray
   }
+
+  private val PagedSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message paged {
+      |  required int64 val;
+      |}""".stripMargin)
+
+  /** Write a single required-INT64 column with an EXACT page row-count
+    * limit: parquet-mr's `withPageRowCountLimit` flushes the page the
+    * moment it holds `pageRowLimit` rows (the row-count check is
+    * per-record, unlike the size check's sampling), so page p holds rows
+    * [p·limit, (p+1)·limit) — the controlled layout the page-index
+    * pruning probe's closed-form oracle depends on. Dictionaries off so
+    * the data pages are PLAIN; uncompressed; v1 pages. The writer emits
+    * the ColumnIndex/OffsetIndex structures this layout is read back
+    * through ([[ParquetFooter.pageIndex]]).
+    */
+  def synthPaged(values: Seq[Long], pageRowLimit: Int): Array[Byte] = {
+    val out = new MemOutputFile
+    val w = ExampleParquetWriter.builder(out)
+      .withType(PagedSchema)
+      .withDictionaryEncoding(false)
+      .withPageRowCountLimit(pageRowLimit)
+      // the writer's FIRST size check fires at minRowCountForPageSizeCheck
+      // (default 100) regardless of the row-count limit — pin it to the
+      // limit or files under 100 rows/page come back as one oversized page
+      .withMinRowCountForPageSizeCheck(pageRowLimit)
+      .withMaxRowCountForPageSizeCheck(pageRowLimit)
+      .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_1_0)
+      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .build()
+    try values.foreach { v =>
+      val g = new SimpleGroup(PagedSchema)
+      g.add("val", v)
+      w.write(g)
+    } finally w.close()
+    out.bos.toByteArray
+  }
 }

@@ -68,6 +68,55 @@ object EventsStreaming {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Per-(user, fixed-window) quota state: events seen, events admitted,
+    * and the admitted value mass as an exact ×10⁸-scaled integer (the
+    * decimal(30,8) accumulation [[graft.functions.Det.dsum]] uses,
+    * streamed).
+    */
+  final case class QuotaState(n: Long, admitted: Long, scaled: BigInt)
+
+  /** STREAMING FIXED-WINDOW RATE LIMITING — the incremental form of
+    * q338's batch twin: state keyed by (user, 10-minute window) admits
+    * the first `quota` events by (event time, event_id) and rejects the
+    * rest; each update emits the cell's running census. Micro-batch rows
+    * fold in explicit (ts, event_id) order, so for an in-order feed the
+    * final state per cell equals the batch rank — StreamingSpec pins the
+    * parity across batch splits. State is one counter triple per ACTIVE
+    * (user, window) cell; at scale the cells a watermark has passed
+    * would be evicted by an event-time timeout (the sessionizeStream
+    * contract), kept eternal here because the spec replays finite feeds.
+    */
+  def quotaPerUserWindow(events: DataFrame, windowUs: Long = 600000000L,
+      quota: Int = 5): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), expr("unix_micros(ts)"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(r => (r._1, r._2 / windowUs))
+      .mapGroupsWithState[QuotaState, (Long, Long, Long, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case ((user, win), rows, state: GroupState[QuotaState]) =>
+          var st = state.getOption.getOrElse(QuotaState(0L, 0L, BigInt(0)))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            st =
+              if (st.admitted < quota)
+                QuotaState(st.n + 1, st.admitted + 1,
+                  st.scaled + BigDecimal(r._4)
+                    .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+                    .*(BigDecimal(100000000L)).toBigInt)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          // the dsum display rule: floor(Σ·100)/100
+          val v = (BigDecimal(st.scaled) / BigDecimal(1000000L))
+            .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong / 100.0d
+          (user, win, st.n, st.admitted, st.n - st.admitted, v)
+      }
+      .toDF("user_id", "win", "n_events", "n_admitted", "n_rejected",
+        "admitted_value")
+  }
+
   /** Streaming EWMA per user — the incremental form of q140's batch twin
     * q137: state carries (n, ewma); each micro-batch folds its rows in
     * (ts, event_id) order with e ← α·x + (1−α)·e, seeding from the first

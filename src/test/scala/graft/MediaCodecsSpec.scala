@@ -692,6 +692,49 @@ class MediaCodecsSpec extends SparkTestBase {
     }
   }
 
+  test("dHash64: horizontal-gradient bits from block SUMS, bit order pinned") {
+    // 4x2 image, 1x1 blocks -> 4x2 grid, (4-1)*2 = 6 bits.
+    // row 0: 10 20 5 5  -> bits (bx=0)=1 (20>10), (bx=1)=0 (5>20 no), (bx=2)=0
+    // row 1: 7 7 8 1    -> bits (bx=0)=0, (bx=1)=1 (8>7), (bx=2)=0
+    val vals = Array(Array(10, 20, 5, 5), Array(7, 7, 8, 1))
+    val img = MediaCodecs.BmpImage(4, 2,
+      Array.tabulate(8)(i => { val v = vals(i / 4)(i % 4); (v, v, v) }))
+    // bit index = by * (gw-1) + bx
+    assert(MediaCodecs.dHash64(img, 1, 1) == ((1L << 0) | (1L << 4)))
+    // 2x2 blocks: SUM semantics, not the top-left pixel — block (0,0) sums
+    // 10+20+7+7=44, block (1,0) sums 5+5+8+1=19 -> single bit 0 (19>44 no)
+    assert(MediaCodecs.dHash64(img, 2, 2) == 0L)
+    val img2 = MediaCodecs.BmpImage(4, 2,
+      Array.tabulate(8)(i => { val v = if (i % 4 >= 2) 50 else 1; (v, v, v) }))
+    assert(MediaCodecs.dHash64(img2, 2, 2) == 1L) // right block brighter
+    // tiling and bit-budget contracts
+    intercept[IllegalArgumentException](MediaCodecs.dHash64(img, 3, 1))
+    intercept[IllegalArgumentException](MediaCodecs.dHash64(img, 4, 1)) // gw=1
+  }
+
+  test("banded64Pairs: pigeonhole recall at radius <= 3, cross-band splits") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = 0x0123456789abcdefL
+    val rows = Seq(
+      (0L, base),
+      (1L, base),                               // ham 0
+      (2L, base ^ 1L),                          // ham 1 (band 0)
+      (3L, base ^ (1L << 15) ^ (1L << 16)),     // ham 2, straddles bands 0/1
+      (4L, base ^ (1L << 0) ^ (1L << 31) ^ (1L << 63)), // ham 3, three bands
+      (5L, base ^ 0xfL))                        // ham 4 -> excluded at max 3
+    val pairs = Dedup.banded64Pairs(rows.toDF("doc_id", "sim64"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((0L, 1L, 0)))
+    assert(pairs.contains((0L, 2L, 1)))
+    assert(pairs.contains((0L, 3L, 2)))
+    assert(pairs.contains((0L, 4L, 3))) // 3 bits in 3 bands: 4th band intact
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L && p._3 > 3))
+    assert(pairs.forall(_._3 <= 3))
+    intercept[IllegalArgumentException](
+      Dedup.banded64Pairs(rows.toDF("doc_id", "sim64"), maxHamming = 4))
+  }
+
   test("pgm roundtrip widens gray to RGB; P5/P6 magics don't cross-decode") {
     val enc = MediaCodecs.encodePgm5(3, 2, (x, y) => 10 * y + x)
     val img = MediaCodecs.decodePgm5(enc).get

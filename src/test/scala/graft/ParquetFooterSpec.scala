@@ -100,4 +100,32 @@ class ParquetFooterSpec extends SparkTestBase {
       ParquetFooter.probe(c) // any result, but never a throw
     }
   }
+
+  test("pageIndex: exact page grid from withPageRowCountLimit, true stats") {
+    import graft.operators.ParquetSynth
+    // 100 sorted values, limit 40 -> pages of 40/40/20 at rows 0/40/80
+    val sorted = (0L until 100L).map(_ * 3L)
+    val b = ParquetSynth.synthPaged(sorted, pageRowLimit = 40)
+    val pi = ParquetFooter.pageIndex(b, "val").get
+    assert(pi.map(p => (p.page, p.firstRow, p.nRows)) ==
+      Vector((0, 0L, 40L), (1, 40L, 40L), (2, 80L, 20L)))
+    assert(pi.map(p => (p.min.get, p.max.get)) ==
+      Vector((0L, 117L), (120L, 237L), (240L, 297L)))
+    assert(pi.forall(p => !p.nullPage && p.nullCount == 0L))
+    // UNSORTED values: ColumnIndex stats are true per-page min/max, not
+    // the page's first/last values
+    val shuffled = Seq(50L, 7L, 99L, 1L, 60L)
+    val b2 = ParquetSynth.synthPaged(shuffled, pageRowLimit = 3)
+    val pi2 = ParquetFooter.pageIndex(b2, "val").get
+    assert(pi2.map(p => (p.firstRow, p.nRows, p.min.get, p.max.get)) ==
+      Vector((0L, 3L, 7L, 99L), (3L, 2L, 1L, 60L)))
+    // contract surface: unknown column, truncated file, hostile footer
+    assert(ParquetFooter.pageIndex(b, "nope").isEmpty)
+    assert(ParquetFooter.pageIndex(b.dropRight(9), "val").isEmpty)
+    val n2 = b.length
+    (0 until n2 by 11).foreach { i =>
+      val c = b.clone(); c(i) = (c(i) ^ 0x55).toByte
+      ParquetFooter.pageIndex(c, "val") // any result, never a throw
+    }
+  }
 }

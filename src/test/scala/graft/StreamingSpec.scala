@@ -249,6 +249,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quota equals the batch rank across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 10: seven events in window A (quota 5 -> 2 rejected), two in
+    // window B; user 11: two in window A. The batch split lands mid-window
+    // so quota state must survive the batch boundary.
+    val feed = Seq(
+      (1L, ts(0), 10L, "c", 1.0, "{}"), (2L, ts(1), 10L, "c", 2.0, "{}"),
+      (3L, ts(2), 10L, "c", 3.0, "{}"), (4L, ts(0), 11L, "c", 100.5, "{}"),
+      (5L, ts(1), 11L, "c", 0.25, "{}"), (6L, ts(3), 10L, "c", 4.0, "{}"),
+      (7L, ts(4), 10L, "c", 5.0, "{}"), (8L, ts(5), 10L, "c", 6.0, "{}"),
+      (9L, ts(6), 10L, "c", 7.0, "{}"), (10L, ts(7), 10L, "c", 10.0, "{}"),
+      (11L, ts(8), 10L, "c", 11.0, "{}"))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = EventsStreaming.quotaPerUserWindow(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("quota_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(feed.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(feed.drop(5): _*)
+      q.processAllAvailable()
+      // latest state per (user, window) = the row with the highest n_events
+      val got = spark.table("quota_test")
+        .groupBy("user_id", "win")
+        .agg(max(struct(col("n_events"), col("n_admitted"), col("n_rejected"),
+          col("admitted_value"))).as("s"))
+        .select(col("user_id"), col("win"), col("s.n_events"),
+          col("s.n_admitted"), col("s.n_rejected"), col("s.admitted_value"))
+        .orderBy("user_id", "win").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toSeq
+      assert(got == Seq(
+        (10L, 7L, 5L, 2L, 15.0),   // window A: values 1..5 admitted
+        (10L, 2L, 2L, 0L, 21.0),   // window B: 10 + 11
+        (11L, 2L, 2L, 0L, 100.75)))
+      // batch-twin parity: the q338 rank pipeline over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "win").orderBy("us", "event_id")
+      val batch = toDF(feed)
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("win", expr("us DIV 600000000"))
+        .withColumn("adm", row_number().over(w) <= 5)
+        .groupBy("user_id", "win")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adm"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("adm"), 0L).otherwise(1L)).as("j"),
+          graft.functions.Det.dsum(
+            when(col("adm"), col("value")).otherwise(lit(0.0d))).as("v"))
+        .orderBy("user_id", "win").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming EWMA over an in-order feed equals the sequential fold") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
