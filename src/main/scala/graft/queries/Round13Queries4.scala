@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashFunctions
+import graft.operators.{Dedup, DeletionVectors, MediaCodecs, Puffin}
+
+/** Round-13 additions, fourth tranche: the Iceberg-v3 stats/DV container
+  * (Puffin), audio near-dup through the real WAV codec, and the
+  * fill-in-middle training transform.
+  */
+object Round13Queries4 {
+
+  /** PUFFIN STATS/DV CONTAINER — Iceberg v3 ships deletion vectors and
+    * sketches in Puffin files ([[graft.operators.Puffin]]): per doc_id%8
+    * bucket the query writes a REAL two-blob Puffin image — the bucket's
+    * deletion vector (positions ≡ 2 mod 5 of the sorted rows, serialized
+    * through q337's portable RoaringBitmapArray) plus an 8-byte
+    * little-endian row-sum blob — with the footer JSON gzip-compressed
+    * on even buckets (the flags bit), then probes it back: footer walk,
+    * optional gunzip, JSON decode, blob-region coherence, ranged blob
+    * fetch, bitmap deserialize. The oracle pins blob geometry closed-form
+    * (offset 4; DV length 32 + 2·|DV| — the q337 container arithmetic)
+    * beside the decoded cardinality and row sum, so a framing error
+    * anywhere in the write→probe chain lands in the hash.
+    */
+  val q340PuffinDv: QueryDef = QueryDef(
+    "q340_puffin_dv",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      ids.groupByKey(_ % 8).flatMapGroups { (bucket, it) =>
+        val vals = it.toArray.sorted
+        val del = vals.indices.collect { case p if p % 5 == 2 => p.toLong }.toArray
+        val dv = DeletionVectors.serializeRoaring64(del)
+        var sum = 0L
+        vals.foreach(sum += _)
+        val rowsum = Array.tabulate[Byte](8)(i => ((sum >>> (8 * i)) & 0xff).toByte)
+        val file = Puffin.write(
+          Seq("deletion-vector-v1" -> dv, "graft-rowsum-v1" -> rowsum),
+          snapshotId = bucket, sequenceNumber = 7L,
+          properties = Map("created-by" -> "graft"),
+          compressFooter = bucket % 2 == 0)
+        val probed = Puffin.probe(file)
+          .getOrElse(sys.error(s"puffin probe failed: bucket $bucket"))
+        require(probed.properties.get("created-by").contains("graft"),
+          "properties drift")
+        val dvMeta = probed.blobs.find(_.blobType == "deletion-vector-v1")
+          .getOrElse(sys.error("missing dv blob"))
+        val sumMeta = probed.blobs.find(_.blobType == "graft-rowsum-v1")
+          .getOrElse(sys.error("missing rowsum blob"))
+        val positions = DeletionVectors.deserializeRoaring64(
+          Puffin.blobBytes(file, dvMeta))
+          .getOrElse(sys.error("dv blob did not deserialize"))
+        require(java.util.Arrays.equals(positions, del), "dv roundtrip drift")
+        val sb = Puffin.blobBytes(file, sumMeta)
+        var got = 0L
+        (0 until 8).foreach(i => got |= (sb(i) & 0xffL) << (8 * i))
+        Iterator.single((bucket, probed.blobs.length,
+          if (probed.compressedFooter) 1 else 0,
+          dvMeta.offset, dvMeta.length, positions.length.toLong, got))
+      }.toDF("bucket", "n_blobs", "compressed", "dv_offset", "dv_length",
+          "dv_cardinality", "rowsum")
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH r AS (SELECT doc_id % 8 AS bucket, doc_id,
+                        row_number() OVER (PARTITION BY doc_id % 8
+                          ORDER BY doc_id) - 1 AS rr
+                 FROM documents)
+      SELECT bucket, 2 AS n_blobs,
+             CAST(CASE WHEN bucket % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS compressed,
+             CAST(4 AS BIGINT) AS dv_offset,
+             CAST(32 + 2 * SUM(CASE WHEN rr % 5 = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS dv_length,
+             CAST(SUM(CASE WHEN rr % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dv_cardinality,
+             CAST(SUM(doc_id) AS BIGINT) AS rowsum
+      FROM r GROUP BY bucket ORDER BY bucket"""))
+
+  /** AUDIO FINGERPRINT NEAR-DUP — q331's perceptual dedup in the audio
+    * modality with the REAL WAV codec in the loop: per document a
+    * deterministic 130-sample PCM16 waveform (pattern keyed by group
+    * g = v%50, class c = n%3 saturating 1–2 frame pairs to full scale)
+    * encodes through the RIFF writer, decodes back through
+    * [[graft.operators.MediaCodecs.decodeWavPcm16]] (chunk walk,
+    * little-endian samples), and hashes to 64 bits of frame-energy
+    * gradient (bit j = energy of 2-sample frame j+1 exceeds frame j —
+    * the shape under Chromaprint/Shazam-style fingerprints). Candidates
+    * come from the SAME [[graft.operators.Dedup.banded64Pairs]] join the
+    * image and simhash families use. Offline validation: min cross-group
+    * Hamming 6, same-group classes at 0–5, so the ≤ 2 filter keeps
+    * exactly the planted near-dups.
+    */
+  val q341AudioFingerprint: QueryDef = QueryDef(
+    "q341_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val hashed = src.map { r =>
+        val g = r.v % 50
+        val c = r.n % 3
+        val samples = Array.tabulate(130) { i =>
+          if (c == 1 && (i == 40 || i == 41)) 2000
+          else if (c == 2 && (i == 20 || i == 21 || i == 80 || i == 81)) 2000
+          else {
+            val x = (g + 1).toLong * 7919L + (i + 1).toLong * 104729L
+            (x * x % 99991L % 4001L - 2000L).toInt
+          }
+        }
+        val bytes = MediaCodecs.encodeWavPcm16(8000,
+          samples.map(_.toShort))
+        val wav = MediaCodecs.decodeWavPcm16(bytes)
+          .getOrElse(sys.error(s"synth wav failed to decode: doc ${r.doc_id}"))
+        require(wav.samples.length == 130, "sample count drift")
+        val e = Array.tabulate(65) { j =>
+          val a = wav.samples(2 * j).toLong
+          val b = wav.samples(2 * j + 1).toLong
+          a * a + b * b
+        }
+        var h = 0L
+        (0 until 64).foreach(j => if (e(j + 1) > e(j)) h |= 1L << j)
+        (r.doc_id, h)
+      }.toDF("doc_id", "sim64")
+      Dedup.banded64Pairs(hashed, maxHamming = 2)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INTEGER) % 3 AS c,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS INTEGER) % 50 AS g
+                 FROM documents),
+      sv AS (SELECT doc_id,
+                    list_transform(range(0, 130), i ->
+                      CASE WHEN c = 1 AND (i = 40 OR i = 41) THEN 2000
+                           WHEN c = 2 AND (i = 20 OR i = 21 OR i = 80 OR i = 81)
+                             THEN 2000
+                           ELSE (((g + 1) * 7919 + (i + 1) * 104729)
+                                 * ((g + 1) * 7919 + (i + 1) * 104729))
+                                % 99991 % 4001 - 2000 END) AS s
+             FROM d),
+      ev AS (SELECT doc_id,
+                    list_transform(range(0, 65), j ->
+                      s[2 * j + 1] * s[2 * j + 1] + s[2 * j + 2] * s[2 * j + 2])
+                      AS e
+             FROM sv),
+      h AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 32), j ->
+                     CASE WHEN e[j + 2] > e[j + 1] THEN 1::BIGINT << j
+                          ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+                   CAST(list_sum(list_transform(range(32, 64), j ->
+                     CASE WHEN e[j + 2] > e[j + 1] THEN 1::BIGINT << (j - 32)
+                          ELSE 0::BIGINT END)) AS BIGINT) AS hi
+            FROM ev),
+      bx0 AS (SELECT doc_id, lo, hi, u.j,
+                     CASE u.j WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS bv
+              FROM h, unnest([0, 1, 2, 3]) AS u(j)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+               FROM bx0 a JOIN bx0 b
+                 ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
+               AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2
+      ORDER BY doc_a, doc_b"""))
+
+  /** FILL-IN-MIDDLE TRANSFORM — the code-model data op (Bavarian et al.
+    * 2022): each document splits at two deterministic cut points into
+    * prefix/middle/suffix, reassembles as PSM (`<P>pre<S>suf<M>mid`) or
+    * SPM (`<S>suf<P>pre<M>mid`) by document parity, and the output pins
+    * the cut arithmetic AND an md5 of the assembled string — the
+    * transform is content-checked end to end, not just length-checked.
+    * Pure per-row expression work: zero shuffles before the display
+    * sort.
+    */
+  val q342FimTransform: QueryDef = QueryDef(
+    "q342_fim_transform",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("n_chars") >= 8)
+        .withColumn("v",
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("long"))
+        .withColumn("half", expr("n_chars DIV 2"))
+        .withColumn("c1", lit(1L) + expr("v % half"))
+        .withColumn("c2",
+          col("half") + 1L + expr("(v DIV 7) % (n_chars - half - 1)"))
+        .withColumn("mode", expr("CAST(v % 2 AS INT)"))
+        .withColumn("fim", expr(
+          "CASE WHEN mode = 0 THEN concat('<P>', substring(text, 1, c1)," +
+            " '<S>', substring(text, c2 + 1), '<M>'," +
+            " substring(text, c1 + 1, c2 - c1))" +
+            " ELSE concat('<S>', substring(text, c2 + 1)," +
+            " '<P>', substring(text, 1, c1), '<M>'," +
+            " substring(text, c1 + 1, c2 - c1)) END"))
+        .select(col("doc_id"), col("mode"), col("c1"), col("c2"),
+          (col("c2") - col("c1")).as("len_middle"),
+          (col("n_chars") + 9L).as("n_assembled"),
+          md5(col("fim")).as("fim_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text, n_chars,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS BIGINT) AS v,
+                        n_chars // 2 AS half
+                 FROM documents WHERE n_chars >= 8),
+      g AS (SELECT doc_id, v, half, n_chars, text,
+                   1 + v % half AS c1,
+                   half + 1 + (v // 7) % (n_chars - half - 1) AS c2,
+                   CAST(v % 2 AS INTEGER) AS mode
+            FROM d)
+      SELECT doc_id, mode, c1, c2, c2 - c1 AS len_middle,
+             n_chars + 9 AS n_assembled,
+             md5(CASE WHEN mode = 0
+                   THEN '<P>' || substr(text, 1, CAST(c1 AS INTEGER))
+                     || '<S>' || substr(text, CAST(c2 + 1 AS INTEGER))
+                     || '<M>' || substr(text, CAST(c1 + 1 AS INTEGER),
+                                        CAST(c2 - c1 AS INTEGER))
+                   ELSE '<S>' || substr(text, CAST(c2 + 1 AS INTEGER))
+                     || '<P>' || substr(text, 1, CAST(c1 AS INTEGER))
+                     || '<M>' || substr(text, CAST(c1 + 1 AS INTEGER),
+                                        CAST(c2 - c1 AS INTEGER)) END)
+               AS fim_md5
+      FROM g ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q340PuffinDv, q341AudioFingerprint,
+    q342FimTransform)
+}
