@@ -87,6 +87,28 @@ object IcebergManifests {
         "file_size_in_bytes" -> TLong,
         "equality_ids" -> TOpt(TArray(TInt))))))
 
+  /** The v3 entry shape: `manifestEntryType` plus the spec's
+    * deletion-vector reference fields (143 `referenced_data_file`, 144
+    * `content_offset`, 145 `content_size_in_bytes`) — set only on
+    * position-delete entries whose payload is a DV blob inside a Puffin
+    * file.
+    */
+  def manifestEntryTypeV3(partition: TRecord): TRecord =
+    TRecord("manifest_entry", Vector(
+      "status" -> TInt,
+      "snapshot_id" -> TOpt(TLong),
+      "data_file" -> TRecord("r2", Vector(
+        "content" -> TInt,
+        "file_path" -> TString,
+        "file_format" -> TString,
+        "partition" -> partition,
+        "record_count" -> TLong,
+        "file_size_in_bytes" -> TLong,
+        "equality_ids" -> TOpt(TArray(TInt)),
+        "referenced_data_file" -> TOpt(TString),
+        "content_offset" -> TOpt(TLong),
+        "content_size_in_bytes" -> TOpt(TLong)))))
+
   final case class FieldSummary(containsNull: Boolean,
       lower: Option[String], upper: Option[String])
 
@@ -98,7 +120,10 @@ object IcebergManifests {
 
   final case class DataFile(content: Int, path: String, format: String,
       partition: Vector[(String, Long)], recordCount: Long,
-      fileSizeBytes: Long, equalityIds: Option[Vector[Int]] = None)
+      fileSizeBytes: Long, equalityIds: Option[Vector[Int]] = None,
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None)
 
   final case class ManifestEntry(status: Int, snapshotId: Option[Long],
       dataFile: DataFile)
@@ -156,8 +181,20 @@ object IcebergManifests {
     try {
       val info = AvroOcf.probeNested(b).getOrElse(return None)
       val partType = info.root match {
-        // the spec-complete shape (with optional equality_ids) and the
-        // legacy 6-field shape both decode; anything else declines
+        // the v3 shape (DV reference fields), the v2 shape (optional
+        // equality_ids), and the legacy 6-field shape all decode;
+        // anything else declines
+        case TRecord("manifest_entry", Vector(
+            ("status", TInt), ("snapshot_id", TOpt(TLong)),
+            ("data_file", TRecord("r2", Vector(
+              ("content", TInt), ("file_path", TString),
+              ("file_format", TString), ("partition", p: TRecord),
+              ("record_count", TLong), ("file_size_in_bytes", TLong),
+              ("equality_ids", TOpt(TArray(TInt))),
+              ("referenced_data_file", TOpt(TString)),
+              ("content_offset", TOpt(TLong)),
+              ("content_size_in_bytes", TOpt(TLong)))))))
+          if p.fields.forall(f => f._2 == TInt || f._2 == TLong) => p
         case TRecord("manifest_entry", Vector(
             ("status", TInt), ("snapshot_id", TOpt(TLong)),
             ("data_file", TRecord("r2", Vector(
@@ -183,17 +220,24 @@ object IcebergManifests {
           case LongCell(v) => Some(v)
           case _ => return None
         }
+        def eqIdsOf(eq: Cell): Option[Vector[Int]] = eq match {
+          case NullCell => None
+          case ArrCell(cells) => Some(cells.map(c => lng(c).toInt))
+          case _ => return None
+        }
         val df = r(2) match {
           case RecCell(Vector(content, path, fmt, RecCell(pcells), rc, fs,
-              eq)) =>
-            val eqIds = eq match {
-              case NullCell => None
-              case ArrCell(cells) => Some(cells.map(c => lng(c).toInt))
-              case _ => return None
-            }
+              eq, rdf, coff, csz)) =>
             DataFile(lng(content).toInt, str(path), str(fmt),
               partType.fields.map(_._1).zip(pcells.map(lng)), lng(rc),
-              lng(fs), eqIds)
+              lng(fs), eqIdsOf(eq), optStr(rdf),
+              coff match { case NullCell => None; case c => Some(lng(c)) },
+              csz match { case NullCell => None; case c => Some(lng(c)) })
+          case RecCell(Vector(content, path, fmt, RecCell(pcells), rc, fs,
+              eq)) =>
+            DataFile(lng(content).toInt, str(path), str(fmt),
+              partType.fields.map(_._1).zip(pcells.map(lng)), lng(rc),
+              lng(fs), eqIdsOf(eq))
           case RecCell(Vector(content, path, fmt, RecCell(pcells), rc, fs)) =>
             DataFile(lng(content).toInt, str(path), str(fmt),
               partType.fields.map(_._1).zip(pcells.map(lng)), lng(rc),
@@ -596,6 +640,149 @@ object IcebergManifests {
     }
     Some(TableStateV2(TableState(mfs.size, liveFiles, dead.result()),
       positions.map { case (p, s) => p -> s.size.toLong }.toMap, eqs))
+  }
+
+  /** [[replayV2]] state plus the v3 deletion-vector entries (the puffin
+    * DV position deletes), kept separate so the caller can audit the DV
+    * layer's geometry beside the merged position counts.
+    */
+  final case class TableStateV3(v2: TableStateV2, dvEntries: Vector[DataFile])
+
+  /** Replay a v3 snapshot: [[replayV2]]'s rules plus PUFFIN deletion
+    * vectors. A delete manifest's position entry comes in two flavors:
+    *
+    *  - classic Avro positional file (`file_format` ≠ PUFFIN): the v3
+    *    reference fields MUST be absent — same path as [[replayV2]];
+    *  - a DV (`file_format` = PUFFIN): `referenced_data_file`,
+    *    `content_offset` and `content_size_in_bytes` MUST all be set,
+    *    `equality_ids` must not; `record_count` IS the DV cardinality.
+    *    The puffin file resolves by path (its total byte length must
+    *    match `file_size_in_bytes`), its footer must list a
+    *    `deletion-vector-v1` blob at EXACTLY the manifest's
+    *    offset/length (the spec's redundancy — both sides point at the
+    *    same bytes), the blob must deserialize, its cardinality must
+    *    equal `record_count`, every position must be in range for the
+    *    referenced LIVE data file, and a data file may carry at most
+    *    ONE DV (the v3 invariant that makes DV maintenance
+    *    last-writer-wins).
+    *
+    * Data files and equality deletes must not carry the DV fields.
+    */
+  def replayV3(manifestList: Array[Byte],
+      resolve: String => Option[Array[Byte]]): Option[TableStateV3] = {
+    val mfs = readManifestList(manifestList).getOrElse(return None)
+    val live = Vector.newBuilder[DataFile]
+    val dead = Vector.newBuilder[DataFile]
+    val posFiles = Vector.newBuilder[DataFile]
+    val dvFiles = Vector.newBuilder[DataFile]
+    val eqFiles = Vector.newBuilder[DataFile]
+    def hasDvFields(d: DataFile): Boolean =
+      d.referencedDataFile.isDefined || d.contentOffset.isDefined ||
+        d.contentSize.isDefined
+    mfs.foreach { mf =>
+      if (mf.content < 0 || mf.content > 1) return None
+      val entries = checkedEntries(mf, resolve).getOrElse(return None)
+      entries.foreach { e =>
+        val d = e.dataFile
+        if (mf.content == 0) {
+          if (d.content != 0 || d.equalityIds.isDefined || hasDvFields(d))
+            return None
+          if (e.status == 2) dead += d else live += d
+        } else {
+          if (d.content != 1 && d.content != 2) return None
+          if (d.content == 2) {
+            if (!d.equalityIds.exists(_.nonEmpty) || hasDvFields(d))
+              return None
+            if (e.status != 2) eqFiles += d
+          } else if (d.format == "PUFFIN") {
+            if (d.equalityIds.isDefined) return None
+            if (d.referencedDataFile.isEmpty || d.contentOffset.isEmpty ||
+              d.contentSize.isEmpty) return None
+            if (e.status != 2) dvFiles += d
+          } else {
+            if (d.equalityIds.isDefined || hasDvFields(d)) return None
+            if (e.status != 2) posFiles += d
+          }
+        }
+      }
+    }
+    val liveFiles = live.result()
+    val rcByPath = liveFiles.groupBy(_.path).map {
+      case (p, fs) =>
+        if (fs.length != 1) return None
+        p -> fs.head.recordCount
+    }
+    val positions = scala.collection.mutable.Map.empty[String, Set[Long]]
+    posFiles.result().foreach { df =>
+      val bytes = resolve(df.path).getOrElse(return None)
+      if (bytes.length.toLong != df.fileSizeBytes) return None
+      val dels = readPosDeletes(bytes).getOrElse(return None)
+      if (dels.length.toLong != df.recordCount) return None
+      dels.foreach { case (path, pos) =>
+        val rc = rcByPath.getOrElse(path, return None)
+        if (pos < 0 || pos >= rc) return None
+        positions(path) = positions.getOrElse(path, Set.empty) + pos
+      }
+    }
+    val dvs = dvFiles.result()
+    if (dvs.map(_.referencedDataFile.get).distinct.length != dvs.length)
+      return None // at most one DV per data file
+    dvs.foreach { df =>
+      val target = df.referencedDataFile.get
+      val rc = rcByPath.getOrElse(target, return None)
+      val bytes = resolve(df.path).getOrElse(return None)
+      if (bytes.length.toLong != df.fileSizeBytes) return None
+      val puffin = Puffin.probe(bytes).getOrElse(return None)
+      val blob = puffin.blobs.find(b =>
+        b.offset == df.contentOffset.get &&
+          b.length == df.contentSize.get &&
+          b.blobType == "deletion-vector-v1").getOrElse(return None)
+      val pos = DeletionVectors.deserializeRoaring64(
+        Puffin.blobBytes(bytes, blob)).getOrElse(return None)
+      if (pos.length.toLong != df.recordCount) return None
+      pos.foreach { p =>
+        if (p < 0 || p >= rc) return None
+        positions(target) = positions.getOrElse(target, Set.empty) + p
+      }
+    }
+    val eqs = eqFiles.result()
+    eqs.foreach { df =>
+      val bytes = resolve(df.path).getOrElse(return None)
+      if (bytes.length.toLong != df.fileSizeBytes) return None
+      val info = AvroOcf.probeNested(bytes).getOrElse(return None)
+      if (info.nRecords.toLong != df.recordCount) return None
+    }
+    Some(TableStateV3(
+      TableStateV2(TableState(mfs.size, liveFiles, dead.result()),
+        positions.map { case (p, s) => p -> s.size.toLong }.toMap, eqs),
+      dvs))
+  }
+
+  /** Encode manifest entries in the V3 wire shape (the DV reference
+    * fields present, null on non-DV entries).
+    */
+  def synthManifestV3(entries: Seq[ManifestEntry], partition: TRecord,
+      codec: String, syncSeed: Int): Array[Byte] = {
+    val rows = entries.map { e =>
+      Vector[Cell](
+        LongCell(e.status.toLong),
+        e.snapshotId.map(LongCell.apply).getOrElse(NullCell),
+        RecCell(Vector(
+          LongCell(e.dataFile.content.toLong),
+          StrCell(e.dataFile.path),
+          StrCell(e.dataFile.format),
+          RecCell(e.dataFile.partition.map(p => LongCell(p._2))),
+          LongCell(e.dataFile.recordCount),
+          LongCell(e.dataFile.fileSizeBytes),
+          e.dataFile.equalityIds
+            .map(ids => ArrCell(ids.map(i => LongCell(i.toLong))))
+            .getOrElse(NullCell),
+          e.dataFile.referencedDataFile.map(StrCell.apply).getOrElse(NullCell),
+          e.dataFile.contentOffset.map(LongCell.apply).getOrElse(NullCell),
+          e.dataFile.contentSize.map(LongCell.apply).getOrElse(NullCell))))
+    }
+    AvroOcf.synthNested(manifestEntryTypeV3(partition), rows,
+      Seq(entries.size), codec, syncSeed)
   }
 
   /** Encode an equality-delete file: an Avro OCF whose rows carry the

@@ -20,6 +20,23 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   */
 object ParquetSynth {
 
+  /** Serializes every synth writer's WHOLE lifecycle (build → write →
+    * close). parquet-mr's `ParquetProperties.Builder` defaults every
+    * writer onto ONE process-global `DEFAULT_VALUES_WRITER_FACTORY`
+    * singleton whose `initialize(props)` stores the LAST caller's
+    * properties — two concurrent writers with different encoding
+    * settings steal each other's (measured: 16 threads mixing
+    * [[synthBss]] with [[synthPaged]]/[[synthCheckpoint]] lost
+    * BYTE_STREAM_SPLIT on 1109/3200 files; surfaced as q276 failing
+    * under ThroughputBench's 8 concurrent streams), and
+    * `ParquetWriter.Builder` exposes no `withValuesWriterFactory` to
+    * give each writer its own. The files are in-memory and
+    * milliseconds each, and writer CONSTRUCTION already serializes on
+    * parquet-mr's global codec/conf locks (the q276 lesson), so the
+    * lock costs noise.
+    */
+  private val writerLock = new Object
+
   /** A parquet OutputFile over a byte array — no filesystem. */
   private final class MemOutputFile extends OutputFile {
     val bos = new java.io.ByteArrayOutputStream()
@@ -49,7 +66,7 @@ object ParquetSynth {
     * for the floating-point columns (dictionaries off so the encoding
     * actually engages; v1 pages; uncompressed or snappy).
     */
-  def synthBss(rows: Seq[BssRow], snappy: Boolean): Array[Byte] = {
+  def synthBss(rows: Seq[BssRow], snappy: Boolean): Array[Byte] = writerLock.synchronized {
     val out = new MemOutputFile
     val w = ExampleParquetWriter.builder(out)
       .withType(BssSchema)
@@ -98,7 +115,7 @@ object ParquetSynth {
     * spec-real (`V.checkpoint.<part>.<of>.parquet`), so
     * partition-sliced checkpoint files mirror the wire layout.
     */
-  def synthCheckpoint(rows: Seq[CkptRow], snappy: Boolean): Array[Byte] = {
+  def synthCheckpoint(rows: Seq[CkptRow], snappy: Boolean): Array[Byte] = writerLock.synchronized {
     val out = new MemOutputFile
     val w = ExampleParquetWriter.builder(out)
       .withType(CkptSchema)
@@ -134,7 +151,7 @@ object ParquetSynth {
     * the ColumnIndex/OffsetIndex structures this layout is read back
     * through ([[ParquetFooter.pageIndex]]).
     */
-  def synthPaged(values: Seq[Long], pageRowLimit: Int): Array[Byte] = {
+  def synthPaged(values: Seq[Long], pageRowLimit: Int): Array[Byte] = writerLock.synchronized {
     val out = new MemOutputFile
     val w = ExampleParquetWriter.builder(out)
       .withType(PagedSchema)

@@ -235,6 +235,119 @@ object Round13Queries4 {
                AS fim_md5
       FROM g ORDER BY doc_id"""))
 
+  /** ICEBERG V3 DELETION VECTORS — the full merge-on-read chain across
+    * three wire formats in one replay: per document a small table
+    * synthesizes k REAL Avro data-manifest entries, a classic Avro
+    * positional-delete file on f0, and a PUFFIN deletion vector on f1
+    * (the q337 RoaringBitmapArray inside a q340 Puffin file, referenced
+    * from the delete manifest through the v3 fields
+    * `referenced_data_file`/`content_offset`/`content_size_in_bytes`).
+    * [[graft.operators.IcebergManifests.replayV3]] enforces the spec
+    * redundancy end to end — manifest arithmetic, puffin footer blob ==
+    * manifest offsets, DV cardinality == record_count, positions in
+    * range, one DV per data file — and the oracle recomputes every
+    * count AND the DV geometry (offset 4, length 32 + 2·|DV|)
+    * closed-form, so a drift anywhere in manifest⋈puffin⋈bitmap lands
+    * in the hash.
+    */
+  val q343IcebergV3Dv: QueryDef = QueryDef(
+    "q343_iceberg_v3_dv",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("int").as("n"),
+          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+        .as[Round5Queries6.MediaSrc]
+      val probed = src.mapPartitions { rows =>
+        import graft.operators.AvroOcf.{TInt, TRecord}
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests._
+        val partType = TRecord("r102", Vector("bucket" -> TInt))
+        rows.map { r =>
+          val codec = Seq("null", "deflate", "snappy")(r.v % 3)
+          val k = 2 + r.n % 3
+          def rc(i: Int): Long = 20L + (r.n + 3 * i) % 30
+          val dataEntries = (0 until k).map { i =>
+            ManifestEntry(1, Some(9001L),
+              DataFile(0, s"data/f$i.parquet", "PARQUET",
+                Vector("bucket" -> (i % 4).toLong), rc(i),
+                500L + (r.v + 5 * i) % 200))
+          }
+          val dm = IcebergManifests.synthManifest(dataEntries, partType,
+            codec, r.v)
+          // classic positional file: first p positions of f0
+          val p = 1 + r.v % 3
+          val pos = IcebergManifests.synthPosDeletes(
+            (0 until p).map(i => ("data/f0.parquet", i.toLong)),
+            codec, r.v + 1)
+          // PUFFIN DV on f1: positions ≡ 1 (mod 3) below f1's row count
+          val dvPositions = (0L until rc(1)).filter(_ % 3 == 1).toArray
+          val dvBlob = graft.operators.DeletionVectors
+            .serializeRoaring64(dvPositions)
+          val puffin = graft.operators.Puffin.write(
+            Seq("deletion-vector-v1" -> dvBlob), snapshotId = 9002L,
+            sequenceNumber = 2L, properties = Map("created-by" -> "graft"),
+            compressFooter = r.v % 2 == 0)
+          val delEntries = Seq(
+            ManifestEntry(1, Some(9002L), DataFile(1, "del/p0.avro",
+              "AVRO", Vector("bucket" -> 0L), p.toLong, pos.length.toLong)),
+            ManifestEntry(1, Some(9002L), DataFile(1, "del/dv0.puffin",
+              "PUFFIN", Vector("bucket" -> 1L), dvPositions.length.toLong,
+              puffin.length.toLong, None, Some("data/f1.parquet"),
+              Some(4L), Some(dvBlob.length.toLong))))
+          val em = IcebergManifests.synthManifestV3(delEntries, partType,
+            codec, r.v + 9)
+          def mf(path: String, bytes: Array[Byte],
+              es: Seq[ManifestEntry], content: Int) = {
+            def c(st: Int) = es.count(_.status == st)
+            def rcs(st: Int) =
+              es.filter(_.status == st).map(_.dataFile.recordCount).sum
+            ManifestFile(path, bytes.length.toLong, 0, 9001L,
+              c(1), c(0), c(2), rcs(1), rcs(0), rcs(2), None, content)
+          }
+          val list = IcebergManifests.synthManifestList(
+            Seq(mf("meta/dm.avro", dm, dataEntries, 0),
+              mf("meta/em.avro", em, delEntries, 1)), codec, r.v + 11)
+          val byPath = Map("meta/dm.avro" -> dm, "meta/em.avro" -> em,
+            "del/p0.avro" -> pos, "del/dv0.puffin" -> puffin)
+          val st = IcebergManifests.replayV3(list, byPath.get)
+            .getOrElse(sys.error(s"v3 replay failed: doc ${r.doc_id}"))
+          val dv = st.dvEntries.head
+          (r.doc_id, codec, st.v2.base.live.size, st.v2.base.liveRows,
+            st.v2.deletedPositions.values.sum, st.v2.effectiveRows,
+            dv.recordCount, dv.contentOffset.get, dv.contentSize.get)
+        }
+      }
+      probed.toDF("doc_id", "codec", "n_live", "live_rows", "pos_deleted",
+          "effective_rows", "dv_cardinality", "dv_offset", "dv_length")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                          AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT doc_id, n, v, 2 + n % 3 AS k, 1 + v % 3 AS p,
+                   20 + (n + 3) % 30 AS rc1
+            FROM d),
+      u AS (SELECT *,
+                   list_sum(list_transform(range(k),
+                     i -> 20 + (n + 3 * i) % 30)) AS liverows,
+                   (rc1 + 1) // 3 AS dvcard
+            FROM g)
+      SELECT doc_id,
+             (['null', 'deflate', 'snappy'])[v % 3 + 1] AS codec,
+             CAST(k AS INTEGER) AS n_live,
+             CAST(liverows AS BIGINT) AS live_rows,
+             CAST(p + dvcard AS BIGINT) AS pos_deleted,
+             CAST(liverows - p - dvcard AS BIGINT) AS effective_rows,
+             CAST(dvcard AS BIGINT) AS dv_cardinality,
+             CAST(4 AS BIGINT) AS dv_offset,
+             CAST(32 + 2 * dvcard AS BIGINT) AS dv_length
+      FROM u ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q340PuffinDv, q341AudioFingerprint,
-    q342FimTransform)
+    q342FimTransform, q343IcebergV3Dv)
 }

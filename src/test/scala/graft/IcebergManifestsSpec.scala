@@ -610,6 +610,75 @@ class IcebergManifestsSpec extends AnyFunSuite {
     assert(m.snapshots.head.schemaId.contains(0))
   }
 
+  test("replayV3: puffin DV merge-on-read, every v3 rule enforced") {
+    import graft.operators.{DeletionVectors, Puffin}
+    // two live data files; one puffin DV deleting positions {1,4,7} of f1
+    val dataEntries = Seq(entry(1, 0, rows = 10L), entry(1, 1, rows = 10L))
+    val dm = synthManifest(dataEntries, partType, "null", 3)
+    val dvPos = Array(1L, 4L, 7L)
+    val blob = DeletionVectors.serializeRoaring64(dvPos)
+    val puffin = Puffin.write(Seq("deletion-vector-v1" -> blob), 9L, 1L,
+      Map.empty, compressFooter = false)
+    def dvEntry(rc: Long = 3L, target: String = "data/f1.parquet",
+        off: Long = 4L, sz: Long = blob.length.toLong,
+        eq: Option[Vector[Int]] = None) =
+      ManifestEntry(1, Some(9002L), DataFile(1, "del/dv.puffin", "PUFFIN",
+        Vector("bucket" -> 0L), rc, puffin.length.toLong, eq,
+        Some(target), Some(off), Some(sz)))
+    def listFor(de: ManifestEntry): (Array[Byte], Map[String, Array[Byte]]) = {
+      val em = synthManifestV3(Seq(de), partType, "null", 5)
+      val mfs = Seq(
+        ManifestFile("meta/dm.avro", dm.length.toLong, 0, 9001L, 2, 0, 0,
+          20L, 0L, 0L, None, 0),
+        ManifestFile("meta/em.avro", em.length.toLong, 0, 9001L, 1, 0, 0,
+          de.dataFile.recordCount, 0L, 0L, None, 1))
+      (synthManifestList(mfs, "null", 7),
+        Map("meta/dm.avro" -> dm, "meta/em.avro" -> em,
+          "del/dv.puffin" -> puffin))
+    }
+    val (list, byPath) = listFor(dvEntry())
+    val st = IcebergManifests.replayV3(list, byPath.get).get
+    assert(st.v2.base.liveRows == 20L)
+    assert(st.v2.deletedPositions == Map("data/f1.parquet" -> 3L))
+    assert(st.v2.effectiveRows == 17L)
+    assert(st.dvEntries.map(_.referencedDataFile.get) ==
+      Vector("data/f1.parquet"))
+    def declines(de: ManifestEntry): Unit = {
+      val (l, bp) = listFor(de)
+      assert(IcebergManifests.replayV3(l, bp.get).isEmpty)
+    }
+    declines(dvEntry(rc = 2L))                       // cardinality lies
+    declines(dvEntry(target = "data/nope.parquet"))  // unknown target
+    declines(dvEntry(off = 5L))                      // offset != footer blob
+    declines(dvEntry(sz = blob.length.toLong - 1))   // size != footer blob
+    declines(dvEntry(eq = Some(Vector(2))))          // DV with equality_ids
+    // a PUFFIN entry missing the reference fields declines
+    val noRef = ManifestEntry(1, Some(9002L), DataFile(1, "del/dv.puffin",
+      "PUFFIN", Vector("bucket" -> 0L), 3L, puffin.length.toLong))
+    declines(noRef)
+    // a DATA file carrying DV fields declines (fresh list so the byte
+    // lengths stay truthful and the FIELD rule is what declines)
+    val badData = entry(1, 0, rows = 10L)
+    val dm2 = synthManifestV3(Seq(badData.copy(dataFile = badData.dataFile
+      .copy(referencedDataFile = Some("x"))), entry(1, 1, rows = 10L)),
+      partType, "null", 3)
+    val l2 = synthManifestList(Seq(
+      ManifestFile("meta/dm2.avro", dm2.length.toLong, 0, 9001L, 2, 0, 0,
+        20L, 0L, 0L, None, 0)), "null", 7)
+    assert(IcebergManifests.replayV3(l2,
+      Map("meta/dm2.avro" -> dm2).get).isEmpty)
+    // positions past the target's row count decline
+    val bigPos = DeletionVectors.serializeRoaring64(Array(99L))
+    val puffin2 = Puffin.write(Seq("deletion-vector-v1" -> bigPos), 9L, 1L,
+      Map.empty, compressFooter = false)
+    val de2 = ManifestEntry(1, Some(9002L), DataFile(1, "del/dv.puffin",
+      "PUFFIN", Vector("bucket" -> 0L), 1L, puffin2.length.toLong, None,
+      Some("data/f1.parquet"), Some(4L), Some(bigPos.length.toLong)))
+    val (l3, bp3) = listFor(de2)
+    assert(IcebergManifests.replayV3(l3,
+      (bp3 + ("del/dv.puffin" -> puffin2)).get).isEmpty)
+  }
+
   test("planScan never scans DELETED entries; arithmetic still enforced") {
     val es = Seq(entry(1, 0), entry(1, 1), entry(2, 12)) // f12 deleted
     val m0 = synthManifest(es, partType, "null", 3)

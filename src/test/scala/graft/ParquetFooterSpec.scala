@@ -101,6 +101,38 @@ class ParquetFooterSpec extends SparkTestBase {
     }
   }
 
+  test("concurrent mixed synth writers keep their own encodings (the " +
+    "shared DEFAULT_VALUES_WRITER_FACTORY race)") {
+    // parquet-mr's default ValuesWriterFactory is a process-global
+    // singleton that keeps the LAST writer's properties: before
+    // ParquetSynth serialized writer lifecycles, 16 threads mixing BSS
+    // and non-BSS writers lost BYTE_STREAM_SPLIT on ~1/3 of files
+    // (q276 failed under ThroughputBench's concurrent streams).
+    import graft.operators.ParquetSynth
+    import graft.operators.ParquetSynth.{BssRow, CkptRow}
+    val fails = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => {
+        (0 until 25).foreach { i =>
+          if (i % 3 == 0) ParquetSynth.synthPaged(0L until 50L, 40)
+          if (i % 5 == 0) ParquetSynth.synthCheckpoint(
+            Seq(CkptRow("p", isAdd = true, Some(1L), 1L)), snappy = true)
+          val rows = (0 until 40).map(j => BssRow(j.toLong,
+            if (j == 2) None else Some(j * 0.25),
+            if (j == 3) None else Some(j * 0.5f)))
+          val f = ParquetFooter.probe(
+            ParquetSynth.synthBss(rows, snappy = true)).get
+          def enc(n: String) = f.firstGroupChunks
+            .find(_.pathInSchema == n).get.encodings
+          if (!enc("d").contains(9) || !enc("f").contains(9))
+            fails.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(fails.get == 0)
+  }
+
   test("pageIndex: exact page grid from withPageRowCountLimit, true stats") {
     import graft.operators.ParquetSynth
     // 100 sorted values, limit 40 -> pages of 40/40/20 at rows 0/40/80
