@@ -32,7 +32,7 @@ object DedupQueries {
   /** DuckDB fragment: n-bit simhash pack of a hash-list column, bits shifted
     * up by `base` (mirrors Dedup.simhash64Table's two 32/31-bit halves).
     */
-  private def simExpr(h: String, base: Int, n: Int): String =
+  private[queries] def simExpr(h: String, base: Int, n: Int): String =
     s"""CAST(list_aggregate(list_transform(range(0, $n), b ->
        |  CASE WHEN list_aggregate(list_transform($h, x ->
        |         CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0

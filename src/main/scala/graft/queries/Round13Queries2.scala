@@ -32,6 +32,67 @@ object Round13Queries2 {
        |ELSE (($x * $x) % 999983 % 31) * 8 END""".stripMargin.replace("\n", " ")
   }
 
+  /** The dHash table (doc_id, sim64) q331 pairs over — REAL BMP encode +
+    * decode per document; shared with the cross-modal consensus audit.
+    */
+  private[queries] def phashTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("int").as("n"),
+        pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+      .as[Round5Queries6.MediaSrc]
+    src.map { r =>
+      val g = r.v % 50
+      val c = r.n % 3
+      def gray(bx: Int, by: Int): Int =
+        if (c == 1 && bx == 3 && by == 4) 255
+        else if (c == 2 && ((bx == 1 && by == 2) || (bx == 5 && by == 6))) 255
+        else {
+          val x = (g + 1).toLong * 1000003L + bx * 8191L + by * 127L
+          (x * x % 999983L % 31L).toInt * 8
+        }
+      val bytes = MediaCodecs.encodeBmp24(18, 16, (x, y) => {
+        val lvl = gray(x / 2, y / 2); (lvl, lvl, lvl)
+      })
+      val img = MediaCodecs.decodeBmp24(bytes)
+        .getOrElse(sys.error(s"synth bmp failed to decode: doc ${r.doc_id}"))
+      (r.doc_id, MediaCodecs.dHash64(img, 2, 2))
+    }.toDF("doc_id", "sim64")
+  }
+
+  /** Oracle CTE chain producing `pcand(doc_a, doc_b, alo, ahi, blo, bhi)`
+    * — the closed-form dHash banded candidates (names prefixed `p*` so
+    * the chain composes with the audio chain in one statement).
+    */
+  private[queries] def phashCandCtes: String = {
+    def bitSql(i: String): String =
+      s"CASE WHEN ${graySql(s"($i) % 8 + 1", s"($i) // 8")} > " +
+        s"${graySql(s"($i) % 8", s"($i) // 8")} THEN 1::BIGINT ELSE 0::BIGINT END"
+    s"""pd AS (SELECT doc_id,
+                      CAST(octet_length(encode(text)) AS INTEGER) % 3 AS c,
+                      CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                        AS INTEGER) % 50 AS g
+               FROM documents),
+    ph AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 32),
+                   i -> (${bitSql("i")}) << i)) AS BIGINT) AS lo,
+                 CAST(list_sum(list_transform(range(32, 64),
+                   i -> (${bitSql("i")}) << (i - 32))) AS BIGINT) AS hi
+          FROM pd),
+    pbx AS (SELECT doc_id, lo, hi, u.j,
+                   CASE u.j WHEN 0 THEN lo & 65535
+                            WHEN 1 THEN (lo >> 16) & 65535
+                            WHEN 2 THEN hi & 65535
+                            ELSE (hi >> 16) & 65535 END AS bv
+            FROM ph, unnest([0, 1, 2, 3]) AS u(j)),
+    pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+             FROM pbx a JOIN pbx b
+               ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+  }
+
   /** PERCEPTUAL-HASH IMAGE NEAR-DUP — image dedup with the REAL codec in
     * the loop: per document, a deterministic 18×16 24-bit BMP (gray level
     * constant per 2×2 cell, drawn from the document's (group, class) =
@@ -50,66 +111,16 @@ object Round13Queries2 {
     */
   val q331PhashNearDup: QueryDef = QueryDef(
     "q331_phash_neardup",
-    (s, dir) => {
-      import s.implicits._
-      val src = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          octet_length(col("text")).cast("int").as("n"),
-          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
-        .as[Round5Queries6.MediaSrc]
-      val hashed = src.map { r =>
-        val g = r.v % 50
-        val c = r.n % 3
-        def gray(bx: Int, by: Int): Int =
-          if (c == 1 && bx == 3 && by == 4) 255
-          else if (c == 2 && ((bx == 1 && by == 2) || (bx == 5 && by == 6))) 255
-          else {
-            val x = (g + 1).toLong * 1000003L + bx * 8191L + by * 127L
-            (x * x % 999983L % 31L).toInt * 8
-          }
-        val bytes = MediaCodecs.encodeBmp24(18, 16, (x, y) => {
-          val lvl = gray(x / 2, y / 2); (lvl, lvl, lvl)
-        })
-        val img = MediaCodecs.decodeBmp24(bytes)
-          .getOrElse(sys.error(s"synth bmp failed to decode: doc ${r.doc_id}"))
-        (r.doc_id, MediaCodecs.dHash64(img, 2, 2))
-      }.toDF("doc_id", "sim64")
-      Dedup.banded64Pairs(hashed, maxHamming = 2)
-        .orderBy("doc_a", "doc_b")
-    },
-    Some {
-      def bitSql(i: String): String =
-        s"CASE WHEN ${graySql(s"($i) % 8 + 1", s"($i) // 8")} > " +
-          s"${graySql(s"($i) % 8", s"($i) // 8")} THEN 1::BIGINT ELSE 0::BIGINT END"
-      s"""
-      WITH d AS (SELECT doc_id,
-                        CAST(octet_length(encode(text)) AS INTEGER) % 3 AS c,
-                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
-                          AS INTEGER) % 50 AS g
-                 FROM documents),
-      h AS (SELECT doc_id,
-                   CAST(list_sum(list_transform(range(0, 32),
-                     i -> (${bitSql("i")}) << i)) AS BIGINT) AS lo,
-                   CAST(list_sum(list_transform(range(32, 64),
-                     i -> (${bitSql("i")}) << (i - 32))) AS BIGINT) AS hi
-            FROM d),
-      bx0 AS (SELECT doc_id, lo, hi, u.j,
-                     CASE u.j WHEN 0 THEN lo & 65535
-                              WHEN 1 THEN (lo >> 16) & 65535
-                              WHEN 2 THEN hi & 65535
-                              ELSE (hi >> 16) & 65535 END AS bv
-              FROM h, unnest([0, 1, 2, 3]) AS u(j)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
-               FROM bx0 a JOIN bx0 b
-                 ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    (s, dir) => Dedup.banded64Pairs(phashTable(s, dir), maxHamming = 2)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $phashCandCtes
       SELECT doc_a, doc_b,
              CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
                AS INTEGER) AS hamming
-      FROM cand
+      FROM pcand
       WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2
-      ORDER BY doc_a, doc_b"""
-    })
+      ORDER BY doc_a, doc_b"""))
 
   /** SEMANTIC DEDUP (SemDeDup) — embedding-space dedup blocked by a
     * TRAINED coarse quantizer instead of a given label: the q70 KMeans

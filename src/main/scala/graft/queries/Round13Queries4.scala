@@ -94,85 +94,97 @@ object Round13Queries4 {
     * Hamming 6, same-group classes at 0–5, so the ≤ 2 filter keeps
     * exactly the planted near-dups.
     */
+  /** The frame-energy fingerprint table (doc_id, sim64) q341 pairs over
+    * — REAL WAV encode + decode per document; shared with the
+    * cross-modal consensus audit.
+    */
+  private[queries] def audioHashTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("int").as("n"),
+        pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
+      .as[Round5Queries6.MediaSrc]
+    src.map { r =>
+      val g = r.v % 50
+      val c = r.n % 3
+      val samples = Array.tabulate(130) { i =>
+        if (c == 1 && (i == 40 || i == 41)) 2000
+        else if (c == 2 && (i == 20 || i == 21 || i == 80 || i == 81)) 2000
+        else {
+          val x = (g + 1).toLong * 7919L + (i + 1).toLong * 104729L
+          (x * x % 99991L % 4001L - 2000L).toInt
+        }
+      }
+      val bytes = MediaCodecs.encodeWavPcm16(8000, samples.map(_.toShort))
+      val wav = MediaCodecs.decodeWavPcm16(bytes)
+        .getOrElse(sys.error(s"synth wav failed to decode: doc ${r.doc_id}"))
+      require(wav.samples.length == 130, "sample count drift")
+      val e = Array.tabulate(65) { j =>
+        val a = wav.samples(2 * j).toLong
+        val b = wav.samples(2 * j + 1).toLong
+        a * a + b * b
+      }
+      var h = 0L
+      (0 until 64).foreach(j => if (e(j + 1) > e(j)) h |= 1L << j)
+      (r.doc_id, h)
+    }.toDF("doc_id", "sim64")
+  }
+
+  /** Oracle CTE chain producing `acand(doc_a, doc_b, alo, ahi, blo, bhi)`
+    * — the closed-form audio-fingerprint banded candidates (names
+    * prefixed `a*` so the chain composes with the dHash chain).
+    */
+  private[queries] def audioCandCtes: String =
+    """ad AS (SELECT doc_id,
+                      CAST(octet_length(encode(text)) AS INTEGER) % 3 AS c,
+                      CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
+                        AS INTEGER) % 50 AS g
+               FROM documents),
+    asv AS (SELECT doc_id,
+                  list_transform(range(0, 130), i ->
+                    CASE WHEN c = 1 AND (i = 40 OR i = 41) THEN 2000
+                         WHEN c = 2 AND (i = 20 OR i = 21 OR i = 80 OR i = 81)
+                           THEN 2000
+                         ELSE (((g + 1) * 7919 + (i + 1) * 104729)
+                               * ((g + 1) * 7919 + (i + 1) * 104729))
+                              % 99991 % 4001 - 2000 END) AS s
+           FROM ad),
+    aev AS (SELECT doc_id,
+                  list_transform(range(0, 65), j ->
+                    s[2 * j + 1] * s[2 * j + 1] + s[2 * j + 2] * s[2 * j + 2])
+                    AS e
+           FROM asv),
+    ah AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 32), j ->
+                   CASE WHEN e[j + 2] > e[j + 1] THEN 1::BIGINT << j
+                        ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+                 CAST(list_sum(list_transform(range(32, 64), j ->
+                   CASE WHEN e[j + 2] > e[j + 1] THEN 1::BIGINT << (j - 32)
+                        ELSE 0::BIGINT END)) AS BIGINT) AS hi
+          FROM aev),
+    abx AS (SELECT doc_id, lo, hi, u.j,
+                   CASE u.j WHEN 0 THEN lo & 65535
+                            WHEN 1 THEN (lo >> 16) & 65535
+                            WHEN 2 THEN hi & 65535
+                            ELSE (hi >> 16) & 65535 END AS bv
+            FROM ah, unnest([0, 1, 2, 3]) AS u(j)),
+    acand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+             FROM abx a JOIN abx b
+               ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+
   val q341AudioFingerprint: QueryDef = QueryDef(
     "q341_audio_fingerprint",
-    (s, dir) => {
-      import s.implicits._
-      val src = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          octet_length(col("text")).cast("int").as("n"),
-          pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
-        .as[Round5Queries6.MediaSrc]
-      val hashed = src.map { r =>
-        val g = r.v % 50
-        val c = r.n % 3
-        val samples = Array.tabulate(130) { i =>
-          if (c == 1 && (i == 40 || i == 41)) 2000
-          else if (c == 2 && (i == 20 || i == 21 || i == 80 || i == 81)) 2000
-          else {
-            val x = (g + 1).toLong * 7919L + (i + 1).toLong * 104729L
-            (x * x % 99991L % 4001L - 2000L).toInt
-          }
-        }
-        val bytes = MediaCodecs.encodeWavPcm16(8000,
-          samples.map(_.toShort))
-        val wav = MediaCodecs.decodeWavPcm16(bytes)
-          .getOrElse(sys.error(s"synth wav failed to decode: doc ${r.doc_id}"))
-        require(wav.samples.length == 130, "sample count drift")
-        val e = Array.tabulate(65) { j =>
-          val a = wav.samples(2 * j).toLong
-          val b = wav.samples(2 * j + 1).toLong
-          a * a + b * b
-        }
-        var h = 0L
-        (0 until 64).foreach(j => if (e(j + 1) > e(j)) h |= 1L << j)
-        (r.doc_id, h)
-      }.toDF("doc_id", "sim64")
-      Dedup.banded64Pairs(hashed, maxHamming = 2)
-        .orderBy("doc_a", "doc_b")
-    },
-    Some("""
-      WITH d AS (SELECT doc_id,
-                        CAST(octet_length(encode(text)) AS INTEGER) % 3 AS c,
-                        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
-                          AS INTEGER) % 50 AS g
-                 FROM documents),
-      sv AS (SELECT doc_id,
-                    list_transform(range(0, 130), i ->
-                      CASE WHEN c = 1 AND (i = 40 OR i = 41) THEN 2000
-                           WHEN c = 2 AND (i = 20 OR i = 21 OR i = 80 OR i = 81)
-                             THEN 2000
-                           ELSE (((g + 1) * 7919 + (i + 1) * 104729)
-                                 * ((g + 1) * 7919 + (i + 1) * 104729))
-                                % 99991 % 4001 - 2000 END) AS s
-             FROM d),
-      ev AS (SELECT doc_id,
-                    list_transform(range(0, 65), j ->
-                      s[2 * j + 1] * s[2 * j + 1] + s[2 * j + 2] * s[2 * j + 2])
-                      AS e
-             FROM sv),
-      h AS (SELECT doc_id,
-                   CAST(list_sum(list_transform(range(0, 32), j ->
-                     CASE WHEN e[j + 2] > e[j + 1] THEN 1::BIGINT << j
-                          ELSE 0::BIGINT END)) AS BIGINT) AS lo,
-                   CAST(list_sum(list_transform(range(32, 64), j ->
-                     CASE WHEN e[j + 2] > e[j + 1] THEN 1::BIGINT << (j - 32)
-                          ELSE 0::BIGINT END)) AS BIGINT) AS hi
-            FROM ev),
-      bx0 AS (SELECT doc_id, lo, hi, u.j,
-                     CASE u.j WHEN 0 THEN lo & 65535
-                              WHEN 1 THEN (lo >> 16) & 65535
-                              WHEN 2 THEN hi & 65535
-                              ELSE (hi >> 16) & 65535 END AS bv
-              FROM h, unnest([0, 1, 2, 3]) AS u(j)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
-               FROM bx0 a JOIN bx0 b
-                 ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    (s, dir) => Dedup.banded64Pairs(audioHashTable(s, dir), maxHamming = 2)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $audioCandCtes
       SELECT doc_a, doc_b,
              CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
                AS INTEGER) AS hamming
-      FROM cand
+      FROM acand
       WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2
       ORDER BY doc_a, doc_b"""))
 
@@ -348,6 +360,71 @@ object Round13Queries4 {
              CAST(32 + 2 * dvcard AS BIGINT) AS dv_length
       FROM u ORDER BY doc_id"""))
 
+  /** CROSS-MODAL NEAR-DUP CONSENSUS — the audit a multimodal corpus runs
+    * before deleting anything: a pair counts only when flagged by ≥ 2
+    * INDEPENDENT modalities — text simhash (q27's banded pairs with the
+    * length rule), image dHash (q331, real BMP decode), audio
+    * frame-energy fingerprint (q341, real WAV decode). All three
+    * candidate generators are the SAME four-band pigeonhole equi-join
+    * ([[graft.operators.Dedup.banded64Pairs]] /
+    * [[graft.operators.Dedup.simhashPairs]]), so the union's cost is
+    * three hash joins and one aggregate — never a corpus square in any
+    * modality. Output carries the modality bitmask (text=1, image=2,
+    * audio=4); the oracle composes the three closed-form candidate
+    * chains (shared builders, so a drift in any one query's oracle and
+    * this one cannot diverge).
+    */
+  val q344CrossModalConsensus: QueryDef = QueryDef(
+    "q344_crossmodal_consensus",
+    (s, dir) => {
+      val text = Dedup.simhashPairs(
+          Tables.load(s, dir, "documents"), shingleK = 3, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("m"))
+      val img = Dedup.banded64Pairs(Round13Queries2.phashTable(s, dir),
+          maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), lit(2).as("m"))
+      val aud = Dedup.banded64Pairs(audioHashTable(s, dir), maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), lit(4).as("m"))
+      text.unionAll(img).unionAll(aud)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).cast("int").as("n_modalities"),
+          sum(col("m")).cast("int").as("modality_mask"))
+        .filter(col("n_modalities") >= 2)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH ${DedupQueries.shingleCtes},
+      ths AS (SELECT doc_id, n_chars,
+                list_transform(sh, t -> (('0x' || substr(md5(t), 1, 8))::BIGINT)) AS lo,
+                list_transform(sh, t -> (('0x' || substr(md5(t), 9, 8))::BIGINT)) AS hi
+              FROM s),
+      tsim AS (SELECT doc_id, n_chars,
+                 ${DedupQueries.simExpr("lo", 0, 32)} +
+                   ${DedupQueries.simExpr("hi", 32, 31)} AS sim64
+               FROM ths),
+      tbx AS (SELECT doc_id, n_chars, sim64, b,
+                     (sim64 >> (16 * b)) & 65535 AS key
+              FROM tsim, generate_series(0, 3) g(b)),
+      tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sim64 AS sa, b.sim64 AS sb,
+                       a.n_chars AS nca, b.n_chars AS ncb
+                FROM tbx a JOIN tbx b
+                  ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      tp AS (SELECT doc_a, doc_b, 1 AS m FROM tcand
+             WHERE bit_count(xor(sa, sb)) <= 3 AND abs(nca - ncb) <= 16),
+      ${Round13Queries2.phashCandCtes},
+      ip AS (SELECT doc_a, doc_b, 2 AS m FROM pcand
+             WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2),
+      $audioCandCtes,
+      ap AS (SELECT doc_a, doc_b, 4 AS m FROM acand
+             WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2),
+      u AS (SELECT * FROM tp UNION ALL SELECT * FROM ip
+            UNION ALL SELECT * FROM ap)
+      SELECT doc_a, doc_b, CAST(count(*) AS INTEGER) AS n_modalities,
+             CAST(SUM(m) AS INTEGER) AS modality_mask
+      FROM u GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryDef] = Seq(q340PuffinDv, q341AudioFingerprint,
-    q342FimTransform, q343IcebergV3Dv)
+    q342FimTransform, q343IcebergV3Dv, q344CrossModalConsensus)
 }
