@@ -215,6 +215,55 @@ object DeletionVectors {
 
   private final class Malformed extends RuntimeException
 
+  // ---------------- Iceberg v3 puffin DV blob framing ----------------
+
+  private val DvMagic =
+    Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
+
+  /** Iceberg v3's framing for the puffin `deletion-vector-v1` blob
+    * (spec "Deletion vector serialization", iceberg.apache.org): a
+    * 4-byte BIG-endian length of (magic + bitmap), the magic
+    * `D1 D3 39 64`, the portable RoaringBitmapArray, and a 4-byte
+    * big-endian CRC-32 of (magic + bitmap). Total = bitmap + 12 bytes
+    * — a reader that hands the bare bitmap to Iceberg (or vice versa)
+    * is off by exactly this envelope, which is why [[serializeDvBlob]]
+    * / [[deserializeDvBlob]] exist as a pair instead of callers
+    * wrapping by hand.
+    */
+  def serializeDvBlob(positions: Array[Long]): Array[Byte] = {
+    val bm = serializeRoaring64(positions)
+    val out = new Array[Byte](bm.length + 12)
+    val len = bm.length + 4
+    out(0) = (len >>> 24).toByte; out(1) = (len >>> 16).toByte
+    out(2) = (len >>> 8).toByte; out(3) = len.toByte
+    System.arraycopy(DvMagic, 0, out, 4, 4)
+    System.arraycopy(bm, 0, out, 8, bm.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, 4, 4 + bm.length)
+    val c = crc.getValue.toInt
+    val p = out.length - 4
+    out(p) = (c >>> 24).toByte; out(p + 1) = (c >>> 16).toByte
+    out(p + 2) = (c >>> 8).toByte; out(p + 3) = c.toByte
+    out
+  }
+
+  /** Verify and strip the v3 framing, then deserialize the bitmap;
+    * None on a short blob, a length that disagrees with the blob size,
+    * a foreign magic, a CRC mismatch, or a malformed bitmap.
+    */
+  def deserializeDvBlob(b: Array[Byte]): Option[Array[Long]] = {
+    if (b.length < 12) return None
+    def be32(o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    if (be32(0) != b.length - 8) return None
+    if (!(0 until 4).forall(i => b(4 + i) == DvMagic(i))) return None
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 4, b.length - 8)
+    if (crc.getValue.toInt != be32(b.length - 4)) return None
+    deserializeRoaring64(java.util.Arrays.copyOfRange(b, 8, b.length - 4))
+  }
+
   // ---------------- inline descriptor ----------------
 
   /** The add-action `deletionVector` descriptor, inline form: storageType

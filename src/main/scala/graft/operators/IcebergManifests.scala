@@ -737,7 +737,8 @@ object IcebergManifests {
         b.offset == df.contentOffset.get &&
           b.length == df.contentSize.get &&
           b.blobType == "deletion-vector-v1").getOrElse(return None)
-      val pos = DeletionVectors.deserializeRoaring64(
+      // v3 frames the blob: BE length + D1D33964 magic + bitmap + CRC-32
+      val pos = DeletionVectors.deserializeDvBlob(
         Puffin.blobBytes(bytes, blob)).getOrElse(return None)
       if (pos.length.toLong != df.recordCount) return None
       pos.foreach { p =>

@@ -5,17 +5,19 @@ import scala.util.control.NonFatal
 /** PUFFIN — Iceberg's statistics-and-deletion-vector container (the
   * public puffin-spec at iceberg.apache.org; v3 deletion vectors and
   * theta sketches ship in these files): `PFA1` magic, raw blob bytes
-  * back to back, then a footer = magic | JSON payload (optionally gzip)
-  * | payload size (i32 LE) | 4 flag bytes (byte 0 bit 0 = payload
-  * compressed) | magic. Blob boundaries live ONLY in the footer JSON
+  * back to back, then a footer = magic | JSON payload (optionally
+  * LZ4-frame compressed — the spec's footer codec) | payload size
+  * (i32 LE) | 4 flag bytes (byte 0 bit 0 = payload compressed) |
+  * magic. Blob boundaries live ONLY in the footer JSON
   * (`blobs`: type/fields/snapshot-id/sequence-number/offset/length) —
   * a reader seeks the footer, then fetches exactly the blobs it wants,
   * which is why a 100 TB table's stats stay one ranged GET per sketch.
   *
   * Writer builds deterministic JSON (insertion order fixed); prober
   * never throws — short files, bad magics, overrunning sizes, payload
-  * JSON that isn't an object, blobs escaping the data region, or
-  * overlapping blobs all yield None.
+  * JSON that isn't an object, blobs escaping the data region (bounds
+  * checked in subtraction form so a hostile offset+length cannot wrap
+  * a Long past the guard), or overlapping blobs all yield None.
   */
 object Puffin {
 
@@ -59,9 +61,12 @@ object Puffin {
     val coded =
       if (!compressFooter) payload
       else {
+        // LZ4 frame — the puffin-spec's footer-compression codec
+        // (commons-compress, shipped with Spark)
         val b = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(b)
-        gz.write(payload); gz.close()
+        val lz = new org.apache.commons.compress.compressors.lz4
+          .FramedLZ4CompressorOutputStream(b)
+        lz.write(payload); lz.close()
         b.toByteArray
       }
     out.write(Magic)
@@ -78,7 +83,7 @@ object Puffin {
   private def hasMagic(b: Array[Byte], off: Int): Boolean =
     off >= 0 && off + 4 <= b.length && (0 until 4).forall(i => b(off + i) == Magic(i))
 
-  /** Probe a Puffin image: footer walk, optional gunzip, JSON decode,
+  /** Probe a Puffin image: footer walk, optional LZ4-frame decode, JSON decode,
     * blob-region coherence (within the data region, non-overlapping).
     */
   def probe(b: Array[Byte]): Option[PuffinFile] =
@@ -99,8 +104,9 @@ object Puffin {
       val payload =
         if (!compressed) raw
         else {
-          val gz = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(raw))
+          val gz = new org.apache.commons.compress.compressors.lz4
+            .FramedLZ4CompressorInputStream(
+              new java.io.ByteArrayInputStream(raw))
           val o = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](4096)
           var r = gz.read(buf)
@@ -136,7 +142,9 @@ object Puffin {
             }
             val off = longOf(bo \ "offset").getOrElse(return None)
             val len = longOf(bo \ "length").getOrElse(return None)
-            if (off < 4 || len < 0 || off + len > dataEnd) return None
+            // subtraction form: off + len would wrap negative for a
+            // hostile length near Long.MaxValue and sail past the guard
+            if (off < 4 || len < 0 || off > dataEnd - len) return None
             BlobMeta(tpe, fields,
               longOf(bo \ "snapshot-id").getOrElse(-1L),
               longOf(bo \ "sequence-number").getOrElse(-1L), off, len)
@@ -148,7 +156,7 @@ object Puffin {
       // non-overlapping data regions in offset order
       val sorted = blobs.sortBy(_.offset)
       sorted.sliding(2).foreach {
-        case Seq(a, c) => if (a.offset + a.length > c.offset) return None
+        case Seq(a, c) => if (a.length > c.offset - a.offset) return None
         case _ => ()
       }
       val props = (obj \ "properties") match {

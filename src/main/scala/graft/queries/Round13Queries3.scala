@@ -76,9 +76,11 @@ object Round13Queries3 {
     * ([[graft.operators.DeletionVectors]]). The oracle pins the survivor
     * arithmetic AND the serialized byte length closed-form (32 + 2·|DV|
     * for one array container: magic 4 + count 8 + key 4 + cookie 4 +
-    * nContainers 4 + descriptive 4 + offset 4 + 2 bytes/position), so a
-    * drifted container layout — not just a wrong survivor set — lands in
-    * the hash.
+    * nContainers 4 + descriptive 4 + offset 4 + 2 bytes/position; 12 —
+    * magic + key count only — when the bucket deletes nothing, which a
+    * sub-4-row bucket at a tiny scale factor can produce), so a drifted
+    * container layout — not just a wrong survivor set — lands in the
+    * hash.
     */
   val q337DeletionVectors: QueryDef = QueryDef(
     "q337_deletion_vectors",
@@ -114,8 +116,10 @@ object Round13Queries3 {
       SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(SUM(CASE WHEN rr % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
                AS dv_cardinality,
-             CAST(32 + 2 * SUM(CASE WHEN rr % 7 = 3 THEN 1 ELSE 0 END)
-               AS BIGINT) AS dv_bytes,
+             CAST(CASE WHEN SUM(CASE WHEN rr % 7 = 3 THEN 1 ELSE 0 END) = 0
+                  THEN 12 -- empty bitmap: magic 4 + key count 8, no keys
+                  ELSE 32 + 2 * SUM(CASE WHEN rr % 7 = 3 THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS dv_bytes,
              CAST(SUM(CASE WHEN rr % 7 = 3 THEN 0 ELSE doc_id END)
                AS BIGINT) AS surviving_sum,
              CAST(SUM(CASE WHEN rr % 7 = 3 THEN doc_id ELSE 0 END)

@@ -12,73 +12,114 @@ import graft.operators.{Dedup, DeletionVectors, MediaCodecs, Puffin}
   */
 object Round13Queries4 {
 
-  /** PUFFIN STATS/DV CONTAINER — Iceberg v3 ships deletion vectors and
-    * sketches in Puffin files ([[graft.operators.Puffin]]): per doc_id%8
-    * bucket the query writes a REAL two-blob Puffin image — the bucket's
-    * deletion vector (positions ≡ 2 mod 5 of the sorted rows, serialized
-    * through q337's portable RoaringBitmapArray) plus an 8-byte
-    * little-endian row-sum blob — with the footer JSON gzip-compressed
-    * on even buckets (the flags bit), then probes it back: footer walk,
-    * optional gunzip, JSON decode, blob-region coherence, ranged blob
-    * fetch, bitmap deserialize. The oracle pins blob geometry closed-form
-    * (offset 4; DV length 32 + 2·|DV| — the q337 container arithmetic)
-    * beside the decoded cardinality and row sum, so a framing error
-    * anywhere in the write→probe chain lands in the hash.
+  /** PUFFIN STATS/DV CONTAINER AT FILE GRANULARITY — Iceberg v3 scopes
+    * ONE deletion vector per DATA FILE, so the group key here is a
+    * synthetic file id of at most 40 rows (doc_id div 40): task memory
+    * is O(file rows) no matter the corpus — the r13 verdict's fix for
+    * the earlier per-bucket shape, whose task-local array grew with a
+    * corpus FRACTION. Per file the query runs the WHOLE v3 chain in one
+    * task: the file's deletion vector (positions ≡ 2 mod 5 of the
+    * sorted rows) serializes through the spec's v3 FRAMING (BE length +
+    * magic D1D33964 + portable RoaringBitmapArray + BE CRC-32,
+    * [[graft.operators.DeletionVectors.serializeDvBlob]]) into a REAL
+    * two-blob Puffin image (footer LZ4-frame compressed on even file
+    * ids), a v3 delete manifest references the blob through
+    * `referenced_data_file`/`content_offset`/`content_size_in_bytes`,
+    * and [[graft.operators.IcebergManifests.replayV3]] replays
+    * file→DV→Puffin→manifest end to end. The oracle pins the blob
+    * geometry closed-form (offset 4; framed DV length 44 + 2·|DV|, 24
+    * when the file deletes nothing — a sub-3-row tail file at tiny
+    * scale factors) beside the replayed live-row arithmetic, so a
+    * framing error anywhere in the chain lands in the hash.
     */
   val q340PuffinDv: QueryDef = QueryDef(
     "q340_puffin_dv",
     (s, dir) => {
       import s.implicits._
       val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
-      ids.groupByKey(_ % 8).flatMapGroups { (bucket, it) =>
+      ids.groupByKey(_ / 40).flatMapGroups { (fid, it) =>
+        import graft.operators.IcebergManifests
+        import graft.operators.IcebergManifests.{DataFile, ManifestEntry, ManifestFile}
+        import graft.operators.AvroOcf.{TInt, TRecord}
         val vals = it.toArray.sorted
         val del = vals.indices.collect { case p if p % 5 == 2 => p.toLong }.toArray
-        val dv = DeletionVectors.serializeRoaring64(del)
+        val dv = DeletionVectors.serializeDvBlob(del)
         var sum = 0L
         vals.foreach(sum += _)
         val rowsum = Array.tabulate[Byte](8)(i => ((sum >>> (8 * i)) & 0xff).toByte)
         val file = Puffin.write(
           Seq("deletion-vector-v1" -> dv, "graft-rowsum-v1" -> rowsum),
-          snapshotId = bucket, sequenceNumber = 7L,
+          snapshotId = fid, sequenceNumber = 7L,
           properties = Map("created-by" -> "graft"),
-          compressFooter = bucket % 2 == 0)
+          compressFooter = fid % 2 == 0)
         val probed = Puffin.probe(file)
-          .getOrElse(sys.error(s"puffin probe failed: bucket $bucket"))
+          .getOrElse(sys.error(s"puffin probe failed: file $fid"))
         require(probed.properties.get("created-by").contains("graft"),
           "properties drift")
         val dvMeta = probed.blobs.find(_.blobType == "deletion-vector-v1")
           .getOrElse(sys.error("missing dv blob"))
         val sumMeta = probed.blobs.find(_.blobType == "graft-rowsum-v1")
           .getOrElse(sys.error("missing rowsum blob"))
-        val positions = DeletionVectors.deserializeRoaring64(
+        val positions = DeletionVectors.deserializeDvBlob(
           Puffin.blobBytes(file, dvMeta))
           .getOrElse(sys.error("dv blob did not deserialize"))
         require(java.util.Arrays.equals(positions, del), "dv roundtrip drift")
         val sb = Puffin.blobBytes(file, sumMeta)
         var got = 0L
         (0 until 8).foreach(i => got |= (sb(i) & 0xffL) << (8 * i))
-        Iterator.single((bucket, probed.blobs.length,
+        // the manifest leg: ONE data file + its DV, replayed through the
+        // v3 rules (puffin footer blob == manifest offsets, cardinality
+        // == record_count, positions in range, one DV per file)
+        val partType = TRecord("r340", Vector("bucket" -> TInt))
+        val dataPath = s"data/f$fid.parquet"
+        val dataEntries = Seq(ManifestEntry(1, Some(9001L),
+          DataFile(0, dataPath, "PARQUET", Vector("bucket" -> 0L),
+            vals.length.toLong, 512L)))
+        val dm = IcebergManifests.synthManifest(dataEntries, partType,
+          "null", (fid % 97).toInt)
+        val delEntries = Seq(ManifestEntry(1, Some(9002L),
+          DataFile(1, s"del/dv$fid.puffin", "PUFFIN", Vector("bucket" -> 0L),
+            del.length.toLong, file.length.toLong, None, Some(dataPath),
+            Some(dvMeta.offset), Some(dvMeta.length))))
+        val em = IcebergManifests.synthManifestV3(delEntries, partType,
+          "null", (fid % 97).toInt + 1)
+        val list = IcebergManifests.synthManifestList(Seq(
+          ManifestFile("meta/dm.avro", dm.length.toLong, 0, 9001L,
+            1, 0, 0, vals.length.toLong, 0L, 0L, None, 0),
+          ManifestFile("meta/em.avro", em.length.toLong, 0, 9001L,
+            1, 0, 0, del.length.toLong, 0L, 0L, None, 1)),
+          "null", (fid % 97).toInt + 2)
+        val byPath = Map("meta/dm.avro" -> dm, "meta/em.avro" -> em,
+          s"del/dv$fid.puffin" -> file)
+        val st = IcebergManifests.replayV3(list, byPath.get)
+          .getOrElse(sys.error(s"v3 replay failed: file $fid"))
+        Iterator.single((fid, probed.blobs.length,
           if (probed.compressedFooter) 1 else 0,
-          dvMeta.offset, dvMeta.length, positions.length.toLong, got))
-      }.toDF("bucket", "n_blobs", "compressed", "dv_offset", "dv_length",
-          "dv_cardinality", "rowsum")
-        .orderBy("bucket")
+          dvMeta.offset, dvMeta.length, positions.length.toLong, got,
+          st.v2.effectiveRows))
+      }.toDF("file_id", "n_blobs", "compressed", "dv_offset", "dv_length",
+          "dv_cardinality", "rowsum", "effective_rows")
+        .orderBy("file_id")
     },
     Some("""
-      WITH r AS (SELECT doc_id % 8 AS bucket, doc_id,
-                        row_number() OVER (PARTITION BY doc_id % 8
+      WITH r AS (SELECT doc_id // 40 AS file_id, doc_id,
+                        row_number() OVER (PARTITION BY doc_id // 40
                           ORDER BY doc_id) - 1 AS rr
                  FROM documents)
-      SELECT bucket, 2 AS n_blobs,
-             CAST(CASE WHEN bucket % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      SELECT file_id, 2 AS n_blobs,
+             CAST(CASE WHEN file_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
                AS compressed,
              CAST(4 AS BIGINT) AS dv_offset,
-             CAST(32 + 2 * SUM(CASE WHEN rr % 5 = 2 THEN 1 ELSE 0 END)
-               AS BIGINT) AS dv_length,
+             CAST(CASE WHEN SUM(CASE WHEN rr % 5 = 2 THEN 1 ELSE 0 END) = 0
+                  THEN 24
+                  ELSE 44 + 2 * SUM(CASE WHEN rr % 5 = 2 THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS dv_length,
              CAST(SUM(CASE WHEN rr % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS dv_cardinality,
-             CAST(SUM(doc_id) AS BIGINT) AS rowsum
-      FROM r GROUP BY bucket ORDER BY bucket"""))
+             CAST(SUM(doc_id) AS BIGINT) AS rowsum,
+             CAST(count(*) - SUM(CASE WHEN rr % 5 = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS effective_rows
+      FROM r GROUP BY file_id ORDER BY file_id"""))
 
   /** AUDIO FINGERPRINT NEAR-DUP — q331's perceptual dedup in the audio
     * modality with the REAL WAV codec in the loop: per document a
@@ -258,7 +299,10 @@ object Round13Queries4 {
     * redundancy end to end — manifest arithmetic, puffin footer blob ==
     * manifest offsets, DV cardinality == record_count, positions in
     * range, one DV per data file — and the oracle recomputes every
-    * count AND the DV geometry (offset 4, length 32 + 2·|DV|)
+    * count AND the DV geometry (offset 4, framed length 44 + 2·|DV| —
+    * the 32 + 2n one-container bitmap plus the v3 framing's 12-byte
+    * envelope; |DV| = (rc1+1) div 3 ≥ 7 here, so the empty-DV branch
+    * is unreachable at any scale factor)
     * closed-form, so a drift anywhere in manifest⋈puffin⋈bitmap lands
     * in the hash.
     */
@@ -293,10 +337,11 @@ object Round13Queries4 {
           val pos = IcebergManifests.synthPosDeletes(
             (0 until p).map(i => ("data/f0.parquet", i.toLong)),
             codec, r.v + 1)
-          // PUFFIN DV on f1: positions ≡ 1 (mod 3) below f1's row count
+          // PUFFIN DV on f1: positions ≡ 1 (mod 3) below f1's row count,
+          // in the v3 FRAMED form (BE length + magic + bitmap + CRC-32)
           val dvPositions = (0L until rc(1)).filter(_ % 3 == 1).toArray
           val dvBlob = graft.operators.DeletionVectors
-            .serializeRoaring64(dvPositions)
+            .serializeDvBlob(dvPositions)
           val puffin = graft.operators.Puffin.write(
             Seq("deletion-vector-v1" -> dvBlob), snapshotId = 9002L,
             sequenceNumber = 2L, properties = Map("created-by" -> "graft"),
@@ -357,7 +402,7 @@ object Round13Queries4 {
              CAST(liverows - p - dvcard AS BIGINT) AS effective_rows,
              CAST(dvcard AS BIGINT) AS dv_cardinality,
              CAST(4 AS BIGINT) AS dv_offset,
-             CAST(32 + 2 * dvcard AS BIGINT) AS dv_length
+             CAST(44 + 2 * dvcard AS BIGINT) AS dv_length
       FROM u ORDER BY doc_id"""))
 
   /** CROSS-MODAL NEAR-DUP CONSENSUS — the audit a multimodal corpus runs

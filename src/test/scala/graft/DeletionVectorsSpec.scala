@@ -35,6 +35,36 @@ class DeletionVectorsSpec extends AnyFunSuite {
     rt(Array.tabulate(4097)(_.toLong))               // just past it
   }
 
+  test("iceberg v3 DV blob framing: BE length + magic + bitmap + CRC-32") {
+    val ps = Array(1L, 4L, 7L, 70000L)
+    val blob = DeletionVectors.serializeDvBlob(ps)
+    val bare = DeletionVectors.serializeRoaring64(ps)
+    assert(blob.length == bare.length + 12)
+    // BE length prefix covers magic + bitmap
+    val len = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
+      ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
+    assert(len == bare.length + 4)
+    assert((blob(4) & 0xff, blob(5) & 0xff, blob(6) & 0xff, blob(7) & 0xff) ==
+      ((0xD1, 0xD3, 0x39, 0x64)))
+    assert(blob.slice(8, 8 + bare.length).sameElements(bare))
+    assert(DeletionVectors.deserializeDvBlob(blob).get.toSeq == ps.toSeq)
+    // a bare bitmap is NOT a framed blob and vice versa
+    assert(DeletionVectors.deserializeDvBlob(bare).isEmpty)
+    assert(DeletionVectors.deserializeRoaring64(blob).isEmpty)
+    // empty DV frames to 24 bytes (12-byte bitmap + 12-byte envelope)
+    val empty = DeletionVectors.serializeDvBlob(Array.empty[Long])
+    assert(empty.length == 24)
+    assert(DeletionVectors.deserializeDvBlob(empty).get.isEmpty)
+    // every single-byte corruption declines or decodes consistently,
+    // never throws; CRC catches any flip in the bitmap body
+    blob.indices.foreach { i =>
+      val c = blob.clone(); c(i) = (c(i) ^ 0x55).toByte
+      assert(DeletionVectors.deserializeDvBlob(c).isEmpty, s"byte $i")
+    }
+    (1 until blob.length).foreach(k =>
+      assert(DeletionVectors.deserializeDvBlob(blob.dropRight(k)).isEmpty))
+  }
+
   test("inline descriptor: wire roundtrip, honest size, lying fields reject") {
     val ps = Array.tabulate(89)(i => (i * 7 + 3).toLong)
     val d = DeletionVectors.encodeInline(ps)

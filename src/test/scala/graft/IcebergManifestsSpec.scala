@@ -616,7 +616,7 @@ class IcebergManifestsSpec extends AnyFunSuite {
     val dataEntries = Seq(entry(1, 0, rows = 10L), entry(1, 1, rows = 10L))
     val dm = synthManifest(dataEntries, partType, "null", 3)
     val dvPos = Array(1L, 4L, 7L)
-    val blob = DeletionVectors.serializeRoaring64(dvPos)
+    val blob = DeletionVectors.serializeDvBlob(dvPos) // v3 framed form
     val puffin = Puffin.write(Seq("deletion-vector-v1" -> blob), 9L, 1L,
       Map.empty, compressFooter = false)
     def dvEntry(rc: Long = 3L, target: String = "data/f1.parquet",
@@ -667,8 +667,19 @@ class IcebergManifestsSpec extends AnyFunSuite {
         20L, 0L, 0L, None, 0)), "null", 7)
     assert(IcebergManifests.replayV3(l2,
       Map("meta/dm2.avro" -> dm2).get).isEmpty)
+    // a BARE (unframed) bitmap in the puffin blob declines — the v3
+    // spec's length/magic/CRC envelope is load-bearing, not decoration
+    val bare = DeletionVectors.serializeRoaring64(dvPos)
+    val puffinBare = Puffin.write(Seq("deletion-vector-v1" -> bare), 9L, 1L,
+      Map.empty, compressFooter = false)
+    val deBare = ManifestEntry(1, Some(9002L), DataFile(1, "del/dv.puffin",
+      "PUFFIN", Vector("bucket" -> 0L), 3L, puffinBare.length.toLong, None,
+      Some("data/f1.parquet"), Some(4L), Some(bare.length.toLong)))
+    val (lb, bpb) = listFor(deBare)
+    assert(IcebergManifests.replayV3(lb,
+      (bpb + ("del/dv.puffin" -> puffinBare)).get).isEmpty)
     // positions past the target's row count decline
-    val bigPos = DeletionVectors.serializeRoaring64(Array(99L))
+    val bigPos = DeletionVectors.serializeDvBlob(Array(99L))
     val puffin2 = Puffin.write(Seq("deletion-vector-v1" -> bigPos), 9L, 1L,
       Map.empty, compressFooter = false)
     val de2 = ManifestEntry(1, Some(9002L), DataFile(1, "del/dv.puffin",

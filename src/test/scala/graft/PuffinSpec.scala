@@ -21,7 +21,7 @@ class PuffinSpec extends AnyFunSuite {
     out.toByteArray
   }
 
-  test("write/probe roundtrip: plain and gzip footers, blob fetch") {
+  test("write/probe roundtrip: plain and lz4-frame footers, blob fetch") {
     val b1 = Array[Byte](1, 2, 3, 4, 5)
     val b2 = Array[Byte](9, 8)
     for (gz <- Seq(false, true)) {
@@ -54,6 +54,18 @@ class PuffinSpec extends AnyFunSuite {
     assert(Puffin.probe(manual( // overlap
       blobsJson(entry(4, 10) + "," + entry(8, 4)), 16, 0)).isEmpty)
     assert(Puffin.probe(manual(blobsJson(entry(4, 4)), 16, 2)).isEmpty)  // flag bit 1
+    // Long-overflow offsets/lengths must not wrap past the bounds guard:
+    // offset + length overflows negative, which an addition-form check
+    // would wave through and blobBytes would then throw on
+    def entryL(off: Long, len: Long): String =
+      s"""{"type":"t","fields":[1],"snapshot-id":1,"sequence-number":1,"offset":$off,"length":$len}"""
+    assert(Puffin.probe(manual(
+      blobsJson(entryL(4L, Long.MaxValue)), 16, 0)).isEmpty)
+    assert(Puffin.probe(manual(
+      blobsJson(entryL(Long.MaxValue, 8L)), 16, 0)).isEmpty)
+    assert(Puffin.probe(manual( // overlap check must not wrap either
+      blobsJson(entryL(4L, Long.MaxValue) + "," + entryL(8L, 4L)),
+      16, 0)).isEmpty)
     assert(Puffin.probe(manual("""[1,2]""", 16, 0)).isEmpty)             // not object
     assert(Puffin.probe(manual(
       """{"blobs":[{"fields":[1],"offset":4,"length":2}],"properties":{}}""",
