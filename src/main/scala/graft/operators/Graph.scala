@@ -136,10 +136,25 @@ object Graph {
     *     LARGER endpoint u; with m = min of u's neighbors, re-point u and
     *     every non-min neighbor to m.
     *
-    * Both steps are one partitioned window-min plus a projection (no
-    * joins); a round is therefore 3 exchanges, and the round count is
-    * logarithmic instead of diameter-shaped — a 64-node path converges in
-    * ~6 rounds vs 63 (GraphSpec pins this).
+    * Both steps compute the per-u neighborhood min as a hash AGGREGATE
+    * (`groupBy(u).agg(min(v))`) joined back to the edge rows — NOT a
+    * `Window.partitionBy(u)` min. The window form put a vertex's whole
+    * adjacency into one task's sort buffer with no partial aggregation:
+    * on a power-law graph a celebrity vertex (10⁵⁺ neighbors at 100 TB)
+    * is a straggler/OOM task by construction (the round-13 verdict's
+    * skew finding). The aggregate form map-side-combines the min, its
+    * (u, min) table is one row per vertex, and the join back is a plain
+    * equi-join AQE can skew-split or broadcast — no operator ever
+    * buffers an adjacency list. The round count is logarithmic instead
+    * of diameter-shaped — a 64-node path converges in ~6 rounds vs 63
+    * (GraphSpec pins this; the hub case pins the skew posture).
+    *
+    * Because the join-back references each round's frame more than once,
+    * every materialized round is LINEAGE-TRUNCATED to a leaf
+    * ([[org.apache.spark.sql.GraftBridge.truncateLineage]] over the
+    * round's cache) — otherwise the k-references-per-round shape regrows
+    * the k^rounds plan subtrees that OOM'ed the union-shaped rounds this
+    * design replaced (see the in-loop comment).
     *
     * Convergence witness: the round leaves the (distinct, src > dst
     * canonical) edge multiset unchanged — compared as (count, Σdst,
@@ -161,9 +176,44 @@ object Graph {
     * Throws `IllegalStateException` after `maxRounds` non-converged rounds
     * rather than returning silently split components.
     */
+  /** ONE large-star + small-star round over a canonical (src > dst,
+    * deduped) edge frame: both phases, canonical output, final distinct.
+    * Package-private so GraphSpec can pin the PHYSICAL shape — no
+    * WindowExec anywhere (a `Window.partitionBy(u)` min buffers a
+    * celebrity vertex's whole adjacency in one task: the round-13 skew
+    * finding), mins as partial-agg'd hash aggregates joined back. The
+    * (u, min) side is one row per vertex; AQE broadcasts it when small
+    * and skew-splits the probe side when not — no operator ever holds
+    * an adjacency list.
+    */
+  private[graft] def ccRound(edgesCanonical: DataFrame): DataFrame = {
+    // Both orientations via ONE explode.
+    val b = edgesCanonical.select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val lsMin = b.groupBy(col("u")).agg(min(col("v")).as("mv"))
+    val ls = b.join(lsMin, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"),
+        least(col("mv"), col("u")).as("dst"))
+    // small-star emissions in ONE pass over the joined rows: each
+    // (u, v, m) row yields (u, m) always and (v, m) when v is not
+    // the min itself
+    val sbase = ls.select(col("src").as("u"), col("dst").as("v"))
+    val ssMin = sbase.groupBy(col("u")).agg(min(col("v")).as("m"))
+    sbase.join(ssMin, "u")
+      .select(explode(when(col("v") =!= col("m"),
+          array(struct(col("v").as("s"), col("m").as("d")),
+            struct(col("u").as("s"), col("m").as("d"))))
+        .otherwise(array(struct(col("u").as("s"), col("m").as("d")))))
+          .as("p"))
+      .select(col("p.s").as("src"), col("p.d").as("dst"))
+      .distinct()
+  }
+
   def connectedComponents(edges: DataFrame,
       maxRounds: Int = 25): (DataFrame, Int) = {
-    import org.apache.spark.sql.expressions.Window
     var e = ScopedCache.cache(
       edges.filter(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).cast("long").as("src"),
@@ -182,42 +232,24 @@ object Graph {
       (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
     }
     try {
-      var prev = witness(e)
+      var prev = witness(e) // materializes e's cache before the leaf scan
+      // Every round builds from a LEAF over the previous round's cached
+      // rows, never from its plan: the min-aggregate is JOINED BACK to
+      // the edge rows, so each round references its input k>1 times —
+      // round 12 measured that shape (as a union) blowing up k^rounds
+      // plan SUBTREES (AQE's explainString alone OOM'ed the driver on
+      // the plan string; execution would read the cache, but tree-shaped
+      // walks and copying transforms don't know that). With a leaf input
+      // every round plan is O(1) deep no matter the reference count.
+      var leaf = org.apache.spark.sql.GraftBridge.truncateLineage(e)
       var converged = prev._1 == 0L // no edges: a star forest already
       var rounds = 0
       while (!converged && rounds < maxRounds) {
-        val wu = Window.partitionBy("u")
-        // Both orientations via ONE explode, NOT e.union(e.swapped): a
-        // union references the previous round's frame twice, so the
-        // logical plan DOUBLES per round — 2^rounds subtrees by round ~20,
-        // and AQE's explainString alone OOMs the driver on the plan
-        // string (execution would read the cache; the plan object tree
-        // doesn't know that). One reference per round keeps plan growth
-        // linear in rounds, like the PageRank loop.
-        val b = e.select(explode(array(
-            struct(col("src").as("u"), col("dst").as("v")),
-            struct(col("dst").as("u"), col("src").as("v")))).as("p"))
-          .select(col("p.u").as("u"), col("p.v").as("v"))
-        val ls = b.withColumn("m", least(min(col("v")).over(wu), col("u")))
-          .filter(col("v") > col("u"))
-          .select(col("v").as("src"), col("m").as("dst"))
-        // small-star emissions in ONE pass over the windowed rows (a
-        // filter ∪ project over `sb` would evaluate the large-star window
-        // twice): each (u, v, m) row yields (u, m) always and (v, m) when
-        // v is not the min itself
-        val sb = ls.select(col("src").as("u"), col("dst").as("v"))
-          .withColumn("m", min(col("v")).over(wu))
-        val ss = sb.select(explode(when(col("v") =!= col("m"),
-            array(struct(col("v").as("s"), col("m").as("d")),
-              struct(col("u").as("s"), col("m").as("d"))))
-          .otherwise(array(struct(col("u").as("s"), col("m").as("d")))))
-            .as("p"))
-          .select(col("p.s").as("src"), col("p.d").as("dst"))
-          .distinct()
-          .cache()
+        val ss = ccRound(leaf).cache()
         val w = witness(ss) // materializes ss before the handoff
         if (eOwned) e.unpersist()
         e = ss; eOwned = true
+        leaf = org.apache.spark.sql.GraftBridge.truncateLineage(ss)
         converged = w == prev
         prev = w
         rounds += 1

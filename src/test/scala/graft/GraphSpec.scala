@@ -90,6 +90,36 @@ class GraphSpec extends SparkTestBase {
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
+  test("a 10^5-neighbor hub: no window operator, partial-agg'd mins, " +
+    "correct labels") {
+    // THE round-13 skew finding: the old Window.partitionBy(u) min put a
+    // celebrity vertex's whole adjacency into ONE task's sort buffer —
+    // a straggler/OOM by construction on power-law graphs at 100x scale.
+    // The fix computes per-u mins as a hash aggregate (map-side partial
+    // combine, so no task ever sees the hub's full adjacency) joined
+    // back. Pin the shape on a single round's plan, then run the full
+    // fixpoint on a 100k-spoke star.
+    val hub = spark.range(1, 100001)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val round = Graph.ccRound(hub)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = round.queryExecution.optimizedPlan
+    assert(lp.collect { case w: LWindow => w }.isEmpty,
+      "a Window survived in the CC round plan")
+    assert(lp.collect { case a: Aggregate => a }.nonEmpty,
+      "expected the mins as aggregates")
+    // physical: the min must run PARTIAL first (map-side combine is what
+    // bounds a hub's per-task input)
+    assert(round.queryExecution.executedPlan.toString.contains("partial_min"),
+      "per-u min is not partial-aggregated")
+    val (labels, rounds) = Graph.connectedComponents(hub)
+    assert(rounds <= 4, s"hub star should contract immediately, took $rounds")
+    val got = labels.agg(count(lit(1)), sum(col("comp")), max(col("v"))).head()
+    assert(got.getLong(0) == 100001L, "one label per vertex")
+    assert(got.getLong(1) == 0L, "every component label is the hub (min id 0)")
+    assert(got.getLong(2) == 100000L, "all spokes labeled")
+  }
+
   test("connectedComponents: empty edges converge in zero rounds") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     val (labels, rounds) = Graph.connectedComponents(empty)
