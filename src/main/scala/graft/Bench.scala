@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   * phantom movers in round 12 (all adjudicated ambient: flat gcSec,
   * loadavg 7-29); with passes separated by the full surface (~4-5 min), a
   * 10-minute contention window inflates at most ONE sample per query and
-  * the median sheds it. `mixed` is the opt-in dev tier: every query still
+  * the median sheds it. Since round 14 each pass additionally runs in a
+  * deterministically SHUFFLED order (seed = pass index): periodic passes
+  * re-exposed the same queries to any window longer than ~2 pass periods
+  * (round 13's movers were one contiguous id block), while per-pass
+  * permutations turn such a window into isolated single-sample noise. `mixed` is the opt-in dev tier: every query still
   * runs (the map stays real) but only a pinned subset — the previous
   * round's movers plus the slowest-by-previous-medians — gets back-to-back
   * repeats, the rest get one run each. `sequential` restores the pre-r13
@@ -195,9 +199,19 @@ object Bench {
       // absorbs all JIT warmup, leaving passes 2+ as clean steady-state
       // samples — with repeats=3 the median lands on a warm sample
       // whenever at least two passes are clean.
+      // Each pass runs in a DETERMINISTICALLY SHUFFLED order (seeded by
+      // the pass index): round-robin passes are PERIODIC, so a co-tenant
+      // window longer than ~2 pass periods used to hit the SAME queries
+      // in every pass — the round-13 driver sweep's 24 movers were one
+      // contiguous id block (q71–q91) for exactly this reason. With a
+      // fresh permutation per pass, a long window inflates a DIFFERENT
+      // subset each pass and the per-query median sheds it as isolated
+      // single-sample noise.
       var pass = 0
       while (pass < repeats) {
-        allQueries.foreach { case (name, fn) =>
+        val order = new scala.util.Random(0x5DEECE66DL * (pass + 1))
+          .shuffle(allQueries)
+        order.foreach { case (name, fn) =>
           if (!errByName.contains(name)) runOnce(name, fn)
         }
         pass += 1
