@@ -240,6 +240,41 @@ object CorpusScaleBench {
       Seq("neardup" -> 0.003, "boundary" -> 0.010, "diffuse" -> 0.025).map {
         case (name, dither) => name -> annPass(dither, baseSettings)
       }
+    // SemDeDup at corpus scale (round 14): k derives from corpus size
+    // (k = max(4, ceil(n/target))), so within-cluster pair mass stays
+    // ~n*target instead of Sigma c^2 -> n^2 as replicas grow, and the
+    // dominator cap's drop count is OBSERVED, never silent. Reported:
+    // k, the observed drops, and wall seconds over the replica corpus
+    // (the near-dup clouds are SemDeDup's own target structure).
+    val semdedup = {
+      val dither = 0.003
+      val embCorpus = embBase
+        .crossJoin(spark.range(embReplicas).toDF("r"))
+        .select(
+          (col("r") * nBaseVecs + col("vec_id")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((pmod(col("r") * 7 + i, lit(11)) - 5) * lit(dither) +
+              col("r") * lit(1.0e-4d)).cast("float"))
+            .as("embedding"),
+          col("label"))
+        .repartition(cpus.toInt * 2)
+        .cache()
+      val nV = embCorpus.count()
+      val target = 512
+      val kDerived = math.max(4L, (nV + target - 1) / target)
+      val obs = new org.apache.spark.sql.Observation("semdedup_caps")
+      val t0 = System.nanoTime()
+      val out = operators.Similarity.semanticDedup(embCorpus,
+        targetClusterSize = target, maxDominators = 4096, threshold = 0.35,
+        drops = Some(obs))
+      val keptRows = out.filter(col("kept") === 1).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val m = obs.get
+      embCorpus.unpersist()
+      (nV, kDerived, keptRows, sec,
+        m.getOrElse("dominator_drops", 0L).asInstanceOf[Long],
+        m.getOrElse("n_vectors", nV).asInstanceOf[Long])
+    }
     // DIFFUSE-REGIME FIX (round-8 finding: recall plateaus ~0.72 at
     // nprobe <= 4 with k=32 once clouds smear to the base spacing): the
     // named fixes, measured — probe MANY more cells at the same quantizer
@@ -315,7 +350,11 @@ object CorpusScaleBench {
     val annIng = annIngest._2.map { case (j, iv, probeSec, rowsOut, appSec) =>
       f"""{"step":$j,"indexed_vecs":$iv,"probe_sec":$probeSec%.2f,"rows":$rowsOut,"append_sec":$appSec%.2f}"""
     }.mkString(f"""{"build_sec":${annIngest._1}%.2f,"steps":[""", ",", "]}")
-    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ingest_loop":$ingest,"ann_vecs":$nVecs,"ann":$ann,"diffuse_fix":$fix,"ann_ingest":$annIng,"sf":"$sfDir","cpus":$cpus}""")
+    val sd = {
+      val (nV, kD, kept, sec, drops, seen) = semdedup
+      f"""{"vecs":$nV,"k":$kD,"kept":$kept,"sec":$sec%.2f,"dominator_drops":$drops,"observed_vectors":$seen}"""
+    }
+    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ingest_loop":$ingest,"ann_vecs":$nVecs,"ann":$ann,"diffuse_fix":$fix,"ann_ingest":$annIng,"semdedup":$sd,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

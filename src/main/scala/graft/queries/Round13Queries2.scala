@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Det, HashFunctions, VectorFunctions}
-import graft.operators.{Dedup, KMeans, MediaCodecs, ScopedCache, Similarity}
+import graft.functions.HashFunctions
+import graft.operators.{Dedup, MediaCodecs, ScopedCache, Similarity}
 
 /** Round-13 additions, second tranche: the curation-adjacent operators a
   * training-data pipeline runs between ingest and packing — perceptual
@@ -123,38 +123,24 @@ object Round13Queries2 {
       ORDER BY doc_a, doc_b"""))
 
   /** SEMANTIC DEDUP (SemDeDup) — embedding-space dedup blocked by a
-    * TRAINED coarse quantizer instead of a given label: the q70 KMeans
-    * (k=4, two Lloyd rounds, memoized per session) clusters the corpus,
-    * pairs are scored only WITHIN a cluster (the scale move: candidate
-    * mass is Σ cluster² not corpus², and at 100 TB the cluster count
-    * grows with the corpus so cluster sizes stay bounded), and a vector
-    * is dropped when any lower-id cluster-mate sits at rounded cosine
-    * ≥ 0.35 — the keep-first policy, one anti-join, no iteration. The
-    * oracle replays the exact Lloyd arithmetic (the q70 CTE chain) plus
-    * the dominance rule, so stale centroids or a wrong-side tie both
-    * surface.
+    * TRAINED coarse quantizer instead of a given label, through the
+    * first-class [[graft.operators.Similarity.semanticDedup]] operator
+    * (round 14: the quantizer k is DERIVED from the corpus size —
+    * k = max(4, ⌈n/512⌉) — so within-cluster pair mass stays ~n·512 as
+    * the corpus grows instead of Σc² → n², and the dominator side is
+    * capped per cluster with an observable drop count; CorpusScaleBench
+    * measures the bounded pair mass on the 50× replica corpus). At every
+    * fixture scale n ≤ 2048, so k = 4 and the cap never binds — the
+    * oracle's unrolled k=4 Lloyd chain (the q70 CTE arithmetic) plus the
+    * dominance rule replays the exact same computation; stale centroids
+    * or a wrong-side tie both surface.
     */
   val q332SemanticDedup: QueryDef = QueryDef(
     "q332_semantic_dedup",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val cents = KMeans.fitCentroids(e, k = 4, iters = 2)
-      val af = KMeans.assignments(e, cents)
-        .withColumn("nrm", VectorFunctions.norm2(col("embedding")))
-        .transform(ScopedCache.cache)
-      val dom = af.as("a").join(af.as("b"),
-          col("a.cluster") === col("b.cluster") &&
-            col("a.vec_id") < col("b.vec_id") &&
-            Det.rdet(VectorFunctions.dot(col("a.embedding"), col("b.embedding"))
-              / (col("a.nrm") * col("b.nrm")), 6) >= 0.35d)
-        .select(col("b.vec_id").as("vec_id")).distinct()
-        .withColumn("dom", lit(1))
-      af.select(col("vec_id"), col("cluster"))
-        .join(dom, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster"),
-          when(col("dom").isNull, 1).otherwise(0).as("kept"))
-        .orderBy("vec_id")
-    },
+    (s, dir) => Similarity.semanticDedup(
+        Tables.load(s, dir, "embeddings"),
+        targetClusterSize = 512, maxDominators = 4096, threshold = 0.35d)
+      .orderBy("vec_id"),
     Some(s"""
       WITH ${ExtQueries.kmeansCtes(4, 2, 64)},
       dom AS (SELECT DISTINCT b.vec_id
