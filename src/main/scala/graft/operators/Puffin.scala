@@ -61,11 +61,14 @@ object Puffin {
     val coded =
       if (!compressFooter) payload
       else {
-        // LZ4 frame — the puffin-spec's footer-compression codec
-        // (commons-compress, shipped with Spark)
+        // LZ4 frame — the puffin-spec's footer-compression codec. Writer
+        // uses lz4-java (JNI; the pure-Java commons-compress encoder
+        // costs ~3 ms per instance — q343 writes one footer per row);
+        // the prober below reads with commons-compress, so every written
+        // footer is a cross-implementation interop check.
         val b = new java.io.ByteArrayOutputStream()
-        val lz = new org.apache.commons.compress.compressors.lz4
-          .FramedLZ4CompressorOutputStream(b)
+        val lz = new net.jpountz.lz4.LZ4FrameOutputStream(b,
+          net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB)
         lz.write(payload); lz.close()
         b.toByteArray
       }

@@ -1354,7 +1354,9 @@ object Round10Queries3 {
           w.start()
           var j = 0
           Seq(k1, k2).foreach { k =>
-            root.allocateNew()
+            // in-place zero between batches — never allocateNew (the
+            // partition-pooled buffers are the round-14 q273-band fix)
+            ArrowSynth.resetRoot(root)
             val idv = root.getVector("id").asInstanceOf[BigIntVector]
             val nv = root.getVector("name").asInstanceOf[VarCharVector]
             val gv = root.getVector("grp").asInstanceOf[IntVector]
@@ -2313,15 +2315,17 @@ object Round10Queries3 {
               new ArrowFileWriter(root, null,
                 java.nio.channels.Channels.newChannel(out))
             case c =>
+              // graft's factory: lz4-java for LZ4_FRAME (the stock
+              // commons-compress encoder costs 3.2 ms per tiny batch —
+              // q273's whole cold-path residual), zstd-jni for ZSTD
               new ArrowFileWriter(root, null,
                 java.nio.channels.Channels.newChannel(out),
                 new java.util.HashMap[String, String](), IpcOption.DEFAULT,
-                org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+                graft.operators.ArrowCompression.Factory,
                 if (c == "lz4") CompressionUtil.CodecType.LZ4_FRAME
                 else CompressionUtil.CodecType.ZSTD)
           }
           w.start()
-          root.allocateNew()
           val idv = root.getVector("id").asInstanceOf[BigIntVector]
           val tv = root.getVector("txt").asInstanceOf[VarCharVector]
           (0 until k).foreach { j =>
