@@ -529,6 +529,112 @@ object Mp4Boxes {
       isCo64, sync, stsc)))
   }
 
+  /** One keyframe's physical location: 1-based sample number, ABSOLUTE
+    * file byte offset, and byte size.
+    */
+  final case class KeyframeRange(sample: Long, offset: Long, size: Long)
+
+  /** KEYFRAME BYTE-RANGE EXTRACTION — the stss→stsc/stsz/stco walk a
+    * video pipeline runs to pull sync samples (GOP heads) out of a file
+    * with RANGED reads, never a full decode: for each stss entry, resolve
+    * its chunk through the stsc runs, its intra-chunk byte offset through
+    * the preceding samples' stsz sizes, and its absolute position through
+    * stco/co64 (reference functions.py has no media layer; 14496-12 §8.6.2
+    * / §8.7.4-5 are the public spec). Works on the FIRST track whose
+    * handler matches (default `vide`).
+    *
+    * Absent stss = every sample is sync (the spec default) — all samples
+    * are returned. Declines (None, never throws) on: probe-level
+    * malformations, a matching track without full sample tables, a
+    * per-chunk layout without an stsc, or any resolved range escaping the
+    * file — extraction must not fabricate bytes.
+    */
+  def keyframeByteRanges(b: Array[Byte],
+      handler: String = "vide"): Option[Vector[KeyframeRange]] = {
+    // probe() first: all cross-table invariants (stss bounds, stsc tiling,
+    // stsz/stts agreement) are already enforced there — this walk can
+    // then read the raw tables without re-validating
+    val info = probe(b).getOrElse(return None)
+    if (!info.tracks.exists(_.handler == handler)) return None
+    val top = walk(b, 0, b.length, topLevel = true).getOrElse(return None)
+    val moov = top.find(_.typ == "moov").getOrElse(return None)
+    val traks = walk(b, moov.start, moov.end, topLevel = false)
+      .getOrElse(return None).filter(_.typ == "trak")
+    // locate the first matching trak by handler, structurally
+    val stblKids: Vector[Box] = traks.view.flatMap { tk =>
+      val kids = walk(b, tk.start, tk.end, topLevel = false).getOrElse(return None)
+      for {
+        mdia <- kids.find(_.typ == "mdia")
+        mkids <- walk(b, mdia.start, mdia.end, topLevel = false)
+        hd <- mkids.find(_.typ == "hdlr")
+        if fourcc(b, hd.start + 8) == handler
+        minf <- mkids.find(_.typ == "minf")
+        stbl <- walk(b, minf.start, minf.end, topLevel = false)
+          .flatMap(_.find(_.typ == "stbl"))
+        sk <- walk(b, stbl.start, stbl.end, topLevel = false)
+      } yield sk
+    }.headOption.getOrElse(return None)
+    def tableOf(typ: String): Option[Box] = stblKids.find(_.typ == typ)
+    val z = tableOf("stsz").getOrElse(return None)
+    val nSamples = be32(b, z.start + 8)
+    if (nSamples <= 0 || nSamples > b.length) return None
+    val uniform = be32(b, z.start + 4)
+    def sizeOf(idx0: Int): Long =
+      if (uniform != 0) uniform else be32(b, z.start + 12 + 4 * idx0)
+    val c = tableOf("stco").orElse(tableOf("co64")).getOrElse(return None)
+    val isCo64 = c.typ == "co64"
+    val nC = be32(b, c.start + 4).toInt
+    def chunkOff(k: Int): Long =
+      if (isCo64) be64(b, c.start + 8 + 8 * k) else be32(b, c.start + 8 + 4 * k)
+    // expand stsc runs to each chunk's first 0-based sample index
+    val sc = tableOf("stsc").getOrElse(return None)
+    val nE = be32(b, sc.start + 4).toInt
+    val firstSampleOfChunk = new Array[Long](nC + 1)
+    var e = 0
+    var sampleAcc = 0L
+    var chunkIdx = 1L // 1-based, per the wire format
+    while (chunkIdx <= nC) {
+      val next: Long =
+        if (e + 1 < nE) be32(b, sc.start + 8 + 12 * (e + 1))
+        else nC + 1L
+      val spc = be32(b, sc.start + 8 + 12 * e + 4)
+      while (chunkIdx < next && chunkIdx <= nC) {
+        firstSampleOfChunk(chunkIdx.toInt - 1) = sampleAcc
+        sampleAcc += spc
+        chunkIdx += 1
+      }
+      e += 1
+    }
+    firstSampleOfChunk(nC) = sampleAcc
+    // sync sample numbers: the stss list, or 1..n when absent
+    val syncs: Vector[Long] = tableOf("stss") match {
+      case Some(ss) =>
+        val nS = be32(b, ss.start + 4).toInt
+        (0 until nS).map(j => be32(b, ss.start + 8 + 4 * j)).toVector
+      case None => (1L to nSamples).toVector
+    }
+    val out = Vector.newBuilder[KeyframeRange]
+    syncs.foreach { s =>
+      val idx0 = s - 1 // 0-based sample index
+      // chunk = the last chunk whose first sample is <= idx0
+      var k = java.util.Arrays.binarySearch(firstSampleOfChunk, idx0)
+      if (k < 0) k = -k - 2
+      else {
+        // equal keys: binarySearch may land on any; take the LAST chunk
+        // starting at idx0 (empty chunks collapse forward)
+        while (k + 1 <= nC && firstSampleOfChunk(k + 1) == idx0) k += 1
+      }
+      if (k < 0 || k >= nC) return None
+      var off = chunkOff(k)
+      var j = firstSampleOfChunk(k)
+      while (j < idx0) { off += sizeOf(j.toInt); j += 1 }
+      val sz = sizeOf(idx0.toInt)
+      if (off < 0 || sz < 0 || off > b.length.toLong - sz) return None
+      out += KeyframeRange(s, off, sz)
+    }
+    Some(out.result())
+  }
+
   // ------------------------------------------------------------------
   // Synthesis (test/oracle side): real wire format, minimal but valid.
   // ------------------------------------------------------------------
@@ -550,7 +656,13 @@ object Mp4Boxes {
       cttsRuns: Seq[(Long, Long)] = Nil,
       useCo64: Boolean = false,
       syncSamples: Seq[Long] = Nil,
-      stscRuns: Seq[(Long, Long)] = Nil)
+      stscRuns: Seq[(Long, Long)] = Nil,
+      // chunk offsets RELATIVE TO THE MDAT PAYLOAD (length must equal
+      // `chunks`): the synthesizer resolves them to absolute file offsets
+      // so stco/co64 point at REAL sample bytes — the precondition for
+      // keyframe byte-range extraction ([[keyframeByteRanges]]). None
+      // keeps the legacy deterministic placeholder offsets.
+      chunkOffsetsRelMdat: Option[Seq[Long]] = None)
 
   /** One synthetic movie fragment for [[synthFragmented]]: per-sample
     * duration/size lists when present (trun flags 0x100/0x200), otherwise
@@ -608,7 +720,7 @@ object Mp4Boxes {
       u32(0), u32(0), u32(0x40000000L),
       u32(0), u32(0), u32(0), u32(0), u32(0), u32(0), // pre_defined x6
       u32(0xffffffffL)) // next_track_ID
-    val traks = tracks.map { t =>
+    def traksFor(mdatBase: Long) = tracks.map { t =>
       val tkhd = fullBox("tkhd", ver,
         time(0), time(0), u32(t.trackId), u32(0), time(t.duration),
         u32(0), u32(0), // reserved
@@ -643,17 +755,27 @@ object Mp4Boxes {
               fullBox("stsz", 0,
                 (u32(0L) +: u32(total) +: szs.map(u32)): _*)
           }
-          // co64 offsets sit above 2^32 so a 32-bit misread is caught
+          // explicit offsets resolve relative to the mdat payload (so the
+          // table points at REAL bytes); legacy placeholder offsets keep
+          // the co64 values above 2^32 so a 32-bit misread is caught
+          val offAt: Int => Long = t.chunkOffsetsRelMdat match {
+            case Some(os) =>
+              require(os.size == t.chunks,
+                s"chunkOffsetsRelMdat needs ${t.chunks} offsets, got ${os.size}")
+              i => mdatBase + os(i)
+            case None =>
+              if (t.useCo64) i => (5L << 32) + 1000L + 16L * i
+              else i => 1000L + 16L * i
+          }
           val chunkBox =
             if (t.useCo64)
               fullBox("co64", 0,
                 (u32(t.chunks.toLong) +:
-                  (0 until t.chunks).map(i =>
-                    u64((5L << 32) + 1000L + 16L * i))): _*)
+                  (0 until t.chunks).map(i => u64(offAt(i)))): _*)
             else
               fullBox("stco", 0,
                 (u32(t.chunks.toLong) +:
-                  (0 until t.chunks).map(i => u32(1000L + 16L * i))): _*)
+                  (0 until t.chunks).map(i => u32(offAt(i)))): _*)
           val stssBox: Seq[Array[Byte]] =
             if (t.syncSamples.isEmpty) Nil
             else Seq(fullBox("stss", 0,
@@ -700,11 +822,24 @@ object Mp4Boxes {
         }
       boxOf("trak", (tkhd +: (edtsBox :+ mdia)): _*)
     }
-    val moov = boxOf("moov", (mvhd +: traks): _*)
+    // Resolving relative chunk offsets needs the mdat payload's absolute
+    // position = |ftyp| + |moov| + 8, and |moov| does not depend on the
+    // offset VALUES (fixed-width fields) — so build once at base 0 to
+    // measure, then rebuild at the real base.
+    val moov =
+      if (tracks.forall(_.chunkOffsetsRelMdat.isEmpty)) traksToMoov(mvhd, traksFor(0L))
+      else {
+        val probe = traksToMoov(mvhd, traksFor(0L))
+        traksToMoov(mvhd, traksFor(ftyp.length.toLong + probe.length.toLong + 8L))
+      }
     val mdat = boxOf("mdat",
       Array.tabulate(mdatLen)(i => (fill(i) & 0xff).toByte))
     ftyp ++ moov ++ mdat
   }
+
+  private def traksToMoov(mvhd: Array[Byte],
+      traks: Seq[Array[Byte]]): Array[Byte] =
+    boxOf("moov", (mvhd +: traks): _*)
 
   /** Synthesize a VALID fragmented (CMAF-style) file: ftyp, moov(mvhd +
     * one trak + mvex(trex with the movie-default sample duration/size)),

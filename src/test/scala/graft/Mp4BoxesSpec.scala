@@ -279,6 +279,77 @@ class Mp4BoxesSpec extends AnyFunSuite {
     assert(mOff > 0 && Mp4Boxes.probe(twoMfhd).isEmpty)
   }
 
+  test("keyframeByteRanges: stss -> stsc/stsz/stco walk lands on the " +
+    "exact mdat bytes, both offset widths") {
+    // 7 samples, sizes 10..16; chunk 1 holds 3 samples, chunks 2-3 hold 2
+    // each; chunks tiled in mdat with a 2-byte gap before each chunk
+    val sizes = (0 until 7).map(i => 10L + i)
+    val prefix = sizes.scanLeft(0L)(_ + _)
+    val chunkStarts = Seq(0, 3, 5)
+    val relOffs = chunkStarts.zipWithIndex.map { case (cs, k) =>
+      2L * (k + 1) + prefix(cs)
+    }
+    val mdatLen = (prefix(7) + 6 + 3).toInt
+    for (co64 <- Seq(false, true)) {
+      val t = SynthTrack(1, "vide", "avc1", 640, 360, 600, 700, "eng",
+        sttsEntries = Seq((7L, 100L)),
+        sizes = Some(Right(sizes)),
+        chunks = 3, useCo64 = co64,
+        syncSamples = Seq(1L, 4L, 7L),
+        stscRuns = Seq((1L, 3L), (2L, 2L)),
+        chunkOffsetsRelMdat = Some(relOffs))
+      val b = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 700, Seq(t),
+        mdatLen, i => i % 251)
+      val mdatStart = b.length - mdatLen
+      val got = Mp4Boxes.keyframeByteRanges(b).get
+      assert(got.map(_.sample) == Vector(1L, 4L, 7L))
+      // sample 1 (idx 0): chunk 0 head; sample 4 (idx 3): chunk 1 head;
+      // sample 7 (idx 6): chunk 2, one sample in
+      assert(got.map(_.offset - mdatStart) ==
+        Vector(relOffs(0), relOffs(1), relOffs(2) + sizes(5)))
+      assert(got.map(_.size) == Vector(10L, 13L, 16L))
+      // the ranged read returns the planted fill bytes
+      got.foreach { kr =>
+        (0L until kr.size).foreach { j =>
+          val abs = (kr.offset + j).toInt
+          assert((b(abs) & 0xff) == (abs - mdatStart) % 251)
+        }
+      }
+    }
+    // absent stss = every sample is sync (spec default)
+    val allSync = SynthTrack(1, "vide", "avc1", 640, 360, 600, 700, "eng",
+      sttsEntries = Seq((7L, 100L)), sizes = Some(Right(sizes)),
+      chunks = 3, stscRuns = Seq((1L, 3L), (2L, 2L)),
+      chunkOffsetsRelMdat = Some(relOffs))
+    val b2 = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 700,
+      Seq(allSync), mdatLen, i => i % 251)
+    assert(Mp4Boxes.keyframeByteRanges(b2).get.map(_.sample) ==
+      (1L to 7L).toVector)
+    // no stsc: chunk resolution undefined -> decline, never guess
+    val noStsc = SynthTrack(1, "vide", "avc1", 640, 360, 600, 700, "eng",
+      sttsEntries = Seq((7L, 100L)), sizes = Some(Right(sizes)),
+      chunks = 3, syncSamples = Seq(1L, 4L))
+    val b3 = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 700,
+      Seq(noStsc), 32, i => i)
+    assert(Mp4Boxes.keyframeByteRanges(b3).isEmpty)
+    // a range escaping the file declines (legacy placeholder offsets point
+    // chunk 2 past a tiny file)
+    val escape = SynthTrack(1, "vide", "avc1", 640, 360, 600, 700, "eng",
+      sttsEntries = Seq((7L, 100L)), sizes = Some(Right(sizes)),
+      chunks = 3, syncSamples = Seq(1L, 4L, 7L),
+      stscRuns = Seq((1L, 3L), (2L, 2L)))
+    val b4 = Mp4Boxes.synthMp4("isom", 1, Seq("mp41"), 600, 700,
+      Seq(escape), 8, i => i)
+    assert(Mp4Boxes.keyframeByteRanges(b4).isEmpty)
+    // wrong handler: no matching track
+    assert(Mp4Boxes.keyframeByteRanges(b2, handler = "soun").isEmpty)
+    // hostile bytes never throw
+    b2.indices.foreach { i =>
+      val c = b2.clone(); c(i) = (c(i) ^ 0x55).toByte
+      Mp4Boxes.keyframeByteRanges(c)
+    }
+  }
+
   test("synthMp4 rejects out-of-contract inputs eagerly") {
     intercept[IllegalArgumentException] {
       Mp4Boxes.synthMp4("toolong5", 0, Nil, 600, 0, Seq(vTrack), 0, _ => 0)
