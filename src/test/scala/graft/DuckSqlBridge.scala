@@ -1,0 +1,667 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+
+/** DuckDB→Spark dialect bridge for the SQL front door sweep
+  * (`SqlFrontDoorSpec`): the oracle texts are written in DuckDB's
+  * dialect, but most of their CONSTRUCTS have exact Spark equivalents —
+  * this object supplies them, so the sweep can prove the SQL surface and
+  * the DataFrame surface compute the same rows over most of the query
+  * surface instead of the ANSI-only slice.
+  *
+  * Two mechanisms:
+  *
+  *  - [[registerCompat]] registers DuckDB-named FUNCTIONS on the session
+  *    as native Catalyst expressions (`list_transform` → ArrayTransform,
+  *    `epoch_us` → UnixMicros, …) — no text munging, the parser already
+  *    handles lambda arguments generically.
+  *  - [[translate]] rewrites the few constructs that are SYNTAX, not
+  *    functions: `::TYPE` casts, `//` integer division, 1-based list
+  *    indexing/slicing `x[i]` / `x[a:b]`, `[…]` list literals, the
+  *    md5-hex idiom, and `unnest(...) AS a(c)` lateral joins.
+  *
+  * Every rule is exact on its idiom's domain (notes inline); anything a
+  * rule cannot make equivalent stays behind `SqlFrontDoorSpec`'s named
+  * exclusion list with a reason.
+  */
+/** DuckDB `len()` accepts strings AND lists; Spark's is string-only.
+  * Resolves to `size` for array/map children, `length` otherwise, at
+  * analysis time (the child's type is known when ReplaceExpressions
+  * runs).
+  */
+case class LenCompat(child: Expression) extends RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: org.apache.spark.sql.types.ArrayType |
+         _: org.apache.spark.sql.types.MapType =>
+      Size(child, legacySizeOfNull = false)
+    case _ => Length(child)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DuckSqlBridge {
+
+  // ---------------- function aliases (parser-level equivalents) --------
+
+  def registerCompat(spark: SparkSession): Unit = {
+    def reg(name: String)(builder: Seq[Expression] => Expression): Unit =
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name,
+        new ExpressionInfo("graft.duckcompat", name), builder)
+    def lam(f: Seq[Expression]): LambdaFunction = f.head match {
+      case l: LambdaFunction => l
+      case other => throw new IllegalArgumentException(s"expected lambda, got $other")
+    }
+    val emptyLongArray: Expression = // array<bigint> of size 0
+      Slice(Sequence(Literal(0L), Literal(0L), None), Literal(1), Literal(0))
+    reg("epoch_us")(a => UnixMicros(a.head))
+    reg("xor")(a => BitwiseXor(a(0), a(1)))
+    reg("list_transform")(a => ArrayTransform(a(0), lam(a.tail)))
+    reg("list_filter")(a => ArrayFilter(a(0), lam(a.tail)))
+    reg("list_min")(a => ArrayMin(a.head))
+    reg("list_max")(a => ArrayMax(a.head))
+    reg("list_distinct")(a => ArrayDistinct(a.head))
+    reg("list_intersect")(a => ArrayIntersect(a(0), a(1)))
+    reg("list_contains")(a => ArrayContains(a(0), a(1)))
+    reg("list_concat")(a => Concat(a))
+    reg("list_append")(a => ArrayAppend(a(0), a(1)))
+    // DuckDB arg order is (elem, list); Spark's is (list, elem)
+    reg("list_prepend")(a => ArrayPrepend(a(1), a(0)))
+    // left fold with 0::BIGINT init — integral lists sum to BIGINT like
+    // DuckDB's list_sum; double lists coerce the accumulator to DOUBLE,
+    // matching DuckDB's double sum (same left-to-right order)
+    reg("list_sum") { a =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+      ArrayAggregate(a.head, Literal(0L),
+        LambdaFunction(Add(acc, x), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }
+    // DuckDB list_reduce seeds the fold with the FIRST element
+    reg("list_reduce") { a =>
+      val f = lam(a.tail)
+      val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+      ArrayAggregate(
+        Slice(a.head, Literal(2), Subtract(Size(a.head), Literal(1))),
+        ElementAt(a.head, Literal(1)), f,
+        LambdaFunction(fin, Seq(fin)))
+    }
+    // DuckDB string_split (alias str_split) splits on a LITERAL
+    // delimiter; Spark's split takes a regex — quote literal delimiters
+    // at build time. Both keep trailing empty strings (Spark limit -1).
+    val splitBuilder: Seq[Expression] => Expression = { a =>
+      a(1) match {
+        // empty delimiter = split to characters; Java's negative limit
+        // would keep one trailing "" that DuckDB does not produce, so
+        // use limit 0 (chars are never empty, nothing real is dropped)
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _)
+          if u.toString.isEmpty =>
+          StringSplit(a(0), Literal(""), Literal(0))
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          StringSplit(a(0),
+            Literal(java.util.regex.Pattern.quote(u.toString)), Literal(-1))
+        case other => StringSplit(a(0), other, Literal(-1))
+      }
+    }
+    reg("string_split")(splitBuilder)
+    reg("str_split")(splitBuilder)
+    reg("array_to_string")(a => ArrayJoin(a(0), a(1), None))
+    reg("json_extract_string")(a => GetJsonObject(a(0), a(1)))
+    reg("json_keys")(a => JsonObjectKeys(a.head))
+    reg("epoch")(a => UnixSeconds(a.head))
+    // DuckDB len() covers strings AND lists; Spark's is string-only
+    reg("duck_len")(a => LenCompat(a.head))
+    // list_aggregate(l, 'name'): the dispatched names this surface uses
+    reg("list_aggregate") { a =>
+      val fn = a(1) match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          u.toString
+        case other =>
+          throw new IllegalArgumentException(s"list_aggregate name: $other")
+      }
+      fn match {
+        case "min" => ArrayMin(a.head)
+        case "max" => ArrayMax(a.head)
+        case "sum" =>
+          val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+          val x = UnresolvedNamedLambdaVariable(Seq("x"))
+          val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+          ArrayAggregate(a.head, Literal(0L),
+            LambdaFunction(Add(acc, x), Seq(acc, x)),
+            LambdaFunction(fin, Seq(fin)))
+        case other =>
+          throw new IllegalArgumentException(s"list_aggregate('$other')")
+      }
+    }
+    // exact linearly-interpolated percentile on both engines
+    reg("quantile_cont")(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
+        a(0), a(1)))
+    reg("list_sort")(a => new SortArray(a.head))
+    // DuckDB list_slice bounds are BOTH inclusive, 1-based
+    reg("list_slice")(a => Slice(a(0),
+      Cast(a(1), org.apache.spark.sql.types.IntegerType),
+      Cast(Add(Subtract(a(2), a(1)), Literal(1)),
+        org.apache.spark.sql.types.IntegerType)))
+    // DuckDB returns NULL when absent; Spark's array_position returns 0
+    reg("list_position")(a =>
+      new NullIf(ArrayPosition(a(0), a(1)), Literal(0L)))
+    // DuckDB range(n) = [0, n) and range(a, b) = [a, b): EXCLUSIVE upper
+    // bound, empty when it does not exceed the lower — Spark's Sequence
+    // is inclusive and turns descending instead of empty, hence the guard
+    reg("range") {
+      case Seq(n) =>
+        If(GreaterThan(n, Literal(0L)),
+          Sequence(Literal(0L), Subtract(n, Literal(1L)), None),
+          emptyLongArray)
+      case Seq(a, b) =>
+        If(GreaterThan(b, a),
+          Sequence(a, Subtract(b, Literal(1L)), None), emptyLongArray)
+      case other => throw new IllegalArgumentException(s"range/$other")
+    }
+    reg("ends_with")(a => EndsWith(a(0), a(1)))
+    // DuckDB's 4th regexp_replace arg is a FLAGS string ('g' = global,
+    // which is Spark's only behavior); Spark's 4th arg is a position.
+    // Accept and drop a literal 'g'; any other flag declines (skip).
+    // The REPLACEMENT dialect differs too: DuckDB backreferences are
+    // \1..\9, Java's are $1..$9 (and bare $ needs escaping) — convert
+    // literal replacements at build time.
+    def javaReplacement(e: Expression): Expression = e match {
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+        val converted = u.toString.replace("$", "\\$")
+          .replaceAll("""\\(\d)""", "\\$$1")
+        Literal(converted)
+      case other => other
+    }
+    reg("duck_regexp_replace") {
+      case Seq(x, p, r) => RegExpReplace(x, p, javaReplacement(r))
+      case Seq(x, p, r, Literal(u: org.apache.spark.unsafe.types.UTF8String, _))
+        if u.toString == "g" => RegExpReplace(x, p, javaReplacement(r))
+      case other =>
+        throw new IllegalArgumentException(s"regexp_replace flags: $other")
+    }
+    // DuckDB's 2-arg regexp_extract/_all default to GROUP 0 (the whole
+    // match); Spark's default is group 1 — override the 2-arg forms
+    reg("duck_regexp_extract_all") {
+      case Seq(x, p) => RegExpExtractAll(x, p, Literal(0))
+      case Seq(x, p, g) => RegExpExtractAll(x, p, g)
+      case other => throw new IllegalArgumentException(s"regexp_extract_all/$other")
+    }
+    reg("duck_regexp_extract") {
+      case Seq(x, p) => RegExpExtract(x, p, Literal(0))
+      case Seq(x, p, g) => RegExpExtract(x, p, g)
+      case other => throw new IllegalArgumentException(s"regexp_extract/$other")
+    }
+    // generate_series is INCLUSIVE on both ends; empty when b < a
+    reg("generate_series") {
+      case Seq(a, b) =>
+        If(GreaterThanOrEqual(b, a), Sequence(a, b, None), emptyLongArray)
+      case Seq(a, b, s) => Sequence(a, b, Some(s))
+      case other => throw new IllegalArgumentException(s"generate_series/$other")
+    }
+  }
+
+  // ---------------- textual rewrites (syntax-level constructs) ---------
+
+  /** Rewrite a DuckDB oracle text into Spark SQL. Purely syntactic;
+    * unknown constructs pass through (and then either fail to
+    * parse/analyze — skipped by the sweep — or land in the exclusion
+    * list when they parse with different semantics).
+    */
+  def translate(duck: String): String = {
+    var s = duck
+    // the md5-hex idiom: ('0x' || substr(md5(X), A, B))::BIGINT —
+    // DuckDB casts hex strings numerically; Spark needs conv(…, 16, 10).
+    // Exact for B = 8 hex digits (< 2^32, non-negative). Runs BEFORE
+    // literal masking (it matches a '0x' literal); the inner md5 arg may
+    // itself be one function call deep.
+    s = """\('0x' \|\| substr\(md5\(((?:[^()]+|\([^()]*\))+)\), (\d+), (\d+)\)\)::BIGINT""".r
+      .replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"CAST(conv(substr(md5(${m.group(1)}), ${m.group(2)}, ${m.group(3)}), 16, 10) AS BIGINT)"))
+    // datediff/date_diff's unit is a KEYWORD in Spark, a string in
+    // DuckDB — must run pre-masking (it matches the unit literal)
+    s = """date_?diff\('(\w+)',""".r.replaceAllIn(s, m => s"datediff(${m.group(1)},")
+    // Mask string literals: `//` inside a URL, brackets inside a regex,
+    // or `::` inside any literal must never be rewritten as syntax.
+    val (masked, lits) = maskLiterals(s)
+    s = masked
+    // remaining ('0x' || <any hex expr>)::BIGINT forms (the regex above
+    // only reaches the one-level-deep md5 idiom): balanced-paren scan
+    // per masked '0x' literal (each occurrence has its own marker).
+    lits.zipWithIndex.foreach { case (l, i) =>
+      if (l == "0x") s = rewriteHexCast(s, i)
+    }
+    // octet_length needs a blob in DuckDB (hence encode); Spark's
+    // octet_length is byte length on strings directly
+    s = """octet_length\(encode\((\w+(?:\.\w+)?)\)\)""".r
+      .replaceAllIn(s, m => s"octet_length(${m.group(1)})")
+    // DuckDB direct-cast type names Spark spells differently
+    s = s.replace("AS VARCHAR", "AS STRING")
+    s = s.replace("AS HUGEINT", "AS DECIMAL(38,0)")
+    // DuckDB's DISTINCT list-aggregate: collect_set is the distinct
+    // collect (unordered on both engines — callers sort downstream)
+    s = s.replace("list(DISTINCT ", "collect_set(")
+    // DuckDB's range TVF (exclusive upper, column named `range`) via the
+    // registered list `range` — Spark's own range TVF names the column id
+    s = """FROM range\(([^()]*)\)""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT explode(range(${m.group(1)})) AS range)"))
+    // generate_series as a FROM-item table function (constant args) →
+    // a one-column subquery; Spark has no such TVF
+    s = """generate_series\(([^()]*)\)\s+(?:AS\s+)?(\w+)\s*\((\w+)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT explode(generate_series(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
+    // FROM x, unnest(E) [AS] a(c)  →  FROM x LATERAL VIEW explode(E) a AS c
+    s = rewriteFromUnnest(s)
+    // remaining unnest (SELECT-list position) = Spark's explode generator
+    s = s.replace("unnest(", "explode(")
+    // DuckDB's in-aggregate ORDER BY: list(X ORDER BY K) and
+    // string_agg(X, SEP ORDER BY K)
+    s = rewriteOrderedAggs(s)
+    s = rewriteDoubleColon(s)
+    s = rewriteBrackets(s)
+    // Dialect-variant BUILTINS route to duck_-prefixed registrations —
+    // overriding the builtin name on the shared session would leak the
+    // DuckDB semantics into the DataFrame implementations under test
+    // (regexp_replace's replacement dialect did exactly that before
+    // this rename). Order: _extract_all before _extract.
+    s = """(?<![\w_])regexp_replace\(""".r.replaceAllIn(s, "duck_regexp_replace(")
+    s = """(?<![\w_])regexp_extract_all\(""".r.replaceAllIn(s, "duck_regexp_extract_all(")
+    s = """(?<![\w_])regexp_extract\(""".r.replaceAllIn(s, "duck_regexp_extract(")
+    s = """(?<![\w_])len\(""".r.replaceAllIn(s, "duck_len(")
+    // DuckDB nests IGNORE NULLS inside the call; Spark wants it after
+    s = s.replace(" IGNORE NULLS)", ") IGNORE NULLS")
+    // integer division; DuckDB's // on BIGINT == Spark's DIV for the
+    // NON-NEGATIVE operands this surface uses (DuckDB floors toward
+    // -inf, Spark truncates toward zero — negative-operand queries are
+    // excluded by name in the spec)
+    s = s.replace("//", " DIV ")
+    unmaskLiterals(s, lits)
+  }
+
+  /** `('0x' || E)::BIGINT` → `CAST(conv(E, 16, 10) AS BIGINT)` with a
+    * balanced-paren walk over E (E produces ≤ 8 hex digits on this
+    * surface, where DuckDB's hex cast and conv base-16 agree exactly).
+    * Runs on MASKED text: `lit` is the marker index of the "0x" literal.
+    */
+  private def rewriteHexCast(s0: String, lit: Int): String = {
+    var s = s0
+    val needle = "('\u0001" + lit + "\u0001' || "
+    var idx = s.indexOf(needle)
+    var guard = 0
+    while (idx >= 0 && guard < 200) {
+      guard += 1
+      val close = matchParen(s, idx)
+      if (close < 0) return s
+      if (s.startsWith("::BIGINT", close + 1)) {
+        val inner = s.substring(idx + needle.length, close)
+        s = s.substring(0, idx) + s"CAST(conv($inner, 16, 10) AS BIGINT)" +
+          s.substring(close + 1 + "::BIGINT".length)
+        idx = s.indexOf(needle)
+      } else idx = s.indexOf(needle, idx + 1)
+    }
+    s
+  }
+
+  /** Replace every '…' literal's content with a quote-free marker so the
+    * syntax rewrites cannot see into strings; [[unmaskLiterals]] restores
+    * them. Doubled '' escapes are preserved verbatim.
+    */
+  private def maskLiterals(s: String): (String, Vector[String]) = {
+    val out = new StringBuilder
+    val lits = Vector.newBuilder[String]
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        i += 1
+        val body = new StringBuilder
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+              body.append("''"); i += 2
+            } else { closed = true; i += 1 }
+          } else { body.append(s.charAt(i)); i += 1 }
+        }
+        lits += body.toString
+        out.append('\'').append('\u0001').append(n.toString).append('\u0001')
+          .append('\'')
+        n += 1
+      } else { out.append(c); i += 1 }
+    }
+    (out.toString, lits.result())
+  }
+
+  /** Restore masked literals, DOUBLING backslashes: DuckDB string
+    * literals are standard SQL (a backslash is a character), while
+    * Spark's default parser treats it as an escape — an undoubled
+    * `'\\s+'` regex would silently become `'s+'` and replace letters.
+    */
+  private def unmaskLiterals(s: String, lits: Vector[String]): String =
+    "\u0001(\\d+)\u0001".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        lits(m.group(1).toInt).replace("\\", "\\\\")))
+
+  /** `, unnest(E) [AS] a(c)` → ` LATERAL VIEW explode(E) a AS c`, and the
+    * generate_series table-function form via the registered list variant.
+    */
+  private def rewriteFromUnnest(s0: String): String = {
+    val s = new StringBuilder(s0)
+    val pat = """,\s*(unnest|generate_series)\(""".r
+    var changed = true
+    while (changed) {
+      changed = false
+      pat.findFirstMatchIn(s) match {
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(s, open)
+          if (close > 0) {
+            val tail = """^\s+(?:AS\s+)?(\w+)\s*\((\w+)\)""".r
+              .findFirstMatchIn(s.substring(close + 1))
+            tail.foreach { t =>
+              val inner = s.substring(open + 1, close)
+              val gen =
+                if (m.group(1) == "unnest") s"explode($inner)"
+                else s"explode(generate_series($inner))"
+              val repl = s" LATERAL VIEW $gen ${t.group(1)} AS ${t.group(2)}"
+              s.replace(m.start, close + 1 + t.end, repl)
+              changed = true
+            }
+          }
+        case None => ()
+      }
+    }
+    s.toString
+  }
+
+  private def matchParen(s: CharSequence, open: Int): Int = {
+    var d = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') { d -= 1; if (d == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** `list(X ORDER BY K…)` → sorted-struct collect + projection (Spark
+    * has no in-aggregate ORDER BY for array_agg); `string_agg(X, SEP
+    * ORDER BY K…)` → `listagg(X, SEP) WITHIN GROUP (ORDER BY K…)`.
+    * Occurrences WITHOUT an ORDER BY are left alone (a bare `list` fails
+    * to resolve and the query is skipped — an unordered collect could
+    * not be hash-compared anyway).
+    */
+  private def rewriteOrderedAggs(s0: String): String = {
+    var s = s0
+    def pass(fname: String, build: (String, Seq[String]) => String): Unit = {
+      var from = 0
+      var scanning = true
+      val pat = ("(?<![\\w_])" + fname + "\\(").r
+      while (scanning) {
+        scanning = false
+        pat.findFirstMatchIn(s.substring(from)) match {
+          case Some(m) =>
+            val open = from + m.end - 1
+            val close = matchParen(s, open)
+            if (close < 0) return
+            val body = s.substring(open + 1, close)
+            val ob = topLevelIndexOf(body, " ORDER BY ")
+            if (ob < 0) { from = from + m.end; scanning = true }
+            else {
+              val pre = body.substring(0, ob).trim
+              val keys = splitTopLevel(body.substring(ob + " ORDER BY ".length))
+              s = s.substring(0, from + m.start) + build(pre, keys) +
+                s.substring(close + 1)
+              from = 0
+              scanning = true
+            }
+          case None => ()
+        }
+      }
+    }
+    pass("list", (x, keys) => {
+      val ks = keys.zipWithIndex
+        .map { case (k, i) => s"'k$i', ${k.trim}" }.mkString(", ")
+      s"transform(sort_array(collect_list(named_struct($ks, 'v', $x))), g -> g.v)"
+    })
+    pass("string_agg", (pre, keys) =>
+      s"listagg($pre) WITHIN GROUP (ORDER BY ${keys.map(_.trim).mkString(", ")})")
+    s
+  }
+
+  private def topLevelIndexOf(body: String, needle: String): Int = {
+    var d = 0
+    var i = 0
+    while (i <= body.length - needle.length) {
+      val c = body.charAt(i)
+      if (c == '(' || c == '[') d += 1
+      else if (c == ')' || c == ']') d -= 1
+      else if (d == 0 && body.regionMatches(i, needle, 0, needle.length))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def splitTopLevel(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var d = 0
+    var last = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '(' || c == '[') d += 1
+      else if (c == ')' || c == ']') d -= 1
+      else if (c == ',' && d == 0) { out += body.substring(last, i); last = i + 1 }
+      i += 1
+    }
+    out += body.substring(last)
+    out.result()
+  }
+
+  /** `operand::TYPE` → `CAST(operand AS TYPE)`; operand = identifier
+    * chain, string literal, or balanced (…)/[…] group (innermost-first
+    * via repeated scan).
+    */
+  private def rewriteDoubleColon(s0: String): String = {
+    var s = s0
+    var idx = s.indexOf("::")
+    var guard = 0
+    while (idx >= 0 && guard < 500) {
+      guard += 1
+      // type name: letters plus optional (precision[, scale])
+      var te = idx + 2
+      while (te < s.length &&
+        (s.charAt(te).isLetterOrDigit || s.charAt(te) == '_')) te += 1
+      if (te < s.length && s.charAt(te) == '(') {
+        var d = 0
+        var k = te
+        var end = -1
+        while (k < s.length && end < 0) {
+          val c = s.charAt(k)
+          if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d == 0) end = k }
+          k += 1
+        }
+        if (end < 0) return s
+        te = end + 1
+      }
+      val tpe0 = s.substring(idx + 2, te)
+      // DuckDB-only type names → Spark equivalents; HUGEINT (128-bit)
+      // maps to the widest exact decimal
+      val tpe = tpe0.toUpperCase match {
+        case "VARCHAR" => "STRING"
+        case "HUGEINT" => "DECIMAL(38,0)"
+        case _ => tpe0
+      }
+      val begin = operandStart(s, idx - 1)
+      if (begin < 0 || tpe.isEmpty) {
+        // cannot resolve — leave as-is (will fail to parse and be skipped)
+        return s
+      }
+      val operand = s.substring(begin, idx)
+      s = s.substring(0, begin) + s"CAST($operand AS $tpe)" + s.substring(te)
+      idx = s.indexOf("::")
+    }
+    s
+  }
+
+  /** Start index of the operand ending at `end` (inclusive): walks left
+    * over an identifier chain, a string literal, or a CHAIN of balanced
+    * ()/[] postfix groups with an optional function-name identifier at
+    * the head — so `(f(x, y))[i]` and `arr[i][j]` resolve whole.
+    */
+  private def operandStart(s: String, end: Int): Int = {
+    var i = end
+    while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return -1
+    var start = -1
+    var cont = true
+    while (cont) {
+      cont = false
+      val c = s.charAt(i)
+      if (c == ')' || c == ']') {
+        val open = if (c == ')') '(' else '['
+        var d = 0
+        var j = i
+        var found = -1
+        while (j >= 0 && found < 0) {
+          val cc = s.charAt(j)
+          if (cc == c) d += 1
+          else if (cc == open) { d -= 1; if (d == 0) found = j }
+          j -= 1
+        }
+        if (found < 0) return -1
+        start = found
+        i = found - 1
+        if (i >= 0 && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) {
+          start = identStart(s, i)
+        } else if (i >= 0 && (s.charAt(i) == ')' || s.charAt(i) == ']')) {
+          cont = true // chained postfix: (…)[…] / x[i][j]
+        }
+      } else if (c == '\'') {
+        var j = i - 1
+        while (j >= 0 && s.charAt(j) != '\'') j -= 1
+        start = j
+      } else if (c.isLetterOrDigit || c == '_') {
+        start = identStart(s, i)
+      } else return -1
+    }
+    start
+  }
+
+  /** Walk an identifier chain (`a.b.c`) left from `i`; returns the chain
+    * start, or `i + 1` when there is none (a bare paren group).
+    */
+  private def identStart(s: String, i0: Int): Int = {
+    var i = i0
+    while (i >= 0 && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+      s.charAt(i) == '.')) i -= 1
+    i + 1
+  }
+
+  /** DuckDB 1-based list indexing / slicing / literals:
+    *   `x[i]`    → `try_element_at(x, i)` (1-based; NULL out of range)
+    *   `x[a:b]`  → `slice(x, a, (b) - (a) + 1)` (both inclusive)
+    *   `[…]`     → `array(…)`
+    * Innermost-first so nested forms resolve.
+    */
+  private def rewriteBrackets(s0: String): String = {
+    var s = s0
+    var guard = 0
+    var again = true
+    while (again && guard < 200) {
+      again = false
+      guard += 1
+      var i = 0
+      var done = false
+      while (i < s.length && !done) {
+        if (s.charAt(i) == '[') {
+          // innermost: no '[' before the matching ']'
+          var j = i + 1
+          var inner = -1
+          var closed = -1
+          while (j < s.length && closed < 0) {
+            val c = s.charAt(j)
+            if (c == '[') inner = j
+            else if (c == ']') closed = j
+            j += 1
+          }
+          if (closed < 0) return s
+          if (inner >= 0) { i = inner } // descend to the inner bracket
+          else {
+            val body = s.substring(i + 1, closed)
+            // indexing when the bracket follows an operand
+            var p = i - 1
+            while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+            var isIndex = p >= 0 && (s.charAt(p).isLetterOrDigit ||
+              s.charAt(p) == '_' || s.charAt(p) == ')' || s.charAt(p) == ']')
+            var begin = -1
+            if (isIndex) {
+              begin = operandStart(s, p)
+              if (begin < 0) return s
+              // a KEYWORD before `[` means the bracket is a list literal
+              // (`THEN ['a','b'][i]`), not an index into the keyword
+              if (SqlKeywords(s.substring(begin, p + 1).toUpperCase))
+                isIndex = false
+            }
+            if (isIndex) {
+              val operand = s.substring(begin, i)
+              // slice/element indexes arrive as BIGINT from range()/
+              // sequence(); Spark's slice and element_at require INT.
+              // A quoted index is a MAP key — no cast.
+              val colon = topLevelColon(body)
+              val repl =
+                if (colon >= 0) {
+                  val a = body.substring(0, colon).trim
+                  val b = body.substring(colon + 1).trim
+                  s"slice($operand, CAST(($a) AS INT), CAST(($b) - ($a) + 1 AS INT))"
+                } else if (body.trim.startsWith("'"))
+                  s"try_element_at($operand, $body)"
+                else s"try_element_at($operand, CAST(($body) AS INT))"
+              s = s.substring(0, begin) + repl + s.substring(closed + 1)
+            } else {
+              s = s.substring(0, i) + s"array($body)" + s.substring(closed + 1)
+            }
+            again = true
+            done = true
+          }
+        } else i += 1
+      }
+    }
+    s
+  }
+
+  /** Words that can directly precede a `[…]` list literal — an
+    * identifier match against these means the bracket is NOT an index.
+    */
+  private val SqlKeywords = Set(
+    "SELECT", "WHERE", "THEN", "ELSE", "WHEN", "CASE", "END", "AND", "OR",
+    "NOT", "IN", "ON", "AS", "FROM", "BY", "UNION", "ALL", "DISTINCT",
+    "HAVING", "JOIN", "LIKE", "IS", "NULL", "BETWEEN", "EXISTS", "OVER",
+    "RETURN", "RETURNING", "VALUES", "SET", "ARRAY")
+
+  /** Index of a top-level `:` in a bracket body (slice separator), -1
+    * when none; `::` never appears here (already rewritten).
+    */
+  private def topLevelColon(body: String): Int = {
+    var d = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (c == ':' && d == 0) return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -1,25 +1,72 @@
 package graft
 
 /** The SQL front door: oracle texts are written in ANSI-leaning DuckDB SQL,
-  * and a large subset is plain enough to run UNCHANGED through `spark.sql`
-  * over temp views. Every such query must produce exactly the DataFrame
-  * implementation's rows — a user of this library can query it in SQL, and
-  * the two surfaces cannot drift apart.
+  * and — through [[DuckSqlBridge]]'s exact dialect equivalents — most of
+  * the surface runs through `spark.sql` over temp views. Every query that
+  * parses must produce exactly the DataFrame implementation's rows: a user
+  * of this library can query it in SQL, and the two surfaces cannot drift
+  * apart. Constructs with no exact Spark equivalent are EXCLUDED BY NAME
+  * with a one-line reason — never silently.
   */
 class SqlFrontDoorSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private lazy val viewsReady: Unit =
+  private lazy val viewsReady: Unit = {
     Tables.names.foreach(n => Tables.load(spark, dir, n).createOrReplaceTempView(n))
+    DuckSqlBridge.registerCompat(spark)
+  }
 
-  /** Oracles that PARSE in Spark but intentionally mean something else
-    * there: q93 uses DuckDB's dayofweek convention (0=Sunday) in the SQL,
-    * which the Spark implementation maps explicitly (dayofweek(x)-1, since
-    * Spark's is 1=Sunday) — running the DuckDB text in Spark is off by one
-    * BY DESIGN (the dialect mapping is the query's point).
+  /** Oracles whose DuckDB text intentionally or structurally CANNOT run
+    * in Spark with identical semantics even through the dialect bridge.
+    * One line of reason each; anything not listed must either fail to
+    * parse/analyze in Spark (skipped, counted) or match exactly.
     */
-  private val dialectExceptions = Set("q93_week_trunc")
+  private val dialectExclusions: Map[String, String] = Map(
+    "q93_week_trunc" ->
+      "DuckDB dayofweek is 0=Sunday by design; the Spark impl maps the dialect explicitly (off by one when run raw)",
+    "q177_corr_matrix" ->
+      "covariance terms go NEGATIVE under //: DuckDB floors toward -inf, Spark DIV truncates toward zero",
+    "q256_utf8_scrub" ->
+      "chr(65533)/chr(233): Spark chr wraps at 256 (ASCII), DuckDB chr is a Unicode code point",
+    "q58_dedup_clusters" ->
+      "recursive CTE fixpoint uses UNION (distinct) for convergence; Spark recursive CTEs accept only UNION ALL",
+    "q326_dedup_survivors" ->
+      "same recursive-UNION fixpoint as q58 (shared CC oracle chain)",
+    "q175_zipf_slope" ->
+      "DuckDB SUM(BIGINT) widens to HUGEINT (int128); the n*sxy slope arithmetic overflows 64-bit under Spark's BIGINT sum",
+    "q341_audio_fingerprint" ->
+      "semantically fine but pathological in Spark's interpreted eval: CTE collapse re-inlines the 130-sample synth pipeline per banded join probe (hit the sweep's 90 s safety net)",
+    "q344_crossmodal_consensus" ->
+      "composes q341's audio CTE chain — same CTE-collapse blowup as q341",
+    "q208_streaming_cm_state" ->
+      "DuckDB zips PARALLEL unnest() columns positionally in one SELECT; Spark's explode semantics differ — needs arrays_zip restructuring",
+    "q113_pii_redact" ->
+      "the phone pattern '+[0-9]...' is legal in DuckDB's RE2 (literal dangling +) but rejected by Java regex")
+
+  /** Oracles whose DuckDB text cannot PARSE/ANALYZE in Spark even through
+    * the bridge — pinned by name so a regression that silently drops a
+    * query out of the sweep fails loudly. One-line reason each.
+    */
+  private val knownUnparseable: Map[String, String] = Map(
+    "q08_user_event_delta" ->
+      "DuckDB allows an explicit window FRAME on lag(); Spark rejects frames for offset functions",
+    "q67_asof_join" ->
+      "ASOF JOIN is DuckDB syntax; Spark expresses as-of via window/join composition",
+    "q73_map_funcs" ->
+      "json_type() has no Spark equivalent",
+    "q176_mad_outliers" ->
+      "quantile_disc() maps only to Spark's WITHIN GROUP percentile_disc syntax, not a plain call",
+    "q224_luhn_pii" ->
+      "list_aggregate(…, 'string_agg') — no expression-level dispatch for string aggregation",
+    "q252_repetition_signals" ->
+      "lambda parameter/column scoping the DuckDB text relies on is rejected by Spark's resolver",
+    "q257_nfc_normalize" ->
+      "nfc_normalize() (Unicode NFC) has no Spark SQL builtin",
+    "q278_orc_stripes" ->
+      "quote/escape interplay in the synthetic stripe literals breaks under Spark's escaped-string parser",
+    "q323_click_attribution" ->
+      "DuckDB named-argument call syntax (name := value) does not parse in Spark")
 
   /** Core relational queries whose oracles MUST stay in the shared ANSI
     * subset — these may never silently drop out of the sweep (an edit that
@@ -31,31 +78,86 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q59_group_having", "q60_in_subquery", "q95_exists",
     "q162_market_share")
 
-  test("every Spark-parseable oracle returns exactly the DataFrame implementation's rows") {
+  /** Representative bridged queries that must KEEP running through the
+    * dialect bridge (guards the bridge itself against regressions, the
+    * way `mustParse` guards the ANSI slice).
+    */
+  private val mustBridge = Set(
+    "q342_fim_transform", // ::casts + // + md5-hex idiom
+    "q337_deletion_vectors", // window + closed-form byte arithmetic
+    "q340_puffin_dv") // // grouping + CASE guard
+
+  test("every Spark-parseable oracle (raw or dialect-bridged) returns " +
+    "exactly the DataFrame implementation's rows") {
     viewsReady
     val parsedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
-    queries.Registry.all.foreach { q =>
-      q.oracle.filter(_ => !dialectExceptions(q.name)).foreach { sql =>
-        // DuckDB-only constructs (list_*, //, epoch_us, ::casts) fail to
-        // parse in Spark and are skipped; everything that parses must match
-        val df = try Some(spark.sql(sql)) catch { case _: Throwable => None }
-        df.foreach { d =>
-          parsedNames += q.name
-          val ok = try {
-            d.collect().map(_.toSeq).toSeq ==
-              q.run(spark, dir).collect().map(_.toSeq).toSeq
-          } catch { case _: Throwable => false }
-          if (!ok) mismatches += q.name
+    val timeouts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    // SAFETY NET, not a budget: a translated oracle that is semantically
+    // right can still be computationally pathological in Spark's
+    // INTERPRETED evaluation (CTE projection collapse re-inlines a
+    // 100-element list pipeline per reference — the known family is
+    // excluded by name above; this guards future additions). The worker
+    // thread + job-group cancel keeps one such query from wedging the
+    // whole suite.
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def compare(name: String, d: org.apache.spark.sql.DataFrame,
+        mk: () => org.apache.spark.sql.DataFrame): Option[Boolean] = {
+      val task = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          spark.sparkContext.setJobGroup(s"sqlfd-$name", name,
+            interruptOnCancel = true)
+          try d.collect().map(_.toSeq).toSeq ==
+            mk().collect().map(_.toSeq).toSeq
+          finally spark.sparkContext.clearJobGroup()
         }
+      })
+      try Some(task.get(90, java.util.concurrent.TimeUnit.SECONDS))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"sqlfd-$name")
+          task.cancel(true)
+          System.err.println(s"[sqlfd-timeout] $name")
+          None
+        case _: Throwable => Some(false)
       }
     }
-    assert(mismatches.isEmpty, s"SQL front door diverges for: $mismatches")
-    val missing = mustParse -- parsedNames.toSet
-    assert(missing.isEmpty, s"core ANSI oracles no longer run in Spark: $missing")
+    try {
+      queries.Registry.all.foreach { q =>
+        q.oracle.filter(_ => !dialectExclusions.contains(q.name)).foreach { sql =>
+          // constructs the bridge cannot express fail to parse/analyze in
+          // Spark and are skipped; everything that parses must match
+          val translated = DuckSqlBridge.translate(sql)
+          val df = try Some(spark.sql(translated)) catch { case e: Throwable =>
+            System.err.println(s"[sqlfd-skip] ${q.name}: " +
+              e.getMessage.linesIterator.take(2).mkString(" | ").take(220))
+            skipped += q.name
+            None
+          }
+          df.foreach { d =>
+            compare(q.name, d, () => q.run(spark, dir)) match {
+              case Some(true) => parsedNames += q.name
+              case Some(false) => mismatches += q.name
+              case None => timeouts += q.name
+            }
+          }
+        }
+      }
+    } finally pool.shutdownNow()
+    assert(mismatches.isEmpty,
+      s"SQL front door diverges for ${mismatches.size}: $mismatches")
+    val missing = (mustParse ++ mustBridge) -- parsedNames.toSet
+    assert(missing.isEmpty, s"core oracles no longer run in Spark: $missing")
+    // every parse/analyze skip must be a PINNED, reasoned entry — a new
+    // one means either a fixable bridge gap or a new exclusion to justify
+    val unpinned = skipped.toSet -- knownUnparseable.keySet
+    assert(unpinned.isEmpty,
+      s"unpinned parse-skips (fix the bridge or pin with a reason): $unpinned")
     // regression guard at the CURRENT subset size: growing is fine, any
     // shrink is a deliberate dialect decision that must update this number
-    assert(parsedNames.size >= 42,
-      s"only ${parsedNames.size} oracles parsed in Spark (expected >= 42)")
+    assert(parsedNames.size >= 300,
+      s"only ${parsedNames.size} oracles ran in Spark (expected >= 300, " +
+        s"timeouts: $timeouts)")
   }
 }
