@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the dialect bridge's SCANNERS — the end-to-end proof is
+  * `SqlFrontDoorSpec` (327 oracles must match the DataFrame surface);
+  * these cases pin the tricky textual rules against regressions without
+  * a SparkSession.
+  */
+class DuckSqlBridgeSpec extends AnyFunSuite {
+
+  private def t(s: String): String = DuckSqlBridge.translate(s)
+
+  test("::casts: identifier, paren chain, postfix-indexed operands") {
+    assert(t("SELECT a::BIGINT") == "SELECT CAST(a AS BIGINT)")
+    assert(t("SELECT f(x, y)::DOUBLE") == "SELECT CAST(f(x, y) AS DOUBLE)")
+    // postfix chain: the whole (g(x))[i] is the operand, not just [i]
+    assert(t("SELECT (g(x))[i]::DOUBLE") ==
+      "SELECT CAST(try_element_at((g(x)), CAST((i) AS INT)) AS DOUBLE)")
+    assert(t("SELECT x::DECIMAL(38,0)") == "SELECT CAST(x AS DECIMAL(38,0))")
+    // DuckDB-only names map
+    assert(t("SELECT x::VARCHAR") == "SELECT CAST(x AS STRING)")
+    assert(t("SELECT x::HUGEINT") == "SELECT CAST(x AS DECIMAL(38,0))")
+  }
+
+  test("brackets: literals vs indexing vs slices; keywords guard") {
+    assert(t("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)")
+    assert(t("SELECT arr[i]") ==
+      "SELECT try_element_at(arr, CAST((i) AS INT))")
+    assert(t("SELECT arr[1 : n]") ==
+      "SELECT slice(arr, CAST((1) AS INT), CAST((n) - (1) + 1 AS INT))")
+    // a keyword before [ means a literal, not an index into the keyword
+    assert(t("CASE WHEN c THEN ['a', 'b'][i] ELSE x END").contains(
+      "try_element_at(array('a', 'b'), CAST((i) AS INT))"))
+    // quoted index = map key, no cast
+    assert(t("SELECT m['k']") == "SELECT try_element_at(m, 'k')")
+  }
+
+  test("string literals are opaque: //, ::, brackets survive inside") {
+    assert(t("SELECT 'https://x.org/a[1]::b'") ==
+      "SELECT 'https://x.org/a[1]::b'")
+    // backslashes DOUBLE so Spark's escaped-string parser round-trips
+    // the raw DuckDB literal (an undoubled \s+ becomes s+)
+    assert(t("SELECT regexp_matches(x, '\\s+')") ==
+      "SELECT regexp_matches(x, '\\\\s+')")
+  }
+
+  test("integer division and hex casts") {
+    assert(t("SELECT a // b") == "SELECT a  DIV  b")
+    assert(t("SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT") ==
+      "SELECT CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)")
+    // nested args route through the balanced-paren scanner
+    assert(t("SELECT ('0x' || substr(md5('k' || x::VARCHAR), 9, 8))::BIGINT")
+      .contains("conv("))
+  }
+
+  test("ordered aggregates and lateral unnest") {
+    assert(t("SELECT list(v ORDER BY k1, k2) FROM t") ==
+      "SELECT transform(sort_array(collect_list(named_struct('k0', k1, " +
+        "'k1', k2, 'v', v))), g -> g.v) FROM t")
+    assert(t("SELECT string_agg(v, ',' ORDER BY k) FROM t") ==
+      "SELECT listagg(v, ',') WITHIN GROUP (ORDER BY k) FROM t")
+    assert(t("FROM a, unnest([1, 2]) AS u(j)") ==
+      "FROM a LATERAL VIEW explode(array(1, 2)) u AS j")
+    assert(t("FROM generate_series(-3, 3) g(i)") ==
+      "FROM (SELECT explode(generate_series(-3, 3)) AS i) g")
+  }
+
+  test("builtin-variant functions rename to duck_ registrations only in " +
+    "translated text") {
+    assert(t("SELECT regexp_replace(w, '(.)', '\\1 ', 'g')") ==
+      "SELECT duck_regexp_replace(w, '(.)', '\\\\1 ', 'g')")
+    assert(t("SELECT len(xs)") == "SELECT duck_len(xs)")
+    assert(t("SELECT length(x)") == "SELECT length(x)") // not len(
+  }
+}
