@@ -17,8 +17,12 @@ import org.apache.spark.TaskContext
   * partition that is 60k ledger builds and teardowns whose GC pressure grows
   * with data volume (the round-10 driver bench caught it as a 13x-slower
   * warm re-run). This helper hoists ONE allocator and ONE reusable root to
-  * partition scope — the `Multimodal.decodeFeatures` shape — and rows only
-  * refill the root's vectors (`allocateNew()` resets buffers in place).
+  * partition scope — the `Multimodal.decodeFeatures` shape — with buffers
+  * allocated ONCE per partition. Between rows, [[resetRoot]] zeroes the
+  * vectors IN PLACE (validity/offset memset, data buffers retained);
+  * callers must NOT call `allocateNew()`, which frees and re-mallocs every
+  * ArrowBuf through the allocator ledger and reintroduces the q273 per-row
+  * allocation tax.
   *
   * Lifecycle: closed via the task-completion listener (covers early
   * termination, e.g. a `limit` stopping the iterator mid-partition); the

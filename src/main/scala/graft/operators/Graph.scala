@@ -32,6 +32,12 @@ object Graph {
 
   val Scale = 1000000000L
 
+  /** Unique suffixes for the per-round convergence-witness observations
+    * ([[org.apache.spark.sql.Observation]] names must not collide while
+    * active on a session).
+    */
+  private val witnessSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Memoized per (session, edges CANONICALIZED plan, iters) via
     * [[PlanMemo]], KMeans-style: each
     * entry pins exactly one persisted frame (the final round); evicted
@@ -158,7 +164,10 @@ object Graph {
     *
     * Convergence witness: the round leaves the (distinct, src > dst
     * canonical) edge multiset unchanged — compared as (count, Σdst,
-    * Σxxhash64(src,dst)), one cheap aggregate per round; the hash term
+    * Σxxhash64(src,dst)), computed as OBSERVE metrics inside the round's
+    * materializing action (one job per round — no second scan of the
+    * just-built cache; the r14 verdict costed the standalone witness
+    * aggregate at ~2 extra actions per round boundary); the hash term
     * makes a same-count-same-sum false positive a ~2⁻⁶⁴ event rather than
     * a plausible one. At the fixpoint src/dst sets are disjoint: dst
     * values are exactly the component minima, src rows are every non-root
@@ -220,19 +229,36 @@ object Graph {
           least(col("src"), col("dst")).cast("long").as("dst"))
         .distinct())
     var eOwned = false // e0 is ScopedCache-managed; later rounds are ours
+    // Convergence witness as OBSERVE metrics riding the materializing
+    // action (r14 verdict: the standalone witness aggregate was a second
+    // scan of each round's just-built cache — folding it into the
+    // materialization halves the per-round work on the cached rows).
     // decimal(38,0) accumulators: a LONG sum of xxhash64 values overflows
     // (ANSI mode throws) after a handful of rows; 38 digits hold 10^19
-    // full-range longs and the comparison is exact equality either way
-    def witness(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+    // full-range longs and the comparison is exact equality either way.
+    def withWitness(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc-witness-${Graph.witnessSeq.incrementAndGet()}")
       val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
-      val r = df.agg(count(lit(1)),
-        coalesce(sum(col("dst").cast("decimal(38,0)")), zero),
+      (df.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(col("dst").cast("decimal(38,0)")), zero).as("sdst"),
         coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-          zero)).head()
-      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+          zero).as("shash")), obs)
+    }
+    def witnessOf(obs: org.apache.spark.sql.Observation):
+        (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val m = obs.get
+      (m("n").asInstanceOf[Long],
+        m("sdst").asInstanceOf[java.math.BigDecimal],
+        m("shash").asInstanceOf[java.math.BigDecimal])
     }
     try {
-      var prev = witness(e) // materializes e's cache before the leaf scan
+      // materialize e's cache before the leaf scan; the witness metrics
+      // ride that same job (observe sits above the cache scan here)
+      val (e0Observed, obs0) = withWitness(e)
+      e0Observed.count()
+      var prev = witnessOf(obs0)
       // Every round builds from a LEAF over the previous round's cached
       // rows, never from its plan: the min-aggregate is JOINED BACK to
       // the edge rows, so each round references its input k>1 times —
@@ -245,8 +271,13 @@ object Graph {
       var converged = prev._1 == 0L // no edges: a star forest already
       var rounds = 0
       while (!converged && rounds < maxRounds) {
-        val ss = ccRound(leaf).cache()
-        val w = witness(ss) // materializes ss before the handoff
+        // The observe node sits INSIDE the cached plan: the witness is
+        // computed as rows flow into the cache store — ONE job per round
+        // (count materializes; later cache hits skip the metrics node).
+        val (observed, obsR) = withWitness(ccRound(leaf))
+        val ss = observed.cache()
+        ss.count() // materializes ss before the handoff; fires the witness
+        val w = witnessOf(obsR)
         if (eOwned) e.unpersist()
         e = ss; eOwned = true
         leaf = org.apache.spark.sql.GraftBridge.truncateLineage(ss)

@@ -61,14 +61,21 @@ object Puffin {
     val coded =
       if (!compressFooter) payload
       else {
-        // LZ4 frame — the puffin-spec's footer-compression codec. Writer
-        // uses lz4-java (JNI; the pure-Java commons-compress encoder
-        // costs ~3 ms per instance — q343 writes one footer per row);
-        // the prober below reads with commons-compress, so every written
-        // footer is a cross-implementation interop check.
+        // LZ4 frame — the puffin-spec's footer-compression codec, which
+        // requires the frame's content-size field present (FLG.CONTENT_SIZE),
+        // so the knownSize constructor is mandatory: the 2-arg one leaves
+        // the bit clear and spec-conformant readers relying on the declared
+        // size would reject the footer. Writer uses lz4-java (JNI; the
+        // pure-Java commons-compress encoder costs ~3 ms per instance —
+        // q343 writes one footer per row); the prober below reads with
+        // commons-compress, so every written footer is a
+        // cross-implementation interop check.
         val b = new java.io.ByteArrayOutputStream()
         val lz = new net.jpountz.lz4.LZ4FrameOutputStream(b,
-          net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB)
+          net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB,
+          payload.length.toLong,
+          net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+          net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.CONTENT_SIZE)
         lz.write(payload); lz.close()
         b.toByteArray
       }

@@ -144,17 +144,25 @@ object RelationalQueries {
                     WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       ORDER BY c_custkey"""))
 
-  /** Left-anti join: customers with no orders at all. */
+  /** Left-anti join: customers with no PENDING order. The right side is
+    * filtered (not the bare orders table) so the result is NON-EMPTY at
+    * every tested scale — 7/56/541 survivors at sf0.001/0.01/0.1; the
+    * r14 verdict caught the unfiltered form emitting 0 rows everywhere
+    * (every customer has some order), leaving the emitted row shape
+    * unverified by the hash gate.
+    */
   val q06AntiJoin: QueryDef = QueryDef(
     "q06_anti_join",
     (s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"),
     Some("""
       SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       ORDER BY c_custkey"""))
 
   /** Ranking window: top-3 orders per market segment (row_number with a

@@ -1014,6 +1014,15 @@ object Round11Queries2 {
         .unionByName(files("zorder", col("zkey")))
         .unionByName(files("hilbert", col("hkey")))
         .transform(graft.operators.ScopedCache.cache)
+      // Materialize the shared keyed base BEFORE the three rank passes
+      // run (the q195 pattern; r14 verdict): each globalRowNumber
+      // evaluates its input three times (extremes, bucket counts, the
+      // window) and the extremes/offsets broadcast subqueries execute as
+      // CONCURRENT jobs at plan time — against an unmaterialized cache
+      // the ~9 consumers race and re-derive the Hilbert/Morton bit walk
+      // per job instead of once total. Runs after every ScopedCache
+      // registration above (registrations reset eviction protection).
+      withKeys.count()
       val nFiles = f.groupBy("layout")
         .agg(count(lit(1)).as("n_files"))
       val scanned = f.crossJoin(broadcast(probes))

@@ -137,10 +137,21 @@ object Round13Queries2 {
     */
   val q332SemanticDedup: QueryDef = QueryDef(
     "q332_semantic_dedup",
-    (s, dir) => Similarity.semanticDedup(
-        Tables.load(s, dir, "embeddings"),
-        targetClusterSize = 512, maxDominators = 4096, threshold = 0.35d)
-      .orderBy("vec_id"),
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      // The oracle below unrolls a k=4 Lloyd chain, valid only while the
+      // derived k = max(4, ceil(n/512)) equals 4, i.e. n <= 2048. Fail
+      // loudly AT THE SOURCE if a fixture outgrows that, instead of a
+      // confusing hash mismatch far from the cause.
+      val n = e.count()
+      require(n <= 2048,
+        s"q332 oracle hard-pins k=4 (kmeansCtes(4,2,64)) but embeddings has " +
+          s"$n rows => semanticDedup derives k=${math.max(4L, (n + 511) / 512)}; " +
+          "re-derive the oracle CTE chain for the new k before scaling the fixture")
+      Similarity.semanticDedup(e,
+          targetClusterSize = 512, maxDominators = 4096, threshold = 0.35d)
+        .orderBy("vec_id")
+    },
     Some(s"""
       WITH ${ExtQueries.kmeansCtes(4, 2, 64)},
       dom AS (SELECT DISTINCT b.vec_id

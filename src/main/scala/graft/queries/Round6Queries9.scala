@@ -20,9 +20,14 @@ object Round6Queries9 {
     * confidence = sup(i,j)/sup(antecedent) and
     * lift = sup(i,j)·N / (sup(i)·sup(j)), both as exact half-up ppm — the
     * lift cross-products run in DECIMAL(38,0)/HUGEINT since sup·N·10⁶
-    * passes int64 once the corpus holds ~2M+ baskets. Rules below 30% confidence drop; output is the
-    * top 20 by (lift, antecedent, consequent) — lift > 10⁶ ⇒ the
-    * antecedent genuinely raises the consequent's odds. Scale: identical
+    * passes int64 once the corpus holds ~2M+ baskets. Rules below 15%
+    * confidence drop; output is the top 20 by (lift, antecedent,
+    * consequent) — a deterministic total order, (antecedent, consequent)
+    * is unique per rule. (Thresholds are tuned so the rule set is
+    * NON-EMPTY at every tested scale — 136/116/10 rules at
+    * sf0.001/0.01/0.1; the r14 verdict caught the earlier
+    * 0.0075/30% pair emitting 0 rows on both engines above sf0.001,
+    * leaving the confidence/lift arithmetic hash-unverified.) Scale: identical
     * to q144 (A-Priori prune before the per-basket pair expansion); the
     * rule arithmetic runs on the pair relation only.
     */
@@ -71,7 +76,7 @@ object Round6Queries9 {
         .agg(count(lit(1)).as("sp"),
           min(col("si")).as("si"), min(col("sj")).as("sj"))
         .crossJoin(nOrders)
-        .filter(col("sp") >= lit(0.0075e0) * col("n"))
+        .filter(col("sp") >= lit(0.005e0) * col("n"))
       val rules = pairs.select(col("i").as("antecedent"),
           col("j").as("consequent"), col("sp"), col("si").as("sa"),
           col("sj").as("sc"), col("n"))
@@ -84,7 +89,7 @@ object Round6Queries9 {
           Det.ihalfUp(
             col("sp").cast(D38) * col("n").cast(D38) * lit(1000000L).cast(D38),
             col("sa").cast(D38) * col("sc").cast(D38)).as("lift_ppm"))
-        .filter(col("confidence_ppm") >= 300000L)
+        .filter(col("confidence_ppm") >= 150000L)
         .orderBy(col("lift_ppm").desc, col("antecedent"), col("consequent"))
         .limit(20)
     },
@@ -104,7 +109,7 @@ object Round6Queries9 {
                 FROM fb a JOIN fb b ON a.ok = b.ok AND a.item < b.item
                 GROUP BY 1, 2),
       fp AS (SELECT i, j, sp, si, sj, n FROM pairs CROSS JOIN no
-             WHERE sp >= 0.0075e0 * n),
+             WHERE sp >= 0.005e0 * n),
       rules AS (
         SELECT i AS antecedent, j AS consequent, sp, si AS sa, sj AS sc, n
         FROM fp
@@ -116,7 +121,7 @@ object Round6Queries9 {
                ${Det.ihalfUpSql("CAST(sp AS HUGEINT) * n * 1000000", "CAST(sa AS HUGEINT) * sc")} AS lift_ppm
         FROM rules)
       SELECT antecedent, consequent, sup_pair, confidence_ppm, lift_ppm
-      FROM scored WHERE confidence_ppm >= 300000
+      FROM scored WHERE confidence_ppm >= 150000
       ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 20"""))
 
   /** RECIPROCAL-RANK FUSION — combine two independent document rankings

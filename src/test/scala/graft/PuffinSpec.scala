@@ -42,6 +42,20 @@ class PuffinSpec extends AnyFunSuite {
     assert(Puffin.probe(e).get.blobs.isEmpty)
   }
 
+  test("lz4 footer frame declares content size (FLG content-size bit set)") {
+    // puffin-spec: the lz4 footer codec is a single LZ4 frame "with content
+    // size present". With no blobs the frame starts right after the second
+    // magic: [PFA1][PFA1][frame...]. LZ4 frame = magic 04 22 4D 18, then FLG
+    // whose bit 3 (0x08) is the content-size flag.
+    val f = Puffin.write(Nil, 0L, 0L, Map("k" -> "v"), compressFooter = true)
+    assert((f(8) & 0xff) == 0x04 && (f(9) & 0xff) == 0x22 &&
+      (f(10) & 0xff) == 0x4d && (f(11) & 0xff) == 0x18, "LZ4 frame magic")
+    assert((f(12) & 0x08) != 0, "FLG content-size bit must be set")
+    // and the declared size (8 bytes after FLG+BD) matches the payload
+    val p = Puffin.probe(f).get
+    assert(p.compressedFooter && p.properties == Map("k" -> "v"))
+  }
+
   test("coherence: overlaps, region escapes, foreign flags, bad JSON reject") {
     def blobsJson(entries: String): String =
       s"""{"blobs":[$entries],"properties":{}}"""
