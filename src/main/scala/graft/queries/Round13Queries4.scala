@@ -409,15 +409,16 @@ object Round13Queries4 {
     * before deleting anything: a pair counts only when flagged by ≥ 2
     * INDEPENDENT modalities — text simhash (q27's banded pairs with the
     * length rule), image dHash (q331, real BMP decode), audio
-    * frame-energy fingerprint (q341, real WAV decode). All three
-    * candidate generators are the SAME four-band pigeonhole equi-join
-    * ([[graft.operators.Dedup.banded64Pairs]] /
+    * frame-energy fingerprint (q341, real WAV decode), and (r15) video
+    * keyframe-gradient fingerprint (q346, real ISO-BMFF walk + ranged
+    * reads). All four candidate generators are the SAME four-band
+    * pigeonhole equi-join ([[graft.operators.Dedup.banded64Pairs]] /
     * [[graft.operators.Dedup.simhashPairs]]), so the union's cost is
-    * three hash joins and one aggregate — never a corpus square in any
+    * four hash joins and one aggregate — never a corpus square in any
     * modality. Output carries the modality bitmask (text=1, image=2,
-    * audio=4); the oracle composes the three closed-form candidate
-    * chains (shared builders, so a drift in any one query's oracle and
-    * this one cannot diverge).
+    * audio=4, video=8); the oracle composes the four closed-form
+    * candidate chains (shared builders, so a drift in any one query's
+    * oracle and this one cannot diverge).
     */
   val q344CrossModalConsensus: QueryDef = QueryDef(
     "q344_crossmodal_consensus",
@@ -430,7 +431,10 @@ object Round13Queries4 {
         .select(col("doc_a"), col("doc_b"), lit(2).as("m"))
       val aud = Dedup.banded64Pairs(audioHashTable(s, dir), maxHamming = 2)
         .select(col("doc_a"), col("doc_b"), lit(4).as("m"))
-      text.unionAll(img).unionAll(aud)
+      val vid = Dedup.banded64Pairs(Round15Queries.videoHashTable(s, dir),
+          maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), lit(8).as("m"))
+      text.unionAll(img).unionAll(aud).unionAll(vid)
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).cast("int").as("n_modalities"),
           sum(col("m")).cast("int").as("modality_mask"))
@@ -463,8 +467,11 @@ object Round13Queries4 {
       $audioCandCtes,
       ap AS (SELECT doc_a, doc_b, 4 AS m FROM acand
              WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2),
+      ${Round15Queries.videoCandCtes},
+      vp AS (SELECT doc_a, doc_b, 8 AS m FROM vcand
+             WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2),
       u AS (SELECT * FROM tp UNION ALL SELECT * FROM ip
-            UNION ALL SELECT * FROM ap)
+            UNION ALL SELECT * FROM ap UNION ALL SELECT * FROM vp)
       SELECT doc_a, doc_b, CAST(count(*) AS INTEGER) AS n_modalities,
              CAST(SUM(m) AS INTEGER) AS modality_mask
       FROM u GROUP BY 1, 2 HAVING count(*) >= 2

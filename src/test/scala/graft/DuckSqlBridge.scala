@@ -42,6 +42,30 @@ case class LenCompat(child: Expression) extends RuntimeReplaceable
     copy(child = newChild)
 }
 
+/** DuckDB `chr()` takes a UNICODE CODE POINT (chr(233) = 'é',
+  * chr(65533) = U+FFFD); Spark's `chr` is ASCII-with-wraparound
+  * (chr(n % 256)) — the two agree only below 128. Registered as
+  * `duck_chr` (the bridge renames call sites). Interpreted eval only —
+  * this runs in the test-scope sweep, never in a production plan.
+  */
+case class CodePointChr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "duck_chr"
+  override def nullSafeEval(input: Any): Any = {
+    val cp = input match {
+      case l: Long => l.toInt
+      case i: Int => i
+      case other => other.toString.toInt
+    }
+    org.apache.spark.unsafe.types.UTF8String
+      .fromString(new String(Character.toChars(cp)))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DuckSqlBridge {
 
   // ---------------- function aliases (parser-level equivalents) --------
@@ -132,10 +156,24 @@ object DuckSqlBridge {
           ArrayAggregate(a.head, Literal(0L),
             LambdaFunction(Add(acc, x), Seq(acc, x)),
             LambdaFunction(fin, Seq(fin)))
+        // string_agg over a LIST of strings = join with the separator
+        // (DuckDB's default separator is ','); null elements are skipped
+        // by both engines' string_agg/array_join-with-null-replacement
+        // semantics only when told to — this surface passes non-null
+        // string lists, where plain array_join is exact
+        case "string_agg" =>
+          ArrayJoin(a.head, if (a.length > 2) a(2) else Literal(","), None)
         case other =>
           throw new IllegalArgumentException(s"list_aggregate('$other')")
       }
     }
+    // DuckDB chr() is a Unicode code point; Spark chr() wraps at 256
+    reg("duck_chr")(a => CodePointChr(a.head))
+    // DuckDB dayofweek is 0=Sunday..6=Saturday; Spark's is 1=Sunday..7
+    reg("duck_dayofweek")(a => Subtract(DayOfWeek(a.head), Literal(1)))
+    // Unicode NFC normalization — the repo's own codegen'd expression
+    // registered under DuckDB's name (Spark ships no builtin)
+    reg("nfc_normalize")(a => graft.plans.NfcNormalize(a.head))
     // exact linearly-interpolated percentile on both engines
     reg("quantile_cont")(a =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
@@ -255,6 +293,16 @@ object DuckSqlBridge {
     s = """generate_series\(([^()]*)\)\s+(?:AS\s+)?(\w+)\s*\((\w+)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(generate_series(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
+    // struct_pack(k := v, ...) — DuckDB named-argument struct literal →
+    // named_struct('k', v, ...)
+    s = rewriteStructPack(s)
+    // quantile_disc(E, q) — DuckDB's discrete quantile aggregate; Spark
+    // spells it percentile_disc(q) WITHIN GROUP (ORDER BY E) (identical
+    // lower-discrete semantics at the q = 0.5 this surface uses)
+    s = rewriteQuantileDisc(s)
+    // PARALLEL unnest pairs in one SELECT list (DuckDB zips them
+    // positionally) → ONE generator over the zipped struct array
+    s = rewriteParallelUnnest(s)
     // FROM x, unnest(E) [AS] a(c)  →  FROM x LATERAL VIEW explode(E) a AS c
     s = rewriteFromUnnest(s)
     // remaining unnest (SELECT-list position) = Spark's explode generator
@@ -273,6 +321,13 @@ object DuckSqlBridge {
     s = """(?<![\w_])regexp_extract_all\(""".r.replaceAllIn(s, "duck_regexp_extract_all(")
     s = """(?<![\w_])regexp_extract\(""".r.replaceAllIn(s, "duck_regexp_extract(")
     s = """(?<![\w_])len\(""".r.replaceAllIn(s, "duck_len(")
+    s = """(?<![\w_])chr\(""".r.replaceAllIn(s, "duck_chr(")
+    s = """(?<![\w_])dayofweek\(""".r.replaceAllIn(s, "duck_dayofweek(")
+    // offset window functions (lag/lead) referencing a NAMED window that
+    // declares an explicit frame: DuckDB tolerates the redundant frame,
+    // Spark rejects frames on offset functions — route them through a
+    // frameless twin of the window
+    s = rewriteOffsetFrames(s)
     // DuckDB nests IGNORE NULLS inside the call; Spark wants it after
     s = s.replace(" IGNORE NULLS)", ") IGNORE NULLS")
     // integer division; DuckDB's // on BIGINT == Spark's DIV for the
@@ -378,6 +433,186 @@ object DuckSqlBridge {
       }
     }
     s.toString
+  }
+
+  /** `struct_pack(k := v, ...)` → `named_struct('k', v, ...)`. Runs on
+    * masked text; the `:=` separator is DuckDB-only syntax so any
+    * occurrence is a named argument (the masking keeps literal `:=`
+    * bodies out of reach).
+    */
+  private def rewriteStructPack(s0: String): String = {
+    var s = s0
+    var idx = s.indexOf("struct_pack(")
+    var guard = 0
+    while (idx >= 0 && guard < 200) {
+      guard += 1
+      val open = idx + "struct_pack".length
+      val close = matchParen(s, open)
+      if (close < 0) return s
+      val parts = splitTopLevel(s.substring(open + 1, close)).map { p =>
+        val i = topLevelIndexOf(p, ":=")
+        if (i < 0) return s // not the named-arg form — leave untouched
+        s"'${p.substring(0, i).trim}', ${p.substring(i + 2).trim}"
+      }
+      s = s.substring(0, idx) + s"named_struct(${parts.mkString(", ")})" +
+        s.substring(close + 1)
+      idx = s.indexOf("struct_pack(")
+    }
+    s
+  }
+
+  /** `quantile_disc(E, q)` → `percentile_disc(q) WITHIN GROUP (ORDER BY E)`. */
+  private def rewriteQuantileDisc(s0: String): String = {
+    var s = s0
+    var idx = s.indexOf("quantile_disc(")
+    var guard = 0
+    while (idx >= 0 && guard < 200) {
+      guard += 1
+      val open = idx + "quantile_disc".length
+      val close = matchParen(s, open)
+      if (close < 0) return s
+      val parts = splitTopLevel(s.substring(open + 1, close))
+      if (parts.length != 2) return s
+      s = s.substring(0, idx) +
+        s"percentile_disc(${parts(1).trim}) WITHIN GROUP (ORDER BY ${parts(0).trim})" +
+        s.substring(close + 1)
+      idx = s.indexOf("quantile_disc(")
+    }
+    s
+  }
+
+  /** `unnest(E1) AS n1, unnest(E2) AS n2` in a SELECT list — DuckDB zips
+    * parallel unnests positionally — becomes ONE generator over the
+    * zipped struct array:
+    * `inline(zip_with(E1, E2, (l, r) -> named_struct('n1', l, 'n2', r)))`.
+    * Exact: both engines pad the shorter list with NULLs. Only the
+    * adjacent-pair form is rewritten (this surface has no 3-way case);
+    * a single unnest falls through to the generic explode rewrite.
+    */
+  private def rewriteParallelUnnest(s0: String): String = {
+    var s = s0
+    var from = 0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      val i1 = s.indexOf("unnest(", from)
+      if (i1 < 0) return s
+      val c1 = matchParen(s, i1 + "unnest".length)
+      if (c1 < 0) return s
+      val m1 = """^\s+AS\s+(\w+)\s*,\s*unnest\(""".r
+        .findFirstMatchIn(s.substring(c1 + 1))
+      m1 match {
+        case Some(m) =>
+          val i2 = c1 + 1 + m.end - 1 // the second unnest's open paren
+          val c2 = matchParen(s, i2)
+          if (c2 < 0) return s
+          val m2 = """^\s+AS\s+(\w+)""".r.findFirstMatchIn(s.substring(c2 + 1))
+          m2 match {
+            case Some(t) =>
+              val e1 = s.substring(i1 + "unnest(".length, c1)
+              val e2 = s.substring(i2 + 1, c2)
+              val n1 = m.group(1)
+              val n2 = t.group(1)
+              val repl = s"inline(zip_with($e1, $e2, (u_zl, u_zr) -> " +
+                s"named_struct('$n1', u_zl, '$n2', u_zr)))"
+              s = s.substring(0, i1) + repl + s.substring(c2 + 1 + t.end)
+              from = i1 + repl.length
+            case None => from = i1 + 1
+          }
+        case None => from = i1 + 1
+      }
+    }
+    s
+  }
+
+  /** Reroute `lag(...)/lead(...) OVER w` where the NAMED window `w`
+    * declares an explicit frame: Spark rejects frames on offset
+    * functions (DuckDB ignores the redundant declaration). A frameless
+    * twin `w_gnf AS (<def without the ROWS/RANGE clause>)` is appended
+    * to the WINDOW clause and the offset calls re-pointed at it; every
+    * other consumer of `w` keeps the declared frame.
+    */
+  private def rewriteOffsetFrames(s0: String): String = {
+    var s = s0
+    // parse the WINDOW clause's named definitions
+    val winKw = """(?<![\w_])WINDOW\s+""".r.findFirstMatchIn(s)
+    if (winKw.isEmpty) return s
+    var pos = winKw.get.end
+    // name AS ( def ) [, name AS ( def )]*
+    val defs = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var scanning = true
+    while (scanning) {
+      """^(\w+)\s+AS\s*\(""".r.findFirstMatchIn(s.substring(pos)) match {
+        case Some(m) =>
+          val open = pos + m.end - 1
+          val close = matchParen(s, open)
+          if (close < 0) return s
+          defs += ((m.group(1), open, close))
+          val next = """^\s*,\s*""".r.findFirstMatchIn(s.substring(close + 1))
+          next match {
+            case Some(c) => pos = close + 1 + c.end
+            case None => scanning = false
+          }
+        case None => scanning = false
+      }
+    }
+    val framed = defs.flatMap { case (name, open, close) =>
+      val body = s.substring(open + 1, close)
+      // the frame clause starts at the first top-level ROWS/RANGE
+      // keyword (any whitespace before it, incl. newline in the
+      // multi-line oracle texts)
+      val fi = Seq(" ROWS ", "\nROWS", " RANGE ", "\nRANGE")
+        .map(k => topLevelIndexOf(body, k)).filter(_ >= 0)
+        .sorted.headOption
+      fi.map(i => name -> (body.substring(0, i).trim, close))
+    }.toMap
+    if (framed.isEmpty) return s
+    // re-point lag/lead OVER <name>; collect which twins are needed
+    val used = scala.collection.mutable.LinkedHashSet.empty[String]
+    val offsetPat = """(?<![\w_])(lag|lead)\s*\(""".r
+    var out = s
+    var search = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      offsetPat.findFirstMatchIn(out.substring(search)) match {
+        case Some(m) =>
+          val open = search + m.end - 1
+          val close = matchParen(out, open)
+          if (close < 0) return out
+          val over = """^\s+OVER\s+(\w+)(?![\w(])""".r
+            .findFirstMatchIn(out.substring(close + 1))
+          over match {
+            case Some(o) if framed.contains(o.group(1)) =>
+              val name = o.group(1)
+              used += name
+              val refStart = close + 1 + o.start(1)
+              val refEnd = close + 1 + o.end(1)
+              out = out.substring(0, refStart) + s"${name}_gnf" +
+                out.substring(refEnd)
+              search = refEnd + 4
+            case _ => search = close + 1
+          }
+        case None => guard = 200
+      }
+    }
+    // append the frameless twins after their source definitions (later
+    // insertions first so earlier offsets stay valid)
+    used.toSeq.map(n => (framed(n)._2, n)).sortBy(-_._1).foreach {
+      case (_, name) =>
+        val (stripped, _) = framed(name)
+        // defs were located in `s`; re-locate the twin's anchor in `out`
+        // by the definition text (window defs are unique in these texts)
+        val anchor = out.indexOf(s"$name AS (")
+        if (anchor >= 0) {
+          val open = out.indexOf('(', anchor)
+          val close = matchParen(out, open)
+          if (close >= 0)
+            out = out.substring(0, close + 1) +
+              s", ${name}_gnf AS ($stripped)" + out.substring(close + 1)
+        }
+    }
+    out
   }
 
   private def matchParen(s: CharSequence, open: Int): Int = {
@@ -648,6 +883,95 @@ object DuckSqlBridge {
     "NOT", "IN", "ON", "AS", "FROM", "BY", "UNION", "ALL", "DISTINCT",
     "HAVING", "JOIN", "LIKE", "IS", "NULL", "BETWEEN", "EXISTS", "OVER",
     "RETURN", "RETURNING", "VALUES", "SET", "ARRAY")
+
+  // ---------------- materialized-CTE execution --------------------------
+
+  /** Run an (already-translated) `WITH a AS (...), b AS (...) SELECT ...`
+    * query with every CTE MATERIALIZED: each CTE body executes in
+    * sequence, is localCheckpoint'ed (eager — the plan truncates to the
+    * computed rows), and registers as a temp view the later bodies and
+    * the tail resolve against.
+    *
+    * Why this exists: Spark's CTE handling INLINES each CTE body at every
+    * reference (`WITH` is not an optimization fence), and collapse rules
+    * then re-derive the whole upstream pipeline per reference. For a
+    * reused CTE carrying heavy interpreted-eval work (the q341/q344
+    * 130-element list synthesis referenced once per banded join probe)
+    * that turns a seconds-long query into an hours-long one. Checkpointing
+    * each CTE bounds the work to ONE evaluation per CTE — the semantics
+    * are unchanged (every body is a self-contained SELECT).
+    *
+    * Returns the tail DataFrame and a cleanup that drops the temp views
+    * (call it after collecting). Falls back to plain `spark.sql` when the
+    * text has no leading WITH.
+    */
+  def runMaterializedCtes(spark: SparkSession, sql: String):
+      (org.apache.spark.sql.DataFrame, () => Unit) =
+    splitWithCtes(sql) match {
+      case None => (spark.sql(sql), () => ())
+      case Some((ctes, tail)) =>
+        val registered = scala.collection.mutable.ArrayBuffer.empty[String]
+        ctes.foreach { case (name, body) =>
+          val df = spark.sql(body).localCheckpoint()
+          df.createOrReplaceTempView(name)
+          registered += name
+        }
+        (spark.sql(tail),
+          () => registered.foreach(n => spark.catalog.dropTempView(n)))
+    }
+
+  /** Split `WITH n1 AS (b1), n2 AS (b2), ... <tail>` into its named
+    * bodies and the tail, honoring string literals (quote-aware paren
+    * matching — the text arrives UNMASKED). None when the text does not
+    * start with WITH or the shape doesn't parse.
+    */
+  private[graft] def splitWithCtes(sql: String):
+      Option[(Seq[(String, String)], String)] = {
+    val m = """^\s*WITH\s+""".r.findFirstMatchIn(sql)
+    if (m.isEmpty) return None
+    var pos = m.get.end
+    val out = Seq.newBuilder[(String, String)]
+    var n = 0
+    while (n < 500) {
+      n += 1
+      """^(\w+)\s+AS\s*\(""".r.findFirstMatchIn(sql.substring(pos)) match {
+        case Some(h) =>
+          val open = pos + h.end - 1
+          val close = matchParenQuoted(sql, open)
+          if (close < 0) return None
+          out += ((h.group(1), sql.substring(open + 1, close)))
+          """^\s*,\s*""".r.findFirstMatchIn(sql.substring(close + 1)) match {
+            case Some(c) => pos = close + 1 + c.end
+            case None => return Some((out.result(), sql.substring(close + 1)))
+          }
+        case None => return None
+      }
+    }
+    None
+  }
+
+  /** Balanced-paren match that skips '…' string literals ('' escapes). */
+  private def matchParenQuoted(s: String, open: Int): Int = {
+    var d = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** Index of a top-level `:` in a bracket body (slice separator), -1
     * when none; `::` never appears here (already rewritten).

@@ -72,5 +72,59 @@ class DuckSqlBridgeSpec extends AnyFunSuite {
       "SELECT duck_regexp_replace(w, '(.)', '\\\\1 ', 'g')")
     assert(t("SELECT len(xs)") == "SELECT duck_len(xs)")
     assert(t("SELECT length(x)") == "SELECT length(x)") // not len(
+    assert(t("SELECT chr(97 + n % 26)") == "SELECT duck_chr(97 + n % 26)")
+    assert(t("SELECT dayofweek(d)") == "SELECT duck_dayofweek(d)")
+    assert(t("SELECT 'chr(' || x") == "SELECT 'chr(' || x") // literal opaque
+  }
+
+  test("struct_pack named args become named_struct") {
+    assert(t("SELECT struct_pack(a := x + 1, b := f(y, z))") ==
+      "SELECT named_struct('a', x + 1, 'b', f(y, z))")
+    // nested calls with := only at top level of each part
+    assert(t("SELECT (max(struct_pack(ts := ts, id := id))).id") ==
+      "SELECT (max(named_struct('ts', ts, 'id', id))).id")
+  }
+
+  test("quantile_disc becomes percentile_disc WITHIN GROUP") {
+    assert(t("SELECT quantile_disc(x, 0.5) FROM t GROUP BY 1") ==
+      "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) " +
+        "FROM t GROUP BY 1")
+    assert(t("SELECT quantile_disc(abs(x - m), 0.5)") ==
+      "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(x - m))")
+  }
+
+  test("parallel unnest pair zips through one inline generator") {
+    assert(t("SELECT unnest([0, 1]) AS row, unnest([a, b]) AS bucket FROM k") ==
+      "SELECT inline(zip_with(array(0, 1), array(a, b), (u_zl, u_zr) -> " +
+        "named_struct('row', u_zl, 'bucket', u_zr))) FROM k")
+    // a single unnest keeps the generic explode rewrite
+    assert(t("SELECT unnest([1, 2]) AS v") == "SELECT explode(array(1, 2)) AS v")
+    // the FROM-position unnest form is untouched by the pair rule
+    assert(t("FROM a, unnest([1, 2]) AS u(j)") ==
+      "FROM a LATERAL VIEW explode(array(1, 2)) u AS j")
+  }
+
+  test("offset functions drop frames via a frameless twin window") {
+    val in = """SELECT lag(v, 1) OVER w AS d, SUM(v) OVER w AS s FROM t
+      WINDOW w AS (PARTITION BY u ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    val out = t(in)
+    assert(out.contains("lag(v, 1) OVER w_gnf"), out)
+    assert(out.contains("SUM(v) OVER w AS s"), out) // non-offset keeps w
+    assert(out.contains("w_gnf AS (PARTITION BY u ORDER BY ts)"), out)
+    assert(out.contains("ROWS BETWEEN"), out) // original frame retained
+    // frameless named windows are untouched
+    val plain = t("SELECT lag(v) OVER w FROM t WINDOW w AS (ORDER BY ts)")
+    assert(!plain.contains("_gnf"), plain)
+  }
+
+  test("splitWithCtes: quote-aware CTE chain split") {
+    val Some((ctes, tail)) = DuckSqlBridge.splitWithCtes(
+      "WITH a AS (SELECT 1 AS x), b AS (SELECT x, '(,)' AS s FROM a) " +
+        "SELECT * FROM b"): @unchecked
+    assert(ctes.map(_._1) == Seq("a", "b"))
+    assert(ctes(1)._2 == "SELECT x, '(,)' AS s FROM a")
+    assert(tail.trim == "SELECT * FROM b")
+    assert(DuckSqlBridge.splitWithCtes("SELECT 1").isEmpty)
   }
 }

@@ -23,24 +23,14 @@ class SqlFrontDoorSpec extends SparkTestBase {
     * parse/analyze in Spark (skipped, counted) or match exactly.
     */
   private val dialectExclusions: Map[String, String] = Map(
-    "q93_week_trunc" ->
-      "DuckDB dayofweek is 0=Sunday by design; the Spark impl maps the dialect explicitly (off by one when run raw)",
     "q177_corr_matrix" ->
       "covariance terms go NEGATIVE under //: DuckDB floors toward -inf, Spark DIV truncates toward zero",
-    "q256_utf8_scrub" ->
-      "chr(65533)/chr(233): Spark chr wraps at 256 (ASCII), DuckDB chr is a Unicode code point",
     "q58_dedup_clusters" ->
       "recursive CTE fixpoint uses UNION (distinct) for convergence; Spark recursive CTEs accept only UNION ALL",
     "q326_dedup_survivors" ->
       "same recursive-UNION fixpoint as q58 (shared CC oracle chain)",
     "q175_zipf_slope" ->
       "DuckDB SUM(BIGINT) widens to HUGEINT (int128); the n*sxy slope arithmetic overflows 64-bit under Spark's BIGINT sum",
-    "q341_audio_fingerprint" ->
-      "semantically fine but pathological in Spark's interpreted eval: CTE collapse re-inlines the 130-sample synth pipeline per banded join probe (hit the sweep's 90 s safety net)",
-    "q344_crossmodal_consensus" ->
-      "composes q341's audio CTE chain — same CTE-collapse blowup as q341",
-    "q208_streaming_cm_state" ->
-      "DuckDB zips PARALLEL unnest() columns positionally in one SELECT; Spark's explode semantics differ — needs arrays_zip restructuring",
     "q113_pii_redact" ->
       "the phone pattern '+[0-9]...' is legal in DuckDB's RE2 (literal dangling +) but rejected by Java regex")
 
@@ -49,24 +39,33 @@ class SqlFrontDoorSpec extends SparkTestBase {
     * query out of the sweep fails loudly. One-line reason each.
     */
   private val knownUnparseable: Map[String, String] = Map(
-    "q08_user_event_delta" ->
-      "DuckDB allows an explicit window FRAME on lag(); Spark rejects frames for offset functions",
     "q67_asof_join" ->
       "ASOF JOIN is DuckDB syntax; Spark expresses as-of via window/join composition",
     "q73_map_funcs" ->
-      "json_type() has no Spark equivalent",
-    "q176_mad_outliers" ->
-      "quantile_disc() maps only to Spark's WITHIN GROUP percentile_disc syntax, not a plain call",
-    "q224_luhn_pii" ->
-      "list_aggregate(…, 'string_agg') — no expression-level dispatch for string aggregation",
+      "json_type() (typed JSON introspection) has no Spark equivalent",
     "q252_repetition_signals" ->
       "lambda parameter/column scoping the DuckDB text relies on is rejected by Spark's resolver",
-    "q257_nfc_normalize" ->
-      "nfc_normalize() (Unicode NFC) has no Spark SQL builtin",
     "q278_orc_stripes" ->
-      "quote/escape interplay in the synthetic stripe literals breaks under Spark's escaped-string parser",
-    "q323_click_attribution" ->
-      "DuckDB named-argument call syntax (name := value) does not parse in Spark")
+      "quote/escape interplay in the synthetic stripe literals breaks under Spark's escaped-string parser")
+
+  /** Bridged queries whose translated text must run through
+    * [[DuckSqlBridge.runMaterializedCtes]]: their CTE chains carry heavy
+    * interpreted-eval synth work that Spark's CTE inlining + projection
+    * collapse would otherwise re-derive once PER REFERENCE of the reused
+    * CTE (the banded self-joins reference the hash CTE 2+ times; measured
+    * as a runaway plan that hit the 90 s net before r15).
+    */
+  private val materializedCtes: Set[String] = Set(
+    "q341_audio_fingerprint", "q344_crossmodal_consensus",
+    "q346_video_fingerprint")
+
+  /** Timed-out bridged queries must be PINNED here by name, like
+    * knownUnparseable — a new timeout is a semantic divergence or bridge
+    * regression surfacing as a runaway plan, not a reason to silently
+    * shrink the matched set (r14 ADVICE). Currently empty: nothing is
+    * allowed to time out.
+    */
+  private val allowedTimeouts: Map[String, String] = Map.empty
 
   /** Core relational queries whose oracles MUST stay in the shared ANSI
     * subset — these may never silently drop out of the sweep (an edit that
@@ -85,7 +84,17 @@ class SqlFrontDoorSpec extends SparkTestBase {
   private val mustBridge = Set(
     "q342_fim_transform", // ::casts + // + md5-hex idiom
     "q337_deletion_vectors", // window + closed-form byte arithmetic
-    "q340_puffin_dv") // // grouping + CASE guard
+    "q340_puffin_dv", // // grouping + CASE guard
+    // the r15 bridge widening — each pins one rewrite family:
+    "q08_user_event_delta", // lag() frame stripped via frameless twin window
+    "q176_mad_outliers", // quantile_disc -> percentile_disc WITHIN GROUP
+    "q208_streaming_cm_state", // parallel unnest -> inline(zip_with(...))
+    "q224_luhn_pii", // list_aggregate(..., 'string_agg')
+    "q256_utf8_scrub", // duck_chr (Unicode code point chr)
+    "q257_nfc_normalize", // nfc_normalize registration
+    "q323_click_attribution", // struct_pack(k := v) -> named_struct
+    "q93_week_trunc", // duck_dayofweek (0=Sunday)
+    "q341_audio_fingerprint") // materialized-CTE execution path
 
   test("every Spark-parseable oracle (raw or dialect-bridged) returns " +
     "exactly the DataFrame implementation's rows") {
@@ -102,15 +111,19 @@ class SqlFrontDoorSpec extends SparkTestBase {
     // thread + job-group cancel keeps one such query from wedging the
     // whole suite.
     val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
-    def compare(name: String, d: org.apache.spark.sql.DataFrame,
+    def compare(name: String, mkSql: () => org.apache.spark.sql.DataFrame,
+        cleanup: () => Unit,
         mk: () => org.apache.spark.sql.DataFrame): Option[Boolean] = {
       val task = pool.submit(new java.util.concurrent.Callable[Boolean] {
         def call(): Boolean = {
           spark.sparkContext.setJobGroup(s"sqlfd-$name", name,
             interruptOnCancel = true)
-          try d.collect().map(_.toSeq).toSeq ==
+          try mkSql().collect().map(_.toSeq).toSeq ==
             mk().collect().map(_.toSeq).toSeq
-          finally spark.sparkContext.clearJobGroup()
+          finally {
+            try cleanup()
+            finally spark.sparkContext.clearJobGroup()
+          }
         }
       })
       try Some(task.get(90, java.util.concurrent.TimeUnit.SECONDS))
@@ -129,17 +142,38 @@ class SqlFrontDoorSpec extends SparkTestBase {
           // constructs the bridge cannot express fail to parse/analyze in
           // Spark and are skipped; everything that parses must match
           val translated = DuckSqlBridge.translate(sql)
-          val df = try Some(spark.sql(translated)) catch { case e: Throwable =>
-            System.err.println(s"[sqlfd-skip] ${q.name}: " +
-              e.getMessage.linesIterator.take(2).mkString(" | ").take(220))
-            skipped += q.name
-            None
-          }
-          df.foreach { d =>
-            compare(q.name, d, () => q.run(spark, dir)) match {
+          if (materializedCtes.contains(q.name)) {
+            // heavy-CTE path: each CTE body checkpoints once (inside the
+            // worker — materialization launches jobs), then the tail runs
+            // over the checkpointed views. A parse/analyze error here is a
+            // MISMATCH (these are pinned must-bridge queries), never a
+            // silent skip.
+            var cleanupFn: () => Unit = () => ()
+            val run = () => {
+              val (d, c) = DuckSqlBridge.runMaterializedCtes(spark, translated)
+              cleanupFn = c
+              d
+            }
+            compare(q.name, run, () => cleanupFn(),
+              () => q.run(spark, dir)) match {
               case Some(true) => parsedNames += q.name
               case Some(false) => mismatches += q.name
               case None => timeouts += q.name
+            }
+          } else {
+            val df = try Some(spark.sql(translated)) catch { case e: Throwable =>
+              System.err.println(s"[sqlfd-skip] ${q.name}: " +
+                e.getMessage.linesIterator.take(2).mkString(" | ").take(220))
+              skipped += q.name
+              None
+            }
+            df.foreach { d =>
+              compare(q.name, () => d, () => (),
+                () => q.run(spark, dir)) match {
+                case Some(true) => parsedNames += q.name
+                case Some(false) => mismatches += q.name
+                case None => timeouts += q.name
+              }
             }
           }
         }
@@ -154,10 +188,17 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val unpinned = skipped.toSet -- knownUnparseable.keySet
     assert(unpinned.isEmpty,
       s"unpinned parse-skips (fix the bridge or pin with a reason): $unpinned")
+    // timeouts are exclusions too: pinned by name, never silent (r14
+    // ADVICE — a runaway translated plan must fail the suite, not just
+    // shrink the matched count)
+    val unpinnedTimeouts = timeouts.toSet -- allowedTimeouts.keySet
+    assert(unpinnedTimeouts.isEmpty,
+      s"unpinned timeouts (semantic divergence or bridge regression " +
+        s"surfacing as a runaway plan): $unpinnedTimeouts")
     // regression guard at the CURRENT subset size: growing is fine, any
     // shrink is a deliberate dialect decision that must update this number
-    assert(parsedNames.size >= 300,
-      s"only ${parsedNames.size} oracles ran in Spark (expected >= 300, " +
+    assert(parsedNames.size >= 335,
+      s"only ${parsedNames.size} oracles ran in Spark (expected >= 335, " +
         s"timeouts: $timeouts)")
   }
 }
