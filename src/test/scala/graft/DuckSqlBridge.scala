@@ -42,6 +42,49 @@ case class LenCompat(child: Expression) extends RuntimeReplaceable
     copy(child = newChild)
 }
 
+/** DuckDB `json_type(json, path)` — the TYPED introspection
+  * `get_json_object` cannot express (it returns unquoted text, erasing
+  * the number/string distinction). Jackson-parses the document and
+  * classifies the node at a `$.a.b` dot path with DuckDB's type names
+  * (BIGINT/UBIGINT/DOUBLE/VARCHAR/BOOLEAN/NULL/ARRAY/OBJECT); NULL for a
+  * missing path or unparseable document. Interpreted eval only — this
+  * runs in the test-scope sweep, never in a production plan.
+  */
+case class JsonTypeCompat(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "json_type"
+  override def nullSafeEval(json: Any, path: Any): Any = {
+    val p = path.toString
+    if (!p.startsWith("$")) return null
+    try {
+      var node = JsonTypeCompat.mapper.readTree(json.toString)
+      p.drop(1).split("\\.").filter(_.nonEmpty).foreach { k =>
+        if (node != null) node = node.get(k)
+      }
+      if (node == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString {
+        if (node.isIntegralNumber)
+          if (node.canConvertToLong) "BIGINT" else "UBIGINT"
+        else if (node.isFloatingPointNumber) "DOUBLE"
+        else if (node.isTextual) "VARCHAR"
+        else if (node.isBoolean) "BOOLEAN"
+        else if (node.isNull) "NULL"
+        else if (node.isArray) "ARRAY"
+        else "OBJECT"
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object JsonTypeCompat {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}
+
 /** DuckDB `chr()` takes a UNICODE CODE POINT (chr(233) = 'é',
   * chr(65533) = U+FFFD); Spark's `chr` is ASCII-with-wraparound
   * (chr(n % 256)) — the two agree only below 128. Registered as
@@ -174,6 +217,8 @@ object DuckSqlBridge {
     // Unicode NFC normalization — the repo's own codegen'd expression
     // registered under DuckDB's name (Spark ships no builtin)
     reg("nfc_normalize")(a => graft.plans.NfcNormalize(a.head))
+    // DuckDB's typed JSON introspection (get_json_object erases types)
+    reg("json_type")(a => JsonTypeCompat(a(0), a(1)))
     // exact linearly-interpolated percentile on both engines
     reg("quantile_cont")(a =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
@@ -409,27 +454,35 @@ object DuckSqlBridge {
   private def rewriteFromUnnest(s0: String): String = {
     val s = new StringBuilder(s0)
     val pat = """,\s*(unnest|generate_series)\(""".r
-    var changed = true
-    while (changed) {
-      changed = false
-      pat.findFirstMatchIn(s) match {
+    // scan with an explicit offset: an occurrence whose tail is NOT the
+    // `alias(col)` table-function form (e.g. a select-list `unnest(x) AS
+    // t`) must be SKIPPED, not end the scan — the pre-r15 while(changed)
+    // loop stopped at the first such miss and left later FROM-position
+    // unnests untranslated (q252's bg/tg chain)
+    var from = 0
+    var guard = 0
+    while (guard < 500) {
+      guard += 1
+      pat.findFirstMatchIn(s.substring(from)) match {
         case Some(m) =>
-          val open = m.end - 1
+          val start = from + m.start
+          val open = from + m.end - 1
           val close = matchParen(s, open)
-          if (close > 0) {
-            val tail = """^\s+(?:AS\s+)?(\w+)\s*\((\w+)\)""".r
-              .findFirstMatchIn(s.substring(close + 1))
-            tail.foreach { t =>
+          if (close < 0) return s.toString
+          val tail = """^\s+(?:AS\s+)?(\w+)\s*\((\w+)\)""".r
+            .findFirstMatchIn(s.substring(close + 1))
+          tail match {
+            case Some(t) =>
               val inner = s.substring(open + 1, close)
               val gen =
                 if (m.group(1) == "unnest") s"explode($inner)"
                 else s"explode(generate_series($inner))"
               val repl = s" LATERAL VIEW $gen ${t.group(1)} AS ${t.group(2)}"
-              s.replace(m.start, close + 1 + t.end, repl)
-              changed = true
-            }
+              s.replace(start, close + 1 + t.end, repl)
+              from = start + repl.length
+            case None => from = open // not the FROM form — skip past it
           }
-        case None => ()
+        case None => return s.toString
       }
     }
     s.toString

@@ -41,10 +41,6 @@ class SqlFrontDoorSpec extends SparkTestBase {
   private val knownUnparseable: Map[String, String] = Map(
     "q67_asof_join" ->
       "ASOF JOIN is DuckDB syntax; Spark expresses as-of via window/join composition",
-    "q73_map_funcs" ->
-      "json_type() (typed JSON introspection) has no Spark equivalent",
-    "q252_repetition_signals" ->
-      "lambda parameter/column scoping the DuckDB text relies on is rejected by Spark's resolver",
     "q278_orc_stripes" ->
       "quote/escape interplay in the synthetic stripe literals breaks under Spark's escaped-string parser")
 
@@ -94,6 +90,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q257_nfc_normalize", // nfc_normalize registration
     "q323_click_attribution", // struct_pack(k := v) -> named_struct
     "q93_week_trunc", // duck_dayofweek (0=Sunday)
+    "q73_map_funcs", // json_type (typed JSON introspection compat)
+    "q252_repetition_signals", // FROM-unnest scan continues past select-list unnests
     "q341_audio_fingerprint") // materialized-CTE execution path
 
   test("every Spark-parseable oracle (raw or dialect-bridged) returns " +
