@@ -341,6 +341,9 @@ object DuckSqlBridge {
     // struct_pack(k := v, ...) — DuckDB named-argument struct literal →
     // named_struct('k', v, ...)
     s = rewriteStructPack(s)
+    // ASOF LEFT JOIN — DuckDB's point-in-time join syntax → the exact
+    // relational equivalent: a LEFT OUTER LATERAL top-1 subquery
+    s = rewriteAsofJoin(s)
     // quantile_disc(E, q) — DuckDB's discrete quantile aggregate; Spark
     // spells it percentile_disc(q) WITHIN GROUP (ORDER BY E) (identical
     // lower-discrete semantics at the q = 0.5 this surface uses)
@@ -409,7 +412,11 @@ object DuckSqlBridge {
 
   /** Replace every '…' literal's content with a quote-free marker so the
     * syntax rewrites cannot see into strings; [[unmaskLiterals]] restores
-    * them. Doubled '' escapes are preserved verbatim.
+    * them. Doubled '' escapes are preserved verbatim. `--` line comments
+    * pass through verbatim — an apostrophe inside one (e.g. "-- the
+    * writer's rule") is prose, not a literal opener; treating it as one
+    * ran the phantom literal to end-of-text and appended a closing quote
+    * that never existed (the pre-r15 q278 parse failure).
     */
   private def maskLiterals(s: String): (String, Vector[String]) = {
     val out = new StringBuilder
@@ -418,7 +425,9 @@ object DuckSqlBridge {
     var n = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') {
+      if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') { out.append(s.charAt(i)); i += 1 }
+      } else if (c == '\'') {
         i += 1
         val body = new StringBuilder
         var closed = false
@@ -512,6 +521,99 @@ object DuckSqlBridge {
       idx = s.indexOf("struct_pack(")
     }
     s
+  }
+
+  /** `<l> ASOF LEFT JOIN <r> ON <eq-conjuncts> AND <ineq>` → the exact
+    * relational expansion Spark can run:
+    * `<l> LEFT OUTER JOIN LATERAL (SELECT * FROM <r> WHERE <cond>
+    *  ORDER BY <right-time-expr> DESC|ASC LIMIT 1) <r> ON true`.
+    * DuckDB's ASOF picks, per left row, the single right row extremal in
+    * the inequality — which is precisely the lateral top-1. Direction:
+    * `l.t >= r.t` (backward as-of) sorts the right time DESC; `<=`
+    * (forward) sorts ASC. The right-table operand of the inequality is
+    * the one referencing the right alias. Exact when the right side has
+    * no ties on (eq keys, time) — DuckDB's own ASOF tie behavior is
+    * unspecified, so oracles on this surface build tie-free right sides.
+    */
+  private def rewriteAsofJoin(s0: String): String = {
+    var s = s0
+    val pat = """(?<![\w_])(\w+)\s+ASOF\s+LEFT\s+JOIN\s+(\w+)\s+ON\s""".r
+    var guard = 0
+    var m0 = pat.findFirstMatchIn(s)
+    while (m0.isDefined && guard < 20) {
+      guard += 1
+      val m = m0.get
+      val r = m.group(2)
+      val condStart = m.end
+      // the ON condition ends at the first TOP-LEVEL clause keyword, an
+      // unbalanced ')', or end of text
+      val clauseKw = Set("ORDER", "GROUP", "WHERE", "HAVING", "LIMIT",
+        "UNION", "QUALIFY", "JOIN", "LEFT", "RIGHT", "FULL", "INNER",
+        "CROSS", "ASOF", "SELECT")
+      var i = condStart
+      var d = 0
+      var end = s.length
+      var done = false
+      while (i < s.length && !done) {
+        val c = s.charAt(i)
+        if (c == '(') d += 1
+        else if (c == ')') {
+          if (d == 0) { end = i; done = true } else d -= 1
+        } else if (d == 0 && (c.isLetter || c == '_') &&
+          (i == 0 || {
+            val p = s.charAt(i - 1)
+            !p.isLetterOrDigit && p != '_' && p != '.'
+          })) {
+          val w = s.substring(i).takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+          if (clauseKw.contains(w.toUpperCase)) { end = i; done = true }
+          else i += w.length - 1
+        }
+        i += 1
+      }
+      val cond = s.substring(condStart, end).trim
+      // the inequality conjunct carries the time order
+      val ineq = splitTopLevelAnd(cond).find(p =>
+        p.contains(">=") || p.contains("<="))
+      ineq match {
+        case None => return s // not the shape we can expand
+        case Some(p) =>
+          val op = if (p.contains(">=")) ">=" else "<="
+          val oi = p.indexOf(op)
+          val lhs = p.substring(0, oi).trim
+          val rhs = p.substring(oi + 2).trim
+          val rOnRight = rhs.contains(r + ".")
+          val rExpr = if (rOnRight) rhs else lhs
+          val desc = (op == ">=" && rOnRight) || (op == "<=" && !rOnRight)
+          val dir = if (desc) "DESC" else "ASC"
+          val repl = s"${m.group(1)} LEFT OUTER JOIN LATERAL " +
+            s"(SELECT * FROM $r WHERE $cond ORDER BY $rExpr $dir LIMIT 1) " +
+            s"$r ON true "
+          s = s.substring(0, m.start) + repl + s.substring(end)
+      }
+      m0 = pat.findFirstMatchIn(s)
+    }
+    s
+  }
+
+  /** Top-level " AND "-separated conjuncts (paren/bracket aware). */
+  private def splitTopLevelAnd(cond: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var d = 0
+    var last = 0
+    var i = 0
+    while (i < cond.length) {
+      val c = cond.charAt(i)
+      if (c == '(' || c == '[') d += 1
+      else if (c == ')' || c == ']') d -= 1
+      else if (d == 0 && cond.regionMatches(true, i, " AND ", 0, 5)) {
+        out += cond.substring(last, i)
+        last = i + 5
+        i += 4
+      }
+      i += 1
+    }
+    out += cond.substring(last)
+    out.result().map(_.trim)
   }
 
   /** `quantile_disc(E, q)` → `percentile_disc(q) WITHIN GROUP (ORDER BY E)`. */

@@ -39,6 +39,10 @@ class DuckSqlBridgeSpec extends AnyFunSuite {
   test("string literals are opaque: //, ::, brackets survive inside") {
     assert(t("SELECT 'https://x.org/a[1]::b'") ==
       "SELECT 'https://x.org/a[1]::b'")
+    // an apostrophe inside a -- comment is prose, not a literal opener
+    // (the phantom literal used to run to EOS and grow an extra quote)
+    assert(t("SELECT a // 2 -- the writer's rule\nFROM t") ==
+      "SELECT a  DIV  2 -- the writer's rule\nFROM t")
     // backslashes DOUBLE so Spark's escaped-string parser round-trips
     // the raw DuckDB literal (an undoubled \s+ becomes s+)
     assert(t("SELECT regexp_matches(x, '\\s+')") ==
@@ -116,6 +120,20 @@ class DuckSqlBridgeSpec extends AnyFunSuite {
     // frameless named windows are untouched
     val plain = t("SELECT lag(v) OVER w FROM t WINDOW w AS (ORDER BY ts)")
     assert(!plain.contains("_gnf"), plain)
+  }
+
+  test("ASOF LEFT JOIN expands to a lateral top-1 subquery") {
+    val in = """FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY event_id"""
+    val out = t(in)
+    assert(out.contains("LEFT OUTER JOIN LATERAL"), out)
+    assert(out.contains(
+      "(SELECT * FROM p WHERE c.user_id = p.user_id AND c.ts >= p.ts " +
+        "ORDER BY p.ts DESC LIMIT 1) p ON true"), out)
+    assert(out.contains("ORDER BY event_id"), out) // outer clause survives
+    // forward as-of sorts ascending
+    assert(t("FROM c ASOF LEFT JOIN p ON c.k = p.k AND c.ts <= p.ts")
+      .contains("ORDER BY p.ts ASC LIMIT 1"))
   }
 
   test("splitWithCtes: quote-aware CTE chain split") {

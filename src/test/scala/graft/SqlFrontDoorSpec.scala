@@ -30,19 +30,13 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q326_dedup_survivors" ->
       "same recursive-UNION fixpoint as q58 (shared CC oracle chain)",
     "q175_zipf_slope" ->
-      "DuckDB SUM(BIGINT) widens to HUGEINT (int128); the n*sxy slope arithmetic overflows 64-bit under Spark's BIGINT sum",
-    "q113_pii_redact" ->
-      "the phone pattern '+[0-9]...' is legal in DuckDB's RE2 (literal dangling +) but rejected by Java regex")
+      "DuckDB SUM(BIGINT) widens to HUGEINT (int128); the n*sxy slope arithmetic overflows 64-bit under Spark's BIGINT sum")
 
   /** Oracles whose DuckDB text cannot PARSE/ANALYZE in Spark even through
     * the bridge — pinned by name so a regression that silently drops a
     * query out of the sweep fails loudly. One-line reason each.
     */
-  private val knownUnparseable: Map[String, String] = Map(
-    "q67_asof_join" ->
-      "ASOF JOIN is DuckDB syntax; Spark expresses as-of via window/join composition",
-    "q278_orc_stripes" ->
-      "quote/escape interplay in the synthetic stripe literals breaks under Spark's escaped-string parser")
+  private val knownUnparseable: Map[String, String] = Map.empty
 
   /** Bridged queries whose translated text must run through
     * [[DuckSqlBridge.runMaterializedCtes]]: their CTE chains carry heavy
@@ -91,6 +85,9 @@ class SqlFrontDoorSpec extends SparkTestBase {
     "q323_click_attribution", // struct_pack(k := v) -> named_struct
     "q93_week_trunc", // duck_dayofweek (0=Sunday)
     "q73_map_funcs", // json_type (typed JSON introspection compat)
+    "q67_asof_join", // ASOF LEFT JOIN -> LEFT OUTER JOIN LATERAL top-1
+    "q113_pii_redact", // duck_regexp_* dialect family (stale r14 exclusion)
+    "q278_orc_stripes", // comment-aware literal masking (apostrophe in --)
     "q252_repetition_signals", // FROM-unnest scan continues past select-list unnests
     "q341_audio_fingerprint") // materialized-CTE execution path
 
