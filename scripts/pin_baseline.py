@@ -14,6 +14,7 @@ import statistics
 import sys
 
 commit = sys.argv[1]
+ROUND = 15
 sweeps = [json.load(open(p)) for p in sys.argv[2:]]
 assert len(sweeps) >= 3, "need >= 3 clean sweeps"
 
@@ -30,12 +31,12 @@ total = sum(v for _, v, _ in rows)
 sweep_heads = ", ".join(
     f"{s['value']} s / {s['n_queries']}" for s in sweeps)
 
-HEADER = f"""# PINNED BASELINE — absolute per-query anchor (round 14)
+HEADER = f"""# PINNED BASELINE — absolute per-query anchor (round {ROUND})
 
 The round-over-round bench gate compares against the PREVIOUS round's
 sweep, which round 11/12 showed can itself be contention-noised. This
 file pins an ABSOLUTE anchor: per-query p50 across {len(sweeps)} clean
-interleaved full-tier sweeps of the round-14 code ({len(rows)} queries,
+interleaved full-tier sweeps of the round-{ROUND} code ({len(rows)} queries,
 sf0.1, local[32], `SPARK_GRAFT_BENCH_TIER=full` = interleaved
 median-of-3 with per-pass shuffled order — so each pinned number is the
 median of {len(sweeps)} sweep-medians, {3 * len(sweeps)} samples).
@@ -71,7 +72,7 @@ the medians shed it.
 
 ## Anchor
 
-- commit: {commit} (round 14, {len(rows)}-query surface)
+- commit: {commit} (round {ROUND}, {len(rows)}-query surface)
 - sweeps: {len(sweeps)} clean interleaved full-tier sweeps at sf0.1
   local[32] — {sweep_heads}.
 - ESTIMATOR NOTE: these are INTERLEAVED medians (each sample is a
