@@ -442,31 +442,25 @@ object Dedup {
     * at least one shared fingerprint, at ~1/window the storage of the full
     * gram set. Output: (doc_id, n_fps, fps sorted array<long>).
     *
-    * The gram-hash array is cached before windowing: the window minima
-    * reference it size(gh)-ish times, and projection collapse would
-    * otherwise inline (and re-evaluate) the whole gram computation per
-    * window.
+    * The whole gram→window-min→distinct→sort chain runs inside ONE
+    * native codegen'd expression ([[graft.plans.WinnowFingerprints]]) —
+    * O(n) per document where the pre-r15 compositional form was
+    * O(n²·w): nested higher-order lambdas evaluate interpreted, their
+    * per-position `ascii(substr(norm, i, 1))` re-scans the UTF8String
+    * from its start on every call, and staging intermediate arrays as
+    * columns is at the mercy of projection collapse re-inlining them
+    * into the consuming lambda (measured: the "staged" form ran
+    * >300 s/task in one consumer shape and 4 s in another). Values are
+    * oracle-identical on any data (both engines' ascii/substr count
+    * code points). No cache, one pass — the shape that scales.
     */
-  def winnowFingerprints(docs: DataFrame, window: Int): DataFrame = {
-    val normed = docs
+  def winnowFingerprints(docs: DataFrame, window: Int): DataFrame =
+    docs
       .select(col("doc_id"), normalize(col("text")).as("norm"))
       .filter(length(col("norm")) >= 5 + window - 1)
-    def ch(i: Column, off: Int): Column =
-      ascii(col("norm").substr(if (off == 0) i else i + off, lit(1))).cast("long")
-    val gram = (i: Column) =>
-      ch(i, 0) * 923521L + ch(i, 1) * 29791L + ch(i, 2) * 961L + ch(i, 3) * 31L + ch(i, 4)
-    // Action-scoped cache: still the projection-collapse barrier the window
-    // minima need (they reference `gh` size(gh)-ish times), but unpersisted
-    // automatically once the consuming action completes.
-    val withGh = ScopedCache.cache(normed
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("norm")) - 4), gram).as("gh")))
-    withGh.select(col("doc_id"),
-      sort_array(array_distinct(
-        transform(sequence(lit(1), size(col("gh")) - (window - 1)),
-          i => array_min(slice(col("gh"), i, lit(window)))))).as("fps"))
+        graft.plans.WinnowFingerprints(col("norm"), window).as("fps"))
       .select(col("doc_id"), size(col("fps")).as("n_fps"), col("fps"))
-  }
 
   /** SimHash near-dup pairs: Hamming distance <= maxHamming (<= 3) over the
     * 63-bit shingle simhash, with the near-dup LENGTH sanity rule

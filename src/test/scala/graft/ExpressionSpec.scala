@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.plans.{SortedLongArrayIntersectCount, VectorDotProduct}
@@ -84,6 +85,94 @@ class ExpressionSpec extends SparkTestBase {
       .head()
     assert(df.getInt(0) == 2)
     assert(df.getDouble(1) == 1.0)
+  }
+
+  test("sliding_min equals per-window array_min over random arrays") {
+    val rows = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(60))(rnd.nextLong() % 1000L))
+    for (w <- Seq(1, 3, 8)) {
+      val df = rows.toDF("gh").select(
+        graft.plans.SlidingMin(col("gh"), w).as("fast"),
+        // the compositional form this expression replaces (guarded:
+        // Spark's sequence(1, 0) DESCENDS, so short arrays need the
+        // explicit empty branch)
+        when(size(col("gh")) >= w,
+          transform(sequence(lit(1), size(col("gh")) - (w - 1)),
+            i => array_min(slice(col("gh"), i, lit(w)))))
+          .otherwise(slice(col("gh"), 1, 0)).as("ref"))
+      assert(df.filter(not(col("fast") <=> col("ref"))).count() == 0, s"w=$w")
+    }
+  }
+
+  test("sliding_min: short input empty, null array propagates, " +
+    "interpreted path agrees") {
+    val out = Seq(
+      (1, Some(Seq(5L, 2L))), // shorter than window
+      (2, None),
+      (3, Some(Seq(9L, 4L, 7L, 1L, 8L))))
+      .toDF("id", "gh")
+      .select(col("id"), graft.plans.SlidingMin(col("gh"), 3).as("m"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1) == Seq.empty)
+    assert(out(1).isNullAt(1))
+    assert(out(2).getSeq[Long](1) == Seq(4L, 1L, 1L))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    import s2.implicits._
+    val v = Seq(Seq(9L, 4L, 7L, 1L, 8L)).toDF("gh")
+      .select(graft.plans.SlidingMin(col("gh"), 3).as("m"))
+      .head().getSeq[Long](0)
+    assert(v == Seq(4L, 1L, 1L))
+  }
+
+  test("winnow_fingerprints equals the compositional ascii/substr chain " +
+    "(incl. non-ASCII code points)") {
+    val alphabet = "abcde xyzé€¿ñ"
+    val rows = Seq.fill(200)(
+      String.valueOf(Array.fill(rnd.nextInt(60))(
+        alphabet(rnd.nextInt(alphabet.length))))) ++
+      Seq("", "abcd", "abcdefghijk", "ééééééééééééééé")
+    for (w <- Seq(1, 4, 8)) {
+      def ch(i: Column, off: Int): Column =
+        ascii(col("s").substr(if (off == 0) i else i + off, lit(1))).cast("long")
+      val gram = (i: Column) =>
+        ch(i, 0) * 923521L + ch(i, 1) * 29791L + ch(i, 2) * 961L + ch(i, 3) * 31L + ch(i, 4)
+      val df = rows.toDF("s")
+        .filter(length(col("s")) >= 5 + w - 1)
+        .select(
+          graft.plans.WinnowFingerprints(col("s"), w).as("fast"),
+          sort_array(array_distinct(
+            transform(sequence(lit(1), length(col("s")) - 4 - (w - 1)),
+              i => array_min(slice(
+                transform(sequence(lit(1), length(col("s")) - 4), gram),
+                i, lit(w)))))).as("ref"))
+      assert(df.filter(not(col("fast") <=> col("ref"))).count() == 0, s"w=$w")
+    }
+  }
+
+  test("winnow_fingerprints: short input empty, null propagates, " +
+    "interpreted path agrees") {
+    val out = Seq((1, Some("abc")), (2, None), (3, Some("aaaaaabc")))
+      .toDF("id", "s")
+      .select(col("id"), graft.plans.WinnowFingerprints(col("s"), 4).as("f"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1) == Seq.empty)
+    assert(out(1).isNullAt(1))
+    assert(out(2).getSeq[Long](1).nonEmpty)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = {
+      import s2.implicits._
+      Seq("the quick brown fox").toDF("s")
+        .select(graft.plans.WinnowFingerprints(col("s"), 4).as("f"))
+        .head().getSeq[Long](0)
+    }
+    val gen = Seq("the quick brown fox").toDF("s")
+      .select(graft.plans.WinnowFingerprints(col("s"), 4).as("f"))
+      .head().getSeq[Long](0)
+    assert(interp == gen && gen.nonEmpty)
   }
 
   /** Reference implementation: hash every window independently with the
