@@ -42,9 +42,12 @@ object Round4Queries2 {
       // the per-doc join (protocol #6 — never re-derive per-row md5 chains)
       val grams = Tables.load(s, dir, "documents")
         .filter(length(col("text")) >= L)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, length(text) - ${L - 1})," +
-            s" i -> substring(text, i, $L))")).as("gram"))
+        // window extraction through the native boundary-slicing
+        // expression (r15): the compositional
+        // transform(sequence, i -> substring(text, i, L)) re-scanned the
+        // string from its start per position — O(n²) per document
+        .select(col("doc_id"),
+          explode(graft.plans.WindowSubstrings(col("text"), L)).as("gram"))
         .select(col("doc_id"), HashFunctions.hash32(col("gram")).as("gh"))
         .transform(graft.operators.ScopedCache.cache)
       val shared = grams.groupBy("gh")

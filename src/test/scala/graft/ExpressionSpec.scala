@@ -175,6 +175,40 @@ class ExpressionSpec extends SparkTestBase {
     assert(interp == gen && gen.nonEmpty)
   }
 
+  test("window_substrings equals transform+substring (incl. non-ASCII)") {
+    val alphabet = "abc defé€ñ"
+    val rows = Seq.fill(200)(
+      String.valueOf(Array.fill(rnd.nextInt(50))(
+        alphabet(rnd.nextInt(alphabet.length))))) ++
+      Seq("", "ab", "ééééé")
+    for (w <- Seq(1, 3, 20)) {
+      val df = rows.toDF("s").select(
+        graft.plans.WindowSubstrings(col("s"), w).as("fast"),
+        when(length(col("s")) >= w,
+          transform(sequence(lit(1), length(col("s")) - (w - 1)),
+            i => col("s").substr(i, lit(w))))
+          .otherwise(array().cast("array<string>")).as("ref"))
+      assert(df.filter(not(col("fast") <=> col("ref"))).count() == 0, s"w=$w")
+    }
+    // null propagates; interpreted path agrees
+    val nul = Seq((1, None: Option[String]), (2, Some("abcdef")))
+      .toDF("id", "s")
+      .select(col("id"), graft.plans.WindowSubstrings(col("s"), 3).as("v"))
+      .orderBy("id").collect()
+    assert(nul(0).isNullAt(1))
+    assert(nul(1).getSeq[String](1) == Seq("abc", "bcd", "cde", "def"))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = {
+      import s2.implicits._
+      Seq("abcdef").toDF("s")
+        .select(graft.plans.WindowSubstrings(col("s"), 3).as("v"))
+        .head().getSeq[String](0)
+    }
+    assert(interp == Seq("abc", "bcd", "cde", "def"))
+  }
+
   /** Reference implementation: hash every window independently with the
     * same polynomial — no rolling reuse, so a recurrence bug cannot hide.
     */
