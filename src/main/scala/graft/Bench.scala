@@ -38,6 +38,11 @@ import org.apache.spark.sql.SparkSession
   * if it correlates with loadavg alone it is co-tenant contention. After
   * each query's repeats, [[graft.operators.ScopedCache.drain]] zeroes
   * cross-query cache residency (within-query warmth is already spent).
+  * For flagged movers, the compact STDOUT line additionally carries
+  * `"mdiag"`: per-pass `[gcSec, loadavg]` rows plus one final row for the
+  * rerun window — the two columns PINNED_BASELINE.md's substitution rule
+  * adjudicates on, so the driver-captured BENCH_rN artifact alone supports
+  * (or refutes) a contention substitution without out-of-band sweeps.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -147,6 +152,14 @@ object Bench {
     // attributable to its own window, not smeared across repeats
     val diag = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    // Compact [gcSec, loadavg] per run, kept separately so the stdout line
+    // can carry the SUBSTITUTION-RULE evidence for flagged movers without
+    // blowing its char budget: PINNED_BASELINE's adjudication needs exactly
+    // these two columns (gcSec ~ excess -> GC debt; flat gc + loadavg >>
+    // worker count -> co-tenant), and round 15's verdict held two movers
+    // `weak` solely because the driver artifact carried reruns with no diag.
+    val diagGL = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
     val timesByName = scala.collection.mutable.LinkedHashMap(
       allQueries.map(q => q._1 ->
         scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
@@ -166,13 +179,19 @@ object Bench {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       val gcSec = (gcMillis() - gc0) / 1000.0
+      val load = loadAvg()
       diag.getOrElseUpdate(name,
         scala.collection.mutable.ArrayBuffer.empty[String]) +=
         ("[" + heapMb + "," +
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(gcSec)) + "," +
           storageMb() + "," +
-          String.format(java.util.Locale.ROOT, "%.2f", Double.box(loadAvg())) +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(load)) +
           "," + graft.operators.ScopedCache.pendingCount + "]")
+      diagGL.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty[String]) +=
+        ("[" +
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(gcSec)) + "," +
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(load)) + "]")
       graft.operators.ScopedCache.drain()
       // NO System.gc() here — measured and rejected (PERF.md round 12):
       // a forced collection per query did flatten the heap (median
@@ -275,6 +294,7 @@ object Bench {
     // at most ~12 queries x 2 extra runs and make the verdict stable.
     val movedPairs = ok.filter { case (k, _) => movers(k) }
       .sortBy(-_._2).take(12).map { case (k, v) =>
+        val gc0 = gcMillis()
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try {
@@ -284,6 +304,15 @@ object Bench {
           } catch { case _: Throwable => -1.0 }
         }
         graft.operators.ScopedCache.drain()
+        // rerun-window diag row, appended after the per-pass rows — the
+        // adjudicator needs the CONDITIONS the substitute was measured
+        // under, not just its value
+        diagGL.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty[String]) +=
+          ("[" + String.format(java.util.Locale.ROOT, "%.1f",
+              Double.box((gcMillis() - gc0) / 1000.0)) + "," +
+            String.format(java.util.Locale.ROOT, "%.1f",
+              Double.box(loadAvg())) + "]")
         val rerun =
           if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1)
         (k, v, rerun)
@@ -291,11 +320,18 @@ object Bench {
     val movedJson = movedPairs.map { case (k, v, r) =>
       "\"" + k.takeWhile(_ != '_') + "\":[" + fmt(v) + "," + fmt(r) + "]"
     }.mkString("{", ",", "}")
+    // [gcSec, loadavg] per SWEEP PASS plus one final row for the rerun
+    // window, per flagged mover — the exact evidence PINNED_BASELINE.md's
+    // substitution rule requires, in the driver-captured artifact itself.
+    val mdiagJson = movedPairs.map { case (k, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        diagGL.getOrElse(k, Nil).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${ok.size},"mean_per_query":${fmt(mean)},""" +
       s""""repeats":$repeats,"tier":"$tier","pinned":${pinned.size},""" +
       s""""errors":$errs,"movers":${movers.size},""" +
-      s""""moved":$movedJson,""" +
+      s""""moved":$movedJson,"mdiag":$mdiagJson,""" +
       s""""sf":"$sfDir","queries":{"""
     val budget = 1800 - head.length - 40 // room for closing + omitted count
     val bySlow = ok.sortBy { case (k, v) => (if (movers(k)) 0 else 1, -v) }

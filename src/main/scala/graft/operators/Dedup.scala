@@ -235,7 +235,17 @@ object Dedup {
     val base = basePath.getOrElse(spark.sessionState.conf.warehousePath)
     def save(df: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      df.write.format("parquet").mode("overwrite")
+      // Repartition ON the bucket columns INTO `buckets` partitions before
+      // the bucketed write: Spark's bucket-id assignment is the same
+      // pmod(murmur3, n) as DataFrame hash partitioning, so each write task
+      // then holds exactly one bucket and emits ONE file — without this,
+      // every upstream task writes a file per bucket it touches
+      // (32 tasks x 8 buckets = 256 ~8 KB files measured at sf0.1), and a
+      // cold probe pays ~250 opens + footer reads before its first byte of
+      // data. One-file-per-bucket is also the 100 TB posture: probe-side
+      // parallelism comes from the bucket count, not from file shards.
+      df.repartition(buckets, bucketCols.map(col): _*)
+        .write.format("parquet").mode("overwrite")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .option("path", s"$base/$table")
@@ -333,7 +343,9 @@ object Dedup {
     requireValidTable(indexTable); requireValidTable(shingleTable)
     val hs = newDocs.filter(size(split(col("text"), " ")) >= shingleK)
       .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("sh"))
-      .repartition(col("doc_id"))
+      // bucket-aligned partition count (see writeLshIndex): each append
+      // adds ONE file per bucket, not one per (task, bucket) pair
+      .repartition(buckets, col("doc_id"))
       // persist: the two saveAsTable calls below are separate ACTIONS with
       // independently planned physical plans — without materializing here,
       // the batch's md5-per-shingle hashing would run once per write
@@ -344,6 +356,7 @@ object Dedup {
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .saveAsTable(shingleTable)
       bandedFromHashes(hs, rowsPerBand)
+        .repartition(buckets, col("band"), col("key"))
         .write.format("parquet").mode("append")
         .bucketBy(buckets, "band", "key").sortBy("band", "key")
         .saveAsTable(indexTable)
@@ -573,6 +586,103 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sim64").bitwiseXOR(col("b.sim64"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** PERSISTED 64-bit-fingerprint index lifecycle — the incremental path
+    * for every banded-Hamming modality ([[banded64Pairs]]'s one-shot
+    * shape, split into write / ensure / append / probe verbs like the
+    * text-LSH lifecycle): a curation loop probes TODAY'S batch of image /
+    * audio / video fingerprints against YESTERDAY'S corpus without
+    * re-fingerprinting history. The stored table is the banded form —
+    * (doc_id, sim64, band, key), four rows per doc — bucketed + sorted by
+    * (band, key) so a probe's candidate join reads the buckets without a
+    * history-side exchange; `sim64` rides along so the exact popcount
+    * verify needs no second table. One file per bucket (the writer
+    * repartitions on the bucket columns — see [[writeLshIndex]]).
+    */
+  def writeSim64Index(hashes: DataFrame, indexTable: String,
+      buckets: Int = 8, basePath: Option[String] = None): Unit = {
+    val spark = hashes.sparkSession
+    requireValidTable(indexTable)
+    val base = basePath.getOrElse(spark.sessionState.conf.warehousePath)
+    spark.sql(s"DROP TABLE IF EXISTS $indexTable")
+    bandedSim64(hashes)
+      .repartition(buckets, col("band"), col("key"))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .option("path", s"$base/$indexTable")
+      .saveAsTable(indexTable)
+    spark.sql(s"ALTER TABLE $indexTable SET TBLPROPERTIES(" +
+      s"'graft.sim64.params' = 'buckets=$buckets')")
+  }
+
+  /** The four-16-bit-band explosion of a `(doc_id, sim64)` table — the
+    * exact banding [[banded64Pairs]] joins on, factored out so stored
+    * index rows are indistinguishable from recomputed ones.
+    */
+  private def bandedSim64(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("sim64"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sim64"), 16 * b).bitwiseAND(lit(65535L)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim64"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Build-once guard. Unlike [[ensureLshIndex]], the expected corpus size
+    * comes in as `nDocs` and `hashes` is BY-NAME: fingerprint tables are
+    * expensive to build (the video one synthesizes and walks an MP4 per
+    * row), so the freshness check must not evaluate them — the caller
+    * supplies the cheap count (a column-pruned scan of the source), and
+    * the fingerprint computation runs only when a build actually happens.
+    * Append-only corpora only, the lifecycle's standing contract.
+    */
+  def ensureSim64Index(hashes: => DataFrame, nDocs: Long, indexTable: String,
+      buckets: Int = 8, basePath: Option[String] = None): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    requireValidTable(indexTable)
+    val fresh = spark.catalog.tableExists(indexTable) && {
+      val props = spark.sql(s"SHOW TBLPROPERTIES $indexTable")
+        .filter(col("key") === "graft.sim64.params")
+        .select("value").collect() // catalog metadata: one tiny driver row
+      props.headOption.exists(_.getString(0) == s"buckets=$buckets")
+    } && spark.table(indexTable).count() == 4L * nDocs
+    if (!fresh) writeSim64Index(hashes, indexTable, buckets, basePath)
+    !fresh
+  }
+
+  /** Commit verb: band the NEW batch and append bucket-aligned; history is
+    * never read, so the nightly loop's write stays O(batch).
+    */
+  def appendSim64Index(newHashes: DataFrame, indexTable: String,
+      buckets: Int = 8): Unit = {
+    requireValidTable(indexTable)
+    bandedSim64(newHashes)
+      .repartition(buckets, col("band"), col("key"))
+      .write.format("parquet").mode("append")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(indexTable)
+  }
+
+  /** Probe verb: candidates from the (band, key) equi-join against the
+    * stored banded index — exchange-free on the history side off its
+    * buckets — then the exact popcount filter, both sims read from the
+    * join itself. Output (new_doc, old_doc, hamming), all pairs with
+    * Hamming <= maxHamming (recall guaranteed to radius 3 by pigeonhole,
+    * as in [[banded64Pairs]]).
+    */
+  def probeSim64Index(newHashes: DataFrame, maxHamming: Int,
+      indexTable: String): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to radius 3")
+    val spark = newHashes.sparkSession
+    bandedSim64(ScopedCache.cache(newHashes)).as("a")
+      .join(spark.table(indexTable).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("old_doc"),
         bit_count(col("a.sim64").bitwiseXOR(col("b.sim64"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

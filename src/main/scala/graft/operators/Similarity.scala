@@ -300,7 +300,14 @@ object Similarity {
     val base = basePath.getOrElse(spark.sessionState.conf.warehousePath)
     def save(df: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      val w = df.write.format("parquet").mode("overwrite")
+      // bucket-aligned repartition, same rationale as Dedup.writeLshIndex:
+      // one file per bucket instead of one per (upstream task, bucket) —
+      // the 257-file vecTable measured at sf0.1 made every COLD probe pay
+      // ~250 opens + footer reads before touching data
+      val part =
+        if (bucketCols.isEmpty) df
+        else df.repartition(buckets, bucketCols.map(col): _*)
+      val w = part.write.format("parquet").mode("overwrite")
         .option("path", s"$base/$table")
       (if (bucketCols.isEmpty) w
        else w.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
@@ -441,10 +448,12 @@ object Similarity {
       KMeans.assignments(nv, centroids)
         .select(col("vec_id"), col("cluster"),
           pqCode(col("embedding")).as("pq_code"))
+        .repartition(buckets, col("cluster"))
         .write.format("parquet").mode("append")
         .bucketBy(buckets, "cluster").sortBy("cluster")
         .saveAsTable(codesTable)
       withNorm(nv)
+        .repartition(buckets, col("vec_id"))
         .write.format("parquet").mode("append")
         .bucketBy(buckets, "vec_id").sortBy("vec_id")
         .saveAsTable(vecTable)

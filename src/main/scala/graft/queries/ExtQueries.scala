@@ -226,8 +226,14 @@ object ExtQueries {
     * e, c0 (init), a1, c1, ..., a$iters, c$iters, and `af` = the final
     * assignment (vec_id, cluster, embedding, d2). Every fold is the same
     * sequential double list_reduce the Spark expressions use.
+    *
+    * `eBody` overrides the corpus CTE — the default trains on the raw
+    * embeddings table; q348 passes a DERIVED corpus (256 base vectors x 16
+    * exact power-of-two-scaled copies) so the chain can be unrolled at the
+    * k semanticDedup derives past the 2048-row fixture bound.
     */
-  private[queries] def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private[queries] def kmeansCtes(k: Int, iters: Int, dim: Int,
+      eBody: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     def assignCte(cents: String, out: String): String =
       s"""$out AS (SELECT vec_id, cluster, embedding, d2 FROM (
          |  SELECT e.vec_id, $cents.cluster, e.embedding,
@@ -245,10 +251,10 @@ object ExtQueries {
     val rounds = (1 to iters).map { r =>
       s"${assignCte(s"c${r - 1}", s"a$r")}, ${updateCtes(s"a$r", s"m$r", s"c$r")}"
     }.mkString(",\n      ")
-    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS ($eBody),
       c0 AS (SELECT vec_id AS cluster,
                     list_transform(embedding, x -> x::DOUBLE) AS centroid
-             FROM embeddings WHERE vec_id < $k),
+             FROM e WHERE vec_id < $k),
       $rounds,
       ${assignCte(s"c$iters", "af")}"""
   }

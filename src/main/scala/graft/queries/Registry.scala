@@ -20,7 +20,7 @@ object Registry {
       Round10Queries2.all ++ Round10Queries3.all ++ Round11Queries.all ++
       Round11Queries2.all ++ Round12Queries.all ++ Round13Queries.all ++
       Round13Queries2.all ++ Round13Queries3.all ++ Round13Queries4.all ++
-      Round14Queries.all ++ Round15Queries.all
+      Round14Queries.all ++ Round15Queries.all ++ Round16Queries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

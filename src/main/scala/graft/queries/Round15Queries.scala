@@ -34,9 +34,14 @@ object Round15Queries {
     * video corpus.
     */
   private[queries] def videoHashTable(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String,
+      where: org.apache.spark.sql.Column = lit(true)): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // `where` lands BELOW the opaque per-row synth map (a typed map blocks
+    // filter pushdown), so an index probe fingerprints only its own split
+    // instead of synthesizing the whole corpus and discarding 4/5 of it
     val src = Tables.load(s, dir, "documents")
+      .filter(where)
       .select(col("doc_id"),
         octet_length(col("text")).cast("int").as("n"),
         pmod(HashFunctions.hash32(col("text")), lit(200)).cast("int").as("v"))
@@ -124,6 +129,16 @@ object Round15Queries {
     * cumulative keyframe-size list — pure list lambdas, one row per doc.
     */
   private[queries] def videoCandCtes: String =
+    s"""$videoBandCtes,
+    vcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+             FROM vbx a JOIN vbx b
+               ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+
+  /** The chain up to the banded rows `vbx(doc_id, lo, hi, j, bv)` — shared
+    * by the self-join candidates above and q347's history/new split probe.
+    */
+  private[queries] def videoBandCtes: String =
     """vd AS (SELECT doc_id,
                       CAST(octet_length(encode(text)) AS INTEGER) % 3 AS c,
                       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 200
@@ -183,11 +198,7 @@ object Round15Queries {
                             WHEN 1 THEN (lo >> 16) & 65535
                             WHEN 2 THEN hi & 65535
                             ELSE (hi >> 16) & 65535 END AS bv
-            FROM vh, unnest([0, 1, 2, 3]) AS u(j)),
-    vcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
-             FROM vbx a JOIN vbx b
-               ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+            FROM vh, unnest([0, 1, 2, 3]) AS u(j))"""
 
   /** VIDEO FINGERPRINT NEAR-DUP — q341's perceptual dedup in the video
     * modality: banded pairs over [[videoHashTable]] at Hamming ≤ 2. The

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, count, crc32, lit, pmod, sum}
 
@@ -127,6 +129,31 @@ object CompressedIngest {
     tmpRoot.resolve(
       s"${flavor}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
+  /** Dumps this JVM has already verified fresh, keyed by dump path, valued
+    * by the SOURCE parquet's filesystem signature (name, size, mtime per
+    * file) at verification time. The content-fingerprint check below costs
+    * two full scans (source parquet + the compressed dump — for gzip, a
+    * full decompression); paying that on EVERY call made a bench repeat of
+    * q203 3 reads of `documents` instead of 1, and made the COLD-cache
+    * first pass the sweep's recurring phantom mover. The cheap metadata
+    * signature catches the one event the content check guarded against —
+    * the driver regenerating testdata mid-JVM rewrites the parquet files,
+    * changing mtimes — so a signature hit can skip straight to the read.
+    */
+  private val verified =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def srcSignature(sfDir: String): String = {
+    val dir = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    if (!java.nio.file.Files.isDirectory(dir)) return "missing"
+    val s = java.nio.file.Files.list(dir)
+    try s.sorted().iterator().asScala
+      .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .mkString(";")
+    finally s.close()
+  }
+
   private def memoized(spark: SparkSession, sfDir: String, flavor: String,
       read: String => DataFrame,
       write: (DataFrame, String) => Unit): DataFrame = {
@@ -135,23 +162,28 @@ object CompressedIngest {
     val path = dumpPath(sfDir, flavor)
     val lock = keyLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
-      // Freshness = CONTENT fingerprint, not row count alone: (count,
-      // sum crc32(text), sum doc_id) in one pass per side — a dump whose
-      // text diverged from the source while the count matched (e.g. the
-      // driver regenerating testdata mid-JVM) now triggers a rewrite
-      // instead of being silently reused.
-      def fp(df: DataFrame): (Long, Long, Long) = {
-        val r = df.agg(
-          count(lit(1)),
-          coalesce(sum(crc32(col("text"))), lit(0L)),
-          coalesce(sum(col("doc_id")), lit(0L))).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val sig = srcSignature(sfDir)
+      if (verified.get(path) != sig) {
+        // Freshness = CONTENT fingerprint, not row count alone: (count,
+        // sum crc32(text), sum doc_id) in one pass per side — a dump whose
+        // text diverged from the source while the count matched (e.g. the
+        // driver regenerating testdata mid-JVM) triggers a rewrite instead
+        // of being silently reused. Verified once per (JVM, source files);
+        // later calls hit the signature cache above.
+        def fp(df: DataFrame): (Long, Long, Long) = {
+          val r = df.agg(
+            count(lit(1)),
+            coalesce(sum(crc32(col("text"))), lit(0L)),
+            coalesce(sum(col("doc_id")), lit(0L))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val expected = fp(src)
+        val fresh =
+          try fp(read(path)) == expected
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!fresh) write(src, path)
+        verified.put(path, sig)
       }
-      val expected = fp(src)
-      val fresh =
-        try fp(read(path)) == expected
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (!fresh) write(src, path)
     }
     read(path)
   }

@@ -253,6 +253,22 @@ class DedupSpec extends SparkTestBase {
     assert(desc.get("Num Buckets").exists(_.trim == "8"), desc.get("Num Buckets"))
     assert(desc.get("Bucket Columns").exists(v =>
       v.contains("band") && v.contains("key")), desc.get("Bucket Columns"))
+    // ONE data file per bucket: the writer repartitions on the bucket
+    // columns first, so the layout is at most `buckets` parquet files —
+    // without that, every upstream task writes a file per bucket it
+    // touches (measured 249-257 ~8 KB files at sf0.1) and a COLD probe
+    // pays ~250 opens + footer reads before its first byte of data.
+    for (t <- Seq("spec_lsh_index", "spec_lsh_shingles")) {
+      val loc = spark.sql(s"DESCRIBE FORMATTED $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .apply("Location").trim.stripPrefix("file:")
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(loc))
+      val nData =
+        try files.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .count()
+        finally files.close()
+      assert(nData <= 8, s"$t has $nData data files (want <= 8 buckets)")
+    }
   }
 
   test("ensureLshIndex builds once, skips when fresh, rebuilds on history growth") {
@@ -362,5 +378,64 @@ class DedupSpec extends SparkTestBase {
       .select("i", "j", "inter").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L, 11L)))
+  }
+
+  test("sim64 index lifecycle: probe == one-shot recompute; ensure builds once; append visible") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def hashes(rows: (Long, Long)*) = rows.toSeq.toDF("doc_id", "sim64")
+    // history: 1 and 2 are Hamming-1 apart, 3 is far; new doc 10 is
+    // Hamming-2 from 1 (bits 0 and 17 -> two DIFFERENT bands, so only the
+    // two intact bands can generate the candidate)
+    val h1 = 0x0123456789abcdefL
+    val hist = hashes(1L -> h1, 2L -> (h1 ^ 1L), 3L -> 0x7edcba9876543210L)
+    val newDocs = hashes(10L -> (h1 ^ 1L ^ (1L << 17)))
+    var builds = 0
+    def ensure(h: org.apache.spark.sql.DataFrame, n: Long): Boolean = {
+      val b = Dedup.ensureSim64Index({ builds += 1; h }, n,
+        indexTable = "spec_sim64_index")
+      b
+    }
+    assert(ensure(hist, 3), "first ensure must build")
+    assert(!ensure(hist, 3), "fresh index must be reused")
+    val probe1 = Dedup.probeSim64Index(newDocs, maxHamming = 2,
+      indexTable = "spec_sim64_index")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").longValue)).toSet
+    // one-shot reference: banded64Pairs over the union, restricted to
+    // (new, old) cross pairs
+    val ref = Dedup.banded64Pairs(hist.unionAll(newDocs), maxHamming = 2)
+      .collect()
+      .flatMap { r =>
+        val (a, b, hm) =
+          (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue)
+        if (a == 10L) Some((a, b, hm))
+        else if (b == 10L) Some((b, a, hm)) else None
+      }.toSet
+    assert(probe1 == ref, s"probe $probe1 != recompute $ref")
+    assert(probe1.map(p => (p._1, p._2)) == Set((10L, 1L), (10L, 2L)))
+    // commit the batch; a second batch must match against it through the
+    // STORED rows only
+    Dedup.appendSim64Index(newDocs, "spec_sim64_index")
+    assert(!ensure(hist.unionAll(newDocs), 4),
+      "appended index must count as fresh for the grown corpus")
+    val batch2 = hashes(20L -> (h1 ^ 1L ^ (1L << 17))) // == doc 10's hash
+    val probe2 = Dedup.probeSim64Index(batch2, maxHamming = 2,
+      indexTable = "spec_sim64_index")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe2.contains((20L, 10L)), s"appended row not matched: $probe2")
+    // by-name contract: the fingerprint frame was CONSTRUCTED only for
+    // the one build, never for the fresh-skip ensures
+    assert(builds == 1, s"hashes evaluated $builds times (want 1 build)")
+    // layout: at most one data file per bucket per write (build + append)
+    val loc = spark.sql("DESCRIBE FORMATTED spec_sim64_index").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("Location").trim.stripPrefix("file:")
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(loc))
+    val nData =
+      try files.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally files.close()
+    assert(nData <= 16, s"$nData data files (want <= 8 buckets x 2 writes)")
   }
 }
