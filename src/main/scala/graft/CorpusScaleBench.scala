@@ -81,9 +81,12 @@ object CorpusScaleBench {
       time("substring_dedup") {
         val grams = corpus
           .filter(length(col("text")) >= 20)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, length(text) - 19)," +
-              " i -> substring(text, i, 20))")).as("gram"))
+          // native O(n) window extraction — the r16 audit found the OLD
+          // transform(sequence, i -> substring(text, i, 20)) form (O(n²)
+          // per doc: each substring re-scans the UTF8String) surviving
+          // here after q121 itself was converted
+          .select(col("doc_id"),
+            explode(graft.plans.WindowSubstrings(col("text"), 20)).as("gram"))
           .select(col("doc_id"), functions.HashFunctions.hash32(col("gram")).as("gh"))
           .cache()
         val shared = grams.groupBy("gh")

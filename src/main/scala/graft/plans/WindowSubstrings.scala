@@ -9,7 +9,12 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: ALL length-`winLen` CHARACTER windows of a
   * string at stride 1, as one `array<string>` — byte-identical to
-  * `transform(sequence(1, length(s) - winLen + 1), i -> substring(s, i, winLen))`.
+  * `transform(sequence(1, length(s) - winLen + 1), i -> substring(s, i, winLen))`
+  * ONLY for inputs with length(s) >= winLen. Shorter inputs yield an
+  * EMPTY array (the intended contract), while the sequence() form
+  * DESCENDS for an upper bound <= 0 and emits bogus windows — callers
+  * must keep the `length >= winLen` guard (Round4Queries2 does) if they
+  * ever substitute one for the other.
   *
   * Why native: `substring(s, i, L)` re-scans the UTF8String from its
   * start to locate character i (code points are variable-width bytes), so

@@ -272,9 +272,12 @@ object Round4Queries {
         .filter(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("wc"))
       words
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, length(w) - 1)," +
-            " i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))")).as("pair"))
+        // adjacent char pairs = all 2-char windows; the native expression
+        // replaces the per-position substring() form (each substring
+        // re-scans the UTF8String — harmless at word length, but the r16
+        // audit removes the pattern everywhere)
+        .select(col("wc"),
+          explode(graft.plans.WindowSubstrings(col("w"), 2)).as("pair"))
         .groupBy("pair").agg(sum("wc").as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)

@@ -59,10 +59,26 @@ case class JsonTypeCompat(left: Expression, right: Expression)
   override def nullSafeEval(json: Any, path: Any): Any = {
     val p = path.toString
     if (!p.startsWith("$")) return null
+    // quoted keys ('$."a.b"') are not resolved here — fail LOUDLY instead
+    // of returning a NULL that would surface as a confusing oracle
+    // mismatch far from the cause (array [n] segments ARE supported below)
+    if (p.contains('"'))
+      throw new IllegalArgumentException(
+        s"json_type compat does not resolve quoted path keys: $p")
     try {
       var node = JsonTypeCompat.mapper.readTree(json.toString)
-      p.drop(1).split("\\.").filter(_.nonEmpty).foreach { k =>
-        if (node != null) node = node.get(k)
+      p.drop(1).split("\\.").filter(_.nonEmpty).foreach { seg =>
+        if (node != null) {
+          // each dot segment is a bare field name followed by zero or
+          // more [n] array indices, matching DuckDB's resolution
+          val m = JsonTypeCompat.segPat.findFirstMatchIn(seg).getOrElse(
+            throw new IllegalArgumentException(
+              s"json_type compat cannot parse path segment '$seg' in $p"))
+          if (m.group(1).nonEmpty) node = node.get(m.group(1))
+          JsonTypeCompat.idxPat.findAllMatchIn(m.group(2)).foreach { ix =>
+            if (node != null) node = node.get(ix.group(1).toInt)
+          }
+        }
       }
       if (node == null) null
       else org.apache.spark.unsafe.types.UTF8String.fromString {
@@ -75,7 +91,12 @@ case class JsonTypeCompat(left: Expression, right: Expression)
         else if (node.isArray) "ARRAY"
         else "OBJECT"
       }
-    } catch { case scala.util.control.NonFatal(_) => null }
+    } catch {
+      // unsupported-path errors must escape (fail loudly, per contract
+      // above); only malformed DOCUMENTS degrade to NULL like DuckDB's
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(_) => null
+    }
   }
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
@@ -83,6 +104,8 @@ case class JsonTypeCompat(left: Expression, right: Expression)
 
 object JsonTypeCompat {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val segPat = "^([^\\[\\]]*)((?:\\[\\d+\\])*)$".r
+  private val idxPat = "\\[(\\d+)\\]".r
 }
 
 /** DuckDB `chr()` takes a UNICODE CODE POINT (chr(233) = 'é',
@@ -109,6 +132,78 @@ case class CodePointChr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** DuckDB's SUM over INTEGER-typed expressions widens to HUGEINT (int128),
+  * so its oracle arithmetic never overflows; Spark's SUM keeps BIGINT and
+  * wraps (or, under ANSI, throws) past 2^63. `duck_sum` (the bridge
+  * renames every `sum(` call site) reproduces the widening exactly on its
+  * exact domain: an INTEGRAL child is cast to DECIMAL(38,0) before the
+  * native Sum — exact to 10^38, far above any moment this surface
+  * accumulates — while FLOAT/DOUBLE/DECIMAL children pass through
+  * untouched (casting a double to scale-0 decimal would destroy it). The
+  * dispatch happens at analysis time off the resolved child type, which
+  * is why this is an expression and not a text rewrite.
+  */
+case class WidenIntegralSum(child: Expression) extends RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType =>
+      Cast(child, org.apache.spark.sql.types.DecimalType(38, 0))
+    case _ => child
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The oracle texts' dot product — DuckDB
+  * `list_reduce(list_transform(generate_series(1, n), i -> a[i]::DOUBLE *
+  * b[i]::DOUBLE), (x, y) -> x + y)` — as one direct loop. The HOF chain is
+  * CORRECT in Spark but catastrophically slow: every per-row eval
+  * materializes the series array and the transformed array and dispatches
+  * an interpreted lambda per element, and the within-cluster pair scans
+  * (q348's `dom`) evaluate it millions of times (measured: a 293 s task
+  * that this expression finishes in ~2 s). Semantics preserved exactly:
+  * sequential left-to-right double accumulation, floats widened before the
+  * multiply, NULL when either array is NULL, shorter than n, or has a NULL
+  * element in the first n (a[i] out of range / NULL poisons DuckDB's sum).
+  */
+case class BoundedVectorDot(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "duck_dot"
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(a: Any, b: Any, nv: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = nv.asInstanceOf[Number].intValue()
+    if (x.numElements() < n || y.numElements() < n) return null
+    val lf = isFloat(first)
+    val rf = isFloat(second)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object DuckSqlBridge {
 
   // ---------------- function aliases (parser-level equivalents) --------
@@ -124,6 +219,14 @@ object DuckSqlBridge {
     val emptyLongArray: Expression = // array<bigint> of size 0
       Slice(Sequence(Literal(0L), Literal(0L), None), Literal(1), Literal(0))
     reg("epoch_us")(a => UnixMicros(a.head))
+    // HUGEINT-widening SUM (see WidenIntegralSum): the analyzer wraps the
+    // returned AggregateFunction in an AggregateExpression itself, so
+    // DISTINCT / FILTER / OVER forms all keep working
+    reg("duck_sum")(a =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+        WidenIntegralSum(a.head)))
+    // the oracle dot-product idiom as a direct loop (see BoundedVectorDot)
+    reg("duck_dot")(a => BoundedVectorDot(a(0), a(1), a(2)))
     reg("xor")(a => BitwiseXor(a(0), a(1)))
     reg("list_transform")(a => ArrayTransform(a(0), lam(a.tail)))
     reg("list_filter")(a => ArrayFilter(a(0), lam(a.tail)))
@@ -338,6 +441,16 @@ object DuckSqlBridge {
     s = """generate_series\(([^()]*)\)\s+(?:AS\s+)?(\w+)\s*\((\w+)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(generate_series(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
+    // The dotSql/d2Sql dot-product idiom → duck_dot (BoundedVectorDot):
+    // the HOF chain is semantically right but interpreted-eval'd with two
+    // array allocations + ~192 lambda dispatches per row — quadratic pair
+    // scans over it run minutes-per-task. Must run BEFORE the ::cast and
+    // [bracket] rewrites (it matches their raw DuckDB spellings).
+    s = ("""list_reduce\(list_transform\(generate_series\(1,\s*(\d+)\),""" +
+      """\s*i\s*->\s*([\w.]+)\[i\]::DOUBLE\s*\*\s*([\w.]+)\[i\]::DOUBLE\),""" +
+      """\s*\(x,\s*y\)\s*->\s*x\s*\+\s*y\)""").r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"duck_dot(${m.group(2)}, ${m.group(3)}, ${m.group(1)})"))
     // struct_pack(k := v, ...) — DuckDB named-argument struct literal →
     // named_struct('k', v, ...)
     s = rewriteStructPack(s)
@@ -365,6 +478,11 @@ object DuckSqlBridge {
     // DuckDB semantics into the DataFrame implementations under test
     // (regexp_replace's replacement dialect did exactly that before
     // this rename). Order: _extract_all before _extract.
+    // SUM over integers must widen like DuckDB's (BIGINT -> HUGEINT);
+    // duck_sum dispatches on the RESOLVED child type, so double sums are
+    // untouched and sums that feed >int64 moment arithmetic (q175's
+    // slope, q177's covariances) stay exact
+    s = """(?i)(?<![\w_])sum\(""".r.replaceAllIn(s, "duck_sum(")
     s = """(?<![\w_])regexp_replace\(""".r.replaceAllIn(s, "duck_regexp_replace(")
     s = """(?<![\w_])regexp_extract_all\(""".r.replaceAllIn(s, "duck_regexp_extract_all(")
     s = """(?<![\w_])regexp_extract\(""".r.replaceAllIn(s, "duck_regexp_extract(")
@@ -426,7 +544,16 @@ object DuckSqlBridge {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
-        while (i < s.length && s.charAt(i) != '\n') { out.append(s.charAt(i)); i += 1 }
+        // mask the COMMENT BODY like a literal: downstream rewrites must
+        // never see comment content — a function name gets renamed inside
+        // prose (cosmetic), and an unbalanced '(' in a comment derails
+        // every matchParen-based rewrite for the rest of the text
+        i += 2
+        val body = new StringBuilder
+        while (i < s.length && s.charAt(i) != '\n') { body.append(s.charAt(i)); i += 1 }
+        lits += body.toString
+        out.append("--").append('\u0001').append(n.toString).append('\u0001')
+        n += 1
       } else if (c == '\'') {
         i += 1
         val body = new StringBuilder
@@ -571,9 +698,25 @@ object DuckSqlBridge {
         i += 1
       }
       val cond = s.substring(condStart, end).trim
-      // the inequality conjunct carries the time order
-      val ineq = splitTopLevelAnd(cond).find(p =>
-        p.contains(">=") || p.contains("<="))
+      val conjuncts = splitTopLevelAnd(cond)
+      // the time conjunct is the >= / <= that RELATES the two sides:
+      // exactly one operand references the right alias. A range bound on
+      // one side alone ('a.x >= 0') listed first must not be chosen — it
+      // would order the lateral top-1 by the wrong column.
+      val ineqs = conjuncts.filter(p => p.contains(">=") || p.contains("<="))
+      val ineq = ineqs.find { p =>
+        val op = if (p.contains(">=")) ">=" else "<="
+        val oi = p.indexOf(op)
+        p.substring(0, oi).contains(r + ".") ^
+          p.substring(oi + 2).contains(r + ".")
+      }.orElse(ineqs.headOption)
+      // a strict-inequality ASOF ('<' / '>') has DIFFERENT semantics (the
+      // nearest row strictly before/after) — bail LOUDLY rather than leave
+      // the text untranslated to surface as a confusing parse-skip
+      if (ineq.isEmpty && conjuncts.exists(p =>
+          p.contains("<") || p.contains(">")))
+        throw new IllegalArgumentException(
+          s"ASOF JOIN with a strict time inequality is not bridged: $cond")
       ineq match {
         case None => return s // not the shape we can expand
         case Some(p) =>
@@ -757,8 +900,13 @@ object DuckSqlBridge {
       case (_, name) =>
         val (stripped, _) = framed(name)
         // defs were located in `s`; re-locate the twin's anchor in `out`
-        // by the definition text (window defs are unique in these texts)
-        val anchor = out.indexOf(s"$name AS (")
+        // searching FROM the WINDOW keyword — a plain indexOf could match
+        // a same-named CTE ('w AS (' is a plausible CTE header) earlier in
+        // the text and splice the twin into the CTE's parens
+        val winAt = """(?<![\w_])WINDOW\s""".r.findFirstMatchIn(out)
+          .map(_.start).getOrElse(-1)
+        val anchor =
+          if (winAt < 0) -1 else out.indexOf(s"$name AS (", winAt)
         if (anchor >= 0) {
           val open = out.indexOf('(', anchor)
           val close = matchParen(out, open)
@@ -1067,7 +1215,16 @@ object DuckSqlBridge {
       case Some((ctes, tail)) =>
         val registered = scala.collection.mutable.ArrayBuffer.empty[String]
         ctes.foreach { case (name, body) =>
-          val df = spark.sql(body).localCheckpoint()
+          // repartition BEFORE checkpointing: these synth chains usually
+          // descend from one tiny parquet file (1 partition), and the
+          // interpreted higher-order-function eval downstream would
+          // otherwise run on a single thread (q348's k=8 Lloyd assignment
+          // measured 77+ s on one task vs ~3 s spread across the session's
+          // shuffle partitions). Oracle texts are order-insensitive by
+          // construction (deterministic aggregates + final ORDER BY).
+          val df = spark.sql(body)
+            .repartition(spark.sessionState.conf.numShufflePartitions)
+            .localCheckpoint()
           df.createOrReplaceTempView(name)
           registered += name
         }

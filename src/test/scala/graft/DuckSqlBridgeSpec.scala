@@ -114,7 +114,9 @@ class DuckSqlBridgeSpec extends AnyFunSuite {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
     val out = t(in)
     assert(out.contains("lag(v, 1) OVER w_gnf"), out)
-    assert(out.contains("SUM(v) OVER w AS s"), out) // non-offset keeps w
+    // non-offset keeps w (the sum itself routes through duck_sum — the
+    // HUGEINT-widening rename)
+    assert(out.contains("duck_sum(v) OVER w AS s"), out)
     assert(out.contains("w_gnf AS (PARTITION BY u ORDER BY ts)"), out)
     assert(out.contains("ROWS BETWEEN"), out) // original frame retained
     // frameless named windows are untouched

@@ -23,14 +23,24 @@ class SqlFrontDoorSpec extends SparkTestBase {
     * parse/analyze in Spark (skipped, counted) or match exactly.
     */
   private val dialectExclusions: Map[String, String] = Map(
-    "q177_corr_matrix" ->
-      "covariance terms go NEGATIVE under //: DuckDB floors toward -inf, Spark DIV truncates toward zero",
+    // PERMANENT: the CC oracle's recursive CTE converges BY dedup — each
+    // level UNIONs (distinct) the relabeled frontier and the recursion
+    // stops when no NEW row appears. Spark recursive CTEs accept only
+    // UNION ALL, where the same fixpoint never terminates (every level
+    // re-emits the already-stable rows forever), and rewriting to
+    // UNION ALL + an outer DISTINCT cannot help: termination is decided
+    // INSIDE the recursion, per level, not on the final result. The
+    // library's own surface covers the semantics natively
+    // (Graph.connectedComponents, oracle-checked by q58/q326/q330).
     "q58_dedup_clusters" ->
-      "recursive CTE fixpoint uses UNION (distinct) for convergence; Spark recursive CTEs accept only UNION ALL",
+      "recursive CTE fixpoint uses UNION (distinct) for convergence; Spark recursive CTEs accept only UNION ALL, and the per-level dedup IS the termination condition",
     "q326_dedup_survivors" ->
-      "same recursive-UNION fixpoint as q58 (shared CC oracle chain)",
-    "q175_zipf_slope" ->
-      "DuckDB SUM(BIGINT) widens to HUGEINT (int128); the n*sxy slope arithmetic overflows 64-bit under Spark's BIGINT sum")
+      "same recursive-UNION fixpoint as q58 (shared CC oracle chain)")
+    // r16: q175/q177 un-excluded — their blocker was DuckDB's SUM(BIGINT)
+    // -> HUGEINT widening, now bridged exactly by duck_sum (sums whose
+    // integral moments exceed int64 accumulate as DECIMAL(38,0)); the old
+    // q177 reason was wrong anyway (DuckDB's // truncates toward zero,
+    // same as Spark's DIV: SELECT -7 // 2 = -3).
 
   /** Oracles whose DuckDB text cannot PARSE/ANALYZE in Spark even through
     * the bridge — pinned by name so a regression that silently drops a
@@ -47,7 +57,12 @@ class SqlFrontDoorSpec extends SparkTestBase {
     */
   private val materializedCtes: Set[String] = Set(
     "q341_audio_fingerprint", "q344_crossmodal_consensus",
-    "q346_video_fingerprint")
+    "q346_video_fingerprint",
+    // r16: q347 replays videoBandCtes (same synth chain as q346) against
+    // itself; q348 unrolls the k=8 Lloyd chain over a 4096-vector derived
+    // corpus and references `af` twice — both are the known
+    // re-derive-per-reference runaway without CTE materialization
+    "q347_video_index_probe", "q348_semantic_dedup_scaled")
 
   /** Timed-out bridged queries must be PINNED here by name, like
     * knownUnparseable — a new timeout is a semantic divergence or bridge
@@ -108,7 +123,8 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
     def compare(name: String, mkSql: () => org.apache.spark.sql.DataFrame,
         cleanup: () => Unit,
-        mk: () => org.apache.spark.sql.DataFrame): Option[Boolean] = {
+        mk: () => org.apache.spark.sql.DataFrame,
+        timeoutSec: Long = 90L): Option[Boolean] = {
       val task = pool.submit(new java.util.concurrent.Callable[Boolean] {
         def call(): Boolean = {
           spark.sparkContext.setJobGroup(s"sqlfd-$name", name,
@@ -121,7 +137,7 @@ class SqlFrontDoorSpec extends SparkTestBase {
           }
         }
       })
-      try Some(task.get(90, java.util.concurrent.TimeUnit.SECONDS))
+      try Some(task.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS))
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(s"sqlfd-$name")
@@ -131,8 +147,15 @@ class SqlFrontDoorSpec extends SparkTestBase {
         case _: Throwable => Some(false)
       }
     }
+    // SPARK_GRAFT_SQLFD_ONLY="q347,q348" restricts the sweep for local
+    // iteration on one bridge path; the mustParse/mustBridge and
+    // pinned-exclusion assertions only apply on the FULL sweep
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_SQLFD_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     try {
-      queries.Registry.all.foreach { q =>
+      queries.Registry.all
+        .filter(q => onlyPrefixes.forall(_.exists(q.name.startsWith)))
+        .foreach { q =>
         q.oracle.filter(_ => !dialectExclusions.contains(q.name)).foreach { sql =>
           // constructs the bridge cannot express fail to parse/analyze in
           // Spark and are skipped; everything that parses must match
@@ -149,8 +172,14 @@ class SqlFrontDoorSpec extends SparkTestBase {
               cleanupFn = c
               d
             }
+            // the materialized family is pinned-by-name AND known-heavy:
+            // each CTE body executes eagerly under interpreted
+            // higher-order-function eval (no codegen for lambdas), so the
+            // 90 s net that guards the general sweep is too tight here —
+            // 300 s still catches a genuine runaway (the pre-r15 failure
+            // mode was minutes-to-never, not 3-5 min)
             compare(q.name, run, () => cleanupFn(),
-              () => q.run(spark, dir)) match {
+              () => q.run(spark, dir), timeoutSec = 300L) match {
               case Some(true) => parsedNames += q.name
               case Some(false) => mismatches += q.name
               case None => timeouts += q.name
@@ -176,6 +205,12 @@ class SqlFrontDoorSpec extends SparkTestBase {
     } finally pool.shutdownNow()
     assert(mismatches.isEmpty,
       s"SQL front door diverges for ${mismatches.size}: $mismatches")
+    if (onlyPrefixes.nonEmpty) {
+      // subset run: the divergence check above plus loud timeouts/skips
+      // is the whole contract
+      assert(timeouts.isEmpty, s"subset timeouts: $timeouts")
+      assert(skipped.isEmpty, s"subset parse-skips: $skipped")
+    } else {
     val missing = (mustParse ++ mustBridge) -- parsedNames.toSet
     assert(missing.isEmpty, s"core oracles no longer run in Spark: $missing")
     // every parse/analyze skip must be a PINNED, reasoned entry — a new
@@ -195,5 +230,6 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert(parsedNames.size >= 335,
       s"only ${parsedNames.size} oracles ran in Spark (expected >= 335, " +
         s"timeouts: $timeouts)")
+    }
   }
 }
