@@ -14,7 +14,7 @@ import statistics
 import sys
 
 commit = sys.argv[1]
-ROUND = 15
+ROUND = 16
 sweeps = [json.load(open(p)) for p in sys.argv[2:]]
 assert len(sweeps) >= 3, "need >= 3 clean sweeps"
 

@@ -28,14 +28,68 @@ object ParquetSynth {
     * settings steal each other's (measured: 16 threads mixing
     * [[synthBss]] with [[synthPaged]]/[[synthCheckpoint]] lost
     * BYTE_STREAM_SPLIT on 1109/3200 files; surfaced as q276 failing
-    * under ThroughputBench's 8 concurrent streams), and
-    * `ParquetWriter.Builder` exposes no `withValuesWriterFactory` to
-    * give each writer its own. The files are in-memory and
-    * milliseconds each, and writer CONSTRUCTION already serializes on
-    * parquet-mr's global codec/conf locks (the q276 lesson), so the
-    * lock costs noise.
+    * under ThroughputBench's 8 concurrent streams). The lock fixed the
+    * synth-vs-synth race; [[withPrivateFactory]] (r16) removes the
+    * global state entirely — but the lock stays: writer CONSTRUCTION
+    * also serializes on parquet-mr's global codec/conf locks, the files
+    * are in-memory and milliseconds each, so it costs noise.
     */
   private val writerLock = new Object
+
+  /** Build-and-VERIFY backstop: [[withPrivateFactory]] makes encoding
+    * theft structurally impossible on parquet 1.16; this wrapper turns
+    * "impossible" into "loud" — every synth probes its own in-memory
+    * footer, and an encoding that didn't engage (a parquet upgrade
+    * moving the factory internals, a future builder path forgetting the
+    * private factory) fails after bounded rebuilds instead of shipping a
+    * file whose downstream closed-form oracle would mysteriously
+    * mismatch. Before the private factory, a CONTINUOUS external thief
+    * (any Spark datasource parquet write constructing
+    * `ParquetProperties`) could beat all 16 rebuilds — measured by the
+    * thief spec in `ParquetFooterSpec` — which is why retry alone was
+    * not the fix.
+    */
+  private def verified(what: String)(ok: ParquetFooter.FooterInfo => Boolean)(
+      mk: => Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < 16) {
+      val bytes = mk
+      if (ParquetFooter.probe(bytes).exists(ok)) return bytes
+      i += 1
+    }
+    sys.error(s"ParquetSynth: $what not achieved after 16 rebuilds " +
+      "(global ValuesWriterFactory contention)")
+  }
+
+  private def noDictionary(f: ParquetFooter.FooterInfo): Boolean =
+    f.firstGroupChunks.forall(c =>
+      !c.encodings.contains(2) && !c.encodings.contains(8))
+
+  /** Give a writer builder its OWN `DefaultV1ValuesWriterFactory` so its
+    * encoding decisions never consult process-global state. The public
+    * default chain is global twice over: `ParquetProperties.Builder`
+    * defaults to the `DEFAULT_VALUES_WRITER_FACTORY` singleton, and even a
+    * fresh `new DefaultValuesWriterFactory()` delegates to STATIC
+    * `DEFAULT_V1/V2_WRITER_FACTORY` singletons — so any concurrent
+    * `ParquetProperties` construction anywhere in the JVM (every Spark
+    * datasource parquet write) re-initializes the state our column writers
+    * read. `DefaultV1ValuesWriterFactory` itself keeps its props
+    * per-instance and has a public constructor; `ParquetProperties.Builder
+    * .withValuesWriterFactory` is public API — only the
+    * `encodingPropsBuilder` hop inside `ParquetWriter.Builder` needs
+    * reflection (no setter exposed; pinned to the bundled parquet 1.16).
+    * All synth writers are PARQUET_1_0, matching the V1 factory.
+    */
+  private def withPrivateFactory[B <: org.apache.parquet.hadoop.ParquetWriter.Builder[_, _]](
+      b: B): B = {
+    val f = classOf[org.apache.parquet.hadoop.ParquetWriter.Builder[_, _]]
+      .getDeclaredField("encodingPropsBuilder")
+    f.setAccessible(true)
+    f.get(b).asInstanceOf[ParquetProperties.Builder]
+      .withValuesWriterFactory(
+        new org.apache.parquet.column.values.factory.DefaultV1ValuesWriterFactory())
+    b
+  }
 
   /** A parquet OutputFile over a byte array — no filesystem. */
   private final class MemOutputFile extends OutputFile {
@@ -66,16 +120,22 @@ object ParquetSynth {
     * for the floating-point columns (dictionaries off so the encoding
     * actually engages; v1 pages; uncompressed or snappy).
     */
-  def synthBss(rows: Seq[BssRow], snappy: Boolean): Array[Byte] = writerLock.synchronized {
+  def synthBss(rows: Seq[BssRow], snappy: Boolean): Array[Byte] =
+    verified("BYTE_STREAM_SPLIT on d/f only") { f =>
+      def enc(n: String) = f.firstGroupChunks.find(_.pathInSchema == n)
+        .map(_.encodings).getOrElse(Vector.empty)
+      noDictionary(f) && enc("d").contains(9) && enc("f").contains(9) &&
+        !enc("id").contains(9)
+    } (writerLock.synchronized {
     val out = new MemOutputFile
-    val w = ExampleParquetWriter.builder(out)
+    val w = withPrivateFactory(ExampleParquetWriter.builder(out)
       .withType(BssSchema)
       .withDictionaryEncoding(false)
       .withByteStreamSplitEncoding(true)
       .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_1_0)
       .withCompressionCodec(
         if (snappy) CompressionCodecName.SNAPPY
-        else CompressionCodecName.UNCOMPRESSED)
+        else CompressionCodecName.UNCOMPRESSED))
       .build()
     try rows.foreach { r =>
       val g = new SimpleGroup(BssSchema)
@@ -85,7 +145,7 @@ object ParquetSynth {
       w.write(g)
     } finally w.close()
     out.bos.toByteArray
-  }
+  })
 
   /** One row of a delta-style CHECKPOINT-STATE file: the per-path
     * last-writer-wins fold at the checkpoint version — a live add
@@ -115,15 +175,17 @@ object ParquetSynth {
     * spec-real (`V.checkpoint.<part>.<of>.parquet`), so
     * partition-sliced checkpoint files mirror the wire layout.
     */
-  def synthCheckpoint(rows: Seq[CkptRow], snappy: Boolean): Array[Byte] = writerLock.synchronized {
+  def synthCheckpoint(rows: Seq[CkptRow], snappy: Boolean): Array[Byte] =
+    verified("dictionary-free checkpoint pages")(noDictionary)(
+      writerLock.synchronized {
     val out = new MemOutputFile
-    val w = ExampleParquetWriter.builder(out)
+    val w = withPrivateFactory(ExampleParquetWriter.builder(out)
       .withType(CkptSchema)
       .withDictionaryEncoding(false)
       .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_1_0)
       .withCompressionCodec(
         if (snappy) CompressionCodecName.SNAPPY
-        else CompressionCodecName.UNCOMPRESSED)
+        else CompressionCodecName.UNCOMPRESSED))
       .build()
     try rows.foreach { r =>
       val g = new SimpleGroup(CkptSchema)
@@ -134,7 +196,7 @@ object ParquetSynth {
       w.write(g)
     } finally w.close()
     out.bos.toByteArray
-  }
+  })
 
   private val PagedSchema: MessageType = MessageTypeParser.parseMessageType(
     """message paged {
@@ -151,9 +213,11 @@ object ParquetSynth {
     * the ColumnIndex/OffsetIndex structures this layout is read back
     * through ([[ParquetFooter.pageIndex]]).
     */
-  def synthPaged(values: Seq[Long], pageRowLimit: Int): Array[Byte] = writerLock.synchronized {
+  def synthPaged(values: Seq[Long], pageRowLimit: Int): Array[Byte] =
+    verified("dictionary-free PLAIN pages")(noDictionary)(
+      writerLock.synchronized {
     val out = new MemOutputFile
-    val w = ExampleParquetWriter.builder(out)
+    val w = withPrivateFactory(ExampleParquetWriter.builder(out)
       .withType(PagedSchema)
       .withDictionaryEncoding(false)
       .withPageRowCountLimit(pageRowLimit)
@@ -163,7 +227,7 @@ object ParquetSynth {
       .withMinRowCountForPageSizeCheck(pageRowLimit)
       .withMaxRowCountForPageSizeCheck(pageRowLimit)
       .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_1_0)
-      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED))
       .build()
     try values.foreach { v =>
       val g = new SimpleGroup(PagedSchema)
@@ -171,5 +235,5 @@ object ParquetSynth {
       w.write(g)
     } finally w.close()
     out.bos.toByteArray
-  }
+  })
 }

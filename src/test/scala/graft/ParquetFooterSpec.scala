@@ -133,6 +133,46 @@ class ParquetFooterSpec extends SparkTestBase {
     assert(fails.get == 0)
   }
 
+  test("synth writers survive an EXTERNAL ValuesWriterFactory thief " +
+    "(Spark datasource writes in the same JVM)") {
+    // writerLock serializes synths against each other, but Spark's own
+    // parquet writes construct ParquetProperties too — re-initializing
+    // the global singleton with THEIR encodings from executor threads the
+    // lock can't see (r16: q276 failed under ThroughputBench once the
+    // sim64-index write path landed). This thief loops the exact racing
+    // call; the verify-and-rebuild in ParquetSynth must absorb it.
+    import graft.operators.ParquetSynth
+    import graft.operators.ParquetSynth.BssRow
+    import org.apache.parquet.column.ParquetProperties
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thief = new Thread(() => {
+      while (!stop.get()) {
+        ParquetProperties.builder()
+          .withDictionaryEncoding(true)
+          .withByteStreamSplitEncoding(false)
+          .build() // initialize(thiefProps) on the global singleton
+      }
+    })
+    thief.setDaemon(true)
+    thief.start()
+    try {
+      val rows = (0 until 40).map(j => BssRow(j.toLong,
+        if (j == 2) None else Some(j * 0.25),
+        if (j == 3) None else Some(j * 0.5f)))
+      (0 until 200).foreach { _ =>
+        val f = ParquetFooter.probe(
+          ParquetSynth.synthBss(rows, snappy = true)).get
+        def enc(n: String) = f.firstGroupChunks
+          .find(_.pathInSchema == n).get.encodings
+        assert(enc("d").contains(9) && enc("f").contains(9))
+        assert(!enc("id").contains(9))
+      }
+    } finally {
+      stop.set(true)
+      thief.join()
+    }
+  }
+
   test("pageIndex: exact page grid from withPageRowCountLimit, true stats") {
     import graft.operators.ParquetSynth
     // 100 sorted values, limit 40 -> pages of 40/40/20 at rows 0/40/80
