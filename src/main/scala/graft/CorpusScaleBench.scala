@@ -174,6 +174,39 @@ object CorpusScaleBench {
     val indexResults = Seq(
       ("lsh_index_build", buildSec, buildRows),
       ("lsh_index_probe", ingestSteps.head._3, ingestSteps.head._4))
+
+    // Sim64 persisted-index lifecycle (q347's machinery — the video
+    // modality's incremental path): the same nightly write → probe →
+    // append loop over the generic banded 64-bit index. The fingerprint
+    // SOURCE differs per modality (MP4 keyframe walk for video,
+    // frame-energy for audio, simhash for text — used here, since the
+    // banded-index code under measurement is identical and corpus-scale
+    // MP4 synthesis would measure the codec, not the index). The claim is
+    // the same as the LSH loop's: probe cost tracks the DELTA, not the
+    // growing history.
+    val sim64All = operators.Dedup.simhash64Table(corpus, shingleK = 3)
+      .repartition(cpus.toInt * 2)
+      .cache()
+    sim64All.count()
+    val s64History0 = sim64All.filter(pmod(col("doc_id"), lit(replicas)) >= nIngest)
+    val tS64 = System.nanoTime()
+    operators.Dedup.writeSim64Index(s64History0, indexTable = "csb_sim64_index")
+    val s64BuildRows = spark.table("csb_sim64_index").count()
+    val s64BuildSec = (System.nanoTime() - tS64) / 1e9
+    val sim64Steps = (0 until nIngest).map { r =>
+      // 4 banded rows per indexed doc
+      val indexedDocs = spark.table("csb_sim64_index").count() / 4
+      val delta = sim64All.filter(col("doc_id") % replicas === r)
+      val t0 = System.nanoTime()
+      val pairRows = operators.Dedup.probeSim64Index(delta, maxHamming = 3,
+        indexTable = "csb_sim64_index").count()
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      val tApp = System.nanoTime()
+      operators.Dedup.appendSim64Index(delta, indexTable = "csb_sim64_index")
+      val appendSec = (System.nanoTime() - tApp) / 1e9
+      (r, indexedDocs, probeSec, pairRows, appendSec)
+    }
+    sim64All.unpersist()
     // ANN recall at corpus scale, measured in TWO regimes of the same
     // replica construction. vec_id = r * nBase + base, so the low ids
     // (queries, vec_id < nQ; Lloyd seeds, vec_id < kClusters) are the
@@ -342,6 +375,11 @@ object CorpusScaleBench {
     val ingest = ingestSteps.map { case (r, hist, probeSec, pairs, appSec) =>
       f"""{"step":$r,"history_docs":$hist,"probe_sec":$probeSec%.2f,"pairs":$pairs,"append_sec":$appSec%.2f}"""
     }.mkString("[", ",", "]")
+    val s64 = sim64Steps.map { case (r, docs, probeSec, pairs, appSec) =>
+      f"""{"step":$r,"indexed_docs":$docs,"probe_sec":$probeSec%.2f,"pairs":$pairs,"append_sec":$appSec%.2f}"""
+    }.mkString(
+      f"""{"build_sec":$s64BuildSec%.2f,"build_rows":$s64BuildRows,"steps":[""",
+      ",", "]}")
     val ann = annRegimes.map { case (name, (bruteSec, curve)) =>
       curve.map { case (_, p, sec, rec) =>
         f""""probe$p":{"sec":$sec%.2f,"recall_at_10":$rec%.4f}""" }
@@ -357,7 +395,7 @@ object CorpusScaleBench {
       val (nV, kD, kept, sec, drops, seen) = semdedup
       f"""{"vecs":$nV,"k":$kD,"kept":$kept,"sec":$sec%.2f,"dominator_drops":$drops,"observed_vectors":$seen}"""
     }
-    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ingest_loop":$ingest,"ann_vecs":$nVecs,"ann":$ann,"diffuse_fix":$fix,"ann_ingest":$annIng,"semdedup":$sd,"sf":"$sfDir","cpus":$cpus}""")
+    println(s"""{"metric":"corpus_scale","base_docs":$nBase,"corpus_docs":$nCorpus,"replicas":$replicas,"variants":$qs,"ingest_loop":$ingest,"sim64_loop":$s64,"ann_vecs":$nVecs,"ann":$ann,"diffuse_fix":$fix,"ann_ingest":$annIng,"semdedup":$sd,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }
