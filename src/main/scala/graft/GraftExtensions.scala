@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BucketedRangeJoinRule, RollingWindowHashes, SortedLongArrayIntersectCount, VectorDotProduct}
+import graft.plans.{BucketedRangeJoinRule, RollingWindowHashes, SlidingMin, SortedLongArrayIntersectCount, VectorDotProduct, WindowSubstrings, WinnowFingerprints}
 
 /** SparkSessionExtensions hook registering graft's native expressions and
   * optimizer rules. Activate with
@@ -39,15 +39,29 @@ object GraftExtensions {
       (children: Seq[Expression]) => VectorDotProduct(children(0), children(1))),
     ("rolling_window_hashes",
       new ExpressionInfo(classOf[RollingWindowHashes].getName, "rolling_window_hashes"),
-      (children: Seq[Expression]) => {
-        // the window is a literal in SQL: rolling_window_hashes(text, 20)
-        val w = children(1).eval() match {
-          case n: Number => n.intValue()
-          case other => throw new IllegalArgumentException(
-            s"rolling_window_hashes window must be an integer literal, got $other")
-        }
-        RollingWindowHashes(children(0), w)
-      }))
+      (children: Seq[Expression]) =>
+        RollingWindowHashes(children(0), literalWindow(children(1), "rolling_window_hashes"))),
+    // the r15 native text/array pipeline expressions — same literal-window
+    // convention: f(col, N)
+    ("window_substrings",
+      new ExpressionInfo(classOf[WindowSubstrings].getName, "window_substrings"),
+      (children: Seq[Expression]) =>
+        WindowSubstrings(children(0), literalWindow(children(1), "window_substrings"))),
+    ("winnow_fingerprints",
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprints(children(0), literalWindow(children(1), "winnow_fingerprints"))),
+    ("sliding_min",
+      new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
+      (children: Seq[Expression]) =>
+        SlidingMin(children(0), literalWindow(children(1), "sliding_min"))))
+
+  /** The window/length argument is a SQL literal: f(col, 20). */
+  private def literalWindow(e: Expression, fn: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn window must be an integer literal, got $other")
+  }
 
   /** Register the functions and the range-join rule on an ALREADY-BUILT
     * session (extensions declared at build time don't help a session someone

@@ -387,6 +387,24 @@ class ExpressionSpec extends SparkTestBase {
       assert(r.getDouble(0) == 11.0)
       assert(r.getInt(1) == 2)
       assert(r.getSeq[Long](2).size == 4)
+      // the r16-registered trio: window extraction, winnowing, sliding min
+      val r2 = spark.sql(
+        """SELECT window_substrings('abcdef', 3) AS w,
+          |       winnow_fingerprints('the quick brown fox jumps over it', 4) AS f,
+          |       sliding_min(array(5L, 3L, 9L, 1L), 2) AS m
+          |""".stripMargin).head()
+      assert(r2.getSeq[String](0) == Seq("abc", "bcd", "cde", "def"))
+      assert(r2.getSeq[Long](1).nonEmpty) // winnowing selects >= 1 fingerprint
+      assert(r2.getSeq[Long](2) == Seq(3L, 3L, 1L))
+      // constant expressions fold into the window (length('xx') = 2) —
+      // same contract as a bare literal
+      assert(spark.sql("SELECT window_substrings('abc', length('xx')) AS w")
+        .head().getSeq[String](0) == Seq("ab", "bc"))
+      // a genuinely non-constant window (a column) must fail LOUDLY at
+      // registration dispatch — never a silently wrong window
+      intercept[Exception](
+        spark.sql("SELECT window_substrings('abc', CAST(id AS INT)) FROM range(1)")
+          .head())
     } finally {
       // the session is shared across suites: leave no optimizer rule behind
       // (sibling specs assert rewrite-free plan shapes)
