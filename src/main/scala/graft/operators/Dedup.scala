@@ -538,22 +538,18 @@ object Dedup {
     * differ). Same explode + codegen'd bit-count aggregation as
     * [[simhashTable]].
     */
-  def simhash64Table(docs: DataFrame, shingleK: Int): DataFrame = {
-    val exploded = docs.filter(size(split(col("text"), " ")) >= shingleK)
-      .select(col("doc_id"), explode(wordShingles(col("text"), shingleK)).as("sh"))
+  def simhash64Table(docs: DataFrame, shingleK: Int): DataFrame =
+    // one native per-row pass (graft.plans.SimHash64): the former
+    // explode(wordShingles) → groupBy(doc_id) → 63 signed bit-count sums
+    // paid a generator row per shingle and a full exchange per SIGNATURE
+    // computation — but a document's signature is a pure per-row function.
+    // Bit-identical by ExpressionSpec's equivalence test (distinct-shingle
+    // voting, trailing-empty-token split semantics, md5 hex windows 1/9);
+    // map-only, so every sim64 consumer loses a shuffle stage and a
+    // STREAMING source can band fingerprints as a stateless projection.
+    docs.filter(size(split(col("text"), " ")) >= shingleK)
       .select(col("doc_id"),
-        hash32At(col("sh"), 1).as("h_lo"), hash32At(col("sh"), 9).as("h_hi"))
-    def bitCounts(h: String, prefix: String, n: Int) = (0 until n).map { b =>
-      sum(when((shiftright(col(h), b) % 2) === 1, 1).otherwise(-1)).as(s"$prefix$b")
-    }
-    def packed(prefix: String, shiftBase: Int, n: Int) = (0 until n).map { b =>
-      when(col(s"$prefix$b") > 0, lit(1L << (b + shiftBase))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val aggs = bitCounts("h_lo", "lo", 32) ++ bitCounts("h_hi", "hi", 31)
-    exploded.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), (packed("lo", 0, 32) + packed("hi", 32, 31)).as("sim64"))
-  }
+        graft.plans.SimHash64(col("text"), shingleK).as("sim64"))
 
   /** Banded simhash near-dup pairs with GUARANTEED recall at Hamming radius
     * <= 3: the 64-bit simhash splits into four 16-bit bands; by pigeonhole,

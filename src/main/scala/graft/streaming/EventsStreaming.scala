@@ -559,6 +559,53 @@ object EventsStreaming {
     * `docs` needs (doc_id, text, arrival_ts); output is the stream of
     * (new_doc, old_doc, jaccard) matches at >= threshold.
     */
+  /** Streaming fingerprint near-dup against the PERSISTED sim64 index —
+    * [[graft.operators.Dedup.probeSim64Index]]'s continuous twin, and the
+    * in-flight form of the q347 nightly loop: arriving documents compute
+    * their 64-bit simhash as a stateless per-row projection (the native
+    * [[graft.plans.SimHash64]] expression — the former explode+groupBy
+    * signature chain was a stateful streaming aggregation and could not
+    * run in a stream at all), band-explode, and stream-static join the
+    * STORED index table. The static side is the persisted bucketed table,
+    * so the probe reads yesterday's corpus where it lives — no
+    * re-fingerprinting of history per micro-batch, the property the
+    * nightly loop measures as flat probe cost. The exact ≤ `maxHamming`
+    * check runs on band-collision candidates only; the only state is the
+    * per-pair dedup, bounded by the `arrival_ts` watermark.
+    *
+    * `docs` needs (doc_id, text, arrival_ts); output is the stream of
+    * (new_doc, old_doc, hamming) at Hamming ≤ maxHamming (guaranteed
+    * recall to radius 3 by the 4×16-bit pigeonhole).
+    */
+  def sim64Arrivals(docs: DataFrame, indexTable: String,
+      maxHamming: Int = 3, shingleK: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands of 16 bits guarantee recall only to radius 3")
+    val spark = docs.sparkSession
+    // Dedup.bandedSim64's 4×16-bit explosion, carrying the watermark column
+    val arriving = docs.withWatermark("arrival_ts", "10 minutes")
+      .filter(size(split(col("text"), " ")) >= shingleK)
+      .select(col("doc_id"), col("arrival_ts"),
+        graft.plans.SimHash64(col("text"), shingleK).as("sim64"))
+      .select(col("doc_id"), col("arrival_ts"), col("sim64"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sim64"), 16 * b).bitwiseAND(lit(65535L)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("arrival_ts"), col("sim64"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    arriving.as("a")
+      .join(spark.table(indexTable).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("old_doc"),
+        bit_count(col("a.sim64").bitwiseXOR(col("b.sim64"))).as("hamming"),
+        col("a.arrival_ts").as("arrival_ts"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("new_doc", "old_doc")
+      .select("new_doc", "old_doc", "hamming")
+  }
+
   def nearDupArrivals(docs: DataFrame, history: DataFrame, shingleK: Int = 3,
       rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
     import graft.operators.Dedup

@@ -376,6 +376,64 @@ class ExpressionSpec extends SparkTestBase {
     assert(viaRolling == viaMd5)
   }
 
+  test("SimHash64 is bit-identical to the explode/groupBy relational chain") {
+    import graft.functions.HashFunctions
+    // the OLD simhash64Table pipeline, inlined as the reference
+    def relational(docs: org.apache.spark.sql.DataFrame, k: Int) = {
+      val exploded = docs
+        .filter(size(split(col("text"), " ")) >= k)
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.wordShingles(col("text"), k)).as("sh"))
+        .select(col("doc_id"),
+          HashFunctions.hash32At(col("sh"), 1).as("h_lo"),
+          HashFunctions.hash32At(col("sh"), 9).as("h_hi"))
+      def bitCounts(h: String, prefix: String, n: Int) = (0 until n).map { b =>
+        sum(when((shiftright(col(h), b) % 2) === 1, 1).otherwise(-1)).as(s"$prefix$b")
+      }
+      def packed(prefix: String, shiftBase: Int, n: Int) = (0 until n).map { b =>
+        when(col(s"$prefix$b") > 0, lit(1L << (b + shiftBase))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val aggs = bitCounts("h_lo", "lo", 32) ++ bitCounts("h_hi", "hi", 31)
+      exploded.groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), (packed("lo", 0, 32) + packed("hi", 32, 31)).as("sim64"))
+    }
+    val fixture = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (100001L, "a b c a b c a b c"), // repeated shingles: distinct votes once
+      (100002L, "x  y z"), // consecutive spaces: empty token kept
+      (100003L, "one two three"), // exactly k tokens (k=3): one shingle
+      (100004L, "häßlich übel ärger Ω µ"), // non-ASCII md5 bytes
+      (100005L, "trailing space "), // trailing empty token kept
+      (100006L, "a b")) // < k tokens: excluded by the caller filter
+      .toDF("doc_id", "text")
+    for (k <- Seq(2, 3)) {
+      val docs = fixture.unionByName(edge)
+      val ref = relational(docs, k)
+      val got = docs.filter(size(split(col("text"), " ")) >= k)
+        .select(col("doc_id"), graft.plans.SimHash64(col("text"), k).as("sim64"))
+      assert(ref.count() == got.count(), s"row count at k=$k")
+      assert(ref.join(got, Seq("doc_id"))
+        .filter(ref("sim64") =!= got("sim64")).count() == 0,
+        s"signature mismatch at k=$k")
+    }
+    // < k tokens yields NULL from the expression (callers filter first)
+    val short = Seq(Tuple1("a b")).toDF("text")
+      .select(graft.plans.SimHash64(col("text"), 3).as("s")).head()
+    assert(short.isNullAt(0))
+    // interpreted path agrees with codegen
+    val viaDf = Seq(Tuple1("the quick brown fox")).toDF("text")
+      .select(graft.plans.SimHash64(col("text"), 2)).head().getLong(0)
+    val interpreted = graft.plans.SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "the quick brown fox",
+        org.apache.spark.sql.types.StringType), 2)
+      .eval(null).asInstanceOf[Long]
+    assert(viaDf == interpreted)
+  }
+
   test("installInto registers the native functions for SQL on an existing session") {
     GraftExtensions.installInto(spark)
     try {

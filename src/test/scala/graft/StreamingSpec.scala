@@ -432,6 +432,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sim64 arrivals probe the persisted index like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val baseText = "the quick brown fox jumps over the lazy dog again and again today"
+    val otherText = "completely different words about spark query engines and big data systems"
+    // sim64's banded probe guarantees recall only to Hamming radius 3 —
+    // the planted match is the IDENTICAL text (radius 0); the word-level
+    // near-dup ("+ dup") that LSH-Jaccard catches lands outside radius 3
+    // and must NOT appear (that's the fingerprint-vs-shingle trade)
+    val history = Seq((1L, baseText), (2L, otherText))
+      .toDF("doc_id", "text")
+    Dedup.writeSim64Index(Dedup.simhash64Table(history, shingleK = 3),
+      indexTable = "sim64_arrivals_idx")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDS().toDF("doc_id", "arrival_ts", "text")
+    val q = EventsStreaming.sim64Arrivals(stream,
+        indexTable = "sim64_arrivals_idx")
+      .writeStream.format("memory").queryName("sim64_arrivals_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, ts(0), baseText), // near-dup of history doc 1
+        (11L, ts(1), "nothing in common with anything at all here truly"),
+        (10L, ts(2), baseText)) // redelivery: pair dedup must absorb it
+      q.processAllAvailable()
+      val streamed = spark.table("sim64_arrivals_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val batch = Dedup.probeSim64Index(
+          Dedup.simhash64Table(
+            Seq((10L, baseText),
+              (11L, "nothing in common with anything at all here truly"))
+              .toDF("doc_id", "text"), shingleK = 3),
+          maxHamming = 3, indexTable = "sim64_arrivals_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(batch == Seq((10L, 1L)), s"batch reference unexpected: $batch")
+      // seq (not set) compare: the redelivered doc must yield ONE pair
+      assert(streamed.sorted == batch.sorted,
+        s"streamed $streamed != batch $batch")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sim64_arrivals_idx")
+    }
+  }
+
   test("near-dup arrivals survive a kill-and-restart from checkpoint: " +
     "no duplicate pair, no lost pair vs the batch twin") {
     implicit val sqlCtx = spark.sqlContext
