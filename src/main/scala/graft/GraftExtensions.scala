@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BucketedRangeJoinRule, RollingWindowHashes, SlidingMin, SortedLongArrayIntersectCount, VectorDotProduct, WindowSubstrings, WinnowFingerprints}
+import graft.plans.{BucketedRangeJoinRule, RollingWindowHashes, SimHash64, SlidingMin, SortedLongArrayIntersectCount, VectorDotProduct, WindowSubstrings, WinnowFingerprints}
 
 /** SparkSessionExtensions hook registering graft's native expressions and
   * optimizer rules. Activate with
@@ -54,7 +54,11 @@ object GraftExtensions {
     ("sliding_min",
       new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
       (children: Seq[Expression]) =>
-        SlidingMin(children(0), literalWindow(children(1), "sliding_min"))))
+        SlidingMin(children(0), literalWindow(children(1), "sliding_min"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) =>
+        SimHash64(children(0), literalWindow(children(1), "simhash64"))))
 
   /** The window/length argument is a SQL literal: f(col, 20). */
   private def literalWindow(e: Expression, fn: String): Int = e.eval() match {

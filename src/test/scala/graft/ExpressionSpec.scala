@@ -454,6 +454,12 @@ class ExpressionSpec extends SparkTestBase {
       assert(r2.getSeq[String](0) == Seq("abc", "bcd", "cde", "def"))
       assert(r2.getSeq[Long](1).nonEmpty) // winnowing selects >= 1 fingerprint
       assert(r2.getSeq[Long](2) == Seq(3L, 3L, 1L))
+      // simhash64 via SQL equals the Column API
+      val viaSql = spark.sql(
+        "SELECT simhash64('the quick brown fox', 2) AS s").head().getLong(0)
+      val viaCol = Seq(Tuple1("the quick brown fox")).toDF("text")
+        .select(graft.plans.SimHash64(col("text"), 2)).head().getLong(0)
+      assert(viaSql == viaCol)
       // constant expressions fold into the window (length('xx') = 2) —
       // same contract as a bare literal
       assert(spark.sql("SELECT window_substrings('abc', length('xx')) AS w")
