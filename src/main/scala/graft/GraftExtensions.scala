@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BucketedRangeJoinRule, RollingWindowHashes, SimHash64, SlidingMin, SortedLongArrayIntersectCount, VectorDotProduct, WindowSubstrings, WinnowFingerprints}
+import graft.plans.{BucketedRangeJoinRule, HashedShingles, MinhashFamily, RollingWindowHashes, SimHash64, SlidingMin, SortedLongArrayIntersectCount, VectorDotProduct, WindowSubstrings, WinnowFingerprints, WordGrams}
 
 /** SparkSessionExtensions hook registering graft's native expressions and
   * optimizer rules. Activate with
@@ -58,7 +58,30 @@ object GraftExtensions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) =>
-        SimHash64(children(0), literalWindow(children(1), "simhash64"))))
+        SimHash64(children(0), literalWindow(children(1), "simhash64"))),
+    // r16 minhash-surface expressions: hashed_shingles(text, k[, sep]) and
+    // minhash_family(array<bigint>) — same literal-argument convention
+    ("hashed_shingles",
+      new ExpressionInfo(classOf[HashedShingles].getName, "hashed_shingles"),
+      (children: Seq[Expression]) => HashedShingles(children(0),
+        literalWindow(children(1), "hashed_shingles"),
+        if (children.size > 2) literalSep(children(2)) else ' ')),
+    ("minhash_family",
+      new ExpressionInfo(classOf[MinhashFamily].getName, "minhash_family"),
+      (children: Seq[Expression]) => MinhashFamily(children(0))),
+    ("word_grams",
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (children: Seq[Expression]) => WordGrams(children(0),
+        literalWindow(children(1), "word_grams"),
+        if (children.size > 2) literalSep(children(2)) else ' ')))
+
+  /** The separator argument is a single-character SQL string literal. */
+  private def literalSep(e: Expression): Char = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String if s.numChars() == 1 =>
+      s.toString.charAt(0)
+    case other => throw new IllegalArgumentException(
+      s"hashed_shingles separator must be a 1-char string literal, got $other")
+  }
 
   /** The window/length argument is a SQL literal: f(col, 20). */
   private def literalWindow(e: Expression, fn: String): Int = e.eval() match {

@@ -37,9 +37,16 @@ object Dedup {
     * pairwise verification paths compare. Sorted so the native merge
     * expression (graft.plans.SortedLongArrayIntersectCount) can count
     * intersections allocation-free.
+    *
+    * Round 16: ONE native pass ([[graft.plans.HashedShingles]]) instead of
+    * `sort_array(array_distinct(transform(wordShingles(text,k), hash32)))`
+    * — two interpreted lambdas, a per-shingle UTF8String concat and an md5
+    * hex round-trip collapsed into a single codegen'd kernel; equal sets by
+    * ExpressionSpec's equivalence test. Callers keep the >= k tokens guard
+    * (the native form yields NULL below it, the old chain threw on slice).
     */
   def hashedShingles(text: Column, k: Int): Column =
-    sort_array(array_distinct(transform(wordShingles(text, k), hash32 _)))
+    graft.plans.HashedShingles(text, k, ' ')
 
   /** Exact dedup: group identical texts, keep the lowest doc_id.
     * At scale this is a single hash-shuffle on the text (or on a digest of
@@ -56,14 +63,19 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, shingleK: Int): DataFrame = {
     // Hash each shingle once (md5 is the expensive step), then apply the
     // cheap affine family members over the long array — not minhash() over
-    // strings, which would recompute the md5 per family member.
+    // strings, which would recompute the md5 per family member. The family
+    // is ONE native running-min pass (graft.plans.MinhashFamily) instead of
+    // 8 interpreted array_min(transform(...)) lambdas; the sig_i extraction
+    // lives in its own projection so CollapseProject's duplicate-reference
+    // rule keeps the family evaluated once (8 references to a non-cheap
+    // alias are never inlined).
     val base = docs
       .filter(size(split(col("text"), " ")) >= shingleK)
       .select(col("doc_id"), hashedShingles(col("text"), shingleK).as("hs"))
-    val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), h => pmod(lit(a) * h + lit(b), lit(Prime)))).as(s"sig_$i")
-    }
-    base.select(col("doc_id") +: sigCols: _*)
+    base.select(col("doc_id"),
+        graft.plans.MinhashFamily(col("hs")).as("__mh"))
+      .select(col("doc_id") +: MinhashParams.indices.map(i =>
+        col("__mh").getItem(i).as(s"sig_$i")): _*)
   }
 
   /** Banded minhash signatures: one (band, key) row per document per band
@@ -91,15 +103,17 @@ object Dedup {
                        carry: Seq[String] = Nil,
                        hashCol: String = "sh"): DataFrame = {
     val nBands = MinhashParams.size / rowsPerBand
-    val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col(hashCol), h => pmod(lit(a) * h + lit(b), lit(Prime)))).as(s"sig_$i")
-    }
-    hs.select((col("doc_id") +: carry.map(col)) ++ sigCols: _*)
+    // The 8-member family is ONE native running-min pass (MinhashFamily)
+    // in its own projection — the band-key builder references it 8 times,
+    // which CollapseProject never inlines for a non-cheap alias, so the
+    // family is evaluated once per row (not once per band key element).
+    hs.select((col("doc_id") +: carry.map(col)) :+
+        graft.plans.MinhashFamily(col(hashCol)).as("__mh"): _*)
       .select((col("doc_id") +: carry.map(col)) :+
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until rowsPerBand).map(r =>
-              col(s"sig_${b * rowsPerBand + r}")): _*).as("key"))
+              col("__mh").getItem(b * rowsPerBand + r)): _*).as("key"))
         }: _*)).as("bk"): _*)
       .select((col("doc_id") +: carry.map(col)) :+
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
@@ -734,15 +748,15 @@ object Dedup {
 
   private def prefixJaccardParts(docs: DataFrame, tau: Double,
       midPrefix: Boolean): (DataFrame, DataFrame) = {
+    // Native per-doc distinct trigram hashes (r16): the exploded rows are
+    // distinct (doc_id, h) BY CONSTRUCTION, so the row-level .distinct()
+    // exchange the gram-explode form needed is gone — one fewer shuffle of
+    // the token explosion, and the gram/hash work is one codegen'd kernel
+    // instead of an interpreted lambda + md5 hex round-trip per gram.
     val tok = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3) // sequence() would descend below 3
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 3)," +
-          " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
-        .as("tk"))
-      .select(col("doc_id"), hash32(col("tk")).as("h"))
-      .distinct()
+      .filter(size(split(col("text"), " ")) >= 3) // < 3 words: no trigram
+      .select(col("doc_id"),
+        explode(graft.plans.HashedShingles(col("text"), 3, '_')).as("h"))
       .transform(ScopedCache.cache) // feeds the df counts AND the per-doc aggregation
     val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // ONE doc-keyed aggregation builds BOTH per-doc surfaces: the sorted
@@ -843,15 +857,13 @@ object Dedup {
     * with i < j and the RAW double containment ≥ tau.
     */
   def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    // Same r16 rewrite as prefixJaccardParts: native per-doc distinct
+    // trigram hashes — explode yields distinct (doc_id, h) rows, dropping
+    // the row-level .distinct() exchange.
     val tok = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 3)," +
-          " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
-        .as("tk"))
-      .select(col("doc_id"), hash32(col("tk")).as("h"))
-      .distinct()
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.plans.HashedShingles(col("text"), 3, '_')).as("h"))
       .transform(ScopedCache.cache) // feeds the df counts AND the per-doc aggregation
     val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // ONE doc-keyed aggregation builds every per-doc surface — the sorted

@@ -224,12 +224,10 @@ object Round11Queries2 {
     (s, dir) => {
       import graft.functions.Det
       val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
+        .filter(size(split(col("text"), " ")) >= 2)
       val db = docs
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
-          .as("bg"))
+        .select(col("doc_id"),
+          explode(graft.plans.WordGrams(col("text"), 2, ' ')).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .transform(graft.operators.ScopedCache.cache)
       val bgc = db.groupBy("bg").agg(sum(col("c")).as("cb"))

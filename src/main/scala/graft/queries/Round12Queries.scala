@@ -160,11 +160,9 @@ object Round12Queries {
     "q299_memorization_grams",
     (s, dir) => {
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 6)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 6)," +
-            " i -> concat_ws(' ', slice(ws, i + 1, 6)))")).as("gram"))
+        .filter(size(split(col("text"), " ")) >= 6)
+        .select(col("doc_id"),
+          explode(graft.plans.WordGrams(col("text"), 6, ' ')).as("gram"))
         .groupBy("gram")
         .agg(count_distinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"),

@@ -327,11 +327,10 @@ object Round13Queries2 {
     "q335_novelty_gain",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val grams = d.filter(size(col("ws")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 5)," +
-            " i -> concat_ws(' ', slice(ws, i + 1, 5)))")).as("gram"))
+        .select(col("doc_id"), col("text"))
+      val grams = d.filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"),
+          explode(graft.plans.WordGrams(col("text"), 5, ' ')).as("gram"))
         .distinct()
         .transform(ScopedCache.cache)
       val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))

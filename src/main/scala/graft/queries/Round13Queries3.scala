@@ -187,12 +187,10 @@ object Round13Queries3 {
     "q339_lm_backoff_score",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
+        .filter(size(split(col("text"), " ")) >= 2)
       def bigrams(d: org.apache.spark.sql.DataFrame) = d
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
-          .as("bg"))
+        .select(col("doc_id"),
+          explode(graft.plans.WordGrams(col("text"), 2, ' ')).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       val tb = bigrams(docs.filter(col("doc_id") % 2 === 0))
         .groupBy("bg").agg(sum(col("c")).as("cb"))

@@ -30,12 +30,9 @@ object Round5Queries2 {
     "q136_sparse_cosine",
     (s, dir) => {
       val tf = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 3)," +
-            " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
-          .as("w"))
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.plans.WordGrams(col("text"), 3, '_')).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
         .transform(graft.operators.ScopedCache.cache) // postings feed the norm aggregate AND both join sides
       val norms = tf.groupBy("doc_id")

@@ -38,27 +38,24 @@ object Round5Queries5 {
         .crossJoin(nOrders)
         .filter(col("sup") >= lit(0.02e0) * col("n"))
         .select(col("item"), col("sup"))
-      val fb = baskets.join(freq, "item")
-      // Pair generation is per-basket array comprehension, NOT a fact
-      // self-join on ok: one groupBy(ok) shuffle builds the (bounded)
-      // frequent-item array per basket, and pairs explode from it in the
-      // same task. Per-basket work is bounded by the A-Priori prune
-      // itself: #frequent items <= total occurrences / (minsup * n) =
-      // avgBasketSize / minsup (here 2% -> a few hundred at any scale),
-      // so even a pathological million-item basket contributes at most
-      // n_freq^2 pairs — the bound comes from the support threshold, not
-      // from trusting basket sizes. Each ok is its own aggregation key,
-      // so no basket can skew a task beyond that bound either.
-      val fbArr = fb.groupBy("ok")
-        .agg(sort_array(collect_list(struct(col("item"), col("sup")))).as("items"))
-      val pairs = fbArr
-        .select(explode(flatten(expr(
-          """transform(items, (x, i) ->
-            |  transform(slice(items, i + 2, size(items)), y ->
-            |    named_struct('i', x.item, 'sup_i', x.sup,
-            |                 'j', y.item, 'sup_j', y.sup)))""".stripMargin))).as("p"))
-        .select(col("p.i").as("i"), col("p.j").as("j"),
-          col("p.sup_i").as("si"), col("p.sup_j").as("sj"))
+      // Pair support via the WHOLE-STAGE-CODEGEN'D self-equi-join on the
+      // basket key with partial aggregation — the q195 form, measured
+      // faster there than the collect_list + nested-transform pair
+      // explosion this query carried until r16: higher-order-function
+      // lambdas evaluate INTERPRETED, so the per-basket array
+      // comprehension paid a lambda walk per basket on top of the
+      // groupBy(ok) shuffle it needed to build the arrays. The join form
+      // runs the same A-Priori-pruned candidate volume entirely inside
+      // codegen; both sides reuse one shuffle of fb by ok (same exchange
+      // key). The skew bound is unchanged — per-basket work is capped by
+      // the support threshold (#frequent items <= avgBasketSize/minsup),
+      // and AQE can split a hot ok partition of the equi-join besides.
+      val fb = graft.operators.ScopedCache.cache(baskets.join(freq, "item"))
+      baskets.count() // all registrations done — safe to materialize (q195)
+      val pairs = fb.select(col("ok"), col("item").as("i"), col("sup").as("si"))
+        .join(fb.select(col("ok"), col("item").as("j"), col("sup").as("sj")),
+          "ok")
+        .filter(col("i") < col("j"))
         .groupBy("i", "j")
         .agg(count(lit(1)).as("sup_pair"),
           min(col("si")).as("sup_i"), min(col("sj")).as("sup_j"))

@@ -168,12 +168,9 @@ object Round5Queries7 {
     (s, dir) => {
       val cap = 20
       val tfAll = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 3)," +
-            " i -> concat(ws[i], '_', ws[i+1], '_', ws[i+2]))"))
-          .as("w"))
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.plans.WordGrams(col("text"), 3, '_')).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = tfAll.groupBy("w").agg(count(lit(1)).as("df"))
       val tf = tfAll.join(df.filter(col("df") <= cap).select("w"), "w")

@@ -434,6 +434,131 @@ class ExpressionSpec extends SparkTestBase {
     assert(viaDf == interpreted)
   }
 
+  test("HashedShingles equals the sort_array/array_distinct/transform chain") {
+    import graft.functions.HashFunctions
+    // the OLD Dedup.hashedShingles chain, inlined as the reference
+    def relational(text: Column, k: Int, sep: String): Column = {
+      val ts = split(text, " ")
+      val shingles = array_distinct(
+        transform(sequence(lit(1), size(ts) - (k - 1)),
+          i => concat_ws(sep, slice(ts, i, lit(k)))))
+      sort_array(array_distinct(transform(shingles, HashFunctions.hash32 _)))
+    }
+    val fixture = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (200001L, "a b c a b c a b c"), // repeated shingles collapse
+      (200002L, "x  y z"), // consecutive spaces: empty token kept
+      (200003L, "one two three"), // exactly k tokens at k=3
+      (200004L, "häßlich übel ärger Ω µ"), // non-ASCII md5 bytes
+      (200005L, "trailing space ")) // trailing empty token kept
+      .toDF("doc_id", "text")
+    for ((k, sep) <- Seq((3, ' '), (2, ' '), (3, '_'))) {
+      val docs = fixture.unionByName(edge)
+        .filter(size(split(col("text"), " ")) >= k)
+      val cmp = docs.select(
+        relational(col("text"), k, sep.toString).as("ref"),
+        graft.plans.HashedShingles(col("text"), k, sep).as("fast"))
+      assert(cmp.filter(not(col("ref") <=> col("fast"))).count() == 0,
+        s"shingle-set mismatch at k=$k sep='$sep'")
+    }
+    // < k tokens yields NULL (the old chain threw on slice; callers filter)
+    val short = Seq(Tuple1("a b")).toDF("text")
+      .select(graft.plans.HashedShingles(col("text"), 3, ' ').as("s")).head()
+    assert(short.isNullAt(0))
+    // interpreted path agrees with codegen
+    val viaDf = Seq(Tuple1("the quick brown fox")).toDF("text")
+      .select(graft.plans.HashedShingles(col("text"), 2, ' ')).head()
+      .getSeq[Long](0)
+    val interpreted = graft.plans.HashedShingles(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "the quick brown fox",
+        org.apache.spark.sql.types.StringType), 2, ' ')
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(viaDf == interpreted)
+  }
+
+  test("WordGrams equals the transform/sequence concat idiom") {
+    // the relational idiom the text-statistics queries used (multiplicity
+    // and order preserved, no distinct, no hashing)
+    def relational(k: Int, sep: String): Column = {
+      val ws = split(col("text"), " ")
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(sep, (0 until k).map(j => element_at(ws, i + j + 1)): _*))
+    }
+    val fixture = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (300001L, "a b c a b c"), // repeated grams KEPT (multiplicity)
+      (300002L, "x  y z"), // consecutive spaces: empty token kept
+      (300003L, "one two"), // exactly k tokens at k=2
+      (300004L, "häßlich übel ärger Ω µ"), // non-ASCII
+      (300005L, "trailing space ")) // trailing empty token kept
+      .toDF("doc_id", "text")
+    for ((k, sep) <- Seq((2, ' '), (3, '_'), (5, ' '), (6, ' '))) {
+      val docs = fixture.unionByName(edge)
+        .filter(size(split(col("text"), " ")) >= k)
+      val cmp = docs.select(
+        relational(k, sep.toString).as("ref"),
+        graft.plans.WordGrams(col("text"), k, sep).as("fast"))
+      assert(cmp.filter(not(col("ref") <=> col("fast"))).count() == 0,
+        s"gram mismatch at k=$k sep='$sep'")
+    }
+    // < k tokens yields NULL (callers filter first)
+    assert(Seq(Tuple1("a b")).toDF("text")
+      .select(graft.plans.WordGrams(col("text"), 3, ' ')).head().isNullAt(0))
+    // interpreted path agrees with codegen
+    val viaDf = Seq(Tuple1("the quick brown fox")).toDF("text")
+      .select(graft.plans.WordGrams(col("text"), 2, ' ')).head()
+      .getSeq[String](0)
+    val interp = graft.plans.WordGrams(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "the quick brown fox",
+        org.apache.spark.sql.types.StringType), 2, ' ')
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(viaDf == interp)
+  }
+
+  test("MinhashFamily equals the 8 array_min(transform(...)) members") {
+    import graft.functions.HashFunctions
+    val refCols = HashFunctions.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"),
+        h => pmod(lit(a) * h + lit(b), lit(HashFunctions.Prime)))).as(s"ref_$i")
+    }
+    val rows = Seq.fill(200)(
+      Tuple1(Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong() & 0xffffffffL)))
+    val df = rows.toDF("hs")
+      .select(col("hs"), graft.plans.MinhashFamily(col("hs")).as("mh"))
+      .select((col("mh") +: refCols): _*)
+    val bad = HashFunctions.MinhashParams.indices.map(i =>
+      not(col("mh").getItem(i) <=> col(s"ref_$i"))).reduce(_ || _)
+    assert(df.filter(bad).count() == 0)
+    // empty array: every member is null (array_min of empty is null)
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+      .select(graft.plans.MinhashFamily(col("hs")).as("mh")).head()
+    assert(empty.getSeq[java.lang.Long](0) ==
+      Seq.fill[java.lang.Long](HashFunctions.MinhashParams.size)(null))
+    // null input: null result; interpreted path agrees with codegen
+    val nul = Seq(Tuple1(null: Seq[java.lang.Long])).toDF("hs")
+      .select(graft.plans.MinhashFamily(col("hs")).as("mh")).head()
+    assert(nul.isNullAt(0))
+    val interp = graft.plans.MinhashFamily(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(7L, 11L, 123456789L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    val viaDf = Seq(Tuple1(Seq(7L, 11L, 123456789L))).toDF("hs")
+      .select(graft.plans.MinhashFamily(col("hs"))).head().getSeq[Long](0)
+    assert(interp == viaDf)
+  }
+
   test("installInto registers the native functions for SQL on an existing session") {
     GraftExtensions.installInto(spark)
     try {
@@ -460,6 +585,18 @@ class ExpressionSpec extends SparkTestBase {
       val viaCol = Seq(Tuple1("the quick brown fox")).toDF("text")
         .select(graft.plans.SimHash64(col("text"), 2)).head().getLong(0)
       assert(viaSql == viaCol)
+      // the r16 minhash-surface pair: hashed_shingles + minhash_family
+      val r3 = spark.sql(
+        """SELECT hashed_shingles('a b c d', 2) AS hs,
+          |       hashed_shingles('a b c d', 2, '_') AS hu,
+          |       minhash_family(hashed_shingles('a b c d', 2)) AS mh
+          |""".stripMargin).head()
+      val hsCol = Seq(Tuple1("a b c d")).toDF("text")
+        .select(graft.plans.HashedShingles(col("text"), 2, ' ')).head()
+        .getSeq[Long](0)
+      assert(r3.getSeq[Long](0) == hsCol)
+      assert(r3.getSeq[Long](1) != hsCol) // '_' joins hash differently
+      assert(r3.getSeq[Long](2).size == graft.plans.MinhashFamily.Size)
       // constant expressions fold into the window (length('xx') = 2) —
       // same contract as a bare literal
       assert(spark.sql("SELECT window_substrings('abc', length('xx')) AS w")
